@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One engine operator exposed as a named query.
+  *
+  * @param name   stable key, referenced by SparkEntry / Verify / Bench
+  * @param run    Spark implementation; `dir` is a testdata sf directory
+  * @param oracle equivalent ANSI SQL for the DuckDB oracle (None → the
+  *               driver records a weaker rows-only check; used for ops whose
+  *               semantics are not SQL-expressible, e.g. ML or LSH internals)
+  * @param bench  member of the headline benchmark set run by [[Bench]]
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false)
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
+    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the legacy conf and
+    * convert to a proper timestamp (integer `div` — double math would lose
+    * precision above 2^53 ns). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
+
+/** Shared column helpers that keep Spark results bit-identical to the
+  * DuckDB oracle.
+  *
+  * Floating-point sums are order-dependent, so `sum(double)` can differ in
+  * the last ulp between engines. We instead sum EXACTLY in decimal(18,4)
+  * and cast the exact result back to double — both engines then produce the
+  * identical IEEE value. The SQL-side twin is
+  * `cast(sum(cast(x as decimal(18,4))) as double)`.
+  */
+object Dsl {
+  val Dec: DecimalType = DecimalType(18, 4)
+
+  /** Exact decimal sum, returned as double (bit-identical across engines). */
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+
+  /** Exact average: exact decimal sum (as double) / count — a single IEEE
+    * division of identical operands on both engines. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** SQL twin of [[dsum]]. */
+  def sqlDsum(expr: String): String =
+    s"cast(sum(cast($expr as decimal(18,4))) as double)"
+
+  /** SQL twin of [[davg]]. */
+  def sqlDavg(expr: String): String =
+    s"${sqlDsum(expr)} / count($expr)"
+}

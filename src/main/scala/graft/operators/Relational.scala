@@ -1,0 +1,374 @@
+package graft.operators
+
+import graft.{Dsl, Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operator inventory (SURVEY.md §2.1, §2.3–§2.9).
+  *
+  * Each query re-expresses one reference operator over the driver testdata
+  * tables; the paired `oracle` SQL is the DuckDB-equivalent the driver
+  * hash-compares against. Determinism rules used throughout:
+  *   - every result carries a total ORDER BY (ties broken by a key column);
+  *   - double aggregation goes through exact decimal(18,4) sums ([[Dsl]]);
+  *   - column names are aliased identically on both sides.
+  */
+object Relational {
+  import Dsl._
+
+  /** TPC-H Q1-style pricing summary — groupBy agg with sum/avg/count
+    * (SURVEY §2.6 group-agg; spark_script.py:80 semantics generalized). */
+  val pricingSummary: Q = Q(
+    "q01_pricing_summary",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      ${sqlDsum("l_quantity")} AS sum_qty,
+      ${sqlDsum("l_extendedprice")} AS sum_base_price,
+      ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+      ${sqlDavg("l_quantity")} AS avg_qty,
+      count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+    bench = true)
+
+  /** Parquet scan with pushed filter + pruned projection (SURVEY §2.1, §2.4).
+    * `.explain` must show PushedFilters + a 4-column ReadSchema. */
+  val scanFilterProject: Q = Q(
+    "q02_scan_filter_project",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 45 && col("l_discount") > 0.05)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+      FROM lineitem WHERE l_quantity >= 45 AND l_discount > 0.05
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Top-k: orderBy desc + limit → TakeOrderedAndProject (SURVEY §2.7;
+    * app.py:249 `/top_apps`). Stable tie-break on key. */
+  val topkOrders: Q = Q(
+    "q03_topk_orders",
+    (s, d) => Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice", "o_orderdate")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(20),
+    Some("""SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""),
+    bench = true)
+
+  /** Multi-key top-k (SURVEY §2.7; app.py:209 desc(score),desc(minInstalls)). */
+  val topkMultikey: Q = Q(
+    "q04_topk_multikey",
+    (s, d) => Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+      .orderBy(desc("l_extendedprice"), desc("l_quantity"),
+        asc("l_orderkey"), asc("l_linenumber"))
+      .limit(15),
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+      FROM lineitem
+      ORDER BY l_extendedprice DESC, l_quantity DESC, l_orderkey, l_linenumber
+      LIMIT 15"""))
+
+  /** Left-outer equi-join (SURVEY §2.5; spark_script.py:24 apps ⟕ features).
+    * Small build side → Catalyst broadcasts automatically. */
+  val joinLeftOuter: Q = Q(
+    "q05_join_left_outer",
+    (s, d) => Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"), "left_outer")
+      .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey"""),
+    bench = true)
+
+  /** Multiway star join + agg: revenue per region. Dimension tables are
+    * explicitly broadcast — at 100 TB the fact table never shuffles for
+    * dims this small (SURVEY §2.5, §4 join strategy). */
+  val joinMultiwayAgg: Q = Q(
+    "q06_join_multiway_agg",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name")
+    },
+    Some(s"""SELECT r_name,
+      ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+      count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""),
+    bench = true)
+
+  /** Left-semi join — EXISTS (SURVEY §2.5 extension of the join surface). */
+  val joinSemi: Q = Q(
+    "q07_join_semi",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      ORDER BY c_custkey"""))
+
+  /** Left-anti join — NOT EXISTS. */
+  val joinAnti: Q = Q(
+    "q08_join_anti",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      ORDER BY c_custkey"""))
+
+  /** Group-by count (SURVEY §2.6; spark_script.py:80 cluster report). */
+  val groupCount: Q = Q(
+    "q09_group_count",
+    (s, d) => Tables.orders(s, d)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus"),
+    Some("""SELECT o_orderstatus, count(*) AS n FROM orders
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Global count (SURVEY §2.6; df.count() validation gates). */
+  val globalCount: Q = Q(
+    "q10_global_count",
+    (s, d) => Tables.lineitem(s, d).agg(count(lit(1)).as("n")),
+    Some("SELECT count(*) AS n FROM lineitem"))
+
+  /** Single-column DISTINCT + ascending sort (SURVEY §2.6; app.py:161
+    * `/categories`). */
+  val distinctSingle: Q = Q(
+    "q11_distinct",
+    (s, d) => Tables.lineitem(s, d)
+      .select("l_returnflag").distinct().orderBy("l_returnflag"),
+    Some("SELECT DISTINCT l_returnflag FROM lineitem ORDER BY l_returnflag"))
+
+  /** Multi-column DISTINCT (SURVEY §2.6; app.py:170-173). */
+  val distinctMulti: Q = Q(
+    "q12_distinct_multi",
+    (s, d) => Tables.lineitem(s, d)
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Case-insensitive equality filter (SURVEY §2.4; app.py:209
+    * lower(genre) = lower(param)). */
+  val filterCaseInsensitive: Q = Q(
+    "q13_filter_ci_eq",
+    (s, d) => Tables.nation(s, d)
+      .filter(lower(col("n_name")) === "nation_7")
+      .select("n_nationkey", "n_name")
+      .orderBy("n_nationkey"),
+    Some("""SELECT n_nationkey, n_name FROM nation
+      WHERE lower(n_name) = 'nation_7' ORDER BY n_nationkey"""))
+
+  /** Substring-containment filter (SURVEY §2.4; app.py:170
+    * lower(title).contains(q)). */
+  val filterContains: Q = Q(
+    "q14_filter_contains",
+    (s, d) => Tables.part(s, d)
+      .filter(lower(col("p_name")).contains("gear"))
+      .select("p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, p_name, p_retailprice FROM part
+      WHERE lower(p_name) LIKE '%gear%' ORDER BY p_partkey"""))
+
+  /** UNION ALL (SURVEY §2.8 — the multi-file scan / pd.concat semantics). */
+  val unionAll: Q = Q(
+    "q15_union_all",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .unionAll(o.filter(col("o_orderstatus") === "O")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey", "o_orderstatus")
+    },
+    Some("""SELECT * FROM (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'O')
+      ORDER BY o_orderkey, o_orderstatus"""))
+
+  /** INTERSECT (distinct semantics on both engines). */
+  val intersectKeys: Q = Q(
+    "q16_intersect",
+    (s, d) => Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+      .intersect(Tables.orders(s, d).select(col("o_custkey").as("custkey")))
+      .orderBy("custkey"),
+    Some("""SELECT c_custkey AS custkey FROM customer
+      INTERSECT SELECT o_custkey AS custkey FROM orders ORDER BY custkey"""))
+
+  /** EXCEPT (distinct semantics on both engines). */
+  val exceptKeys: Q = Q(
+    "q17_except",
+    (s, d) => Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+      .except(Tables.orders(s, d).select(col("o_custkey").as("custkey")))
+      .orderBy("custkey"),
+    Some("""SELECT c_custkey AS custkey FROM customer
+      EXCEPT SELECT o_custkey AS custkey FROM orders ORDER BY custkey"""))
+
+  /** CASE WHEN / conditional bucketing (SURVEY §2.9 when/otherwise). */
+  val caseWhenBuckets: Q = Q(
+    "q18_case_when",
+    (s, d) => Tables.orders(s, d)
+      .withColumn("bucket",
+        when(col("o_totalprice") >= 300000, "high")
+          .when(col("o_totalprice") >= 150000, "mid")
+          .otherwise("low"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("bucket"),
+    Some(s"""SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
+        WHEN o_totalprice >= 150000 THEN 'mid' ELSE 'low' END AS bucket,
+      count(*) AS n, ${sqlDsum("o_totalprice")} AS total
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  /** Date functions: year/month extraction + agg (SURVEY §2.9 date). */
+  val dateParts: Q = Q(
+    "q19_date_parts",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(year(col("l_shipdate")).as("yr"), month(col("l_shipdate")).as("mo"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy("yr", "mo"),
+    Some(s"""SELECT cast(year(l_shipdate) as int) AS yr,
+      cast(month(l_shipdate) as int) AS mo,
+      count(*) AS n, ${sqlDsum("l_extendedprice")} AS total_price
+      FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** String scalar functions: lower/upper/length/substring/concat/replace
+    * (SURVEY §2.9). */
+  val stringFuncs: Q = Q(
+    "q20_string_funcs",
+    (s, d) => Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        lower(col("p_type")).as("type_l"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), " ", "_").as("name_us"))
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,
+      cast(length(p_name) as int) AS name_len, substr(p_name, 1, 5) AS name5,
+      concat_ws('|', p_brand, p_type) AS brand_type,
+      replace(p_name, ' ', '_') AS name_us
+      FROM part ORDER BY p_partkey"""))
+
+  /** min/max/avg aggregates (SURVEY §2.6 column stats). */
+  val aggMinMaxAvg: Q = Q(
+    "q21_agg_minmax_avg",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        davg(col("l_quantity")).as("avg_qty"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"))
+      .orderBy("l_returnflag"),
+    Some(s"""SELECT l_returnflag, min(l_quantity) AS min_qty,
+      max(l_quantity) AS max_qty, ${sqlDavg("l_quantity")} AS avg_qty,
+      min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** COUNT(DISTINCT) — exact distinct aggregation (SURVEY §2.6). */
+  val countDistinctQ: Q = Q(
+    "q22_count_distinct",
+    (s, d) => Tables.lineitem(s, d)
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders")),
+    Some("""SELECT count(DISTINCT l_partkey) AS n_parts,
+      count(DISTINCT l_suppkey) AS n_supps,
+      count(DISTINCT l_orderkey) AS n_orders FROM lineitem"""))
+
+  /** Window function: top-3 orders per customer by row_number (beyond the
+    * reference surface — SURVEY §2.6 notes it has no window aggs; ours do). */
+  val windowRank: Q = Q(
+    "q23_window_rank",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  /** Point lookup by key — first-row fetch (SURVEY §2.7; app.py:189). */
+  val pointLookup: Q = Q(
+    "q24_point_lookup",
+    (s, d) => Tables.orders(s, d)
+      .filter(col("o_orderkey") === 42)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey = 42"""))
+
+  /** JSON field extraction (SURVEY §2.9 JSON; producer/consumer
+    * to_json/from_json surface, applied to the events.props payload). */
+  val jsonExtract: Q = Q(
+    "q25_json_extract",
+    (s, d) => Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id, cast(json_extract_string(props, '$.k') as int) AS k
+      FROM events ORDER BY event_id"""))
+
+  /** Processing-time tumbling-window analog over event time: hourly
+    * bucket agg (SURVEY §2.12 batch-equivalent of the 60 s window). */
+  val eventsHourly: Q = Q(
+    "q26_events_hourly",
+    (s, d) => Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("h", "event_type"),
+    Some(s"""SELECT date_trunc('hour', ts) AS h, event_type,
+      count(*) AS n, ${sqlDsum("value")} AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+    bench = true)
+
+  val all: Seq[Q] = Seq(
+    pricingSummary, scanFilterProject, topkOrders, topkMultikey,
+    joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
+    groupCount, globalCount, distinctSingle, distinctMulti,
+    filterCaseInsensitive, filterContains, unionAll, intersectKeys,
+    exceptKeys, caseWhenBuckets, dateParts, stringFuncs,
+    aggMinMaxAvg, countDistinctQ, windowRank, pointLookup,
+    jsonExtract, eventsHourly)
+}

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [verifyOutDir]
+
+Reads oracle_sql.json + per-query parquet dirs produced by `graft.Verify`,
+runs each oracle SQL in DuckDB over the same sf tables, and compares
+schema / row count / values (columns sorted by name, rows sorted).
+Driver-side only — never imported by the Scala engine.
+"""
+import sys, json, math, glob
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision — we engineered bit-equality
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    return str(v)
+
+
+def rows_of(cur):
+    cols = [d[0] for d in cur.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    data = [tuple(norm(r[i]) for i in order) for r in cur.fetchall()]
+    return [cols[i] for i in order], sorted(data)
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_ok = 0
+    failures = []
+    all_dirs = {p.rstrip("/").split("/")[-1] for p in glob.glob(f"{out}/*/")}
+    for name in sorted(all_dirs | set(oracle)):
+        files = glob.glob(f"{out}/{name}/*.parquet")
+        if not files:
+            failures.append(f"{name}: NO OUTPUT parquet")
+            continue
+        got_cur = duckdb.connect().execute(
+            f"SELECT * FROM read_parquet({files!r})")
+        gcols, grows = rows_of(got_cur)
+        if name not in oracle:
+            status = "rows-only"
+            if len(grows) > 0:
+                n_ok += 1
+                print(f"  ok(rows-only) {name}: {len(grows)} rows")
+            else:
+                failures.append(f"{name}: rows-only check, 0 rows")
+            continue
+        try:
+            ecols, erows = rows_of(con.execute(oracle[name]))
+        except Exception as e:
+            failures.append(f"{name}: ORACLE SQL ERROR {e}")
+            continue
+        if gcols != ecols:
+            failures.append(f"{name}: SCHEMA got={gcols} exp={ecols}")
+        elif len(grows) != len(erows):
+            failures.append(f"{name}: ROWS got={len(grows)} exp={len(erows)}")
+        elif grows != erows:
+            diffs = [(g, e) for g, e in zip(grows, erows) if g != e][:3]
+            failures.append(f"{name}: VALUES differ, first diffs={diffs}")
+        else:
+            n_ok += 1
+            print(f"  ok {name}: {len(grows)} rows")
+    print(f"\n{n_ok} ok, {len(failures)} failed")
+    for f in failures:
+        print(f"  FAIL {f}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
