@@ -76,4 +76,45 @@ object Dsl {
   /** SQL twin of [[davg]]. */
   def sqlDavg(expr: String): String =
     s"${sqlDsum(expr)} / count($expr)"
+
+  // --------------------------------------------------------------------
+  // Cross-engine deterministic hashing.
+  //
+  // DuckDB's md5_number_lower(s) is the little-endian uint64 of md5-digest
+  // bytes 8..15 (verified empirically). Spark reconstructs the identical
+  // value from the md5 hex string by reversing the byte pairs of chars
+  // 17..32 and converting base-16 → base-10 (conv handles unsigned 64-bit).
+  // Both sides then reduce mod 2^61 so the value fits a signed BIGINT.
+  // This gives one shared 61-bit hash for MinHash/SimHash/fingerprints.
+  // --------------------------------------------------------------------
+  val H61Mod = 2305843009213693952L // 2^61
+
+  /** 61-bit content hash, bit-identical to the DuckDB twin [[sqlMd5h61]]. */
+  def md5h61(c: Column): Column = {
+    val hex = md5(c.cast(BinaryType))
+    val le = concat((7 to 0 by -1).map(i => substring(hex, 17 + 2 * i, 2)): _*)
+    (conv(le, 16, 10).cast(DecimalType(20, 0)) % lit(H61Mod)).cast(LongType)
+  }
+
+  /** SQL twin of [[md5h61]]. */
+  def sqlMd5h61(expr: String): String =
+    s"cast(md5_number_lower($expr) % $H61Mod as bigint)"
+
+  /** Whitespace tokenizer (both engines split on \s+ after trim). */
+  def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** SQL twin of [[toks]]. */
+  def sqlToks(expr: String): String =
+    s"string_split_regex(trim($expr), '\\s+')"
+
+  /** Word 3-gram shingles over a token array (1-based element access on
+    * both engines; callers must pre-filter size >= 3 — Spark's sequence()
+    * counts DOWN for stop<start while DuckDB generate_series is empty). */
+  def shingles3(t: Column): Column =
+    transform(sequence(lit(1), size(t) - 2), i =>
+      concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))
+
+  /** SQL twin of [[shingles3]] over a token-array expression. */
+  def sqlShingles3(t: String): String =
+    s"list_transform(generate_series(1, len($t) - 2), i -> concat_ws(' ', $t[i], $t[i+1], $t[i+2]))"
 }

@@ -26,7 +26,10 @@ object SparkEntry {
 /** The full operator inventory, one [[Q]] per operator. */
 object Registry {
   def all: Seq[Q] =
-    operators.Relational.all
+    operators.Relational.all ++
+      operators.TextAnalysis.all ++
+      operators.Dedup.all ++
+      operators.Similarity.all
 
   def benchSet: Seq[Q] = all.filter(_.bench)
 }

@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.{Dsl, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline surface:
+  * exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
+  * bucket-join → jaccard verify), and SimHash (bit-vote + chunked
+  * hamming blocking).
+  *
+  * Scale notes (100 TB): every pairwise comparison here is preceded by a
+  * content-derived blocking key (LSH band hash / simhash chunk), so the
+  * candidate join is an equi-join Catalyst shuffles on the bucket key —
+  * never an O(n²) cross join. Signatures are one explode + one hash-agg
+  * (map-side partial agg applies); both are linear scans.
+  */
+object Dedup {
+  import Dsl._
+
+  private val K = 16    // minhash signature length
+  private val Bands = 8 // 8 bands × 2 rows (high recall at jaccard ≥ 0.8)
+  private val mhNames = (0 until K).map(k => f"mh$k%02d")
+
+  /** Exact dedup: group by full text, keep the minimum doc_id. */
+  val exact: Q = Q(
+    "q35_dedup_exact",
+    (s, d) => Tables.documents(s, d)
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups")
+      .orderBy("keep_id"),
+    Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+      FROM documents GROUP BY text ORDER BY keep_id"""))
+
+  /** Distinct word-3-gram shingle sets per document (docs with < 3 tokens
+    * are excluded on both engines — see [[Dsl.shingles3]]). */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(shingles3(col("t"))).as("sh"))
+
+  private val sqlShingleSets =
+    s"""t AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+       sets AS (SELECT doc_id, list_distinct(${sqlShingles3("t")}) AS sh
+                FROM t WHERE len(t) >= 3)"""
+
+  /** MinHash signature: explode shingles, K independent hash functions
+    * h_k(s) = md5h61(k || ':' || s), min per doc — a single hash-agg. */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val exploded = shingleSets(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val aggs = (0 until K).map(k =>
+      min(md5h61(concat(lit(s"$k:"), col("s")))).as(mhNames(k)))
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val sqlSignatures = {
+    val aggs = (0 until K).map(k =>
+      s"min(${sqlMd5h61(s"'$k:' || s")}) AS ${mhNames(k)}").mkString(", ")
+    s"""sig AS (SELECT doc_id, $aggs
+          FROM (SELECT doc_id, unnest(sh) AS s FROM sets) GROUP BY doc_id)"""
+  }
+
+  /** q36: the signature table itself (oracle checks the full minhash math). */
+  val minhashSignatures: Q = Q(
+    "q36_minhash_signatures",
+    (s, d) => signatures(s, d).orderBy("doc_id"),
+    Some(s"""WITH $sqlShingleSets, $sqlSignatures
+      SELECT * FROM sig ORDER BY doc_id"""))
+
+  /** Band hash columns: md5 over the concatenated minhash values of each
+    * band (2 rows/band). */
+  private def bandCol(b: Int): Column =
+    md5(concat_ws(",", col(mhNames(2 * b)), col(mhNames(2 * b + 1))).cast("binary"))
+
+  private def sqlBandExpr(b: Int): String =
+    s"md5(concat_ws(',', ${mhNames(2 * b)}, ${mhNames(2 * b + 1)}))"
+
+  /** q37: MinHash-LSH near-dup pairs. Candidates = docs sharing any band
+    * bucket; verified with true shingle jaccard >= 0.8. Output carries the
+    * signature estimate and the exact jaccard. */
+  val minhashLshPairs: Q = Q(
+    "q37_minhash_lsh_pairs",
+    (s, d) => {
+      val sig = signatures(s, d).cache()
+      val bands = sig.select(col("doc_id"),
+        posexplode(array((0 until Bands).map(bandCol): _*)).as(Seq("band_id", "bh")))
+      val a = bands.as("a"); val b = bands.as("b")
+      val cand = a.join(b,
+        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val x = sig.as("x"); val y = sig.as("y")
+      val matches = mhNames.map(m =>
+        when(col(s"x.$m") === col(s"y.$m"), 1).otherwise(0)).reduce(_ + _)
+      val est = cand
+        .join(x, col("doc_a") === col("x.doc_id"))
+        .join(y, col("doc_b") === col("y.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (matches.cast("double") / K).as("est_jaccard"))
+      val sets = shingleSets(s, d)
+      val p = sets.as("p"); val q = sets.as("q")
+      val inter = size(array_intersect(col("p.sh"), col("q.sh")))
+      est
+        .join(p, col("doc_a") === col("p.doc_id"))
+        .join(q, col("doc_b") === col("q.doc_id"))
+        .withColumn("jaccard", inter.cast("double") /
+          (size(col("p.sh")) + size(col("q.sh")) - inter))
+        .filter(col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val bandSelects = (0 until Bands).map(b =>
+        s"SELECT doc_id, $b AS band_id, ${sqlBandExpr(b)} AS bh FROM sig")
+        .mkString(" UNION ALL ")
+      val matchSum = mhNames.map(m =>
+        s"CASE WHEN x.$m = y.$m THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $sqlShingleSets, $sqlSignatures,
+      bands AS ($bandSelects),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      est AS (SELECT c.doc_a, c.doc_b,
+          cast($matchSum as double) / $K AS est_jaccard
+        FROM cand c JOIN sig x ON x.doc_id = c.doc_a
+                    JOIN sig y ON y.doc_id = c.doc_b),
+      verified AS (SELECT e.doc_a, e.doc_b, e.est_jaccard,
+          cast(len(list_intersect(p.sh, q.sh)) as double) /
+            (len(p.sh) + len(q.sh) - len(list_intersect(p.sh, q.sh))) AS jaccard
+        FROM est e JOIN sets p ON p.doc_id = e.doc_a
+                   JOIN sets q ON q.doc_id = e.doc_b)
+      SELECT doc_a, doc_b, est_jaccard, jaccard FROM verified
+      WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""
+    },
+    bench = true)
+
+  private val SimBits = 32
+
+  /** SimHash per doc: token-level 61-bit hashes, per-bit majority vote
+    * over the low 32 bits, reassembled into a BIGINT. */
+  private def simhashDf(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tk"))
+      .withColumn("h", md5h61(col("tk")))
+    val votes = (0 until SimBits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$b"))
+    val voted = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val assembled = (0 until SimBits).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    voted.select(col("doc_id"), assembled.as("simhash"))
+  }
+
+  private val sqlSimhash = {
+    val votes = (0 until SimBits).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+    val assemble = (0 until SimBits).map(b =>
+      s"CASE WHEN v$b > 0 THEN cast(${1L << b} as bigint) ELSE 0 END").mkString(" + ")
+    s"""tok AS (SELECT doc_id, unnest(${sqlToks("text")}) AS tk FROM documents),
+       hs AS (SELECT doc_id, ${sqlMd5h61("tk")} AS h FROM tok),
+       votes AS (SELECT doc_id, $votes FROM hs GROUP BY doc_id),
+       sim AS (SELECT doc_id, $assemble AS simhash FROM votes)"""
+  }
+
+  /** q38: the simhash signature table. */
+  val simhashSignatures: Q = Q(
+    "q38_simhash_signatures",
+    (s, d) => simhashDf(s, d).orderBy("doc_id"),
+    Some(s"WITH $sqlSimhash SELECT doc_id, simhash FROM sim ORDER BY doc_id"))
+
+  /** q39: SimHash near-dup pairs. Blocking: split the 32-bit simhash into
+    * 4 byte-chunks; any pair within hamming distance 3 shares at least one
+    * chunk (pigeonhole), so candidates come from 4 equi-join buckets, not
+    * a cross join. Verified with bit_count(xor) <= 3. */
+  val simhashPairs: Q = Q(
+    "q39_simhash_pairs",
+    (s, d) => {
+      val sim = simhashDf(s, d).cache()
+      val chunks = sim.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("simhash"), 8 * c).bitwiseAND(lit(255L))): _*))
+          .as(Seq("chunk_id", "ck")))
+      val a = chunks.as("a"); val b = chunks.as("b")
+      a.join(b,
+        col("a.chunk_id") === col("b.chunk_id") && col("a.ck") === col("b.ck") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH $sqlSimhash,
+      chunks AS (SELECT doc_id, simhash, c AS chunk_id,
+          (simhash >> (8 * c)) & 255 AS ck
+        FROM sim, (SELECT unnest([0,1,2,3]) AS c)),
+      pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          cast(bit_count(xor(a.simhash, b.simhash)) as int) AS hamming
+        FROM chunks a JOIN chunks b
+          ON a.chunk_id = b.chunk_id AND a.ck = b.ck AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, hamming FROM pairs
+      WHERE hamming <= 3 ORDER BY doc_a, doc_b"""))
+
+  val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
+    simhashSignatures, simhashPairs)
+}

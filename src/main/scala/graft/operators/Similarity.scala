@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.{Dsl, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators over the `embeddings` table
+  * (Array[Float], 64-dim): exact cosine near-dup pairs, brute-force ANN
+  * top-k, and a hyperplane-LSH-bucketed ANN variant (the scale path).
+  *
+  * Cross-engine determinism: element-wise products and left-fold sums are
+  * performed in the same order with the same IEEE double ops on both
+  * engines, so cosines are bit-identical — no rounding needed.
+  *
+  * Scale notes (100 TB): near-dup pairing is blocked (label partition /
+  * LSH bucket) so joins shuffle on the block key instead of crossing;
+  * the brute-force path broadcasts the single query vector.
+  */
+object Similarity {
+  import Dsl._
+
+  /** Array[Float] → Array[Double] (per-element cast on both engines). */
+  private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+  private def sqlVecD(e: String): String =
+    s"list_transform($e, x -> cast(x as double))"
+
+  /** Left-fold dot product — bit-identical to the DuckDB twin. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** Normalized embeddings with precomputed L2 norm (computed once per
+    * row, not per pair). */
+  private def normed(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), vecD(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+
+  private val sqlNormed =
+    s"""n AS (SELECT vec_id, label, ${sqlVecD("embedding")} AS e FROM embeddings),
+       w AS (SELECT vec_id, label, e,
+         sqrt(${sqlDot("e", "e")}) AS nrm FROM n)"""
+
+  /** Vector column sanity surface: dimension + L2 norm per embedding. */
+  val norms: Q = Q(
+    "q40_embedding_norms",
+    (s, d) => normed(s, d)
+      .select(col("vec_id"), col("label"),
+        size(col("e")).as("dim"), col("nrm").as("l2_norm"))
+      .orderBy("vec_id"),
+    Some(s"""WITH $sqlNormed
+      SELECT vec_id, label, cast(len(e) as int) AS dim, nrm AS l2_norm
+      FROM w ORDER BY vec_id"""))
+
+  /** Embedding-cosine near-dup pairs, blocked by label (IVF-style coarse
+    * partition: the pair join shuffles on `label`, never crosses). */
+  val nearDupPairs: Q = Q(
+    "q41_embed_neardup_pairs",
+    (s, d) => {
+      val w = normed(s, d).cache()
+      val a = w.as("a"); val b = w.as("b")
+      a.join(b, col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cosine",
+          dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
+        .filter(col("cosine") >= 0.35)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.label").as("label"), col("cosine"))
+        .orderBy("vec_a", "vec_b")
+    },
+    Some(s"""WITH $sqlNormed,
+      pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          a.label AS label,
+          ${sqlDot("a.e", "b.e")} / (a.nrm * b.nrm) AS cosine
+        FROM w a JOIN w b ON a.label = b.label AND a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, label, cosine FROM pairs
+      WHERE cosine >= 0.35 ORDER BY vec_a, vec_b"""),
+    bench = true)
+
+  /** Brute-force cosine top-k for one query vector (vec_id 0): the
+    * baseline ANN — a broadcast of the query row + TakeOrderedAndProject. */
+  val annBruteForce: Q = Q(
+    "q42_ann_bruteforce",
+    (s, d) => {
+      val w = normed(s, d)
+      val q = w.filter(col("vec_id") === 0)
+        .select(col("e").as("qe"), col("nrm").as("qnrm"))
+      w.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cosine", dot(col("e"), col("qe")) / (col("nrm") * col("qnrm")))
+        .select("vec_id", "label", "cosine")
+        .orderBy(desc("cosine"), asc("vec_id"))
+        .limit(10)
+    },
+    Some(s"""WITH $sqlNormed,
+      q AS (SELECT e AS qe, nrm AS qnrm FROM w WHERE vec_id = 0)
+      SELECT w.vec_id, w.label,
+        ${sqlDot("w.e", "q.qe")} / (w.nrm * q.qnrm) AS cosine
+      FROM w, q WHERE w.vec_id <> 0
+      ORDER BY cosine DESC, vec_id LIMIT 10"""),
+    bench = true)
+
+  // Hyperplane (sign-random-projection) LSH: P planes of ±1 components,
+  // derived deterministically from md5 so the identical literals are
+  // inlined into the DuckDB oracle.
+  private val Planes = 4
+  private val Dim = 64
+  private val planeComps: Seq[Seq[Int]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    (0 until Planes).map { p =>
+      (0 until Dim).map { i =>
+        val h = mdig.digest(s"plane:$p:$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1 else -1
+      }
+    }
+  }
+
+  private def planeDot(e: Column, p: Int): Column = {
+    val planeLit = array(planeComps(p).map(v => lit(v.toDouble)): _*)
+    aggregate(sequence(lit(1), lit(Dim)), lit(0.0),
+      (acc, i) => acc + element_at(planeLit, i) * element_at(e, i))
+  }
+
+  private def sqlPlaneDot(e: String, p: Int): String = {
+    val arr = planeComps(p).map(v => s"$v.0").mkString("[", ", ", "]")
+    s"list_reduce(list_transform(generate_series(1, $Dim), i -> ($arr::double[])[i] * $e[i]), (x, y) -> x + y)"
+  }
+
+  private def bucketCol(e: Column): Column =
+    (0 until Planes).map(p =>
+      when(planeDot(e, p) > 0, lit(1 << p)).otherwise(lit(0))).reduce(_ + _)
+
+  private def sqlBucket(e: String): String =
+    (0 until Planes).map(p =>
+      s"CASE WHEN ${sqlPlaneDot(e, p)} > 0 THEN ${1 << p} ELSE 0 END")
+      .mkString(" + ")
+
+  /** LSH-bucketed ANN: candidates share the query's hyperplane sign
+    * bucket (16 buckets), then exact cosine re-rank. At scale the bucket
+    * id is the shuffle/partition key; only ~1/16 of vectors are touched
+    * per probe. */
+  val annLsh: Q = Q(
+    "q43_ann_lsh",
+    (s, d) => {
+      val w = normed(s, d).withColumn("bucket", bucketCol(col("e"))).cache()
+      val q2 = w.filter(col("vec_id") === 0)
+        .select(col("e").as("qe"), col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+      w.filter(col("vec_id") =!= 0)
+        .join(broadcast(q2), col("bucket") === col("qbucket"))
+        .withColumn("cosine", dot(col("e"), col("qe")) / (col("nrm") * col("qnrm")))
+        .select("vec_id", "label", "bucket", "cosine")
+        .orderBy(desc("cosine"), asc("vec_id"))
+        .limit(10)
+    },
+    Some(s"""WITH $sqlNormed,
+      b AS (SELECT vec_id, label, e, nrm, ${sqlBucket("e")} AS bucket FROM w),
+      q AS (SELECT e AS qe, nrm AS qnrm, bucket AS qbucket FROM b WHERE vec_id = 0)
+      SELECT b.vec_id, b.label, b.bucket,
+        ${sqlDot("b.e", "q.qe")} / (b.nrm * q.qnrm) AS cosine
+      FROM b JOIN q ON b.bucket = q.qbucket
+      WHERE b.vec_id <> 0
+      ORDER BY cosine DESC, vec_id LIMIT 10"""))
+
+  /** Multimodal columns: opaque binary payload + typed metadata. The
+    * decode step is a stub (no image libs in this container) — what's
+    * real and verified is the binary handling: byte length, content
+    * hash, sniffed prefix, and deterministic fake dimensions derived
+    * from the shared 61-bit hash. */
+  val multimodalMeta: Q = Q(
+    "q44_multimodal_meta",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("content_md5"),
+        substring(col("text"), 1, 4).as("magic"),
+        (lit(32) + (md5h61(concat(lit("w:"), col("text"))) % 448).cast("int")).as("fake_width"),
+        (lit(32) + (md5h61(concat(lit("h:"), col("text"))) % 320).cast("int")).as("fake_height"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+      cast(octet_length(encode(text)) as int) AS n_bytes,
+      md5(text) AS content_md5,
+      substr(text, 1, 4) AS magic,
+      32 + cast(${sqlMd5h61("'w:' || text")} % 448 as int) AS fake_width,
+      32 + cast(${sqlMd5h61("'h:' || text")} % 320 as int) AS fake_height
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
+    multimodalMeta)
+}

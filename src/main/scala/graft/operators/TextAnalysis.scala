@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.{Dsl, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline surface:
+  * token counting, quality scoring, language-ID heuristic, document
+  * fingerprinting (builder brief; generalizes the reference's dead
+  * `extract_keywords`, app.py:81-96).
+  *
+  * All run over the `documents` table. Every numeric is produced with the
+  * same IEEE operations on both engines so the DuckDB oracle hash-matches
+  * exactly (int/int division happens once, in double, both sides).
+  */
+object TextAnalysis {
+  import Dsl._
+
+  /** Token + char counting (whitespace tokenizer). */
+  val tokenCount: Q = Q(
+    "q30_token_count",
+    (s, d) => Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(toks(col("text"))).as("n_tokens"),
+        length(col("text")).as("len_chars"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+      cast(len(${sqlToks("text")}) as int) AS n_tokens,
+      cast(length(text) as int) AS len_chars
+      FROM documents ORDER BY doc_id"""))
+
+  private val stopWords = Seq("the", "a", "of", "to", "in", "and", "is")
+  private val stopSqlList = stopWords.map(w => s"'$w'").mkString(", ")
+
+  /** Quality scoring: token counts, type/token ratio, stopword ratio,
+    * average token length, bucketed quality label. */
+  val qualityScore: Q = Q(
+    "q31_quality_score",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("t", toks(col("text")))
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("n_uniq", size(array_distinct(col("t"))))
+      .withColumn("stop_cnt",
+        size(filter(col("t"), x => x.isin(stopWords: _*))))
+      .withColumn("sum_len",
+        aggregate(transform(col("t"), x => length(x)), lit(0), (a, x) => a + x))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_uniq"),
+        (col("stop_cnt").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (col("n_uniq").cast("double") / col("n_tokens")).as("ttr"),
+        (col("sum_len").cast("double") / col("n_tokens")).as("avg_token_len"),
+        when(col("n_tokens") >= 50 && col("n_uniq") >= 20, "good")
+          .when(col("n_tokens") >= 20, "fair")
+          .otherwise("poor").as("quality"))
+      .orderBy("doc_id"),
+    Some(s"""WITH t AS (
+        SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+      m AS (SELECT doc_id,
+        cast(len(t) as int) AS n_tokens,
+        cast(len(list_distinct(t)) as int) AS n_uniq,
+        cast(len(list_filter(t, x -> x IN ($stopSqlList))) as int) AS stop_cnt,
+        cast(list_sum(list_transform(t, x -> length(x))) as int) AS sum_len
+        FROM t)
+      SELECT doc_id, n_tokens, n_uniq,
+        cast(stop_cnt as double) / n_tokens AS stop_ratio,
+        cast(n_uniq as double) / n_tokens AS ttr,
+        cast(sum_len as double) / n_tokens AS avg_token_len,
+        CASE WHEN n_tokens >= 50 AND n_uniq >= 20 THEN 'good'
+             WHEN n_tokens >= 20 THEN 'fair' ELSE 'poor' END AS quality
+      FROM m ORDER BY doc_id"""))
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "is", "and"),
+    "es" -> Seq("el", "la", "los"),
+    "fr" -> Seq("le", "les", "des"),
+    "de" -> Seq("der", "die", "und"))
+
+  /** Language-ID heuristic: stopword-marker voting with a deterministic
+    * argmax tie-break (en > es > fr > de). */
+  val langGuess: Q = Q(
+    "q32_lang_guess",
+    (s, d) => {
+      val base = Tables.documents(s, d).withColumn("t", toks(col("text")))
+      val counted = markers.foldLeft(base) { case (df, (l, ws)) =>
+        df.withColumn(s"c_$l", size(filter(col("t"), x => x.isin(ws: _*))))
+      }
+      counted.select(
+        col("doc_id"), col("lang"),
+        col("c_en"), col("c_es"), col("c_fr"), col("c_de"),
+        when(col("c_en") >= col("c_es") && col("c_en") >= col("c_fr") && col("c_en") >= col("c_de"), "en")
+          .when(col("c_es") >= col("c_fr") && col("c_es") >= col("c_de"), "es")
+          .when(col("c_fr") >= col("c_de"), "fr")
+          .otherwise("de").as("guess"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val counts = markers.map { case (l, ws) =>
+        s"cast(len(list_filter(t, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) as int) AS c_$l"
+      }.mkString(",\n        ")
+      s"""WITH t AS (SELECT doc_id, lang, ${sqlToks("text")} AS t FROM documents),
+      m AS (SELECT doc_id, lang,
+        $counts
+        FROM t)
+      SELECT doc_id, lang, c_en, c_es, c_fr, c_de,
+        CASE WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de THEN 'en'
+             WHEN c_es >= c_fr AND c_es >= c_de THEN 'es'
+             WHEN c_fr >= c_de THEN 'fr' ELSE 'de' END AS guess
+      FROM m ORDER BY doc_id"""
+    })
+
+  /** Confusion matrix of labeled lang × heuristic guess. */
+  val langConfusion: Q = Q(
+    "q33_lang_confusion",
+    (s, d) => {
+      val base = Tables.documents(s, d).withColumn("t", toks(col("text")))
+      val counted = markers.foldLeft(base) { case (df, (l, ws)) =>
+        df.withColumn(s"c_$l", size(filter(col("t"), x => x.isin(ws: _*))))
+      }
+      counted.withColumn("guess",
+        when(col("c_en") >= col("c_es") && col("c_en") >= col("c_fr") && col("c_en") >= col("c_de"), "en")
+          .when(col("c_es") >= col("c_fr") && col("c_es") >= col("c_de"), "es")
+          .when(col("c_fr") >= col("c_de"), "fr")
+          .otherwise("de"))
+        .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "guess")
+    },
+    Some {
+      val counts = markers.map { case (l, ws) =>
+        s"cast(len(list_filter(t, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) as int) AS c_$l"
+      }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang, ${sqlToks("text")} AS t FROM documents),
+      m AS (SELECT doc_id, lang, $counts FROM t),
+      g AS (SELECT lang,
+        CASE WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de THEN 'en'
+             WHEN c_es >= c_fr AND c_es >= c_de THEN 'es'
+             WHEN c_fr >= c_de THEN 'fr' ELSE 'de' END AS guess
+        FROM m)
+      SELECT lang, guess, count(*) AS n FROM g
+      GROUP BY lang, guess ORDER BY lang, guess"""
+    })
+
+  /** Document fingerprinting: md5 content hash of whitespace-normalized
+    * lowercase text, plus the shared 61-bit hash, grouped into identity
+    * classes (min doc_id keeps, duplicate count). */
+  val fingerprint: Q = Q(
+    "q34_fingerprint",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("fp",
+        md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")).cast("binary")))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("keep_id"),
+    Some("""WITH f AS (SELECT doc_id,
+        md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents)
+      SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups
+      FROM f GROUP BY fp ORDER BY keep_id"""))
+
+  val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
+    fingerprint)
+}
