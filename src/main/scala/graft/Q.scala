@@ -108,11 +108,16 @@ object Dsl {
     s"string_split_regex(trim($expr), '\\s+')"
 
   /** Word 3-gram shingles over a token array (1-based element access on
-    * both engines; callers must pre-filter size >= 3 — Spark's sequence()
-    * counts DOWN for stop<start while DuckDB generate_series is empty). */
-  def shingles3(t: Column): Column =
-    transform(sequence(lit(1), size(t) - 2), i =>
+    * both engines). The index sequence is guarded: Spark's sequence(1, 0)
+    * counts DOWN to [1,0] (and element_at(t, 0) throws under ANSI) while
+    * DuckDB generate_series(1, 0) is empty — so docs with < 3 tokens must
+    * yield [] here, matching the SQL twin, regardless of operator order. */
+  def shingles3(t: Column): Column = {
+    val idx = when(size(t) >= 3, sequence(lit(1), size(t) - 2))
+      .otherwise(array().cast("array<int>"))
+    transform(idx, i =>
       concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))
+  }
 
   /** SQL twin of [[shingles3]] over a token-array expression. */
   def sqlShingles3(t: String): String =

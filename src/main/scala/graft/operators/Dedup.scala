@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Dsl, Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Deduplication operators for the training-data pipeline surface:
   * exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
@@ -35,32 +36,66 @@ object Dedup {
 
   /** Distinct word-3-gram shingle sets per document (docs with < 3 tokens
     * are excluded on both engines — see [[Dsl.shingles3]]). */
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
+  private def shingleSets(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextFunctions.register(s)
     Tables.documents(s, d)
+      // The documents parquet arrives in O(1) partitions; spread the
+      // per-row shingling/hashing work across all cores before computing
+      // it (explicit partition count — AQE would coalesce a keyed
+      // repartition of this tiny-byte-size input back to one partition).
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), array_distinct(shingles3(col("t"))).as("sh"))
+      // single-pass native expression; semantics twin of
+      // array_distinct(shingles3(t)) — see DistinctShingles scaladoc
+      .select(col("doc_id"), expr("distinct_shingles(t, 3)").as("sh"))
+  }
 
   private val sqlShingleSets =
     s"""t AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
        sets AS (SELECT doc_id, list_distinct(${sqlShingles3("t")}) AS sh
                 FROM t WHERE len(t) >= 3)"""
 
-  /** MinHash signature: explode shingles, K independent hash functions
-    * h_k(s) = md5h61(k || ':' || s), min per doc — a single hash-agg. */
+  // One md5 base hash per shingle + K affine rehashes
+  // h_k = (a_k * h + b_k) mod P over the Mersenne prime P = 2^61 - 1,
+  // in exact integer arithmetic (decimal(38,0) in Spark, hugeint in
+  // DuckDB) so both engines produce identical values. 16x fewer md5
+  // calls than hashing (k || shingle) per k.
+  private val P61 = 2305843009213693951L // 2^61 - 1 (prime)
+  private val affine: Seq[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h64(s: String): Long =
+      java.nio.ByteBuffer.wrap(md.digest(s.getBytes("UTF-8"))).getLong
+    (0 until K).map { k =>
+      val a = math.floorMod(h64(s"mh-a:$k"), P61 - 1) + 1 // nonzero
+      val b = math.floorMod(h64(s"mh-b:$k"), P61)
+      (a, b)
+    }
+  }
+
+  /** MinHash signature: explode shingles, base-hash once, K affine
+    * rehashes, min per doc — a single hash-agg with map-side combine. */
   private def signatures(s: SparkSession, d: String): DataFrame = {
     val exploded = shingleSets(s, d)
       .select(col("doc_id"), explode(col("sh")).as("s"))
-    val aggs = (0 until K).map(k =>
-      min(md5h61(concat(lit(s"$k:"), col("s")))).as(mhNames(k)))
+      .select(col("doc_id"), md5h61(col("s")).cast(DecimalType(38, 0)).as("h"))
+    val aggs = (0 until K).map { k =>
+      val (a, b) = affine(k)
+      min(((lit(BigDecimal(a)) * col("h") + lit(BigDecimal(b))) % lit(BigDecimal(P61)))
+        .cast(LongType)).as(mhNames(k))
+    }
     exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   private val sqlSignatures = {
-    val aggs = (0 until K).map(k =>
-      s"min(${sqlMd5h61(s"'$k:' || s")}) AS ${mhNames(k)}").mkString(", ")
+    val aggs = (0 until K).map { k =>
+      val (a, b) = affine(k)
+      s"min(cast((${a}::hugeint * h + ${b}::hugeint) % ${P61}::hugeint as bigint)) AS ${mhNames(k)}"
+    }.mkString(", ")
     s"""sig AS (SELECT doc_id, $aggs
-          FROM (SELECT doc_id, unnest(sh) AS s FROM sets) GROUP BY doc_id)"""
+          FROM (SELECT doc_id, ${sqlMd5h61("s")} AS h
+                FROM (SELECT doc_id, unnest(sh) AS s FROM sets))
+          GROUP BY doc_id)"""
   }
 
   /** q36: the signature table itself (oracle checks the full minhash math). */
@@ -144,6 +179,7 @@ object Dedup {
     * over the low 32 bits, reassembled into a BIGINT. */
   private def simhashDf(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id")) // parallelize per-token hashing
       .select(col("doc_id"), explode(toks(col("text"))).as("tk"))
       .withColumn("h", md5h61(col("tk")))
     val votes = (0 until SimBits).map(b =>

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup semantics on crafted documents (planted exact + near duplicates),
+  * run through the real sf-dir query path. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def docsDf = {
+    import spark.implicits._
+    val base = (1 to 80).map(i => s"tok${i % 13} word${i % 7} item$i").mkString(" ")
+    val nearDup = base.replace("item40", "itemX") // one token changed
+    val unrelated = (1 to 80).map(i => s"zebra$i quux${i % 5}").mkString(" ")
+    Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src1", base.length.toLong),      // exact dup of 0
+      (2L, nearDup, "fr", "src2", nearDup.length.toLong), // near dup of 0
+      (3L, unrelated, "en", "src0", unrelated.length.toLong),
+      (4L, "tiny doc", "en", "src3", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  lazy val sfDir: String = TestSpark.makeSfDir("documents" -> docsDf)
+
+  test("exact dedup groups identical texts under the min doc_id") {
+    val rows = SparkEntry.queries("q35_dedup_exact")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(0L) == 2L) // docs 0 and 1 share text
+    assert(rows(2L) == 1L)
+    assert(rows.values.sum == 5L)
+  }
+
+  test("identical texts have identical minhash signatures") {
+    val sig = SparkEntry.queries("q36_minhash_signatures")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sig(0L) == sig(1L), "exact dup must share the full signature")
+    assert(sig(0L) != sig(3L), "unrelated docs must differ")
+    // near dup shares most of the signature
+    val shared = sig(0L).zip(sig(2L)).count { case (a, b) => a == b }
+    assert(shared >= 12, s"near-dup shared only $shared/16 minhashes")
+  }
+
+  test("LSH pair join finds exact and near duplicates, not unrelated docs") {
+    val pairs = SparkEntry.queries("q37_minhash_lsh_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair missed")
+    assert(pairs.contains((0L, 2L)), "near dup pair missed")
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated doc must not pair")
+  }
+
+  test("simhash is equal for identical docs and close for near dups") {
+    val sh = SparkEntry.queries("q38_simhash_signatures")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    val hamming = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    assert(hamming <= 3, s"near-dup simhash hamming was $hamming")
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(3L)) > 3)
+  }
+
+  test("simhash pairs reports duplicate clusters only") {
+    val pairs = SparkEntry.queries("q39_simhash_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => b == 3L || a == 3L })
+  }
+}

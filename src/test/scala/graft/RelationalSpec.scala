@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant tests for the relational inventory over sf0.001 (oracle
+  * value-equality is covered by the DuckDB gate; these assert semantic
+  * invariants that hold at any scale). */
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf0001
+  def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has a registry entry with unique name") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size == names.size)
+  }
+
+  test("every oracle key exists in queries") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("topk returns at most k rows, sorted descending") {
+    val rows = run("q03_topk_orders").collect()
+    assert(rows.length <= 20)
+    val prices = rows.map(_.getDouble(1))
+    assert(prices.sameElements(prices.sortBy(-_)))
+  }
+
+  test("filter rows all satisfy the predicate") {
+    val bad = run("q02_scan_filter_project")
+      .filter(!(col("l_quantity") >= 45 && col("l_discount") > 0.05)).count()
+    assert(bad == 0)
+  }
+
+  test("semi and anti joins partition the left table") {
+    val semi = run("q07_join_semi").count()
+    val anti = run("q08_join_anti").count()
+    val total = Tables.customer(spark, sf).count()
+    assert(semi + anti == total)
+  }
+
+  test("union all count equals the sum of branch counts") {
+    val o = Tables.orders(spark, sf)
+    val f = o.filter(col("o_orderstatus") === "F").count()
+    val op = o.filter(col("o_orderstatus") === "O").count()
+    assert(run("q15_union_all").count() == f + op)
+  }
+
+  test("intersect plus except partition distinct custkeys") {
+    val inter = run("q16_intersect").count()
+    val exc = run("q17_except").count()
+    val distinctCust = Tables.customer(spark, sf)
+      .select("c_custkey").distinct().count()
+    assert(inter + exc == distinctCust)
+  }
+
+  test("group count sums to the table size") {
+    val total = run("q09_group_count").agg(sum("n")).collect()(0).getLong(0)
+    assert(total == Tables.orders(spark, sf).count())
+  }
+
+  test("window rank emits at most 3 rows per customer, rank-ordered") {
+    val over3 = run("q23_window_rank")
+      .groupBy("o_custkey").count().filter(col("count") > 3).count()
+    assert(over3 == 0)
+  }
+
+  test("scan pushes filters and prunes columns") {
+    val plan = run("q02_scan_filter_project").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["))
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,45.0)"))
+    // pruned read schema: only the 4 selected columns are read
+    assert(plan.contains("ReadSchema") &&
+      !plan.contains("l_shipdate"), "projection should prune unused columns")
+  }
+
+  test("multiway star join broadcasts the dimension tables") {
+    val plan = run("q06_join_multiway_agg").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}

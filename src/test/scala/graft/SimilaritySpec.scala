@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Similarity-search semantics on crafted embeddings (planted duplicate
+  * and near-duplicate vectors). */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def embDf = {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    def randVec() = Array.fill(64)(rng.nextFloat() * 2f - 1f)
+    val v0 = randVec()
+    val v0dup = v0.clone()
+    val v0near = v0.clone(); v0near(0) = v0near(0) + 0.01f
+    val rows = Seq(
+      (0L, v0, 1), (1L, v0dup, 1), (2L, v0near, 1)) ++
+      (3L to 40L).map(i => (i, randVec(), (i % 3).toInt))
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  lazy val sfDir: String = TestSpark.makeSfDir("embeddings" -> embDf)
+
+  test("norms are positive and dimension is 64") {
+    val rows = SparkEntry.queries("q40_embedding_norms")(spark, sfDir).collect()
+    assert(rows.length == 41)
+    assert(rows.forall(_.getInt(2) == 64))
+    assert(rows.forall(_.getDouble(3) > 0))
+  }
+
+  test("near-dup pairs finds the planted duplicate with cosine 1.0") {
+    val rows = SparkEntry.queries("q41_embed_neardup_pairs")(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(rows.contains((0L, 1L)))
+    assert(math.abs(rows((0L, 1L)) - 1.0) < 1e-12)
+    assert(rows.contains((0L, 2L)) && rows((0L, 2L)) > 0.999)
+  }
+
+  test("brute-force ANN ranks the duplicate first") {
+    val rows = SparkEntry.queries("q42_ann_bruteforce")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    assert(rows.head.getLong(0) == 1L, "exact duplicate must rank first")
+    assert(rows(1).getLong(0) == 2L, "near duplicate must rank second")
+    val cosines = rows.map(_.getDouble(2))
+    assert(cosines.sameElements(cosines.sortBy(-_)))
+  }
+
+  test("LSH ANN finds the duplicate in the query's bucket") {
+    val rows = SparkEntry.queries("q43_ann_lsh")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getLong(0) == 1L,
+      "identical vector must share the bucket and rank first")
+    val buckets = rows.map(_.getInt(2)).distinct
+    assert(buckets.length == 1, "all candidates come from one bucket")
+  }
+
+  test("multimodal metadata is deterministic and sized correctly") {
+    import spark.implicits._
+    val docs = Seq((0L, "PNGx some fake payload", "en", "s", 22L),
+      (1L, "JPGy other payload", "en", "s", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q44_multimodal_meta")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getString(3), r.getInt(4), r.getInt(5))).toMap
+    assert(rows(0L)._1 == 22)
+    assert(rows(0L)._2 == "PNGx")
+    val (_, _, w, h) = rows(0L)
+    assert(w >= 32 && w < 480 && h >= 32 && h < 352)
+  }
+}
