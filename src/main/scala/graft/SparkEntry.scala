@@ -29,7 +29,8 @@ object Registry {
     operators.Relational.all ++
       operators.TextAnalysis.all ++
       operators.Dedup.all ++
-      operators.Similarity.all
+      operators.Similarity.all ++
+      operators.Pipelines.all
 
   def benchSet: Seq[Q] = all.filter(_.bench)
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.{Dsl, Q, Tables}
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.regression.RandomForestRegressor
+import org.apache.spark.sql.functions._
+
+/** ML pipeline operators (SURVEY §2.11) exposed over the testdata tables,
+  * plus the streaming-window batch equivalent (§2.12).
+  *
+  * The ML entries are seed-fixed and deterministic but not SQL-expressible,
+  * so they carry no oracle — the driver records the weaker rows-only
+  * check; ScalaTest asserts the invariants (cluster count, RMSE range).
+  */
+object Pipelines {
+  import Dsl._
+
+  /** K-Means over the embeddings table (k=10 matching the label count,
+    * seed=1 like the reference's clustering stage) → cluster sizes. */
+  val kmeansEmbeddings: Q = Q(
+    "q50_kmeans_embeddings",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+      val model = new KMeans().setK(10).setSeed(1)
+        .setFeaturesCol("features").setPredictionCol("cluster")
+        .fit(emb)
+      model.transform(emb)
+        .groupBy("cluster").agg(count(lit(1)).as("n"))
+        .orderBy("cluster")
+    },
+    None)
+
+  /** RandomForest regression on lineitem (predict extendedprice from
+    * quantity/discount/tax; seed=42, maxBins=64 like the reference's RF
+    * stage) → one row with the training RMSE and row count. */
+  val rfRegression: Q = Q(
+    "q51_rf_regression",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_quantity", "l_discount", "l_tax", "l_extendedprice")
+      val assembled = new VectorAssembler()
+        .setInputCols(Array("l_quantity", "l_discount", "l_tax"))
+        .setOutputCol("features")
+        .transform(li)
+      val model = new RandomForestRegressor()
+        .setFeaturesCol("features").setLabelCol("l_extendedprice")
+        .setPredictionCol("prediction").setSeed(42).setMaxBins(64)
+        .fit(assembled)
+      val rmse = new RegressionEvaluator()
+        .setLabelCol("l_extendedprice").setPredictionCol("prediction")
+        .setMetricName("rmse").evaluate(model.transform(assembled))
+      import s.implicits._
+      Seq((rmse, li.count())).toDF("rmse", "n_rows")
+    },
+    None)
+
+  /** 60-second tumbling event-time windows over events — the batch twin
+    * of the streaming consumer's micro-batch window (oracle-able since
+    * 60 s windows == minute truncation). */
+  val streamWindow60s: Q = Q(
+    "q52_stream_window_60s",
+    (s, d) => Tables.events(s, d)
+      .groupBy(window(col("ts"), "60 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type"),
+    Some(s"""SELECT date_trunc('minute', ts) AS window_start,
+      date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
+      event_type, count(*) AS n, ${sqlDsum("value")} AS sum_value
+      FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type"""))
+
+  val all: Seq[Q] = Seq(kmeansEmbeddings, rfRegression, streamWindow60s)
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.Dsl
+import graft.apps.AppSchema
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming restatement of the reference's producer/consumer
+  * pair (SURVEY §3.1):
+  *
+  *   producer.py:81-116 (pandas iterrows → per-row dict → icon enrich →
+  *   Kafka JSON) becomes a declarative enrich over any input frame —
+  *   batch or stream — with to_json for the wire format.
+  *
+  *   consumer.py:87-114 (poll loop, 60 s wall-clock buffer, append-CSV)
+  *   becomes `writeStream` with Trigger.ProcessingTime — checkpointed,
+  *   exactly-once to the file sink (a strict upgrade over the reference's
+  *   at-least-once manual flush, SURVEY §2.12).
+  *
+  * The Kafka transport itself is environment-pluggable: this container
+  * ships no spark-sql-kafka connector (zero egress), so sources are file/
+  * memory-based; on a cluster the same pipeline binds to
+  * `readStream.format("kafka")` + `from_json(value)` without code changes
+  * (the enrich/window/sink stages take DataFrames, not sources).
+  */
+object StreamIngest {
+
+  /** Genre → icon enrichment (producer.py:86-105). The reference picks a
+    * random file per record (producer.py:96-101); here the pick is a
+    * deterministic hash of appId over the category's file list — same
+    * distribution, reproducible tests (documented upgrade). */
+  def enrichWithIcon(df: DataFrame,
+      iconFiles: Map[String, Seq[String]]): DataFrame = {
+    val cat = AppSchema.genreToIconMap
+    val catCol = cat.filterNot(_._1 == "default").foldLeft(
+      lit(null).cast("string")) { case (acc, (genre, cats)) =>
+        when(col("genre") === genre, lit(cats.head)).otherwise(acc)
+    }
+    val catAssigned = coalesce(catCol, lit(cat("default").head))
+    val withCat = df.withColumn("icon_category_assigned", catAssigned)
+    val pick = iconFiles.foldLeft(lit(null).cast("string")) {
+      case (acc, (category, files)) =>
+        when(col("icon_category_assigned") === category,
+          element_at(
+            array(files.map(lit): _*),
+            (Dsl.md5h61(col("appId")) % files.size).cast("int") + 1))
+          .otherwise(acc)
+    }
+    withCat.withColumn("icon_path", pick)
+  }
+
+  /** JSON wire format (producer.py:45 json.dumps(default=str)). */
+  def toWire(df: DataFrame): DataFrame =
+    df.select(col("appId").as("key"), to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** Decode the wire format back to columns (consumer.py:77 json.loads;
+    * Spark-native: from_json over the canonical schema). */
+  def fromWire(df: DataFrame, schema: StructType): DataFrame =
+    df.select(from_json(col("value").cast("string"), schema).as("r"))
+      .select(col("r.*"))
+
+  /** File-based streaming source of batch CSVs (the no-broker twin of the
+    * Kafka source; same downstream pipeline). */
+  def readCsvStream(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("escape", "\"")
+      .csv(dir)
+
+  /** Micro-batch parquet sink with a processing-time tumbling trigger —
+    * the consumer's 60 s window (consumer.py:87), checkpointed. */
+  def startFileSink(df: DataFrame, outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+  /** Event-time upgrade of the tumbling window: 60 s windows with a
+    * watermark for late data (SURVEY §2.12 'n/a in parity mode' path).
+    * Works identically on batch and streaming frames. */
+  def windowedEventCounts(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "60 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Dsl.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+}

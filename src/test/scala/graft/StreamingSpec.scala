@@ -1,0 +1,107 @@
+package graft
+
+import graft.apps.AppSchema
+import graft.streaming.StreamIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Streaming ingest semantics: icon enrichment, JSON wire round-trip,
+  * micro-batch file sink with processing-time trigger, event-time
+  * windowed aggregation with watermark (SURVEY §2.12, §3.1). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("icon enrichment maps genres and assigns a deterministic file") {
+    import spark.implicits._
+    val df = Seq(("a.one", "Tools"), ("b.two", "Games"), ("c.three", "NoSuchGenre"))
+      .toDF("appId", "genre")
+    val icons = Map(
+      "blade" -> Seq("blade/1.png", "blade/2.png"),
+      "ball" -> Seq("ball/1.png"),
+      "arrow_directions" -> Seq("arrow/1.png"))
+    val out = StreamIngest.enrichWithIcon(df, icons)
+      .collect().map(r => r.getString(0) -> (r.getString(2), r.getString(3))).toMap
+    assert(out("a.one")._1 == "blade" && out("a.one")._2.startsWith("blade/"))
+    assert(out("b.two")._1 == "ball" && out("b.two")._2 == "ball/1.png")
+    assert(out("c.three")._1 == "arrow_directions", "unknown genre -> default")
+    // deterministic: same input, same pick
+    val again = StreamIngest.enrichWithIcon(df, icons)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(again("a.one") == out("a.one")._2)
+  }
+
+  test("JSON wire format round-trips the canonical schema") {
+    import spark.implicits._
+    val df = Seq(("app.1", "Title One", "Tools"), ("app.2", "Title, \"Two\"", "Games"))
+      .toDF("appId", "title", "genre")
+    val schema = AppSchema.allStringSchema(Seq("appId", "title", "genre"))
+    val back = StreamIngest.fromWire(StreamIngest.toWire(df), schema)
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+  }
+
+  test("file-source stream lands micro-batches in the parquet sink exactly once") {
+    val srcDir = Files.createTempDirectory("graft-stream-src").toFile
+    val outDir = Files.createTempDirectory("graft-stream-out").toFile
+    val ckDir = Files.createTempDirectory("graft-stream-ck").toFile
+    Seq(srcDir, outDir, ckDir).foreach(_.deleteOnExit())
+    val header = "appId,title,genre"
+    Files.writeString(new java.io.File(srcDir, "b1.csv").toPath,
+      s"$header\napp.1,One,Tools\napp.2,Two,Games\n")
+
+    val schema = AppSchema.allStringSchema(Seq("appId", "title", "genre"))
+    val stream = StreamIngest.readCsvStream(spark, srcDir.getAbsolutePath, schema)
+    val q = StreamIngest.startFileSink(stream, outDir.getAbsolutePath,
+      ckDir.getAbsolutePath, Trigger.ProcessingTime("1 second"))
+    try {
+      q.processAllAvailable()
+      Files.writeString(new java.io.File(srcDir, "b2.csv").toPath,
+        s"$header\napp.3,Three,Social\n")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val landed = spark.read.parquet(outDir.getAbsolutePath)
+    assert(landed.count() == 3)
+    assert(landed.select("appId").collect().map(_.getString(0)).toSet ==
+      Set("app.1", "app.2", "app.3"))
+  }
+
+  test("event-time 60s windows aggregate a memory stream with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamIngest.windowedEventCounts(events, "1 minute")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2026-01-01 10:00:05"), "click", 1.0),
+        (Timestamp.valueOf("2026-01-01 10:00:45"), "click", 2.0),
+        (Timestamp.valueOf("2026-01-01 10:01:10"), "view", 5.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close the first windows
+      mem.addData((Timestamp.valueOf("2026-01-01 10:10:00"), "click", 0.5))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("win_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.contains(("2026-01-01 10:00:00.0", "click", 2L, 3.0)),
+      s"got ${rows.mkString("; ")}")
+    assert(rows.contains(("2026-01-01 10:01:00.0", "view", 1L, 5.0)))
+  }
+
+  test("batch twin q52 matches streaming window semantics shape") {
+    val batch = SparkEntry.queries("q52_stream_window_60s")(spark, TestSpark.sf0001)
+    val rows = batch.limit(5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getTimestamp(1).getTime - r.getTimestamp(0).getTime == 60000L)
+    }
+  }
+}
