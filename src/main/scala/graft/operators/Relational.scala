@@ -363,6 +363,82 @@ object Relational {
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
     bench = true)
 
+  /** Sessionization: gap-based sessions (30 min) per user over the event
+    * stream — lag + conditional + running-sum windows, then per-session
+    * agg. The shuffle key is user_id throughout (one exchange). */
+  val sessionization: Q = Q(
+    "q27_sessionization",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(asc("ts"), asc("event_id"))
+      val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(running))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""WITH o AS (
+        SELECT user_id, event_id, ts,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      m AS (SELECT user_id, event_id, ts,
+          CASE WHEN prev_ts IS NULL
+                 OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        FROM o),
+      s AS (SELECT user_id, ts,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM m)
+      SELECT user_id, session_id, count(*) AS n_events,
+        min(ts) AS session_start, max(ts) AS session_end
+      FROM s GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""))
+
+  /** ROLLUP grouping sets (beyond the reference's flat group-bys). */
+  val rollupAgg: Q = Q(
+    "q28_rollup",
+    (s, d) => Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+    Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+      ${sqlDsum("l_quantity")} AS sum_qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  /** Math + null-handling scalars: abs/floor/ceil/sqrt/greatest/least/
+    * coalesce/nullif (SURVEY §2.9 math & conditional rows). */
+  val scalarMath: Q = Q(
+    "q29_scalar_math",
+    (s, d) => Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_disc_delta"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        least(col("l_tax"), col("l_discount")).as("min_rate"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_or_none"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+      abs(l_discount - 0.05) AS abs_disc_delta,
+      cast(floor(l_extendedprice) as bigint) AS price_floor,
+      cast(ceil(l_extendedprice) as bigint) AS price_ceil,
+      sqrt(l_quantity) AS qty_sqrt,
+      greatest(l_tax, l_discount) AS max_rate,
+      least(l_tax, l_discount) AS min_rate,
+      coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
   val all: Seq[Q] = Seq(
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
@@ -370,5 +446,5 @@ object Relational {
     filterCaseInsensitive, filterContains, unionAll, intersectKeys,
     exceptKeys, caseWhenBuckets, dateParts, stringFuncs,
     aggMinMaxAvg, countDistinctQ, windowRank, pointLookup,
-    jsonExtract, eventsHourly)
+    jsonExtract, eventsHourly, sessionization, rollupAgg, scalarMath)
 }
