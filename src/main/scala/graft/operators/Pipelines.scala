@@ -75,5 +75,56 @@ object Pipelines {
       event_type, count(*) AS n, ${sqlDsum("value")} AS sum_value
       FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type"""))
 
-  val all: Seq[Q] = Seq(kmeansEmbeddings, rfRegression, streamWindow60s)
+  /** As-of join: attribute each purchase to the same user's most recent
+    * click at-or-before it. Spark lacks ASOF JOIN; the scale-correct
+    * composition is union + `last(_, ignoreNulls)` over a user-partitioned
+    * time window — ONE shuffle on user_id, no join explosion (a
+    * join-then-max would multiply each purchase by all prior clicks).
+    * Oracle: DuckDB's native ASOF LEFT JOIN. */
+  val asofJoin: Q = Q(
+    "q53_asof_join",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+      // ties: a click at the identical timestamp counts (p.ts >= c.ts),
+      // so clicks sort before purchases within a timestamp
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(asc("ts"), asc("event_type"), asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("click_ts",
+          when(col("event_type") === "click", col("ts")))
+        .withColumn("last_click_ts",
+          last(col("click_ts"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("purchase_ts"), col("last_click_ts"),
+          (col("ts").cast("long") - col("last_click_ts").cast("long"))
+            .as("gap_seconds"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+      SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+        c.ts AS last_click_ts,
+        date_diff('second', c.ts, p.ts) AS gap_seconds
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id"""))
+
+  /** Approximate distinct (HLL++). Sketches are engine-specific so there
+    * is no cross-engine oracle; ScalaTest bounds the relative error
+    * against the exact count. */
+  val approxDistinct: Q = Q(
+    "q54_approx_distinct",
+    (s, d) => Tables.lineitem(s, d)
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders")),
+    None)
+
+  val all: Seq[Q] = Seq(kmeansEmbeddings, rfRegression, streamWindow60s,
+    asofJoin, approxDistinct)
 }

@@ -1,0 +1,94 @@
+package graft
+
+import graft.streaming.Sessionize
+import graft.streaming.Sessionize.Evt
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Stateful streaming sessionization (flatMapGroupsWithState) against
+  * its batch twin's semantics. */
+class StreamingSessionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gap-closed and timeout-closed sessions emit with correct bounds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Evt]
+    val sessions = Sessionize.sessionize(mem.toDS(), gapSeconds = 1800)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      // user 1: two bursts 2h apart (gap-closed); user 2: one burst
+      mem.addData(
+        Evt(1L, ts("2026-01-01 09:00:00"), "click"),
+        Evt(1L, ts("2026-01-01 09:10:00"), "view"),
+        Evt(2L, ts("2026-01-01 09:05:00"), "click"))
+      q.processAllAvailable()
+      mem.addData(
+        Evt(1L, ts("2026-01-01 11:00:00"), "purchase"),
+        Evt(1L, ts("2026-01-01 11:05:00"), "view"))
+      q.processAllAvailable()
+      // push the watermark far ahead so open sessions time out
+      mem.addData(Evt(99L, ts("2026-01-01 23:00:00"), "click"))
+      q.processAllAvailable()
+      mem.addData(Evt(98L, ts("2026-01-02 23:00:00"), "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getInt(3))).toSet
+    assert(rows.contains((1L, "2026-01-01 09:00:00.0", "2026-01-01 09:10:00.0", 2)),
+      s"first session of user 1; got $rows")
+    assert(rows.contains((1L, "2026-01-01 11:00:00.0", "2026-01-01 11:05:00.0", 2)),
+      "second session of user 1 (timeout-closed)")
+    assert(rows.contains((2L, "2026-01-01 09:05:00.0", "2026-01-01 09:05:00.0", 1)))
+  }
+
+  test("approx distinct stays within 5% of exact") {
+    val r = SparkEntry.queries("q54_approx_distinct")(spark, TestSpark.sf0001)
+      .collect()(0)
+    val (approxP, exactP) = (r.getLong(0), r.getLong(1))
+    val (approxO, exactO) = (r.getLong(2), r.getLong(3))
+    assert(math.abs(approxP - exactP).toDouble / exactP < 0.05,
+      s"parts: approx=$approxP exact=$exactP")
+    assert(math.abs(approxO - exactO).toDouble / exactO < 0.05,
+      s"orders: approx=$approxO exact=$exactO")
+  }
+
+  test("streaming sessionize matches the batch twin q27 on the same input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic event set: 3 users, known gaps
+    val evts = Seq(
+      Evt(1L, ts("2026-02-01 08:00:00"), "a"),
+      Evt(1L, ts("2026-02-01 08:20:00"), "b"),
+      Evt(1L, ts("2026-02-01 10:00:00"), "c"),
+      Evt(3L, ts("2026-02-01 09:00:00"), "d"))
+    val mem = MemoryStream[Evt]
+    val q = Sessionize.sessionize(mem.toDS(), 1800)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_batch_twin").start()
+    try {
+      mem.addData(evts: _*)
+      q.processAllAvailable()
+      mem.addData(Evt(99L, ts("2026-02-02 00:00:00"), "z"))
+      q.processAllAvailable()
+      mem.addData(Evt(98L, ts("2026-02-03 00:00:00"), "z"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streaming = spark.table("sess_batch_twin")
+      .filter($"user_id".isin(1L, 3L))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getInt(3)))
+      .toSet
+    assert(streaming == Set(
+      (1L, ts("2026-02-01 08:00:00"), ts("2026-02-01 08:20:00"), 2),
+      (1L, ts("2026-02-01 10:00:00"), ts("2026-02-01 10:00:00"), 1),
+      (3L, ts("2026-02-01 09:00:00"), ts("2026-02-01 09:00:00"), 1)))
+  }
+}
