@@ -6,11 +6,13 @@ import java.nio.file.Files
 /** One shared local SparkSession for the whole forked test JVM. */
 object TestSpark {
   lazy val spark: SparkSession = {
+    val wh = Files.createTempDirectory("graft-test-warehouse")
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", wh.toString) // fresh per test JVM
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
