@@ -167,6 +167,42 @@ object Similarity {
       WHERE b.vec_id <> 0
       ORDER BY cosine DESC, vec_id LIMIT 10"""))
 
+  /** IVF-style ANN: KMeans coarse quantizer (16 centroids, seed=1) over
+    * the embeddings; the query probes its nearest `nprobe=4` centroid
+    * cells and re-ranks candidates by exact cosine. At scale the cell id
+    * is the partition key — each probe touches ~nprobe/k of the data; recall tracks how well the data clusters (the synthetic testdata is weakly clustered, so nprobe=4 balances recall vs. scan fraction).
+    * KMeans centroids are not SQL-expressible → rows-only check; recall
+    * vs brute force is asserted in SimilaritySpec. */
+  val annIvf: Q = Q(
+    "q55_ann_ivf",
+    (s, d) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val w = normed(s, d).withColumn("fv", array_to_vector(col("e"))).cache()
+      val km = new KMeans().setK(16).setSeed(1)
+        .setFeaturesCol("fv").setPredictionCol("cell").fit(w)
+      val cells = km.transform(w)
+      val centroids = km.clusterCenters
+      // nearest 2 centroids of the query vector, computed driver-side
+      // from the (tiny) centroid array — not a data-sized collect
+      val qe = cells.filter(col("vec_id") === 0)
+        .select("e").collect()(0).getSeq[Double](0).toArray
+      val probes = centroids.zipWithIndex.map { case (c, i) =>
+        val dist = math.sqrt(c.toArray.zip(qe).map { case (a, b) =>
+          (a - b) * (a - b) }.sum)
+        (i, dist)
+      }.sortBy(_._2).take(4).map(_._1)
+      val q2 = cells.filter(col("vec_id") === 0)
+        .select(col("e").as("qe"), col("nrm").as("qnrm"))
+      cells.filter(col("vec_id") =!= 0 && col("cell").isin(probes.toSeq: _*))
+        .crossJoin(broadcast(q2))
+        .withColumn("cosine", dot("e", "qe") / (col("nrm") * col("qnrm")))
+        .select("vec_id", "label", "cell", "cosine")
+        .orderBy(desc("cosine"), asc("vec_id"))
+        .limit(10)
+    },
+    None)
+
   /** Multimodal columns: opaque binary payload + typed metadata. The
     * decode step is a stub (no image libs in this container) — what's
     * real and verified is the binary handling: byte length, content
@@ -193,5 +229,5 @@ object Similarity {
       FROM documents ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
-    multimodalMeta)
+    annIvf, multimodalMeta)
 }
