@@ -34,5 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .asInstanceOf[Int]
       DistinctShingles(exprs.head, n)
     }))
+    // top-k-per-group: declarative row_number filter -> bounded-heap exec
+    ext.injectOptimizerRule(_ => graft.plans.RewriteTopKPerGroup)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
