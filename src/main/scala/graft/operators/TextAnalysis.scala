@@ -158,6 +158,52 @@ object TextAnalysis {
       SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups
       FROM f GROUP BY fp ORDER BY keep_id"""))
 
+  /** Top-3 terms per document by term frequency (integer-only TF ranking
+    * — cross-engine-safe; idf would introduce libm log() divergence).
+    * The rank filter compiles to the custom TopKPerGroup heap exec under
+    * GraftExtensions, so the oracle validates that operator too. */
+  val topTerms: Q = Q(
+    "q45_top_terms",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(desc("tf"), asc("term"))
+      tf.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "rn", "term", "tf")
+        .orderBy("doc_id", "rn")
+    },
+    Some(s"""WITH tf AS (
+        SELECT doc_id, unnest(${sqlToks("text")}) AS term FROM documents),
+      cnt AS (SELECT doc_id, term, count(*) AS tf FROM tf
+        GROUP BY doc_id, term),
+      ranked AS (SELECT doc_id, term, tf,
+          row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rn
+        FROM cnt)
+      SELECT doc_id, rn, term, tf FROM ranked WHERE rn <= 3
+      ORDER BY doc_id, rn"""))
+
+  /** Pivot: per-user event-type counts as columns (explicit value list →
+    * deterministic schema; oracle via conditional aggregation). */
+  val pivotEvents: Q = Q(
+    "q46_pivot_events",
+    (s, d) => Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id"),
+    Some("""SELECT user_id,
+      count(*) FILTER (WHERE event_type = 'click') AS click,
+      count(*) FILTER (WHERE event_type = 'view') AS view,
+      count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      count(*) FILTER (WHERE event_type = 'error') AS error
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
-    fingerprint)
+    fingerprint, topTerms, pivotEvents)
 }

@@ -93,6 +93,21 @@ class AppPipelineSpec extends AnyFunSuite {
     assert(AppModels.train(apps.limit(5)).isLeft)
   }
 
+  test("pipeline models survive a save/load round trip (MLWritable surface)") {
+    val r = AppModels.train(apps).toOption.get
+    val dir = Files.createTempDirectory("graft-models").toFile
+    dir.deleteOnExit()
+    val kmPath = s"${dir.getAbsolutePath}/app_model_kmeans"
+    r.kmeansModel.write.overwrite().save(kmPath)
+    val reloaded = org.apache.spark.ml.PipelineModel.load(kmPath)
+    val typed = CsvIngest.castColumns(apps, AppSchema.trainingCastMap)
+    val a = r.kmeansModel.transform(typed).select("appId", "cluster")
+      .collect().map(x => x.getString(0) -> x.getInt(1)).toMap
+    val b = reloaded.transform(typed).select("appId", "cluster")
+      .collect().map(x => x.getString(0) -> x.getInt(1)).toMap
+    assert(a == b, "reloaded model must reproduce cluster assignments")
+  }
+
   test("the 8 serving queries behave like app.py") {
     val r = AppModels.train(apps).toOption.get
     val tmp = Files.createTempDirectory("graft-api").toFile
