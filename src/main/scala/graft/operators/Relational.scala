@@ -439,6 +439,63 @@ object Relational {
       coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
 
+  /** Array aggregation: per-group sorted value lists (collect_list is
+    * order-nondeterministic; sort_array pins it on both engines). */
+  val arrayAgg: Q = Q(
+    "q47_array_agg",
+    (s, d) => Tables.nation(s, d)
+      .groupBy("n_regionkey")
+      .agg(sort_array(collect_list(col("n_name"))).as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy("n_regionkey"),
+    Some("""SELECT n_regionkey, list_sort(list(n_name)) AS nations,
+      count(*) AS n
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
+  /** String aggregation: sorted concat per group. */
+  val stringAgg: Q = Q(
+    "q48_string_agg",
+    (s, d) => Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(concat_ws(",",
+        sort_array(collect_set(col("o_orderstatus")))).as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+      string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+      count(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Statistical moments computed deterministically from exact decimal
+    * sums (built-in stddev/corr accumulate doubles in partition order —
+    * not reproducible across engines; the explicit formula over exact
+    * sums is): variance = (n*sumsq - sum^2) / (n*(n-1)). */
+  val statsMoments: Q = Q(
+    "q49_stats_moments",
+    (s, d) => {
+      val sq = col("l_quantity").cast(Dec) * col("l_quantity").cast(Dec)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(Dec)).cast("double").as("s1"),
+          sum(sq).cast("double").as("s2"))
+        .select(col("l_returnflag"), col("n"),
+          col("s1").as("sum_qty"),
+          ((col("n") * col("s2") - col("s1") * col("s1")) /
+            (col("n") * (col("n") - 1))).as("var_qty"),
+          sqrt((col("n") * col("s2") - col("s1") * col("s1")) /
+            (col("n") * (col("n") - 1))).as("stddev_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH m AS (SELECT l_returnflag, count(*) AS n,
+        cast(sum(cast(l_quantity as decimal(18,4))) as double) AS s1,
+        cast(sum(cast(l_quantity as decimal(18,4)) * cast(l_quantity as decimal(18,4))) as double) AS s2
+      FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n, s1 AS sum_qty,
+        (n * s2 - s1 * s1) / (n * (n - 1)) AS var_qty,
+        sqrt((n * s2 - s1 * s1) / (n * (n - 1))) AS stddev_qty
+      FROM m ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
@@ -446,5 +503,6 @@ object Relational {
     filterCaseInsensitive, filterContains, unionAll, intersectKeys,
     exceptKeys, caseWhenBuckets, dateParts, stringFuncs,
     aggMinMaxAvg, countDistinctQ, windowRank, pointLookup,
-    jsonExtract, eventsHourly, sessionization, rollupAgg, scalarMath)
+    jsonExtract, eventsHourly, sessionization, rollupAgg, scalarMath,
+    arrayAgg, stringAgg, statsMoments)
 }
