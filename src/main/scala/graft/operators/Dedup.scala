@@ -119,9 +119,9 @@ object Dedup {
   /** q37: MinHash-LSH near-dup pairs. Candidates = docs sharing any band
     * bucket; verified with true shingle jaccard >= 0.8. Output carries the
     * signature estimate and the exact jaccard. */
-  val minhashLshPairs: Q = Q(
-    "q37_minhash_lsh_pairs",
-    (s, d) => {
+  /** Verified near-dup pairs (jaccard >= 0.8) — shared by q37 and the
+    * cluster-resolution q56. */
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
       // NOTE: shingle sets are deliberately recomputed on the verify path
       // rather than cached — materializing 260k shingle arrays into the
       // block store costs more than the second scan+shingle pass (measured
@@ -153,15 +153,16 @@ object Dedup {
           (size(col("p.sh")) + size(col("q.sh")) - inter))
         .filter(col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", "est_jaccard", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    },
-    Some {
-      val bandSelects = (0 until Bands).map(b =>
-        s"SELECT doc_id, $b AS band_id, ${sqlBandExpr(b)} AS bh FROM sig")
-        .mkString(" UNION ALL ")
-      val matchSum = mhNames.map(m =>
-        s"CASE WHEN x.$m = y.$m THEN 1 ELSE 0 END").mkString(" + ")
-      s"""WITH $sqlShingleSets, $sqlSignatures,
+  }
+
+  /** SQL chain computing the `verified` CTE (shared by q37/q56 oracles). */
+  private val sqlVerifiedChain: String = {
+    val bandSelects = (0 until Bands).map(b =>
+      s"SELECT doc_id, $b AS band_id, ${sqlBandExpr(b)} AS bh FROM sig")
+      .mkString(" UNION ALL ")
+    val matchSum = mhNames.map(m =>
+      s"CASE WHEN x.$m = y.$m THEN 1 ELSE 0 END").mkString(" + ")
+    s"""$sqlShingleSets, $sqlSignatures,
       bands AS ($bandSelects),
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
@@ -174,11 +175,62 @@ object Dedup {
           cast(len(list_intersect(p.sh, q.sh)) as double) /
             (len(p.sh) + len(q.sh) - len(list_intersect(p.sh, q.sh))) AS jaccard
         FROM est e JOIN sets p ON p.doc_id = e.doc_a
-                   JOIN sets q ON q.doc_id = e.doc_b)
+                   JOIN sets q ON q.doc_id = e.doc_b)"""
+  }
+
+  val minhashLshPairs: Q = Q(
+    "q37_minhash_lsh_pairs",
+    (s, d) => verifiedPairs(s, d).orderBy("doc_a", "doc_b"),
+    Some(s"""WITH $sqlVerifiedChain
       SELECT doc_a, doc_b, est_jaccard, jaccard FROM verified
-      WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""
-    },
+      WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""),
     bench = true)
+
+  /** q56: duplicate-cluster resolution — connected components over the
+    * verified near-dup pair graph, so each duplicate CLUSTER (not just
+    * pair) keeps exactly one root doc. Spark side: iterative min-label
+    * propagation (the standard distributed CC algorithm: one equi-join +
+    * min-agg per round, rounds bounded by component diameter — dup
+    * clusters are shallow, so 2-4 rounds). Oracle: recursive-CTE
+    * transitive closure in DuckDB. */
+  val dupClusters: Q = Q(
+    "q56_dedup_clusters",
+    (s, d) => {
+      val pairs = verifiedPairs(s, d).select("doc_a", "doc_b").cache()
+      val edges = pairs
+        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("a", "b").cache()
+      var labels = edges.select(col("a").as("doc")).distinct()
+        .withColumn("label", col("doc")).cache()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 50) {
+        val prop = edges.join(labels, edges("b") === labels("doc"))
+          .groupBy("a").agg(min("label").as("nlabel"))
+        val next = labels.join(prop, labels("doc") === prop("a"), "left")
+          .select(labels("doc"),
+            least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
+          .cache()
+        changed = next.as("n").join(labels.as("o"), col("n.doc") === col("o.doc"))
+          .filter(col("n.label") =!= col("o.label")).count()
+        labels = next
+        rounds += 1
+      }
+      labels.select(col("label").as("cluster_root"), col("doc").as("doc_id"))
+        .orderBy("cluster_root", "doc_id")
+    },
+    Some(s"""WITH RECURSIVE $sqlVerifiedChain,
+      pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      nodes AS (SELECT DISTINCT a AS doc FROM edges)
+      SELECT least(n.doc, min(r.b)) AS cluster_root, n.doc AS doc_id
+      FROM nodes n JOIN reach r ON r.a = n.doc
+      GROUP BY n.doc ORDER BY cluster_root, doc_id"""))
 
   private val SimBits = 32
 
@@ -249,5 +301,5 @@ object Dedup {
       WHERE hamming <= 3 ORDER BY doc_a, doc_b"""))
 
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
-    simhashSignatures, simhashPairs)
+    simhashSignatures, simhashPairs, dupClusters)
 }

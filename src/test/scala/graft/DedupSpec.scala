@@ -60,6 +60,14 @@ class DedupSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(sh(0L) ^ sh(3L)) > 3)
   }
 
+  test("dup-cluster resolution groups the transitive component under min id") {
+    val rows = SparkEntry.queries("q56_dedup_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    // docs 0,1,2 form one component (0-1 exact, 0-2 and 1-2 near)
+    assert(rows == Map(0L -> 0L, 1L -> 0L, 2L -> 0L),
+      s"expected a single cluster rooted at 0, got $rows")
+  }
+
   test("simhash pairs reports duplicate clusters only") {
     val pairs = SparkEntry.queries("q39_simhash_pairs")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
