@@ -83,6 +83,15 @@ object StreamIngest {
       .trigger(trigger)
       .start()
 
+  /** Streaming exact dedup: drop duplicate keys with state BOUNDED by the
+    * watermark (dropDuplicatesWithinWatermark) — unbounded-state dedup is
+    * the classic streaming-pipeline OOM; the watermark bound is what makes
+    * exact dedup viable on an infinite stream. */
+  def dedupStream(df: DataFrame, keys: Seq[String], watermarkCol: String,
+      delay: String): DataFrame =
+    df.withWatermark(watermarkCol, delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Event-time upgrade of the tumbling window: 60 s windows with a
     * watermark for late data (SURVEY §2.12 'n/a in parity mode' path).
     * Works identically on batch and streaming frames. */

@@ -96,6 +96,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("2026-01-01 10:01:00.0", "view", 1L, 5.0)))
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val deduped = StreamIngest.dedupStream(
+      mem.toDF().toDF("k", "ts"), Seq("k"), "ts", "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      mem.addData(
+        ("a", Timestamp.valueOf("2026-01-01 10:00:00")),
+        ("a", Timestamp.valueOf("2026-01-01 10:00:05")), // dup within watermark
+        ("b", Timestamp.valueOf("2026-01-01 10:00:10")))
+      q.processAllAvailable()
+      mem.addData(("a", Timestamp.valueOf("2026-01-01 10:01:00"))) // still dup
+      q.processAllAvailable()
+    } finally q.stop()
+    val keys = spark.table("dedup_out").collect().map(_.getString(0)).sorted
+    assert(keys.toSeq == Seq("a", "b"), s"got ${keys.mkString(",")}")
+  }
+
   test("batch twin q52 matches streaming window semantics shape") {
     val batch = SparkEntry.queries("q52_stream_window_60s")(spark, TestSpark.sf0001)
     val rows = batch.limit(5).collect()
