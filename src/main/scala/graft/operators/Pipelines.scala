@@ -125,6 +125,79 @@ object Pipelines {
         countDistinct(col("l_orderkey")).as("exact_orders")),
     None)
 
+  /** Bucketed range join: part pairs with |Δretailprice| <= 0.1. A naive
+    * inequality join is O(n²); binning prices to the threshold width and
+    * replicating the LEFT side into its own + neighbor buckets turns it
+    * into an equi-join on the bucket key (each qualifying pair matches in
+    * exactly one bucket — the right row's own — so no dedup pass). */
+  val rangeJoin: Q = Q(
+    "q57_range_join",
+    (s, d) => {
+      val p = Tables.part(s, d).select(
+        col("p_partkey"), col("p_retailprice"))
+      val bucket = floor(col("p_retailprice") / 0.1).cast("long")
+      val left = p.withColumn("b0", bucket)
+        .withColumn("bucket", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+        .select(col("p_partkey").as("p1"), col("p_retailprice").as("price1"),
+          col("bucket"))
+      val right = p
+        .select(col("p_partkey").as("p2"), col("p_retailprice").as("price2"),
+          bucket.as("bucket"))
+      left.join(right,
+          left("bucket") === right("bucket") && col("p1") < col("p2") &&
+            abs(col("price1") - col("price2")) <= 0.1)
+        .select("p1", "p2", "price1", "price2")
+        .orderBy("p1", "p2")
+    },
+    Some("""SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+      a.p_retailprice AS price1, b.p_retailprice AS price2
+      FROM part a JOIN part b
+        ON a.p_partkey < b.p_partkey
+       AND abs(a.p_retailprice - b.p_retailprice) <= 0.1
+      ORDER BY p1, p2"""))
+
+  /** Batch ANN: top-5 cosine neighbors for EACH of the first 10 query
+    * vectors in one plan — broadcast the query block, rank per query via
+    * row_number (compiled to the custom TopKPerGroup heap exec). */
+  val annBatch: Q = Q(
+    "q58_ann_batch",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorFunctions.register(s)
+      val w = Tables.embeddings(s, d)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+        .withColumn("nrm", sqrt(expr("dot_product(e, e)")))
+      val queries = w.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+      val win = Window.partitionBy(col("query_id"))
+        .orderBy(desc("cosine"), asc("vec_id"))
+      w.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          expr("dot_product(e, qe)") / (col("nrm") * col("qnrm")))
+        .withColumn("rn", row_number().over(win))
+        .filter(col("rn") <= 5)
+        .select("query_id", "rn", "vec_id", "cosine")
+        .orderBy("query_id", "rn")
+    },
+    Some("""WITH n AS (SELECT vec_id,
+        list_transform(embedding, x -> cast(x as double)) AS e FROM embeddings),
+      w AS (SELECT vec_id, e,
+        sqrt(list_reduce(list_transform(generate_series(1, len(e)), i -> e[i] * e[i]), (x, y) -> x + y)) AS nrm
+        FROM n),
+      q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qnrm FROM w WHERE vec_id < 10),
+      scored AS (SELECT q.query_id, w.vec_id,
+        list_reduce(list_transform(generate_series(1, len(w.e)), i -> w.e[i] * q.qe[i]), (x, y) -> x + y) / (w.nrm * q.qnrm) AS cosine
+        FROM w, q WHERE w.vec_id <> q.query_id),
+      ranked AS (SELECT query_id, vec_id, cosine,
+        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored)
+      SELECT query_id, rn, vec_id, cosine FROM ranked WHERE rn <= 5
+      ORDER BY query_id, rn"""),
+    bench = true)
+
   val all: Seq[Q] = Seq(kmeansEmbeddings, rfRegression, streamWindow60s,
-    asofJoin, approxDistinct)
+    asofJoin, approxDistinct, rangeJoin, annBatch)
 }
