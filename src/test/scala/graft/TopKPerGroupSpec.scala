@@ -60,6 +60,21 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(unmatched.count() > 0)
   }
 
+  test("range join plans as an equi-join on the bucket key, not a cross join") {
+    val plan = SparkEntry.queries("q57_range_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay an equi-join:\n$plan")
+  }
+
+  test("batch ANN broadcasts queries and ranks on the heap exec") {
+    val plan = SparkEntry.queries("q58_ann_batch")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup "))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+  }
+
   test("global (unpartitioned) row_number is left on WindowExec") {
     val w = Window.orderBy(desc("o_totalprice"))
     val global = Tables.orders(spark, sf)
