@@ -198,6 +198,35 @@ object Pipelines {
       ORDER BY query_id, rn"""),
     bench = true)
 
+  /** Time-series gap filling: a complete hourly spine over the event
+    * range, left-joined to hourly counts so silent hours appear as zero
+    * rows (sequence + explode = distributed spine generation, no driver
+    * loops; the spine bounds come from a 1-row agg crossJoin). */
+  val gapFill: Q = Q(
+    "q59_gap_fill",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("tmin"),
+        date_trunc("hour", max(col("ts"))).as("tmax"))
+      val spine = bounds
+        .select(explode(sequence(col("tmin"), col("tmax"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+      val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      spine.join(hourly, Seq("h"), "left_outer")
+        .select(col("h"), coalesce(col("cnt"), lit(0L)).as("n_events"))
+        .orderBy("h")
+    },
+    Some("""WITH b AS (SELECT date_trunc('hour', min(ts)) AS tmin,
+        date_trunc('hour', max(ts)) AS tmax FROM events),
+      spine AS (SELECT unnest(generate_series(tmin, tmax, INTERVAL 1 HOUR)) AS h FROM b),
+      hourly AS (SELECT date_trunc('hour', ts) AS h, count(*) AS cnt
+        FROM events GROUP BY 1)
+      SELECT s.h, coalesce(hourly.cnt, 0) AS n_events
+      FROM spine s LEFT JOIN hourly ON s.h = hourly.h
+      ORDER BY s.h"""))
+
   val all: Seq[Q] = Seq(kmeansEmbeddings, rfRegression, streamWindow60s,
-    asofJoin, approxDistinct, rangeJoin, annBatch)
+    asofJoin, approxDistinct, rangeJoin, annBatch, gapFill)
 }
