@@ -496,6 +496,97 @@ object Relational {
         sqrt((n * s2 - s1 * s1) / (n * (n - 1))) AS stddev_qty
       FROM m ORDER BY l_returnflag"""))
 
+  /** Correlated scalar subquery through the SQL entry point — Catalyst
+    * decorrelates it into an aggregate + join (SURVEY §4 "built-in if
+    * ever needed", exercised here). Exact decimal average keeps the
+    * comparison boundary bit-identical across engines. */
+  val sqlCorrelated: Q = Q(
+    "q60_sql_correlated",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
+        WHERE o_totalprice > (
+          SELECT 1.2 * cast(sum(cast(o2.o_totalprice as decimal(18,4))) as double)
+                     / count(*)
+          FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      WHERE o_totalprice > (
+        SELECT 1.2 * cast(sum(cast(o2.o_totalprice as decimal(18,4))) as double)
+                   / count(*)
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey"""))
+
+  /** UNION with distinct semantics (complement of q15's UNION ALL). */
+  val unionDistinct: Q = Q(
+    "q61_union_distinct",
+    (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .union(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey"),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+      UNION SELECT s_nationkey AS nationkey FROM supplier
+      ORDER BY nationkey"""))
+
+  /** Window-function suite: rank/dense_rank/lag/lead/ntile/cume_dist/
+    * percent_rank under one totally-ordered window. */
+  val windowSuite: Q = Q(
+    "q62_window_suite",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          ntile(4).over(w).as("quartile"),
+          cume_dist().over(w).as("cdist"),
+          percent_rank().over(w).as("prank"))
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+      cast(rank() OVER w as int) AS rnk,
+      cast(dense_rank() OVER w as int) AS drnk,
+      lag(o_orderkey, 1) OVER w AS prev_order,
+      lead(o_orderkey, 1) OVER w AS next_order,
+      cast(ntile(4) OVER w as int) AS quartile,
+      cume_dist() OVER w AS cdist,
+      percent_rank() OVER w AS prank
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_custkey, rnk, o_orderkey"""))
+
+  /** Date/time function suite aligned across engine conventions
+    * (Spark dayofweek is 1=Sunday vs DuckDB 0=Sunday; Spark trunc →
+    * DATE matches DuckDB date_trunc('month') → DATE). */
+  val dateSuite: Q = Q(
+    "q63_date_suite",
+    (s, d) => Tables.events(s, d)
+      .select(col("event_id"),
+        dayofweek(col("ts")).as("dow"),
+        weekday(col("ts")).as("weekday_mon0"),
+        quarter(col("ts")).as("qtr"),
+        weekofyear(col("ts")).as("week_iso"),
+        last_day(col("ts")).as("month_end"),
+        trunc(col("ts"), "month").as("month_start"),
+        (col("ts") + expr("INTERVAL 1 MONTH")).as("plus_month"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("days_since"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+      cast(dayofweek(ts) + 1 as int) AS dow,
+      cast(isodow(ts) - 1 as int) AS weekday_mon0,
+      cast(quarter(ts) as int) AS qtr,
+      cast(weekofyear(ts) as int) AS week_iso,
+      last_day(ts) AS month_end,
+      cast(date_trunc('month', ts) as date) AS month_start,
+      ts + INTERVAL 1 MONTH AS plus_month,
+      cast(date_diff('day', date '2024-01-01', cast(ts as date)) as int) AS days_since
+      FROM events ORDER BY event_id"""))
+
   val all: Seq[Q] = Seq(
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
@@ -504,5 +595,6 @@ object Relational {
     exceptKeys, caseWhenBuckets, dateParts, stringFuncs,
     aggMinMaxAvg, countDistinctQ, windowRank, pointLookup,
     jsonExtract, eventsHourly, sessionization, rollupAgg, scalarMath,
-    arrayAgg, stringAgg, statsMoments)
+    arrayAgg, stringAgg, statsMoments,
+    sqlCorrelated, unionDistinct, windowSuite, dateSuite)
 }
