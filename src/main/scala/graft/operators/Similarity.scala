@@ -228,6 +228,41 @@ object Similarity {
       32 + cast(${sqlMd5h61("'h:' || text")} % 320 as int) AS fake_height
       FROM documents ORDER BY doc_id"""))
 
+  /** Array/higher-order function suite over the vector column: size,
+    * element access, slice, reverse head, min/max, lambda filter/exists,
+    * sorted prefix. All engine-aligned (1-based inclusive slicing on
+    * both; lambda filters via list_filter). */
+  val arrayFuncs: Q = Q(
+    "q64_array_funcs",
+    (s, d) => Tables.embeddings(s, d)
+      .select(col("vec_id"), vecD(col("embedding")).as("e"))
+      .select(
+        col("vec_id"),
+        size(col("e")).as("dim"),
+        element_at(col("e"), 1).as("first_val"),
+        element_at(col("e"), -1).as("last_val"),
+        slice(col("e"), 1, 4).as("head4"),
+        element_at(reverse(col("e")), 1).as("rev_head"),
+        array_max(col("e")).as("vmax"),
+        array_min(col("e")).as("vmin"),
+        size(filter(col("e"), x => x > 0)).as("n_positive"),
+        exists(col("e"), x => x > 0.9).as("has_large"),
+        slice(array_sort(col("e")), 1, 3).as("bottom3"))
+      .orderBy("vec_id"),
+    Some(s"""WITH n AS (SELECT vec_id, ${sqlVecD("embedding")} AS e FROM embeddings)
+      SELECT vec_id,
+        cast(len(e) as int) AS dim,
+        e[1] AS first_val,
+        e[len(e)] AS last_val,
+        e[1:4] AS head4,
+        list_reverse(e)[1] AS rev_head,
+        list_max(e) AS vmax,
+        list_min(e) AS vmin,
+        cast(len(list_filter(e, x -> x > 0)) as int) AS n_positive,
+        len(list_filter(e, x -> x > 0.9)) > 0 AS has_large,
+        list_sort(e)[1:3] AS bottom3
+      FROM n ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
-    annIvf, multimodalMeta)
+    annIvf, multimodalMeta, arrayFuncs)
 }

@@ -83,6 +83,25 @@ object StreamIngest {
       .trigger(trigger)
       .start()
 
+  /** Stream-stream interval join: purchases attributed to a click by the
+    * same user within the preceding `windowMinutes`. Both sides carry
+    * watermarks and the join condition bounds event time on both sides,
+    * so Spark can expire state — the requirements for an unbounded
+    * stream-stream inner join. Works identically on batch frames. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 10): DataFrame = {
+    val c = clicks.withWatermark("ts", s"$windowMinutes minutes")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", s"$windowMinutes minutes")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select("user_id", "click_ts", "purchase_ts", "value")
+  }
+
   /** Streaming exact dedup: drop duplicate keys with state BOUNDED by the
     * watermark (dropDuplicatesWithinWatermark) — unbounded-state dedup is
     * the classic streaming-pipeline OOM; the watermark bound is what makes

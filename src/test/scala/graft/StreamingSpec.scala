@@ -96,6 +96,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("2026-01-01 10:01:00.0", "view", 1L, 5.0)))
   }
 
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamIngest.clickPurchaseJoin(
+      clicks.toDF().toDF("user_id", "ts"),
+      purchases.toDF().toDF("user_id", "ts", "value"), 10)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_out")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      clicks.addData(
+        (1L, Timestamp.valueOf("2026-01-01 10:00:00")),
+        (2L, Timestamp.valueOf("2026-01-01 10:00:00")))
+      purchases.addData(
+        (1L, Timestamp.valueOf("2026-01-01 10:05:00"), 9.99), // within 10 min
+        (2L, Timestamp.valueOf("2026-01-01 10:30:00"), 5.0))  // too late
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attr_out").collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(rows.toSeq == Seq((1L, 9.99)),
+      s"only the within-window purchase attributes; got ${rows.mkString(",")}")
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
