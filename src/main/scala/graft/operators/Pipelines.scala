@@ -227,6 +227,52 @@ object Pipelines {
       FROM spine s LEFT JOIN hourly ON s.h = hourly.h
       ORDER BY s.h"""))
 
+  /** Funnel analysis: users whose first click precedes their first view
+    * precedes their first purchase — one hash-agg with conditional mins,
+    * no self-joins (the naive N-step funnel as N joins dies at scale). */
+  val funnel: Q = Q(
+    "q65_funnel",
+    (s, d) => Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      .filter(col("first_click") < col("first_view") &&
+        col("first_view") < col("first_purchase"))
+      .orderBy("user_id"),
+    Some("""SELECT user_id,
+      min(ts) FILTER (WHERE event_type = 'click') AS first_click,
+      min(ts) FILTER (WHERE event_type = 'view') AS first_view,
+      min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+      FROM events GROUP BY user_id
+      HAVING first_click < first_view AND first_view < first_purchase
+      ORDER BY user_id"""))
+
+  /** Cohort retention: users grouped by first-activity day, counted as
+    * active at day offsets — two hash-aggs and one broadcastable join on
+    * user_id (cohort table ≪ event table at scale). */
+  val retention: Q = Q(
+    "q66_retention",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    Some("""WITH ev AS (SELECT user_id, cast(ts as date) AS day FROM events),
+      cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+      SELECT c.cohort_day,
+        cast(date_diff('day', c.cohort_day, e.day) as int) AS day_offset,
+        count(DISTINCT e.user_id) AS active_users
+      FROM ev e JOIN cohort c ON e.user_id = c.user_id
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(kmeansEmbeddings, rfRegression, streamWindow60s,
-    asofJoin, approxDistinct, rangeJoin, annBatch, gapFill)
+    asofJoin, approxDistinct, rangeJoin, annBatch, gapFill, funnel,
+    retention)
 }
