@@ -587,6 +587,49 @@ object Relational {
       cast(date_diff('day', date '2024-01-01', cast(ts as date)) as int) AS days_since
       FROM events ORDER BY event_id"""))
 
+  /** Exact percentiles (sort-based). Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the linear-interpolation formula over sorted
+    * exact doubles, so values hash-match bitwise (verified empirically
+    * including trailing-ulp digits). */
+  val percentiles: Q = Q(
+    "q67_percentiles",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+      quantile_cont(l_extendedprice, 0.5) AS p50,
+      quantile_cont(l_extendedprice, 0.9) AS p90,
+      quantile_cont(l_extendedprice, 0.99) AS p99
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** MERGE/upsert semantics on plain parquet: updated rows replace base
+    * rows by key (anti-join + union — the scalable merge when the format
+    * has no transactional MERGE INTO). The updates set is derived
+    * deterministically from the base table. */
+  val mergeUpsert: Q = Q(
+    "q68_merge_upsert",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val updates = base.filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+          (col("o_totalprice") * 0.5).as("o_totalprice"))
+      base.join(updates.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .unionByName(updates)
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH upd AS (
+        SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice * 0.5 AS o_totalprice
+        FROM orders WHERE o_orderkey % 100 = 0)
+      SELECT * FROM (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd)
+      ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
@@ -596,5 +639,6 @@ object Relational {
     aggMinMaxAvg, countDistinctQ, windowRank, pointLookup,
     jsonExtract, eventsHourly, sessionization, rollupAgg, scalarMath,
     arrayAgg, stringAgg, statsMoments,
-    sqlCorrelated, unionDistinct, windowSuite, dateSuite)
+    sqlCorrelated, unionDistinct, windowSuite, dateSuite,
+    percentiles, mergeUpsert)
 }
