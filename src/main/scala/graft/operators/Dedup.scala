@@ -193,9 +193,9 @@ object Dedup {
     * min-agg per round, rounds bounded by component diameter — dup
     * clusters are shallow, so 2-4 rounds). Oracle: recursive-CTE
     * transitive closure in DuckDB. */
-  val dupClusters: Q = Q(
-    "q56_dedup_clusters",
-    (s, d) => {
+  /** (cluster_root, doc_id) membership via min-label propagation —
+    * shared by q56 and the survivor selection q69. */
+  private def clustersDf(s: SparkSession, d: String): DataFrame = {
       val pairs = verifiedPairs(s, d).select("doc_a", "doc_b").cache()
       val edges = pairs
         .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -217,9 +217,12 @@ object Dedup {
         rounds += 1
       }
       labels.select(col("label").as("cluster_root"), col("doc").as("doc_id"))
-        .orderBy("cluster_root", "doc_id")
-    },
-    Some(s"""WITH RECURSIVE $sqlVerifiedChain,
+  }
+
+  /** SQL chain producing the `clusters(cluster_root, doc_id)` CTE
+    * (recursive transitive closure; shared by q56/q69 oracles). */
+  private val sqlClustersChain: String =
+    s"""$sqlVerifiedChain,
       pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
       edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
                 UNION SELECT doc_b, doc_a FROM pairs),
@@ -227,10 +230,47 @@ object Dedup {
         SELECT a, b FROM edges
         UNION
         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-      nodes AS (SELECT DISTINCT a AS doc FROM edges)
-      SELECT least(n.doc, min(r.b)) AS cluster_root, n.doc AS doc_id
-      FROM nodes n JOIN reach r ON r.a = n.doc
-      GROUP BY n.doc ORDER BY cluster_root, doc_id"""))
+      nodes AS (SELECT DISTINCT a AS doc FROM edges),
+      clusters AS (
+        SELECT least(n.doc, min(r.b)) AS cluster_root, n.doc AS doc_id
+        FROM nodes n JOIN reach r ON r.a = n.doc GROUP BY n.doc)"""
+
+  val dupClusters: Q = Q(
+    "q56_dedup_clusters",
+    (s, d) => clustersDf(s, d).orderBy("cluster_root", "doc_id"),
+    Some(s"""WITH RECURSIVE $sqlClustersChain
+      SELECT cluster_root, doc_id FROM clusters
+      ORDER BY cluster_root, doc_id"""))
+
+  /** q69: survivor selection — per duplicate cluster keep the doc with
+    * the most characters (tie: lowest doc_id). The per-cluster argmax is
+    * a row_number-filter, i.e. the custom TopKPerGroup exec with k=1. */
+  val dedupSurvivors: Q = Q(
+    "q69_dedup_survivors",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val members = clustersDf(s, d)
+        .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
+      val w = Window.partitionBy(col("cluster_root"))
+        .orderBy(desc("n_chars"), asc("doc_id"))
+      members
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("cluster_root"))))
+        .filter(col("rn") === 1)
+        .select("cluster_root", "doc_id", "n_chars", "n_members")
+        .orderBy("cluster_root")
+    },
+    Some(s"""WITH RECURSIVE $sqlClustersChain,
+      members AS (SELECT c.cluster_root, c.doc_id, d.n_chars
+        FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+      ranked AS (SELECT cluster_root, doc_id, n_chars,
+          row_number() OVER (PARTITION BY cluster_root
+            ORDER BY n_chars DESC, doc_id) AS rn,
+          count(*) OVER (PARTITION BY cluster_root) AS n_members
+        FROM members)
+      SELECT cluster_root, doc_id, n_chars, n_members FROM ranked
+      WHERE rn = 1 ORDER BY cluster_root"""))
 
   private val SimBits = 32
 
@@ -301,5 +341,5 @@ object Dedup {
       WHERE hamming <= 3 ORDER BY doc_a, doc_b"""))
 
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
-    simhashSignatures, simhashPairs, dupClusters)
+    simhashSignatures, simhashPairs, dupClusters, dedupSurvivors)
 }

@@ -204,6 +204,37 @@ object TextAnalysis {
       count(*) FILTER (WHERE event_type = 'error') AS error
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** Rare-term index: terms whose document frequency is <= 20% of the
+    * corpus, and the documents carrying them — the deterministic integer
+    * core of an idf computation (log-free: libm log() is not
+    * bit-portable; the relative threshold holds at every scale factor). */
+  val rareTerms: Q = Q(
+    "q47b_rare_terms",
+    (s, d) => {
+      val docTerms = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(toks(col("text")))).as("term"))
+      val nDocs = docTerms.select(countDistinct(col("doc_id")).as("n_docs"))
+      val rare = docTerms.groupBy("term")
+        .agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") <= col("n_docs") * 0.2)
+        .select("term")
+      docTerms.join(rare, "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_rare"),
+          sort_array(collect_list(col("term"))).as("rare_terms"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH dt AS (SELECT doc_id,
+        unnest(list_distinct(${sqlToks("text")})) AS term FROM documents),
+      rare AS (SELECT term FROM dt GROUP BY term
+        HAVING count(*) <= (SELECT count(DISTINCT doc_id) FROM dt) * 0.2)
+      SELECT dt.doc_id, count(*) AS n_rare,
+        list_sort(list(dt.term)) AS rare_terms
+      FROM dt JOIN rare ON dt.term = rare.term
+      GROUP BY dt.doc_id ORDER BY dt.doc_id"""))
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
-    fingerprint, topTerms, pivotEvents)
+    fingerprint, topTerms, pivotEvents, rareTerms)
 }

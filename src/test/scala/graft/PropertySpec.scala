@@ -88,6 +88,20 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("results are invariant to input partitioning (determinism law)") {
+    // same query over adversarially repartitioned input must produce
+    // identical ordered output — the property the oracle gate relies on
+    val sf = TestSpark.sf0001
+    for (name <- Seq("q01_pricing_summary", "q37_minhash_lsh_pairs",
+        "q42_ann_bruteforce", "q56_dedup_clusters")) {
+      val a = SparkEntry.queries(name)(spark, sf).collect().map(_.toString)
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = try SparkEntry.queries(name)(spark, sf).collect().map(_.toString)
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+      assert(a.sameElements(b), s"$name differs under repartitioning")
+    }
+  }
+
   test("drift union law: columns = union of inputs, rows = sum of inputs") {
     import spark.implicits._
     val all = Seq("c1", "c2", "c3", "c4")
