@@ -83,6 +83,23 @@ object StreamIngest {
       .trigger(trigger)
       .start()
 
+  /** Continuous serving refresh: per micro-batch, replace a serving
+    * parquet with the latest running per-type aggregates. foreachBatch is
+    * the sink shape for destinations that need overwrite/upsert semantics
+    * instead of append (the streaming twin of the reference's
+    * api_app_info_* refresh cycle). */
+  def serveAggregates(events: DataFrame, servingPath: String): StreamingQuery =
+    events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Dsl.dsum(col("value")).as("sum_value"))
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(servingPath)
+      }
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+
   /** Stream-stream interval join: purchases attributed to a click by the
     * same user within the preceding `windowMinutes`. Both sides carry
     * watermarks and the join condition bounds event time on both sides,

@@ -96,6 +96,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("2026-01-01 10:01:00.0", "view", 1L, 5.0)))
   }
 
+  test("foreachBatch refreshes the serving parquet with running aggregates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-serving").toFile
+    dir.deleteOnExit()
+    val path = s"${dir.getAbsolutePath}/agg"
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamIngest.serveAggregates(
+      mem.toDF().toDF("ts", "event_type", "value"), path)
+    try {
+      mem.addData((Timestamp.valueOf("2026-01-01 10:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      val first = spark.read.parquet(path)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(first == Map("click" -> 1L))
+      mem.addData(
+        (Timestamp.valueOf("2026-01-01 10:01:00"), "click", 2.0),
+        (Timestamp.valueOf("2026-01-01 10:02:00"), "view", 3.0))
+      q.processAllAvailable()
+      val second = spark.read.parquet(path)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(second == Map("click" -> 2L, "view" -> 1L),
+        "serving table reflects the updated running aggregate")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to recent clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
