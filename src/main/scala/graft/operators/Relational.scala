@@ -630,6 +630,95 @@ object Relational {
         UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd)
       ORDER BY o_orderkey"""))
 
+  /** Conditional aggregates: count_if / filtered sums / bool_or / bool_and. */
+  val conditionalAggs: Q = Q(
+    "q70_conditional_aggs",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count_if(col("l_quantity") >= 25).as("n_bulk"),
+        dsum(when(col("l_discount") > 0.05, col("l_extendedprice"))
+          .otherwise(lit(0.0))).as("discounted_revenue"),
+        bool_or(col("l_quantity") >= 49).as("any_huge"),
+        bool_and(col("l_quantity") >= 1).as("all_nonzero"))
+      .orderBy("l_returnflag"),
+    Some(s"""SELECT l_returnflag,
+      count_if(l_quantity >= 25) AS n_bulk,
+      ${sqlDsum("CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END")} AS discounted_revenue,
+      bool_or(l_quantity >= 49) AS any_huge,
+      bool_and(l_quantity >= 1) AS all_nonzero
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Extended string scalars: pad/trim/translate/repeat/reverse/split_part. */
+  val stringSuite2: Q = Q(
+    "q71_string_suite2",
+    (s, d) => Tables.part(s, d)
+      .select(col("p_partkey"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
+        rpad(col("p_brand"), 12, ".").as("brand_padded"),
+        translate(col("p_type"), "AEO", "aeo").as("type_translated"),
+        repeat(lit("-"), 5).as("dashes"),
+        reverse(col("p_name")).as("name_rev"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("first_word"),
+        ltrim(rtrim(concat(lit("  "), col("p_brand"), lit("  ")))).as("trimmed"))
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+      lpad(cast(p_partkey as varchar), 8, '0') AS key_padded,
+      rpad(p_brand, 12, '.') AS brand_padded,
+      translate(p_type, 'AEO', 'aeo') AS type_translated,
+      repeat('-', 5) AS dashes,
+      reverse(p_name) AS name_rev,
+      split_part(p_name, ' ', 1) AS first_word,
+      ltrim(rtrim('  ' || p_brand || '  ')) AS trimmed
+      FROM part ORDER BY p_partkey"""))
+
+  /** Bitwise scalar operators over integer keys. */
+  val bitwiseOps: Q = Q(
+    "q72_bitwise_ops",
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        (col("o_orderkey").bitwiseAND(lit(255L))).as("low_byte"),
+        (col("o_orderkey").bitwiseOR(lit(4096L))).as("with_flag"),
+        (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("key_xor"),
+        shiftleft(col("o_orderkey"), 2).as("shl2"),
+        shiftright(col("o_orderkey"), 3).as("shr3"),
+        expr("bit_count(o_orderkey)").cast("int").as("popcount"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+      o_orderkey & 255 AS low_byte,
+      o_orderkey | 4096 AS with_flag,
+      xor(o_orderkey, o_custkey) AS key_xor,
+      o_orderkey << 2 AS shl2,
+      o_orderkey >> 3 AS shr3,
+      cast(bit_count(o_orderkey) as int) AS popcount
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** Explicit GROUPING SETS with grouping() markers (via the SQL entry
+    * point; complements q28's ROLLUP). */
+  val groupingSets: Q = Q(
+    "q73_grouping_sets",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(s"""SELECT o_orderstatus, o_orderpriority,
+        cast(grouping(o_orderstatus) as int) AS g_status,
+        cast(grouping(o_orderpriority) as int) AS g_prio,
+        count(*) AS n,
+        ${Dsl.sqlDsum("o_totalprice")} AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+          o_orderpriority NULLS FIRST""")
+    },
+    Some(s"""SELECT o_orderstatus, o_orderpriority,
+      cast(grouping(o_orderstatus) as int) AS g_status,
+      cast(grouping(o_orderpriority) as int) AS g_prio,
+      count(*) AS n,
+      ${sqlDsum("o_totalprice")} AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+        o_orderpriority NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
@@ -640,5 +729,6 @@ object Relational {
     jsonExtract, eventsHourly, sessionization, rollupAgg, scalarMath,
     arrayAgg, stringAgg, statsMoments,
     sqlCorrelated, unionDistinct, windowSuite, dateSuite,
-    percentiles, mergeUpsert)
+    percentiles, mergeUpsert,
+    conditionalAggs, stringSuite2, bitwiseOps, groupingSets)
 }
