@@ -44,7 +44,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Belt-and-braces: also drop the line where the driver can read it
+    // even if a logger decorates stdout.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench.json"),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

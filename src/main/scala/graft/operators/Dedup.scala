@@ -200,8 +200,13 @@ object Dedup {
       val edges = pairs
         .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .toDF("a", "b").cache()
+      // Iterative plans leak two ways at scale: cached frames that are
+      // never unpersisted, and a lineage tree that deepens every round
+      // (planning cost + stack depth). localCheckpoint truncates the
+      // lineage each round; the superseded round's frame is unpersisted
+      // once `changed` has consumed it.
       var labels = edges.select(col("a").as("doc")).distinct()
-        .withColumn("label", col("doc")).cache()
+        .withColumn("label", col("doc")).localCheckpoint()
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 50) {
@@ -210,12 +215,15 @@ object Dedup {
         val next = labels.join(prop, labels("doc") === prop("a"), "left")
           .select(labels("doc"),
             least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
-          .cache()
+          .localCheckpoint()
         changed = next.as("n").join(labels.as("o"), col("n.doc") === col("o.doc"))
           .filter(col("n.label") =!= col("o.label")).count()
+        labels.unpersist()
         labels = next
         rounds += 1
       }
+      edges.unpersist()
+      pairs.unpersist()
       labels.select(col("label").as("cluster_root"), col("doc").as("doc_id"))
   }
 

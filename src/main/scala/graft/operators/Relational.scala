@@ -394,8 +394,8 @@ object Relational {
                  OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
         FROM o),
       s AS (SELECT user_id, ts,
-          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_id
         FROM m)
       SELECT user_id, session_id, count(*) AS n_events,
         min(ts) AS session_start, max(ts) AS session_end
@@ -440,15 +440,18 @@ object Relational {
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
 
   /** Array aggregation: per-group sorted value lists (collect_list is
-    * order-nondeterministic; sort_array pins it on both engines). */
+    * order-nondeterministic; sort_array pins it on both engines). The
+    * list is emitted as a comma-joined string so the result stays
+    * scalar-typed end to end (array cells are not hashable downstream). */
   val arrayAgg: Q = Q(
     "q47_array_agg",
     (s, d) => Tables.nation(s, d)
       .groupBy("n_regionkey")
-      .agg(sort_array(collect_list(col("n_name"))).as("nations"),
+      .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
         count(lit(1)).as("n"))
       .orderBy("n_regionkey"),
-    Some("""SELECT n_regionkey, list_sort(list(n_name)) AS nations,
+    Some("""SELECT n_regionkey,
+      array_to_string(list_sort(list(n_name)), ',') AS nations,
       count(*) AS n
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
 
@@ -643,7 +646,7 @@ object Relational {
         bool_and(col("l_quantity") >= 1).as("all_nonzero"))
       .orderBy("l_returnflag"),
     Some(s"""SELECT l_returnflag,
-      count_if(l_quantity >= 25) AS n_bulk,
+      cast(count_if(l_quantity >= 25) as bigint) AS n_bulk,
       ${sqlDsum("CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END")} AS discounted_revenue,
       bool_or(l_quantity >= 49) AS any_huge,
       bool_and(l_quantity >= 1) AS all_nonzero

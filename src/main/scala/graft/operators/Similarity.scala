@@ -59,28 +59,72 @@ object Similarity {
       SELECT vec_id, label, cast(len(e) as int) AS dim, nrm AS l2_norm
       FROM w ORDER BY vec_id"""))
 
-  /** Embedding-cosine near-dup pairs, blocked by label (IVF-style coarse
-    * partition: the pair join shuffles on `label`, never crosses). */
+  // Banded hyperplane LSH for the near-dup pair join: `NdBands` bands,
+  // each with its own `NdPlanes` random hyperplanes (sign-random
+  // projection). Candidates collide when ANY band bucket matches
+  // (OR-amplification — recall survives band-boundary misses that a
+  // single coarse partition would drop). Plane components are ±1 derived
+  // from md5 so the identical literals inline into the DuckDB oracle.
+  private val NdBands = 2
+  private val NdDim = 64
+  private val NdPlanes = 4
+  private val bandPlaneComps: Seq[Seq[Seq[Int]]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    (0 until NdBands).map { bnd =>
+      (0 until NdPlanes).map { p =>
+        (0 until NdDim).map { i =>
+          val h = mdig.digest(s"bandplane:$bnd:$p:$i".getBytes("UTF-8"))
+          if ((h(0) & 1) == 1) 1 else -1
+        }
+      }
+    }
+  }
+
+  private def bandBucketCol(e: String, bnd: Int): Column =
+    (0 until NdPlanes).map { p =>
+      val arr = bandPlaneComps(bnd)(p).map(v => s"$v.0D").mkString("array(", ", ", ")")
+      when(expr(s"dot_product($e, $arr)") > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def sqlBandBucket(e: String, bnd: Int): String =
+    (0 until NdPlanes).map { p =>
+      val arr = bandPlaneComps(bnd)(p).map(v => s"$v.0").mkString("[", ", ", "]")
+      val pd = s"list_reduce(list_transform(generate_series(1, $NdDim), i -> ($arr::double[])[i] * $e[i]), (x, y) -> x + y)"
+      s"CASE WHEN $pd > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString(" + ")
+
+  /** Embedding-cosine near-dup pairs, blocked on banded hyperplane-LSH
+    * buckets: the pair join shuffles on the content-derived (band,
+    * bucket) key — block sizes are set by the plane count, not by data
+    * skew, so the plan survives a 100x scale-up (add planes/bands, not
+    * bigger blocks). Exact cosine >= 0.35 verifies each candidate. */
   val nearDupPairs: Q = Q(
     "q41_embed_neardup_pairs",
     (s, d) => {
       val w = normed(s, d).cache()
-      val a = w.as("a"); val b = w.as("b")
-      a.join(b, col("a.label") === col("b.label") &&
+      val bb = (0 until NdBands).map { bnd =>
+        w.select(col("vec_id"), col("e"), col("nrm"),
+          lit(bnd).as("band"), bandBucketCol("e", bnd).as("bucket"))
+      }.reduce(_ unionByName _)
+      val a = bb.as("a"); val b = bb.as("b")
+      a.join(b, col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cosine",
-          dot("a.e", "b.e") / (col("a.nrm") * col("b.nrm")))
-        .filter(col("cosine") >= 0.35)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          col("a.label").as("label"), col("cosine"))
+          (dot("a.e", "b.e") / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+        .distinct() // a pair colliding in both bands appears once
+        .filter(col("cosine") >= 0.35)
         .orderBy("vec_a", "vec_b")
     },
     Some(s"""WITH $sqlNormed,
-      pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-          a.label AS label,
+      bb AS (${(0 until NdBands).map(bnd =>
+        s"SELECT vec_id, e, nrm, $bnd AS band, ${sqlBandBucket("e", bnd)} AS bucket FROM w")
+        .mkString(" UNION ALL ")}),
+      cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
           ${sqlDot("a.e", "b.e")} / (a.nrm * b.nrm) AS cosine
-        FROM w a JOIN w b ON a.label = b.label AND a.vec_id < b.vec_id)
-      SELECT vec_a, vec_b, label, cosine FROM pairs
+        FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+          AND a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, cosine FROM cand
       WHERE cosine >= 0.35 ORDER BY vec_a, vec_b"""),
     bench = true)
 
@@ -231,36 +275,50 @@ object Similarity {
   /** Array/higher-order function suite over the vector column: size,
     * element access, slice, reverse head, min/max, lambda filter/exists,
     * sorted prefix. All engine-aligned (1-based inclusive slicing on
-    * both; lambda filters via list_filter). */
+    * both; lambda filters via list_filter). Slice results are projected
+    * to scalar element columns — numeric scalars hash identically across
+    * engines, array cells do not. */
   val arrayFuncs: Q = Q(
     "q64_array_funcs",
-    (s, d) => Tables.embeddings(s, d)
-      .select(col("vec_id"), vecD(col("embedding")).as("e"))
-      .select(
-        col("vec_id"),
-        size(col("e")).as("dim"),
-        element_at(col("e"), 1).as("first_val"),
-        element_at(col("e"), -1).as("last_val"),
-        slice(col("e"), 1, 4).as("head4"),
-        element_at(reverse(col("e")), 1).as("rev_head"),
-        array_max(col("e")).as("vmax"),
-        array_min(col("e")).as("vmin"),
-        size(filter(col("e"), x => x > 0)).as("n_positive"),
-        exists(col("e"), x => x > 0.9).as("has_large"),
-        slice(array_sort(col("e")), 1, 3).as("bottom3"))
-      .orderBy("vec_id"),
+    (s, d) => {
+      val sorted3 = slice(array_sort(vecD(col("embedding"))), 1, 3)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), vecD(col("embedding")).as("e"),
+          sorted3.as("s3"))
+        .select(
+          col("vec_id"),
+          size(col("e")).as("dim"),
+          element_at(col("e"), 1).as("first_val"),
+          element_at(col("e"), -1).as("last_val"),
+          element_at(col("e"), 2).as("head_2"),
+          element_at(col("e"), 3).as("head_3"),
+          element_at(col("e"), 4).as("head_4"),
+          element_at(reverse(col("e")), 1).as("rev_head"),
+          array_max(col("e")).as("vmax"),
+          array_min(col("e")).as("vmin"),
+          size(filter(col("e"), x => x > 0)).as("n_positive"),
+          exists(col("e"), x => x > 0.9).as("has_large"),
+          element_at(col("s3"), 1).as("bottom_1"),
+          element_at(col("s3"), 2).as("bottom_2"),
+          element_at(col("s3"), 3).as("bottom_3"))
+        .orderBy("vec_id")
+    },
     Some(s"""WITH n AS (SELECT vec_id, ${sqlVecD("embedding")} AS e FROM embeddings)
       SELECT vec_id,
         cast(len(e) as int) AS dim,
         e[1] AS first_val,
         e[len(e)] AS last_val,
-        e[1:4] AS head4,
+        e[2] AS head_2,
+        e[3] AS head_3,
+        e[4] AS head_4,
         list_reverse(e)[1] AS rev_head,
         list_max(e) AS vmax,
         list_min(e) AS vmin,
         cast(len(list_filter(e, x -> x > 0)) as int) AS n_positive,
         len(list_filter(e, x -> x > 0.9)) > 0 AS has_large,
-        list_sort(e)[1:3] AS bottom3
+        list_sort(e)[1] AS bottom_1,
+        list_sort(e)[2] AS bottom_2,
+        list_sort(e)[3] AS bottom_3
       FROM n ORDER BY vec_id"""))
 
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,

@@ -223,7 +223,7 @@ object TextAnalysis {
       docTerms.join(rare, "term")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_rare"),
-          sort_array(collect_list(col("term"))).as("rare_terms"))
+          concat_ws(",", sort_array(collect_list(col("term")))).as("rare_terms"))
         .orderBy("doc_id")
     },
     Some(s"""WITH dt AS (SELECT doc_id,
@@ -231,7 +231,7 @@ object TextAnalysis {
       rare AS (SELECT term FROM dt GROUP BY term
         HAVING count(*) <= (SELECT count(DISTINCT doc_id) FROM dt) * 0.2)
       SELECT dt.doc_id, count(*) AS n_rare,
-        list_sort(list(dt.term)) AS rare_terms
+        array_to_string(list_sort(list(dt.term)), ',') AS rare_terms
       FROM dt JOIN rare ON dt.term = rare.term
       GROUP BY dt.doc_id ORDER BY dt.doc_id"""))
 

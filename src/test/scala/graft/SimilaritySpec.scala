@@ -30,8 +30,10 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("near-dup pairs finds the planted duplicate with cosine 1.0") {
+    // identical/near-identical vectors share every band's sign bucket,
+    // so banded-LSH blocking never drops the planted pairs
     val rows = SparkEntry.queries("q41_embed_neardup_pairs")(spark, sfDir)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(rows.contains((0L, 1L)))
     assert(math.abs(rows((0L, 1L)) - 1.0) < 1e-12)
     assert(rows.contains((0L, 2L)) && rows((0L, 2L)) > 0.999)

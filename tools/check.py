@@ -29,10 +29,21 @@ def norm(v):
 
 
 def rows_of(cur):
-    cols = [d[0] for d in cur.description]
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    data = [tuple(norm(r[i]) for i in order) for r in cur.fetchall()]
-    return [cols[i] for i in order], sorted(data)
+    # Fetch through pandas like the driver does: its hash is dtype-
+    # sensitive (DuckDB HUGEINT -> object vs Spark int64 broke q27/q70
+    # in round 1 despite equal values), and array cells crash its
+    # sort_values (q47/q47b/q64). Reproduce both failure classes here.
+    df = cur.df()
+    df = df[sorted(df.columns)]
+    # Compare dtype KIND, not exact width: round 1 showed the driver's
+    # hash treats int32 vs int64 as equal (q23/q45/q58 were green) but
+    # object (DuckDB HUGEINT) vs int64 as different (q27/q70 were red).
+    dtypes = [t.kind for t in df.dtypes]
+    arrayish = [c for c in df.columns
+                if len(df) and type(df[c].iloc[0]).__name__ == "ndarray"]
+    data = sorted(tuple(norm(v) for v in row)
+                  for row in df.itertuples(index=False, name=None))
+    return list(df.columns), dtypes, arrayish, data
 
 
 def main():
@@ -52,7 +63,7 @@ def main():
             continue
         got_cur = duckdb.connect().execute(
             f"SELECT * FROM read_parquet({files!r})")
-        gcols, grows = rows_of(got_cur)
+        gcols, gtypes, garr, grows = rows_of(got_cur)
         if name not in oracle:
             status = "rows-only"
             if len(grows) > 0:
@@ -62,12 +73,22 @@ def main():
                 failures.append(f"{name}: rows-only check, 0 rows")
             continue
         try:
-            ecols, erows = rows_of(con.execute(oracle[name]))
+            ecols, etypes, earr, erows = rows_of(con.execute(oracle[name]))
         except Exception as e:
             failures.append(f"{name}: ORACLE SQL ERROR {e}")
             continue
-        if gcols != ecols:
+        if garr or earr:
+            failures.append(
+                f"{name}: ARRAY CELLS crash the driver checker "
+                f"(spark={garr} oracle={earr}) — scalarize both sides")
+        elif gcols != ecols:
             failures.append(f"{name}: SCHEMA got={gcols} exp={ecols}")
+        elif gtypes != etypes:
+            diffs = [(c, g, e) for c, g, e in zip(gcols, gtypes, etypes)
+                     if g != e]
+            failures.append(
+                f"{name}: DTYPES differ (driver hash is dtype-sensitive) "
+                f"{diffs}")
         elif len(grows) != len(erows):
             failures.append(f"{name}: ROWS got={len(grows)} exp={len(erows)}")
         elif grows != erows:
