@@ -30,7 +30,8 @@ object Registry {
       operators.TextAnalysis.all ++
       operators.Dedup.all ++
       operators.Similarity.all ++
-      operators.Pipelines.all
+      operators.Pipelines.all ++
+      apps.TitleMatch.all
 
   def benchSet: Seq[Q] = all.filter(_.bench)
 }

@@ -33,6 +33,16 @@ object Multimodal {
     else "unknown"
   }
 
+  /** Real decode for the formats the JVM ships codecs for (PNG/JPEG/GIF
+    * via ImageIO): width/height from the actual bitstream, single frame.
+    * None for undecodable/other payloads — the caller falls back to the
+    * stub. */
+  def imageIoDecode(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      Option(img).map(i => (i.getWidth, i.getHeight, 1))
+    } catch { case _: java.io.IOException => None }
+
   /** STUB decoder: deterministic fake dimensions/frame-count derived
     * from payload bytes. A real deployment swaps only this function for
     * a codec call; the dataflow around it is unchanged. */
@@ -47,15 +57,23 @@ object Multimodal {
     (w, ht, frames)
   }
 
+  private val ImageIoFormats = Set("png", "jpeg", "gif")
+
   /** Batch-shaped metadata extraction: mapPartitions so any expensive
-    * decoder state is initialized once per partition, not per row. */
+    * decoder state is initialized once per partition, not per row.
+    * Image payloads go through the real ImageIO decoder; only formats
+    * with no JVM codec (riff audio/video containers, unknown blobs)
+    * fall back to the deterministic stub. */
   def decodeMeta(media: Dataset[Media]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition decoder init would go here (e.g. codec context)
       it.map { m =>
-        val (w, h, f) = stubDecode(m.payload)
-        MediaMeta(m.doc_id, m.payload.length, sniffFormat(m.payload), w, h, f)
+        val fmt = sniffFormat(m.payload)
+        val (w, h, f) =
+          (if (ImageIoFormats(fmt)) imageIoDecode(m.payload) else None)
+            .getOrElse(stubDecode(m.payload))
+        MediaMeta(m.doc_id, m.payload.length, fmt, w, h, f)
       }
     }
   }

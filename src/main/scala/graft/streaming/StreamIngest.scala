@@ -61,6 +61,36 @@ object StreamIngest {
     df.select(from_json(col("value").cast("string"), schema).as("r"))
       .select(col("r.*"))
 
+  /** Kafka reader options for `spark.readStream.format("kafka")
+    * .options(...)` (producer.py:34-38 broker config + consumer.py:74-80
+    * subscribe). Pure option-map construction so the binding is unit-
+    * testable without a broker or connector jar; on a cluster:
+    * `fromWire(spark.readStream.format("kafka").options(
+    *   kafkaSourceOptions(...)).load(), schema)`.
+    * `maxOffsetsPerTrigger` is the per-batch throughput bound — the
+    * declarative twin of the consumer's 60 s poll-buffer cap. */
+  def kafkaSourceOptions(bootstrapServers: String, topic: String,
+      startingOffsets: String = "latest",
+      maxOffsetsPerTrigger: Option[Long] = None,
+      failOnDataLoss: Boolean = false): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets,
+      "failOnDataLoss" -> failOnDataLoss.toString) ++
+      maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString)
+
+  /** Kafka writer options for `toWire(df).writeStream.format("kafka")
+    * .options(...)` (producer.py:40-48 send loop). The wire frame from
+    * [[toWire]] already carries key/value, so Kafka partitions by appId —
+    * per-key ordering preserved, load spread across topic partitions. */
+  def kafkaSinkOptions(bootstrapServers: String, topic: String,
+      checkpointDir: String): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "topic" -> topic,
+      "checkpointLocation" -> checkpointDir)
+
   /** File-based streaming source of batch CSVs (the no-broker twin of the
     * Kafka source; same downstream pipeline). */
   def readCsvStream(spark: SparkSession, dir: String,

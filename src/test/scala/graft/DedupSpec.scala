@@ -68,6 +68,26 @@ class DedupSpec extends AnyFunSuite {
       s"expected a single cluster rooted at 0, got $rows")
   }
 
+  test("cluster resolution converges on a diameter-3 chain (multi-round propagation)") {
+    import spark.implicits._
+    // Sliding token windows: w=38 tokens (36 shingles), step 3 — adjacent
+    // docs share 33/39 shingles (jaccard .846 >= .8), distance-2 docs only
+    // 30/42 (.714 < .8). Edges are exactly the chain 0-1-2-3, so min-label
+    // propagation needs 3 rounds — exercising the unpersist/localCheckpoint
+    // path across iterations.
+    val toks = (0 until 47).map(i => f"u$i%03d")
+    val chain = (0 to 3).map { i =>
+      val text = toks.slice(3 * i, 3 * i + 38).mkString(" ")
+      (i.toLong, text, "en", s"src$i", text.length.toLong)
+    }
+    val dir = TestSpark.makeSfDir("documents" ->
+      chain.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = SparkEntry.queries("q56_dedup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(rows == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L),
+      s"expected one chain component rooted at 0, got $rows")
+  }
+
   test("simhash pairs reports duplicate clusters only") {
     val pairs = SparkEntry.queries("q39_simhash_pairs")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -32,6 +32,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta == again)
   }
 
+  test("real PNG payloads decode to true dimensions via ImageIO") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      Media(1L, png(37, 53)), Media(2L, png(128, 64)),
+      Media(3L, "not an image at all".getBytes)).toDS().repartition(2)
+    val meta = Multimodal.decodeMeta(media).collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).format == "png" && meta(1L).width == 37 && meta(1L).height == 53)
+    assert(meta(2L).width == 128 && meta(2L).height == 64)
+    assert(meta(1L).n_frames == 1)
+    assert(meta(3L).format == "unknown", "non-image stays on the stub path")
+  }
+
   test("resize clamps the long side preserving determinism") {
     import spark.implicits._
     val meta = Seq(MediaMeta(1, 100, "png", 400, 200, 10),
