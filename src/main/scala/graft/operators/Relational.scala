@@ -95,7 +95,11 @@ object Relational {
 
   /** Multiway star join + agg: revenue per region. Dimension tables are
     * explicitly broadcast — at 100 TB the fact table never shuffles for
-    * dims this small (SURVEY §2.5, §4 join strategy). */
+    * dims this small (SURVEY §2.5, §4 join strategy). lineitem is
+    * partially aggregated by l_orderkey BEFORE the orders join: the big
+    * shuffle then carries one row per order instead of one per line
+    * item (~4x smaller), and decimal partial sums re-aggregate exactly,
+    * so the result is bit-identical to the single-level plan. */
   val joinMultiwayAgg: Q = Q(
     "q06_join_multiway_agg",
     (s, d) => {
@@ -104,13 +108,17 @@ object Relational {
       val c = Tables.customer(s, d)
       val n = broadcast(Tables.nation(s, d))
       val r = broadcast(Tables.region(s, d))
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val liAgg = li.groupBy("l_orderkey")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec))
+            .as("rev_part"),
+          count(lit(1)).as("n_part"))
+      liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(n, col("c_nationkey") === col("n_nationkey"))
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
-        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
-          count(lit(1)).as("n_items"))
+        .agg(sum(col("rev_part")).cast("double").as("revenue"),
+          sum(col("n_part")).as("n_items"))
         .orderBy("r_name")
     },
     Some(s"""SELECT r_name,
