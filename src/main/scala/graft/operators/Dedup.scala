@@ -73,22 +73,28 @@ object Dedup {
     }
   }
 
-  /** MinHash signature: explode shingles, base-hash once, K affine
-    * rehashes, min per doc — a single hash-agg with map-side combine. */
-  private def signatures(s: SparkSession, d: String): DataFrame =
-    signaturesOf(shingleSets(s, d))
-
-  private def signaturesOf(sets: DataFrame): DataFrame = {
-    val exploded = sets
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), md5h61(col("s")).cast(DecimalType(38, 0)).as("h"))
-    val aggs = (0 until K).map { k =>
+  /** Shingle sets + MinHash signatures in ONE narrow pass: base-hash
+    * each shingle once (transform), then fold each of the K affine
+    * rehashes with array_min. Value-identical to the explode + hash-agg
+    * formulation (min over the same multiset) but with zero shuffle —
+    * the signature stage is a per-row projection, so it pipelines into
+    * whatever consumes it. `hs` is a separate projection level so the
+    * expensive md5 transform is evaluated once, not once per rehash
+    * (CollapseProject keeps non-cheap multi-referenced aliases). */
+  private def signedSets(s: SparkSession, d: String): DataFrame = {
+    val withHs = shingleSets(s, d).withColumn("hs",
+      transform(col("sh"), x => md5h61(x).cast(DecimalType(38, 0))))
+    val mhCols = (0 until K).map { k =>
       val (a, b) = affine(k)
-      min(((lit(BigDecimal(a)) * col("h") + lit(BigDecimal(b))) % lit(BigDecimal(P61)))
-        .cast(LongType)).as(mhNames(k))
+      array_min(transform(col("hs"),
+        h => ((lit(BigDecimal(a)) * h + lit(BigDecimal(b))) % lit(BigDecimal(P61)))
+          .cast(LongType))).as(mhNames(k))
     }
-    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    withHs.select(col("doc_id") +: col("sh") +: mhCols: _*)
   }
+
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    signedSets(s, d).drop("sh")
 
   private val sqlSignatures = {
     val aggs = (0 until K).map { k =>
@@ -122,13 +128,16 @@ object Dedup {
   /** Verified near-dup pairs (jaccard >= 0.8) — shared by q37 and the
     * cluster-resolution q56. */
   private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
-      // NOTE: shingle sets are deliberately recomputed on the verify path
-      // rather than cached — materializing 260k shingle arrays into the
-      // block store costs more than the second scan+shingle pass (measured
-      // at sf0.1: cache 4.7s vs recompute 3.5s end-to-end)
-      val sets = shingleSets(s, d)
-      val sig = signaturesOf(sets).cache()
-      val bands = sig.select(col("doc_id"),
+      // One cached frame carries shingle sets AND signatures (the
+      // signature stage is narrow, so this single materialization
+      // replaces a signature cache plus two shingle recomputes), and the
+      // verify stage joins back to it once per pair side — estimate and
+      // exact jaccard come from the same two joins. The band explode
+      // deliberately carries only (doc_id, band_id, bh): shuffling the
+      // shingle arrays 8x through the candidate join would multiply
+      // shuffle volume by the band count at scale.
+      val enriched = signedSets(s, d).cache()
+      val bands = enriched.select(col("doc_id"),
         posexplode(array((0 until Bands).map(bandCol): _*)).as(Seq("band_id", "bh")))
       val a = bands.as("a"); val b = bands.as("b")
       val cand = a.join(b,
@@ -136,23 +145,18 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val x = sig.as("x"); val y = sig.as("y")
+      val x = enriched.as("x"); val y = enriched.as("y")
       val matches = mhNames.map(m =>
         when(col(s"x.$m") === col(s"y.$m"), 1).otherwise(0)).reduce(_ + _)
-      val est = cand
+      val inter = size(array_intersect(col("x.sh"), col("y.sh")))
+      cand
         .join(x, col("doc_a") === col("x.doc_id"))
         .join(y, col("doc_b") === col("y.doc_id"))
         .select(col("doc_a"), col("doc_b"),
-          (matches.cast("double") / K).as("est_jaccard"))
-      val p = sets.as("p"); val q = sets.as("q")
-      val inter = size(array_intersect(col("p.sh"), col("q.sh")))
-      est
-        .join(p, col("doc_a") === col("p.doc_id"))
-        .join(q, col("doc_b") === col("q.doc_id"))
-        .withColumn("jaccard", inter.cast("double") /
-          (size(col("p.sh")) + size(col("q.sh")) - inter))
+          (matches.cast("double") / K).as("est_jaccard"),
+          (inter.cast("double") /
+            (size(col("x.sh")) + size(col("y.sh")) - inter)).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
-        .select("doc_a", "doc_b", "est_jaccard", "jaccard")
   }
 
   /** SQL chain computing the `verified` CTE (shared by q37/q56 oracles). */
