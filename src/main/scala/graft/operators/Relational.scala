@@ -112,13 +112,18 @@ object Relational {
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec))
             .as("rev_part"),
           count(lit(1)).as("n_part"))
-      liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
+      // second reduction level: one row per customer before the
+      // customer join — the same exact-decimal re-aggregation trick,
+      // so the widest remaining shuffle carries |customers| rows
+      val byCust = liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum(col("rev_part")).as("rev_cust"), sum(col("n_part")).as("n_cust"))
+      byCust.join(c, col("o_custkey") === col("c_custkey"))
         .join(n, col("c_nationkey") === col("n_nationkey"))
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
-        .agg(sum(col("rev_part")).cast("double").as("revenue"),
-          sum(col("n_part")).as("n_items"))
+        .agg(sum(col("rev_cust")).cast("double").as("revenue"),
+          sum(col("n_cust")).as("n_items"))
         .orderBy("r_name")
     },
     Some(s"""SELECT r_name,

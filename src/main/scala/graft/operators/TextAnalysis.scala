@@ -29,6 +29,33 @@ object TextAnalysis {
       cast(length(text) as int) AS len_chars
       FROM documents ORDER BY doc_id"""))
 
+  /** BPE-style pre-tokenization counting: a GPT-2-ish pre-tokenizer
+    * regex restricted to the Java-regex ∩ RE2 dialect (no lookahead) —
+    * a leading space binds to the following letter/digit/symbol run.
+    * Token count and distinct-piece count per doc; the byte-level merge
+    * table itself is model data, but the pre-tokenizer split is what
+    * sizes a training corpus. */
+  val regexTokens: Q = {
+    val pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+    Q(
+      "q75_regex_tokens",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("pieces", expr(s"regexp_extract_all(lower(text), '$pat', 0)"))
+        .select(
+          col("doc_id"),
+          size(col("pieces")).as("n_pieces"),
+          size(array_distinct(col("pieces"))).as("n_uniq_pieces"),
+          element_at(col("pieces"), 1).as("first_piece"))
+        .orderBy("doc_id"),
+      Some(s"""WITH p AS (SELECT doc_id,
+          regexp_extract_all(lower(text), '$pat') AS pieces FROM documents)
+        SELECT doc_id,
+          cast(len(pieces) as int) AS n_pieces,
+          cast(len(list_distinct(pieces)) as int) AS n_uniq_pieces,
+          pieces[1] AS first_piece
+        FROM p ORDER BY doc_id"""))
+  }
+
   private val stopWords = Seq("the", "a", "of", "to", "in", "and", "is")
   private val stopSqlList = stopWords.map(w => s"'$w'").mkString(", ")
 
@@ -236,5 +263,5 @@ object TextAnalysis {
       GROUP BY dt.doc_id ORDER BY dt.doc_id"""))
 
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
-    fingerprint, topTerms, pivotEvents, rareTerms)
+    fingerprint, topTerms, pivotEvents, rareTerms, regexTokens)
 }
