@@ -47,10 +47,14 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Belt-and-braces: also drop the line where the driver can read it
-    // even if a logger decorates stdout.
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("target/bench.json"),
-      (json + "\n").getBytes("UTF-8"))
+    // even if a logger decorates stdout. stdout already carries the
+    // result, so a missing/uncreatable target/ must not fail the run.
+    scala.util.Try {
+      val dir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("bench.json"),
+        (json + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

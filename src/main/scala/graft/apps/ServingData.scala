@@ -18,9 +18,13 @@ object ServingData {
   def findLatestDataPath(base: Path,
       prefix: String = "api_app_info_"): Option[Path] = {
     if (!Files.isDirectory(base)) return None
-    val dirs = Files.list(base).iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix))
-      .toSeq
+    // Files.list holds a directory handle until closed (Javadoc requires
+    // try-with-resources) — materialize inside Using so it never leaks.
+    val dirs = scala.util.Using.resource(Files.list(base)) { st =>
+      st.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix))
+        .toSeq
+    }
     if (dirs.isEmpty) None
     else Some(dirs.maxBy(p => Files.getLastModifiedTime(p).toMillis))
   }

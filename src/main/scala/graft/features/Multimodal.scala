@@ -41,7 +41,13 @@ object Multimodal {
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       Option(img).map(i => (i.getWidth, i.getHeight, 1))
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // ImageIO readers throw RuntimeExceptions (ArrayIndexOutOfBounds,
+      // NegativeArraySize, IllegalArgument, ...) on malformed payloads
+      // that pass the magic-byte sniff — any decoder failure must fall
+      // back to the stub rather than kill the whole Spark task.
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** STUB decoder: deterministic fake dimensions/frame-count derived
     * from payload bytes. A real deployment swaps only this function for

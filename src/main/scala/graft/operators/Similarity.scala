@@ -33,13 +33,28 @@ object Similarity {
   private def sqlDot(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
 
+  /** The one embedding dimensionality this module's LSH plane literals
+    * are generated for. The hyperplane components are inlined as
+    * `EmbeddingDim`-element literals into BOTH engines' bucket
+    * expressions, so a differently-sized vector would silently diverge
+    * (DuckDB `e[i]` past the end yields NULL → CASE 0, Spark's
+    * dot_product truncates → real sum). [[normed]] therefore asserts the
+    * dimension per row — a dim change fails loudly at load, not quietly
+    * at compare time. */
+  val EmbeddingDim = 64
+
   /** Normalized embeddings with precomputed L2 norm (computed once per
     * row, not per pair). */
   private def normed(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     Tables.embeddings(s, d)
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id")) // single-file parquet -> use all cores
-      .select(col("vec_id"), col("label"), vecD(col("embedding")).as("e"))
+      .select(col("vec_id"), col("label"),
+        when(size(col("embedding")) === EmbeddingDim, vecD(col("embedding")))
+          .otherwise(raise_error(concat(
+            lit(s"embedding dim != $EmbeddingDim for vec_id="),
+            col("vec_id").cast("string"))))
+          .as("e"))
       .withColumn("nrm", sqrt(dot("e", "e")))
   }
 
@@ -66,7 +81,7 @@ object Similarity {
   // single coarse partition would drop). Plane components are ±1 derived
   // from md5 so the identical literals inline into the DuckDB oracle.
   private val NdBands = 2
-  private val NdDim = 64
+  private val NdDim = EmbeddingDim
   private val NdPlanes = 4
   private val bandPlaneComps: Seq[Seq[Seq[Int]]] = {
     val mdig = java.security.MessageDigest.getInstance("MD5")
@@ -155,7 +170,7 @@ object Similarity {
   // derived deterministically from md5 so the identical literals are
   // inlined into the DuckDB oracle.
   private val Planes = 4
-  private val Dim = 64
+  private val Dim = EmbeddingDim
   private val planeComps: Seq[Seq[Int]] = {
     val mdig = java.security.MessageDigest.getInstance("MD5")
     (0 until Planes).map { p =>

@@ -39,8 +39,13 @@ def rows_of(cur):
     # hash treats int32 vs int64 as equal (q23/q45/q58 were green) but
     # object (DuckDB HUGEINT) vs int64 as different (q27/q70 were red).
     dtypes = [t.kind for t in df.dtypes]
-    arrayish = [c for c in df.columns
-                if len(df) and type(df[c].iloc[0]).__name__ == "ndarray"]
+    # Scan a bounded sample of non-null cells, not just row 0: a column
+    # whose first cell is None/empty but holds ndarrays later would
+    # otherwise slip past this guard and crash the driver's sort_values.
+    def has_array_cell(col):
+        sample = col.dropna().head(64)
+        return any(type(v).__name__ == "ndarray" for v in sample)
+    arrayish = [c for c in df.columns if len(df) and has_array_cell(df[c])]
     data = sorted(tuple(norm(v) for v in row)
                   for row in df.itertuples(index=False, name=None))
     return list(df.columns), dtypes, arrayish, data
