@@ -31,6 +31,7 @@ object Registry {
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.Pipelines.all ++
+      operators.Sampling.all ++
       apps.TitleMatch.all
 
   def benchSet: Seq[Q] = all.filter(_.bench)

@@ -352,6 +352,54 @@ object Dedup {
       SELECT doc_a, doc_b, hamming FROM pairs
       WHERE hamming <= 3 ORDER BY doc_a, doc_b"""))
 
+  /** q76: direct n-gram Jaccard near-dup pairs — the exact-similarity
+    * sibling of MinHash-LSH (q37). Every pair with jaccard > 0 shares at
+    * least one shingle, so the shingle-hash equi-join enumerates ALL
+    * candidate pairs and the per-pair match count IS the exact
+    * intersection size (shingle sets are distinct) — no join-back, no
+    * approximation. Scale notes: the join shuffles on the 61-bit shingle
+    * hash (not the raw string), AQE skew-join splits hot shingles; a
+    * production run at 100 TB would additionally prefix-filter
+    * (drop shingles with document frequency above a cap) to bound the
+    * per-bucket pair count — elided here so the oracle semantics stay
+    * exact. */
+  val ngramJaccardPairs: Q = Q(
+    "q76_ngram_jaccard_pairs",
+    (s, d) => {
+      val sets = shingleSets(s, d).cache()
+      val ex = sets.select(col("doc_id"), explode(col("sh")).as("sg"))
+        .select(col("doc_id"), md5h61(col("sg")).as("h"))
+      val a = ex.as("a"); val b = ex.as("b")
+      val inter = a.join(b,
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      val sz = sets.select(col("doc_id"), size(col("sh")).cast("long").as("sz"))
+      inter
+        .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          (col("n_shared").cast("double") /
+            (col("sa.sz") + col("sb.sz") - col("n_shared"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH $sqlShingleSets,
+      ex AS (SELECT doc_id, ${sqlMd5h61("sg")} AS h
+        FROM (SELECT doc_id, unnest(sh) AS sg FROM sets)),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          cast(count(*) as bigint) AS n_shared
+        FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sz AS (SELECT doc_id, cast(len(sh) as bigint) AS sz FROM sets)
+      SELECT doc_a, doc_b, n_shared,
+        cast(n_shared as double) / (sa.sz + sb.sz - n_shared) AS jaccard
+      FROM inter JOIN sz sa ON doc_a = sa.doc_id
+                 JOIN sz sb ON doc_b = sb.doc_id
+      WHERE cast(n_shared as double) / (sa.sz + sb.sz - n_shared) >= 0.5
+      ORDER BY doc_a, doc_b"""))
+
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
-    simhashSignatures, simhashPairs, dupClusters, dedupSurvivors)
+    simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
+    ngramJaccardPairs)
 }

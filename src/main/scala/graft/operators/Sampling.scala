@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.{Dsl, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split-assignment operators for the
+  * training-data pipeline surface: content-hash sampling (the
+  * reproducible alternative to `df.sample`, whose output depends on
+  * partitioning), stratified train/valid/test split assignment, and
+  * per-group quota sampling.
+  *
+  * All three key off the shared 61-bit md5 hash ([[Dsl.md5h61]]) with a
+  * purpose salt, so (a) the sample is a pure function of row content —
+  * stable across reruns, partitionings, and engines — and (b) different
+  * salts give independent samples. This is how a 100 TB pipeline pins
+  * held-out splits: no state, no shuffle for the assignment itself, the
+  * filter pushes into the scan stage.
+  */
+object Sampling {
+  import Dsl._
+
+  /** 0..99 bucket from the salted content hash (per-row projection). */
+  private def pctBucket(salt: String, key: org.apache.spark.sql.Column) =
+    md5h61(concat(lit(salt + ":"), key.cast("string"))) % 100
+
+  private def sqlPctBucket(salt: String, key: String): String =
+    s"${sqlMd5h61(s"'$salt:' || cast($key as varchar)")} % 100"
+
+  /** q77: deterministic 5% sample of orders by content hash — same rows
+    * on every run at every parallelism (unlike `sample()`, which is
+    * seed+partition dependent). The predicate is a scan-stage filter:
+    * nothing shuffles to take a sample. */
+  val hashSample: Q = Q(
+    "q77_hash_sample",
+    (s, d) => Tables.orders(s, d)
+      .filter(pctBucket("sample", col("o_orderkey")) < 5)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey"),
+    Some(s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE ${sqlPctBucket("sample", "o_orderkey")} < 5
+      ORDER BY o_orderkey"""))
+
+  /** q78: stratified train/valid/test split assignment (80/10/10 by
+    * doc_id hash) with per-(lang, split) counts — the reproducible
+    * split bookkeeping every training pipeline needs. Assignment is a
+    * per-row projection; only the audit count aggregates. */
+  val stratifiedSplit: Q = Q(
+    "q78_stratified_split",
+    (s, d) => {
+      val bucket = pctBucket("split", col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .orderBy("lang", "split")
+    },
+    Some(s"""SELECT lang,
+      CASE WHEN ${sqlPctBucket("split", "doc_id")} < 80 THEN 'train'
+           WHEN ${sqlPctBucket("split", "doc_id")} < 90 THEN 'valid'
+           ELSE 'test' END AS split,
+      cast(count(*) as bigint) AS n_docs, min(doc_id) AS first_doc
+      FROM documents GROUP BY 1, 2 ORDER BY lang, split"""))
+
+  /** q79: per-group quota sample — k=3 docs per language, picked by
+    * hash order (deterministic "random" representatives per stratum).
+    * The row_number-over-window + rn<=k shape is exactly what the
+    * custom TopKPerGroup strategy rewrites into a bounded-heap exec:
+    * O(groups x k) memory, no per-group full sort. */
+  val groupQuotaSample: Q = Q(
+    "q79_group_quota_sample",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5h61(concat(lit("quota:"), col("doc_id").cast("string"))).asc,
+          col("doc_id").asc)
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "rn")
+    },
+    Some(s"""WITH ranked AS (SELECT lang, doc_id, n_chars,
+        row_number() OVER (PARTITION BY lang
+          ORDER BY ${sqlMd5h61("'quota:' || cast(doc_id as varchar)")}, doc_id) AS rn
+      FROM documents)
+      SELECT lang, cast(rn as int) AS rn, doc_id, n_chars FROM ranked
+      WHERE rn <= 3 ORDER BY lang, rn"""))
+
+  val all: Seq[Q] = Seq(hashSample, stratifiedSplit, groupQuotaSample)
+}

@@ -94,4 +94,25 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.exists { case (a, b) => b == 3L || a == 3L })
   }
+
+  test("n-gram jaccard pairs are exact: dup=1.0, near-dup in (0,1), unrelated absent") {
+    val rows = SparkEntry.queries("q76_ngram_jaccard_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(rows((0L, 1L)) == 1.0, "exact dup must have jaccard exactly 1.0")
+    val near = rows((0L, 2L))
+    assert(near > 0.5 && near < 1.0, s"near-dup jaccard was $near")
+    assert(!rows.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated doc shares no shingle, must not pair")
+    // exact intersection size: doc 0 vs 2 differ in one token, which
+    // perturbs exactly 3 of the word-3-gram shingles
+    val docs = docsDf.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingleSet(t: String) =
+      t.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val expected = {
+      val (s0, s2) = (shingleSet(docs(0L)), shingleSet(docs(2L)))
+      s0.intersect(s2).size.toDouble / s0.union(s2).size
+    }
+    assert(math.abs(near - expected) < 1e-12,
+      s"engine jaccard $near != reference-computed $expected")
+  }
 }
