@@ -24,9 +24,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val warmDir = "/root/testdata/sf0.001"
+    // Warm each query ON THE MEASURED SF DIR: AQE picks different
+    // physical plans (broadcast vs shuffle join) at different scales, so
+    // an sf0.001 warmup leaves the sf0.1 stage shapes and their codegen
+    // cold — round 2 measured q06 at 3.8 s that way vs 1.1 s steady-state.
+    // One unmeasured pass compiles the real plans and warms the page
+    // cache; the measured runs then report engine throughput, not JVM
+    // startup.
     Registry.benchSet.foreach { q =>
-      try q.run(spark, warmDir).count()
+      try q.run(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench-warm] ${q.name}: ${e.getMessage}") }
     }
 

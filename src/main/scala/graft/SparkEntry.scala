@@ -32,6 +32,7 @@ object Registry {
       operators.Similarity.all ++
       operators.Pipelines.all ++
       operators.Sampling.all ++
+      operators.CorpusPipeline.all ++
       apps.TitleMatch.all
 
   def benchSet: Seq[Q] = all.filter(_.bench)

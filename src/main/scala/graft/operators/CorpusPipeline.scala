@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.{Dsl, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** The flagship end-to-end training-corpus cleaning pipeline, composed
+  * from the engine's own operators in one plan:
+  *
+  *   quality filter (token count + type/token ratio)
+  *   → exact dedup (normalized-fingerprint, keep min doc_id)
+  *   → near-dup removal (MinHash-LSH clusters from [[Dedup]], keep the
+  *     longest member per cluster)
+  *   → deterministic 80/10/10 split assignment (salted content hash)
+  *   → per-split corpus statistics.
+  *
+  * This is the query a user of the reference would actually run before
+  * training: every stage is the oracle-verified building block
+  * (q31/q34/q56/q69/q78) chained end to end. Scale shape: the quality
+  * filter and split assignment are scan-stage projections; exact dedup
+  * is one window on the fingerprint hash; near-dup removal reuses the
+  * blocked LSH pair join (never O(n²)); the final stats are one
+  * hash-agg over 3 groups.
+  */
+object CorpusPipeline {
+  import Dsl._
+
+  val cleanCorpusStats: Q = Q(
+    "q81_corpus_pipeline",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      // stage 1: quality filter
+      val quality = docs
+        .withColumn("t", toks(col("text")))
+        .withColumn("n_tokens", size(col("t")))
+        .withColumn("n_uniq", size(array_distinct(col("t"))))
+        .filter(col("n_tokens") >= 20 &&
+          col("n_uniq").cast("double") / col("n_tokens") >= 0.3)
+      // stage 2: exact dedup on the whitespace-normalized fingerprint
+      val fp = md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")).cast("binary"))
+      val exactKeep = quality.withColumn("fp", fp)
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      // stage 3: near-dup removal — drop every cluster member except the
+      // survivor (longest text, tie → lowest doc_id), q69 semantics
+      val members = Dedup.clustersDf(s, d)
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+      val survW = Window.partitionBy(col("cluster_root"))
+        .orderBy(desc("n_chars"), asc("doc_id"))
+      val dropped = members.withColumn("srn", row_number().over(survW))
+        .filter(col("srn") =!= 1).select("doc_id")
+      val corpus = exactKeep.join(dropped, Seq("doc_id"), "left_anti")
+      // stage 4+5: split assignment and per-split stats
+      val bucket = md5h61(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+      corpus
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("sum_tokens"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("split")
+    },
+    Some(s"""WITH RECURSIVE ${Dedup.sqlClustersChain},
+      members AS (SELECT c.cluster_root, c.doc_id, d.n_chars
+        FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+      dropped AS (SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (PARTITION BY cluster_root
+            ORDER BY n_chars DESC, doc_id) AS srn
+          FROM members)
+        WHERE srn <> 1),
+      q AS (SELECT doc_id, text,
+          cast(len(${sqlToks("text")}) as int) AS n_tokens,
+          cast(len(list_distinct(${sqlToks("text")})) as int) AS n_uniq
+        FROM documents),
+      qual AS (SELECT doc_id, text, n_tokens FROM q
+        WHERE n_tokens >= 20 AND cast(n_uniq as double) / n_tokens >= 0.3),
+      fpk AS (SELECT doc_id, n_tokens,
+          row_number() OVER (
+            PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+            ORDER BY doc_id) AS rn
+        FROM qual),
+      corpus AS (SELECT doc_id, n_tokens FROM fpk
+        WHERE rn = 1 AND doc_id NOT IN (SELECT doc_id FROM dropped))
+      SELECT CASE WHEN ${sqlMd5h61("'split:' || cast(doc_id as varchar)")} % 100 < 80 THEN 'train'
+                  WHEN ${sqlMd5h61("'split:' || cast(doc_id as varchar)")} % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split,
+        cast(count(*) as bigint) AS n_docs,
+        cast(sum(n_tokens) as bigint) AS sum_tokens,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM corpus GROUP BY 1 ORDER BY split"""))
+
+  val all: Seq[Q] = Seq(cleanCorpusStats)
+}

@@ -199,7 +199,7 @@ object Dedup {
     * transitive closure in DuckDB. */
   /** (cluster_root, doc_id) membership via min-label propagation —
     * shared by q56 and the survivor selection q69. */
-  private def clustersDf(s: SparkSession, d: String): DataFrame = {
+  private[operators] def clustersDf(s: SparkSession, d: String): DataFrame = {
       val pairs = verifiedPairs(s, d).select("doc_a", "doc_b").cache()
       val edges = pairs
         .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -233,7 +233,7 @@ object Dedup {
 
   /** SQL chain producing the `clusters(cluster_root, doc_id)` CTE
     * (recursive transitive closure; shared by q56/q69 oracles). */
-  private val sqlClustersChain: String =
+  private[operators] val sqlClustersChain: String =
     s"""$sqlVerifiedChain,
       pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
       edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs

@@ -96,10 +96,14 @@ object Relational {
   /** Multiway star join + agg: revenue per region. Dimension tables are
     * explicitly broadcast — at 100 TB the fact table never shuffles for
     * dims this small (SURVEY §2.5, §4 join strategy). lineitem is
-    * partially aggregated by l_orderkey BEFORE the orders join: the big
-    * shuffle then carries one row per order instead of one per line
-    * item (~4x smaller), and decimal partial sums re-aggregate exactly,
-    * so the result is bit-identical to the single-level plan. */
+    * partially aggregated by l_orderkey BEFORE the orders join: the
+    * orderkey shuffle the join needs anyway then carries map-side-
+    * combined partials (one row per orderkey per input partition), and
+    * decimal partial sums re-aggregate exactly, so the result is
+    * bit-identical to the single-level plan. One reduction level only —
+    * profiling (tools/Profile) showed a second per-customer level adds
+    * a shuffle that never pays for itself at any scale where customer
+    * is join-broadcastable. */
   val joinMultiwayAgg: Q = Q(
     "q06_join_multiway_agg",
     (s, d) => {
@@ -112,18 +116,13 @@ object Relational {
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec))
             .as("rev_part"),
           count(lit(1)).as("n_part"))
-      // second reduction level: one row per customer before the
-      // customer join — the same exact-decimal re-aggregation trick,
-      // so the widest remaining shuffle carries |customers| rows
-      val byCust = liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_custkey")
-        .agg(sum(col("rev_part")).as("rev_cust"), sum(col("n_part")).as("n_cust"))
-      byCust.join(c, col("o_custkey") === col("c_custkey"))
+      liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(n, col("c_nationkey") === col("n_nationkey"))
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
-        .agg(sum(col("rev_cust")).cast("double").as("revenue"),
-          sum(col("n_cust")).as("n_items"))
+        .agg(sum(col("rev_part")).cast("double").as("revenue"),
+          sum(col("n_part")).as("n_items"))
         .orderBy("r_name")
     },
     Some(s"""SELECT r_name,

@@ -262,6 +262,65 @@ object TextAnalysis {
       FROM dt JOIN rare ON dt.term = rare.term
       GROUP BY dt.doc_id ORDER BY dt.doc_id"""))
 
+  /** Gopher-style repetition filters: per-doc top-unigram and top-bigram
+    * mass fractions, with boolean repetition flags — the standard
+    * "remove template/boilerplate docs" quality signal for training
+    * corpora. Computed by explode + hash-agg (linear, map-side combine),
+    * NOT a per-row O(n_tokens²) lambda — a 100k-token web page must not
+    * quadratically blow up the row. Docs with < 2 tokens have no bigram
+    * and are excluded on both engines. */
+  val repetitionFilter: Q = Q(
+    "q80_repetition_filter",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      val bigrams = transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))
+      val uni = base.select(col("doc_id"), explode(col("t")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id")
+        .agg(max(col("tf")).as("top_uni_tf"), sum(col("tf")).as("n_tokens"))
+      val big = base.select(col("doc_id"), explode(bigrams).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("bf"))
+        .groupBy("doc_id")
+        .agg(max(col("bf")).as("top_big_tf"), sum(col("bf")).as("n_bigrams"))
+      uni.join(big, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("top_uni_tf"),
+          (col("top_uni_tf").cast("double") / col("n_tokens")).as("top_uni_ratio"),
+          col("top_big_tf"),
+          (col("top_big_tf").cast("double") / col("n_bigrams")).as("top_big_ratio"))
+        .withColumn("flagged",
+          col("top_uni_ratio") > 0.1 || col("top_big_ratio") > 0.05)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH base AS (SELECT doc_id, ${sqlToks("text")} AS t
+        FROM documents WHERE len(${sqlToks("text")}) >= 2),
+      uni AS (SELECT doc_id, cast(max(tf) as bigint) AS top_uni_tf,
+          cast(sum(tf) as bigint) AS n_tokens
+        FROM (SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(t) AS term FROM base)
+          GROUP BY doc_id, term)
+        GROUP BY doc_id),
+      big AS (SELECT doc_id, cast(max(bf) as bigint) AS top_big_tf,
+          cast(sum(bf) as bigint) AS n_bigrams
+        FROM (SELECT doc_id, bg, count(*) AS bf
+          FROM (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> concat_ws(' ', t[i], t[i+1]))) AS bg
+            FROM base)
+          GROUP BY doc_id, bg)
+        GROUP BY doc_id)
+      SELECT uni.doc_id, n_tokens, top_uni_tf,
+        cast(top_uni_tf as double) / n_tokens AS top_uni_ratio,
+        top_big_tf,
+        cast(top_big_tf as double) / n_bigrams AS top_big_ratio,
+        (cast(top_uni_tf as double) / n_tokens > 0.1 OR
+         cast(top_big_tf as double) / n_bigrams > 0.05) AS flagged
+      FROM uni JOIN big ON uni.doc_id = big.doc_id
+      ORDER BY uni.doc_id"""))
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
-    fingerprint, topTerms, pivotEvents, rareTerms, regexTokens)
+    fingerprint, topTerms, pivotEvents, rareTerms, regexTokens,
+    repetitionFilter)
 }

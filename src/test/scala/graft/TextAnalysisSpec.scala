@@ -45,6 +45,44 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows(2L) == "de", "marker match is case-sensitive by design: 'die'/'und'")
   }
 
+  test("repetition filter flags template docs, passes diverse ones") {
+    import spark.implicits._
+    val docs = Seq(
+      // 10x the same token: top_uni_ratio = 1.0, top_big_ratio = 1.0
+      (0L, (1 to 10).map(_ => "spam").mkString(" "), "en", "s", 49L),
+      // all-distinct tokens: every ratio is 1/n
+      (1L, (1 to 40).map(i => s"w$i").mkString(" "), "en", "s", 160L),
+      // one token — no bigram, excluded on both engines
+      (2L, "solo", "en", "s", 4L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q80_repetition_filter")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getDouble(5), r.getBoolean(6))).toMap
+    assert(rows(0L) == ((1.0, 1.0, true)), "pure repetition must be flagged")
+    assert(rows(1L)._1 == 1.0 / 40 && !rows(1L)._3, "diverse doc must pass")
+    assert(!rows.contains(2L), "single-token doc has no bigram row")
+  }
+
+  test("corpus pipeline drops low-quality, exact-dup, and near-dup docs once each") {
+    import spark.implicits._
+    val base = (1 to 80).map(i => s"tok${i % 13} word${i % 7} item$i").mkString(" ")
+    val nearDup = base.replace("item40", "itemX") // near dup, shorter name wins on length? same length
+    val docs = Seq(
+      (0L, base, "en", "s", base.length.toLong),
+      (1L, base, "en", "s", base.length.toLong),          // exact dup of 0
+      (2L, nearDup, "en", "s", nearDup.length.toLong),    // near dup of 0
+      (3L, "short doc", "en", "s", 9L),                   // fails quality (2 tokens)
+      (4L, (1 to 40).map(i => s"u$i").mkString(" "), "en", "s", 200L)) // clean
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q81_corpus_pipeline")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // survivors: one of {0,1,2} (cluster root 0 wins: equal n_chars, min id)
+    // + doc 4 = 2 docs total across all splits
+    assert(rows.values.sum == 2,
+      s"expected 2 surviving docs, got $rows")
+  }
+
   test("fingerprint is whitespace- and case-insensitive") {
     import spark.implicits._
     val docs = Seq(
