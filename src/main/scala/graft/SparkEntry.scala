@@ -33,6 +33,7 @@ object Registry {
       operators.Pipelines.all ++
       operators.Sampling.all ++
       operators.CorpusPipeline.all ++
+      operators.TrainingPrep.all ++
       apps.TitleMatch.all
 
   def benchSet: Seq[Q] = all.filter(_.bench)

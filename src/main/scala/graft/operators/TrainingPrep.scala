@@ -1,0 +1,302 @@
+package graft.operators
+
+import graft.{Dsl, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation operators beyond the reference's surface
+  * (builder brief: "operations a large-scale training-data pipeline would
+  * need"): sliding-window chunking, PII redaction, test-set contamination
+  * checks, salient-term extraction (tf-idf-ish), bigram association
+  * mining, corpus-mix reporting, length bucketing, and a salted join for
+  * known-skew keys.
+  *
+  * Scale notes (100 TB framing):
+  *  - every pairwise/join stage keys on a content-derived equi-join column
+  *    (shingle hash, word, bucket) — never all-pairs;
+  *  - chunking/scrubbing are linear per-row maps inside whole-stage
+  *    codegen; explode fan-out is bounded (chunks ≈ tokens/stride);
+  *  - corpus-scalar joins (doc count, token totals) broadcast one row;
+  *  - all doubles are produced by the same literal IEEE expression tree on
+  *    both engines so the DuckDB oracle hash-matches exactly (see [[Dsl]]).
+  */
+object TrainingPrep {
+  import Dsl._
+
+  // ------------------------------------------------------------------
+  // q82 — sliding-window token chunking (LLM context packing prep).
+  // Window = 32 tokens, stride = 24 (8-token overlap), per-chunk content
+  // hash for downstream chunk-level dedup.
+  // ------------------------------------------------------------------
+  private val ChunkLen = 32
+  private val Stride = 24
+
+  val textChunks: Q = Q(
+    "q82_text_chunks",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")), lit(Stride))).as("st"))
+      .select(
+        col("doc_id"),
+        ((col("st") - 1) / lit(Stride)).cast("int").as("chunk_idx"),
+        size(slice(col("t"), col("st"), lit(ChunkLen))).as("n_tokens"),
+        md5h61(concat_ws(" ", slice(col("t"), col("st"), lit(ChunkLen))))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx"),
+    Some(s"""WITH tk AS (
+        SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+      ex AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t), $Stride)) AS st
+        FROM tk)
+      SELECT doc_id,
+        cast((st - 1) // $Stride as int) AS chunk_idx,
+        cast(len(t[st : st + ${ChunkLen - 1}]) as int) AS n_tokens,
+        ${sqlMd5h61(s"array_to_string(t[st : st + ${ChunkLen - 1}], ' ')")}
+          AS chunk_hash
+      FROM ex ORDER BY doc_id, chunk_idx"""))
+
+  // ------------------------------------------------------------------
+  // q83 — PII scrub (emails + phone-shaped tokens). The synthetic corpus
+  // carries no PII, so both engines append identical synthetic contact
+  // strings first (same SQL expression), then redact; the redaction
+  // regexes are the operator under test (Java regex ∩ RE2 dialect).
+  // ------------------------------------------------------------------
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3,4}"
+
+  val piiScrub: Q = Q(
+    "q83_pii_scrub",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com or call 555-"),
+          (col("doc_id") % 10000).cast("string")).as("pt"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("pt"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("pt"), lit(PhoneRe)).as("n_phones"),
+        md5h61(regexp_replace(regexp_replace(col("pt"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("scrub_hash"))
+      .orderBy("doc_id"),
+    Some(s"""WITH p AS (
+        SELECT doc_id,
+          concat(text, ' contact user', doc_id,
+            '@mail.example.com or call 555-',
+            cast(doc_id % 10000 as varchar)) AS pt
+        FROM documents)
+      SELECT doc_id,
+        cast(len(regexp_extract_all(pt, '$EmailRe')) as int) AS n_emails,
+        cast(len(regexp_extract_all(pt, '$PhoneRe')) as int) AS n_phones,
+        ${sqlMd5h61(
+          s"regexp_replace(regexp_replace(pt, '$EmailRe', '<EMAIL>', 'g'), " +
+            s"'$PhoneRe', '<PHONE>', 'g')")} AS scrub_hash
+      FROM p ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------------
+  // q84 — test-set contamination: training docs sharing any word 3-gram
+  // with a held-out eval slice (doc_id % 10 = 0). Keyed on the shared
+  // 61-bit shingle hash → plain equi-join; the eval-side distinct hash
+  // set is the broadcast candidate at scale.
+  // ------------------------------------------------------------------
+  val contamination: Q = Q(
+    "q84_contamination",
+    (s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(shingles3(toks(col("text")))).as("sh"))
+        .select(col("doc_id"), md5h61(col("sh")).as("h"))
+        .distinct()
+      val eval_ = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("h")).distinct()
+      sh.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(eval_), "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH sh AS (
+        SELECT DISTINCT doc_id,
+          ${sqlMd5h61("g.s")} AS h
+        FROM (SELECT doc_id,
+                ${sqlShingles3(sqlToks("text"))} AS gs
+              FROM documents), unnest(gs) AS g(s)),
+      ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 0)
+      SELECT doc_id, count(*) AS n_shared
+      FROM sh JOIN ev USING (h)
+      WHERE doc_id % 10 <> 0
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------------
+  // q85 — salient terms per doc: tf-idf-ish score with a rational idf
+  // (tf * (N+1)/(df+1)) — single IEEE divide + multiply, bit-identical
+  // across engines (ln() is not guaranteed identical, so avoided).
+  // ------------------------------------------------------------------
+  val salientTerms: Q = Q(
+    "q85_salient_terms",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val terms = docs
+        .select(col("doc_id"), explode(toks(lower(col("text")))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = terms.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf") * ((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
+      scored
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(col("score").desc, col("term"))))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "rn", "term", "score")
+        .orderBy("doc_id", "rn")
+    },
+    Some(s"""WITH terms AS (
+        SELECT doc_id, g.term AS term
+        FROM (SELECT doc_id, ${sqlToks("lower(text)")} AS ts FROM documents),
+             unnest(ts) AS g(term)),
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM terms GROUP BY doc_id, term),
+      df AS (SELECT term, count(*) AS df
+             FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, term,
+          tf * ((n_docs + 1.0) / (df + 1.0)) AS score
+        FROM tf JOIN df USING (term), n),
+      ranked AS (
+        SELECT doc_id, term, score,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term) AS rn
+        FROM scored)
+      SELECT doc_id, cast(rn as int) AS rn, term, score
+      FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn"""))
+
+  // ------------------------------------------------------------------
+  // q86 — bigram association (lift = p(xy) / (p(x)p(y)) rearranged into
+  // one deterministic expression tree; ln-free PMI stand-in). Corpus
+  // totals join as a broadcast scalar; unigram counts are a
+  // broadcast-sized vocabulary join.
+  // ------------------------------------------------------------------
+  val bigramLift: Q = Q(
+    "q86_bigram_lift",
+    (s, d) => {
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), toks(lower(col("text"))).as("t"))
+      val uni = tk.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c_w"))
+      val bg = tk
+        .select(explode(transform(
+          when(size(col("t")) >= 2, sequence(lit(1), size(col("t")) - 1))
+            .otherwise(array().cast("array<int>")),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      val totals = uni.agg(sum(col("c_w")).as("tot_uni"))
+        .crossJoin(bg.agg(sum(col("c_xy")).as("tot_bi")))
+      bg.join(broadcast(uni.withColumnRenamed("w", "w1")
+          .withColumnRenamed("c_w", "c_x")), "w1")
+        .join(broadcast(uni.withColumnRenamed("w", "w2")
+          .withColumnRenamed("c_w", "c_y")), "w2")
+        .crossJoin(broadcast(totals))
+        .filter(col("c_xy") >= 5)
+        .select(
+          concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+          col("c_xy"),
+          ((col("c_xy").cast("double") * col("tot_uni") * col("tot_uni")) /
+            (col("c_x").cast("double") * col("c_y") * col("tot_bi")))
+            .as("lift"))
+        .orderBy(col("lift").desc, col("bigram"))
+        .limit(20)
+    },
+    Some("""WITH tk AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      uni AS (
+        SELECT g.w AS w, count(*) AS c_w
+        FROM tk, unnest(t) AS g(w) GROUP BY g.w),
+      bg AS (
+        SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c_xy
+        FROM tk, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        GROUP BY 1, 2),
+      tot AS (
+        SELECT (SELECT sum(c_w) FROM uni) AS tot_uni,
+               (SELECT sum(c_xy) FROM bg) AS tot_bi)
+      SELECT concat_ws(' ', w1, w2) AS bigram, c_xy,
+        (cast(c_xy as double) * tot_uni * tot_uni) /
+          (cast(u1.c_w as double) * u2.c_w * tot_bi) AS lift
+      FROM bg
+      JOIN uni u1 ON bg.w1 = u1.w
+      JOIN uni u2 ON bg.w2 = u2.w, tot
+      WHERE c_xy >= 5
+      ORDER BY lift DESC, bigram LIMIT 20"""))
+
+  // ------------------------------------------------------------------
+  // q87 — corpus mix report: per (source, lang) doc/token counts and the
+  // share of the corpus (window total — cast to bigint, DuckDB window
+  // sums return HUGEINT).
+  // ------------------------------------------------------------------
+  val domainMix: Q = Q(
+    "q87_domain_mix",
+    (s, d) => Tables.documents(s, d)
+      .select(col("source"), col("lang"), size(toks(col("text"))).as("nt"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .withColumn("pct_docs",
+        (col("n_docs") * lit(100.0)) /
+          sum(col("n_docs")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+      .orderBy("source", "lang"),
+    Some(s"""WITH g AS (
+        SELECT source, lang, count(*) AS n_docs,
+          cast(sum(len(${sqlToks("text")})) as bigint) AS n_tokens
+        FROM documents GROUP BY source, lang)
+      SELECT source, lang, n_docs, n_tokens,
+        (n_docs * 100.0) / cast(sum(n_docs) OVER () as bigint) AS pct_docs
+      FROM g ORDER BY source, lang"""))
+
+  // ------------------------------------------------------------------
+  // q88 — document length histogram (fixed-width buckets via integer
+  // division; the partition-count planning input for a real corpus).
+  // ------------------------------------------------------------------
+  val lengthBuckets: Q = Q(
+    "q88_length_buckets",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("bucket", expr("n_chars div 100"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("bucket"),
+    Some("""SELECT n_chars // 100 AS bucket, count(*) AS n_docs,
+        min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      FROM documents GROUP BY 1 ORDER BY bucket"""))
+
+  // ------------------------------------------------------------------
+  // q89 — salted skew join (Skew.saltedJoin) verified against the plain
+  // join's aggregate: identical results, n-way parallelism per hot key.
+  // ------------------------------------------------------------------
+  val saltedJoinAgg: Q = Q(
+    "q89_salted_join",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+        .withColumnRenamed("p_partkey", "l_partkey")
+        .select("l_partkey", "p_brand")
+      Skew.saltedJoin(li.select("l_partkey", "l_quantity"), p,
+          "l_partkey", 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy("p_brand")
+    },
+    Some(s"""SELECT p_brand, count(*) AS n,
+        ${sqlDsum("l_quantity")} AS qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand"""))
+
+  val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
+    bigramLift, domainMix, lengthBuckets, saltedJoinAgg)
+}

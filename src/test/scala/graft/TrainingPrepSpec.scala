@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Training-prep operator semantics: chunk coverage/overlap, scrub
+  * completeness, contamination symmetry, salient-term ranking, and
+  * salted-join equivalence with the plain join. */
+class TrainingPrepSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  test("text chunks tile every document with stride-24 windows of ≤32 tokens") {
+    val chunks = SparkEntry.queries("q82_text_chunks")(spark, sf).collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    val docToks = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(Dsl.toks(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byDoc.keySet == docToks.keySet, "every doc must produce chunks")
+    byDoc.foreach { case (doc, rows) =>
+      val idxs = rows.map(_.getInt(1)).sorted.toSeq
+      assert(idxs == (0 until rows.length), s"doc $doc chunk_idx must be contiguous from 0")
+      val sizes = rows.sortBy(_.getInt(1)).map(_.getInt(2)).toSeq
+      // stride (24) < window (32): a non-final window starts ≥24 tokens
+      // before the end, so it always holds 25..32 tokens
+      assert(sizes.init.forall(sz => sz >= 25 && sz <= 32),
+        s"doc $doc non-final chunk sizes out of range: $sizes")
+      assert(sizes.last <= 32 && sizes.last >= 1)
+      // starts are 1, 25, 49, ... ≤ n → floor((n-1)/24) + 1 windows
+      val n = docToks(doc)
+      val expected = (n - 1) / 24 + 1
+      assert(rows.length == expected, s"doc $doc: $n tokens -> ${rows.length} chunks, want $expected")
+    }
+  }
+
+  test("pii scrub redacts every injected email and phone") {
+    val rows = SparkEntry.queries("q83_pii_scrub")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // each doc gets exactly one synthetic email; the injected phone tail
+    // is doc_id % 10000, which only matches [0-9]{3}-[0-9]{3,4} when it
+    // has ≥3 digits
+    assert(rows.forall(_.getInt(1) == 1), "one email per doc")
+    assert(rows.forall { r =>
+      val want = if (r.getLong(0) % 10000 >= 100) 1 else 0
+      r.getInt(2) == want
+    }, "phone match iff ≥3-digit tail")
+    // the scrub hash must differ from the hash of the unscrubbed text
+    val raw = Tables.documents(spark, sf)
+      .select(col("doc_id"), Dsl.md5h61(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall(r => raw(r.getLong(0)) != r.getLong(3)))
+  }
+
+  test("contamination reports only non-eval docs and is shingle-join-consistent") {
+    val rows = SparkEntry.queries("q84_contamination")(spark, sf).collect()
+    assert(rows.nonEmpty, "shared vocab corpus must show 3-gram overlap")
+    assert(rows.forall(_.getLong(0) % 10 != 0), "eval docs must not appear")
+    // n_shared is bounded by the doc's own distinct shingle count
+    val own = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(array_distinct(Dsl.shingles3(Dsl.toks(col("text"))))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.forall(r => r.getLong(1) <= own(r.getLong(0))))
+  }
+
+  test("salient terms ranks 3 per doc by score desc with term tiebreak") {
+    val rows = SparkEntry.queries("q85_salient_terms")(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length), s"doc $doc rn gap")
+      assert(sorted.length <= 3)
+      val scores = sorted.map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted.reverse, s"doc $doc scores must be non-increasing")
+    }
+  }
+
+  test("bigram lift emits 20 positive-lift pairs above the count floor") {
+    val rows = SparkEntry.queries("q86_bigram_lift")(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getLong(1) >= 5), "count floor")
+    assert(rows.forall(_.getDouble(2) > 0.0))
+  }
+
+  test("domain mix shares sum to 100%") {
+    val rows = SparkEntry.queries("q87_domain_mix")(spark, sf).collect()
+    val pct = rows.map(_.getDouble(4)).sum
+    assert(math.abs(pct - 100.0) < 1e-9, s"got $pct")
+    val nDocs = rows.map(_.getLong(2)).sum
+    assert(nDocs == Tables.documents(spark, sf).count())
+  }
+
+  test("salted join aggregate equals the plain join aggregate") {
+    val salted = SparkEntry.queries("q89_salted_join")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val li = Tables.lineitem(spark, sf)
+    val p = Tables.part(spark, sf)
+    val plain = li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), Dsl.dsum(col("l_quantity")).as("qty"))
+      .orderBy("p_brand").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+}
