@@ -297,6 +297,37 @@ object TrainingPrep {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand ORDER BY p_brand"""))
 
+  // ------------------------------------------------------------------
+  // q90 — typed Aggregator UDAF ([[graft.functions.ExactMoments]]):
+  // exact-decimal second moments → population variance, with map-side
+  // partial aggregation (the shuffle carries (n, Σx, Σx²) per group per
+  // task, not rows).
+  // ------------------------------------------------------------------
+  val varianceUdaf: Q = Q(
+    "q90_variance_udaf",
+    (s, d) => {
+      val mom = udaf(graft.functions.ExactMoments,
+        org.apache.spark.sql.Encoders.DECIMAL)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity").cast(Dec).as("q"))
+        .groupBy("l_returnflag")
+        .agg(mom(col("q")).as("m"))
+        .select(
+          col("l_returnflag"),
+          col("m._1").as("n"),
+          ((col("m._3") - (col("m._2") * col("m._2")) / col("m._1")) /
+            col("m._1")).as("var_pop"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH g AS (
+        SELECT l_returnflag, count(*) AS n,
+          cast(sum(cast(l_quantity as decimal(18,4))) as double) AS s,
+          cast(sum(cast(l_quantity as decimal(18,4)) *
+                   cast(l_quantity as decimal(18,4))) as double) AS ss
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n, (ss - (s * s) / n) / n AS var_pop
+      FROM g ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
-    bigramLift, domainMix, lengthBuckets, saltedJoinAgg)
+    bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf)
 }

@@ -90,6 +90,38 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(nDocs == Tables.documents(spark, sf).count())
   }
 
+  test("exact-moments UDAF is partitioning-invariant and matches var_pop") {
+    val q = SparkEntry.queries("q90_variance_udaf")
+    val base = q(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // repartitioned input must produce bit-identical variance (exact
+    // decimal accumulation — merge order can't matter)
+    val mom = org.apache.spark.sql.functions.udaf(
+      functions.ExactMoments, org.apache.spark.sql.Encoders.DECIMAL)
+    val repart = Tables.lineitem(spark, sf).repartition(17)
+      .select(col("l_returnflag"), col("l_quantity").cast(Dsl.Dec).as("q"))
+      .groupBy("l_returnflag").agg(mom(col("q")).as("m"))
+      .select(col("l_returnflag"), col("m._1").as("n"),
+        ((col("m._3") - (col("m._2") * col("m._2")) / col("m._1")) /
+          col("m._1")).as("var_pop"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(base.toSeq == repart.toSeq)
+    // and the value is genuinely var_pop (vs Spark's built-in, to 1e-9)
+    val builtin = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(var_pop(col("l_quantity")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    base.foreach { case (k, _, v) =>
+      assert(math.abs(v - builtin(k)) < 1e-9, s"$k: $v vs ${builtin(k)}")
+    }
+  }
+
+  test("contamination eval-side join is broadcast in the physical plan") {
+    val plan = SparkEntry.queries("q84_contamination")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"want broadcast join:\n$plan")
+  }
+
   test("salted join aggregate equals the plain join aggregate") {
     val salted = SparkEntry.queries("q89_salted_join")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
