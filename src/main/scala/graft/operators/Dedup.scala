@@ -125,9 +125,9 @@ object Dedup {
   /** q37: MinHash-LSH near-dup pairs. Candidates = docs sharing any band
     * bucket; verified with true shingle jaccard >= 0.8. Output carries the
     * signature estimate and the exact jaccard. */
-  /** Verified near-dup pairs (jaccard >= 0.8) — shared by q37 and the
-    * cluster-resolution q56. */
-  private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
+  /** All LSH candidate pairs with estimated + exact jaccard (UNfiltered
+    * — the q91 sketch-quality eval needs the false positives too). */
+  private def scoredPairs(s: SparkSession, d: String): DataFrame = {
       // One cached frame carries shingle sets AND signatures (the
       // signature stage is narrow, so this single materialization
       // replaces a signature cache plus two shingle recomputes), and the
@@ -156,8 +156,12 @@ object Dedup {
           (matches.cast("double") / K).as("est_jaccard"),
           (inter.cast("double") /
             (size(col("x.sh")) + size(col("y.sh")) - inter)).as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
   }
+
+  /** Verified near-dup pairs (jaccard >= 0.8) — shared by q37 and the
+    * cluster-resolution q56. */
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    scoredPairs(s, d).filter(col("jaccard") >= 0.8)
 
   /** SQL chain computing the `verified` CTE (shared by q37/q56 oracles). */
   private val sqlVerifiedChain: String = {
@@ -189,6 +193,30 @@ object Dedup {
       SELECT doc_a, doc_b, est_jaccard, jaccard FROM verified
       WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""),
     bench = true)
+
+  /** q91: sketch quality, measured — LSH candidate precision and MinHash
+    * estimator error against exact jaccard on the candidate set. At
+    * scale this is the same banded equi-join as q37 plus one global agg,
+    * so "is the sketch good enough?" costs one number, not a rerun of
+    * the dedup. (Recall needs the O(n²) truth set and is covered by the
+    * planted-duplicate specs instead.) Single row:
+    * n_candidates, n_verified (jaccard ≥ 0.8), precision, and the
+    * mean |est − exact| (exact decimal mean → bit-identical). */
+  val sketchQuality: Q = Q(
+    "q91_sketch_quality",
+    (s, d) => scoredPairs(s, d)
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).as("n_verified"),
+        (sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("precision"),
+        davg(abs(col("est_jaccard") - col("jaccard"))).as("mae_est")),
+    Some(s"""WITH $sqlVerifiedChain
+      SELECT count(*) AS n_candidates,
+        cast(count_if(jaccard >= 0.8) as bigint) AS n_verified,
+        cast(count_if(jaccard >= 0.8) as double) / count(*) AS precision,
+        ${sqlDavg("abs(est_jaccard - jaccard)")} AS mae_est
+      FROM verified"""))
 
   /** q56: duplicate-cluster resolution — connected components over the
     * verified near-dup pair graph, so each duplicate CLUSTER (not just
@@ -401,5 +429,5 @@ object Dedup {
 
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
-    ngramJaccardPairs)
+    ngramJaccardPairs, sketchQuality)
 }
