@@ -734,6 +734,54 @@ object Relational {
       ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
         o_orderpriority NULLS FIRST"""))
 
+  /** q92 — MAP-typed analytics: per-user event_type→count map built with
+    * map_from_entries over sorted entries (deterministic key order), then
+    * interrogated with the map higher-order functions (map_keys,
+    * map_values + aggregate fold, map_filter) and rendered compact via
+    * to_json. The oracle builds the identical JSON text with an ordered
+    * string_agg. Scale: one hash agg per (user, type), one per user —
+    * both map-side combinable; the map lives only inside a row. */
+  val eventTypeMap: Q = Q(
+    "q92_event_type_map",
+    (s, d) => Tables.events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("event_type"), col("n"))))).as("m"))
+      .select(
+        col("user_id"),
+        size(map_keys(col("m"))).as("n_types"),
+        aggregate(map_values(col("m")), lit(0L), (acc, x) => acc + x)
+          .as("total_events"),
+        size(map_keys(map_filter(col("m"), (_, v) => v >= 5)))
+          .as("n_hot_types"),
+        to_json(col("m")).as("type_counts_json"))
+      .orderBy("user_id"),
+    Some("""WITH g AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type)
+      SELECT user_id,
+        cast(count(*) as int) AS n_types,
+        cast(sum(n) as bigint) AS total_events,
+        cast(count_if(n >= 5) as int) AS n_hot_types,
+        '{' || string_agg('"' || event_type || '":' || n, ','
+          ORDER BY event_type) || '}' AS type_counts_json
+      FROM g GROUP BY user_id ORDER BY user_id"""))
+
+  /** q93 — CUBE (all 2^k grouping combinations; completes the rollup/
+    * grouping-sets family of q28/q73). */
+  val cubeAgg: Q = Q(
+    "q93_cube",
+    (s, d) => Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus")),
+    Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+      ${sqlDsum("l_quantity")} AS sum_qty
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
@@ -745,5 +793,6 @@ object Relational {
     arrayAgg, stringAgg, statsMoments,
     sqlCorrelated, unionDistinct, windowSuite, dateSuite,
     percentiles, mergeUpsert,
-    conditionalAggs, stringSuite2, bitwiseOps, groupingSets)
+    conditionalAggs, stringSuite2, bitwiseOps, groupingSets,
+    eventTypeMap, cubeAgg)
 }
