@@ -782,6 +782,44 @@ object Relational {
       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
 
+  /** q94 — window FRAME specifications (the piece of the window surface
+    * q62 doesn't cover): a value-based RANGE frame (trailing 1 hour — set
+    * defined by ORDER-BY values, so ties are included wholly and the
+    * result is deterministic without a tiebreak) and a ROWS frame
+    * (3-row moving sum — order-dependent, so the ORDER BY carries
+    * event_id as a total tiebreak). Sums are exact decimal → double. */
+  val windowFrames: Q = Q(
+    "q94_window_frames",
+    (s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_id, user_id,
+          count(*) OVER (PARTITION BY user_id
+            ORDER BY unix_seconds(ts)
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour,
+          cast(sum(cast(value as decimal(18,4))) OVER (PARTITION BY user_id
+            ORDER BY unix_seconds(ts)
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) as double)
+            AS val_last_hour,
+          cast(sum(cast(value as decimal(18,4))) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) as double)
+            AS val_3row
+        FROM events_v ORDER BY event_id""")
+    },
+    Some("""SELECT event_id, user_id,
+        count(*) OVER (PARTITION BY user_id
+          ORDER BY epoch(ts)::bigint
+          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour,
+        cast(sum(cast(value as decimal(18,4))) OVER (PARTITION BY user_id
+          ORDER BY epoch(ts)::bigint
+          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) as double)
+          AS val_last_hour,
+        cast(sum(cast(value as decimal(18,4))) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) as double)
+          AS val_3row
+      FROM events ORDER BY event_id"""))
+
   val all: Seq[Q] = Seq(
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
@@ -794,5 +832,5 @@ object Relational {
     sqlCorrelated, unionDistinct, windowSuite, dateSuite,
     percentiles, mergeUpsert,
     conditionalAggs, stringSuite2, bitwiseOps, groupingSets,
-    eventTypeMap, cubeAgg)
+    eventTypeMap, cubeAgg, windowFrames)
 }
