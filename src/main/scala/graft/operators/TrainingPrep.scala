@@ -328,6 +328,59 @@ object TrainingPrep {
       SELECT l_returnflag, n, (ss - (s * s) / n) / n AS var_pop
       FROM g ORDER BY l_returnflag"""))
 
+  // ------------------------------------------------------------------
+  // q95 — approximate percentiles: the 100 TB path for q67's exact
+  // percentile (exact needs a per-group sort of every value; the
+  // t-digest-style sketch is mergeable map-side state). Rows-only for
+  // the driver (sketch internals aren't SQL-replicable in DuckDB);
+  // TrainingPrepSpec bounds the error against the exact q67 values.
+  // ------------------------------------------------------------------
+  val approxPercentiles: Q = Q(
+    "q95_approx_percentiles",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99"))
+      .orderBy("l_returnflag"),
+    None)
+
+  // ------------------------------------------------------------------
+  // q96 — bloom-pruned contamination join: q84 with a Bloom filter of
+  // the eval-side shingle hashes applied to the training side BEFORE
+  // the join. Bloom membership has no false negatives and the exact
+  // equi-join still runs after it, so the result is identical to q84
+  // (same oracle SQL) — but at 100 TB the bloom drops most of the big
+  // side's rows before they reach the shuffle, which is the standard
+  // runtime-filter trick this query keeps explicit and testable.
+  // ------------------------------------------------------------------
+  val bloomContamination: Q = Q(
+    "q96_bloom_contamination",
+    (s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(shingles3(toks(col("text")))).as("sh"))
+        .select(col("doc_id"), md5h61(col("sh")).as("h"))
+        .distinct()
+      val eval_ = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("h")).distinct()
+      // Sketch build is one aggregate over the (small) eval side; the
+      // resulting filter is a few KB shipped inside the task closure.
+      val bloom = eval_.stat.bloomFilter("h", 100000L, 0.01)
+      val mightContain = udf((h: Long) => bloom.mightContain(h))
+      sh.filter(col("doc_id") % 10 =!= 0)
+        .filter(mightContain(col("h")))
+        .join(broadcast(eval_), "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    },
+    // Bloom pre-filter can't drop a true match (no false negatives) and
+    // the exact join removes its false positives → identical to q84.
+    contamination.oracle)
+
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
-    bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf)
+    bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf,
+    approxPercentiles, bloomContamination)
 }

@@ -122,6 +122,26 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"want broadcast join:\n$plan")
   }
 
+  test("approx percentiles stay within 1% of exact") {
+    val approx = SparkEntry.queries("q95_approx_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = SparkEntry.queries("q67_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    for (k <- exact.keySet; (a, e) <- approx(k).zip(exact(k)))
+      assert(math.abs(a - e) / e < 0.01, s"$k: approx $a vs exact $e")
+  }
+
+  test("bloom-pruned contamination equals the exact q84 result") {
+    val exact = SparkEntry.queries("q84_contamination")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bloom = SparkEntry.queries("q96_bloom_contamination")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bloom == exact)
+  }
+
   test("salted join aggregate equals the plain join aggregate") {
     val salted = SparkEntry.queries("q89_salted_join")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
