@@ -380,7 +380,36 @@ object TrainingPrep {
     // the exact join removes its false positives → identical to q84.
     contamination.oracle)
 
+  // ------------------------------------------------------------------
+  // q97 — fuzzy string matching by edit distance, brand-blocked: pairs
+  // of part names within a brand with levenshtein ≤ 4. Blocking keeps
+  // the pair join an equi-join on p_brand (bounded block sizes at
+  // scale: brands × (rows/brand)², never global O(n²)); levenshtein is
+  // the same classic DP metric in both engines.
+  // ------------------------------------------------------------------
+  val fuzzyPairs: Q = Q(
+    "q97_fuzzy_pairs",
+    (s, d) => {
+      val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_name")
+      val a = p.as("a"); val b = p.as("b")
+      a.join(b, col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+        .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+        .filter(col("dist") <= 4)
+        .select(col("a.p_partkey").as("key_a"),
+          col("b.p_partkey").as("key_b"),
+          col("a.p_brand").as("brand"), col("dist"))
+        .orderBy("key_a", "key_b")
+    },
+    Some("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        a.p_brand AS brand,
+        cast(levenshtein(a.p_name, b.p_name) as int) AS dist
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 4
+      ORDER BY key_a, key_b"""))
+
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
     bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf,
-    approxPercentiles, bloomContamination)
+    approxPercentiles, bloomContamination, fuzzyPairs)
 }
