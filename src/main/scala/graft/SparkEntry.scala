@@ -34,6 +34,7 @@ object Registry {
       operators.Sampling.all ++
       operators.CorpusPipeline.all ++
       operators.TrainingPrep.all ++
+      operators.QualityModel.all ++
       apps.TitleMatch.all
 
   def benchSet: Seq[Q] = all.filter(_.bench)

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.{Dsl, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-based corpus filtering — the trainable counterpart of q31's
+  * heuristic quality gate. Real LLM-data pipelines run a lightweight
+  * classifier (fastText-style) over every document and keep the
+  * high-probability slice; this is that shape on Spark ML:
+  * deterministic weak labels → logistic regression → score ALL docs →
+  * threshold. Rows-only for the driver (iterative float optimization
+  * isn't SQL-replicable); QualityModelSpec pins the semantics.
+  *
+  * Scale notes: featurization is a linear per-row projection; LR
+  * training is Spark ML's distributed L-BFGS (tree-aggregated
+  * gradients); scoring is a broadcast of the coefficient vector into a
+  * map — nothing here materializes on the driver beyond the model.
+  */
+object QualityModel {
+  import Dsl._
+
+  /** Per-doc numeric features shared by train + score: token count,
+    * type-token ratio, mean token length, repetition share. */
+  private[operators] def featurize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("t", toks(col("text")))
+      .withColumn("n_tokens", size(col("t")).cast("double"))
+      .withColumn("ttr",
+        size(array_distinct(col("t"))).cast("double") / size(col("t")))
+      .withColumn("avg_len",
+        aggregate(transform(col("t"), x => length(x)), lit(0),
+          (a, x) => a + x).cast("double") / size(col("t")))
+      .select("doc_id", "text", "n_tokens", "ttr", "avg_len")
+
+  /** q98: train on deterministic weak labels (the q31 heuristic as the
+    * teacher: long + lexically diverse = positive), score the whole
+    * corpus, emit stable outputs (label + prediction are discrete;
+    * probabilities stay internal — float-iteration noise must not reach
+    * the driver compare). */
+  val qualityClassifier: Q = Q(
+    "q98_quality_classifier",
+    (s, d) => {
+      // Single-threshold teacher (linearly separable in feature space,
+      // so the spec can demand the student actually fits it); ttr and
+      // avg_len ride along as extra features the optimizer may use.
+      val feats = featurize(s, d)
+        .withColumn("label",
+          when(col("n_tokens") >= 30, 1.0).otherwise(0.0))
+      val asm = new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols(Array("n_tokens", "ttr", "avg_len"))
+        .setOutputCol("features")
+      val lr = new org.apache.spark.ml.classification.LogisticRegression()
+        .setMaxIter(25).setRegParam(0.01).setStandardization(true)
+      val model = lr.fit(asm.transform(feats))
+      model.transform(asm.transform(feats))
+        .select(col("doc_id"), col("label").cast("int").as("weak_label"),
+          col("prediction").cast("int").as("pred"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  /** q99: compressibility score — zlib-deflated length over raw length.
+    * Low ratio = repetitive/templated text (the classic cheap quality
+    * heuristic next to q80's explicit repetition gates). Deflate runs
+    * per-row inside mapPartitions with one shared Deflater per
+    * partition (allocation-free hot loop); rows-only for the driver
+    * (DuckDB has no zlib), semantics pinned by spec. */
+  val compressibility: Q = Q(
+    "q99_compressibility",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      import org.apache.spark.sql.{Encoders, Row}
+      val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
+        Encoders.scalaInt, Encoders.scalaDouble)
+      docs.mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION)
+        val buf = new Array[Byte](1 << 20)
+        rows.map { r: Row =>
+          val id = r.getLong(0)
+          val raw = r.getString(1).getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var n = 0
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          (id, raw.length, n, n.toDouble / raw.length)
+        }
+      }(enc).toDF("doc_id", "raw_bytes", "deflate_bytes", "ratio")
+        .orderBy("doc_id")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(qualityClassifier, compressibility)
+}
