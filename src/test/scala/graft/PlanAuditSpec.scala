@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression suite: the plan each operator is supposed to
+  * produce at scale, pinned as assertions so a refactor can't silently
+  * swap a broadcast for a shuffle or a top-k for a full sort. Timing
+  * (Bench) says how fast the plan ran HERE; these say whether it's the
+  * plan you'd ship to a 1000-executor cluster. */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("top-k queries use TakeOrderedAndProject, never a global sort+limit") {
+    for (q <- Seq("q03_topk_orders", "q04_topk_multikey"))
+      assert(plan(q).contains("TakeOrderedAndProject"), s"$q plan")
+  }
+
+  test("no unintended cartesian products anywhere in the registry") {
+    // Broadcast nested-loop joins are legitimate only for 1-row scalar
+    // frames (corpus totals); a CartesianProduct node is never OK.
+    for ((name, fn) <- SparkEntry.queries) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian join")
+    }
+  }
+
+  test("LSH candidate joins shuffle on the bucket key (SortMergeJoin or hash), not nested loops") {
+    for (q <- Seq("q37_minhash_lsh_pairs", "q39_simhash_pairs",
+        "q76_ngram_jaccard_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must equi-join")
+    }
+  }
+
+  test("fact-table scans read pruned schemas") {
+    // q01 needs 5 lineitem columns; the comment/partition columns and
+    // l_comment-ish fields must not reach the scan
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_partkey"), "q01 must not read join keys it ignores")
+  }
+
+  test("point lookup pushes the key predicate into the scan") {
+    val p = plan("q24_point_lookup")
+    assert(p.contains("PushedFilters: [") && p.contains("EqualTo"), p)
+  }
+
+  test("bloom-contamination plan keeps the pre-join filter and the broadcast join") {
+    val p = plan("q96_bloom_contamination")
+    assert(p.contains("BroadcastHashJoin"), "eval side must broadcast")
+    assert(p.contains("UDF"), "bloom might-contain filter must be present")
+  }
+
+  test("fuzzy pairs join is an equi-join on the brand block") {
+    val p = plan("q97_fuzzy_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("whole-stage codegen covers the hot aggregation pipelines") {
+    for (q <- Seq("q01_pricing_summary", "q06_join_multiway_agg",
+        "q30_token_count", "q82_text_chunks")) {
+      // under AQE codegen is inserted per-stage at materialization, so
+      // execute first, then read the final adaptive plan ("*(n)" spans)
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("*("), s"$q fell out of codegen:\n$p")
+    }
+  }
+}
