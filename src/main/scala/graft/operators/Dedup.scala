@@ -218,6 +218,29 @@ object Dedup {
         ${sqlDavg("abs(est_jaccard - jaccard)")} AS mae_est
       FROM verified"""))
 
+  /** q100: near-dup graph degree distribution — how many docs have 1, 2,
+    * … verified duplicate partners. The shape diagnostic that decides
+    * whether cluster resolution (q56) needs more propagation rounds at
+    * scale (deep chains vs shallow stars); one union + two hash aggs on
+    * the already-computed pair set. */
+  val dupDegrees: Q = Q(
+    "q100_dup_degrees",
+    (s, d) => {
+      val pairs = verifiedPairs(s, d).select("doc_a", "doc_b")
+      val deg = pairs
+        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .groupBy("doc_a").agg(count(lit(1)).as("degree"))
+      deg.groupBy("degree").agg(count(lit(1)).as("n_docs"))
+        .orderBy("degree")
+    },
+    Some(s"""WITH $sqlVerifiedChain,
+      vp AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
+      und AS (SELECT doc_a, doc_b FROM vp
+              UNION ALL SELECT doc_b, doc_a FROM vp),
+      deg AS (SELECT doc_a, count(*) AS degree FROM und GROUP BY doc_a)
+      SELECT degree, count(*) AS n_docs FROM deg
+      GROUP BY degree ORDER BY degree"""))
+
   /** q56: duplicate-cluster resolution — connected components over the
     * verified near-dup pair graph, so each duplicate CLUSTER (not just
     * pair) keeps exactly one root doc. Spark side: iterative min-label
@@ -429,5 +452,5 @@ object Dedup {
 
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
-    ngramJaccardPairs, sketchQuality)
+    ngramJaccardPairs, sketchQuality, dupDegrees)
 }

@@ -820,6 +820,25 @@ object Relational {
           AS val_3row
       FROM events ORDER BY event_id"""))
 
+  /** q101 — UNPIVOT/melt (inverse of q46's pivot): wide metric columns
+    * to long (key, metric, value) rows. Narrow per-row transform (stays
+    * in codegen); output 3× input rows, no shuffle until the ORDER BY. */
+  val unpivotMetrics: Q = Q(
+    "q101_unpivot",
+    (s, d) => Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric"),
+    Some("""SELECT l_orderkey, l_linenumber, metric, value
+      FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+              l_extendedprice, l_discount FROM lineitem)
+      UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount))
+      ORDER BY l_orderkey, l_linenumber, metric"""))
+
   val all: Seq[Q] = Seq(
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
@@ -832,5 +851,5 @@ object Relational {
     sqlCorrelated, unionDistinct, windowSuite, dateSuite,
     percentiles, mergeUpsert,
     conditionalAggs, stringSuite2, bitwiseOps, groupingSets,
-    eventTypeMap, cubeAgg, windowFrames)
+    eventTypeMap, cubeAgg, windowFrames, unpivotMetrics)
 }
