@@ -89,12 +89,23 @@ object Dsl {
   // --------------------------------------------------------------------
   val H61Mod = 2305843009213693952L // 2^61
 
-  /** 61-bit content hash, bit-identical to the DuckDB twin [[sqlMd5h61]]. */
-  def md5h61(c: Column): Column = {
+  /** 61-bit content hash, bit-identical to the DuckDB twin [[sqlMd5h61]].
+    * Declarative (built-ins only — resolves on ANY session); kept as the
+    * differential twin of the native fast path. */
+  def md5h61Decl(c: Column): Column = {
     val hex = md5(c.cast(BinaryType))
     val le = concat((7 to 0 by -1).map(i => substring(hex, 17 + 2 * i, 2)): _*)
     (conv(le, 16, 10).cast(DecimalType(20, 0)) % lit(H61Mod)).cast(LongType)
   }
+
+  /** Same hash via the native [[graft.functions.Md5Hash61]] expression
+    * (one digest + one floorMod instead of 8 substrings + conv + decimal
+    * mod per value). Requires the graft function registry —
+    * GraftExtensions (spark.sql.extensions, set by Verify/Bench/tests)
+    * or TextFunctions.register(session). PropertySpec pins it to
+    * [[md5h61Decl]] bit-exactly. */
+  def md5h61(c: Column): Column =
+    call_function("md5h61", c.cast(BinaryType))
 
   /** SQL twin of [[md5h61]]. */
   def sqlMd5h61(expr: String): String =

@@ -75,5 +75,12 @@ object TextFunctions {
         DistinctShingles(exprs.head, n)
       },
       "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5h61",
+      { exprs =>
+        require(exprs.length == 1, "md5h61(bytes)")
+        Md5Hash61(exprs.head)
+      },
+      "built-in")
   }
 }

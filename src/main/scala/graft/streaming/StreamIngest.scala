@@ -45,7 +45,7 @@ object StreamIngest {
         when(col("icon_category_assigned") === category,
           element_at(
             array(files.map(lit): _*),
-            (Dsl.md5h61(col("appId")) % files.size).cast("int") + 1))
+            (Dsl.md5h61Decl(col("appId")) % files.size).cast("int") + 1))
           .otherwise(acc)
     }
     withCat.withColumn("icon_path", pick)

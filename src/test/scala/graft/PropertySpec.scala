@@ -67,6 +67,19 @@ class PropertySpec extends AnyFunSuite {
     assert(hs.sameElements(again))
   }
 
+  test("native Md5Hash61 == declarative hex formulation bit-exactly") {
+    import spark.implicits._
+    // adversarial inputs: empty, unicode, long, digest-like, binary-ish
+    val strs = (0 until 2000).map(i => s"doc $i body ${"x" * (i % 97)}") ++
+      Seq("", " ", "é🙂 unicode", "a\tb\nc", "0123456789abcdef" * 8)
+    val df = strs.toDF("s").repartition(7).cache()
+    val pairs = df.select(
+      Dsl.md5h61($"s").as("fast"),
+      Dsl.md5h61Decl($"s").as("decl")).collect()
+    assert(pairs.forall(r => r.getLong(0) == r.getLong(1)),
+      pairs.find(r => r.getLong(0) != r.getLong(1)).toString)
+  }
+
   test("top-k law: size <= k, prefix-closed, sorted") {
     val o = Tables.orders(spark, TestSpark.sf0001)
     forSamples(Gen.choose(1, 50), 10) { k =>
