@@ -839,6 +839,44 @@ object Relational {
       UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount))
       ORDER BY l_orderkey, l_linenumber, metric"""))
 
+  /** q102 — native session_window sessionization (UpdatingSessions exec;
+    * the operator q27 builds manually from lag + running sum). Gap
+    * semantics are strict: a new event merges iff its ts is < previous
+    * end (= last ts + gap), so the oracle breaks at diff >= 1800 s —
+    * note q27's manual variant breaks at diff > 1800 s; both are valid
+    * conventions, pinned here to Spark's native one. */
+  val sessionWindowAgg: Q = Q(
+    "q102_session_window",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start"),
+    Some("""WITH o AS (
+        SELECT user_id, event_id, ts,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      m AS (
+        SELECT user_id, event_id, ts,
+          CASE WHEN prev_ts IS NULL
+                 OR epoch(ts)::bigint - epoch(prev_ts)::bigint >= 1800
+               THEN 1 ELSE 0 END AS new_s
+        FROM o),
+      x AS (
+        SELECT user_id, ts,
+          cast(sum(new_s) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) as bigint) AS sid
+        FROM m)
+      SELECT user_id,
+        min(ts) AS session_start,
+        max(ts) + INTERVAL 30 MINUTE AS session_end,
+        count(*) AS n_events
+      FROM x GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""))
+
   val all: Seq[Q] = Seq(
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
@@ -851,5 +889,5 @@ object Relational {
     sqlCorrelated, unionDistinct, windowSuite, dateSuite,
     percentiles, mergeUpsert,
     conditionalAggs, stringSuite2, bitwiseOps, groupingSets,
-    eventTypeMap, cubeAgg, windowFrames, unpivotMetrics)
+    eventTypeMap, cubeAgg, windowFrames, unpivotMetrics, sessionWindowAgg)
 }

@@ -61,4 +61,30 @@ object CsvIngest {
   def validForTraining(df: DataFrame): DataFrame =
     df.filter(col("score").isNotNull && col("minInstalls").isNotNull &&
       col("price").isNotNull)
+
+  /** Typed CSV read with a quarantine lane: PERMISSIVE mode keeps
+    * malformed rows (wrong arity, untypeable values) instead of failing
+    * the job, capturing the raw line in a corrupt-record column. Returns
+    * (clean rows without the marker column, quarantined raw lines). At
+    * 100 TB a single bad line must cost one quarantined row, not a
+    * failed 6-hour job — and the quarantine frame is what ops replays
+    * after fixing the producer. */
+  def readTypedWithQuarantine(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, DataFrame) = {
+    val corrupt = "_corrupt_record"
+    val withMarker = schema.add(corrupt, "string")
+    val raw = spark.read
+      .option("header", "true")
+      .option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .schema(withMarker)
+      .csv(dir)
+      .cache() // one scan feeds both lanes; caller unpersists
+    val good = raw.filter(col(corrupt).isNull).drop(corrupt)
+    val quarantine = raw.filter(col(corrupt).isNotNull)
+      .select(col(corrupt).as("raw_line"))
+    (good, quarantine)
+  }
 }

@@ -47,6 +47,35 @@ class AppPipelineSpec extends AnyFunSuite {
     assert(dev == "Dev 3, Inc.", "quoted comma must survive")
   }
 
+  test("permissive typed read quarantines malformed rows instead of failing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt").toFile
+    dir.deleteOnExit()
+    val f = new java.io.File(dir, "batch.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("appId,score,minInstalls")
+    w.println("app.a,4.5,1000")
+    w.println("app.b,not-a-number,2000") // untypeable score
+    w.println("app.c,3.9,500")
+    w.close()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("appId",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("minInstalls",
+        org.apache.spark.sql.types.LongType)))
+    val (good, bad) = CsvIngest.readTypedWithQuarantine(
+      spark, dir.getAbsolutePath, schema)
+    try {
+      assert(good.count() == 2, "clean rows parse")
+      assert(good.schema("score").dataType.typeName == "double")
+      val lines = bad.collect().map(_.getString(0))
+      assert(lines.length == 1 && lines(0).contains("not-a-number"),
+        "the malformed raw line is preserved for replay")
+    } finally good.sparkSession.sharedState.cacheManager
+      .clearCache() // release the spec's cached scan
+  }
+
   test("canonical column order is enforced with nulls for missing columns") {
     val prefix = AppSchema.canonicalColumns.filter(apps.columns.contains)
     assert(apps.columns.take(prefix.length).toSeq == prefix)
