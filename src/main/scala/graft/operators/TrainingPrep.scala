@@ -409,7 +409,55 @@ object TrainingPrep {
       WHERE levenshtein(a.p_name, b.p_name) <= 4
       ORDER BY key_a, key_b"""))
 
+  // ------------------------------------------------------------------
+  // q103 — heavy hitters via count-min sketch: exact top-20 terms with
+  // their CMS estimates side by side. The sketch is one mergeable
+  // aggregate (map-side combinable, fixed size), so at 100 TB the
+  // frequency table costs a few KB of shuffle instead of a vocabulary-
+  // sized agg; the exact counts here exist to expose the estimation
+  // error. Rows-only (CMS internals aren't SQL-replicable); spec pins
+  // the no-underestimate law and the error bound.
+  // ------------------------------------------------------------------
+  val heavyHitters: Q = Q(
+    "q103_heavy_hitters",
+    (s, d) => {
+      val terms = Tables.documents(s, d)
+        .select(explode(toks(lower(col("text")))).as("term"))
+      val sketchBytes = terms
+        .agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)").as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(sketchBytes))
+      val bc = s.sparkContext.broadcast(sketch)
+      val estimate = udf((t: String) => bc.value.estimateCount(t))
+      terms.groupBy("term").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("term"))
+        .limit(20)
+        .withColumn("est_n", estimate(col("term")))
+        .select("term", "exact_n", "est_n")
+    },
+    None)
+
+  // ------------------------------------------------------------------
+  // q104 — length-weighted deterministic sampling: P(keep) ∝ n_chars,
+  // via the shared content hash (partitioning-independent, reproducible,
+  // and — unlike weighted reservoir sampling — expressible in plain SQL,
+  // so the oracle verifies it exactly). Weight scale: h % 4000 < n_chars
+  // keeps ~len/4000 of each doc's probability mass.
+  // ------------------------------------------------------------------
+  val weightedSample: Q = Q(
+    "q104_weighted_sample",
+    (s, d) => Tables.documents(s, d)
+      .filter(md5h61(concat(lit("wsample:"), col("doc_id").cast("string")))
+        % 4000 < col("n_chars"))
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, n_chars FROM documents
+      WHERE ${sqlMd5h61("concat('wsample:', doc_id)")} % 4000 < n_chars
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
     bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf,
-    approxPercentiles, bloomContamination, fuzzyPairs)
+    approxPercentiles, bloomContamination, fuzzyPairs, heavyHitters,
+    weightedSample)
 }

@@ -142,6 +142,37 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(bloom == exact)
   }
 
+  test("count-min sketch never underestimates and stays within eps*total") {
+    val rows = SparkEntry.queries("q103_heavy_hitters")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    val total = Tables.documents(spark, sf)
+      .select(explode(Dsl.toks(lower(col("text")))).as("t")).count()
+    rows.foreach { case (term, exact, est) =>
+      assert(est >= exact, s"$term: CMS must never underestimate")
+      assert(est - exact <= (0.001 * total).toLong + 1,
+        s"$term: est $est vs exact $exact exceeds eps*N")
+    }
+  }
+
+  test("weighted sample keeps every max-weight doc and is reproducible") {
+    val q = SparkEntry.queries("q104_weighted_sample")
+    val first = q(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(first == q(spark, sf).collect().map(_.getLong(0)).toSeq)
+    assert(first.nonEmpty)
+    // every doc with n_chars >= 4000 has P(keep)=1
+    val heavy = Tables.documents(spark, sf)
+      .filter(col("n_chars") >= 4000).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(heavy.subsetOf(first.toSet))
+    // realized sample mass tracks expected mass (sum of min(len,4000)/4000)
+    val expected = Tables.documents(spark, sf)
+      .select(least(col("n_chars"), lit(4000)).cast("double") / 4000)
+      .collect().map(_.getDouble(0)).sum
+    assert(math.abs(first.size - expected) < math.max(20.0, expected),
+      s"sample ${first.size} vs expected $expected")
+  }
+
   test("salted join aggregate equals the plain join aggregate") {
     val salted = SparkEntry.queries("q89_salted_join")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
