@@ -877,6 +877,84 @@ object Relational {
       FROM x GROUP BY user_id, sid
       ORDER BY user_id, session_start"""))
 
+  /** q105 — SCD Type-2 versioned upsert (q68's history-keeping sibling):
+    * changed keys close the old version (valid_to = change date) and
+    * open a new one; unchanged keys stay open-ended. The update set is
+    * derived deterministically (keys ≡ 0 mod 10 get price + 5.0000 —
+    * exact decimal addition, no cross-engine rounding). One broadcast-
+    * sized change set + a union: at scale this is a map-side join plus
+    * an append, never a rewrite of unchanged history. */
+  val scd2Upsert: Q = {
+    val changeDate = "DATE '2025-01-01'"
+    Q(
+      "q105_scd2",
+      (s, d) => {
+        val base = Tables.part(s, d)
+          .select(col("p_partkey"), col("p_name"),
+            col("p_retailprice").cast(Dec).as("price"))
+        val changed = col("p_partkey") % 10 === 0
+        val oldRows = base.select(
+          col("p_partkey"), col("p_name"), col("price"),
+          to_date(lit("1900-01-01")).as("valid_from"),
+          when(changed, to_date(lit("2025-01-01")))
+            .otherwise(lit(null).cast("date")).as("valid_to"))
+        val newRows = base.filter(changed).select(
+          col("p_partkey"), col("p_name"),
+          (col("price") + lit(BigDecimal("5.0000"))).cast(Dec).as("price"),
+          to_date(lit("2025-01-01")).as("valid_from"),
+          lit(null).cast("date").as("valid_to"))
+        oldRows.unionAll(newRows)
+          .orderBy("p_partkey", "valid_from")
+      },
+      Some(s"""WITH base AS (
+          SELECT p_partkey, p_name,
+            cast(p_retailprice as decimal(18,4)) AS price
+          FROM part)
+        SELECT p_partkey, p_name, price,
+          DATE '1900-01-01' AS valid_from,
+          CASE WHEN p_partkey % 10 = 0 THEN $changeDate END AS valid_to
+        FROM base
+        UNION ALL
+        SELECT p_partkey, p_name,
+          cast(price + 5.0000 as decimal(18,4)) AS price,
+          $changeDate AS valid_from, NULL AS valid_to
+        FROM base WHERE p_partkey % 10 = 0
+        ORDER BY p_partkey, valid_from"""))
+  }
+
+  /** q106 — order-independent table checksum: Σ row-hash mod 2^61 in one
+    * aggregate. THE tool for verifying a 100 TB copy/migration without
+    * sorting anything — commutative addition means any partitioning and
+    * any row order produce the same value on both sides of the copy.
+    * Doubles enter the row string as fixed-scale decimals and the
+    * timestamp as epoch seconds so both engines render identical text. */
+  val tableChecksum: Q = {
+    def sparkRowHash = md5h61(concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast(Dec).cast("string"),
+      col("l_extendedprice").cast(Dec).cast("string"),
+      col("l_discount").cast(Dec).cast("string"),
+      col("l_returnflag"), col("l_linestatus"),
+      // l_shipdate is TIMESTAMP_NTZ; the session runs UTC, so the cast
+      // interprets it as UTC — matching DuckDB's naive epoch()
+      unix_seconds(col("l_shipdate").cast("timestamp")).cast("string")))
+    val sqlRowHash = sqlMd5h61("concat_ws('|', l_orderkey, l_linenumber," +
+      " cast(cast(l_quantity as decimal(18,4)) as varchar)," +
+      " cast(cast(l_extendedprice as decimal(18,4)) as varchar)," +
+      " cast(cast(l_discount as decimal(18,4)) as varchar)," +
+      " l_returnflag, l_linestatus, epoch(l_shipdate)::bigint)")
+    Q(
+      "q106_table_checksum",
+      (s, d) => Tables.lineitem(s, d)
+        .select(sparkRowHash.as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            % lit(BigDecimal(H61Mod))).cast("long").as("checksum")),
+      Some(s"""SELECT count(*) AS n_rows,
+          cast(sum($sqlRowHash)::hugeint % $H61Mod as bigint) AS checksum
+        FROM lineitem"""))
+  }
+
   val all: Seq[Q] = Seq(
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
@@ -889,5 +967,6 @@ object Relational {
     sqlCorrelated, unionDistinct, windowSuite, dateSuite,
     percentiles, mergeUpsert,
     conditionalAggs, stringSuite2, bitwiseOps, groupingSets,
-    eventTypeMap, cubeAgg, windowFrames, unpivotMetrics, sessionWindowAgg)
+    eventTypeMap, cubeAgg, windowFrames, unpivotMetrics, sessionWindowAgg,
+    scd2Upsert, tableChecksum)
 }
