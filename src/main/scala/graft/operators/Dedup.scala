@@ -241,6 +241,34 @@ object Dedup {
       SELECT degree, count(*) AS n_docs FROM deg
       GROUP BY degree ORDER BY degree"""))
 
+  /** q108: where do the duplicates come from — verified near-dup pair
+    * counts per (source, source) bucket, the dataset-quality report that
+    * tells you WHICH feed to dedup or drop. Two broadcast-sized joins
+    * back to the doc metadata on top of the existing pair set. */
+  val dupBySource: Q = Q(
+    "q108_dup_by_source",
+    (s, d) => {
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      verifiedPairs(s, d)
+        .join(src.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("source", "source_a"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("source", "source_b"), "doc_b")
+        .groupBy(least(col("source_a"), col("source_b")).as("src1"),
+          greatest(col("source_a"), col("source_b")).as("src2"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src1", "src2")
+    },
+    Some(s"""WITH $sqlVerifiedChain,
+      vp AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
+      j AS (SELECT least(sa.source, sb.source) AS src1,
+                   greatest(sa.source, sb.source) AS src2
+            FROM vp
+            JOIN documents sa ON sa.doc_id = vp.doc_a
+            JOIN documents sb ON sb.doc_id = vp.doc_b)
+      SELECT src1, src2, count(*) AS n_pairs
+      FROM j GROUP BY src1, src2 ORDER BY src1, src2"""))
+
   /** q56: duplicate-cluster resolution — connected components over the
     * verified near-dup pair graph, so each duplicate CLUSTER (not just
     * pair) keeps exactly one root doc. Spark side: iterative min-label
@@ -452,5 +480,5 @@ object Dedup {
 
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
-    ngramJaccardPairs, sketchQuality, dupDegrees)
+    ngramJaccardPairs, sketchQuality, dupDegrees, dupBySource)
 }

@@ -456,8 +456,88 @@ object TrainingPrep {
       WHERE ${sqlMd5h61("concat('wsample:', doc_id)")} % 4000 < n_chars
       ORDER BY doc_id"""))
 
+  // ------------------------------------------------------------------
+  // q107 — vocabulary coverage / OOV rate: fix the vocab to the corpus
+  // top-100 terms (deterministic tiebreak), then measure each doc's
+  // out-of-vocabulary token share. The tokenizer-coverage check run
+  // before committing to a vocab size; vocab joins broadcast at any
+  // realistic vocab size.
+  // ------------------------------------------------------------------
+  val oovRate: Q = Q(
+    "q107_oov_rate",
+    (s, d) => {
+      val toksDf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(lower(col("text")))).as("term"))
+      val vocab = toksDf.groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(100)
+        .select("term")
+      toksDf.join(broadcast(vocab.withColumn("in_v", lit(1))),
+          Seq("term"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          col("n_oov").cast("double") / col("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (
+        SELECT doc_id, g.term AS term
+        FROM (SELECT doc_id, ${sqlToks("lower(text)")} AS ts FROM documents),
+             unnest(ts) AS g(term)),
+      vocab AS (
+        SELECT term FROM (
+          SELECT term, count(*) AS n FROM t GROUP BY term
+          ORDER BY n DESC, term LIMIT 100)),
+      j AS (
+        SELECT t.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+        FROM t LEFT JOIN vocab v ON t.term = v.term)
+      SELECT doc_id, count(*) AS n_tokens,
+        cast(sum(oov) as bigint) AS n_oov,
+        cast(sum(oov) as bigint) * 1.0 / count(*) AS oov_rate
+      FROM j GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------------
+  // q109 — scalar int8 embedding quantization: per-vector min/max
+  // scaling to 256 levels (floor, not round — round-half ties differ
+  // between engines) and the max reconstruction error. The 4×-memory
+  // scale path for ANN storage, with its accuracy cost measured rather
+  // than assumed. All arithmetic is the same double expression tree on
+  // both engines (elements cast float→double exactly).
+  // ------------------------------------------------------------------
+  val embeddingQuantize: Q = Q(
+    "q109_embedding_quantize",
+    (s, d) => Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .select(col("vec_id"), col("e"),
+        array_min(col("e")).as("lo"), array_max(col("e")).as("hi"))
+      .withColumn("scale", (col("hi") - col("lo")) / lit(255.0))
+      .select(
+        col("vec_id"),
+        size(col("e")).as("n_dims"),
+        aggregate(
+          transform(col("e"), x =>
+            abs(x - (floor((x - col("lo")) / col("scale")) * col("scale")
+              + col("lo")))),
+          lit(0.0), (acc, v) => greatest(acc, v)).as("max_abs_err"))
+      .orderBy("vec_id"),
+    Some("""WITH e AS (
+        SELECT vec_id,
+          list_transform(embedding, x -> cast(x as double)) AS e
+        FROM embeddings),
+      b AS (
+        SELECT vec_id, e, list_min(e) AS lo,
+          (list_max(e) - list_min(e)) / 255.0 AS scale
+        FROM e)
+      SELECT vec_id, cast(len(e) as int) AS n_dims,
+        list_reduce(
+          list_transform(e, x ->
+            abs(x - (floor((x - lo) / scale) * scale + lo))),
+          (acc, v) -> greatest(acc, v)) AS max_abs_err
+      FROM b ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
     bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf,
     approxPercentiles, bloomContamination, fuzzyPairs, heavyHitters,
-    weightedSample)
+    weightedSample, oovRate, embeddingQuantize)
 }
