@@ -955,6 +955,65 @@ object Relational {
         FROM lineitem"""))
   }
 
+  /** q110 — TPC-H Q3 shape (shipping-priority): selective dimension
+    * filter + two date predicates + 3-way join + grouped revenue +
+    * top-10. The classic "filter early, join the survivors" plan:
+    * the segment filter prunes customer before its join, both date
+    * filters push to the scans, and the final top-10 is a
+    * TakeOrderedAndProject, never a full sort. */
+  val tpchQ3: Q = Q(
+    "q110_tpch_q3",
+    (s, d) => Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") < to_timestamp(lit("1997-06-01 00:00:00"))),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > to_timestamp(lit("1997-06-01 00:00:00"))),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10),
+    Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+        ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"""))
+
+  /** q111 — TPC-H Q5 shape (local-supplier volume): 4-way join with the
+    * extra same-nation constraint between two dimension paths. The
+    * constraint is an equi-condition, so Catalyst keeps everything
+    * hash-partitioned joins; nation broadcasts. */
+  val tpchQ5: Q = Q(
+    "q111_tpch_q5",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(s, d),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name")),
+    Some(s"""SELECT n_name,
+        ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
   val all: Seq[Q] = Seq(
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
@@ -968,5 +1027,5 @@ object Relational {
     percentiles, mergeUpsert,
     conditionalAggs, stringSuite2, bitwiseOps, groupingSets,
     eventTypeMap, cubeAgg, windowFrames, unpivotMetrics, sessionWindowAgg,
-    scd2Upsert, tableChecksum)
+    scd2Upsert, tableChecksum, tpchQ3, tpchQ5)
 }
