@@ -101,6 +101,22 @@ object StreamIngest {
       .option("escape", "\"")
       .csv(dir)
 
+  /** Streaming twin of CsvIngest.readTypedWithQuarantine: PERMISSIVE
+    * typed stream where malformed rows survive as a corrupt-record
+    * column instead of killing the query. Returns the raw stream with
+    * the marker column; callers split clean/quarantine lanes per
+    * micro-batch (e.g. in foreachBatch) — a poisoned message must cost
+    * one quarantined row, not a dead stream. */
+  def readCsvStreamWithQuarantine(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("header", "true")
+      .option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+
   /** Micro-batch parquet sink with a processing-time tumbling trigger —
     * the consumer's 60 s window (consumer.py:87), checkpointed. */
   def startFileSink(df: DataFrame, outDir: String, checkpointDir: String,

@@ -69,6 +69,31 @@ class StreamingSpec extends AnyFunSuite {
       Set("app.1", "app.2", "app.3"))
   }
 
+  test("streaming quarantine lane keeps the query alive through poisoned rows") {
+    val srcDir = Files.createTempDirectory("graft-qstream-src").toFile
+    srcDir.deleteOnExit()
+    Files.writeString(new java.io.File(srcDir, "b1.csv").toPath,
+      "appId,score\napp.1,4.5\napp.2,banana\napp.3,3.0\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("appId",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))
+    val stream = StreamIngest.readCsvStreamWithQuarantine(
+      spark, srcDir.getAbsolutePath, schema)
+    var good = Seq.empty[String]; var bad = Seq.empty[String]
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        good = good ++ batch.filter(col("_corrupt_record").isNull)
+          .select("appId").collect().map(_.getString(0))
+        bad = bad ++ batch.filter(col("_corrupt_record").isNotNull)
+          .select("_corrupt_record").collect().map(_.getString(0))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(good.toSet == Set("app.1", "app.3"), s"good=$good")
+    assert(bad.length == 1 && bad.head.contains("banana"), s"bad=$bad")
+  }
+
   test("event-time 60s windows aggregate a memory stream with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
