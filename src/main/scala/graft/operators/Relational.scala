@@ -808,10 +808,10 @@ object Relational {
     },
     Some("""SELECT event_id, user_id,
         count(*) OVER (PARTITION BY user_id
-          ORDER BY epoch(ts)::bigint
+          ORDER BY epoch_us(ts) // 1000000
           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour,
         cast(sum(cast(value as decimal(18,4))) OVER (PARTITION BY user_id
-          ORDER BY epoch(ts)::bigint
+          ORDER BY epoch_us(ts) // 1000000
           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) as double)
           AS val_last_hour,
         cast(sum(cast(value as decimal(18,4))) OVER (PARTITION BY user_id
@@ -862,7 +862,7 @@ object Relational {
       m AS (
         SELECT user_id, event_id, ts,
           CASE WHEN prev_ts IS NULL
-                 OR epoch(ts)::bigint - epoch(prev_ts)::bigint >= 1800
+                 OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
                THEN 1 ELSE 0 END AS new_s
         FROM o),
       x AS (
@@ -942,7 +942,7 @@ object Relational {
       " cast(cast(l_quantity as decimal(18,4)) as varchar)," +
       " cast(cast(l_extendedprice as decimal(18,4)) as varchar)," +
       " cast(cast(l_discount as decimal(18,4)) as varchar)," +
-      " l_returnflag, l_linestatus, epoch(l_shipdate)::bigint)")
+      " l_returnflag, l_linestatus, epoch_us(l_shipdate) // 1000000)")
     Q(
       "q106_table_checksum",
       (s, d) => Tables.lineitem(s, d)
