@@ -70,16 +70,10 @@ object IvfIndex {
       .limit(topK)
   }
 
-  /** Shared normalization (same shape as Similarity.normed, re-exposed
-    * here so the index builder and the query registry agree on e/nrm). */
-  private def Tables_normed(s: SparkSession, d: String): DataFrame = {
-    val dim = Similarity.EmbeddingDim
-    Tables.embeddings(s, d)
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
-        col("vec_id"))
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("e"))
-      .filter(size(col("e")) === dim)
-      .withColumn("nrm", sqrt(expr("dot_product(e, e)")))
-  }
+  /** Shared normalization — Similarity.normed itself, so the index
+    * builder inherits its loud raise_error on a dimension mismatch
+    * (a silent filter here would drop corrupt vectors from the index
+    * with no error anywhere). */
+  private def Tables_normed(s: SparkSession, d: String): DataFrame =
+    Similarity.normed(s, d)
 }

@@ -76,6 +76,11 @@ object QualityModel {
       docs.mapPartitions { rows =>
         val deflater = new java.util.zip.Deflater(
           java.util.zip.Deflater.DEFAULT_COMPRESSION)
+        // Deflater holds NATIVE zlib buffers; on long-lived executors
+        // waiting for GC finalization accumulates off-heap memory, so
+        // release it deterministically when the task ends.
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](1 << 20)
         rows.map { r: Row =>
           val id = r.getLong(0)

@@ -45,7 +45,7 @@ object Similarity {
 
   /** Normalized embeddings with precomputed L2 norm (computed once per
     * row, not per pair). */
-  private def normed(s: SparkSession, d: String): DataFrame = {
+  private[operators] def normed(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     Tables.embeddings(s, d)
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id")) // single-file parquet -> use all cores

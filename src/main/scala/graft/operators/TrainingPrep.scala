@@ -366,8 +366,12 @@ object TrainingPrep {
       val eval_ = sh.filter(col("doc_id") % 10 === 0)
         .select(col("h")).distinct()
       // Sketch build is one aggregate over the (small) eval side; the
-      // resulting filter is a few KB shipped inside the task closure.
-      val bloom = eval_.stat.bloomFilter("h", 100000L, 0.01)
+      // resulting filter ships inside the task closure. Size it from
+      // the actual distinct-hash count — a fixed capacity would
+      // saturate at larger corpora and silently degrade mightContain
+      // to always-true (correct results, zero pruning).
+      val nEval = eval_.count()
+      val bloom = eval_.stat.bloomFilter("h", math.max(nEval, 1000L), 0.01)
       val mightContain = udf((h: Long) => bloom.mightContain(h))
       sh.filter(col("doc_id") % 10 =!= 0)
         .filter(mightContain(col("h")))

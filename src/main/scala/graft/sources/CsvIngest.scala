@@ -69,9 +69,12 @@ object CsvIngest {
     * 100 TB a single bad line must cost one quarantined row, not a
     * failed 6-hour job — and the quarantine frame is what ops replays
     * after fixing the producer. */
+  /** Returns (clean, quarantine, raw): the raw cached frame is exposed
+    * so the CALLER can unpersist it when both lanes are consumed —
+    * unpersisting a derived frame would not release the cached scan. */
   def readTypedWithQuarantine(spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val corrupt = "_corrupt_record"
     val withMarker = schema.add(corrupt, "string")
     val raw = spark.read
@@ -81,10 +84,10 @@ object CsvIngest {
       .option("columnNameOfCorruptRecord", corrupt)
       .schema(withMarker)
       .csv(dir)
-      .cache() // one scan feeds both lanes; caller unpersists
+      .cache() // one scan feeds both lanes
     val good = raw.filter(col(corrupt).isNull).drop(corrupt)
     val quarantine = raw.filter(col(corrupt).isNotNull)
       .select(col(corrupt).as("raw_line"))
-    (good, quarantine)
+    (good, quarantine, raw)
   }
 }

@@ -64,7 +64,7 @@ class AppPipelineSpec extends AnyFunSuite {
         org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("minInstalls",
         org.apache.spark.sql.types.LongType)))
-    val (good, bad) = CsvIngest.readTypedWithQuarantine(
+    val (good, bad, raw) = CsvIngest.readTypedWithQuarantine(
       spark, dir.getAbsolutePath, schema)
     try {
       assert(good.count() == 2, "clean rows parse")
@@ -72,8 +72,7 @@ class AppPipelineSpec extends AnyFunSuite {
       val lines = bad.collect().map(_.getString(0))
       assert(lines.length == 1 && lines(0).contains("not-a-number"),
         "the malformed raw line is preserved for replay")
-    } finally good.sparkSession.sharedState.cacheManager
-      .clearCache() // release the spec's cached scan
+    } finally raw.unpersist()
   }
 
   test("canonical column order is enforced with nulls for missing columns") {

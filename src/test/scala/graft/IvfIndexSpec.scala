@@ -49,10 +49,13 @@ class IvfIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(3)))
     val brute = SparkEntry.queries("q42_ann_bruteforce")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(2)))
-    // nprobe = k degrades IVF to exact search, minus the query vector row
-    val gotIds = got.filter(_._1 != 0L).map(_._1).toSeq.take(10)
-    val bruteIds = brute.map(_._1).toSeq.take(10)
-    assert(gotIds.filterNot(_ == 0L).toSet.subsetOf(bruteIds.toSet ++ gotIds.toSet))
+    // nprobe = k degrades IVF to exact search; apart from the query
+    // vector itself (vec_id 0, which q42 excludes), the top lists must
+    // be IDENTICAL — same ids, same order
+    val gotIds = got.map(_._1).filterNot(_ == 0L).toSeq
+    val bruteIds = brute.map(_._1).toSeq.take(gotIds.length)
+    assert(gotIds == bruteIds,
+      s"exact-mode IVF diverged from brute force: $gotIds vs $bruteIds")
     // cosines for shared ids must agree to double precision
     val bruteMap = brute.toMap
     got.filter(g => bruteMap.contains(g._1)).foreach { case (id, c) =>

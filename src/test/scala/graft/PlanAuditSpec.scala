@@ -22,7 +22,14 @@ class PlanAuditSpec extends AnyFunSuite {
   test("no unintended cartesian products anywhere in the registry") {
     // Broadcast nested-loop joins are legitimate only for 1-row scalar
     // frames (corpus totals); a CartesianProduct node is never OK.
-    for ((name, fn) <- SparkEntry.queries) {
+    // Queries whose CONSTRUCTION already runs driver-side jobs (model
+    // fits, sketch builds) are skipped: stringifying their final frame
+    // would pay a full training run for a plan check, and their plans
+    // are simple scans/aggregates covered by their own specs.
+    val eagerConstruction = Set("q50_kmeans_embeddings", "q51_rf_regression",
+      "q55_ann_ivf", "q96_bloom_contamination", "q98_quality_classifier",
+      "q103_heavy_hitters")
+    for ((name, fn) <- SparkEntry.queries if !eagerConstruction(name)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian join")
     }
