@@ -1014,6 +1014,39 @@ object Relational {
       JOIN nation ON s_nationkey = n_nationkey
       GROUP BY n_name ORDER BY revenue DESC, n_name"""))
 
+  /** q112 — groupwise checksum (q106 sharded by ship month): when the
+    * global checksum diverges after a copy, this localizes WHICH slice
+    * to re-transfer — one hash agg keyed on the partition column, still
+    * order-independent within each group. */
+  val groupChecksum: Q = {
+    def sparkRowHash = md5h61(concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast(Dec).cast("string"),
+      col("l_extendedprice").cast(Dec).cast("string"),
+      col("l_discount").cast(Dec).cast("string"),
+      col("l_returnflag"), col("l_linestatus"),
+      unix_seconds(col("l_shipdate").cast("timestamp")).cast("string")))
+    val sqlRowHash = sqlMd5h61("concat_ws('|', l_orderkey, l_linenumber," +
+      " cast(cast(l_quantity as decimal(18,4)) as varchar)," +
+      " cast(cast(l_extendedprice as decimal(18,4)) as varchar)," +
+      " cast(cast(l_discount as decimal(18,4)) as varchar)," +
+      " l_returnflag, l_linestatus, epoch_us(l_shipdate) // 1000000)")
+    Q(
+      "q112_group_checksum",
+      (s, d) => Tables.lineitem(s, d)
+        .select(date_trunc("month", col("l_shipdate")).as("ship_month"),
+          sparkRowHash.as("h"))
+        .groupBy("ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            % lit(BigDecimal(H61Mod))).cast("long").as("checksum"))
+        .orderBy("ship_month"),
+      Some(s"""SELECT date_trunc('month', l_shipdate) AS ship_month,
+          count(*) AS n_rows,
+          cast(sum($sqlRowHash)::hugeint % $H61Mod as bigint) AS checksum
+        FROM lineitem GROUP BY ship_month ORDER BY ship_month"""))
+  }
+
   val all: Seq[Q] = Seq(
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
@@ -1027,5 +1060,5 @@ object Relational {
     percentiles, mergeUpsert,
     conditionalAggs, stringSuite2, bitwiseOps, groupingSets,
     eventTypeMap, cubeAgg, windowFrames, unpivotMetrics, sessionWindowAgg,
-    scd2Upsert, tableChecksum, tpchQ3, tpchQ5)
+    scd2Upsert, tableChecksum, tpchQ3, tpchQ5, groupChecksum)
 }
