@@ -1047,6 +1047,68 @@ object Relational {
         FROM lineitem GROUP BY ship_month ORDER BY ship_month"""))
   }
 
+  /** q113 — equi-depth deciles via ntile over a TOTAL order (doc_id
+    * tiebreak makes the assignment deterministic): the length-
+    * stratification report for balancing training shards. */
+  val equidepthDeciles: Q = Q(
+    "q113_equidepth_deciles",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("n_chars"), col("doc_id"))))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("decile"),
+    Some("""WITH t AS (
+        SELECT n_chars,
+          ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+        FROM documents)
+      SELECT decile, count(*) AS n_docs,
+        min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      FROM t GROUP BY decile ORDER BY decile"""))
+
+  /** q114 — Pearson correlation from EXACT decimal sums: built-in corr()
+    * accumulates co-moments in doubles (order-dependent last-ulp drift
+    * across engines/partitionings), so the classic formula is evaluated
+    * over exact Σx, Σy, Σxy, Σx², Σy² instead — every double op in the
+    * final expression is identical on both engines. */
+  val correlation: Q = {
+    val sq = org.apache.spark.sql.types.DecimalType(38, 8)
+    Q(
+      "q114_correlation",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_quantity").cast(Dec).as("x"),
+          col("l_extendedprice").cast(Dec).as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum((col("x") * col("y")).cast(sq)).cast("double").as("sxy"),
+          sum((col("x") * col("x")).cast(sq)).cast("double").as("sxx"),
+          sum((col("y") * col("y")).cast(sq)).cast("double").as("syy"))
+        .select(col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_price")),
+      Some("""WITH g AS (
+          SELECT count(*) AS n,
+            cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sx,
+            cast(sum(cast(l_extendedprice as decimal(18,4))) as double) AS sy,
+            cast(sum(cast(l_quantity as decimal(19,4)) *
+              cast(l_extendedprice as decimal(19,4))) as double) AS sxy,
+            cast(sum(cast(l_quantity as decimal(19,4)) *
+              cast(l_quantity as decimal(19,4))) as double) AS sxx,
+            cast(sum(cast(l_extendedprice as decimal(19,4)) *
+              cast(l_extendedprice as decimal(19,4))) as double) AS syy
+          FROM lineitem)
+        SELECT n,
+          ((n * sxy - sx * sy) /
+            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+          AS corr_qty_price
+        FROM g"""))
+  }
+
   val all: Seq[Q] = Seq(
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
@@ -1060,5 +1122,6 @@ object Relational {
     percentiles, mergeUpsert,
     conditionalAggs, stringSuite2, bitwiseOps, groupingSets,
     eventTypeMap, cubeAgg, windowFrames, unpivotMetrics, sessionWindowAgg,
-    scd2Upsert, tableChecksum, tpchQ3, tpchQ5, groupChecksum)
+    scd2Upsert, tableChecksum, tpchQ3, tpchQ5, groupChecksum,
+    equidepthDeciles, correlation)
 }
