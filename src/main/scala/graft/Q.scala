@@ -62,8 +62,23 @@ object Tables {
 object Dsl {
   val Dec: DecimalType = DecimalType(18, 4)
 
-  /** Exact decimal sum, returned as double (bit-identical across engines). */
-  def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+  /** decimal → double via an int+frac split. DuckDB's cast of an
+    * int128-scaled decimal converts the scaled integer to double BEFORE
+    * dividing by the scale, so once the scaled sum passes 2^53 the
+    * fraction is lost (observed on q114 at sf0.1); Spark's BigDecimal
+    * cast rounds correctly, and the engines diverge. Both engines
+    * instead convert floor(s) and s−floor(s) — each exact in double —
+    * and run one identical IEEE add. */
+  def splitDbl(c: Column): Column =
+    floor(c).cast(DoubleType) + (c - floor(c)).cast(DoubleType)
+
+  /** SQL twin of [[splitDbl]] over a decimal expression. */
+  def sqlSplitDbl(e: String): String =
+    s"(cast(floor($e) as double) + cast(($e) - floor($e) as double))"
+
+  /** Exact decimal sum, returned as double (bit-identical across engines
+    * at any magnitude — see [[splitDbl]]). */
+  def dsum(c: Column): Column = splitDbl(sum(c.cast(Dec)))
 
   /** Exact average: exact decimal sum (as double) / count — a single IEEE
     * division of identical operands on both engines. */
@@ -71,7 +86,7 @@ object Dsl {
 
   /** SQL twin of [[dsum]]. */
   def sqlDsum(expr: String): String =
-    s"cast(sum(cast($expr as decimal(18,4))) as double)"
+    sqlSplitDbl(s"sum(cast($expr as decimal(18,4)))")
 
   /** SQL twin of [[davg]]. */
   def sqlDavg(expr: String): String =

@@ -1077,31 +1077,47 @@ object Relational {
     val sq = org.apache.spark.sql.types.DecimalType(38, 8)
     Q(
       "q114_correlation",
-      (s, d) => Tables.lineitem(s, d)
+      (s, d) => {
+        // decimal -> double via an int+frac split: DuckDB's cast of an
+        // int128-scaled decimal converts the scaled integer to double
+        // BEFORE dividing by the scale, so a >2^53 scaled sum loses its
+        // fraction (observed at sf0.1); Spark's BigDecimal cast rounds
+        // correctly. Splitting keeps every converted part exact (<2^53)
+        // and both engines then run the identical IEEE add.
+        def splitDbl(c: org.apache.spark.sql.Column) =
+          floor(c).cast("double") + (c - floor(c)).cast("double")
+        Tables.lineitem(s, d)
         .select(col("l_quantity").cast(Dec).as("x"),
           col("l_extendedprice").cast(Dec).as("y"))
         .agg(count(lit(1)).as("n"),
-          sum(col("x")).cast("double").as("sx"),
-          sum(col("y")).cast("double").as("sy"),
-          sum((col("x") * col("y")).cast(sq)).cast("double").as("sxy"),
-          sum((col("x") * col("x")).cast(sq)).cast("double").as("sxx"),
-          sum((col("y") * col("y")).cast(sq)).cast("double").as("syy"))
+          splitDbl(sum(col("x"))).as("sx"),
+          splitDbl(sum(col("y"))).as("sy"),
+          splitDbl(sum((col("x") * col("y")).cast(sq))).as("sxy"),
+          splitDbl(sum((col("x") * col("x")).cast(sq))).as("sxx"),
+          splitDbl(sum((col("y") * col("y")).cast(sq))).as("syy"))
         .select(col("n"),
           ((col("n") * col("sxy") - col("sx") * col("sy")) /
             sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
               (col("n") * col("syy") - col("sy") * col("sy"))))
-            .as("corr_qty_price")),
+            .as("corr_qty_price"))
+      },
       Some("""WITH g AS (
-          SELECT count(*) AS n,
-            cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sx,
-            cast(sum(cast(l_extendedprice as decimal(18,4))) as double) AS sy,
-            cast(sum(cast(l_quantity as decimal(19,4)) *
-              cast(l_extendedprice as decimal(19,4))) as double) AS sxy,
-            cast(sum(cast(l_quantity as decimal(19,4)) *
-              cast(l_quantity as decimal(19,4))) as double) AS sxx,
-            cast(sum(cast(l_extendedprice as decimal(19,4)) *
-              cast(l_extendedprice as decimal(19,4))) as double) AS syy
-          FROM lineitem)
+          SELECT n,
+            cast(floor(sx0) as double) + cast(sx0 - floor(sx0) as double) AS sx,
+            cast(floor(sy0) as double) + cast(sy0 - floor(sy0) as double) AS sy,
+            cast(floor(sxy0) as double) + cast(sxy0 - floor(sxy0) as double) AS sxy,
+            cast(floor(sxx0) as double) + cast(sxx0 - floor(sxx0) as double) AS sxx,
+            cast(floor(syy0) as double) + cast(syy0 - floor(syy0) as double) AS syy
+          FROM (SELECT count(*) AS n,
+            sum(cast(l_quantity as decimal(18,4))) AS sx0,
+            sum(cast(l_extendedprice as decimal(18,4))) AS sy0,
+            sum(cast(l_quantity as decimal(19,4)) *
+              cast(l_extendedprice as decimal(19,4))) AS sxy0,
+            sum(cast(l_quantity as decimal(19,4)) *
+              cast(l_quantity as decimal(19,4))) AS sxx0,
+            sum(cast(l_extendedprice as decimal(19,4)) *
+              cast(l_extendedprice as decimal(19,4))) AS syy0
+          FROM lineitem))
         SELECT n,
           ((n * sxy - sx * sy) /
             sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
