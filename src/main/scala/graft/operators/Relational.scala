@@ -1125,6 +1125,63 @@ object Relational {
         FROM g"""))
   }
 
+  /** q117 — TPC-H Q18 shape (large-volume customer): orders whose total
+    * quantity exceeds a threshold, joined back to customer, top-100 by
+    * price. The group-HAVING runs FIRST on lineitem alone (partial aggs
+    * map-side), and only the tiny survivor set (~1% of orders) joins —
+    * broadcast — against orders/customer; the top-100 is a
+    * TakeOrderedAndProject. At 100 TB the big table is touched exactly
+    * once, by one map-side-combined hash agg. */
+  val tpchQ18: Q = Q(
+    "q117_tpch_q18",
+    (s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      Tables.orders(s, d)
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some(s"""WITH big AS (
+        SELECT l_orderkey, ${sqlDsum("l_quantity")} AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING ${sqlDsum("l_quantity")} > 250.0)
+      SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        sum_qty
+      FROM orders
+      JOIN big ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
+
+  /** q118 — TPC-H Q4 shape (order-priority checking): orders with at
+    * least one lineitem shipped > 30 days after the order date, counted
+    * by priority. The EXISTS is a LEFT SEMI join — each qualifying order
+    * counts once no matter how many late lines it has — with the
+    * non-equi lateness predicate evaluated inside the join, never as a
+    * post-join filter over duplicated rows. */
+  val tpchQ4: Q = Q(
+    "q118_tpch_q4",
+    (s, d) => Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority, count(*) AS n_late
+      FROM orders o
+      WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
@@ -1139,5 +1196,5 @@ object Relational {
     conditionalAggs, stringSuite2, bitwiseOps, groupingSets,
     eventTypeMap, cubeAgg, windowFrames, unpivotMetrics, sessionWindowAgg,
     scd2Upsert, tableChecksum, tpchQ3, tpchQ5, groupChecksum,
-    equidepthDeciles, correlation)
+    equidepthDeciles, correlation, tpchQ18, tpchQ4)
 }

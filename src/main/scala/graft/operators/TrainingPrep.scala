@@ -540,8 +540,137 @@ object TrainingPrep {
           (acc, v) -> greatest(acc, v)) AS max_abs_err
       FROM b ORDER BY vec_id"""))
 
+  // ------------------------------------------------------------------
+  // q115 — sequence packing (GPT-pretraining concat-and-chunk): docs are
+  // shuffled by content hash into `PackShards` independent streams, each
+  // stream is concatenated in (hash, doc_id) order, and sequence
+  // boundaries fall every `PackBudget` tokens. Per doc: which sequence
+  // it starts in, at what offset, and whether it straddles a boundary.
+  //
+  // Scale shape: the cumulative sum is windowed PER SHARD — at 100 TB
+  // each shard is one partition-sized packing stream (this is exactly
+  // how multi-worker packing runs in production: workers pack their own
+  // shard; ids stay globally unique via shard * 2^32 + seq_in_shard).
+  // Never a single global ORDER BY window over the whole corpus.
+  // ------------------------------------------------------------------
+  private val PackBudget = 64
+  private val PackShards = 8
+
+  val sequencePacking: Q = Q(
+    "q115_sequence_packing",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("h", "doc_id")
+        .rowsBetween(Long.MinValue, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5h61(col("text")).as("h"),
+          size(toks(col("text"))).as("n_tokens"))
+        .withColumn("shard", (col("h") % PackShards).cast("int"))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("shard"),
+          (col("shard").cast("long") * lit(1L << 32) +
+            floor(col("cum_before") / PackBudget).cast("long")).as("seq_id"),
+          col("cum_before").%(PackBudget).as("offset_in_seq"),
+          col("n_tokens"),
+          (floor((col("cum_before") + col("n_tokens") - 1) / PackBudget) =!=
+            floor(col("cum_before") / PackBudget)).cast("int").as("straddles"))
+        .orderBy("seq_id", "offset_in_seq", "doc_id")
+    },
+    Some(s"""WITH t AS (
+        SELECT doc_id, ${sqlMd5h61("text")} AS h,
+          cast(len(${sqlToks("text")}) as int) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, cast(h % $PackShards as int) AS shard, n_tokens,
+          cast(coalesce(sum(n_tokens) OVER (
+            PARTITION BY h % $PackShards ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            as bigint) AS cum_before
+        FROM t)
+      SELECT doc_id, shard,
+        shard * ${1L << 32} + cum_before // $PackBudget AS seq_id,
+        cum_before % $PackBudget AS offset_in_seq,
+        n_tokens,
+        cast((cum_before + n_tokens - 1) // $PackBudget
+          <> cum_before // $PackBudget as int) AS straddles
+      FROM c ORDER BY seq_id, offset_in_seq, doc_id"""))
+
+  // ------------------------------------------------------------------
+  // q116 — winnowing document fingerprints (Schleimer, Wilkerson &
+  // Aiken, SIGMOD'03 — the MOSS algorithm): hash every word-3-gram,
+  // slide a w=4 window over the hash stream, keep each window's minimum;
+  // the DISTINCT kept hashes are the document's fingerprint set
+  // (guarantee: any shared run of >= w+k-1 tokens shares a fingerprint).
+  // Output is the per-doc fingerprint summary: count + an
+  // order-independent checksum of the set.
+  //
+  // Scale shape: the window is partitioned per doc_id (never global),
+  // explode fan-out is linear in tokens, and the checksum is one
+  // commutative agg — the fingerprint set itself joins downstream on the
+  // hash value (same equi-join discipline as q37/q84).
+  // ------------------------------------------------------------------
+  private val WinnowW = 4
+
+  /** One row per (doc_id, n_grams, selected fingerprint hash): every
+    * w-gram window's minimum 3-gram hash, pre-DISTINCT. Exposed so specs
+    * can check the winnowing guarantee on synthetic docs; q116 is the
+    * per-doc summary over DISTINCT fingerprints. */
+  def winnowSelected(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), shingles3(toks(col("text"))).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_grams"),
+        posexplode(col("sh")).as(Seq("p0", "g")))
+      .select(col("doc_id"), col("n_grams"),
+        (col("p0") + 1).as("p"), md5h61(col("g")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+      .rowsBetween(0, WinnowW - 1)
+    grams
+      .withColumn("wmin", min(col("h")).over(w))
+      // valid window starts; a doc with 0 < n_grams < w keeps its
+      // single all-grams window (the paper's short-doc convention)
+      .filter(col("p") <= greatest(col("n_grams") - (WinnowW - 1), lit(1)))
+  }
+
+  val winnowFingerprints: Q = Q(
+    "q116_winnow_fingerprints",
+    (s, d) => {
+      winnowSelected(Tables.documents(s, d))
+        .groupBy("doc_id")
+        .agg(max(col("n_grams")).as("n_grams"),
+          countDistinct(col("wmin")).as("n_fps"),
+          // sum of DISTINCT 61-bit hashes overflows int64 → exact decimal
+          (sum_distinct(col("wmin").cast("decimal(38,0)")) % lit(H61Mod))
+            .cast("long").as("fp_checksum"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (
+        SELECT doc_id, ${sqlShingles3(s"(${sqlToks("text")})")} AS sh
+        FROM documents),
+      g AS (
+        SELECT doc_id, cast(len(sh) as int) AS n_grams,
+          unnest(generate_series(1, len(sh))) AS p, sh
+        FROM tk),
+      h AS (
+        SELECT doc_id, n_grams, cast(p as int) AS p,
+          ${sqlMd5h61("sh[p]")} AS h
+        FROM g),
+      w AS (
+        SELECT doc_id, n_grams, p,
+          min(h) OVER (PARTITION BY doc_id ORDER BY p
+            ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wmin
+        FROM h)
+      SELECT doc_id, max(n_grams) AS n_grams,
+        cast(count(DISTINCT wmin) as bigint) AS n_fps,
+        cast(sum(DISTINCT wmin) % $H61Mod as bigint) AS fp_checksum
+      FROM w WHERE p <= greatest(n_grams - ${WinnowW - 1}, 1)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
     bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf,
     approxPercentiles, bloomContamination, fuzzyPairs, heavyHitters,
-    weightedSample, oovRate, embeddingQuantize)
+    weightedSample, oovRate, embeddingQuantize, sequencePacking,
+    winnowFingerprints)
 }

@@ -68,6 +68,18 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("CartesianProduct"), p)
   }
 
+  test("tpch q18 broadcasts the HAVING survivors and top-ks, never full-sorts") {
+    val p = plan("q117_tpch_q18")
+    assert(p.contains("BroadcastHashJoin"), s"survivor set must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 must not full-sort:\n$p")
+  }
+
+  test("tpch q4 EXISTS runs as a semi join with the lateness predicate inside") {
+    val p = plan("q118_tpch_q4")
+    assert(p.contains("LeftSemi"), s"EXISTS must be a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the hot aggregation pipelines") {
     for (q <- Seq("q01_pricing_summary", "q06_join_multiway_agg",
         "q30_token_count", "q82_text_chunks")) {

@@ -185,4 +185,70 @@ class TrainingPrepSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(salted.toSeq == plain.toSeq)
   }
+
+  test("sequence packing covers every doc once, conserves tokens, and flags straddles exactly") {
+    val rows = SparkEntry.queries("q115_sequence_packing")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5))) // doc, shard, seq, offset, n_tokens, straddles
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_._1).distinct.length.toLong == nDocs, "each doc packed once")
+    val Budget = 64
+    rows.foreach { case (doc, shard, seq, off, nt, straddles) =>
+      assert(off >= 0 && off < Budget, s"doc $doc offset $off")
+      assert(seq >> 32 == shard, s"doc $doc seq_id must encode its shard")
+      // straddle ⇔ the doc's last token lands past its start boundary
+      assert((straddles == 1) == (off + nt - 1 >= Budget),
+        s"doc $doc: off=$off nt=$nt straddles=$straddles")
+    }
+    // within a shard, docs are dense: sorted by seq/offset, each doc
+    // starts exactly where the previous one ended (concat-and-chunk
+    // leaves no gaps), so per-shard token sums reconstruct the stream
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      val ordered = rs.sortBy(r => (r._3, r._4, r._1))
+      var cum = 0L
+      ordered.foreach { case (doc, _, seq, off, nt, _) =>
+        assert((seq & 0xffffffffL) == cum / Budget && off == cum % Budget,
+          s"shard $shard doc $doc: expected cum $cum, got seq=$seq off=$off")
+        cum += nt
+      }
+    }
+  }
+
+  test("winnowing guarantee: docs sharing a run of >= w+k-1 tokens share a fingerprint") {
+    import spark.implicits._
+    // k=3 (word shingles), w=4: any shared run of 6 tokens must yield a
+    // common selected fingerprint. Two docs embed the same 8-token run
+    // inside different surroundings; a third shares nothing.
+    val shared = "zig quux blarp wibble fnord glork snark plugh"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"one two three four five $shared six"),
+      (3L, "entirely different words with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val fps = operators.TrainingPrep.winnowSelected(docs)
+      .select(col("doc_id"), col("wmin")).distinct().collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared 8-token run must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty, "disjoint docs must not collide")
+    // every fingerprint is one of the doc's own 3-gram hashes
+    val grams1 = docs.filter($"doc_id" === 1L)
+      .select(explode(Dsl.shingles3(Dsl.toks($"text"))).as("g"))
+      .select(Dsl.md5h61($"g")).collect().map(_.getLong(0)).toSet
+    assert(fps(1L).subsetOf(grams1))
+  }
+
+  test("winnowing summary counts match the selected-fingerprint frame") {
+    val sel = operators.TrainingPrep.winnowSelected(Tables.documents(spark, sf))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("wmin")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q = SparkEntry.queries("q116_winnow_fingerprints")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(q == sel)
+    // fingerprint density: winnowing keeps ~2/(w+1) of grams; sanity-
+    // bound it loosely — at least one fp per doc with grams, never more
+    // fps than window starts
+    assert(q.values.forall(_ >= 1))
+  }
 }
