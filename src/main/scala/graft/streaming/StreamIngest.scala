@@ -146,6 +146,89 @@ object StreamIngest {
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
 
+  /** Latest-row-per-key merge: base ∪ batch reduced to one survivor per
+    * key — highest (tsCol, row-content hash) wins, the hash pinning
+    * duplicate-timestamp ties deterministically. A pure function of its
+    * two inputs, which is what makes the streaming upsert below
+    * replay-safe. The rank-1 filter is the TopKPerGroup rewrite pattern,
+    * so under GraftExtensions the merge runs on the bounded-heap exec
+    * (O(1) state per key) after a single shuffle on the key. */
+  def mergeLatest(base: DataFrame, batch: DataFrame, key: String,
+      tsCol: String): DataFrame = {
+    val all = base.unionByName(batch.select(base.columns.map(col).toSeq: _*))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+      .orderBy(col(tsCol).desc,
+        xxhash64(to_json(struct(all.columns.map(col).toSeq: _*))).desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  private def stateVersions(stateDir: String): Seq[(Long, java.nio.file.Path)] = {
+    val base = java.nio.file.Paths.get(stateDir)
+    if (!java.nio.file.Files.isDirectory(base)) Seq.empty
+    else scala.util.Using.resource(java.nio.file.Files.list(base)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.toSeq.flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("state_v")) Some(n.stripPrefix("state_v").toLong -> p)
+        else None
+      }
+    }
+  }
+
+  /** Read the current state table: the highest completed version dir. */
+  def readLatestState(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(stateVersions(stateDir).maxBy(_._1)._2.toString)
+
+  /** One micro-batch of the keyed upsert, factored out so batch code and
+    * specs can drive it directly. Version dirs make the sink exactly-once:
+    * batch b always derives `state_v{b}` from the newest version BELOW b,
+    * so a replayed batch (failure after write, before checkpoint commit)
+    * deterministically REWRITES its own version instead of
+    * double-applying on top of it. Old versions beyond `keepVersions`
+    * are pruned — the replay parent is always retained. */
+  def applyUpsertBatch(batch: DataFrame, batchId: Long, stateDir: String,
+      key: String, tsCol: String, keepVersions: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    val prev = stateVersions(stateDir).filter(_._1 < batchId)
+      .sortBy(-_._1).headOption
+    val base = prev.map(p => spark.read.parquet(p._2.toString))
+      .getOrElse(batch.limit(0).toDF())
+    mergeLatest(base, batch.toDF(), key, tsCol)
+      .write.mode("overwrite")
+      .parquet(f"$stateDir/state_v$batchId%09d")
+    stateVersions(stateDir).sortBy(-_._1).drop(keepVersions).foreach {
+      case (_, dir) =>
+        scala.util.Using.resource(java.nio.file.Files.walk(dir)) { st =>
+          import scala.jdk.CollectionConverters._
+          st.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+        }
+    }
+  }
+
+  /** Streaming keyed upsert sink: maintains a latest-row-per-key serving
+    * table across micro-batches (the streaming twin of a MERGE INTO /
+    * SCD-1 refresh — q105 is the batch SCD-2 sibling). foreachBatch +
+    * versioned dirs give exactly-once replay semantics on a plain
+    * filesystem; readers resolve the newest version, same latest-dir
+    * discipline as apps.ServingData. */
+  def startKeyedUpsert(updates: DataFrame, stateDir: String,
+      checkpointDir: String, key: String, tsCol: String,
+      keepVersions: Int = 2,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          applyUpsertBatch(batch.toDF(), batchId, stateDir, key, tsCol,
+            keepVersions)
+      }
+      .trigger(trigger)
+      .start()
+
   /** Stream-stream interval join: purchases attributed to a click by the
     * same user within the preceding `windowMinutes`. Both sides carry
     * watermarks and the join condition bounds event time on both sides,

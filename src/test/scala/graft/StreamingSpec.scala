@@ -203,4 +203,62 @@ class StreamingSpec extends AnyFunSuite {
       assert(r.getTimestamp(1).getTime - r.getTimestamp(0).getTime == 60000L)
     }
   }
+
+  test("keyed upsert maintains latest-per-key across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-upsert").toFile
+    dir.deleteOnExit()
+    val stateDir = s"${dir.getAbsolutePath}/state"
+    val ckDir = s"${dir.getAbsolutePath}/ck"
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val q = StreamIngest.startKeyedUpsert(
+      mem.toDF().toDF("k", "ts", "v"), stateDir, ckDir, "k", "ts",
+      trigger = Trigger.ProcessingTime("1 second"))
+    try {
+      mem.addData(
+        ("a", Timestamp.valueOf("2026-01-01 10:00:00"), 1.0),
+        ("b", Timestamp.valueOf("2026-01-01 10:00:01"), 2.0))
+      q.processAllAvailable()
+      val v1 = StreamIngest.readLatestState(spark, stateDir)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(v1 == Map("a" -> 1.0, "b" -> 2.0))
+      mem.addData(
+        ("a", Timestamp.valueOf("2026-01-01 10:05:00"), 9.0), // update a
+        ("a", Timestamp.valueOf("2026-01-01 09:00:00"), 0.5), // stale — loses
+        ("c", Timestamp.valueOf("2026-01-01 10:05:01"), 3.0)) // new key
+      q.processAllAvailable()
+      val v2 = StreamIngest.readLatestState(spark, stateDir)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(v2 == Map("a" -> 9.0, "b" -> 2.0, "c" -> 3.0),
+        s"stale row must not win: $v2")
+    } finally q.stop()
+  }
+
+  test("upsert batch replay rewrites its version instead of double-applying") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-upsert2").toFile
+    dir.deleteOnExit()
+    val stateDir = s"${dir.getAbsolutePath}/state"
+    val b0 = Seq(("a", Timestamp.valueOf("2026-01-01 10:00:00"), 1.0))
+      .toDF("k", "ts", "v")
+    val b1 = Seq(
+      ("a", Timestamp.valueOf("2026-01-01 10:05:00"), 9.0),
+      ("b", Timestamp.valueOf("2026-01-01 10:05:01"), 2.0))
+      .toDF("k", "ts", "v")
+    StreamIngest.applyUpsertBatch(b0, 0L, stateDir, "k", "ts")
+    StreamIngest.applyUpsertBatch(b1, 1L, stateDir, "k", "ts")
+    val once = StreamIngest.readLatestState(spark, stateDir)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).sorted.toSeq
+    // replay batch 1 (post-write crash before the checkpoint commit):
+    // the merge re-derives state_v1 from state_v0, so nothing changes
+    StreamIngest.applyUpsertBatch(b1, 1L, stateDir, "k", "ts")
+    val twice = StreamIngest.readLatestState(spark, stateDir)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).sorted.toSeq
+    assert(once == twice && once == Seq(("a", 9.0), ("b", 2.0)))
+    // pruning kept the replay parent + head only
+    val versions = new java.io.File(stateDir).listFiles()
+      .map(_.getName).filter(_.startsWith("state_v")).sorted.toSeq
+    assert(versions == Seq("state_v000000000", "state_v000000001"))
+  }
 }
