@@ -1156,7 +1156,8 @@ object Relational {
       FROM orders
       JOIN big ON o_orderkey = l_orderkey
       JOIN customer ON o_custkey = c_custkey
-      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
+    bench = true)
 
   /** q118 — TPC-H Q4 shape (order-priority checking): orders with at
     * least one lineitem shipped > 30 days after the order date, counted

@@ -320,7 +320,113 @@ object TextAnalysis {
       FROM uni JOIN big ON uni.doc_id = big.doc_id
       ORDER BY uni.doc_id"""))
 
+  // ------------------------------------------------------------------
+  // q119 — robust outlier filter (median + MAD): flag docs whose length
+  // deviates from their source's median by > 3 MAD. Mean/stddev are the
+  // naive choice and get dragged by the very outliers being hunted;
+  // median/MAD is the standard robust gate for corpus length filtering.
+  //
+  // Cross-engine exactness: both medians are computed MANUALLY as
+  // (min+max)/2.0 of the middle one-or-two ranked values — built-in
+  // percentile/quantile_cont interpolation may use different expression
+  // shapes per engine and drift in the last ulp. Every window partitions
+  // by source (never global).
+  // ------------------------------------------------------------------
+  val madOutliers: Q = Q(
+    "q119_mad_outliers",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bySrc = Window.partitionBy("source")
+      def medianOf(df: org.apache.spark.sql.DataFrame, valueCol: String,
+          out: String) = {
+        val w = Window.partitionBy("source")
+          .orderBy(col(valueCol), col("doc_id"))
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(bySrc))
+          // `div` = integer division (Spark `/` is double division and
+          // would miss the rank compare on even counts)
+          .withColumn("mid",
+            when(col("rn") === expr("(cnt + 1) div 2") ||
+              col("rn") === expr("(cnt + 2) div 2"), col(valueCol)))
+          .withColumn(out,
+            (min(col("mid")).over(bySrc).cast("double") +
+              max(col("mid")).over(bySrc).cast("double")) / 2.0)
+          .drop("rn", "cnt", "mid")
+      }
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val withMed = medianOf(base, "n_chars", "med")
+        .withColumn("dev", abs(col("n_chars") - col("med")))
+      medianOf(withMed, "dev", "mad")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("med"), col("mad"),
+          (col("dev") > lit(3.0) * col("mad")).cast("int").as("outlier"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, source, n_chars FROM documents),
+      r1 AS (
+        SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY n_chars, doc_id) AS rn,
+          count(*) OVER (PARTITION BY source) AS cnt
+        FROM base),
+      m1 AS (
+        SELECT *, CASE WHEN rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+            THEN n_chars END AS mid
+        FROM r1),
+      d1 AS (
+        SELECT doc_id, source, n_chars,
+          (cast(min(mid) OVER (PARTITION BY source) as double) +
+           cast(max(mid) OVER (PARTITION BY source) as double)) / 2.0
+            AS med
+        FROM m1),
+      dev AS (
+        SELECT *, abs(n_chars - med) AS dev FROM d1),
+      r2 AS (
+        SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY dev, doc_id) AS rn,
+          count(*) OVER (PARTITION BY source) AS cnt
+        FROM dev),
+      m2 AS (
+        SELECT *, CASE WHEN rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+            THEN dev END AS mid
+        FROM r2)
+      SELECT doc_id, source, n_chars, med,
+        (cast(min(mid) OVER (PARTITION BY source) as double) +
+         cast(max(mid) OVER (PARTITION BY source) as double)) / 2.0 AS mad,
+        cast(dev > 3.0 * ((cast(min(mid) OVER (PARTITION BY source) as double) +
+          cast(max(mid) OVER (PARTITION BY source) as double)) / 2.0)
+          as int) AS outlier
+      FROM m2 ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------------
+  // q120 — blocklist filter (C4-style banned-words gate): per doc, the
+  // number of exact-token blocklist hits and the keep/drop flag. Token
+  // equality, not substring — substring matching is the classic
+  // over-blocking bug. One linear list_filter per doc inside codegen;
+  // a real deployment broadcasts the (bigger) list, same plan shape.
+  // ------------------------------------------------------------------
+  private val Blocklist = Seq("slow", "leak", "crash")
+
+  val blocklistFilter: Q = Q(
+    "q120_blocklist_filter",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(filter(toks(col("text")),
+          t => t.isin(Blocklist: _*))).as("n_hits"))
+      .select(col("doc_id"), col("n_hits"),
+        (col("n_hits") === 0).cast("int").as("keep"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+        cast(len(list_filter(${sqlToks("text")},
+          x -> x IN (${Blocklist.map(w => s"'$w'").mkString(", ")})))
+          as int) AS n_hits,
+        cast(len(list_filter(${sqlToks("text")},
+          x -> x IN (${Blocklist.map(w => s"'$w'").mkString(", ")}))) = 0
+          as int) AS keep
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
     fingerprint, topTerms, pivotEvents, rareTerms, regexTokens,
-    repetitionFilter)
+    repetitionFilter, madOutliers, blocklistFilter)
 }

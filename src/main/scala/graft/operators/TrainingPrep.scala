@@ -102,8 +102,13 @@ object TrainingPrep {
     "q84_contamination",
     (s, d) => {
       val sh = Tables.documents(s, d)
+        // materialize the token array BEFORE shingling: inlining
+        // toks(text) into the transform lambda re-splits the whole text
+        // per gram index (O(tokens^2) per doc — measured 15 s vs 0.4 s
+        // at sf0.1 on q116's identical shape)
+        .select(col("doc_id"), toks(col("text")).as("t"))
         .select(col("doc_id"),
-          explode(shingles3(toks(col("text")))).as("sh"))
+          explode(shingles3(col("t"))).as("sh"))
         .select(col("doc_id"), md5h61(col("sh")).as("h"))
         .distinct()
       val eval_ = sh.filter(col("doc_id") % 10 === 0)
@@ -359,8 +364,13 @@ object TrainingPrep {
     "q96_bloom_contamination",
     (s, d) => {
       val sh = Tables.documents(s, d)
+        // materialize the token array BEFORE shingling: inlining
+        // toks(text) into the transform lambda re-splits the whole text
+        // per gram index (O(tokens^2) per doc — measured 15 s vs 0.4 s
+        // at sf0.1 on q116's identical shape)
+        .select(col("doc_id"), toks(col("text")).as("t"))
         .select(col("doc_id"),
-          explode(shingles3(toks(col("text")))).as("sh"))
+          explode(shingles3(col("t"))).as("sh"))
         .select(col("doc_id"), md5h61(col("sh")).as("h"))
         .distinct()
       val eval_ = sh.filter(col("doc_id") % 10 === 0)
@@ -619,7 +629,10 @@ object TrainingPrep {
   def winnowSelected(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val grams = docs
-      .select(col("doc_id"), shingles3(toks(col("text"))).as("sh"))
+      // token array materialized first — see q84's note (O(n^2) lambda
+      // re-split otherwise; this site measured 15 s -> 0.4 s at sf0.1)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), shingles3(col("t")).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_grams"),
         posexplode(col("sh")).as(Seq("p0", "g")))
       .select(col("doc_id"), col("n_grams"),
@@ -666,7 +679,8 @@ object TrainingPrep {
         cast(count(DISTINCT wmin) as bigint) AS n_fps,
         cast(sum(DISTINCT wmin) % $H61Mod as bigint) AS fp_checksum
       FROM w WHERE p <= greatest(n_grams - ${WinnowW - 1}, 1)
-      GROUP BY doc_id ORDER BY doc_id"""))
+      GROUP BY doc_id ORDER BY doc_id"""),
+    bench = true)
 
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
     bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf,
