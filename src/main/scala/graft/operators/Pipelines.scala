@@ -262,11 +262,13 @@ object Pipelines {
         .groupBy(col("cohort_day"),
           datediff(col("day"), col("cohort_day")).as("day_offset"))
         .agg(countDistinct(col("user_id")).as("active_users"))
+        // timestamp at the boundary, not raw DATE (see q105's scaladoc)
+        .withColumn("cohort_day", col("cohort_day").cast("timestamp"))
         .orderBy("cohort_day", "day_offset")
     },
     Some("""WITH ev AS (SELECT user_id, cast(ts as date) AS day FROM events),
       cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
-      SELECT c.cohort_day,
+      SELECT cast(c.cohort_day as timestamp) AS cohort_day,
         cast(date_diff('day', c.cohort_day, e.day) as int) AS day_offset,
         count(DISTINCT e.user_id) AS active_users
       FROM ev e JOIN cohort c ON e.user_id = c.user_id

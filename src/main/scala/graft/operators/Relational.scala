@@ -586,8 +586,10 @@ object Relational {
         weekday(col("ts")).as("weekday_mon0"),
         quarter(col("ts")).as("qtr"),
         weekofyear(col("ts")).as("week_iso"),
-        last_day(col("ts")).as("month_end"),
-        trunc(col("ts"), "month").as("month_start"),
+        // timestamp, not raw DATE: date32 surfaces as pandas `object`
+        // at the driver boundary (see q105's scaladoc for the rule)
+        last_day(col("ts")).cast("timestamp").as("month_end"),
+        trunc(col("ts"), "month").cast("timestamp").as("month_start"),
         (col("ts") + expr("INTERVAL 1 MONTH")).as("plus_month"),
         datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("days_since"))
       .orderBy("event_id"),
@@ -596,8 +598,8 @@ object Relational {
       cast(isodow(ts) - 1 as int) AS weekday_mon0,
       cast(quarter(ts) as int) AS qtr,
       cast(weekofyear(ts) as int) AS week_iso,
-      last_day(ts) AS month_end,
-      cast(date_trunc('month', ts) as date) AS month_start,
+      cast(last_day(ts) as timestamp) AS month_end,
+      date_trunc('month', ts) AS month_start,
       ts + INTERVAL 1 MONTH AS plus_month,
       cast(date_diff('day', date '2024-01-01', cast(ts as date)) as int) AS days_since
       FROM events ORDER BY event_id"""))
@@ -883,7 +885,12 @@ object Relational {
     * derived deterministically (keys ≡ 0 mod 10 get price + 5.0000 —
     * exact decimal addition, no cross-engine rounding). One broadcast-
     * sized change set + a union: at scale this is a map-side join plus
-    * an append, never a rewrite of unchanged history. */
+    * an append, never a rewrite of unchanged history.
+    * Output-boundary rule: the internal math stays DECIMAL(18,4) for
+    * exactness, but the emitted columns are double/timestamp — raw
+    * DECIMAL and DATE parquet columns surface as pandas `object` cells
+    * while DuckDB surfaces float64/datetime64, so the driver's
+    * dtype-sensitive hash would diverge on bit-identical values. */
   val scd2Upsert: Q = {
     val changeDate = "DATE '2025-01-01'"
     Q(
@@ -894,15 +901,17 @@ object Relational {
             col("p_retailprice").cast(Dec).as("price"))
         val changed = col("p_partkey") % 10 === 0
         val oldRows = base.select(
-          col("p_partkey"), col("p_name"), col("price"),
-          to_date(lit("1900-01-01")).as("valid_from"),
-          when(changed, to_date(lit("2025-01-01")))
-            .otherwise(lit(null).cast("date")).as("valid_to"))
+          col("p_partkey"), col("p_name"),
+          col("price").cast("double").as("price"),
+          to_date(lit("1900-01-01")).cast("timestamp").as("valid_from"),
+          when(changed, to_date(lit("2025-01-01")).cast("timestamp"))
+            .otherwise(lit(null).cast("timestamp")).as("valid_to"))
         val newRows = base.filter(changed).select(
           col("p_partkey"), col("p_name"),
-          (col("price") + lit(BigDecimal("5.0000"))).cast(Dec).as("price"),
-          to_date(lit("2025-01-01")).as("valid_from"),
-          lit(null).cast("date").as("valid_to"))
+          (col("price") + lit(BigDecimal("5.0000"))).cast(Dec)
+            .cast("double").as("price"),
+          to_date(lit("2025-01-01")).cast("timestamp").as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))
         oldRows.unionAll(newRows)
           .orderBy("p_partkey", "valid_from")
       },
@@ -910,14 +919,16 @@ object Relational {
           SELECT p_partkey, p_name,
             cast(p_retailprice as decimal(18,4)) AS price
           FROM part)
-        SELECT p_partkey, p_name, price,
-          DATE '1900-01-01' AS valid_from,
-          CASE WHEN p_partkey % 10 = 0 THEN $changeDate END AS valid_to
+        SELECT p_partkey, p_name, cast(price as double) AS price,
+          TIMESTAMP '1900-01-01 00:00:00' AS valid_from,
+          CASE WHEN p_partkey % 10 = 0
+            THEN cast($changeDate as timestamp) END AS valid_to
         FROM base
         UNION ALL
         SELECT p_partkey, p_name,
-          cast(price + 5.0000 as decimal(18,4)) AS price,
-          $changeDate AS valid_from, NULL AS valid_to
+          cast(cast(price + 5.0000 as decimal(18,4)) as double) AS price,
+          cast($changeDate as timestamp) AS valid_from,
+          cast(NULL as timestamp) AS valid_to
         FROM base WHERE p_partkey % 10 = 0
         ORDER BY p_partkey, valid_from"""))
   }

@@ -615,10 +615,16 @@ object TrainingPrep {
   // Output is the per-doc fingerprint summary: count + an
   // order-independent checksum of the set.
   //
-  // Scale shape: the window is partitioned per doc_id (never global),
-  // explode fan-out is linear in tokens, and the checksum is one
-  // commutative agg — the fingerprint set itself joins downstream on the
-  // hash value (same equi-join discipline as q37/q84).
+  // Scale shape: winnowing is a DOC-LOCAL computation, so q116 runs it
+  // as one projection over array higher-order functions — hash array →
+  // per-position window minima (transform+slice+array_min) →
+  // array_distinct → modular-fold checksum. Zero explode, zero shuffle,
+  // zero window sort; the only exchange left is the output orderBy.
+  // (Round 3 ran it as posexplode → shuffle-by-doc_id → window min →
+  // two distinct aggs: 7.06 s at sf0.1, 51% of the whole bench — the
+  // shuffle moved ~n_tokens rows per doc for a computation that never
+  // needed to leave the row.) [[winnowSelected]] keeps the row-per-
+  // window shape as the spec surface for the winnowing guarantee.
   // ------------------------------------------------------------------
   private val WinnowW = 4
 
@@ -650,13 +656,42 @@ object TrainingPrep {
   val winnowFingerprints: Q = Q(
     "q116_winnow_fingerprints",
     (s, d) => {
-      winnowSelected(Tables.documents(s, d))
-        .groupBy("doc_id")
-        .agg(max(col("n_grams")).as("n_grams"),
-          countDistinct(col("wmin")).as("n_fps"),
-          // sum of DISTINCT 61-bit hashes overflows int64 → exact decimal
-          (sum_distinct(col("wmin").cast("decimal(38,0)")) % lit(H61Mod))
-            .cast("long").as("fp_checksum"))
+      // token array materialized first — see q84's note (O(n^2) lambda
+      // re-split otherwise)
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        // docs with zero 3-grams (< 3 tokens) produce no windows (empty
+        // unnest in the oracle) — drop them here. Phrased over the token
+        // array, NOT size(sh) >= 1: a predicate on `sh` gets pushed
+        // below the projections with the shingle lambda substituted in,
+        // where each element re-runs the regex split — O(n_grams) full
+        // splits per row just to evaluate the filter (measured: the
+        // entire 5.9 s q116 regression at sf0.1 was this filter).
+        // size(t) >= 3 pushes down as one split per row.
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), shingles3(col("t")).as("sh"))
+        .select(col("doc_id"), transform(col("sh"), g => md5h61(g)).as("hs"))
+        // `hs` is deliberately referenced ≥2 times in this projection:
+        // a single reference lets CollapseProject inline the whole
+        // md5-array expression into the position lambda's body, where
+        // it re-evaluates PER WINDOW POSITION — O(n_grams²) digests
+        // (measured 5.9 s vs 0.3 s at sf0.1). Same guard as q84's
+        // token-array materialization.
+        .select(col("doc_id"), size(col("hs")).as("n_grams"),
+          // valid window starts 1..max(n-w+1, 1); a doc with
+          // 0 < n_grams < w keeps its single all-grams window (slice
+          // truncates at the array end — the paper's short-doc
+          // convention)
+          array_distinct(transform(
+            sequence(lit(1), greatest(size(col("hs")) - (WinnowW - 1), lit(1))),
+            p => array_min(slice(col("hs"), p, lit(WinnowW))))).as("fps"))
+        .select(col("doc_id"), col("n_grams"),
+          size(col("fps")).cast("long").as("n_fps"),
+          // stepwise-mod fold: acc < 2^61 and x < 2^61 so acc + x fits a
+          // signed long — same value as sum(DISTINCT) % 2^61 without the
+          // decimal widening
+          aggregate(col("fps"), lit(0L),
+            (acc, x) => (acc + x) % lit(H61Mod)).as("fp_checksum"))
         .orderBy("doc_id")
     },
     Some(s"""WITH tk AS (

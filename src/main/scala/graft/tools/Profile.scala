@@ -111,9 +111,29 @@ object Profile {
       o().join(c(), col("o_custkey") === col("c_custkey"), "left_outer")
         .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment").count())
 
+    // ---- q116 stage dissection (bench hot spot) ----
+    import graft.Dsl._
+    val docs = () => Tables.documents(spark, sfDir)
+    time("q116 docs scan count")(docs().count())
+    time("q116 toks only")(
+      docs().select(col("doc_id"), size(toks(col("text"))).as("n")).agg(sum("n")).count())
+    time("q116 shingles only")(
+      docs().select(col("doc_id"), toks(col("text")).as("t"))
+        .select(col("doc_id"), size(shingles3(col("t"))).as("n")).agg(sum("n")).count())
+    time("q116 + md5 per gram")(
+      docs().select(col("doc_id"), toks(col("text")).as("t"))
+        .select(col("doc_id"), shingles3(col("t")).as("sh"))
+        .select(col("doc_id"), transform(col("sh"), g => md5h61(g)).as("hs"))
+        .select(sum(aggregate(col("hs"), lit(0L), (a, x) => a + x)))
+        .count())
+    time("q116 full (registry)")(
+      Registry.all.find(_.name == "q116_winnow_fingerprints").get.run(spark, sfDir).count())
+
     if (sys.env.contains("PROFILE_EXPLAIN")) {
-      println("==== q06 current plan ====")
-      Registry.all.find(_.name == "q06_join_multiway_agg").get.run(spark, sfDir).explain("formatted")
+      val qn = sys.env("PROFILE_EXPLAIN")
+      println(s"==== $qn optimized plan ====")
+      val df = Registry.all.find(_.name == qn).get.run(spark, sfDir)
+      println(df.queryExecution.optimizedPlan.treeString)
     }
     spark.stop()
   }

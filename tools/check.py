@@ -11,6 +11,7 @@ Driver-side only — never imported by the Scala engine.
 import sys, json, math, glob
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -28,12 +29,11 @@ def norm(v):
     return str(v)
 
 
-def rows_of(cur):
+def rows_of(df):
     # Fetch through pandas like the driver does: its hash is dtype-
     # sensitive (DuckDB HUGEINT -> object vs Spark int64 broke q27/q70
     # in round 1 despite equal values), and array cells crash its
     # sort_values (q47/q47b/q64). Reproduce both failure classes here.
-    df = cur.df()
     df = df[sorted(df.columns)]
     # Compare dtype KIND, not exact width: round 1 showed the driver's
     # hash treats int32 vs int64 as equal (q23/q45/q58 were green) but
@@ -66,9 +66,14 @@ def main():
         if not files:
             failures.append(f"{name}: NO OUTPUT parquet")
             continue
-        got_cur = duckdb.connect().execute(
-            f"SELECT * FROM read_parquet({files!r})")
-        gcols, gtypes, garr, grows = rows_of(got_cur)
+        # Read the Spark side via pandas/pyarrow — the driver's path.
+        # (Round 3 lesson: reading it through duckdb.read_parquet coerced
+        # DECIMAL to float64 on both sides and masked q105's object-vs-
+        # float64 dtype divergence; pyarrow surfaces decimal128 as object
+        # exactly like the driver sees it.)
+        got_df = pd.concat([pd.read_parquet(f) for f in sorted(files)],
+                           ignore_index=True)
+        gcols, gtypes, garr, grows = rows_of(got_df)
         if name not in oracle:
             status = "rows-only"
             if len(grows) > 0:
@@ -78,7 +83,7 @@ def main():
                 failures.append(f"{name}: rows-only check, 0 rows")
             continue
         try:
-            ecols, etypes, earr, erows = rows_of(con.execute(oracle[name]))
+            ecols, etypes, earr, erows = rows_of(con.execute(oracle[name]).df())
         except Exception as e:
             failures.append(f"{name}: ORACLE SQL ERROR {e}")
             continue
