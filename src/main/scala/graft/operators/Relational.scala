@@ -1058,19 +1058,53 @@ object Relational {
         FROM lineitem GROUP BY ship_month ORDER BY ship_month"""))
   }
 
-  /** q113 — equi-depth deciles via ntile over a TOTAL order (doc_id
-    * tiebreak makes the assignment deterministic): the length-
-    * stratification report for balancing training shards. */
+  /** q113 — equi-depth deciles (the length-stratification report for
+    * balancing training shards), bit-identical to `ntile(10) OVER
+    * (ORDER BY n_chars, doc_id)` but WITHOUT the global window: ntile
+    * over a raw scan routes the whole table through ONE task's sort —
+    * correct at sf0.1, a single-reducer bottleneck at 100 TB.
+    *
+    * Scale-safe shape: (1) reduce the table to its n_chars histogram
+    * (one parallel shuffle; |hist| = distinct lengths, bounded by max
+    * doc length, not by corpus size); (2) prefix-sum the histogram —
+    * the only unpartitioned window left, and it runs over the
+    * AGGREGATED frame, never the raw scan; (3) intersect each
+    * histogram run's rank interval with the ten ntile rank ranges via
+    * a broadcast join of a 10-row bounds frame. ntile's boundaries are
+    * pure rank arithmetic — with q = n/10, rem = n%10, bucket b spans
+    * ranks [(b-1)q + min(b-1,rem) + 1, bq + min(b,rem)] — and the
+    * doc_id tiebreak never crosses an n_chars value, so every decile
+    * stat is derivable from the histogram alone: no per-row decile
+    * assignment, no second scan, no skew exposure. */
   val equidepthDeciles: Q = Q(
     "q113_equidepth_deciles",
-    (s, d) => Tables.documents(s, d)
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("n_chars"), col("doc_id"))))
-      .groupBy("decile")
-      .agg(count(lit(1)).as("n_docs"),
-        min(col("n_chars")).as("min_chars"),
-        max(col("n_chars")).as("max_chars"))
-      .orderBy("decile"),
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("n_chars"))
+      val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+      val cum = hist.withColumn("cum_before",
+        coalesce(sum(col("cnt")).over(Window.orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val total = docs.agg(count(lit(1)).as("n"))
+      val bounds = s.range(1, 11)
+        .select(col("id").cast("int").as("decile"))
+        .crossJoin(broadcast(total))
+        .select(col("decile"),
+          (col("n") / lit(10)).cast("long").as("tq"),
+          (col("n") % lit(10)).as("rem"))
+        .select(col("decile"),
+          ((col("decile") - 1) * col("tq") +
+            least(col("decile") - 1, col("rem")) + 1).as("lo"),
+          (col("decile") * col("tq") +
+            least(col("decile"), col("rem"))).as("hi"))
+      cum.join(broadcast(bounds),
+          col("cum_before") < col("hi") &&
+            col("cum_before") + col("cnt") >= col("lo"))
+        .groupBy("decile")
+        .agg((max(col("hi")) - max(col("lo")) + 1).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("decile")
+    },
     Some("""WITH t AS (
         SELECT n_chars,
           ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile

@@ -35,6 +35,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("no unpartitioned window runs over a raw scan anywhere in the registry") {
+    // A Window with an empty PARTITION BY routes its entire input
+    // through ONE task's sort — the single-reducer scale-killer. It is
+    // tolerable only over a frame already reduced by an aggregation
+    // (e.g. q113's prefix-sum over the n_chars histogram, whose size is
+    // bounded by value cardinality, not corpus size). Assert registry-
+    // wide so a future query can't reintroduce the pattern.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val eagerConstruction = Set("q50_kmeans_embeddings", "q51_rf_regression",
+      "q55_ann_ivf", "q96_bloom_contamination", "q98_quality_classifier",
+      "q103_heavy_hitters")
+    for ((name, fn) <- SparkEntry.queries if !eagerConstruction(name)) {
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      plan.foreach {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          assert(w.child.exists(_.isInstanceOf[Aggregate]),
+            s"$name: global-sort window over un-aggregated input " +
+              "(single-reducer at scale)\n" + w.treeString)
+        case _ => ()
+      }
+    }
+  }
+
   test("LSH candidate joins shuffle on the bucket key (SortMergeJoin or hash), not nested loops") {
     for (q <- Seq("q37_minhash_lsh_pairs", "q39_simhash_pairs",
         "q76_ngram_jaccard_pairs")) {
