@@ -75,18 +75,30 @@ object Similarity {
       FROM w ORDER BY vec_id"""))
 
   // Banded hyperplane LSH for the near-dup pair join: `NdBands` bands,
-  // each with its own `NdPlanes` random hyperplanes (sign-random
+  // each with its own pool of random hyperplanes (sign-random
   // projection). Candidates collide when ANY band bucket matches
   // (OR-amplification — recall survives band-boundary misses that a
   // single coarse partition would drop). Plane components are ±1 derived
   // from md5 so the identical literals inline into the DuckDB oracle.
+  //
+  // The ACTIVE plane count is corpus-adaptive: a fixed fanout makes
+  // bucket population grow linearly with corpus size, which makes the
+  // in-bucket pair join quadratic in total at 100x. Both engines derive
+  // the count from `count(*)` inside the query itself (integer
+  // thresholds — no floating log, so no cross-engine libm drift) and
+  // mask the unused high planes, keeping the static oracle SQL
+  // hash-identical at every scale.
   private val NdBands = 2
   private val NdDim = EmbeddingDim
-  private val NdPlanes = 4
+  private val MinNdPlanes = 4
+  /** Plane-pool size per band; 2^16 buckets/band at the ceiling. */
+  private val MaxNdPlanes = 16
+  /** Mean bucket population the adaptive fanout aims for. */
+  private[graft] val NdTargetBucket = 128L
   private val bandPlaneComps: Seq[Seq[Seq[Int]]] = {
     val mdig = java.security.MessageDigest.getInstance("MD5")
     (0 until NdBands).map { bnd =>
-      (0 until NdPlanes).map { p =>
+      (0 until MaxNdPlanes).map { p =>
         (0 until NdDim).map { i =>
           val h = mdig.digest(s"bandplane:$bnd:$p:$i".getBytes("UTF-8"))
           if ((h(0) & 1) == 1) 1 else -1
@@ -95,32 +107,71 @@ object Similarity {
     }
   }
 
-  private def bandBucketCol(e: String, bnd: Int): Column =
-    (0 until NdPlanes).map { p =>
+  /** Active plane count for a corpus of `n` vectors: smallest p in
+    * [MinNdPlanes, MaxNdPlanes] with 2^p buckets ≥ n / target, so mean
+    * bucket population stays ~target as the corpus grows and the pair
+    * join's total work grows linearly, not quadratically. */
+  private[graft] def adaptivePlanes(n: Long,
+      target: Long = NdTargetBucket): Int = {
+    var p = MinNdPlanes
+    while (p < MaxNdPlanes && n > (1L << p) * target) p += 1
+    p
+  }
+
+  /** Column twin of [[adaptivePlanes]] (exact integer thresholds). */
+  private def planesCol(n: Column): Column =
+    (MinNdPlanes until MaxNdPlanes).foldRight(lit(MaxNdPlanes): Column) {
+      (p, rest) => when(n <= lit((1L << p) * NdTargetBucket), lit(p)).otherwise(rest)
+    }
+
+  /** SQL twin of [[planesCol]] over a count expression. */
+  private def sqlPlanes(n: String): String =
+    (MinNdPlanes until MaxNdPlanes).map(p =>
+      s"WHEN $n <= ${(1L << p) * NdTargetBucket} THEN $p")
+      .mkString("CASE ", " ", s" ELSE $MaxNdPlanes END")
+
+  private def bandBucketCol(e: String, bnd: Int, planes: Column): Column =
+    (0 until MaxNdPlanes).map { p =>
       val arr = bandPlaneComps(bnd)(p).map(v => s"$v.0D").mkString("array(", ", ", ")")
-      when(expr(s"dot_product($e, $arr)") > 0, lit(1 << p)).otherwise(lit(0))
+      when(lit(p) < planes && expr(s"dot_product($e, $arr)") > 0,
+        lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  private def sqlBandBucket(e: String, bnd: Int): String =
-    (0 until NdPlanes).map { p =>
+  private def sqlBandBucket(e: String, bnd: Int, planes: String): String =
+    (0 until MaxNdPlanes).map { p =>
       val arr = bandPlaneComps(bnd)(p).map(v => s"$v.0").mkString("[", ", ", "]")
       val pd = s"list_reduce(list_transform(generate_series(1, $NdDim), i -> ($arr::double[])[i] * $e[i]), (x, y) -> x + y)"
-      s"CASE WHEN $pd > 0 THEN ${1 << p} ELSE 0 END"
+      s"CASE WHEN $p < $planes AND $pd > 0 THEN ${1 << p} ELSE 0 END"
     }.mkString(" + ")
+
+  /** Banded (band, bucket) assignment at the adaptive plane count
+    * (`planesOverride` pins a fixed count — test surface for comparing
+    * fanouts). Carries e/nrm so the pair join can re-rank exactly. */
+  private[graft] def bandedBuckets(s: SparkSession, d: String,
+      planesOverride: Option[Int] = None): DataFrame = {
+    val w0 = normed(s, d)
+    val total = w0.agg(count(lit(1)).as("n_vec"))
+    val w = w0.crossJoin(broadcast(total))
+      .withColumn("planes",
+        planesOverride.map(p => lit(p): Column)
+          .getOrElse(planesCol(col("n_vec"))))
+    (0 until NdBands).map { bnd =>
+      w.select(col("vec_id"), col("e"), col("nrm"),
+        lit(bnd).as("band"),
+        bandBucketCol("e", bnd, col("planes")).as("bucket"))
+    }.reduce(_ unionByName _)
+  }
 
   /** Embedding-cosine near-dup pairs, blocked on banded hyperplane-LSH
     * buckets: the pair join shuffles on the content-derived (band,
-    * bucket) key — block sizes are set by the plane count, not by data
-    * skew, so the plan survives a 100x scale-up (add planes/bands, not
-    * bigger blocks). Exact cosine >= 0.35 verifies each candidate. */
+    * bucket) key, and the bucket COUNT tracks corpus size (adaptive
+    * planes) so per-bucket population — and the pair join's work per
+    * block — stays ~constant under a 100x scale-up. Exact cosine
+    * >= 0.35 verifies each candidate. */
   val nearDupPairs: Q = Q(
     "q41_embed_neardup_pairs",
     (s, d) => {
-      val w = normed(s, d).cache()
-      val bb = (0 until NdBands).map { bnd =>
-        w.select(col("vec_id"), col("e"), col("nrm"),
-          lit(bnd).as("band"), bandBucketCol("e", bnd).as("bucket"))
-      }.reduce(_ unionByName _)
+      val bb = bandedBuckets(s, d).cache()
       val a = bb.as("a"); val b = bb.as("b")
       a.join(b, col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
@@ -132,8 +183,9 @@ object Similarity {
         .orderBy("vec_a", "vec_b")
     },
     Some(s"""WITH $sqlNormed,
+      t AS (SELECT ${sqlPlanes("(SELECT count(*) FROM embeddings)")} AS planes),
       bb AS (${(0 until NdBands).map(bnd =>
-        s"SELECT vec_id, e, nrm, $bnd AS band, ${sqlBandBucket("e", bnd)} AS bucket FROM w")
+        s"SELECT vec_id, e, nrm, $bnd AS band, ${sqlBandBucket("e", bnd, "planes")} AS bucket FROM w, t")
         .mkString(" UNION ALL ")}),
       cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
           ${sqlDot("a.e", "b.e")} / (a.nrm * b.nrm) AS cosine

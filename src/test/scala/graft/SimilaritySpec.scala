@@ -57,6 +57,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(buckets.length == 1, "all candidates come from one bucket")
   }
 
+  test("adaptive LSH fanout keeps bucket population bounded as the corpus grows") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // plane count tracks corpus size with exact integer thresholds
+    assert(Similarity.adaptivePlanes(500) == 4)
+    assert(Similarity.adaptivePlanes(2048) == 4)
+    assert(Similarity.adaptivePlanes(2049) == 5)
+    assert(Similarity.adaptivePlanes(1L << 40) == 16) // plane-pool ceiling
+    // skewed corpus: strong directional bias (NOT duplicates — genuine
+    // near-dups must share buckets; the fanout only has to split the
+    // merely-correlated mass)
+    val rng = new scala.util.Random(11)
+    val u = Array.fill(64)(rng.nextFloat() * 2f - 1f)
+    def biased() = u.map(x => 0.6f * x + (rng.nextFloat() * 2f - 1f))
+    val n = 4096
+    val df = (0 until n).map(i => (i.toLong, biased(), 0))
+      .toDF("vec_id", "embedding", "label")
+    val dir = TestSpark.makeSfDir("embeddings" -> df)
+    def maxBucket(planes: Option[Int]): Long =
+      Similarity.bandedBuckets(spark, dir, planes)
+        .groupBy("band", "bucket").count()
+        .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
+    val adaptive = maxBucket(None)   // adaptivePlanes(4096) = 5 → 32 buckets/band
+    val fixedOld = maxBucket(Some(4)) // the pre-adaptive fixed fanout
+    assert(adaptive < fixedOld,
+      s"adaptive fanout must split harder than fixed: $adaptive vs $fixedOld")
+    assert(adaptive <= 8 * Similarity.NdTargetBucket,
+      s"max bucket population $adaptive exceeds 8x target")
+  }
+
   test("multimodal metadata is deterministic and sized correctly") {
     import spark.implicits._
     val docs = Seq((0L, "PNGx some fake payload", "en", "s", 22L),
