@@ -478,7 +478,75 @@ object Dedup {
       WHERE cast(n_shared as double) / (sa.sz + sb.sz - n_shared) >= 0.5
       ORDER BY doc_a, doc_b"""))
 
+  /** Document-frequency cap for [[ngramJaccardDfCap]]: shingles present
+    * in more than this many documents are dropped before the pair join. */
+  private[graft] val DfCap = 16L
+
+  /** q121: the production guard q76's comment defers — prefix df-cap
+    * near-dup pairing. A shingle shared by df documents generates
+    * ~df²/2 candidate pairs (the quadratic hot-bucket at 100 TB) while
+    * carrying almost no similarity signal; dropping shingles with
+    * document frequency above [[DfCap]] bounds every join bucket's
+    * fanout at DfCap²/2. Candidates come from the capped universe
+    * (df in [2, DfCap] — df=1 shingles cannot pair), then n_shared and
+    * jaccard are EXACT over the FULL shingle sets via a candidate-
+    * restricted join-back — each emitted pair matches q76 bit-for-bit;
+    * the only deviation is recall (a pair is missed iff every one of
+    * its shared shingles is above-cap, i.e. the pair's entire overlap
+    * is boilerplate). */
+  val ngramJaccardDfCap: Q = Q(
+    "q121_ngram_jaccard_dfcap",
+    (s, d) => {
+      val sets = shingleSets(s, d).cache()
+      val ex = sets.select(col("doc_id"), explode(col("sh")).as("sg"))
+        .select(col("doc_id"), md5h61(col("sg")).as("h"))
+        .cache()
+      val keep = ex.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DfCap && col("df") >= 2)
+        .select("h")
+      val exf = ex.join(keep, "h")
+      val cand = exf.as("a").join(exf.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val inter = cand
+        .join(ex.as("ea"), col("doc_a") === col("ea.doc_id"))
+        .join(ex.as("eb"),
+          col("doc_b") === col("eb.doc_id") && col("ea.h") === col("eb.h"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared"))
+      val sz = sets.select(col("doc_id"), size(col("sh")).cast("long").as("sz"))
+      inter
+        .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          (col("n_shared").cast("double") /
+            (col("sa.sz") + col("sb.sz") - col("n_shared"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH $sqlShingleSets,
+      ex AS (SELECT doc_id, ${sqlMd5h61("sg")} AS h
+        FROM (SELECT doc_id, unnest(sh) AS sg FROM sets)),
+      keep AS (SELECT h FROM (SELECT h, count(*) AS df FROM ex GROUP BY h)
+        WHERE df <= $DfCap AND df >= 2),
+      exf AS (SELECT ex.doc_id, ex.h FROM ex JOIN keep USING (h)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM exf a JOIN exf b ON a.h = b.h AND a.doc_id < b.doc_id),
+      inter AS (SELECT c.doc_a, c.doc_b, cast(count(*) as bigint) AS n_shared
+        FROM cand c JOIN ex ea ON ea.doc_id = c.doc_a
+                    JOIN ex eb ON eb.doc_id = c.doc_b AND eb.h = ea.h
+        GROUP BY 1, 2),
+      sz AS (SELECT doc_id, cast(len(sh) as bigint) AS sz FROM sets)
+      SELECT doc_a, doc_b, n_shared,
+        cast(n_shared as double) / (sa.sz + sb.sz - n_shared) AS jaccard
+      FROM inter JOIN sz sa ON doc_a = sa.doc_id
+                 JOIN sz sb ON doc_b = sb.doc_id
+      WHERE cast(n_shared as double) / (sa.sz + sb.sz - n_shared) >= 0.5
+      ORDER BY doc_a, doc_b"""))
+
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
-    ngramJaccardPairs, sketchQuality, dupDegrees, dupBySource)
+    ngramJaccardPairs, ngramJaccardDfCap, sketchQuality, dupDegrees,
+    dupBySource)
 }

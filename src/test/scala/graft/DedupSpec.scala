@@ -115,4 +115,34 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(near - expected) < 1e-12,
       s"engine jaccard $near != reference-computed $expected")
   }
+
+  test("df-cap variant drops boilerplate-only pairs, keeps rare-shingle pairs exactly") {
+    import spark.implicits._
+    // 18 docs that are one shared boilerplate phrase + one unique token:
+    // every boilerplate shingle has df=18 > DfCap=16, so q121 must not
+    // pair them — their entire overlap is above-cap. Two extra docs
+    // share RARE shingles (df=2) and must appear in both variants with
+    // identical exact stats.
+    val boiler = (1 to 20).map(i => s"bp$i").mkString(" ")
+    val rare = (1 to 20).map(i => s"rr$i").mkString(" ")
+    val rareNear = rare.replace("rr10", "rrX")
+    val docs = (0 until 18).map(i =>
+      (i.toLong, s"$boiler uniq$i", "en", "s", 100L)) ++ Seq(
+      (100L, rare, "en", "s", 100L),
+      (101L, rareNear, "en", "s", 100L))
+    val dir = TestSpark.makeSfDir("documents" ->
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    def pairs(q: String) = SparkEntry.queries(q)(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val full = pairs("q76_ngram_jaccard_pairs")
+    val capped = pairs("q121_ngram_jaccard_dfcap")
+    assert(full.contains((0L, 1L)), "boilerplate pair present uncapped")
+    assert(!capped.contains((0L, 1L)),
+      "pair whose every shared shingle is above-cap must be dropped")
+    assert(capped.contains((100L, 101L)), "rare-shingle pair must survive")
+    assert(capped((100L, 101L)) == full((100L, 101L)),
+      "surviving pairs carry the identical exact stats")
+    assert(capped.keySet.subsetOf(full.keySet), "cap only removes pairs")
+  }
 }
