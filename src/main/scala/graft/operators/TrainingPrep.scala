@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Dsl, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-corpus preparation operators beyond the reference's surface
@@ -434,23 +435,31 @@ object TrainingPrep {
   // ------------------------------------------------------------------
   val heavyHitters: Q = Q(
     "q103_heavy_hitters",
-    (s, d) => {
-      val terms = Tables.documents(s, d)
-        .select(explode(toks(lower(col("text")))).as("term"))
-      val sketchBytes = terms
-        .agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)").as("sk"))
-        .head().getAs[Array[Byte]](0)
-      val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(sketchBytes))
-      val bc = s.sparkContext.broadcast(sketch)
-      val estimate = udf((t: String) => bc.value.estimateCount(t))
-      terms.groupBy("term").agg(count(lit(1)).as("exact_n"))
-        .orderBy(col("exact_n").desc, col("term"))
-        .limit(20)
-        .withColumn("est_n", estimate(col("term")))
-        .select("term", "exact_n", "est_n")
-    },
-    None)
+    (s, d) => Tables.documents(s, d)
+      .select(explode(toks(lower(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("term"))
+      .limit(20),
+    Some(s"""SELECT term, count(*) AS exact_n
+      FROM (SELECT unnest(${sqlToks("lower(text)")}) AS term FROM documents)
+      GROUP BY term ORDER BY exact_n DESC, term LIMIT 20"""))
+
+  /** CMS estimates beside the exact counts — the sketch half of q103,
+    * split out because sketch internals aren't SQL-replicable. The spec
+    * pins the no-underestimate law and the eps·N error bound against
+    * the oracle-checked exact side. */
+  private[graft] def heavyHittersEst(s: SparkSession, d: String): DataFrame = {
+    val terms = Tables.documents(s, d)
+      .select(explode(toks(lower(col("text")))).as("term"))
+    val sketchBytes = terms
+      .agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val bc = s.sparkContext.broadcast(sketch)
+    val estimate = udf((t: String) => bc.value.estimateCount(t))
+    heavyHitters.run(s, d).withColumn("est_n", estimate(col("term")))
+  }
 
   // ------------------------------------------------------------------
   // q104 — length-weighted deterministic sampling: P(keep) ∝ n_chars,

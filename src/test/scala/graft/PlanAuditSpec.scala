@@ -27,8 +27,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // would pay a full training run for a plan check, and their plans
     // are simple scans/aggregates covered by their own specs.
     val eagerConstruction = Set("q50_kmeans_embeddings", "q51_rf_regression",
-      "q55_ann_ivf", "q96_bloom_contamination", "q98_quality_classifier",
-      "q103_heavy_hitters")
+      "q55_ann_ivf", "q96_bloom_contamination", "q98_quality_classifier")
     for ((name, fn) <- SparkEntry.queries if !eagerConstruction(name)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian join")
@@ -44,8 +43,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // wide so a future query can't reintroduce the pattern.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val eagerConstruction = Set("q50_kmeans_embeddings", "q51_rf_regression",
-      "q55_ann_ivf", "q96_bloom_contamination", "q98_quality_classifier",
-      "q103_heavy_hitters")
+      "q55_ann_ivf", "q96_bloom_contamination", "q98_quality_classifier")
     for ((name, fn) <- SparkEntry.queries if !eagerConstruction(name)) {
       val plan = fn(spark, sf).queryExecution.optimizedPlan
       plan.foreach {

@@ -143,7 +143,7 @@ class TrainingPrepSpec extends AnyFunSuite {
   }
 
   test("count-min sketch never underestimates and stays within eps*total") {
-    val rows = SparkEntry.queries("q103_heavy_hitters")(spark, sf).collect()
+    val rows = operators.TrainingPrep.heavyHittersEst(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(rows.length == 20)
     val total = Tables.documents(spark, sf)
