@@ -1173,10 +1173,14 @@ object Relational {
   /** q117 — TPC-H Q18 shape (large-volume customer): orders whose total
     * quantity exceeds a threshold, joined back to customer, top-100 by
     * price. The group-HAVING runs FIRST on lineitem alone (partial aggs
-    * map-side), and only the tiny survivor set (~1% of orders) joins —
-    * broadcast — against orders/customer; the top-100 is a
-    * TakeOrderedAndProject. At 100 TB the big table is touched exactly
-    * once, by one map-side-combined hash agg. */
+    * map-side), and only the tiny survivor set (~1% of orders) joins
+    * against orders/customer; the top-100 is a TakeOrderedAndProject.
+    * At 100 TB the big table is touched exactly once, by one
+    * map-side-combined hash agg. The survivor join carries NO broadcast
+    * hint: the survivor count is threshold-dependent (a lower HAVING
+    * cut, or a skewed corpus, could make it arbitrarily large), so AQE
+    * decides from the MEASURED post-aggregation size at runtime —
+    * PlanAuditSpec asserts it does pick the broadcast at test scale. */
   val tpchQ18: Q = Q(
     "q117_tpch_q18",
     (s, d) => {
@@ -1185,7 +1189,7 @@ object Relational {
         .agg(dsum(col("l_quantity")).as("sum_qty"))
         .filter(col("sum_qty") > 250.0)
       Tables.orders(s, d)
-        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
           col("o_orderdate"), col("o_totalprice"), col("sum_qty"))

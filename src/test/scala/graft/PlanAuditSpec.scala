@@ -90,7 +90,12 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("tpch q18 broadcasts the HAVING survivors and top-ks, never full-sorts") {
-    val p = plan("q117_tpch_q18")
+    // the survivor join is deliberately unhinted (threshold-dependent
+    // size) — AQE must pick the broadcast from the measured shuffle
+    // size, which only shows in the adaptive plan after execution
+    val df = SparkEntry.queries("q117_tpch_q18")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"survivor set must broadcast:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-100 must not full-sort:\n$p")
   }
