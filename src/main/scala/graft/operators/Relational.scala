@@ -1232,6 +1232,136 @@ object Relational {
           AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** q122 — TPC-H Q10 shape (returned-item reporting): one selective
+    * order window + a returnflag filter pushed to the fact scan, then
+    * customer/nation enrichment and a revenue top-20. Both filters
+    * reach their scans as PushedFilters; the final top-k is a
+    * TakeOrderedAndProject, never a full sort. */
+  val tpchQ10: Q = Q(
+    "q122_tpch_q10",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00"))),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20),
+    Some(s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+        ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
+  /** q123 — TPC-H Q14 shape (promotion effect): conditional share of
+    * revenue over one ship month. The month predicate prunes the fact
+    * scan; the part join carries no hint (part is a dimension that
+    * grows with scale — AQE sizes it); the division is one IEEE op over
+    * two exact decimal sums, so the engines agree bit-for-bit. */
+  val tpchQ14: Q = Q(
+    "q123_tpch_q14",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-02-01 00:00:00")))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          dsum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(lit(0))) /
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("promo_revenue_pct")),
+    Some(s"""SELECT 100.0 * ${sqlDsum(
+        "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} /
+        ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS promo_revenue_pct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'"""))
+
+  /** q124 — TPC-H Q19 shape (discounted revenue, disjunctive
+    * predicates): an OR of brand/size/quantity conjunctions. The join
+    * key is shared across branches so the plan stays ONE equi-join with
+    * the disjunction as a post-join filter plus per-side pushed
+    * conjuncts (p_size ranges reach the part scan) — never a union of
+    * three scans of the fact table. */
+  val tpchQ19: Q = Q(
+    "q124_tpch_q19",
+    (s, d) => Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#22" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 35)) ||
+        (col("p_brand") === "Brand#25" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 50)))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_lines")),
+    Some(s"""SELECT ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+        count(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+          AND l_quantity BETWEEN 1 AND 20)
+         OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+          AND l_quantity BETWEEN 10 AND 35)
+         OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50
+          AND l_quantity BETWEEN 20 AND 50)"""))
+
+  /** q125 — TPC-H Q21 shape (suppliers who kept orders waiting),
+    * adapted to this schema's columns (lateness = shipped > 60 days
+    * after the order date): suppliers whose late order had other
+    * suppliers on it (EXISTS → left-semi) none of whom were also late
+    * (NOT EXISTS → left-anti). Both subqueries are equi-joins on the
+    * order key with the supplier inequality inside the join condition —
+    * the fact table is never crossed with itself. */
+  val tpchQ21: Q = Q(
+    "q125_tpch_q21",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val late = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"))
+        .distinct()
+      val withOthers = late.join(li,
+        late("okey") === li("l_orderkey") && late("skey") =!= li("l_suppkey"),
+        "left_semi")
+      val lateTwin = late.select(col("okey").as("okey3"), col("skey").as("skey3"))
+      val soleLate = withOthers.join(lateTwin,
+        col("okey") === col("okey3") && col("skey") =!= col("skey3"),
+        "left_anti")
+      soleLate.join(Tables.supplier(s, d), col("skey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+    Some("""WITH late AS (
+        SELECT DISTINCT l_orderkey AS okey, l_suppkey AS skey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      SELECT s_name, count(*) AS numwait
+      FROM late l1 JOIN supplier ON l1.skey = s_suppkey
+      WHERE EXISTS (SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.okey AND l2.l_suppkey <> l1.skey)
+        AND NOT EXISTS (SELECT 1 FROM late l3
+          WHERE l3.okey = l1.okey AND l3.skey <> l1.skey)
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""))
+
   val all: Seq[Q] = Seq(
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
@@ -1246,5 +1376,6 @@ object Relational {
     conditionalAggs, stringSuite2, bitwiseOps, groupingSets,
     eventTypeMap, cubeAgg, windowFrames, unpivotMetrics, sessionWindowAgg,
     scd2Upsert, tableChecksum, tpchQ3, tpchQ5, groupChecksum,
-    equidepthDeciles, correlation, tpchQ18, tpchQ4)
+    equidepthDeciles, correlation, tpchQ18, tpchQ4,
+    tpchQ10, tpchQ14, tpchQ19, tpchQ21)
 }
