@@ -545,8 +545,38 @@ object Dedup {
       WHERE cast(n_shared as double) / (sa.sz + sb.sz - n_shared) >= 0.5
       ORDER BY doc_a, doc_b"""))
 
+  /** q127: incremental ingest dedup — the nightly-batch shape every
+    * growing corpus needs: documents split into an existing corpus
+    * (doc_id % 10 < 8) and a new batch; a new doc is admitted iff its
+    * content fingerprint is absent from the corpus (left-anti equi-join
+    * on the 61-bit hash — at scale only the fingerprint column of the
+    * corpus is read, never its text) AND it is the first occurrence
+    * within its own batch (min doc_id per fingerprint, with the
+    * batch-internal duplicate count as the audit column). */
+  val incrementalDedup: Q = Q(
+    "q127_incremental_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5h61(col("text")).as("fp"))
+      val existing = docs.filter(col("doc_id") % 10 < 8).select("fp")
+      val batch = docs.filter(col("doc_id") % 10 >= 8)
+      batch.join(existing, Seq("fp"), "left_anti")
+        .groupBy("fp")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_batch_dups"))
+        .select("doc_id", "fp", "n_batch_dups")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH docs AS (
+        SELECT doc_id, ${sqlMd5h61("text")} AS fp FROM documents),
+      batch AS (SELECT doc_id, fp FROM docs WHERE doc_id % 10 >= 8)
+      SELECT min(doc_id) AS doc_id, fp, count(*) AS n_batch_dups
+      FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM docs e
+        WHERE e.doc_id % 10 < 8 AND e.fp = b.fp)
+      GROUP BY fp ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
     ngramJaccardPairs, ngramJaccardDfCap, sketchQuality, dupDegrees,
-    dupBySource)
+    dupBySource, incrementalDedup)
 }

@@ -87,5 +87,41 @@ object Sampling {
       SELECT lang, cast(rn as int) AS rn, doc_id, n_chars FROM ranked
       WHERE rn <= 3 ORDER BY lang, rn"""))
 
-  val all: Seq[Q] = Seq(hashSample, stratifiedSplit, groupQuotaSample)
+  /** q126: temperature-balanced corpus sampling (α = 0.5) — the
+    * standard LLM-mix flattening: kept docs per language ∝ n^α, so
+    * dominant languages are downweighted and the smallest keeps 100%.
+    * α is fixed at 0.5 because `sqrt` is IEEE-correctly-rounded on both
+    * engines (an arbitrary `pow` is not) — keep probability
+    * sqrt(n_min/n_lang) quantized to a millionth and compared against
+    * the salted content hash: deterministic, partitioning-independent,
+    * and a per-row scan filter (the only aggregates are the tiny
+    * per-language counts). Output is the per-language audit. */
+  val temperatureSample: Q = Q(
+    "q126_temperature_sample",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang")
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+      val nmin = counts.agg(min("n_before").as("n_min"))
+      docs.join(broadcast(counts), "lang")
+        .crossJoin(broadcast(nmin))
+        .filter(
+          md5h61(concat(lit("tsamp:"), col("doc_id").cast("string"))) % 1000000 <
+            floor(sqrt(col("n_min").cast("double") / col("n_before")) * 1000000)
+              .cast("long"))
+        .groupBy("lang", "n_before")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH counts AS (
+        SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
+      m AS (SELECT min(n_before) AS n_min FROM counts),
+      kept AS (SELECT d.lang, c.n_before
+        FROM documents d JOIN counts c ON d.lang = c.lang, m
+        WHERE ${sqlMd5h61("concat('tsamp:', cast(doc_id as varchar))")} % 1000000 <
+          cast(floor(sqrt(cast(m.n_min as double) / c.n_before) * 1000000) as bigint))
+      SELECT lang, n_before, count(*) AS n_kept FROM kept
+      GROUP BY lang, n_before ORDER BY lang"""))
+
+  val all: Seq[Q] = Seq(hashSample, stratifiedSplit, groupQuotaSample,
+    temperatureSample)
 }

@@ -145,4 +145,26 @@ class DedupSpec extends AnyFunSuite {
       "surviving pairs carry the identical exact stats")
     assert(capped.keySet.subsetOf(full.keySet), "cap only removes pairs")
   }
+
+  test("incremental dedup admits only first-in-batch fingerprints absent from the corpus") {
+    import spark.implicits._
+    // corpus = doc_id % 10 < 8, batch = the rest. Planted cases:
+    // 18 repeats corpus text (rejected), 19+28 are a batch-internal
+    // duplicate pair (one admit under min doc_id, dup count 2),
+    // 29 is genuinely new (admit, count 1).
+    val docs = Seq(
+      (1L, "alpha text", "en", "s", 10L),
+      (2L, "beta text", "en", "s", 9L),
+      (3L, "gamma text", "en", "s", 10L),
+      (18L, "alpha text", "en", "s", 10L),
+      (19L, "fresh text", "en", "s", 10L),
+      (28L, "fresh text", "en", "s", 10L),
+      (29L, "another new", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q127_incremental_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows == Map(19L -> 2L, 29L -> 1L),
+      s"admissions wrong: $rows")
+  }
 }

@@ -46,4 +46,28 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     assert(rows.toSeq == again.toSeq)
   }
+
+  test("temperature sampling flattens the language mix toward sqrt(n)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 400/100/25 docs: keep probabilities sqrt(25/n) = 0.25 / 0.5 / 1.0
+    val docs = (
+      (0 until 400).map(i => (i.toLong, s"a $i", "aa", "s", 10L)) ++
+      (0 until 100).map(i => (1000L + i, s"b $i", "bb", "s", 10L)) ++
+      (0 until 25).map(i => (2000L + i, s"c $i", "cc", "s", 10L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q126_temperature_sample")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows("cc") == (25L, 25L), "smallest language keeps 100%")
+    val (n400, k400) = rows("aa"); val (n100, k100) = rows("bb")
+    assert(n400 == 400 && k400 > 60 && k400 < 140, s"aa kept $k400 of 400 (expect ~100)")
+    assert(n100 == 100 && k100 > 30 && k100 < 70, s"bb kept $k100 of 100 (expect ~50)")
+    // keep FRACTION strictly decreases with language size
+    assert(k400.toDouble / n400 < k100.toDouble / n100 && k100 < n100)
+    // determinism: rerun yields identical audit
+    val again = SparkEntry.queries("q126_temperature_sample")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == rows)
+  }
 }
