@@ -106,6 +106,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("tpch q10 pushes both selective filters and top-ks the revenue") {
+    val p = plan("q122_tpch_q10")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not full-sort:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter must reach the lineitem scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") ||
+      p.contains("o_orderdate)"), s"order window must reach the orders scan:\n$p")
+  }
+
+  test("tpch q19 disjunction stays one equi-join, not a union of fact scans") {
+    val p = plan("q124_tpch_q19")
+    assert(!p.contains("Union"), s"OR-branches must not triple-scan the fact:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("tpch q21 EXISTS/NOT EXISTS run as semi and anti equi-joins") {
+    val p = plan("q125_tpch_q21")
+    assert(p.contains("LeftSemi"), s"EXISTS must be a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must be an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the hot aggregation pipelines") {
     for (q <- Seq("q01_pricing_summary", "q06_join_multiway_agg",
         "q30_token_count", "q82_text_chunks")) {
