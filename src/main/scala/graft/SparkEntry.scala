@@ -27,6 +27,7 @@ object SparkEntry {
 object Registry {
   def all: Seq[Q] =
     operators.Relational.all ++
+      operators.TpchMore.all ++
       operators.TextAnalysis.all ++
       operators.Dedup.all ++
       operators.Similarity.all ++

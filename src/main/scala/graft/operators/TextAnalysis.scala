@@ -426,7 +426,53 @@ object TextAnalysis {
           as int) AS keep
       FROM documents ORDER BY doc_id"""))
 
+  // ------------------------------------------------------------------
+  // q136 — n-gram novelty score: per doc, the fraction of its distinct
+  // word-3-grams that appear in NO other document (corpus document
+  // frequency = 1). The memorization-risk / boilerplate dual used in
+  // data curation: novelty ≈ 1 → unique content; ≈ 0 → the doc is
+  // assembled from corpus-common phrasing. Scale shape is LINEAR in
+  // corpus size (unlike the pair joins of q76): one shuffle on the
+  // 61-bit shingle hash for the df aggregate, one equi-join back, one
+  // per-doc count — no pair enumeration anywhere. The ratio is
+  // count/count of exact longs, one IEEE division on both engines.
+  // ------------------------------------------------------------------
+  val ngramNovelty: Q = Q(
+    "q136_ngram_novelty",
+    (s, d) => {
+      graft.functions.TextFunctions.register(s)
+      val sets = Tables.documents(s, d)
+        // spread the per-row shingling across cores (documents parquet
+        // arrives in O(1) partitions; cf. Dedup.shingleSets)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("doc_id"))
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), expr("distinct_shingles(t, 3)").as("sh"))
+      val ex = sets.select(col("doc_id"), explode(col("sh")).as("sg"))
+        .select(col("doc_id"), md5h61(col("sg")).as("h"))
+      val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      ex.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("df") === 1, lit(1))).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+      sets AS (SELECT doc_id, list_distinct(${sqlShingles3("t")}) AS sh
+        FROM t WHERE len(t) >= 3),
+      ex AS (SELECT doc_id, ${sqlMd5h61("sg")} AS h
+        FROM (SELECT doc_id, unnest(sh) AS sg FROM sets)),
+      dfreq AS (SELECT h, count(*) AS df FROM ex GROUP BY h)
+      SELECT doc_id, count(*) AS n_shingles,
+        count(*) FILTER (WHERE df = 1) AS n_novel,
+        cast(count(*) FILTER (WHERE df = 1) as double) / count(*) AS novelty
+      FROM ex JOIN dfreq USING (h)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
     fingerprint, topTerms, pivotEvents, rareTerms, regexTokens,
-    repetitionFilter, madOutliers, blocklistFilter)
+    repetitionFilter, madOutliers, blocklistFilter, ngramNovelty)
 }

@@ -128,6 +128,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("tpch q6 pushes all three predicates into a 4-column scan") {
+    val p = plan("q128_tpch_q6")
+    assert(p.contains("PushedFilters: ["), p)
+    for (pred <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity"))
+      assert(p.contains(pred), s"q128 must push $pred:\n$p")
+    // scan must not read columns the query never touches
+    assert(!p.contains("l_partkey") && !p.contains("l_returnflag"),
+      s"q128 reads columns it doesn't need:\n$p")
+  }
+
+  test("tpch q7 broadcasts the prefiltered nation dims") {
+    val p = plan("q129_tpch_q7")
+    assert(p.contains("BroadcastHashJoin"), s"nation dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch q17 pushes the brand filter and equi-joins the per-part caps") {
+    val p = plan("q134_tpch_q17")
+    assert(p.contains("EqualTo(p_brand,Brand#13)"),
+      s"brand predicate must reach the part scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch q22 dormant-customer predicate runs as an anti equi-join") {
+    val p = plan("q135_tpch_q22")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must be an anti join:\n$p")
+    // the only nested-loop is the 1-row scalar average broadcast
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"recent-orders window must reach the orders scan:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation pipelines") {
     for (q <- Seq("q01_pricing_summary", "q06_join_multiway_agg",
         "q30_token_count", "q82_text_chunks")) {
