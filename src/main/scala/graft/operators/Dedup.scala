@@ -125,9 +125,21 @@ object Dedup {
   /** q37: MinHash-LSH near-dup pairs. Candidates = docs sharing any band
     * bucket; verified with true shingle jaccard >= 0.8. Output carries the
     * signature estimate and the exact jaccard. */
+  /** Band-bucket population cap for the cluster pipeline (q56/q69): a
+    * band bucket holding df docs yields ~df²/2 candidate pairs — the
+    * same quadratic hot-bucket q121's shingle df-cap bounds — so the CC
+    * input drops buckets above this cap. A pair is lost only if EVERY
+    * band it collides on is above-cap, i.e. its whole signature overlap
+    * is boilerplate-shaped. */
+  private[graft] val BandBucketCap = 64L
+
   /** All LSH candidate pairs with estimated + exact jaccard (UNfiltered
-    * — the q91 sketch-quality eval needs the false positives too). */
-  private def scoredPairs(s: SparkSession, d: String): DataFrame = {
+    * — the q91 sketch-quality eval needs the false positives too).
+    * `bucketCap` drops band buckets with population above the cap (and
+    * below 2 — singletons cannot pair) before the candidate self-join;
+    * None keeps every bucket (q37's exact published semantics). */
+  private def scoredPairs(s: SparkSession, d: String,
+      bucketCap: Option[Long] = None): DataFrame = {
       // One cached frame carries shingle sets AND signatures (the
       // signature stage is narrow, so this single materialization
       // replaces a signature cache plus two shingle recomputes), and the
@@ -137,8 +149,15 @@ object Dedup {
       // shingle arrays 8x through the candidate join would multiply
       // shuffle volume by the band count at scale.
       val enriched = signedSets(s, d).cache()
-      val bands = enriched.select(col("doc_id"),
+      val bandsAll = enriched.select(col("doc_id"),
         posexplode(array((0 until Bands).map(bandCol): _*)).as(Seq("band_id", "bh")))
+      val bands = bucketCap.fold(bandsAll) { cap =>
+        val keep = bandsAll.groupBy("band_id", "bh")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap && col("df") >= 2)
+          .select("band_id", "bh")
+        bandsAll.join(keep, Seq("band_id", "bh"))
+      }
       val a = bands.as("a"); val b = bands.as("b")
       val cand = a.join(b,
         col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
@@ -159,19 +178,30 @@ object Dedup {
   }
 
   /** Verified near-dup pairs (jaccard >= 0.8) — shared by q37 and the
-    * cluster-resolution q56. */
-  private def verifiedPairs(s: SparkSession, d: String): DataFrame =
-    scoredPairs(s, d).filter(col("jaccard") >= 0.8)
+    * cluster-resolution q56 (which passes [[BandBucketCap]]). */
+  private[operators] def verifiedPairs(s: SparkSession, d: String,
+      bucketCap: Option[Long] = None): DataFrame =
+    scoredPairs(s, d, bucketCap).filter(col("jaccard") >= 0.8)
 
-  /** SQL chain computing the `verified` CTE (shared by q37/q56 oracles). */
-  private val sqlVerifiedChain: String = {
+  /** SQL chain computing the `verified` CTE (shared by q37/q56 oracles).
+    * `bucketCap` mirrors the Spark side's band-bucket population cap so
+    * both engines drop the identical buckets. */
+  private def sqlVerified(bucketCap: Option[Long]): String = {
     val bandSelects = (0 until Bands).map(b =>
       s"SELECT doc_id, $b AS band_id, ${sqlBandExpr(b)} AS bh FROM sig")
       .mkString(" UNION ALL ")
     val matchSum = mhNames.map(m =>
       s"CASE WHEN x.$m = y.$m THEN 1 ELSE 0 END").mkString(" + ")
+    val capChain = bucketCap.map(cap =>
+      s"""bkeep AS (SELECT band_id, bh
+           FROM (SELECT band_id, bh, count(*) AS df FROM bands_all GROUP BY 1, 2)
+           WHERE df <= $cap AND df >= 2),
+         bands AS (SELECT b.doc_id, b.band_id, b.bh
+           FROM bands_all b JOIN bkeep USING (band_id, bh)),""")
+      .getOrElse("bands AS (SELECT * FROM bands_all),")
     s"""$sqlShingleSets, $sqlSignatures,
-      bands AS ($bandSelects),
+      bands_all AS ($bandSelects),
+      $capChain
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
@@ -185,6 +215,8 @@ object Dedup {
         FROM est e JOIN sets p ON p.doc_id = e.doc_a
                    JOIN sets q ON q.doc_id = e.doc_b)"""
   }
+
+  private val sqlVerifiedChain: String = sqlVerified(None)
 
   val minhashLshPairs: Q = Q(
     "q37_minhash_lsh_pairs",

@@ -604,23 +604,64 @@ object Relational {
       cast(date_diff('day', date '2024-01-01', cast(ts as date)) as int) AS days_since
       FROM events ORDER BY event_id"""))
 
-  /** Exact percentiles (sort-based). Spark's `percentile` and DuckDB's
-    * `quantile_cont` share the linear-interpolation formula over sorted
-    * exact doubles, so values hash-match bitwise (verified empirically
-    * including trailing-ulp digits). */
-  val percentiles: Q = Q(
-    "q67_percentiles",
-    (s, d) => Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90"),
-        expr("percentile(l_extendedprice, 0.99)").as("p99"))
-      .orderBy("l_returnflag"),
-    Some("""SELECT l_returnflag,
-      quantile_cont(l_extendedprice, 0.5) AS p50,
-      quantile_cont(l_extendedprice, 0.9) AS p90,
-      quantile_cont(l_extendedprice, 0.99) AS p99
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+  /** Exact percentiles WITHOUT a per-group value buffer. Spark's
+    * `percentile` is a TypedImperativeAggregate that materializes every
+    * group value in executor memory — fine at sf0.1, unbounded at
+    * 100 TB. Shape mirrors q113's histogram treatment instead:
+    * (1) reduce lineitem to its (flag, price) histogram — one parallel
+    * shuffle, |hist| bounded by distinct prices, not row count;
+    * (2) per-flag prefix-sum over the AGGREGATED histogram (partitioned
+    * window, never over a raw scan); (3) each percentile needs only the
+    * values at ranks floor(pos)+1 and ceil(pos)+1 (pos = p·(n−1)),
+    * picked by conditional aggregation over the histogram rows whose
+    * rank interval [cum_before+1, cum_before+cnt] covers them.
+    * Interpolation reproduces the built-in's exact arithmetic —
+    * (higher−pos)·lo + (pos−lower)·hi with the higher==lower and
+    * lowerKey==higherKey short-circuits (Percentile.getPercentile) —
+    * which DuckDB's `quantile_cont` matches bitwise (verified through
+    * round 5 while q67 ran on the built-in). */
+  val percentiles: Q = {
+    val pcts = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    Q(
+      "q67_percentiles",
+      (s, d) => {
+        val hist = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        val byFlag = Window.partitionBy("l_returnflag")
+        val cum = hist
+          .withColumn("cum_before",
+            coalesce(sum(col("cnt")).over(byFlag.orderBy("v")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("n", sum(col("cnt")).over(byFlag))
+        def rankValue(r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          max(when(col("cum_before") < r &&
+            r <= col("cum_before") + col("cnt"), col("v")))
+        val picks = pcts.flatMap { case (nm, p) =>
+          val pos = lit(p) * (col("n") - 1).cast("double")
+          Seq(rankValue(floor(pos) + 1).as(s"lo_$nm"),
+            rankValue(ceil(pos) + 1).as(s"hi_$nm"))
+        }
+        val outs = pcts.map { case (nm, p) =>
+          val pos = lit(p) * (col("n") - 1).cast("double")
+          val (lower, higher) = (floor(pos), ceil(pos))
+          when(higher === lower || col(s"hi_$nm") === col(s"lo_$nm"),
+            col(s"lo_$nm"))
+            .otherwise((higher.cast("double") - pos) * col(s"lo_$nm") +
+              (pos - lower.cast("double")) * col(s"hi_$nm"))
+            .as(nm)
+        }
+        cum.groupBy("l_returnflag")
+          .agg(max(col("n")).as("n"), picks: _*)
+          .select(col("l_returnflag") +: outs: _*)
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        quantile_cont(l_extendedprice, 0.5) AS p50,
+        quantile_cont(l_extendedprice, 0.9) AS p90,
+        quantile_cont(l_extendedprice, 0.99) AS p99
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+  }
 
   /** MERGE/upsert semantics on plain parquet: updated rows replace base
     * rows by key (anti-join + union — the scalable merge when the format

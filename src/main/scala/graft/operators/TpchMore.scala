@@ -87,7 +87,10 @@ object TpchMore {
         AND l_shipdate < TIMESTAMP '$Ts98'
         AND ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
           OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
-      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+    // benched: the headline set's only 5-table join chain — the shape
+    // most sensitive to join-order/shuffle regressions at 100 TB
+    bench = true)
 
   /** q130 — TPC-H Q8 (national market share): NATION_3 suppliers' share
     * of ECONOMY-part revenue sold to AMERICA customers, by order year.

@@ -202,7 +202,7 @@ object TrainingPrep {
         .select(col("b.w1"), col("b.w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
       val totals = uni.agg(sum(col("c_w")).as("tot_uni"))
-        .crossJoin(bg.agg(sum(col("c_xy")).as("tot_bi")))
+        .crossJoin(broadcast(bg.agg(sum(col("c_xy")).as("tot_bi"))))
       bg.join(broadcast(uni.withColumnRenamed("w", "w1")
           .withColumnRenamed("c_w", "c_x")), "w1")
         .join(broadcast(uni.withColumnRenamed("w", "w2")

@@ -14,6 +14,21 @@ class PlanAuditSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Untruncated scan metadata, read programmatically off the physical
+    * plan's FileSourceScanExec nodes. The string form of the plan
+    * truncates `PushedFilters:`/`ReadSchema:` at
+    * spark.sql.maxMetadataStringLength, which made the round-5 pushdown
+    * assertions order-dependent (attribute-ID growth late in the suite
+    * pushed the asserted text past the cut). The metadata map itself is
+    * never truncated. Uses sparkPlan (pre-AQE) because
+    * AdaptiveSparkPlanExec is a leaf node — collect can't descend into it. */
+  private def scanMeta(name: String, key: String): String = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f.metadata.getOrElse(key, "")
+    }.mkString("\n")
+  }
+
   test("top-k queries use TakeOrderedAndProject, never a global sort+limit") {
     for (q <- Seq("q03_topk_orders", "q04_topk_multikey"))
       assert(plan(q).contains("TakeOrderedAndProject"), s"$q plan")
@@ -73,8 +88,8 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("point lookup pushes the key predicate into the scan") {
-    val p = plan("q24_point_lookup")
-    assert(p.contains("PushedFilters: [") && p.contains("EqualTo"), p)
+    val pushed = scanMeta("q24_point_lookup", "PushedFilters")
+    assert(pushed.contains("EqualTo"), pushed)
   }
 
   test("bloom-contamination plan keeps the pre-join filter and the broadcast join") {
@@ -109,10 +124,11 @@ class PlanAuditSpec extends AnyFunSuite {
   test("tpch q10 pushes both selective filters and top-ks the revenue") {
     val p = plan("q122_tpch_q10")
     assert(p.contains("TakeOrderedAndProject"), s"top-20 must not full-sort:\n$p")
-    assert(p.contains("EqualTo(l_returnflag,R)"),
-      s"returnflag filter must reach the lineitem scan:\n$p")
-    assert(p.contains("GreaterThanOrEqual(o_orderdate") ||
-      p.contains("o_orderdate)"), s"order window must reach the orders scan:\n$p")
+    val pushed = scanMeta("q122_tpch_q10", "PushedFilters")
+    assert(pushed.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter must reach the lineitem scan:\n$pushed")
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order window must reach the orders scan:\n$pushed")
   }
 
   test("tpch q19 disjunction stays one equi-join, not a union of fact scans") {
@@ -129,15 +145,15 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("tpch q6 pushes all three predicates into a 4-column scan") {
-    val p = plan("q128_tpch_q6")
-    assert(p.contains("PushedFilters: ["), p)
+    val pushed = scanMeta("q128_tpch_q6", "PushedFilters")
     for (pred <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
         "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
         "LessThan(l_quantity"))
-      assert(p.contains(pred), s"q128 must push $pred:\n$p")
+      assert(pushed.contains(pred), s"q128 must push $pred:\n$pushed")
     // scan must not read columns the query never touches
-    assert(!p.contains("l_partkey") && !p.contains("l_returnflag"),
-      s"q128 reads columns it doesn't need:\n$p")
+    val readSchema = scanMeta("q128_tpch_q6", "ReadSchema")
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_returnflag"),
+      s"q128 reads columns it doesn't need:\n$readSchema")
   }
 
   test("tpch q7 broadcasts the prefiltered nation dims") {
@@ -147,17 +163,18 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("tpch q17 pushes the brand filter and equi-joins the per-part caps") {
-    val p = plan("q134_tpch_q17")
-    assert(p.contains("EqualTo(p_brand,Brand#13)"),
-      s"brand predicate must reach the part scan:\n$p")
-    assert(!p.contains("CartesianProduct"), p)
+    val pushed = scanMeta("q134_tpch_q17", "PushedFilters")
+    assert(pushed.contains("EqualTo(p_brand,Brand#13)"),
+      s"brand predicate must reach the part scan:\n$pushed")
+    assert(!plan("q134_tpch_q17").contains("CartesianProduct"))
   }
 
   test("tpch q22 dormant-customer predicate runs as an anti equi-join") {
     val p = plan("q135_tpch_q22")
     assert(p.contains("LeftAnti"), s"NOT EXISTS must be an anti join:\n$p")
     // the only nested-loop is the 1-row scalar average broadcast
-    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+    assert(scanMeta("q135_tpch_q22", "PushedFilters")
+        .contains("GreaterThanOrEqual(o_orderdate"),
       s"recent-orders window must reach the orders scan:\n$p")
   }
 

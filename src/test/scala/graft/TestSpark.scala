@@ -15,6 +15,10 @@ object TestSpark {
       .config("spark.sql.warehouse.dir", wh.toString) // fresh per test JVM
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // Plan-string assertions read PushedFilters/ReadSchema metadata;
+      // the default 100-char truncation cuts them off once attribute IDs
+      // grow late in a long suite (order-dependent flake in round 5).
+      .config("spark.sql.maxMetadataStringLength", "10000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
