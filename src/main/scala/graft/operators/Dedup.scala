@@ -179,7 +179,7 @@ object Dedup {
 
   /** Verified near-dup pairs (jaccard >= 0.8) — shared by q37 and the
     * cluster-resolution q56 (which passes [[BandBucketCap]]). */
-  private[operators] def verifiedPairs(s: SparkSession, d: String,
+  private[graft] def verifiedPairs(s: SparkSession, d: String,
       bucketCap: Option[Long] = None): DataFrame =
     scoredPairs(s, d, bucketCap).filter(col("jaccard") >= 0.8)
 
@@ -310,8 +310,9 @@ object Dedup {
     * transitive closure in DuckDB. */
   /** (cluster_root, doc_id) membership via min-label propagation —
     * shared by q56 and the survivor selection q69. */
-  private[operators] def clustersDf(s: SparkSession, d: String): DataFrame = {
-      val pairs = verifiedPairs(s, d).select("doc_a", "doc_b").cache()
+  private[graft] def clustersDf(s: SparkSession, d: String,
+      bucketCap: Option[Long] = Some(BandBucketCap)): DataFrame = {
+      val pairs = verifiedPairs(s, d, bucketCap).select("doc_a", "doc_b").cache()
       val edges = pairs
         .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .toDF("a", "b").cache()
@@ -343,9 +344,11 @@ object Dedup {
   }
 
   /** SQL chain producing the `clusters(cluster_root, doc_id)` CTE
-    * (recursive transitive closure; shared by q56/q69 oracles). */
+    * (recursive transitive closure; shared by q56/q69/q81 oracles).
+    * Carries the same [[BandBucketCap]] as the Spark side, so both
+    * engines drop the identical hot buckets before pairing. */
   private[operators] val sqlClustersChain: String =
-    s"""$sqlVerifiedChain,
+    s"""${sqlVerified(Some(BandBucketCap))},
       pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
       edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
                 UNION SELECT doc_b, doc_a FROM pairs),

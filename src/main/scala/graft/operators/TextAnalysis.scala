@@ -472,7 +472,67 @@ object TextAnalysis {
       FROM ex JOIN dfreq USING (h)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** q142 — BM25-shaped lexical top-k retrieval (k1=1.2, b=0.75) for a
+    * fixed 3-term query. Scoring is entirely doc-local — tf from an
+    * array filter, dl from the token count, no explode and no pair
+    * shuffle — so the scan scales linearly; the only exchanges are the
+    * 1-row corpus-stats broadcast (N, avgdl, per-term df) and the
+    * top-10 TakeOrderedAndProject (never a global sort). The idf keeps
+    * the classic BM25 odds ratio (N − df + ½)/(df + ½) UNlogged: a
+    * monotone transform that preserves the ranking while staying
+    * libm-free (log() can diverge in the last ulp across engines — the
+    * house rule, cf. q85). Every arithmetic step is the same
+    * IEEE-op sequence on both engines, so scores hash-match bitwise. */
+  val bm25TopK: Q = {
+    val terms = Seq("spark", "hash", "merge")
+    Q(
+      "q142_bm25_topk",
+      (s, d) => {
+        val tfCols = terms.indices.map(i =>
+          size(filter(col("t"), x => x === lit(terms(i))))
+            .cast("double").as(s"tf$i"))
+        val w = Tables.documents(s, d)
+          .select(col("doc_id"), toks(col("text")).as("t"))
+          .select(col("doc_id") +: size(col("t")).cast("double").as("dl") +:
+            tfCols: _*)
+        val stats = w.agg(count(lit(1)).as("n"),
+          davg(col("dl")).as("avgdl") +: terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+        def termScore(i: Int) =
+          ((col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))) *
+            ((col(s"tf$i") * lit(2.2)) /
+              (col(s"tf$i") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+        w.crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            (termScore(0) + termScore(1) + termScore(2)).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some {
+        val tfSels = terms.zipWithIndex.map { case (tm, i) =>
+          s"cast(len(list_filter(t, x -> x = '$tm')) as double) AS tf$i" }
+          .mkString(",\n          ")
+        val dfSels = terms.indices.map(i =>
+          s"cast(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) as bigint) AS df$i")
+          .mkString(", ")
+        val score = terms.indices.map(i =>
+          s"((n - df$i + 0.5) / (df$i + 0.5)) * ((tf$i * 2.2) / " +
+            s"(tf$i + 1.2 * (0.25 + 0.75 * (dl / avgdl))))")
+          .mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+          w AS (SELECT doc_id, cast(len(t) as double) AS dl,
+          $tfSels
+          FROM t),
+          st AS (SELECT count(*) AS n, ${sqlDavg("dl")} AS avgdl, $dfSels
+            FROM w)
+          SELECT doc_id, $score AS score
+          FROM w CROSS JOIN st
+          ORDER BY score DESC, doc_id LIMIT 10"""
+      })
+  }
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
     fingerprint, topTerms, pivotEvents, rareTerms, regexTokens,
-    repetitionFilter, madOutliers, blocklistFilter, ngramNovelty)
+    repetitionFilter, madOutliers, blocklistFilter, ngramNovelty, bm25TopK)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Dsl, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Second TPC-H batch — the join/agg shapes q110-q125 don't already
@@ -302,6 +303,208 @@ object TpchMore {
             AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** q137 — TPC-H Q12 shape (shipping priority classes), adapted: the
+    * testdata has no l_shipmode/l_receiptdate, so lines group by
+    * l_linestatus and the date window runs on l_shipdate. Shape
+    * preserved exactly: one fact→orders equi-join inside a date window,
+    * CASE-split counts of critical (1-URGENT/2-HIGH) vs other order
+    * priorities per lineitem attribute. The date filter reaches the
+    * lineitem scan; the split is ONE aggregation pass, never two. */
+  val tpchQ12: Q = Q(
+    "q137_tpch_q12",
+    (s, d) => {
+      val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit(Ts96)) &&
+          col("l_shipdate") < to_timestamp(lit(Ts97)))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(critical, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(critical, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+    Some(s"""SELECT l_linestatus,
+        cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) as bigint) AS high_line_count,
+        cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 0 ELSE 1 END) as bigint) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '$Ts96'
+        AND l_shipdate < TIMESTAMP '$Ts97'
+      GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  /** Supply relation derived from shipment history (the testdata has no
+    * partsupp): per (part, supplier), the observed min unit price. Each
+    * unit price is ONE IEEE division of the same two doubles on both
+    * engines, and min() picks an element of that identical set — so the
+    * derived costs are bit-identical cross-engine. Shared by the
+    * Q2/Q16/Q20 adaptations. */
+  private val sqlSupply =
+    """supply AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+         min(l_extendedprice / l_quantity) AS cost
+       FROM lineitem GROUP BY 1, 2)"""
+  private def supplyDf(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+
+  /** q138 — TPC-H Q2 shape (min-cost supplier): for STANDARD parts of
+    * one size, the EUROPE supplier(s) offering the minimum derived
+    * supply cost. The correlated min subquery decorrelates into a
+    * per-part aggregate joined back on partkey — both computed over the
+    * EUROPE-pruned supply relation, so the region cut shrinks the
+    * supply frame BEFORE either shuffle. The 100-row answer is a
+    * TakeOrderedAndProject, never a global sort. Cost equality compares
+    * a min() against members of the set it was drawn from — exact. */
+  val tpchQ2: Q = Q(
+    "q138_tpch_q2",
+    (s, d) => {
+      val eur = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val se = supplyDf(s, d).join(eur, col("sk") === col("s_suppkey"))
+      val minc = se.groupBy(col("pk").as("m_pk"))
+        .agg(min(col("cost")).as("min_cost"))
+      Tables.part(s, d)
+        .filter(col("p_size") === 7 && col("p_type") === "STANDARD")
+        .join(se, col("p_partkey") === col("pk"))
+        .join(minc, col("pk") === col("m_pk") && col("cost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+    Some(s"""WITH $sqlSupply,
+      eur AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+      se AS (SELECT * FROM supply JOIN eur ON sk = s_suppkey),
+      minc AS (SELECT pk AS m_pk, min(cost) AS min_cost
+        FROM se GROUP BY pk)
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+      FROM part
+      JOIN se ON p_partkey = pk
+      JOIN minc ON pk = m_pk AND cost = min_cost
+      WHERE p_size = 7 AND p_type = 'STANDARD'
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""))
+
+  /** q139 — TPC-H Q11 shape (important inventory): per-part value held
+    * by one nation's suppliers, kept where the part's value exceeds
+    * 0.1% of that nation's total. Adapted: value = Σ l_extendedprice
+    * (no availqty·supplycost without partsupp). The total is the SAME
+    * exact-decimal sum re-aggregated from the per-part frame — one
+    * 1-row broadcast over the survivors, never a second fact scan —
+    * and the threshold is one IEEE multiply of it. */
+  val tpchQ11: Q = Q(
+    "q139_tpch_q11",
+    (s, d) => {
+      val byPart = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name") === "NATION_13").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(dsum(col("l_extendedprice")).as("value"))
+      val tot = byPart.agg(dsum(col("value")).as("tot"))
+      byPart.crossJoin(broadcast(tot))
+        .filter(col("value") > col("tot") * 0.001)
+        .select(col("l_partkey"), col("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    },
+    Some(s"""WITH byp AS (
+        SELECT l_partkey, ${sqlDsum("l_extendedprice")} AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_13'
+        GROUP BY l_partkey),
+      t AS (SELECT ${sqlDsum("value")} AS tot FROM byp)
+      SELECT l_partkey, value FROM byp CROSS JOIN t
+      WHERE value > tot * 0.001
+      ORDER BY value DESC, l_partkey"""))
+
+  /** q140 — TPC-H Q16 shape (supplier count by part attribute):
+    * distinct suppliers per (brand, type, size) over the derived supply
+    * relation, excluding one brand, one type, and suppliers in bad
+    * standing (negative balance — the schema's stand-in for the
+    * complaints filter). The 6-row exclusion list is a broadcast anti
+    * join; the part-attribute cuts prune the part side before the
+    * supply join; the distinct count is the only wide aggregation. */
+  val tpchQ16: Q = Q(
+    "q140_tpch_q16",
+    (s, d) => {
+      val bad = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      supplyDf(s, d)
+        .join(broadcast(bad), col("sk") === col("s_suppkey"), "left_anti")
+        .join(Tables.part(s, d)
+            .filter(col("p_brand") =!= "Brand#13" &&
+              col("p_type") =!= "ECONOMY" && col("p_size").isin(3, 5, 9)),
+          col("pk") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("sk")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+    Some(s"""WITH $sqlSupply
+      SELECT p_brand, p_type, p_size,
+        count(DISTINCT sk) AS supplier_cnt
+      FROM supply JOIN part ON pk = p_partkey
+      WHERE p_brand <> 'Brand#13' AND p_type <> 'ECONOMY'
+        AND p_size IN (3, 5, 9)
+        AND sk NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
+
+  /** q141 — TPC-H Q20 shape (excess-stock suppliers): suppliers who
+    * shipped more than half a blue part's lifetime volume in 1996 alone
+    * (the availqty > ½·year-volume predicate, re-anchored to shipment
+    * history). The name cut prunes part before the fact join; the
+    * year/lifetime split is ONE aggregation pass (conditional sum);
+    * the supplier side attaches by semi join, so no supplier row
+    * duplicates across its qualifying parts. */
+  val tpchQ20: Q = Q(
+    "q141_tpch_q20",
+    (s, d) => {
+      val hot = Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_name").contains("blue"))
+            .select("p_partkey"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum(col("l_quantity")).as("qty_all"),
+          dsum(when(year(col("l_shipdate")) === 1996, col("l_quantity"))
+            .otherwise(0)).as("qty_96"))
+        .filter(col("qty_96") > col("qty_all") * 0.5)
+        .select("l_suppkey")
+      Tables.supplier(s, d)
+        .join(hot, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    },
+    Some(s"""WITH hot AS (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE contains(p_name, 'blue')
+        GROUP BY l_suppkey, l_partkey
+        HAVING ${sqlDsum("CASE WHEN year(l_shipdate) = 1996 " +
+          "THEN l_quantity ELSE 0 END")} >
+          ${sqlDsum("l_quantity")} * 0.5)
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE s_suppkey IN (SELECT l_suppkey FROM hot)
+      ORDER BY s_suppkey"""))
+
   val all: Seq[Q] = Seq(tpchQ6, tpchQ7, tpchQ8, tpchQ9, tpchQ13,
-    tpchQ15, tpchQ17, tpchQ22)
+    tpchQ15, tpchQ17, tpchQ22, tpchQ12, tpchQ2, tpchQ11, tpchQ16,
+    tpchQ20)
 }

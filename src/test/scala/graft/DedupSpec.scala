@@ -146,6 +146,44 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.keySet.subsetOf(full.keySet), "cap only removes pairs")
   }
 
+  test("band-bucket cap leaves clusters identical when no bucket is hot") {
+    import graft.operators.Dedup
+    // On the planted fixture every band bucket holds <= 3 docs — far
+    // below BandBucketCap — so the capped cluster pipeline (what
+    // q56/q69/q81 run) must equal the uncapped transitive closure.
+    def clusters(cap: Option[Long]) =
+      Dedup.clustersDf(spark, sfDir, cap)
+        .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(clusters(Some(Dedup.BandBucketCap)) == clusters(None),
+      "cap must be a no-op when no band bucket exceeds it")
+  }
+
+  test("band-bucket cap drops boilerplate mega-buckets, keeps rare near-dup clusters") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 70 identical docs: every band bucket they share holds 70 docs —
+    // above BandBucketCap=64 — so the capped pipeline must not enumerate
+    // their ~2400 pairwise edges. A rare near-dup pair (bucket df=2)
+    // must still cluster.
+    val boiler = (1 to 40).map(i => s"bp$i").mkString(" ")
+    val rare = (1 to 40).map(i => s"rr$i").mkString(" ")
+    val rareNear = rare.replace("rr20", "rrX")
+    val docs = (0 until 70).map(i =>
+      (i.toLong, boiler, "en", "s", 100L)) ++ Seq(
+      (100L, rare, "en", "s", 100L),
+      (101L, rareNear, "en", "s", 100L))
+    val dir = TestSpark.makeSfDir("documents" ->
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val capped = Dedup.clustersDf(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(capped == Map(100L -> 100L, 101L -> 100L),
+      s"expected only the rare cluster, got ${capped.size} members: " +
+        capped.take(5).toString)
+    val uncapped = Dedup.clustersDf(spark, dir, None)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(uncapped.size == 72, "uncapped closure must still see the mega-cluster")
+  }
+
   test("incremental dedup admits only first-in-batch fingerprints absent from the corpus") {
     import spark.implicits._
     // corpus = doc_id % 10 < 8, batch = the rest. Planted cases:
