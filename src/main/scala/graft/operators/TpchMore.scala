@@ -353,12 +353,17 @@ object TpchMore {
     * supply cost. The correlated min subquery decorrelates into a
     * per-part aggregate joined back on partkey — both computed over the
     * EUROPE-pruned supply relation, so the region cut shrinks the
-    * supply frame BEFORE either shuffle. The 100-row answer is a
+    * supply frame BEFORE either shuffle. The per-part min attaches as a
+    * PARTITIONED window over the aggregated supply frame — ONE supply
+    * computation and one pk shuffle, instead of a second
+    * fact-scan+aggregate branch joined back (correct but dependent on
+    * AQE exchange reuse to dedupe). The 100-row answer is a
     * TakeOrderedAndProject, never a global sort. Cost equality compares
     * a min() against members of the set it was drawn from — exact. */
   val tpchQ2: Q = Q(
     "q138_tpch_q2",
     (s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val eur = Tables.supplier(s, d)
         .join(broadcast(Tables.nation(s, d)
             .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
@@ -367,12 +372,11 @@ object TpchMore {
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
       val se = supplyDf(s, d).join(eur, col("sk") === col("s_suppkey"))
-      val minc = se.groupBy(col("pk").as("m_pk"))
-        .agg(min(col("cost")).as("min_cost"))
+        .withColumn("min_cost", min(col("cost")).over(Window.partitionBy("pk")))
       Tables.part(s, d)
         .filter(col("p_size") === 7 && col("p_type") === "STANDARD")
-        .join(se, col("p_partkey") === col("pk"))
-        .join(minc, col("pk") === col("m_pk") && col("cost") === col("min_cost"))
+        .join(se.filter(col("cost") === col("min_cost")),
+          col("p_partkey") === col("pk"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_name"), col("cost"))
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),

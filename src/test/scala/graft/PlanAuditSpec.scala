@@ -178,6 +178,37 @@ class PlanAuditSpec extends AnyFunSuite {
       s"recent-orders window must reach the orders scan:\n$p")
   }
 
+  test("tpch q2 prunes part before the supply join and top-ks the answer") {
+    val p = plan("q138_tpch_q2")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must not full-sort:\n$p")
+    val pushed = scanMeta("q138_tpch_q2", "PushedFilters")
+    assert(pushed.contains("EqualTo(p_size,7)") &&
+      pushed.contains("EqualTo(p_type,STANDARD)"),
+      s"part cuts must reach the scan:\n$pushed")
+    assert(pushed.contains("EqualTo(r_name,EUROPE)"),
+      s"region cut must reach the scan:\n$pushed")
+  }
+
+  test("tpch q20 semi-joins suppliers against the hot-part aggregate") {
+    val p = plan("q141_tpch_q20")
+    assert(p.contains("LeftSemi"),
+      s"supplier side must attach by semi join:\n$p")
+    assert(scanMeta("q141_tpch_q20", "PushedFilters")
+        .contains("StringContains(p_name,blue)"),
+      s"part-name cut must reach the scan:\n$p")
+  }
+
+  test("bm25 scoring is doc-local: no explode, stats broadcast, top-k") {
+    val p = plan("q142_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must not full-sort:\n$p")
+    assert(!p.contains("Generate"),
+      s"tf must come from an array filter, not an explode shuffle:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"corpus stats must broadcast:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation pipelines") {
     for (q <- Seq("q01_pricing_summary", "q06_join_multiway_agg",
         "q30_token_count", "q82_text_chunks")) {
