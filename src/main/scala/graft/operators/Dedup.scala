@@ -179,7 +179,7 @@ object Dedup {
 
   /** Verified near-dup pairs (jaccard >= 0.8) — shared by q37 and the
     * cluster-resolution q56 (which passes [[BandBucketCap]]). */
-  private[graft] def verifiedPairs(s: SparkSession, d: String,
+  private[operators] def verifiedPairs(s: SparkSession, d: String,
       bucketCap: Option[Long] = None): DataFrame =
     scoredPairs(s, d, bucketCap).filter(col("jaccard") >= 0.8)
 

@@ -478,11 +478,16 @@ object TextAnalysis {
     * shuffle — so the scan scales linearly; the only exchanges are the
     * 1-row corpus-stats broadcast (N, avgdl, per-term df) and the
     * top-10 TakeOrderedAndProject (never a global sort). The idf keeps
-    * the classic BM25 odds ratio (N − df + ½)/(df + ½) UNlogged: a
-    * monotone transform that preserves the ranking while staying
+    * the classic BM25 odds ratio (N − df + ½)/(df + ½) UNlogged to stay
     * libm-free (log() can diverge in the last ulp across engines — the
-    * house rule, cf. q85). Every arithmetic step is the same
-    * IEEE-op sequence on both engines, so scores hash-match bitwise. */
+    * house rule, cf. q85). NOTE: per term the transform is monotone, but
+    * the SUM over terms is not — rare terms weigh exponentially more
+    * than under logged idf, so rankings can differ from textbook BM25
+    * when query-term dfs span orders of magnitude (a deliberate
+    * determinism-over-fidelity trade, documented, not hidden; swap in
+    * ln() for textbook scores if cross-engine bit-equality is not
+    * needed). Every arithmetic step is the same IEEE-op sequence on
+    * both engines, so scores hash-match bitwise. */
   val bm25TopK: Q = {
     val terms = Seq("spark", "hash", "merge")
     Q(

@@ -200,13 +200,19 @@ object TpchMore {
     * frame (never a global sort), and the equality compares two doubles
     * PRODUCED BY THE SAME exact-decimal sum on both engines, so the
     * float-equality is reliable. The revenue frame is computed once —
-    * AQE reuses the exchange for the max branch. */
+    * AQE reuses its shuffle for the max branch, which requires the
+    * explicit isNotNull below: the supplier join pushes
+    * isnotnull(l_suppkey) into ONE branch's scan, and without the same
+    * predicate in both the subtrees canonicalize differently and the
+    * fact scan + aggregate silently run twice (observed; the reuse is
+    * now pinned by PlanAuditSpec). */
   val tpchQ15: Q = Q(
     "q133_tpch_q15",
     (s, d) => {
       val rev = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= to_timestamp(lit(Ts96)) &&
-          col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+          col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")) &&
+          col("l_suppkey").isNotNull)
         .groupBy("l_suppkey")
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("total_rev"))
@@ -402,10 +408,11 @@ object TpchMore {
   /** q139 — TPC-H Q11 shape (important inventory): per-part value held
     * by one nation's suppliers, kept where the part's value exceeds
     * 0.1% of that nation's total. Adapted: value = Σ l_extendedprice
-    * (no availqty·supplycost without partsupp). The total is the SAME
-    * exact-decimal sum re-aggregated from the per-part frame — one
-    * 1-row broadcast over the survivors, never a second fact scan —
-    * and the threshold is one IEEE multiply of it. */
+    * (no availqty·supplycost without partsupp). The total re-aggregates
+    * the per-part frame, so AQE reuses byPart's shuffle for the total
+    * branch and the fact scan runs once (pinned by PlanAuditSpec along
+    * with q133's); the threshold is one IEEE multiply of the 1-row
+    * broadcast. */
   val tpchQ11: Q = Q(
     "q139_tpch_q11",
     (s, d) => {

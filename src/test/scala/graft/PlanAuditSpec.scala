@@ -209,6 +209,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus stats must broadcast:\n$p")
   }
 
+  test("q15/q11 scalar branches reuse the aggregated exchange, one fact scan") {
+    // Both queries re-aggregate their grouped frame for a 1-row scalar
+    // (max / total) broadcast back over it. Without exchange reuse the
+    // fact scan + aggregate silently run twice — q133 regressed exactly
+    // this way when the supplier join pushed isnotnull(l_suppkey) into
+    // only one branch's scan and broke canonical equality. Reuse only
+    // materializes under AQE at runtime, so execute, then read the
+    // final plan.
+    for (q <- Seq("q133_tpch_q15", "q139_tpch_q11")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"$q scalar branch must reuse the aggregated exchange:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the hot aggregation pipelines") {
     for (q <- Seq("q01_pricing_summary", "q06_join_multiway_agg",
         "q30_token_count", "q82_text_chunks")) {
