@@ -1125,7 +1125,10 @@ object Relational {
       val cum = hist.withColumn("cum_before",
         coalesce(sum(col("cnt")).over(Window.orderBy(col("n_chars"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      val total = docs.agg(count(lit(1)).as("n"))
+      // total from the histogram, not a second raw-scan count: AQE
+      // reuses hist's exchange for this branch, so documents is read
+      // once (Σcnt ≡ count(*) exactly)
+      val total = hist.agg(sum(col("cnt")).as("n"))
       val bounds = s.range(1, 11)
         .select(col("id").cast("int").as("decile"))
         .crossJoin(broadcast(total))

@@ -239,24 +239,29 @@ object TpchMore {
 
   /** q134 — TPC-H Q17 (small-quantity-order revenue): lineitems of one
     * brand's parts whose quantity is below 20% of that part's average
-    * quantity. The correlated scalar subquery decorrelates into a
-    * per-part aggregate joined back on partkey — both the aggregate and
-    * the probe run over the brand-pruned fact subset (the brand filter
-    * hits part BEFORE the fact join; at sf0.01 that's 66 parts of
-    * 2000). The threshold is 0.2 × an exact-decimal average: one IEEE
-    * multiply per part on both engines. */
+    * quantity. The correlated scalar subquery attaches as a PARTITIONED
+    * window over the brand-pruned fact subset (the brand filter hits
+    * part BEFORE the fact join; at sf0.01 that's 66 parts of 2000) —
+    * ONE fact scan and one partkey shuffle. The decorrelated
+    * aggregate-join-back form read the fact table twice: column pruning
+    * gives the two lb branches different ReadSchemas, so their subtrees
+    * never canonicalize equal and exchange reuse cannot fire (observed
+    * — the q133 trap in a different guise). The window average
+    * reproduces davg exactly: the same decimal(18,4) sum split to
+    * double, divided by the same count. */
   val tpchQ17: Q = Q(
     "q134_tpch_q17",
     (s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val brandParts = Tables.part(s, d)
         .filter(col("p_brand") === "Brand#13").select("p_partkey")
-      val lb = Tables.lineitem(s, d)
+      val byPart = Window.partitionBy("l_partkey")
+      Tables.lineitem(s, d)
         .join(brandParts, col("l_partkey") === col("p_partkey"))
         .select("l_partkey", "l_quantity", "l_extendedprice")
-      val caps = lb.groupBy("l_partkey")
-        .agg((lit(0.2) * davg(col("l_quantity"))).as("qty_cap"))
-        .withColumnRenamed("l_partkey", "cap_partkey")
-      lb.join(caps, col("l_partkey") === col("cap_partkey"))
+        .withColumn("qty_cap", lit(0.2) *
+          (splitDbl(sum(col("l_quantity").cast(Dec)).over(byPart)) /
+            count(col("l_quantity")).over(byPart)))
         .filter(col("l_quantity") < col("qty_cap"))
         .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
           count(lit(1)).as("n_lines"))

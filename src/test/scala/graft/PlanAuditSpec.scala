@@ -162,11 +162,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("tpch q17 pushes the brand filter and equi-joins the per-part caps") {
+  test("tpch q17 pushes the brand filter and caps via one windowed fact pass") {
     val pushed = scanMeta("q134_tpch_q17", "PushedFilters")
     assert(pushed.contains("EqualTo(p_brand,Brand#13)"),
       s"brand predicate must reach the part scan:\n$pushed")
-    assert(!plan("q134_tpch_q17").contains("CartesianProduct"))
+    val p = plan("q134_tpch_q17")
+    assert(!p.contains("CartesianProduct"))
+    // the per-part cap is a partitioned window, not an aggregate joined
+    // back — the join-back form scanned the fact table twice (pruning
+    // de-canonicalized the branches, so exchange reuse never fired)
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"q134 must read the fact table exactly once:\n$p")
   }
 
   test("tpch q22 dormant-customer predicate runs as an anti equi-join") {
@@ -217,12 +223,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // only one branch's scan and broke canonical equality. Reuse only
     // materializes under AQE at runtime, so execute, then read the
     // final plan.
-    for (q <- Seq("q133_tpch_q15", "q139_tpch_q11")) {
+    for (q <- Seq("q133_tpch_q15", "q139_tpch_q11", "q113_equidepth_deciles")) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
       assert(p.contains("ReusedExchange"),
         s"$q scalar branch must reuse the aggregated exchange:\n$p")
+      val fact = if (q == "q113_equidepth_deciles") "documents" else "lineitem"
+      assert(s"$fact\\.parquet".r.findAllIn(p).size == 1,
+        s"$q must read $fact exactly once in the final plan:\n$p")
     }
   }
 
