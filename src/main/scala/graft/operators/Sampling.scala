@@ -99,7 +99,12 @@ object Sampling {
   val temperatureSample: Q = Q(
     "q126_temperature_sample",
     (s, d) => {
+      // the explicit isNotNull keeps the two counts branches (broadcast
+      // join + n_min) canonically equal — the join pushes
+      // isnotnull(lang) into only its own branch's scan otherwise, and
+      // the counts aggregate then runs twice (the q133 reuse trap)
       val docs = Tables.documents(s, d).select("doc_id", "lang")
+        .filter(col("lang").isNotNull)
       val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
       val nmin = counts.agg(min("n_before").as("n_min"))
       docs.join(broadcast(counts), "lang")
