@@ -95,4 +95,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     val dupRow = rows.find(_.getLong(1) == 0L).get
     assert(dupRow.getLong(2) == 2L)
   }
+
+  test("bm25 ranks more matched terms, more occurrences, shorter docs higher") {
+    import spark.implicits._
+    val pad = (1 to 20).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"spark hash merge $pad", "en", "s", 100L),   // all 3 terms
+      (1L, s"spark $pad", "en", "s", 100L),              // 1 term
+      (2L, s"spark spark spark $pad", "en", "s", 100L),  // 1 term, tf=3
+      (3L, s"$pad", "en", "s", 100L),                    // no terms
+      (4L, "spark", "en", "s", 5L))                      // 1 term, tiny doc
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q142_bm25_topk")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows(0L) > rows(2L) && rows(2L) > rows(1L),
+      s"3 distinct terms > tf=3 of one term > tf=1: $rows")
+    assert(rows(4L) > rows(1L),
+      s"same tf in a shorter doc must score higher (length norm): $rows")
+    assert(rows(3L) == 0.0, s"doc with no query terms scores exactly 0: $rows")
+  }
 }
