@@ -144,8 +144,15 @@ object TrainingPrep {
       val terms = docs
         .select(col("doc_id"), explode(toks(lower(col("text")))).as("term"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = terms.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
+      // df re-aggregates tf (one row per (doc, term), so rows-per-term ≡
+      // distinct-doc count). NOTE: this does NOT share tf's exchange —
+      // Catalyst prunes the unused count from this branch (rewriting it
+      // to a bare distinct; count(<non-null>) normalizes to count(1), so
+      // it can't be kept alive declaratively) and the de-canonicalized
+      // subtrees defeat reuse. Two token-explode passes remain; the
+      // single-pass production form checkpoints the tf stage to a table,
+      // which a one-shot query can't express.
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(df, "term")
         .crossJoin(broadcast(n))
