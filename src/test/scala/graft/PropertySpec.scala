@@ -106,7 +106,11 @@ class PropertySpec extends AnyFunSuite {
     // identical ordered output — the property the oracle gate relies on
     val sf = TestSpark.sf0001
     for (name <- Seq("q01_pricing_summary", "q37_minhash_lsh_pairs",
-        "q42_ann_bruteforce", "q56_dedup_clusters")) {
+        "q42_ann_bruteforce", "q56_dedup_clusters",
+        // round-6 additions: the scalar-broadcast TPC-H shapes and the
+        // BM25 scorer lean on exact-decimal sums for their float
+        // thresholds/scores — the invariance this law exists to check
+        "q138_tpch_q2", "q139_tpch_q11", "q142_bm25_topk")) {
       val a = SparkEntry.queries(name)(spark, sf).collect().map(_.toString)
       spark.conf.set("spark.sql.shuffle.partitions", "7")
       val b = try SparkEntry.queries(name)(spark, sf).collect().map(_.toString)
