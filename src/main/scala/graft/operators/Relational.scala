@@ -1127,8 +1127,9 @@ object Relational {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       // total from the histogram, not a second raw-scan count: AQE
       // reuses hist's exchange for this branch, so documents is read
-      // once (Σcnt ≡ count(*) exactly)
-      val total = hist.agg(sum(col("cnt")).as("n"))
+      // once (Σcnt ≡ count(*) exactly; coalesce keeps the empty-table
+      // case at 0 like count(*) would, not NULL-propagated bounds)
+      val total = hist.agg(coalesce(sum(col("cnt")), lit(0L)).as("n"))
       val bounds = s.range(1, 11)
         .select(col("id").cast("int").as("decile"))
         .crossJoin(broadcast(total))

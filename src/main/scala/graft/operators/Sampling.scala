@@ -118,7 +118,8 @@ object Sampling {
         .orderBy("lang")
     },
     Some(s"""WITH counts AS (
-        SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
+        SELECT lang, count(*) AS n_before FROM documents
+        WHERE lang IS NOT NULL GROUP BY lang),
       m AS (SELECT min(n_before) AS n_min FROM counts),
       kept AS (SELECT d.lang, c.n_before
         FROM documents d JOIN counts c ON d.lang = c.lang, m

@@ -271,7 +271,7 @@ object TpchMore {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE p_brand = 'Brand#13'),
       caps AS (SELECT l_partkey AS cap_partkey,
-          0.2 * ${sqlDavg("l_quantity")} AS qty_cap
+          0.2 * (${sqlDavg("l_quantity")}) AS qty_cap
         FROM lb GROUP BY l_partkey)
       SELECT ${sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly,
         count(*) AS n_lines
