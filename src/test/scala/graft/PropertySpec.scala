@@ -101,16 +101,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("results are invariant to input partitioning (determinism law)") {
+  // Queries exempt from the partitioning-invariance law, each for a
+  // documented physical reason — NOT because they are flaky:
+  //   q50/q51/q55 — seeded MLlib fits (KMeans k-means||, RF): the seed
+  //     fixes per-partition sampling, so results are deterministic for a
+  //     FIXED partitioning but legitimately change when the input is
+  //     repartitioned;
+  //   q54/q95 — sketches (HLL, t-digest) whose merge is
+  //     order/partition-sensitive by design;
+  //   q98/q99 — LBFGS logistic fit / zlib byte-stream, both dependent on
+  //     row order within partitions.
+  // Everything else in the registry must hold. A new query is covered
+  // automatically the moment it is registered — opting OUT requires
+  // adding it here with a reason.
+  private val partitioningExempt = Set(
+    "q50_kmeans_embeddings", "q51_rf_regression", "q55_ann_ivf",
+    "q54_approx_distinct", "q95_approx_percentiles",
+    "q98_quality_classifier", "q99_compressibility")
+
+  test("results are invariant to input partitioning (registry-wide law)") {
     // same query over adversarially repartitioned input must produce
     // identical ordered output — the property the oracle gate relies on
     val sf = TestSpark.sf0001
-    for (name <- Seq("q01_pricing_summary", "q37_minhash_lsh_pairs",
-        "q42_ann_bruteforce", "q56_dedup_clusters",
-        // round-6 additions: the scalar-broadcast TPC-H shapes and the
-        // BM25 scorer lean on exact-decimal sums for their float
-        // thresholds/scores — the invariance this law exists to check
-        "q138_tpch_q2", "q139_tpch_q11", "q142_bm25_topk")) {
+    val names = Registry.all.map(_.name).filterNot(partitioningExempt)
+    assert(names.size >= 130, "registry shrank — law coverage suspect")
+    for (name <- names) {
       val a = SparkEntry.queries(name)(spark, sf).collect().map(_.toString)
       spark.conf.set("spark.sql.shuffle.partitions", "7")
       val b = try SparkEntry.queries(name)(spark, sf).collect().map(_.toString)
