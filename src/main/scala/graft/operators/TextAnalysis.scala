@@ -537,7 +537,81 @@ object TextAnalysis {
       })
   }
 
+  /** q142b — TEXTBOOK BM25 top-k (k1=1.2, b=0.75), closing q142's
+    * documented unlogged-idf semantic gap: idf here is the standard
+    * `ln((N − df + ½)/(df + ½) + 1)` (the Lucene/BM25+ form, always
+    * positive), so term weights grow logarithmically with rarity like
+    * every production BM25. The price of ln() is that scores are no
+    * longer bit-identical across engines (libm can differ in the last
+    * ulp), so the oracle is RANK-ONLY: both engines quantize the score
+    * to a millionth (`floor(score·10⁶)` — a tolerance ~10⁹ coarser
+    * than libm error, so a flip needs a true score within 10⁻¹⁵ of a
+    * boundary), rank by (qscore DESC, doc_id) — the doc_id tie-break
+    * makes equal-score ranks stable — and compare only (rank, doc_id).
+    * Same linear scan shape as q142: doc-local tf, 1-row stats
+    * broadcast, TakeOrderedAndProject top-10; the rank window runs on
+    * the 10 surviving rows, never the corpus. */
+  val bm25TextbookTopK: Q = {
+    val terms = Seq("spark", "hash", "merge")
+    Q(
+      "q142b_bm25_textbook",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tfCols = terms.indices.map(i =>
+          size(filter(col("t"), x => x === lit(terms(i))))
+            .cast("double").as(s"tf$i"))
+        val w = Tables.documents(s, d)
+          .select(col("doc_id"), toks(col("text")).as("t"))
+          .select(col("doc_id") +: size(col("t")).cast("double").as("dl") +:
+            tfCols: _*)
+        val stats = w.agg(count(lit(1)).as("n"),
+          davg(col("dl")).as("avgdl") +: terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+        def termScore(i: Int) =
+          log((col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)) +
+            lit(1.0)) *
+            ((col(s"tf$i") * lit(2.2)) /
+              (col(s"tf$i") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+        w.crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            floor((termScore(0) + termScore(1) + termScore(2)) * lit(1000000.0))
+              .cast("long").as("qscore"))
+          .orderBy(col("qscore").desc, col("doc_id"))
+          .limit(10)
+          .select(row_number().over(
+              Window.orderBy(col("qscore").desc, col("doc_id")))
+            .cast("long").as("rank"), col("doc_id"))
+          .orderBy("rank")
+      },
+      Some {
+        val tfSels = terms.zipWithIndex.map { case (tm, i) =>
+          s"cast(len(list_filter(t, x -> x = '$tm')) as double) AS tf$i" }
+          .mkString(",\n          ")
+        val dfSels = terms.indices.map(i =>
+          s"cast(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) as bigint) AS df$i")
+          .mkString(", ")
+        val score = terms.indices.map(i =>
+          s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * ((tf$i * 2.2) / " +
+            s"(tf$i + 1.2 * (0.25 + 0.75 * (dl / avgdl))))")
+          .mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+          w AS (SELECT doc_id, cast(len(t) as double) AS dl,
+          $tfSels
+          FROM t),
+          st AS (SELECT count(*) AS n, ${sqlDavg("dl")} AS avgdl, $dfSels
+            FROM w),
+          scored AS (SELECT doc_id,
+            cast(floor(($score) * 1000000.0) as bigint) AS qscore
+            FROM w CROSS JOIN st)
+          SELECT cast(row_number() OVER (ORDER BY qscore DESC, doc_id) as bigint)
+            AS rank, doc_id
+          FROM scored ORDER BY qscore DESC, doc_id LIMIT 10"""
+      })
+  }
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
     fingerprint, topTerms, pivotEvents, rareTerms, regexTokens,
-    repetitionFilter, madOutliers, blocklistFilter, ngramNovelty, bm25TopK)
+    repetitionFilter, madOutliers, blocklistFilter, ngramNovelty, bm25TopK,
+    bm25TextbookTopK)
 }

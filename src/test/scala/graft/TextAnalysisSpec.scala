@@ -115,4 +115,37 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"same tf in a shorter doc must score higher (length norm): $rows")
     assert(rows(3L) == 0.0, s"doc with no query terms scores exactly 0: $rows")
   }
+
+  test("textbook bm25 (q142b) matches an independent scorer's ranking") {
+    import spark.implicits._
+    val pad = (1 to 20).map(i => s"p$i").mkString(" ")
+    val texts = Seq(
+      0L -> s"spark hash merge $pad",
+      1L -> s"spark $pad",
+      2L -> s"spark spark spark $pad",
+      3L -> s"$pad",
+      4L -> "spark",
+      5L -> s"hash merge hash $pad")
+    val docs = texts.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    // independent plain-Scala BM25 (k1=1.2, b=0.75, Lucene idf)
+    val terms = Seq("spark", "hash", "merge")
+    val toks = texts.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+    val n = toks.size.toDouble
+    val avgdl = toks.map(_._2.size).sum / n
+    val df = terms.map(tm => tm -> toks.count(_._2.contains(tm))).toMap
+    val expected = toks.map { case (id, tk) =>
+      val dl = tk.size.toDouble
+      val score = terms.map { tm =>
+        val tf = tk.count(_ == tm).toDouble
+        math.log((n - df(tm) + 0.5) / (df(tm) + 0.5) + 1.0) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+      }.sum
+      (id, math.floor(score * 1e6).toLong)
+    }.sortBy { case (id, q) => (-q, id) }.map(_._1)
+    val got = SparkEntry.queries("q142b_bm25_textbook")(spark, dir)
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
+    assert(got == expected, s"ranking diverges from reference BM25: $got vs $expected")
+  }
 }
