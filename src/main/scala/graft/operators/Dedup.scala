@@ -610,8 +610,81 @@ object Dedup {
         WHERE e.doc_id % 10 < 8 AND e.fp = b.fp)
       GROUP BY fp ORDER BY doc_id"""))
 
+  /** q143: substring-level dedup — exact repeated-SPAN detection, the
+    * standard complement to document-level MinHash ("Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2022;
+    * suffix-array ExactSubstr there, shingle-window hashing here — the
+    * shuffle-friendly equivalent). Every k-token window (k=25; docs are
+    * 10-99 tokens in testdata — production corpora would use ~50) is
+    * hashed; a window duplicated across ≥2 DISTINCT documents marks its
+    * positions; runs of consecutive duplicated positions merge into
+    * maximal removal spans (gaps-and-islands: pos − row_number is
+    * constant within a run). Output is the removal list
+    * (doc_id, span_start, span_end) in 1-based token indices.
+    *
+    * Scale shape: windowing is doc-local (one transform over the token
+    * array — the window STRING is hashed and dropped inside the same
+    * projection, so the shuffle carries (doc_id, pos, h), never text);
+    * the df aggregate is one shuffle on the 61-bit hash with map-side
+    * partial agg; the position join is an equi-join on h (never a pair
+    * join — cost is linear in corpus size, unlike q76's candidate
+    * pairs); the islands window partitions BY doc_id, so no global
+    * sort. The q136 novelty scorer shares this skeleton. */
+  val substringDedup: Q = {
+    val K = 25
+    Q(
+      "q143_substring_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.TextFunctions.register(s)
+        val docs = Tables.documents(s, d)
+          // spread the per-row windowing across cores (documents parquet
+          // arrives in O(1) partitions; cf. shingleSets)
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("doc_id"))
+          .select(col("doc_id"), toks(col("text")).as("t"))
+          .filter(size(col("t")) >= K)
+        val winArr = transform(sequence(lit(1), size(col("t")) - (K - 1)),
+          i => concat_ws(" ", slice(col("t"), i, lit(K))))
+        val wins = docs
+          .select(col("doc_id"), posexplode(winArr).as(Seq("pos0", "win")))
+          .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+            md5h61(col("win")).as("h"))
+        val dupHashes = wins.groupBy("h")
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select("h")
+        val dupPos = wins.join(dupHashes, "h").select("doc_id", "pos")
+        val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+        dupPos
+          .withColumn("grp", col("pos") - row_number().over(byDoc))
+          .groupBy("doc_id", "grp")
+          .agg(min(col("pos")).as("span_start"),
+            (max(col("pos")) + (K - 1)).as("span_end"),
+            count(lit(1)).as("n_windows"))
+          .select("doc_id", "span_start", "span_end", "n_windows")
+          .orderBy("doc_id", "span_start")
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+        tt AS (SELECT doc_id, t FROM t WHERE len(t) >= $K),
+        w AS (SELECT doc_id, i AS pos,
+            ${sqlMd5h61(s"array_to_string(t[i:i+$K-1], ' ')")} AS h
+          FROM tt, unnest(generate_series(1, len(t)-$K+1)) AS u(i)),
+        dh AS (SELECT h FROM
+          (SELECT h, count(DISTINCT doc_id) AS nd FROM w GROUP BY h)
+          WHERE nd >= 2),
+        p AS (SELECT doc_id, pos FROM w JOIN dh USING (h)),
+        g AS (SELECT doc_id, pos,
+            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM p)
+        SELECT doc_id, min(pos) AS span_start,
+          max(pos) + $K - 1 AS span_end, count(*) AS n_windows
+        FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start"""))
+  }
+
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
     ngramJaccardPairs, ngramJaccardDfCap, sketchQuality, dupDegrees,
-    dupBySource, incrementalDedup)
+    dupBySource, incrementalDedup, substringDedup)
 }

@@ -205,4 +205,40 @@ class DedupSpec extends AnyFunSuite {
     assert(rows == Map(19L -> 2L, 29L -> 1L),
       s"admissions wrong: $rows")
   }
+
+  test("substring dedup finds exactly the planted cross-doc span, merged") {
+    import spark.implicits._
+    // A 30-token span planted inside two docs at DIFFERENT positions,
+    // with unique surroundings; a third doc shares nothing. With k=25,
+    // the duplicated windows are precisely the 6 fully inside the span
+    // (boundary-straddling windows mix in unique context), so the
+    // merged removal span must be the planted 30 tokens exactly.
+    val shared = (1 to 30).map(i => s"dup$i").mkString(" ")
+    val prefixA = (1 to 5).map(i => s"ua$i").mkString(" ")
+    val suffixB = (1 to 8).map(i => s"ub$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$prefixA $shared", "en", "s", 100L),       // span at pos 6..35
+      (2L, s"$shared $suffixB", "en", "s", 100L),       // span at pos 1..30
+      (3L, (1 to 40).map(i => s"solo$i").mkString(" "), "en", "s", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q143_substring_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, 6L, 35L, 6L), (2L, 1L, 30L, 6L)),
+      s"removal spans wrong: ${rows.toSeq}")
+  }
+
+  test("substring dedup ignores repeats within a single document") {
+    import spark.implicits._
+    // the same 25-token run appears TWICE in one doc and nowhere else:
+    // cross-doc df is 1, so no removal span may be emitted
+    val run = (1 to 25).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run mid1 mid2 $run", "en", "s", 100L),
+      (2L, (1 to 30).map(i => s"other$i").mkString(" "), "en", "s", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q143_substring_dedup")(spark, dir).collect()
+    assert(rows.isEmpty, s"within-doc repeat must not be flagged: ${rows.toSeq}")
+  }
 }
