@@ -70,6 +70,49 @@ object IvfIndex {
       .limit(topK)
   }
 
+  /** Nearest-centroid assignment as a pure scan expression — the
+    * incremental side of the lifecycle (assign tonight's batch to the
+    * EXISTING index, no refit). Squared L2 decomposes as
+    * |e|² − 2·e·c + |c|², and |e|² is candidate-invariant, so the
+    * argmin needs only (|c|² − 2·e·c) per centroid; the k centroids are
+    * inlined as literals (k-bounded, the same discipline as [[query]]'s
+    * driver-side probe pick), giving one scan with zero shuffles and no
+    * ML stage. Ties break to the LOWER cell id via (score, cell) struct
+    * ordering — deterministic regardless of centroid order. Requires
+    * `dot_product` (VectorFunctions) on the session. */
+  def assignToCentroids(vecs: DataFrame,
+      centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    val scored = centroids.sortBy(_._1).map { case (cell, c) =>
+      val c2 = c.map(x => x * x).sum
+      struct(
+        (lit(c2) - lit(2.0) * call_function("dot_product",
+          col("e"), array(c.toSeq.map(lit): _*))).as("score"),
+        lit(cell).as("cell"))
+    }
+    vecs.withColumn("cell", array_min(array(scored: _*)).getField("cell"))
+  }
+
+  /** Append NEW vectors to a persisted index: broadcast-free argmin
+    * assignment against the stored centroids, then an append write
+    * under the cell partitions — the existing vectors are never read or
+    * rewritten (q127's incremental-dedup shape, applied to ANN). */
+  def appendVectors(spark: SparkSession, indexDir: String,
+      newVecs: DataFrame): Unit = {
+    graft.functions.VectorFunctions.register(spark)
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+    // align to the STORED schema before writing: parquet append with a
+    // mismatched column type (e.g. string label into an int index)
+    // corrupts the table for every later reader — ANSI cast fails loudly
+    // here instead, at append time
+    val stored = spark.read.parquet(s"$indexDir/vectors").schema
+    val aligned = stored.fields.filterNot(_.name == "cell")
+      .map(f => col(f.name).cast(f.dataType).as(f.name))
+    assignToCentroids(newVecs, centroids)
+      .select(aligned :+ col("cell"): _*)
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/vectors")
+  }
+
   /** Shared normalization — Similarity.normed itself, so the index
     * builder inherits its loud raise_error on a dimension mismatch
     * (a silent filter here would drop corrupt vectors from the index

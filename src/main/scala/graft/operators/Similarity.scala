@@ -314,6 +314,50 @@ object Similarity {
     },
     None)
 
+  /** q144: incremental IVF — the refresh path of the q55 index
+    * lifecycle. The coarse quantizer is fit ONCE on the existing corpus
+    * (vec_id % 10 < 8, k=16 seed=1); the new batch (vec_id % 10 >= 8)
+    * is assigned to those centroids by [[IvfIndex.assignToCentroids]]'s
+    * argmin scan — no refit, no shuffle, the existing side never
+    * recomputed (q127's incremental-dedup shape applied to ANN) — and
+    * the query probes its nprobe=4 nearest cells over the COMBINED
+    * corpus. KMeans centroids are not SQL-expressible → rows-only;
+    * recall vs combined-corpus brute force and assignment correctness
+    * are asserted in IvfIndexSpec. */
+  val annIvfIncremental: Q = Q(
+    "q144_ivf_incremental",
+    (s, d) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val w = normed(s, d).cache()
+      val base = w.filter(col("vec_id") % 10 < 8)
+        .withColumn("fv", array_to_vector(col("e")))
+      val km = new KMeans().setK(16).setSeed(1)
+        .setFeaturesCol("fv").setPredictionCol("cell").fit(base)
+      val baseCells = km.transform(base)
+        .select("vec_id", "label", "e", "nrm", "cell")
+      val centroids = km.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }.toSeq
+      val newCells = IvfIndex
+        .assignToCentroids(w.filter(col("vec_id") % 10 >= 8), centroids)
+        .select("vec_id", "label", "e", "nrm", "cell")
+      val cells = baseCells.unionByName(newCells)
+      val qe = w.filter(col("vec_id") === 0)
+        .select("e").collect()(0).getSeq[Double](0).toArray
+      val probes = centroids.map { case (i, c) =>
+        (i, c.zip(qe).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sortBy(_._2).take(4).map(_._1)
+      val q2 = w.filter(col("vec_id") === 0)
+        .select(col("e").as("qe"), col("nrm").as("qnrm"))
+      cells.filter(col("vec_id") =!= 0 && col("cell").isin(probes: _*))
+        .crossJoin(broadcast(q2))
+        .withColumn("cosine", dot("e", "qe") / (col("nrm") * col("qnrm")))
+        .select("vec_id", "label", "cell", "cosine")
+        .orderBy(desc("cosine"), asc("vec_id"))
+        .limit(10)
+    },
+    None)
+
   /** Multimodal columns: opaque binary payload + typed metadata. The
     * decode step is a stub (no image libs in this container) — what's
     * real and verified is the binary handling: byte length, content
@@ -389,5 +433,5 @@ object Similarity {
       FROM n ORDER BY vec_id"""))
 
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
-    annIvf, multimodalMeta, arrayFuncs)
+    annIvf, annIvfIncremental, multimodalMeta, arrayFuncs)
 }

@@ -67,4 +67,61 @@ class IvfIndexSpec extends AnyFunSuite {
     val recall = bruteIds.count(probed.contains).toDouble / bruteIds.size
     assert(recall >= 0.3, s"recall@10 $recall — suspiciously low even for weakly clustered data")
   }
+
+  test("incremental assign picks the true nearest centroid for every vector") {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+    val vecs = spark.read.parquet(s"$indexDir/vectors")
+      .select("vec_id", "label", "e", "nrm").limit(100)
+    val assigned = operators.IvfIndex.assignToCentroids(vecs, centroids)
+      .select("vec_id", "e", "cell").collect()
+    assert(assigned.nonEmpty)
+    assigned.foreach { r =>
+      val e = r.getSeq[Double](1).toArray
+      val best = centroids.map { case (cell, c) =>
+        (c.zip(e).map { case (a, b) => (a - b) * (a - b) }.sum, cell)
+      }.min // (distance, cell) — same lower-cell tie-break as the impl
+      assert(r.getInt(2) == best._2,
+        s"vec ${r.getLong(0)} assigned to ${r.getInt(2)}, nearest is ${best._2}")
+    }
+  }
+
+  test("appended vectors are served by the persisted index without a rebuild") {
+    import spark.implicits._
+    // fresh index (the shared one is reused by other tests; append would
+    // pollute their expected contents)
+    val dir2 = Files.createTempDirectory("graft-ivf-append").toFile
+    dir2.deleteOnExit()
+    operators.IvfIndex.build(spark, sf, dir2.getAbsolutePath)
+    // plant a clone of the query vector under a fresh id: after append,
+    // an exact-mode probe must surface it with cosine ~ 1.0
+    val q = queryVec
+    val clone = Seq((999999L, 7, q.toSeq, math.sqrt(q.map(x => x * x).sum)))
+      .toDF("vec_id", "label", "e", "nrm")
+    operators.IvfIndex.appendVectors(spark, dir2.getAbsolutePath, clone)
+    val got = operators.IvfIndex.query(spark, dir2.getAbsolutePath, q,
+      topK = 3, nprobe = 16).collect()
+    val planted = got.find(_.getLong(0) == 999999L)
+    assert(planted.isDefined, s"appended vector missing from top-3: ${got.toSeq}")
+    assert(math.abs(planted.get.getDouble(3) - 1.0) < 1e-9,
+      "planted clone must score cosine ~ 1.0")
+  }
+
+  test("q144 incremental IVF recall tracks combined-corpus brute force") {
+    val got = SparkEntry.queries("q144_ivf_incremental")(spark, sf)
+      .collect().map(_.getLong(0))
+    assert(got.length == 10)
+    val brute = SparkEntry.queries("q42_ann_bruteforce")(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    val recall = brute.count(got.contains).toDouble / brute.size
+    assert(recall >= 0.3, s"recall@10 $recall vs combined brute force")
+    // every brute-force hit that q144 recalls from the NEW batch proves
+    // the no-refit assignment path serves new vectors end-to-end
+    val rows = SparkEntry.queries("q144_ivf_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate ids in top-k")
+    val cosines = rows.map(_._2)
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b },
+      "top-k not sorted by cosine")
+  }
 }

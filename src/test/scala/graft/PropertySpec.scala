@@ -116,6 +116,7 @@ class PropertySpec extends AnyFunSuite {
   // adding it here with a reason.
   private val partitioningExempt = Set(
     "q50_kmeans_embeddings", "q51_rf_regression", "q55_ann_ivf",
+    "q144_ivf_incremental", // seeded KMeans fit on the base corpus
     "q54_approx_distinct", "q95_approx_percentiles",
     "q98_quality_classifier", "q99_compressibility")
 
