@@ -1,6 +1,6 @@
 package graft
 
-import graft.apps.{ApiServer, AppSchema, QueryService}
+import graft.apps.{ApiServer, AppSchema, QueryService, ServingData}
 import graft.pipeline.AppModels
 import graft.sources.CsvIngest
 import org.scalatest.funsuite.AnyFunSuite
@@ -69,5 +69,52 @@ class ApiServerSpec extends AnyFunSuite {
       assert(get("/apps_in_cluster/0")._1 == 200)
       assert(get("/apps_in_cluster/banana")._1 == 400)
     } finally server.stop()
+  }
+
+  test("serving path picks the mtime-latest testdata-derived parquet, caches, serves") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, attribute}
+    // a SECOND dataset shape: the TPC-H part table recast as the apps
+    // schema, trained and persisted the way the trainer side does it
+    val apps = CsvIngest.enforceOrder(Tables.part(spark, TestSpark.sf0001)
+      .limit(60).select(
+        concat(lit("part."), col("p_partkey").cast("string")).as("appId"),
+        col("p_name").as("title"),
+        col("p_brand").as("genre"),
+        (col("p_partkey") % 40 / lit(10.0) + 1).cast("string").as("score"),
+        (col("p_partkey") * 1000).cast("string").as("minInstalls"),
+        (col("p_retailprice") % 10).cast("string").as("price")))
+    val r = AppModels.train(apps).toOption.get
+    val served = CsvIngest.castColumns(
+      r.scored.select("appId", "title", "genre", "score", "minInstalls",
+        "price", "cluster", "PredictedRating"),
+      AppSchema.servingCastMap)
+    val base = Files.createTempDirectory("graft-serving-testdata")
+    base.toFile.deleteOnExit()
+    // stale snapshot (10 rows) with an OLDER mtime, fresh one with all 60:
+    // the loader must pick by mtime, not by name order
+    served.limit(10).write.parquet(s"$base/api_app_info_zzz_stale")
+    served.write.parquet(s"$base/api_app_info_aaa_fresh")
+    Files.setLastModifiedTime(base.resolve("api_app_info_zzz_stale"),
+      attribute.FileTime.fromMillis(System.currentTimeMillis() - 600000))
+    Files.setLastModifiedTime(base.resolve("api_app_info_aaa_fresh"),
+      attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    val loaded = ServingData.loadApiData(spark, base).get
+    assert(loaded.storageLevel.useMemory, "loadApiData must cache the frame")
+    assert(loaded.count() == 60, "must serve the mtime-latest snapshot, not the stale one")
+    val s2 = new ApiServer(new QueryService(loaded), 0)
+    s2.start()
+    try {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:${s2.boundPort}/check_data")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200 && resp.body().contains("\"row_count\": 60"))
+      val det = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:${s2.boundPort}/app_details_by_id/part.1")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(det.statusCode() == 200 && det.body().contains("part.1"))
+    } finally { s2.stop(); loaded.unpersist() }
   }
 }
