@@ -500,6 +500,11 @@ object TextAnalysis {
           .select(col("doc_id"), toks(col("text")).as("t"))
           .select(col("doc_id") +: size(col("t")).cast("double").as("dl") +:
             tfCols: _*)
+          // the stats branch and the scoring branch both consume w; the
+          // explicit exchange makes them share ONE tokenize+scan
+          // (ReusedExchange) — w is 5 narrow columns, so shuffling it
+          // once is far cheaper than re-tokenizing the corpus twice
+          .repartition(col("doc_id"))
         val stats = w.agg(count(lit(1)).as("n"),
           davg(col("dl")).as("avgdl") +: terms.indices.map(i =>
             sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
@@ -564,6 +569,8 @@ object TextAnalysis {
           .select(col("doc_id"), toks(col("text")).as("t"))
           .select(col("doc_id") +: size(col("t")).cast("double").as("dl") +:
             tfCols: _*)
+          // single tokenize+scan shared by both branches — see q142
+          .repartition(col("doc_id"))
         val stats = w.agg(count(lit(1)).as("n"),
           davg(col("dl")).as("avgdl") +: terms.indices.map(i =>
             sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
