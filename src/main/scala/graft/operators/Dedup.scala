@@ -630,8 +630,12 @@ object Dedup {
     * join — cost is linear in corpus size, unlike q76's candidate
     * pairs); the islands window partitions BY doc_id, so no global
     * sort. The q136 novelty scorer shares this skeleton. */
+  /** Shared window width for the substring-dedup pair q143/q145 (docs
+    * are 10-99 tokens in testdata — production corpora would use ~50). */
+  private val WinK = 25
+
   val substringDedup: Q = {
-    val K = 25
+    val K = WinK
     Q(
       "q143_substring_dedup",
       (s, d) => {
@@ -683,8 +687,90 @@ object Dedup {
         FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start"""))
   }
 
+  /** q145: substring removal APPLIED — the output side of q143, with
+    * the Lee et al. keep-first policy at window granularity: for every
+    * cross-doc duplicated window, the copy in the SMALLEST doc_id
+    * survives and every other occurrence is excised, so exactly one
+    * copy of each repeated passage remains in the corpus (q143 only
+    * reports spans; this emits the cleaned text). All docs appear in
+    * the output — short and untouched ones pass through verbatim.
+    *
+    * Scale shape: one pass over the windows — `min(doc_id) OVER
+    * (PARTITION BY h)` marks the keeper in the SAME shuffle that a
+    * df-aggregate would need, with no second consumption of the window
+    * frame (`doc_id > keeper` ⟺ the hash spans ≥2 docs and this is not
+    * the first copy; a groupBy+join-back formulation reads the windows
+    * twice and at 100 TB the dup-hash set outgrows a broadcast anyway).
+    * The window index is GUARDED rather than filtered (short docs yield
+    * an empty window array, cf. [[Dsl.shingles3]]) so every branch
+    * hangs off ONE canonical exchange — a size-filter would be pushed
+    * into only its own branch's scan and de-canonicalize the reuse (the
+    * q133 trap). Net: a single documents scan (ReuseAudit-verified),
+    * removal lists bounded by doc length, excision a doc-local array
+    * filter. */
+  val substringRemoval: Q = {
+    val K = WinK
+    Q(
+      "q145_substring_removal",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.TextFunctions.register(s)
+        val docs = Tables.documents(s, d)
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("doc_id"))
+          .select(col("doc_id"), toks(col("text")).as("t"))
+        val idx = when(size(col("t")) >= K,
+          sequence(lit(1), size(col("t")) - (K - 1)))
+          .otherwise(array().cast("array<int>"))
+        val winArr = transform(idx,
+          i => concat_ws(" ", slice(col("t"), i, lit(K))))
+        val wins = docs
+          .select(col("doc_id"), posexplode(winArr).as(Seq("pos0", "win")))
+          .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+            md5h61(col("win")).as("h"))
+        val removeAgg = wins
+          .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy("h")))
+          .filter(col("doc_id") > col("keeper"))
+          .groupBy("doc_id")
+          .agg(collect_list(col("pos")).as("rp"))
+        docs.join(removeAgg, Seq("doc_id"), "left")
+          .withColumn("rp", coalesce(col("rp"), array().cast("array<long>")))
+          .withColumn("kept", filter(sequence(lit(1), size(col("t"))),
+            i => !exists(col("rp"),
+              p => i >= p && i <= p + lit(K.toLong - 1))))
+          .select(col("doc_id"),
+            size(col("t")).as("n_before"),
+            size(col("kept")).as("n_after"),
+            concat_ws(" ",
+              transform(col("kept"), i => element_at(col("t"), i))).as("cleaned"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+        w AS (SELECT doc_id, i AS pos,
+            ${sqlMd5h61(s"array_to_string(t[i:i+$K-1], ' ')")} AS h
+          FROM t, unnest(generate_series(1, len(t)-$K+1)) AS u(i)),
+        rem AS (SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, min(doc_id) OVER (PARTITION BY h) AS keeper
+            FROM w)
+          WHERE doc_id > keeper),
+        ra AS (SELECT doc_id, list(pos) AS rp FROM rem GROUP BY doc_id),
+        k AS (SELECT t.doc_id, t.t,
+            list_filter(generate_series(1, len(t.t)), i ->
+              len(list_filter(coalesce(ra.rp, []), p ->
+                i >= p AND i <= p + $K - 1)) = 0) AS kept
+          FROM t LEFT JOIN ra ON t.doc_id = ra.doc_id)
+        SELECT doc_id, cast(len(t) as int) AS n_before,
+          cast(len(kept) as int) AS n_after,
+          -- coalesce: duckdb array_to_string([]) is NULL, spark
+          -- concat_ws of an empty array is '' (fully-excised docs)
+          coalesce(array_to_string(list_transform(kept, i -> t[i]), ' '), '')
+            AS cleaned
+        FROM k ORDER BY doc_id"""))
+  }
+
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
     ngramJaccardPairs, ngramJaccardDfCap, sketchQuality, dupDegrees,
-    dupBySource, incrementalDedup, substringDedup)
+    dupBySource, incrementalDedup, substringDedup, substringRemoval)
 }

@@ -228,6 +228,32 @@ class DedupSpec extends AnyFunSuite {
       s"removal spans wrong: ${rows.toSeq}")
   }
 
+  test("substring removal keeps the first copy, excises the rest, passes short docs") {
+    import spark.implicits._
+    // same planted geometry as the span test: doc 1 (smallest id) owns
+    // the shared 30-token span, so it must survive UNTOUCHED while
+    // doc 2 loses exactly the 30 shared tokens; doc 3 never matched;
+    // doc 4 is shorter than the window and must pass through verbatim
+    val shared = (1 to 30).map(i => s"dup$i").mkString(" ")
+    val prefixA = (1 to 5).map(i => s"ua$i").mkString(" ")
+    val suffixB = (1 to 8).map(i => s"ub$i").mkString(" ")
+    val solo = (1 to 40).map(i => s"solo$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$prefixA $shared", "en", "s", 100L),
+      (2L, s"$shared $suffixB", "en", "s", 100L),
+      (3L, solo, "en", "s", 100L),
+      (4L, "tiny doc", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q145_substring_removal")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(rows(1L) == ((35, 35, s"$prefixA $shared")), s"keeper modified: ${rows(1L)}")
+    assert(rows(2L) == ((38, 8, suffixB)), s"dup copy not excised: ${rows(2L)}")
+    assert(rows(3L) == ((40, 40, solo)))
+    assert(rows(4L) == ((2, 2, "tiny doc")), "short doc must pass verbatim")
+  }
+
   test("substring dedup ignores repeats within a single document") {
     import spark.implicits._
     // the same 25-token run appears TWICE in one doc and nowhere else:
