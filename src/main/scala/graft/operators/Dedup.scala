@@ -684,7 +684,8 @@ object Dedup {
           FROM p)
         SELECT doc_id, min(pos) AS span_start,
           max(pos) + $K - 1 AS span_end, count(*) AS n_windows
-        FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start"""))
+        FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start"""),
+      bench = true)
   }
 
   /** q145: substring removal APPLIED — the output side of q143, with
