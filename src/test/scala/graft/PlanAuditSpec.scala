@@ -223,14 +223,25 @@ class PlanAuditSpec extends AnyFunSuite {
     // only one branch's scan and broke canonical equality. Reuse only
     // materializes under AQE at runtime, so execute, then read the
     // final plan.
-    for (q <- Seq("q133_tpch_q15", "q139_tpch_q11", "q113_equidepth_deciles")) {
+    // fact table per pinned query: the scalar-branch TPC-H family plus
+    // the text operators whose stats/window branches must share one
+    // tokenize+scan (r7: q142/q142b repartition-reuse, q145's guarded
+    // window index — a size filter would de-canonicalize the exchange)
+    val pinned = Seq(
+      "q133_tpch_q15" -> "lineitem",
+      "q139_tpch_q11" -> "lineitem",
+      "q113_equidepth_deciles" -> "documents",
+      "q142_bm25_topk" -> "documents",
+      "q142b_bm25_textbook" -> "documents",
+      "q143_substring_dedup" -> "documents",
+      "q145_substring_removal" -> "documents")
+    for ((q, fact) <- pinned) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==")(0)
       assert(p.contains("ReusedExchange"),
         s"$q scalar branch must reuse the aggregated exchange:\n$p")
-      val fact = if (q == "q113_equidepth_deciles") "documents" else "lineitem"
       assert(s"$fact\\.parquet".r.findAllIn(p).size == 1,
         s"$q must read $fact exactly once in the final plan:\n$p")
     }
