@@ -617,8 +617,81 @@ object TextAnalysis {
       })
   }
 
+  /** q146 — adaptive per-language quality threshold: keep documents at
+    * or above their language's EXACT median type-token ratio. The
+    * per-group-median curation rule every multilingual corpus needs
+    * (a fixed global threshold over-prunes whichever language is
+    * naturally more repetitive).
+    *
+    * The median uses the q113 histogram discipline, partitioned by
+    * lang: reduce to a (lang, ttr) histogram (one parallel shuffle),
+    * prefix-sum WITHIN each language over the aggregated frame (never
+    * a window over the raw scan — a per-lang ntile would route a
+    * dominant language's whole corpus through one task), locate the
+    * two middle ranks arithmetically, and broadcast the |langs|-row
+    * median frame back. ttr = n_uniq/n_tokens is one IEEE divide of
+    * exact ints, and the median is one add + one halving of two such
+    * values — bit-identical across engines, so the `ttr >= med`
+    * comparison agrees everywhere. Both branches consume the same
+    * repartitioned 3-column frame → one tokenize+scan (ReusedExchange,
+    * cf. q142). */
+  val adaptiveQualityFilter: Q = Q(
+    "q146_adaptive_quality_filter",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.documents(s, d)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
+        .select(col("doc_id"), col("lang"),
+          (size(array_distinct(col("t"))).cast("double") / size(col("t")))
+            .as("ttr"))
+        .repartition(col("doc_id"))
+      val hist = scored.groupBy("lang", "ttr").agg(count(lit(1)).as("cnt"))
+      val byLang = Window.partitionBy("lang").orderBy("ttr")
+      val c = hist
+        .withColumn("cum_before", coalesce(sum(col("cnt")).over(
+          byLang.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy("lang")))
+        .withColumn("lo", expr("(n + 1) div 2"))
+        .withColumn("hi", expr("(n + 2) div 2"))
+      def rankVal(r: String) = max(when(
+        col("cum_before") < col(r) && col("cum_before") + col("cnt") >= col(r),
+        col("ttr")))
+      val medians = c.groupBy("lang")
+        .agg(((rankVal("lo") + rankVal("hi")) / 2).as("med"))
+      scored.join(broadcast(medians), "lang")
+        .groupBy("lang", "med")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ttr") >= col("med"), 1L).otherwise(0L)).as("n_kept"))
+        .select(col("lang"), col("n_docs"), col("n_kept"),
+          col("med").as("med_ttr"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH s AS (
+        SELECT doc_id, lang,
+          cast(len(list_distinct(t)) as double) / len(t) AS ttr
+        FROM (SELECT doc_id, lang, ${sqlToks("text")} AS t
+              FROM documents WHERE lang IS NOT NULL)),
+      hist AS (SELECT lang, ttr, count(*) AS cnt FROM s GROUP BY lang, ttr),
+      c AS (SELECT lang, ttr, cnt,
+          coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY ttr
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+          sum(cnt) OVER (PARTITION BY lang) AS n
+        FROM hist),
+      m AS (SELECT lang,
+          (max(CASE WHEN cum_before < (n+1)//2
+                AND cum_before + cnt >= (n+1)//2 THEN ttr END)
+           + max(CASE WHEN cum_before < (n+2)//2
+                AND cum_before + cnt >= (n+2)//2 THEN ttr END)) / 2 AS med
+        FROM c GROUP BY lang)
+      SELECT s.lang AS lang, count(*) AS n_docs,
+        cast(count(*) FILTER (WHERE ttr >= med) as bigint) AS n_kept,
+        med AS med_ttr
+      FROM s JOIN m ON s.lang = m.lang
+      GROUP BY s.lang, med ORDER BY s.lang"""))
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
     fingerprint, topTerms, pivotEvents, rareTerms, regexTokens,
     repetitionFilter, madOutliers, blocklistFilter, ngramNovelty, bm25TopK,
-    bm25TextbookTopK)
+    bm25TextbookTopK, adaptiveQualityFilter)
 }

@@ -148,4 +148,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
     assert(got == expected, s"ranking diverges from reference BM25: $got vs $expected")
   }
+
+  test("adaptive quality filter keeps docs at/above the per-language median ttr") {
+    import spark.implicits._
+    // en: ttr 0.5, 0.8, 1.0 (odd count -> median = middle = 0.8, 2 kept)
+    // fr: ttr 0.4, 0.6, 0.8, 1.0 (even -> median = (0.6+0.8)/2 = 0.7, 2 kept)
+    // NULL lang must be excluded entirely
+    val docs = Seq(
+      (1L, "a a", "en", "s", 3L),              // ttr 0.5
+      (2L, "a b c d a", "en", "s", 9L),        // ttr 0.8
+      (3L, "a b", "en", "s", 3L),              // ttr 1.0
+      (4L, "a a a b b", "fr", "s", 9L),        // ttr 0.4
+      (5L, "a a b b c", "fr", "s", 9L),        // ttr 0.6
+      (6L, "a b c d a", "fr", "s", 9L),        // ttr 0.8
+      (7L, "a b c d e", "fr", "s", 9L),        // ttr 1.0
+      (8L, "x y z", null, "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q146_adaptive_quality_filter")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet == Set("en", "fr"), s"NULL lang must be excluded: $rows")
+    assert(rows("en") == ((3L, 2L, 0.8)), s"en median/kept wrong: ${rows("en")}")
+    assert(rows("fr") == ((4L, 2L, 0.7)), s"fr median/kept wrong: ${rows("fr")}")
+  }
 }
