@@ -254,6 +254,28 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(4L) == ((2, 2, "tiny doc")), "short doc must pass verbatim")
   }
 
+  test("substring report (q143) and removal (q145) agree on real testdata") {
+    // cross-operator law at sf0.001: q145 excises only positions that
+    // q143 reported as duplicated (removal ⊆ report), and every doc
+    // q145 shortened must carry at least one q143 span. The converse
+    // does NOT hold (the keeper's own spans are reported but kept).
+    val sf = TestSpark.sf0001
+    val spans = SparkEntry.queries("q143_substring_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val removed = SparkEntry.queries("q145_substring_removal")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .filter { case (_, before, after) => after < before }
+    assert(removed.nonEmpty, "testdata has planted cross-doc repeats; none removed?")
+    removed.foreach { case (id, before, after) =>
+      val s = spans.getOrElse(id, Array.empty)
+      assert(s.nonEmpty, s"doc $id shortened by q145 but has no q143 span")
+      val covered = s.map { case (_, lo, hi) => hi - lo + 1 }.sum
+      assert(before - after <= covered,
+        s"doc $id: removed ${before - after} tokens > reported span coverage $covered")
+    }
+  }
+
   test("substring dedup ignores repeats within a single document") {
     import spark.implicits._
     // the same 25-token run appears TWICE in one doc and nowhere else:
