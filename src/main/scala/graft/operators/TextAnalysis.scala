@@ -241,7 +241,16 @@ object TextAnalysis {
       val docTerms = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(array_distinct(toks(col("text")))).as("term"))
-      val nDocs = docTerms.select(countDistinct(col("doc_id")).as("n_docs"))
+        // shared exchange for the three consumers (n_docs, df, probe):
+        // one tokenize+explode pass instead of three (cf. q142/q85 —
+        // ReuseAudit: documents 3→1)
+        .repartition(col("doc_id"))
+      // n_docs from a direct count(*) — a footer-only parquet count,
+      // no tokenize (every doc yields >= 1 term row, so this equals
+      // countDistinct(doc_id) over docTerms; q85's n takes the same
+      // shortcut with the same oracle twin)
+      val nDocs = Tables.documents(s, d)
+        .agg(count(lit(1)).as("n_docs"))
       val rare = docTerms.groupBy("term")
         .agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(nDocs))
@@ -256,7 +265,7 @@ object TextAnalysis {
     Some(s"""WITH dt AS (SELECT doc_id,
         unnest(list_distinct(${sqlToks("text")})) AS term FROM documents),
       rare AS (SELECT term FROM dt GROUP BY term
-        HAVING count(*) <= (SELECT count(DISTINCT doc_id) FROM dt) * 0.2)
+        HAVING count(*) <= (SELECT count(*) FROM documents) * 0.2)
       SELECT dt.doc_id, count(*) AS n_rare,
         array_to_string(list_sort(list(dt.term)), ',') AS rare_terms
       FROM dt JOIN rare ON dt.term = rare.term
@@ -274,7 +283,15 @@ object TextAnalysis {
     (s, d) => {
       val base = Tables.documents(s, d)
         .select(col("doc_id"), toks(col("text")).as("t"))
-        .filter(size(col("t")) >= 2)
+        // size>0 and isNotNull are redundant under size>=2 but written
+        // out: explode(t) INFERS them into the unigram branch's scan,
+        // and only their explicit presence in both branches keeps the
+        // subtrees canonically equal (the q126 symmetrize trick)
+        .filter(size(col("t")) >= 2 && size(col("t")) > 0 &&
+          col("t").isNotNull)
+        // shared exchange: the unigram and bigram branches both read one
+        // tokenize+scan (ReuseAudit 2→1)
+        .repartition(col("doc_id"))
       val bigrams = transform(sequence(lit(1), size(col("t")) - 1),
         i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))
       val uni = base.select(col("doc_id"), explode(col("t")).as("term"))

@@ -145,14 +145,18 @@ object TrainingPrep {
         .select(col("doc_id"), explode(toks(lower(col("text")))).as("term"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       // df re-aggregates tf (one row per (doc, term), so rows-per-term ≡
-      // distinct-doc count). NOTE: this does NOT share tf's exchange —
-      // Catalyst prunes the unused count from this branch (rewriting it
-      // to a bare distinct; count(<non-null>) normalizes to count(1), so
-      // it can't be kept alive declaratively) and the de-canonicalized
-      // subtrees defeat reuse. Two token-explode passes remain; the
-      // single-pass production form checkpoints the tf stage to a table,
-      // which a one-shot query can't express.
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // distinct-doc count). The tf >= 1 filter is a REUSE KEEPALIVE,
+      // not a semantic filter (a groupBy count is always >= 1): without
+      // a reference to `tf`, Catalyst prunes the count out of this
+      // branch's aggregate (rewriting it to a bare distinct) and the
+      // de-canonicalized subtrees defeat exchange reuse — two
+      // token-explode passes (the r6 documented limit). Referencing tf
+      // in a predicate Catalyst cannot fold keeps both branches'
+      // aggregates identical, so they share ONE (doc_id, term) shuffle
+      // and the corpus is tokenized once (ReuseAudit: documents 3→2,
+      // and the remaining n_docs branch is a footer-only count(*)).
+      val df = tf.filter(col("tf") >= 1).groupBy("term")
+        .agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(df, "term")
         .crossJoin(broadcast(n))
@@ -498,6 +502,9 @@ object TrainingPrep {
     (s, d) => {
       val toksDf = Tables.documents(s, d)
         .select(col("doc_id"), explode(toks(lower(col("text")))).as("term"))
+        // shared exchange: vocab aggregate and per-doc probe read ONE
+        // tokenize+explode pass (cf. q47b/q80; ReuseAudit 2→1)
+        .repartition(col("doc_id"))
       val vocab = toksDf.groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term")).limit(100)
         .select("term")
