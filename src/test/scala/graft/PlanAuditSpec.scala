@@ -223,27 +223,33 @@ class PlanAuditSpec extends AnyFunSuite {
     // only one branch's scan and broke canonical equality. Reuse only
     // materializes under AQE at runtime, so execute, then read the
     // final plan.
-    // fact table per pinned query: the scalar-branch TPC-H family plus
-    // the text operators whose stats/window branches must share one
-    // tokenize+scan (r7: q142/q142b repartition-reuse, q145's guarded
-    // window index — a size filter would de-canonicalize the exchange)
+    // (query, fact table, expected scan count): the scalar-branch
+    // TPC-H family plus the text operators whose branches must share
+    // one tokenize+scan (r7: q142/q142b/q107 repartition-reuse, q145's
+    // guarded window index, q80's symmetrized explode inference, q85's
+    // aggregate keepalive). q85/q47b expect 2: the shared tokenize
+    // pass plus a footer-only count(*) scan for the corpus size.
     val pinned = Seq(
-      "q133_tpch_q15" -> "lineitem",
-      "q139_tpch_q11" -> "lineitem",
-      "q113_equidepth_deciles" -> "documents",
-      "q142_bm25_topk" -> "documents",
-      "q142b_bm25_textbook" -> "documents",
-      "q143_substring_dedup" -> "documents",
-      "q145_substring_removal" -> "documents")
-    for ((q, fact) <- pinned) {
+      ("q133_tpch_q15", "lineitem", 1),
+      ("q139_tpch_q11", "lineitem", 1),
+      ("q113_equidepth_deciles", "documents", 1),
+      ("q142_bm25_topk", "documents", 1),
+      ("q142b_bm25_textbook", "documents", 1),
+      ("q143_substring_dedup", "documents", 1),
+      ("q145_substring_removal", "documents", 1),
+      ("q80_repetition_filter", "documents", 1),
+      ("q107_oov_rate", "documents", 1),
+      ("q85_salient_terms", "documents", 2),
+      ("q47b_rare_terms", "documents", 2))
+    for ((q, fact, expected) <- pinned) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==")(0)
       assert(p.contains("ReusedExchange"),
         s"$q scalar branch must reuse the aggregated exchange:\n$p")
-      assert(s"$fact\\.parquet".r.findAllIn(p).size == 1,
-        s"$q must read $fact exactly once in the final plan:\n$p")
+      assert(s"$fact\\.parquet".r.findAllIn(p).size == expected,
+        s"$q must read $fact exactly $expected time(s) in the final plan:\n$p")
     }
   }
 
