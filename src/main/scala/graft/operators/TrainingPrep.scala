@@ -202,6 +202,13 @@ object TrainingPrep {
     (s, d) => {
       val tk = Tables.documents(s, d)
         .select(col("doc_id"), toks(lower(col("text"))).as("t"))
+        // size>0/isNotNull are no-ops (toks yields >= 1 element, text is
+        // scanned non-null on both engines) but explode(t) INFERS them
+        // into only the unigram branch; writing them out plus the
+        // repartition gives unigram and bigram passes ONE shared
+        // tokenize+scan (the q80 symmetrize + barrier; ReuseAudit 2→1)
+        .filter(size(col("t")) > 0 && col("t").isNotNull)
+        .repartition(col("doc_id"))
       val uni = tk.select(explode(col("t")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c_w"))
       val bg = tk

@@ -238,6 +238,7 @@ class PlanAuditSpec extends AnyFunSuite {
       ("q143_substring_dedup", "documents", 1),
       ("q145_substring_removal", "documents", 1),
       ("q80_repetition_filter", "documents", 1),
+      ("q86_bigram_lift", "documents", 1),
       ("q107_oov_rate", "documents", 1),
       ("q85_salient_terms", "documents", 2),
       ("q47b_rare_terms", "documents", 2))
