@@ -696,12 +696,19 @@ object Dedup {
     * reports spans; this emits the cleaned text). All docs appear in
     * the output — short and untouched ones pass through verbatim.
     *
-    * Scale shape: one pass over the windows — `min(doc_id) OVER
-    * (PARTITION BY h)` marks the keeper in the SAME shuffle that a
-    * df-aggregate would need, with no second consumption of the window
-    * frame (`doc_id > keeper` ⟺ the hash spans ≥2 docs and this is not
-    * the first copy; a groupBy+join-back formulation reads the windows
-    * twice and at 100 TB the dup-hash set outgrows a broadcast anyway).
+    * Scale shape: keeper selection is `groupBy(h).agg(min(doc_id))`
+    * joined back on h — NOT `min(doc_id) OVER (PARTITION BY h)`. A
+    * window function buffers every row of a partition in ONE task with
+    * no AQE skew splitting and no map-side partials, so a boilerplate
+    * span repeated in millions of docs (exactly the corpus shape this
+    * operator exists to clean) would route millions of (doc_id,pos,h)
+    * rows through a single straggler task. The aggregate form collapses
+    * each hot hash to one row per map task before the shuffle, and the
+    * join-back is AQE-skew-eligible; `doc_id > keeper` ⟺ the hash spans
+    * ≥2 docs and this is not the first copy. The double consumption of
+    * `wins` is free: both branches hang off the same repartition
+    * exchange (ReuseExchange — same discipline as q143's df-count
+    * branch), so the documents scan still runs once.
     * The window index is GUARDED rather than filtered (short docs yield
     * an empty window array, cf. [[Dsl.shingles3]]) so every branch
     * hangs off ONE canonical exchange — a size-filter would be pushed
@@ -714,9 +721,16 @@ object Dedup {
     Q(
       "q145_substring_removal",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         graft.functions.TextFunctions.register(s)
+        // isNotNull on the SHARED source, not per-branch: the final
+        // left join pushes isnotnull(doc_id) into the removeAgg
+        // branch's scan, which would de-canonicalize it from the other
+        // two branches and break ReuseExchange (the q133 trap). With
+        // the guard at the source all three scans are identical and the
+        // optimizer prunes the join's now-redundant inferred filter.
+        // Semantically a no-op: doc_id is the table's key.
         val docs = Tables.documents(s, d)
+          .filter(col("doc_id").isNotNull)
           .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
             col("doc_id"))
           .select(col("doc_id"), toks(col("text")).as("t"))
@@ -729,8 +743,9 @@ object Dedup {
           .select(col("doc_id"), posexplode(winArr).as(Seq("pos0", "win")))
           .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
             md5h61(col("win")).as("h"))
-        val removeAgg = wins
-          .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy("h")))
+        val keepers = wins.groupBy("h")
+          .agg(min(col("doc_id")).as("keeper"))
+        val removeAgg = wins.join(keepers, "h")
           .filter(col("doc_id") > col("keeper"))
           .groupBy("doc_id")
           .agg(collect_list(col("pos")).as("rp"))
@@ -747,14 +762,14 @@ object Dedup {
           .orderBy("doc_id")
       },
       Some(s"""WITH t AS (
-          SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+          SELECT doc_id, ${sqlToks("text")} AS t FROM documents
+          WHERE doc_id IS NOT NULL),
         w AS (SELECT doc_id, i AS pos,
             ${sqlMd5h61(s"array_to_string(t[i:i+$K-1], ' ')")} AS h
           FROM t, unnest(generate_series(1, len(t)-$K+1)) AS u(i)),
-        rem AS (SELECT doc_id, pos FROM (
-            SELECT doc_id, pos, min(doc_id) OVER (PARTITION BY h) AS keeper
-            FROM w)
-          WHERE doc_id > keeper),
+        keep AS (SELECT h, min(doc_id) AS keeper FROM w GROUP BY h),
+        rem AS (SELECT w.doc_id, w.pos FROM w JOIN keep USING (h)
+          WHERE w.doc_id > keep.keeper),
         ra AS (SELECT doc_id, list(pos) AS rp FROM rem GROUP BY doc_id),
         k AS (SELECT t.doc_id, t.t,
             list_filter(generate_series(1, len(t.t)), i ->

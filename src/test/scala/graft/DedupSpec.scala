@@ -254,6 +254,27 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(4L) == ((2, 2, "tiny doc")), "short doc must pass verbatim")
   }
 
+  test("substring removal survives a boilerplate span planted in 1200 docs") {
+    import spark.implicits._
+    // the hot-hash shape the aggregate-form keeper exists for: ONE
+    // 25-token boilerplate span shared by 1200 docs. The smallest
+    // doc_id keeps its copy untouched; all 1199 others excise exactly
+    // the 25 shared tokens and keep their unique tails.
+    val boiler = (1 to 25).map(i => s"bp$i").mkString(" ")
+    val docs = (1L to 1200L).map { id =>
+      val tail = (1 to 10).map(i => s"u${id}x$i").mkString(" ")
+      (id, s"$boiler $tail", "en", "s", 100L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q145_substring_removal")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2))))
+      .toMap
+    assert(rows.size == 1200)
+    assert(rows(1L) == ((35, 35)), s"keeper must survive untouched: ${rows(1L)}")
+    for (id <- 2L to 1200L)
+      assert(rows(id) == ((35, 10)), s"doc $id not excised: ${rows(id)}")
+  }
+
   test("substring report (q143) and removal (q145) agree on real testdata") {
     // cross-operator law at sf0.001: q145 excises only positions that
     // q143 reported as duplicated (removal ⊆ report), and every doc
