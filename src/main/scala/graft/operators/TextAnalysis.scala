@@ -640,22 +640,27 @@ object TextAnalysis {
     * (a fixed global threshold over-prunes whichever language is
     * naturally more repetitive).
     *
-    * The median uses the q113 histogram discipline, partitioned by
-    * lang: reduce to a (lang, ttr) histogram (one parallel shuffle),
-    * prefix-sum WITHIN each language over the aggregated frame (never
-    * a window over the raw scan — a per-lang ntile would route a
-    * dominant language's whole corpus through one task), locate the
-    * two middle ranks arithmetically, and broadcast the |langs|-row
-    * median frame back. ttr = n_uniq/n_tokens is one IEEE divide of
-    * exact ints, and the median is one add + one halving of two such
-    * values — bit-identical across engines, so the `ttr >= med`
-    * comparison agrees everywhere. Both branches consume the same
-    * repartitioned 3-column frame → one tokenize+scan (ReusedExchange,
+    * The median is TWO-LEVEL (the q113 histogram discipline with the
+    * cardinality bounded by construction): ttr is first quantized into
+    * 1,024 fixed-width buckets (×2¹⁰ is an exact IEEE scaling, so the
+    * bucket of a given ttr is engine-independent), the per-lang
+    * prefix-sum window runs over the ≤1,024-row bucket histogram —
+    * NEVER over a (lang, ttr) histogram whose cardinality approaches
+    * n_docs once production documents have 100k tokens — and the two
+    * middle ranks are located arithmetically. A second NARROW pass
+    * (broadcast-joined to the ≤2 located buckets per language, ~1/1024
+    * of the corpus) takes the exact rank-k ttr within the bucket, so
+    * the result is the exact median, unchanged. ttr = n_uniq/n_tokens
+    * is one IEEE divide of exact ints, and the median is one add + one
+    * halving of two such values — bit-identical across engines, so the
+    * `ttr >= med` comparison agrees everywhere. All branches consume
+    * the same repartitioned frame → one tokenize+scan (ReusedExchange,
     * cf. q142). */
   val adaptiveQualityFilter: Q = Q(
     "q146_adaptive_quality_filter",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
+      val B = 1024
       val scored = Tables.documents(s, d)
         .filter(col("lang").isNotNull)
         .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
@@ -663,19 +668,41 @@ object TextAnalysis {
           (size(array_distinct(col("t"))).cast("double") / size(col("t")))
             .as("ttr"))
         .repartition(col("doc_id"))
-      val hist = scored.groupBy("lang", "ttr").agg(count(lit(1)).as("cnt"))
-      val byLang = Window.partitionBy("lang").orderBy("ttr")
-      val c = hist
+        .withColumn("b", least(floor(col("ttr") * B), lit(B - 1L)).cast("int"))
+      // level 1: per-lang prefix-sum over the bounded bucket histogram
+      val bhist = scored.groupBy("lang", "b").agg(count(lit(1)).as("cnt"))
+      val byLang = Window.partitionBy("lang").orderBy("b")
+      val c = bhist
         .withColumn("cum_before", coalesce(sum(col("cnt")).over(
           byLang.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .withColumn("n", sum(col("cnt")).over(Window.partitionBy("lang")))
         .withColumn("lo", expr("(n + 1) div 2"))
         .withColumn("hi", expr("(n + 2) div 2"))
-      def rankVal(r: String) = max(when(
-        col("cum_before") < col(r) && col("cum_before") + col("cnt") >= col(r),
-        col("ttr")))
-      val medians = c.groupBy("lang")
-        .agg(((rankVal("lo") + rankVal("hi")) / 2).as("med"))
+      // ≤2 rows per language: the bucket holding each middle rank plus
+      // that rank's LOCAL offset within the bucket
+      val targets = c
+        .select(col("lang"), col("b"), col("cum_before"), col("cnt"),
+          explode(array(
+            struct(lit("lo").as("which"), col("lo").as("r")),
+            struct(lit("hi").as("which"), col("hi").as("r")))).as("e"))
+        .filter(col("cum_before") < col("e.r") &&
+          col("cum_before") + col("cnt") >= col("e.r"))
+        .select(col("lang"), col("b"), col("e.which").as("which"),
+          (col("e.r") - col("cum_before")).as("kr"))
+      // level 2: exact rank-k ttr among only the located buckets' rows
+      val thist = scored
+        .join(broadcast(targets.select("lang", "b").distinct()), Seq("lang", "b"))
+        .groupBy("lang", "b", "ttr").agg(count(lit(1)).as("cnt2"))
+      val byBucket = Window.partitionBy("lang", "b").orderBy("ttr")
+      val vals = thist
+        .withColumn("cb2", coalesce(sum(col("cnt2")).over(
+          byBucket.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .join(broadcast(targets), Seq("lang", "b"))
+        .filter(col("cb2") < col("kr") && col("cb2") + col("cnt2") >= col("kr"))
+        .select(col("lang"), col("which"), col("ttr"))
+      val medians = vals.groupBy("lang")
+        .agg(((max(when(col("which") === "lo", col("ttr")))
+          + max(when(col("which") === "hi", col("ttr")))) / 2).as("med"))
       scored.join(broadcast(medians), "lang")
         .groupBy("lang", "med")
         .agg(count(lit(1)).as("n_docs"),
@@ -689,18 +716,35 @@ object TextAnalysis {
           cast(len(list_distinct(t)) as double) / len(t) AS ttr
         FROM (SELECT doc_id, lang, ${sqlToks("text")} AS t
               FROM documents WHERE lang IS NOT NULL)),
-      hist AS (SELECT lang, ttr, count(*) AS cnt FROM s GROUP BY lang, ttr),
-      c AS (SELECT lang, ttr, cnt,
-          coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY ttr
+      sb AS (SELECT doc_id, lang, ttr,
+          least(cast(floor(ttr * 1024) as bigint), 1023) AS b FROM s),
+      bh AS (SELECT lang, b, count(*) AS cnt FROM sb GROUP BY lang, b),
+      c AS (SELECT lang, b, cnt,
+          coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY b
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
           sum(cnt) OVER (PARTITION BY lang) AS n
-        FROM hist),
+        FROM bh),
+      tg AS (
+        SELECT lang, b, 'lo' AS which, (n+1)//2 - cum_before AS kr
+          FROM c WHERE cum_before < (n+1)//2 AND cum_before + cnt >= (n+1)//2
+        UNION ALL
+        SELECT lang, b, 'hi' AS which, (n+2)//2 - cum_before AS kr
+          FROM c WHERE cum_before < (n+2)//2 AND cum_before + cnt >= (n+2)//2),
+      th AS (SELECT sb.lang, sb.b, sb.ttr, count(*) AS cnt2
+          FROM sb JOIN (SELECT DISTINCT lang, b FROM tg) tb
+            ON sb.lang = tb.lang AND sb.b = tb.b
+          GROUP BY sb.lang, sb.b, sb.ttr),
+      c2 AS (SELECT lang, b, ttr, cnt2,
+          coalesce(sum(cnt2) OVER (PARTITION BY lang, b ORDER BY ttr
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb2
+        FROM th),
+      v AS (SELECT c2.lang, tg.which, c2.ttr
+          FROM c2 JOIN tg ON c2.lang = tg.lang AND c2.b = tg.b
+          WHERE c2.cb2 < tg.kr AND c2.cb2 + c2.cnt2 >= tg.kr),
       m AS (SELECT lang,
-          (max(CASE WHEN cum_before < (n+1)//2
-                AND cum_before + cnt >= (n+1)//2 THEN ttr END)
-           + max(CASE WHEN cum_before < (n+2)//2
-                AND cum_before + cnt >= (n+2)//2 THEN ttr END)) / 2 AS med
-        FROM c GROUP BY lang)
+          (max(CASE WHEN which = 'lo' THEN ttr END)
+           + max(CASE WHEN which = 'hi' THEN ttr END)) / 2 AS med
+        FROM v GROUP BY lang)
       SELECT s.lang AS lang, count(*) AS n_docs,
         cast(count(*) FILTER (WHERE ttr >= med) as bigint) AS n_kept,
         med AS med_ttr

@@ -237,6 +237,7 @@ class PlanAuditSpec extends AnyFunSuite {
       ("q142b_bm25_textbook", "documents", 1),
       ("q143_substring_dedup", "documents", 1),
       ("q145_substring_removal", "documents", 1),
+      ("q146_adaptive_quality_filter", "documents", 1),
       ("q80_repetition_filter", "documents", 1),
       ("q86_bigram_lift", "documents", 1),
       ("q107_oov_rate", "documents", 1),
