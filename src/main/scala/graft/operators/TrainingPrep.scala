@@ -747,9 +747,120 @@ object TrainingPrep {
       GROUP BY doc_id ORDER BY doc_id"""),
     bench = true)
 
+  // ------------------------------------------------------------------
+  // q147 — BPE merge-loop vocab learner (Sennrich et al. 2016: learn k
+  // byte-pair merges from word frequencies). The corpus is reduced ONCE
+  // to a (word, freq) table with q75's pre-tokenizer regex; each
+  // iteration counts adjacent symbol pairs weighted by word freq
+  // (overlapping positions count, like the reference implementation's
+  // get_stats), picks the most frequent pair with a deterministic
+  // lexicographic (a, b) tie-break, and merges it corpus-wide with
+  // greedy left-to-right non-overlap semantics.
+  //
+  // Representation: a word's symbol sequence is ONE string with doubled
+  //  separators between symbols and at both ends
+  // ("\1\1h\1\1u\1\1g\1\1"). Merging (a,b) is then a native string
+  // replace of "\1a\1\1b\1" with "\1ab\1" — replace() scans left to
+  // right and never rescans its own output, which is exactly BPE's
+  // greedy non-overlapping merge; the doubled separators keep the outer
+  // halves intact so consecutive matches ("a b a b") still see their
+  // leading "\1". Symbol-boundary anchoring makes "xa|b" unable to
+  // match "a|b".
+  //
+  // Scale shape: the only corpus-width pass is the word-count shuffle
+  // (map-side partials). The k-iteration loop runs over the
+  // VOCABULARY-sized frame: per iteration one pair-count aggregate
+  // (map-side partials, then a 1-row TakeOrdered) and one replace
+  // projection, localCheckpoint-ed to keep lineage flat (the Dedup CC
+  // discipline) with the superseded round unpersisted. The per-round
+  // driver collect is ONE row (the winning pair) — k-bounded, like
+  // IvfIndex's centroid collect. A 100 TB corpus changes only the
+  // first pass; the loop's cost is vocabulary-sized per iteration.
+  // ------------------------------------------------------------------
+  private val BpeK = 50
+  private val BpeSep = "\u0001"
+  private val BpeSep2 = BpeSep + BpeSep
+  private val BpePat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+" // q75's pre-tokenizer
+
+  val bpeMerges: Q = Q(
+    "q147_bpe_merges",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .select(explode(
+          expr(s"regexp_extract_all(lower(text), '$BpePat', 0)")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(concat(lit(BpeSep2),
+          regexp_replace(col("w"), "(?s)(.)", "$1" + BpeSep2)).as("sym"),
+          col("freq"))
+      var words = base.localCheckpoint()
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      var rank = 1L
+      var done = false
+      while (rank <= BpeK && !done) {
+        val t = filter(split(col("sym"), BpeSep2), x => x =!= "")
+        // guard: Spark sequence(1, 0) DESCENDS instead of returning empty
+        val prs = when(size(col("t")) >= 2,
+          transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("a"),
+              element_at(col("t"), i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))
+        val top = words
+          .select(col("freq"), t.as("t"))
+          .select(col("freq"), explode(prs).as("p"))
+          .groupBy("p.a", "p.b").agg(sum("freq").as("cnt"))
+          .orderBy(desc("cnt"), col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val (a, b, cnt) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((rank, a, b, cnt))
+          val next = words.withColumn("sym",
+            replace(col("sym"),
+              lit(BpeSep + a + BpeSep2 + b + BpeSep),
+              lit(BpeSep + a + b + BpeSep)))
+            .localCheckpoint()
+          words.unpersist()
+          words = next
+          rank += 1
+        }
+      }
+      words.unpersist()
+      merges.toSeq.toDF("rank", "pair_a", "pair_b", "freq").orderBy("rank")
+    },
+    Some {
+      // the same k iterations as a generated CTE chain: each stage's
+      // 1-row m_i is the winning pair, cross-joined to apply the merge
+      val sep2 = "chr(1)||chr(1)"
+      val stages = (0 until BpeK).map { i =>
+        s"""p$i AS MATERIALIZED (SELECT t[i] AS a, t[i+1] AS b, sum(freq) AS cnt
+          FROM (SELECT list_filter(string_split(sym, $sep2), x -> x <> '') AS t,
+              freq FROM w$i),
+            unnest(generate_series(1, len(t)-1)) AS u(i)
+          GROUP BY t[i], t[i+1]),
+        m$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+        w${i + 1} AS MATERIALIZED (SELECT replace(sym,
+            chr(1)||a||$sep2||b||chr(1), chr(1)||a||b||chr(1)) AS sym, freq
+          FROM w$i, m$i)"""
+      }.mkString(",\n        ")
+      val unions = (0 until BpeK).map { i =>
+        s"""SELECT cast(${i + 1} as bigint) AS "rank", a AS pair_a,
+          b AS pair_b, cast(cnt as bigint) AS freq FROM m$i"""
+      }.mkString("\n        UNION ALL ")
+      s"""WITH w0 AS MATERIALIZED (SELECT $sep2 ||
+            regexp_replace(w, '(.)', '\\1'||$sep2, 'gs') AS sym, freq
+          FROM (SELECT w, count(*) AS freq FROM
+              (SELECT unnest(regexp_extract_all(lower(text), '$BpePat')) AS w
+               FROM documents)
+            GROUP BY w)),
+        $stages
+        SELECT * FROM ($unions) ORDER BY "rank""""
+    })
+
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
     bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf,
     approxPercentiles, bloomContamination, fuzzyPairs, heavyHitters,
     weightedSample, oovRate, embeddingQuantize, sequencePacking,
-    winnowFingerprints)
+    winnowFingerprints, bpeMerges)
 }

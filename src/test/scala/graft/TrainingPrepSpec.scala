@@ -251,4 +251,44 @@ class TrainingPrepSpec extends AnyFunSuite {
     // fps than window starts
     assert(q.values.forall(_ >= 1))
   }
+
+  test("bpe learner reproduces the hand-computed merge sequence") {
+    import spark.implicits._
+    // classic hug/pug/bug corpus. Pre-tokenizer pieces of the single
+    // doc: "hug"×1, " hug"×4, " pug"×3, " bug"×2. Hand-run BPE:
+    //  1 (u,g)  10 = 1+4+3+2      5 (" p",ug) 3
+    //  2 (h,ug)  5 = 1+4          6 (" ",b)   2   (tie " "<"b")
+    //  3 (" ",hug) 4              7 (" b",ug) 2
+    //  4 (" ",p) 3  (tie with (p,ug): " " < "p")
+    // then every word is a single symbol -> loop stops early at 7.
+    val docs = Seq(
+      (1L, "hug hug hug hug hug pug pug pug bug bug", "en", "s", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q147_bpe_merges")(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val expected = Seq(
+      (1L, "u", "g", 10L), (2L, "h", "ug", 5L), (3L, " ", "hug", 4L),
+      (4L, " ", "p", 3L), (5L, " p", "ug", 3L), (6L, " ", "b", 2L),
+      (7L, " b", "ug", 2L))
+    assert(rows == expected, s"merge sequence diverges: $rows")
+  }
+
+  test("bpe pair counts include overlaps; merge application is greedy non-overlap") {
+    import spark.implicits._
+    // "aaaa": round 1 counts (a,a) at the 3 adjacent positions
+    // (overlapping, like the reference get_stats); applying the merge is
+    // greedy left-to-right so "aaaa" -> [aa, aa], giving round 2 the
+    // pair (aa,aa)×1 — this also exercises consecutive replace matches
+    // sharing a separator boundary.
+    val docs = Seq((1L, "aaaa", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q147_bpe_merges")(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(rows == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)),
+      s"overlap counting / greedy merge wrong: $rows")
+  }
 }
