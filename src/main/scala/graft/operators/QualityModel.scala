@@ -60,6 +60,49 @@ object QualityModel {
     },
     None)
 
+  /** q98b: the q98 scoring path with FIXED literal weights, so the
+    * scoring semantics (featurize → w·x → sigmoid → threshold) are
+    * DuckDB-replicable and oracle-verified even though the TRAINED
+    * model (q98's L-BFGS fit) is not. The sigmoid is quantized to a
+    * millionth before comparison (the q142b discipline — tolerance ~10⁹
+    * coarser than libm ulp drift between JVM and DuckDB exp()), and the
+    * discrete prediction comes from the SIGN of the logit (exact
+    * arithmetic, no libm at all). Scoring is a per-row projection in
+    * whole-stage codegen — the 100 TB shape of a fastText-style corpus
+    * filter where the model is a broadcast constant. */
+  private val W0 = -6.0; private val Wt = 0.12
+  private val Wr = 2.0; private val Wl = 0.25
+
+  val fixedWeightScorer: Q = Q(
+    "q98b_fixed_weight_scorer",
+    (s, d) => {
+      val z = ((lit(W0) + lit(Wt) * col("n_tokens"))
+        + lit(Wr) * col("ttr")) + lit(Wl) * col("avg_len")
+      featurize(s, d)
+        .withColumn("z", z)
+        .select(col("doc_id"),
+          floor((lit(1.0) / (lit(1.0) + exp(-col("z")))) * 1e6)
+            .cast("long").as("qscore_q6"),
+          (col("z") >= 0.0).cast("int").as("pred"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (
+        SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+      f AS (SELECT doc_id,
+          cast(len(t) as double) AS n_tokens,
+          cast(len(list_distinct(t)) as double) / len(t) AS ttr,
+          cast(list_sum(list_transform(t, x -> length(x))) as double)
+            / len(t) AS avg_len
+        FROM t),
+      sc AS (SELECT doc_id,
+          ((($W0 + $Wt * n_tokens) + $Wr * ttr) + $Wl * avg_len) AS z
+        FROM f)
+      SELECT doc_id,
+        cast(floor((1.0 / (1.0 + exp(-z))) * 1000000.0) as bigint)
+          AS qscore_q6,
+        cast(z >= 0.0 as int) AS pred
+      FROM sc ORDER BY doc_id"""))
+
   /** q99: compressibility score — zlib-deflated length over raw length.
     * Low ratio = repetitive/templated text (the classic cheap quality
     * heuristic next to q80's explicit repetition gates). Deflate runs
@@ -97,5 +140,5 @@ object QualityModel {
     },
     None)
 
-  val all: Seq[Q] = Seq(qualityClassifier, compressibility)
+  val all: Seq[Q] = Seq(qualityClassifier, fixedWeightScorer, compressibility)
 }

@@ -21,6 +21,31 @@ class QualityModelSpec extends AnyFunSuite {
     assert(rows.exists(_._3 == 0) && rows.exists(_._3 == 1))
   }
 
+  test("fixed-weight scorer matches an independent plain-Scala sigmoid") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 2, "en", "s", 104L),
+      (2L, "spam spam spam spam spam", "en", "s", 24L),
+      (3L, "one two three four five six seven eight nine ten", "en", "s", 48L))
+      .map { case (id, tx, l, so, n) => (id, tx.trim, l, so, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val got = SparkEntry.queries("q98b_fixed_weight_scorer")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val expected = docs.select("doc_id", "text").collect().map { r =>
+      val t = r.getString(1).trim.split("\\s+").toSeq
+      val nt = t.size.toDouble
+      val ttr = t.distinct.size.toDouble / t.size
+      val al = t.map(_.length).sum.toDouble / t.size
+      val z = ((-6.0 + 0.12 * nt) + 2.0 * ttr) + 0.25 * al
+      (r.getLong(0), math.floor(1.0 / (1.0 + math.exp(-z)) * 1e6).toLong,
+        if (z >= 0.0) 1 else 0)
+    }.sortBy(_._1).toSeq
+    assert(got == expected, s"scorer diverges: $got vs $expected")
+    // both classes occur in the toy frame (doc 2 short -> negative)
+    assert(got.map(_._3).toSet == Set(0, 1))
+  }
+
   test("compressibility ranks repetitive text as more compressible") {
     val out = SparkEntry.queries("q99_compressibility")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
