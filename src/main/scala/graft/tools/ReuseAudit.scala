@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
 object ReuseAudit {
   private val tables =
     Seq("lineitem", "orders", "customer", "part", "supplier",
-      "documents", "embeddings", "events")
+      "nation", "region", "documents", "embeddings", "events")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
