@@ -782,7 +782,8 @@ object Dedup {
           -- concat_ws of an empty array is '' (fully-excised docs)
           coalesce(array_to_string(list_transform(kept, i -> t[i]), ' '), '')
             AS cleaned
-        FROM k ORDER BY doc_id"""))
+        FROM k ORDER BY doc_id"""),
+      bench = true)
   }
 
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
