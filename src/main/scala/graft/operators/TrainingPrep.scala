@@ -858,9 +858,72 @@ object TrainingPrep {
         SELECT * FROM ($unions) ORDER BY "rank""""
     })
 
+  // ------------------------------------------------------------------
+  // q148 — BPE ENCODE, the serving side of q147: tokenize the corpus
+  // with a PINNED merge table (in production the learned vocab is a
+  // broadcast artifact, exactly like q98b's fixed weights vs q98's
+  // trained model). Each q75 pre-token piece is char-split into the
+  // q147 doubled-separator symbol string and the merges are applied in
+  // rank order as a 16-deep nested native replace — one linear
+  // projection per row, fully inside whole-stage codegen, zero
+  // shuffles beyond the scan: the right 100 TB shape for "how many
+  // tokens is this corpus" (the number that sizes a training run).
+  // Output is per-doc piece/token counts and fertility (BPE tokens per
+  // pre-token word) — the tokenizer-efficiency metric.
+  // ------------------------------------------------------------------
+  private val BpeMerges16: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r",
+    "a" -> "n", "an" -> "d", "o" -> "u", "r" -> "e",
+    "o" -> "n", "a" -> "t", "e" -> "n", "o" -> "r",
+    "t" -> "o", "i" -> "s", " " -> "the", " " -> "a")
+
+  val bpeEncode: Q = {
+    import org.apache.spark.sql.Column
+    def wrap(c: Column): Column = concat(lit(BpeSep2),
+      regexp_replace(c, "(?s)(.)", "$1" + BpeSep2))
+    def applyMerges(c: Column): Column =
+      BpeMerges16.foldLeft(wrap(c)) { case (acc, (a, b)) =>
+        replace(acc, lit(BpeSep + a + BpeSep2 + b + BpeSep),
+          lit(BpeSep + a + b + BpeSep))
+      }
+    def nSyms(c: Column): Column =
+      size(filter(split(applyMerges(c), BpeSep2), v => v =!= ""))
+    Q(
+      "q148_bpe_encode",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr(s"regexp_extract_all(lower(text), '$BpePat', 0)").as("pieces"))
+        .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
+          aggregate(transform(col("pieces"), p => nSyms(p)),
+            lit(0), (a, x) => a + x).as("n_bpe"))
+        .select(col("doc_id"), col("n_pieces"), col("n_bpe"),
+          (col("n_bpe").cast("double") / col("n_pieces")).as("fertility"))
+        .orderBy("doc_id"),
+      Some {
+        val sep2 = "chr(1)||chr(1)"
+        def lit1(x: String) = "'" + x.replace("'", "''") + "'"
+        val wrapped = s"$sep2 || regexp_replace(w, '(.)', '\\1'||$sep2, 'gs')"
+        val chain = BpeMerges16.foldLeft(wrapped) { case (acc, (a, b)) =>
+          s"replace($acc, chr(1)||${lit1(a)}||$sep2||${lit1(b)}||chr(1), " +
+            s"chr(1)||${lit1(a + b)}||chr(1))"
+        }
+        s"""WITH p AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '$BpePat') AS pieces
+          FROM documents),
+        e AS (SELECT doc_id, cast(len(pieces) as int) AS n_pieces,
+            cast(coalesce(list_sum(list_transform(pieces, w ->
+              len(list_filter(string_split($chain, $sep2),
+                x -> x <> '')))), 0) as int) AS n_bpe
+          FROM p)
+        SELECT doc_id, n_pieces, n_bpe,
+          cast(n_bpe as double) / n_pieces AS fertility
+        FROM e ORDER BY doc_id"""
+      })
+  }
+
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
     bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf,
     approxPercentiles, bloomContamination, fuzzyPairs, heavyHitters,
     weightedSample, oovRate, embeddingQuantize, sequencePacking,
-    winnowFingerprints, bpeMerges)
+    winnowFingerprints, bpeMerges, bpeEncode)
 }

@@ -291,4 +291,36 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(rows == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)),
       s"overlap counting / greedy merge wrong: $rows")
   }
+
+  test("bpe encode applies the pinned merges in rank order (hand-computed)") {
+    import spark.implicits._
+    // "In the other hand" -> pieces [in, " the", " other", " hand"]:
+    //   in      -> r3  (i,n)                       -> 1 token
+    //   " the"  -> r1 (t,h), r2 (th,e), r15 (" ",the) -> 1
+    //   " other"-> r1, r2 leave [" ", o, the, r]   -> 4
+    //   " hand" -> r5 (a,n), r6 (an,d): [" ",h,and] -> 3
+    val docs = Seq((1L, "In the other hand", "en", "s", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val r = SparkEntry.queries("q148_bpe_encode")(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)) ==
+      ((1L, 4, 9, 2.25)), s"encode wrong: $r")
+  }
+
+  test("bpe encode bounds hold corpus-wide: pieces <= tokens <= chars") {
+    // every piece is at least one token (merges only ever shrink) and
+    // no piece can exceed its character count in tokens
+    val rows = SparkEntry.queries("q148_bpe_encode")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    val chars = SparkEntry.queries("q30_token_count")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    rows.foreach { case (id, nPieces, nBpe) =>
+      assert(nBpe >= nPieces, s"doc $id: $nBpe tokens < $nPieces pieces")
+      assert(nBpe <= chars(id), s"doc $id: $nBpe tokens > ${chars(id)} chars")
+    }
+    // and the merges actually fire on English text: strictly fewer
+    // tokens than characters in aggregate
+    assert(rows.map(_._3.toLong).sum < chars.values.map(_.toLong).sum)
+  }
 }
