@@ -780,54 +780,78 @@ object TrainingPrep {
   private val BpeK = 50
   private val BpeSep = "\u0001"
   private val BpeSep2 = BpeSep + BpeSep
-  private val BpePat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+" // q75's pre-tokenizer
+  private[graft] val BpePat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+" // q75's pre-tokenizer
+
+  /** Wrap a word into the doubled-separator symbol string. */
+  private def bpeWrap(c: org.apache.spark.sql.Column) =
+    concat(lit(BpeSep2), regexp_replace(c, "(?s)(.)", "$1" + BpeSep2))
+
+  /** Apply a merge list in rank order (BPE encode = replay the merges). */
+  private[graft] def bpeApply(c: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]) =
+    merges.foldLeft(bpeWrap(c)) { case (acc, (a, b)) =>
+      replace(acc, lit(BpeSep + a + BpeSep2 + b + BpeSep),
+        lit(BpeSep + a + b + BpeSep))
+    }
+
+  /** Symbol count of a doubled-separator symbol string. */
+  private[graft] def bpeSymCount(c: org.apache.spark.sql.Column) =
+    size(filter(split(c, BpeSep2), v => v =!= ""))
+
+  /** The q147 merge loop, exposed for the learner-vs-encoder law: runs
+    * k iterations over `docs` and returns the merge table plus the
+    * FINAL (sym, freq) word frame, still localCheckpoint-ed — the
+    * caller owns unpersisting it. */
+  private[graft] def learnBpe(s: SparkSession, docs: DataFrame, k: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    val base = docs
+      .select(explode(
+        expr(s"regexp_extract_all(lower(text), '$BpePat', 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(bpeWrap(col("w")).as("sym"), col("freq"))
+    var words = base.localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rank = 1L
+    var done = false
+    while (rank <= k && !done) {
+      val t = filter(split(col("sym"), BpeSep2), x => x =!= "")
+      // guard: Spark sequence(1, 0) DESCENDS instead of returning empty
+      val prs = when(size(col("t")) >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("a"),
+            element_at(col("t"), i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      val top = words
+        .select(col("freq"), t.as("t"))
+        .select(col("freq"), explode(prs).as("p"))
+        .groupBy("p.a", "p.b").agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, a, b, cnt))
+        val next = words.withColumn("sym",
+          replace(col("sym"),
+            lit(BpeSep + a + BpeSep2 + b + BpeSep),
+            lit(BpeSep + a + b + BpeSep)))
+          .localCheckpoint()
+        words.unpersist()
+        words = next
+        rank += 1
+      }
+    }
+    (merges.toSeq, words)
+  }
 
   val bpeMerges: Q = Q(
     "q147_bpe_merges",
     (s, d) => {
       import s.implicits._
-      val base = Tables.documents(s, d)
-        .select(explode(
-          expr(s"regexp_extract_all(lower(text), '$BpePat', 0)")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-        .select(concat(lit(BpeSep2),
-          regexp_replace(col("w"), "(?s)(.)", "$1" + BpeSep2)).as("sym"),
-          col("freq"))
-      var words = base.localCheckpoint()
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-      var rank = 1L
-      var done = false
-      while (rank <= BpeK && !done) {
-        val t = filter(split(col("sym"), BpeSep2), x => x =!= "")
-        // guard: Spark sequence(1, 0) DESCENDS instead of returning empty
-        val prs = when(size(col("t")) >= 2,
-          transform(sequence(lit(1), size(col("t")) - 1),
-            i => struct(element_at(col("t"), i).as("a"),
-              element_at(col("t"), i + 1).as("b"))))
-          .otherwise(array().cast("array<struct<a:string,b:string>>"))
-        val top = words
-          .select(col("freq"), t.as("t"))
-          .select(col("freq"), explode(prs).as("p"))
-          .groupBy("p.a", "p.b").agg(sum("freq").as("cnt"))
-          .orderBy(desc("cnt"), col("a"), col("b"))
-          .limit(1).collect()
-        if (top.isEmpty) done = true
-        else {
-          val (a, b, cnt) =
-            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges += ((rank, a, b, cnt))
-          val next = words.withColumn("sym",
-            replace(col("sym"),
-              lit(BpeSep + a + BpeSep2 + b + BpeSep),
-              lit(BpeSep + a + b + BpeSep)))
-            .localCheckpoint()
-          words.unpersist()
-          words = next
-          rank += 1
-        }
-      }
-      words.unpersist()
-      merges.toSeq.toDF("rank", "pair_a", "pair_b", "freq").orderBy("rank")
+      val (merges, fin) = learnBpe(s, Tables.documents(s, d), BpeK)
+      fin.unpersist()
+      merges.toDF("rank", "pair_a", "pair_b", "freq").orderBy("rank")
     },
     Some {
       // the same k iterations as a generated CTE chain: each stage's
@@ -879,15 +903,7 @@ object TrainingPrep {
 
   val bpeEncode: Q = {
     import org.apache.spark.sql.Column
-    def wrap(c: Column): Column = concat(lit(BpeSep2),
-      regexp_replace(c, "(?s)(.)", "$1" + BpeSep2))
-    def applyMerges(c: Column): Column =
-      BpeMerges16.foldLeft(wrap(c)) { case (acc, (a, b)) =>
-        replace(acc, lit(BpeSep + a + BpeSep2 + b + BpeSep),
-          lit(BpeSep + a + b + BpeSep))
-      }
-    def nSyms(c: Column): Column =
-      size(filter(split(applyMerges(c), BpeSep2), v => v =!= ""))
+    def nSyms(c: Column): Column = bpeSymCount(bpeApply(c, BpeMerges16))
     Q(
       "q148_bpe_encode",
       (s, d) => Tables.documents(s, d)

@@ -317,7 +317,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("whole-stage codegen covers the hot aggregation pipelines") {
     for (q <- Seq("q01_pricing_summary", "q06_join_multiway_agg",
-        "q30_token_count", "q82_text_chunks")) {
+        "q30_token_count", "q82_text_chunks", "q148_bpe_encode")) {
       // under AQE codegen is inserted per-stage at materialization, so
       // execute first, then read the final adaptive plan ("*(n)" spans)
       val df = SparkEntry.queries(q)(spark, sf)

@@ -323,4 +323,35 @@ class TrainingPrepSpec extends AnyFunSuite {
     // tokens than characters in aggregate
     assert(rows.map(_._3.toLong).sum < chars.values.map(_.toLong).sum)
   }
+
+  test("bpe learner state and encoder replay agree on the corpus token count") {
+    // the standard BPE property: ENCODING (replay the learned merges in
+    // rank order over each word) reproduces exactly the segmentation
+    // the LEARNER's iterative corpus rewrite ended in. Learn 16 merges
+    // on sf0.001, then count tokens two independent ways — from the
+    // learner's final word frame (freq-weighted symbol counts) and by
+    // re-encoding every piece occurrence with the merge list — and
+    // demand bit-equality. Guards the two code paths (iterative
+    // replace-per-round vs nested replay) against each other.
+    import org.apache.spark.sql.functions.{col, explode, expr, sum}
+    val docs = Tables.documents(spark, sf)
+    val (merges, fin) = operators.TrainingPrep.learnBpe(spark, docs, 16)
+    try {
+      assert(merges.size == 16, s"sf0.001 corpus must support 16 merges")
+      val learnerTotal = fin
+        .select(sum(col("freq") *
+          operators.TrainingPrep.bpeSymCount(col("sym"))).as("n"))
+        .collect()(0).getLong(0)
+      val mergeList = merges.map(m => (m._2, m._3))
+      val encodeTotal = docs
+        .select(explode(expr(
+          s"regexp_extract_all(lower(text), '${operators.TrainingPrep.BpePat}', 0)"))
+          .as("w"))
+        .select(operators.TrainingPrep.bpeSymCount(
+          operators.TrainingPrep.bpeApply(col("w"), mergeList)).as("n"))
+        .agg(sum(col("n")).as("n")).collect()(0).getLong(0)
+      assert(learnerTotal == encodeTotal,
+        s"learner final state counts $learnerTotal tokens, encoder replay $encodeTotal")
+    } finally { fin.unpersist(); () }
+  }
 }
