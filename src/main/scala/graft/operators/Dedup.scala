@@ -580,6 +580,88 @@ object Dedup {
       WHERE cast(n_shared as double) / (sa.sz + sb.sz - n_shared) >= 0.5
       ORDER BY doc_a, doc_b"""))
 
+  /** q149 — ASYMMETRIC containment pairs (Broder 1997's containment,
+    * the companion resemblance misses): C(A→B) = |S(A)∩S(B)| / |S(A)|
+    * over distinct 3-gram shingles. A short doc wholly quoted inside a
+    * much larger one scores containment ≈ 1 while its Jaccard
+    * (q76/q121) stays far below any sane threshold — the
+    * quote/repost/wrapper-page shape a production dedup stack handles
+    * with exactly this score. Candidates come from the q121 df-capped
+    * shingle universe (bounded join fanout: a shingle in more than
+    * [[DfCap]] docs is boilerplate and generates no candidates), the
+    * intersection is EXACT over the full shingle sets via the
+    * candidate-restricted join-back, and each unordered pair is then
+    * scored in BOTH directions (a 2× explode of the tiny pair frame —
+    * linear in candidates, which the cap bounds). Emitted when
+    * containment ≥ 0.8; recall deviation identical to q121's (a pair
+    * is missed iff its entire overlap is above-cap boilerplate). */
+  val containmentPairs: Q = Q(
+    "q149_containment_pairs",
+    (s, d) => {
+      val sets = shingleSets(s, d).cache()
+      val ex = sets.select(col("doc_id"), explode(col("sh")).as("sg"))
+        .select(col("doc_id"), md5h61(col("sg")).as("h"))
+        .cache()
+      val keep = ex.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DfCap && col("df") >= 2)
+        .select("h")
+      val exf = ex.join(keep, "h")
+      val cand = exf.as("a").join(exf.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val inter = cand
+        .join(ex.as("ea"), col("doc_a") === col("ea.doc_id"))
+        .join(ex.as("eb"),
+          col("doc_b") === col("eb.doc_id") && col("ea.h") === col("eb.h"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared"))
+      val sz = sets.select(col("doc_id"), size(col("sh")).cast("long").as("sz"))
+      inter
+        .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(explode(array(
+          struct(col("doc_a").as("contained_doc"),
+            col("doc_b").as("container_doc"), col("n_shared"),
+            (col("n_shared").cast("double") / col("sa.sz"))
+              .as("containment")),
+          struct(col("doc_b").as("contained_doc"),
+            col("doc_a").as("container_doc"), col("n_shared"),
+            (col("n_shared").cast("double") / col("sb.sz"))
+              .as("containment")))).as("e"))
+        .select(col("e.contained_doc").as("contained_doc"),
+          col("e.container_doc").as("container_doc"),
+          col("e.n_shared").as("n_shared"),
+          col("e.containment").as("containment"))
+        .filter(col("containment") >= 0.8)
+        .orderBy("contained_doc", "container_doc")
+    },
+    Some(s"""WITH $sqlShingleSets,
+      ex AS (SELECT doc_id, ${sqlMd5h61("sg")} AS h
+        FROM (SELECT doc_id, unnest(sh) AS sg FROM sets)),
+      keep AS (SELECT h FROM (SELECT h, count(*) AS df FROM ex GROUP BY h)
+        WHERE df <= $DfCap AND df >= 2),
+      exf AS (SELECT ex.doc_id, ex.h FROM ex JOIN keep USING (h)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM exf a JOIN exf b ON a.h = b.h AND a.doc_id < b.doc_id),
+      inter AS (SELECT c.doc_a, c.doc_b, cast(count(*) as bigint) AS n_shared
+        FROM cand c JOIN ex ea ON ea.doc_id = c.doc_a
+                    JOIN ex eb ON eb.doc_id = c.doc_b AND eb.h = ea.h
+        GROUP BY 1, 2),
+      sz AS (SELECT doc_id, cast(len(sh) as bigint) AS sz FROM sets),
+      j AS (SELECT doc_a, doc_b, n_shared, sa.sz AS sz_a, sb.sz AS sz_b
+        FROM inter JOIN sz sa ON doc_a = sa.doc_id
+                   JOIN sz sb ON doc_b = sb.doc_id),
+      dir AS (
+        SELECT doc_a AS contained_doc, doc_b AS container_doc, n_shared,
+          cast(n_shared as double) / sz_a AS containment FROM j
+        UNION ALL
+        SELECT doc_b, doc_a, n_shared,
+          cast(n_shared as double) / sz_b FROM j)
+      SELECT contained_doc, container_doc, n_shared, containment
+      FROM dir WHERE containment >= 0.8
+      ORDER BY contained_doc, container_doc"""))
+
   /** q127: incremental ingest dedup — the nightly-batch shape every
     * growing corpus needs: documents split into an existing corpus
     * (doc_id % 10 < 8) and a new batch; a new doc is admitted iff its
@@ -788,6 +870,7 @@ object Dedup {
 
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
-    ngramJaccardPairs, ngramJaccardDfCap, sketchQuality, dupDegrees,
-    dupBySource, incrementalDedup, substringDedup, substringRemoval)
+    ngramJaccardPairs, ngramJaccardDfCap, containmentPairs, sketchQuality,
+    dupDegrees, dupBySource, incrementalDedup, substringDedup,
+    substringRemoval)
 }

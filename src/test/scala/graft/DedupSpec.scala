@@ -297,6 +297,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("containment flags a quoted doc inside a larger one that jaccard misses") {
+    import spark.implicits._
+    // doc 2 is a verbatim 15-token slice of 40-token doc 1: its 13
+    // distinct 3-gram shingles are a subset of doc 1's 38, so
+    // containment(2 in 1) = 13/13 = 1.0 while jaccard = 13/38 ~= 0.34 —
+    // below q76's 0.5 threshold. The reverse direction (38 shingles,
+    // 13 shared) is 13/38 and must NOT be emitted. Doc 3 is unrelated.
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val quote = (11 to 25).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, big, "en", "s", 100L),
+      (2L, quote, "en", "s", 50L),
+      (3L, (1 to 30).map(i => s"z$i").mkString(" "), "en", "s", 80L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val got = SparkEntry.queries("q149_containment_pairs")(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((2L, 1L, 13L, 1.0)), s"containment pairs wrong: $got")
+    val jac = SparkEntry.queries("q76_ngram_jaccard_pairs")(spark, dir)
+      .collect()
+    assert(jac.isEmpty, "jaccard at 0.5 must miss the asymmetric pair")
+  }
+
   test("substring dedup ignores repeats within a single document") {
     import spark.implicits._
     // the same 25-token run appears TWICE in one doc and nowhere else:
