@@ -103,6 +103,78 @@ object QualityModel {
         cast(z >= 0.0 as int) AS pred
       FROM sc ORDER BY doc_id"""))
 
+  /** q150: bigram-LM perplexity scoring — the CCNet-style quality
+    * filter (score each doc under a language model trained on the
+    * corpus; outliers are gibberish or boilerplate). The model is an
+    * add-one-smoothed bigram LM fit on the corpus itself:
+    * P(w2|w1) = (C(w1,w2)+1) / (C(w1)+V), and each doc's score is the
+    * average negative log-likelihood of its bigrams.
+    *
+    * Determinism: ln() differs by ulps across libms AND a float sum
+    * across partitions is order-dependent, so each bigram's −ln(p) is
+    * quantized to 10⁻⁹ FIRST (p itself is integer-derived and
+    * bit-identical; the quantization absorbs libm drift), the per-doc
+    * sum then runs in exact integer arithmetic (order-independent —
+    * the partitioning-invariance law holds by construction), and the
+    * final average is one double divide of two exact ints quantized to
+    * 10⁻⁶ (the q142b discipline).
+    *
+    * Scale shape: bigram model = one groupBy with map-side partials
+    * over the corpus explode; doc scoring joins the doc's bigrams to
+    * the model on (w1,w2) — an equi-join shuffle — and the unigram
+    * frame broadcasts (heavy-tailed vocab); V is a 1-row broadcast.
+    * Docs with fewer than 2 tokens have no bigrams and are excluded
+    * (inner joins, identical on both engines). */
+  val bigramPerplexity: Q = Q(
+    "q150_bigram_nll",
+    (s, d) => {
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), toks(lower(col("text"))).as("t"))
+        // no-op predicates written out so BOTH explode branches (doc
+        // bigrams, unigram counts) infer identical constraints and
+        // share one tokenize+scan — the q86 symmetrize discipline;
+        // scan count pinned in PlanAuditSpec's allowance sweep
+        .filter(size(col("t")) > 0 && col("t").isNotNull)
+        .repartition(col("doc_id"))
+      val db = tk.select(col("doc_id"), explode(transform(
+          when(size(col("t")) >= 2, sequence(lit(1), size(col("t")) - 1))
+            .otherwise(array().cast("array<int>")),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val bm = db.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      val uni = tk.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c_w"))
+      val vc = uni.agg(count(lit(1)).as("v"))
+      db.join(bm, Seq("w1", "w2"))
+        .join(broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+        .crossJoin(broadcast(vc))
+        .withColumn("nll_q9", floor(-log(
+          (col("c_xy") + 1) / (col("c_w") + col("v")).cast("double"))
+          * 1e9).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_q9")).as("s9"))
+        .select(col("doc_id"), col("n_bigrams"),
+          floor(col("s9") / (col("n_bigrams") * 1000.0)).cast("long")
+            .as("nll_q6"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (
+        SELECT doc_id, ${sqlToks("lower(text)")} AS t FROM documents),
+      db AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM tk, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+      bm AS (SELECT w1, w2, count(*) AS c_xy FROM db GROUP BY 1, 2),
+      uni AS (SELECT g.w AS w, count(*) AS c_w
+        FROM tk, unnest(t) AS g(w) GROUP BY 1),
+      vc AS (SELECT count(*) AS v FROM uni),
+      q AS (SELECT doc_id,
+          cast(floor(-ln((c_xy + 1) / cast(c_w + v as double)) * 1000000000.0)
+            as bigint) AS nll_q9
+        FROM db JOIN bm USING (w1, w2) JOIN uni ON db.w1 = uni.w, vc)
+      SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
+        cast(floor(sum(nll_q9) / (count(*) * 1000.0)) as bigint) AS nll_q6
+      FROM q GROUP BY doc_id ORDER BY doc_id"""))
+
   /** q99: compressibility score — zlib-deflated length over raw length.
     * Low ratio = repetitive/templated text (the classic cheap quality
     * heuristic next to q80's explicit repetition gates). Deflate runs
@@ -140,5 +212,6 @@ object QualityModel {
     },
     None)
 
-  val all: Seq[Q] = Seq(qualityClassifier, fixedWeightScorer, compressibility)
+  val all: Seq[Q] = Seq(qualityClassifier, fixedWeightScorer,
+    bigramPerplexity, compressibility)
 }

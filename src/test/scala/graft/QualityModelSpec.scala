@@ -46,6 +46,26 @@ class QualityModelSpec extends AnyFunSuite {
     assert(got.map(_._3).toSet == Set(0, 1))
   }
 
+  test("bigram nll matches a hand-built add-one-smoothed LM") {
+    import spark.implicits._
+    // corpus: "a b a b" + "a b c". C(a,b)=3 C(b,a)=1 C(b,c)=1;
+    // C(a)=3 C(b)=3 C(c)=1; V=3. p(a,b)=4/6, p(b,a)=p(b,c)=2/6.
+    val docs = Seq(
+      (1L, "a b a b", "en", "s", 7L),
+      (2L, "a b c", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    def q9(p: Double) = math.floor(-math.log(p) * 1e9).toLong
+    def q6(nlls: Seq[Long]) =
+      math.floor(nlls.sum / (nlls.size * 1000.0)).toLong
+    val expected = Seq(
+      (1L, 3L, q6(Seq(q9(4.0 / 6), q9(2.0 / 6), q9(4.0 / 6)))),
+      (2L, 2L, q6(Seq(q9(4.0 / 6), q9(2.0 / 6)))))
+    val got = SparkEntry.queries("q150_bigram_nll")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"nll diverges: $got vs $expected")
+  }
+
   test("compressibility ranks repetitive text as more compressible") {
     val out = SparkEntry.queries("q99_compressibility")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
