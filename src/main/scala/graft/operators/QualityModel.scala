@@ -120,11 +120,13 @@ object QualityModel {
     * 10⁻⁶ (the q142b discipline).
     *
     * Scale shape: bigram model = one groupBy with map-side partials
-    * over the corpus explode; doc scoring joins the doc's bigrams to
-    * the model on (w1,w2) — an equi-join shuffle — and the unigram
-    * frame broadcasts (heavy-tailed vocab); V is a 1-row broadcast.
-    * Docs with fewer than 2 tokens have no bigrams and are excluded
-    * (inner joins, identical on both engines). */
+    * over the corpus explode; the model is enriched with its unigram
+    * denominators FIRST (a vocab-sized shuffle join — at 100 TB the
+    * unigram table outgrows any broadcast, and p is computed once per
+    * bigram TYPE, not per instance), then doc scoring is ONE corpus
+    * equi-join on (w1,w2) against the finished model; V is a 1-row
+    * broadcast. Docs with fewer than 2 tokens have no bigrams and are
+    * excluded (inner joins, identical on both engines). */
   val bigramPerplexity: Q = Q(
     "q150_bigram_nll",
     (s, d) => {
@@ -146,12 +148,13 @@ object QualityModel {
       val uni = tk.select(explode(col("t")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c_w"))
       val vc = uni.agg(count(lit(1)).as("v"))
-      db.join(bm, Seq("w1", "w2"))
-        .join(broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+      val model = bm
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
         .crossJoin(broadcast(vc))
-        .withColumn("nll_q9", floor(-log(
+        .select(col("w1"), col("w2"), floor(-log(
           (col("c_xy") + 1) / (col("c_w") + col("v")).cast("double"))
-          * 1e9).cast("long"))
+          * 1e9).cast("long").as("nll_q9"))
+      db.join(model, Seq("w1", "w2"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_q9")).as("s9"))
         .select(col("doc_id"), col("n_bigrams"),
