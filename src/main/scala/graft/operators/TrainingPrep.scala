@@ -809,7 +809,18 @@ object TrainingPrep {
         expr(s"regexp_extract_all(lower(text), '$BpePat', 0)")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(bpeWrap(col("w")).as("sym"), col("freq"))
-    var words = base.localCheckpoint()
+    // Lineage discipline: a checkpoint EVERY merge costs one
+    // materialization job per iteration (2k Spark jobs for k merges,
+    // fixed scheduling overhead each). Instead let up to CkptEvery
+    // nested replace projections accumulate — re-running <=7 vocab-wide
+    // string replaces inside the next pair-count job is cheaper than a
+    // materialization — and truncate lineage every CkptEvery merges,
+    // unpersisting the superseded checkpoint (the Dedup CC discipline,
+    // amortized).
+    val CkptEvery = 8
+    var lastCkpt = base.localCheckpoint()
+    var words = lastCkpt
+    var sinceCkpt = 0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var rank = 1L
     var done = false
@@ -832,17 +843,27 @@ object TrainingPrep {
         val (a, b, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, a, b, cnt))
-        val next = words.withColumn("sym",
+        words = words.withColumn("sym",
           replace(col("sym"),
             lit(BpeSep + a + BpeSep2 + b + BpeSep),
             lit(BpeSep + a + b + BpeSep)))
-          .localCheckpoint()
-        words.unpersist()
-        words = next
+        sinceCkpt += 1
+        if (sinceCkpt == CkptEvery) {
+          val next = words.localCheckpoint()
+          lastCkpt.unpersist()
+          lastCkpt = next
+          words = next
+          sinceCkpt = 0
+        }
         rank += 1
       }
     }
-    (merges.toSeq, words)
+    // return a CHECKPOINTED frame so the caller's single unpersist
+    // frees all loop storage (a derived view would leak lastCkpt)
+    val fin = if (sinceCkpt > 0) {
+      val f = words.localCheckpoint(); lastCkpt.unpersist(); f
+    } else lastCkpt
+    (merges.toSeq, fin)
   }
 
   val bpeMerges: Q = Q(
