@@ -73,7 +73,11 @@ object Bench {
     // record carry its own validity flag instead of relying on an
     // out-of-band re-run to notice.
     val CalibQ = "q128_tpch_q6"
-    val calib = Registry.benchSet.find(_.name == CalibQ).map(measure)
+    // min-of-3 like the headline runs: a single probe sample can eat a
+    // GC pause or scheduler hiccup and stamp load_suspect=true on a
+    // genuinely valid record (transient noise only ever ADDS time).
+    val calib = Registry.benchSet.find(_.name == CalibQ)
+      .map(q => Seq.fill(3)(measure(q)).min)
     val floor = Seq("bench_floor.json", "target/bench_floor.json").view
       .map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.exists(_))
       .flatMap { p =>

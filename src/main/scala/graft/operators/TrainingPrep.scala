@@ -782,6 +782,15 @@ object TrainingPrep {
   private val BpeSep2 = BpeSep + BpeSep
   private[graft] val BpePat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+" // q75's pre-tokenizer
 
+  /** The separator byte is stripped from the input BEFORE pre-token
+    * extraction: BpePat's punct class admits control characters, so a
+    * document containing U+0001 would otherwise produce pieces whose
+    * wrapped symbol string has phantom separator runs — silently
+    * corrupting merges and the learner-vs-encoder equality law. One
+    * native replace per row on both engines (chr(1) inlines
+    * identically; all other text passes through untouched). */
+  private val StripSep = "replace(text, chr(1), '')"
+
   /** Wrap a word into the doubled-separator symbol string. */
   private def bpeWrap(c: org.apache.spark.sql.Column) =
     concat(lit(BpeSep2), regexp_replace(c, "(?s)(.)", "$1" + BpeSep2))
@@ -806,7 +815,7 @@ object TrainingPrep {
       : (Seq[(Long, String, String, Long)], DataFrame) = {
     val base = docs
       .select(explode(
-        expr(s"regexp_extract_all(lower(text), '$BpePat', 0)")).as("w"))
+        expr(s"regexp_extract_all(lower($StripSep), '$BpePat', 0)")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(bpeWrap(col("w")).as("sym"), col("freq"))
     // Lineage discipline: a checkpoint EVERY merge costs one
@@ -896,7 +905,8 @@ object TrainingPrep {
       s"""WITH w0 AS MATERIALIZED (SELECT $sep2 ||
             regexp_replace(w, '(.)', '\\1'||$sep2, 'gs') AS sym, freq
           FROM (SELECT w, count(*) AS freq FROM
-              (SELECT unnest(regexp_extract_all(lower(text), '$BpePat')) AS w
+              (SELECT unnest(regexp_extract_all(lower(replace(text, chr(1), ''))
+                 , '$BpePat')) AS w
                FROM documents)
             GROUP BY w)),
         $stages
@@ -929,12 +939,16 @@ object TrainingPrep {
       "q148_bpe_encode",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
-          expr(s"regexp_extract_all(lower(text), '$BpePat', 0)").as("pieces"))
+          expr(s"regexp_extract_all(lower($StripSep), '$BpePat', 0)").as("pieces"))
         .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
           aggregate(transform(col("pieces"), p => nSyms(p)),
             lit(0), (a, x) => a + x).as("n_bpe"))
         .select(col("doc_id"), col("n_pieces"), col("n_bpe"),
-          (col("n_bpe").cast("double") / col("n_pieces")).as("fertility"))
+          // guarded: a doc whose text yields zero pre-tokenizer pieces
+          // (e.g. whitespace-only) must give fertility NULL by DESIGN on
+          // both engines, not by accident of 0/0 rendering
+          when(col("n_pieces") > 0,
+            col("n_bpe").cast("double") / col("n_pieces")).as("fertility"))
         .orderBy("doc_id"),
       Some {
         val sep2 = "chr(1)||chr(1)"
@@ -945,7 +959,8 @@ object TrainingPrep {
             s"chr(1)||${lit1(a + b)}||chr(1))"
         }
         s"""WITH p AS (SELECT doc_id,
-            regexp_extract_all(lower(text), '$BpePat') AS pieces
+            regexp_extract_all(lower(replace(text, chr(1), '')), '$BpePat')
+              AS pieces
           FROM documents),
         e AS (SELECT doc_id, cast(len(pieces) as int) AS n_pieces,
             cast(coalesce(list_sum(list_transform(pieces, w ->
@@ -953,7 +968,8 @@ object TrainingPrep {
                 x -> x <> '')))), 0) as int) AS n_bpe
           FROM p)
         SELECT doc_id, n_pieces, n_bpe,
-          cast(n_bpe as double) / n_pieces AS fertility
+          CASE WHEN n_pieces > 0
+            THEN cast(n_bpe as double) / n_pieces END AS fertility
         FROM e ORDER BY doc_id"""
       })
   }

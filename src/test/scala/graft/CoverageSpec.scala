@@ -10,9 +10,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * doc can't drift (it was in sync at round 7; this keeps it so). */
 class CoverageSpec extends AnyFunSuite {
 
-  private def countOccurrences(hay: String, needle: String): Int =
-    Iterator.iterate(hay.indexOf(needle))(i => hay.indexOf(needle, i + 1))
-      .takeWhile(_ >= 0).size
+  // Line-anchored so commented-out declarations (`// test("...`) don't
+  // count; the pattern is concatenated so this file's own source line
+  // doesn't self-count.
+  private val testDecl = ("(?m)^\\s*" + "test\\(\"").r
+
+  private def countDecls(src: String): Int = testDecl.findAllIn(src).size
 
   test("COVERAGE.md totals line tracks the registry and the test suite") {
     val md = new String(java.nio.file.Files.readAllBytes(
@@ -31,17 +34,19 @@ class CoverageSpec extends AnyFunSuite {
 
     val tests = """\+ (\d+) ScalaTest tests""".r.findFirstMatchIn(md)
       .getOrElse(fail("COVERAGE.md totals line lacks the test count"))
-    // count literal test declarations in the suite sources; the needle
-    // is concatenated so this file's own source doesn't self-count
-    val needle = "test" + "(\""
+    // count test declarations in the suite sources — recursive walk
+    // (subpackage suites would be silently missed by Files.list) with
+    // the stream closed, and a line-anchored match (see [[testDecl]])
     import scala.jdk.CollectionConverters._
-    val declared = java.nio.file.Files
-      .list(java.nio.file.Paths.get("src/test/scala/graft"))
-      .iterator().asScala
-      .filter(_.toString.endsWith(".scala"))
-      .map(p => countOccurrences(
-        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), needle))
-      .sum
+    val stream = java.nio.file.Files
+      .walk(java.nio.file.Paths.get("src/test/scala/graft"))
+    val declared =
+      try stream.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .map(p => countDecls(
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8")))
+        .sum
+      finally stream.close()
     assert(tests.group(1).toInt == declared,
       s"COVERAGE.md says ${tests.group(1)} tests; " +
         s"suite sources declare $declared")

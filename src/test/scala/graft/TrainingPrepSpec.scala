@@ -307,6 +307,29 @@ class TrainingPrepSpec extends AnyFunSuite {
       ((1L, 4, 9, 2.25)), s"encode wrong: $r")
   }
 
+  test("bpe input is separator-safe: U+0001 in text is stripped, fertility of a zero-piece doc is NULL") {
+    import spark.implicits._
+    // doc 1 carries the BPE separator byte inside a word — it must
+    // tokenize exactly like its clean twin doc 2 (phantom separator
+    // runs would corrupt the wrapped symbol string); doc 3 yields zero
+    // pre-tokenizer pieces (whitespace-only), so fertility is NULL by
+    // design, not 0/0 accident.
+    val docs = Seq(
+      (1L, "in the other hand", "en", "s", 19L),
+      (2L, "in the other hand", "en", "s", 17L),
+      (3L, "   ", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q148_bpe_encode")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), if (r.isNullAt(3)) null else r.getDouble(3)))
+      .toMap
+    assert(rows(1L) == rows(2L),
+      s"U+0001 changed the encoding: ${rows(1L)} vs ${rows(2L)}")
+    assert(rows(3L) == ((0, 0, null)),
+      s"zero-piece doc must be (0, 0, NULL): ${rows(3L)}")
+  }
+
   test("bpe encode bounds hold corpus-wide: pieces <= tokens <= chars") {
     // every piece is at least one token (merges only ever shrink) and
     // no piece can exceed its character count in tokens
