@@ -45,7 +45,7 @@ object Similarity {
 
   /** Normalized embeddings with precomputed L2 norm (computed once per
     * row, not per pair). */
-  private[operators] def normed(s: SparkSession, d: String): DataFrame = {
+  private[graft] def normed(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     Tables.embeddings(s, d)
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id")) // single-file parquet -> use all cores
@@ -358,6 +358,90 @@ object Similarity {
     },
     None)
 
+  // ------------------------------------------------------------------
+  // q151 — semantic dedup, SemDeDup-shape (Abbas et al. 2023: cluster
+  // the embedding space, then prune near-identical pairs WITHIN each
+  // cluster — candidates are cluster-bounded, so the pair join never
+  // goes corpus-wide the way document-level LSH does). The coarse
+  // quantizer here is PINNED: k=16 sign-component centroids derived
+  // from md5 (the q148/q98b fixed-artifact discipline — a seeded
+  // k-means fit, like q50's, is not SQL-replicable; fixed literals make
+  // assignment + within-cell pairing + pruning all DuckDB-verified).
+  // Assignment reuses IvfIndex.assignToCentroids' argmin scan — the
+  // exact same expression the incremental-IVF path (q144) runs.
+  //
+  // Output = the PRUNE LIST, keep-lowest policy: one row per vector
+  // that has an in-cell neighbor with lower vec_id at cosine >= tau,
+  // carrying its keeper (min such neighbor), n_close, and max_cosine.
+  //
+  // Scale shape: assignment is a per-row projection (centroids are
+  // k-bounded literals, zero shuffles); the pair join shuffles on the
+  // cell id and is quadratic only WITHIN a cell — SemDeDup's entire
+  // point. k is pinned at 16 for oracle replay; production scales k
+  // with corpus size (the paper runs 50k clusters on 100M+ docs) so
+  // per-cell population — and per-cell pair work — stays bounded, the
+  // same knob as q41's corpus-adaptive plane count. The recall
+  // boundary is inherent: a near-pair straddling a cell boundary is
+  // never compared (documented + pinned in SimilaritySpec).
+  // ------------------------------------------------------------------
+  private val SemK = 16
+  private[graft] val SemTau = 0.35
+  private[graft] val semCentroids: Seq[(Int, Array[Double])] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    (0 until SemK).map { c =>
+      (c, (0 until EmbeddingDim).map { i =>
+        val h = mdig.digest(s"semcent:$c:$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1.0 else -1.0
+      }.toArray)
+    }
+  }
+
+  val semanticDedup: Q = Q(
+    "q151_semantic_dedup",
+    (s, d) => {
+      val cells = IvfIndex.assignToCentroids(normed(s, d), semCentroids)
+        .select("vec_id", "e", "nrm", "cell")
+      // no cache: both self-join sides shuffle on the identical
+      // (scan -> assign -> exchange) subplan, so Catalyst reuses one
+      // exchange (plan-audited in SimilaritySpec) — the embeddings
+      // parquet is read once
+      val a = cells.as("a"); val b = cells.as("b")
+      a.join(b, col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("vec_id"), col("b.cell").as("cell"),
+          col("a.vec_id").as("nbr"),
+          (dot("a.e", "b.e") / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+        .filter(col("cosine") >= SemTau)
+        .groupBy("vec_id", "cell")
+        .agg(min("nbr").as("keeper"), count(lit(1)).as("n_close"),
+          max(col("cosine")).as("max_cosine"))
+        .orderBy("vec_id")
+    },
+    Some {
+      // the same pinned centroids inlined as literals; argmin via
+      // list_position(scores, list_min(scores)) — first index of the
+      // min, i.e. ties break to the LOWER cell exactly like the Spark
+      // side's (score, cell) struct ordering
+      val scores = semCentroids.map { case (_, c) =>
+        val c2 = c.map(x => x * x).sum
+        val arr = c.map(v => s"$v").mkString("[", ", ", "]")
+        s"($c2 - 2.0 * list_reduce(list_transform(generate_series(1, $EmbeddingDim), i -> ($arr::double[])[i] * e[i]), (x, y) -> x + y))"
+      }.mkString(", ")
+      s"""WITH $sqlNormed,
+        sc AS (SELECT vec_id, e, nrm, [$scores] AS scores FROM w),
+        cells AS (SELECT vec_id, e, nrm,
+          cast(list_position(scores, list_min(scores)) - 1 as int) AS cell
+          FROM sc),
+        p AS (SELECT b.vec_id AS vec_id, b.cell AS cell, a.vec_id AS nbr,
+            ${sqlDot("a.e", "b.e")} / (a.nrm * b.nrm) AS cosine
+          FROM cells a JOIN cells b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        SELECT vec_id, cell, min(nbr) AS keeper,
+          cast(count(*) as bigint) AS n_close, max(cosine) AS max_cosine
+        FROM p WHERE cosine >= $SemTau
+        GROUP BY vec_id, cell ORDER BY vec_id"""
+    })
+
   /** Multimodal columns: opaque binary payload + typed metadata. The
     * decode step is a stub (no image libs in this container) — what's
     * real and verified is the binary handling: byte length, content
@@ -433,5 +517,5 @@ object Similarity {
       FROM n ORDER BY vec_id"""))
 
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
-    annIvf, annIvfIncremental, multimodalMeta, arrayFuncs)
+    annIvf, annIvfIncremental, semanticDedup, multimodalMeta, arrayFuncs)
 }

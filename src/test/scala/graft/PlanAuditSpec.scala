@@ -229,6 +229,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // guarded window index, q80's symmetrized explode inference, q85's
     // aggregate keepalive). q85/q47b expect 2: the shared tokenize
     // pass plus a footer-only count(*) scan for the corpus size.
+    // cold cache: if another suite cached a shared frame (q43/q55
+    // cache `normed`), a pinned query's branches read
+    // InMemoryTableScan instead of reusing an exchange and the
+    // ReusedExchange assertion becomes cache-state dependent
+    spark.catalog.clearCache()
     val pinned = Seq(
       ("q133_tpch_q15", "lineitem", 1),
       ("q139_tpch_q11", "lineitem", 1),
@@ -242,7 +247,11 @@ class PlanAuditSpec extends AnyFunSuite {
       ("q86_bigram_lift", "documents", 1),
       ("q107_oov_rate", "documents", 1),
       ("q85_salient_terms", "documents", 2),
-      ("q47b_rare_terms", "documents", 2))
+      ("q47b_rare_terms", "documents", 2),
+      // uncached self-join on the cell id: both sides canonicalize to
+      // the same scan->assign->exchange subtree, so one side must be a
+      // ReusedExchange and embeddings is read once
+      ("q151_semantic_dedup", "embeddings", 1))
     for ((q, fact, expected) <- pinned) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()

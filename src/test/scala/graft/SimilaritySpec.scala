@@ -87,6 +87,46 @@ class SimilaritySpec extends AnyFunSuite {
       s"max bucket population $adaptive exceeds 8x target")
   }
 
+  test("semantic dedup prunes the in-cell near-dup and misses the cross-cell pair (recall boundary)") {
+    import spark.implicits._
+    import graft.operators.{IvfIndex, Similarity}
+    // v0 = pinned centroid 2 itself, v1 = v0 with one component nudged:
+    // both land in cell 2 with cosine ~1 -> v1 must be pruned, keeper 0.
+    // v2/v3 straddle the boundary between centroids 0 and 1
+    // (v2 = 1.2*c0 + c1, v3 = c0 + 1.2*c1): cosine ~0.98 but DIFFERENT
+    // cells — SemDeDup's documented recall boundary: a near-pair split
+    // across cells is never compared, so it must NOT appear.
+    val cents = Similarity.semCentroids.toMap
+    val c0 = cents(0); val c1 = cents(1); val c2v = cents(2)
+    val v0 = c2v.map(_.toFloat)
+    val v1 = v0.clone(); v1(0) = v1(0) * 0.99f
+    val v2 = c0.zip(c1).map { case (a, b) => (1.2 * a + b).toFloat }
+    val v3 = c0.zip(c1).map { case (a, b) => (a + 1.2 * b).toFloat }
+    val df = Seq((0L, v0, 0), (1L, v1, 0), (2L, v2, 1), (3L, v3, 1))
+      .toDF("vec_id", "embedding", "label")
+    val dir = TestSpark.makeSfDir("embeddings" -> df)
+    // preconditions, computed through the real assignment path: the
+    // planted near-pair really is near AND really is split across cells
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    assert(cos(v2, v3) >= Similarity.SemTau, "planted cross-cell pair must be near")
+    val cells = IvfIndex.assignToCentroids(
+      Similarity.normed(spark, dir), Similarity.semCentroids.toSeq)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(0L) == 2 && cells(1L) == 2, s"v0/v1 must share cell 2: $cells")
+    assert(cells(2L) != cells(3L), s"v2/v3 must split across cells: $cells")
+    val rows = SparkEntry.queries("q151_semantic_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set(1L),
+      s"only v1 has an in-cell lower-id near neighbor: $rows")
+    assert(rows(1L) == ((2, 0L, 1L)), s"v1 pruned by keeper v0 in cell 2: $rows")
+  }
+
   test("multimodal metadata is deterministic and sized correctly") {
     import spark.implicits._
     val docs = Seq((0L, "PNGx some fake payload", "en", "s", 22L),
