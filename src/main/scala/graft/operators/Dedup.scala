@@ -868,9 +868,109 @@ object Dedup {
       bench = true)
   }
 
+  /** q152: paragraph-granularity dedup with document REASSEMBLY — the
+    * RefinedWeb/Gopher discipline (Penedo et al. 2023 §3.3: exact
+    * duplicated paragraphs are removed corpus-wide, the document is
+    * kept with the surviving paragraphs stitched back in order). This
+    * is the middle granularity between q35 (whole-document) and q143
+    * (25-token windows): a boilerplate paragraph (footer, nav block,
+    * license header) repeated across many docs survives ONLY at its
+    * globally-first occurrence — keep-first at (doc_id, position)
+    * granularity, so a paragraph repeated WITHIN one doc also keeps
+    * only its first copy.
+    *
+    * The paragraph delimiter is a parameter. The registry instance
+    * splits on the token `" the "`: the driver corpus encodes no
+    * newlines, so the most frequent stopword stands in as the
+    * paragraph break — every doc yields multiple segments at every SF
+    * and split/dedup/reassembly are all exercised against the oracle
+    * (a production corpus would pass `"\n\n"`; the plan is identical).
+    *
+    * Scale shape (the q145 skeleton at paragraph granularity): the
+    * explode carries (doc_id, pidx, h, okey) — the 61-bit hash, never
+    * paragraph text — so the keeper shuffle is content-free; keeper
+    * selection is `groupBy(h).agg(min(okey))` + join-back (map-side
+    * partials, AQE-skew-eligible — a window over a hot boilerplate
+    * hash would buffer millions of rows in one task); reassembly
+    * re-derives text doc-locally by filtering the original paragraph
+    * array with the surviving index list, and the source is
+    * isNotNull-guarded once so every branch hangs off ONE canonical
+    * exchange (single documents scan, plan-pinned). The occurrence
+    * key packs (doc_id, pidx) into one BIGINT (pidx < 10^6 — a
+    * million paragraphs per doc; a corpus violating that would use a
+    * struct min). */
+  private[graft] def paragraphDedup(delim: String)(
+      s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextFunctions.register(s)
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id").isNotNull)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("doc_id"))
+      .select(col("doc_id"),
+        split(col("text"), java.util.regex.Pattern.quote(delim), -1).as("paras"))
+    // posexplode_OUTER: semantically identical here (split() never
+    // returns an empty or null array for non-null text), but the inner
+    // form lets InferFiltersFromGenerate push `size(paras) > 0` below
+    // the exchange into only THIS branch's scan, de-canonicalizing it
+    // from the reassembly branch and doubling the documents scan (the
+    // q133 trap, caught by the registry-wide scan-allowance sweep)
+    val ex = docs
+      .select(col("doc_id"), posexplode_outer(col("paras")).as(Seq("pidx", "para")))
+      .select(col("doc_id"), col("pidx"),
+        (col("doc_id") * 1000000L + col("pidx")).as("okey"),
+        md5h61(col("para")).as("h"))
+    val keep = ex.groupBy("h").agg(min(col("okey")).as("keeper"))
+    val kp = ex.join(keep, "h")
+      .filter(col("okey") === col("keeper"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("pidx")).as("kp"))
+    docs.join(kp, Seq("doc_id"), "left")
+      .withColumn("kp", coalesce(col("kp"), array().cast("array<int>")))
+      .withColumn("ki", filter(sequence(lit(0), size(col("paras")) - 1),
+        i => array_contains(col("kp"), i)))
+      .select(col("doc_id"),
+        size(col("paras")).as("n_paras"),
+        size(col("ki")).as("n_kept"),
+        concat_ws(delim,
+          transform(col("ki"), i => element_at(col("paras"), i + 1)))
+          .as("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  private def sqlParagraphDedup(delim: String): String = {
+    val dl = "'" + delim.replace("'", "''") + "'"
+    s"""WITH t AS (SELECT doc_id, string_split(text, $dl) AS paras
+        FROM documents WHERE doc_id IS NOT NULL),
+      ex AS (SELECT doc_id, i - 1 AS pidx,
+          doc_id * 1000000 + (i - 1) AS okey,
+          ${sqlMd5h61("paras[i]")} AS h
+        FROM t, unnest(generate_series(1, len(paras))) AS u(i)),
+      keep AS (SELECT h, min(okey) AS keeper FROM ex GROUP BY h),
+      kp AS (SELECT doc_id, list(pidx ORDER BY pidx) AS kp
+        FROM ex JOIN keep USING (h) WHERE okey = keeper GROUP BY doc_id),
+      k AS (SELECT t.doc_id, t.paras, coalesce(kp.kp, []) AS kp
+        FROM t LEFT JOIN kp ON t.doc_id = kp.doc_id)
+      SELECT doc_id, cast(len(paras) as int) AS n_paras,
+        cast(len(kp) as int) AS n_kept,
+        -- coalesce: duckdb array_to_string([]) is NULL, spark
+        -- concat_ws of an empty array is '' (fully-excised docs)
+        coalesce(array_to_string(list_transform(kp, i -> paras[i + 1]), $dl),
+          '') AS cleaned
+      FROM k ORDER BY doc_id"""
+  }
+
+  /** Registry paragraph-break token — see [[paragraphDedup]]. */
+  private val ParaDelim = " the "
+
+  val paragraphDedupQ: Q = Q(
+    "q152_paragraph_dedup",
+    (s, d) => paragraphDedup(ParaDelim)(s, d),
+    Some(sqlParagraphDedup(ParaDelim)),
+    bench = true)
+
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
     ngramJaccardPairs, ngramJaccardDfCap, containmentPairs, sketchQuality,
     dupDegrees, dupBySource, incrementalDedup, substringDedup,
-    substringRemoval)
+    substringRemoval, paragraphDedupQ)
 }

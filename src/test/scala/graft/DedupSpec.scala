@@ -334,4 +334,31 @@ class DedupSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("q143_substring_dedup")(spark, dir).collect()
     assert(rows.isEmpty, s"within-doc repeat must not be flagged: ${rows.toSeq}")
   }
+
+  test("paragraph dedup: a footer planted in 50 docs survives only in the lowest doc_id, docs reassemble in order") {
+    import spark.implicits._
+    // RefinedWeb shape with a real newline delimiter: every doc is a
+    // unique body plus the SAME license footer; one doc additionally
+    // repeats a paragraph within itself.
+    val footer = "all rights reserved by example corp"
+    val docs = ((0L until 50L).map { i =>
+      (i, s"unique body number $i with words\n\n$footer", "en", "s", 1L)
+    } :+ ((50L, s"alpha para\n\nalpha para\n\nomega para", "en", "s", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = graft.operators.Dedup.paragraphDedup("\n\n")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3)))
+      .toMap
+    // doc 0 keeps both paragraphs; docs 1-49 lose the footer but keep
+    // their body, reassembled without the dangling delimiter
+    assert(rows(0L) == ((2, 2, s"unique body number 0 with words\n\n$footer")))
+    (1L until 50L).foreach { i =>
+      assert(rows(i) == ((2, 1, s"unique body number $i with words")),
+        s"doc $i must keep only its body: ${rows(i)}")
+    }
+    // within-doc repeat: first copy survives, order preserved
+    assert(rows(50L) == ((3, 2, "alpha para\n\nomega para")),
+      s"within-doc duplicate paragraph must keep only its first copy: ${rows(50L)}")
+  }
 }
