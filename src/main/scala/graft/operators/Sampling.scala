@@ -128,6 +128,97 @@ object Sampling {
       SELECT lang, n_before, count(*) AS n_kept FROM kept
       GROUP BY lang, n_before ORDER BY lang"""))
 
+  // ------------------------------------------------------------------
+  // q153 — DSIR-style importance resampling (Xie et al. 2023: score
+  // each doc with hashed-ngram importance weights log p_target(b) −
+  // log p_source(b), then resample proportionally to importance). The
+  // weight table is PINNED (the q98b/q148 fixed-artifact discipline —
+  // in production the target/source ratios are estimated once and
+  // shipped as a broadcast constant; pinned literals make the whole
+  // operator DuckDB-replicable) and the resampling coin is
+  // hash-derived (the q77 discipline — no rand(), same rows at every
+  // parallelism).
+  //
+  // Determinism without quantization: the B=64 bucket weights are
+  // DYADIC rationals (k/16, k ∈ [−32, 32]) — every per-gram term and
+  // every partial sum is exact in IEEE double (all values are
+  // multiples of 1/16 far below the 2^53 mantissa bound), so the
+  // per-doc sum is order-independent BY CONSTRUCTION and the final
+  // avg is one division of identical operands on both engines — no
+  // libm, no rounding knobs (cf. q150, which needs integer
+  // quantization because ln() is not exact).
+  //
+  // Importance-proportional acceptance, integer-only: the score is
+  // banded and each band has a pinned acceptance threshold out of 16
+  // (≥0.25 → keep all; [0, 0.25) → 8/16; [−0.25, 0) → 4/16; below →
+  // 1/16); a doc is kept iff its salted 61-bit hash mod 16 clears the
+  // band threshold. Scale shape: the entire operator is ONE per-row
+  // projection + filter inside whole-stage codegen — featurize, score,
+  // band, coin, accept all happen in the scan stage; nothing shuffles
+  // to take the sample (the output ORDER BY is presentational).
+  // ------------------------------------------------------------------
+  private val DsirB = 64
+  private[graft] val dsirW: Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until DsirB).map { b =>
+      val h = java.nio.ByteBuffer
+        .wrap(md.digest(s"dsir-w:$b".getBytes("UTF-8"))).getLong
+      (math.floorMod(h, 65L) - 32L) / 16.0
+    }
+  }
+
+  val dsirResample: Q = Q(
+    "q153_dsir_resample",
+    (s, d) => {
+      graft.functions.TextFunctions.register(s)
+      val W = array(dsirW.map(lit): _*)
+      val t = toks(lower(col("text")))
+      // guarded bigram index — Spark sequence(1, 0) counts DOWN
+      val bi = when(size(col("t")) >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+        .otherwise(array().cast("array<string>"))
+      Tables.documents(s, d)
+        .withColumn("t", t)
+        .withColumn("grams", concat(col("t"), bi))
+        .withColumn("iscore",
+          aggregate(transform(col("grams"), g =>
+            element_at(W,
+              (md5h61(concat(lit("dsirg:"), g)) % DsirB).cast("int") + 1)),
+            lit(0.0), (a, x) => a + x) / size(col("grams")))
+        .withColumn("rate",
+          when(col("iscore") >= 0.25, 16).when(col("iscore") >= 0.0, 8)
+            .when(col("iscore") >= -0.25, 4).otherwise(1))
+        .withColumn("coin",
+          md5h61(concat(lit("dsirs:"), col("doc_id").cast("string"))) % 16)
+        .filter(col("coin") < col("rate"))
+        .select(col("doc_id"), size(col("grams")).as("n_grams"),
+          col("iscore"), col("rate"), col("coin"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val w = dsirW.map(v => s"$v").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS t
+          FROM documents),
+        g AS (SELECT doc_id, list_concat(t,
+            CASE WHEN len(t) >= 2 THEN list_transform(
+              generate_series(1, len(t) - 1),
+              i -> concat_ws(' ', t[i], t[i+1])) ELSE [] END) AS grams
+          FROM t),
+        sc AS (SELECT doc_id, cast(len(grams) as int) AS n_grams,
+            list_sum(list_transform(grams, g ->
+              ($w::double[])[(${sqlMd5h61("'dsirg:' || g")} % $DsirB) + 1]))
+              / len(grams) AS iscore
+          FROM g),
+        r AS (SELECT doc_id, n_grams, iscore,
+            CASE WHEN iscore >= 0.25 THEN 16 WHEN iscore >= 0.0 THEN 8
+                 WHEN iscore >= -0.25 THEN 4 ELSE 1 END AS rate,
+            ${sqlMd5h61("'dsirs:' || cast(doc_id as varchar)")} % 16 AS coin
+          FROM sc)
+        SELECT doc_id, n_grams, iscore, rate, coin FROM r
+        WHERE coin < rate ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(hashSample, stratifiedSplit, groupQuotaSample,
-    temperatureSample)
+    temperatureSample, dsirResample)
 }

@@ -70,4 +70,62 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(again == rows)
   }
+
+  test("DSIR importance score matches an independent plain-Scala recomputation; acceptance is band-consistent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // independent md5h61 twin (digest bytes 8..15 little-endian,
+    // mod 2^61) — recomputes the engine's score with no Spark code
+    def h61(s: String): Long = {
+      val dg = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      // unsigned little-endian uint64 of digest bytes 8..15, mod 2^61
+      val be = Array.tabulate(8)(i => dg(15 - i))
+      new java.math.BigInteger(1, be)
+        .mod(java.math.BigInteger.valueOf(2305843009213693952L)).longValue()
+    }
+    def score(text: String): Double = {
+      val t = text.trim.toLowerCase.split("\\s+").toSeq
+      val grams = t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      grams.map(g => graft.operators.Sampling.dsirW(
+        (h61(s"dsirg:$g") % 64).toInt)).sum / grams.size
+    }
+    val docs = Seq(
+      (0L, "alpha beta gamma", "en", "s", 16L),
+      (1L, "delta epsilon", "en", "s", 13L),
+      (2L, "zeta", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    // run UNfiltered internals via the registry query on a fixture
+    // where we recompute everything: for each output row, iscore must
+    // equal the plain-Scala score bit-for-bit and coin < rate
+    val out = SparkEntry.queries("q153_dsir_resample")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getInt(3), r.getLong(4))).toMap
+    val texts = Map(0L -> "alpha beta gamma", 1L -> "delta epsilon", 2L -> "zeta")
+    out.foreach { case (id, (nGrams, iscore, rate, coin)) =>
+      assert(nGrams == (if (id == 2L) 1 else if (id == 1L) 3 else 5))
+      assert(iscore == score(texts(id)),
+        s"doc $id engine score $iscore != recomputed ${score(texts(id))}")
+      val expRate = if (iscore >= 0.25) 16 else if (iscore >= 0.0) 8
+        else if (iscore >= -0.25) 4 else 1
+      assert(rate == expRate && coin < rate,
+        s"doc $id band/coin inconsistent: $iscore $rate $coin")
+      assert(coin == java.lang.Math.floorMod(h61(s"dsirs:$id"), 16L))
+    }
+    // rejected docs are exactly those whose coin fails their band
+    texts.keys.filterNot(out.contains).foreach { id =>
+      val s0 = score(texts(id))
+      val expRate = if (s0 >= 0.25) 16 else if (s0 >= 0.0) 8
+        else if (s0 >= -0.25) 4 else 1
+      assert(java.lang.Math.floorMod(h61(s"dsirs:$id"), 16L) >= expRate,
+        s"doc $id was rejected but its coin clears the band")
+    }
+    // determinism on the real corpus: two runs, identical rows
+    val a = SparkEntry.queries("q153_dsir_resample")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("q153_dsir_resample")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
