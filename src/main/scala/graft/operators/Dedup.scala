@@ -148,7 +148,7 @@ object Dedup {
       // deliberately carries only (doc_id, band_id, bh): shuffling the
       // shingle arrays 8x through the candidate join would multiply
       // shuffle volume by the band count at scale.
-      val enriched = signedSets(s, d).cache()
+      val enriched = graft.CacheScope.cached(signedSets(s, d))
       val bandsAll = enriched.select(col("doc_id"),
         posexplode(array((0 until Bands).map(bandCol): _*)).as(Seq("band_id", "bh")))
       val bands = bucketCap.fold(bandsAll) { cap =>
@@ -312,10 +312,11 @@ object Dedup {
     * shared by q56 and the survivor selection q69. */
   private[graft] def clustersDf(s: SparkSession, d: String,
       bucketCap: Option[Long] = Some(BandBucketCap)): DataFrame = {
-      val pairs = verifiedPairs(s, d, bucketCap).select("doc_a", "doc_b").cache()
-      val edges = pairs
+      val pairs = graft.CacheScope.cached(
+        verifiedPairs(s, d, bucketCap).select("doc_a", "doc_b"))
+      val edges = graft.CacheScope.cached(pairs
         .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("a", "b").cache()
+        .toDF("a", "b"))
       // Iterative plans leak two ways at scale: cached frames that are
       // never unpersisted, and a lineage tree that deepens every round
       // (planning cost + stack depth). localCheckpoint truncates the
@@ -440,7 +441,7 @@ object Dedup {
   val simhashPairs: Q = Q(
     "q39_simhash_pairs",
     (s, d) => {
-      val sim = simhashDf(s, d).cache()
+      val sim = graft.CacheScope.cached(simhashDf(s, d))
       val chunks = sim.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(c =>
           shiftright(col("simhash"), 8 * c).bitwiseAND(lit(255L))): _*))
@@ -480,7 +481,7 @@ object Dedup {
   val ngramJaccardPairs: Q = Q(
     "q76_ngram_jaccard_pairs",
     (s, d) => {
-      val sets = shingleSets(s, d).cache()
+      val sets = graft.CacheScope.cached(shingleSets(s, d))
       val ex = sets.select(col("doc_id"), explode(col("sh")).as("sg"))
         .select(col("doc_id"), md5h61(col("sg")).as("h"))
       val a = ex.as("a"); val b = ex.as("b")
@@ -532,10 +533,10 @@ object Dedup {
   val ngramJaccardDfCap: Q = Q(
     "q121_ngram_jaccard_dfcap",
     (s, d) => {
-      val sets = shingleSets(s, d).cache()
-      val ex = sets.select(col("doc_id"), explode(col("sh")).as("sg"))
-        .select(col("doc_id"), md5h61(col("sg")).as("h"))
-        .cache()
+      val sets = graft.CacheScope.cached(shingleSets(s, d))
+      val ex = graft.CacheScope.cached(
+        sets.select(col("doc_id"), explode(col("sh")).as("sg"))
+          .select(col("doc_id"), md5h61(col("sg")).as("h")))
       val keep = ex.groupBy("h").agg(count(lit(1)).as("df"))
         .filter(col("df") <= DfCap && col("df") >= 2)
         .select("h")
@@ -598,10 +599,10 @@ object Dedup {
   val containmentPairs: Q = Q(
     "q149_containment_pairs",
     (s, d) => {
-      val sets = shingleSets(s, d).cache()
-      val ex = sets.select(col("doc_id"), explode(col("sh")).as("sg"))
-        .select(col("doc_id"), md5h61(col("sg")).as("h"))
-        .cache()
+      val sets = graft.CacheScope.cached(shingleSets(s, d))
+      val ex = graft.CacheScope.cached(
+        sets.select(col("doc_id"), explode(col("sh")).as("sg"))
+          .select(col("doc_id"), md5h61(col("sg")).as("h")))
       val keep = ex.groupBy("h").agg(count(lit(1)).as("df"))
         .filter(col("df") <= DfCap && col("df") >= 2)
         .select("h")

@@ -171,7 +171,7 @@ object Similarity {
   val nearDupPairs: Q = Q(
     "q41_embed_neardup_pairs",
     (s, d) => {
-      val bb = bandedBuckets(s, d).cache()
+      val bb = graft.CacheScope.cached(bandedBuckets(s, d))
       val a = bb.as("a"); val b = bb.as("b")
       a.join(b, col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
@@ -259,7 +259,8 @@ object Similarity {
   val annLsh: Q = Q(
     "q43_ann_lsh",
     (s, d) => {
-      val w = normed(s, d).withColumn("bucket", bucketCol("e")).cache()
+      val w = graft.CacheScope.cached(
+        normed(s, d).withColumn("bucket", bucketCol("e")))
       val q2 = w.filter(col("vec_id") === 0)
         .select(col("e").as("qe"), col("nrm").as("qnrm"), col("bucket").as("qbucket"))
       w.filter(col("vec_id") =!= 0)
@@ -289,7 +290,8 @@ object Similarity {
     (s, d) => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
-      val w = normed(s, d).withColumn("fv", array_to_vector(col("e"))).cache()
+      val w = graft.CacheScope.cached(
+        normed(s, d).withColumn("fv", array_to_vector(col("e"))))
       val km = new KMeans().setK(16).setSeed(1)
         .setFeaturesCol("fv").setPredictionCol("cell").fit(w)
       val cells = km.transform(w)
@@ -329,7 +331,7 @@ object Similarity {
     (s, d) => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
-      val w = normed(s, d).cache()
+      val w = graft.CacheScope.cached(normed(s, d))
       val base = w.filter(col("vec_id") % 10 < 8)
         .withColumn("fv", array_to_vector(col("e")))
       val km = new KMeans().setK(16).setSeed(1)
