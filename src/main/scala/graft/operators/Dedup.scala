@@ -661,7 +661,8 @@ object Dedup {
           cast(n_shared as double) / sz_b FROM j)
       SELECT contained_doc, container_doc, n_shared, containment
       FROM dir WHERE containment >= 0.8
-      ORDER BY contained_doc, container_doc"""))
+      ORDER BY contained_doc, container_doc"""),
+    bench = true)
 
   /** q127: incremental ingest dedup — the nightly-batch shape every
     * growing corpus needs: documents split into an existing corpus

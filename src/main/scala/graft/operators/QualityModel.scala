@@ -176,7 +176,8 @@ object QualityModel {
         FROM db JOIN bm USING (w1, w2) JOIN uni ON db.w1 = uni.w, vc)
       SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
         cast(floor(sum(nll_q9) / (count(*) * 1000.0)) as bigint) AS nll_q6
-      FROM q GROUP BY doc_id ORDER BY doc_id"""))
+      FROM q GROUP BY doc_id ORDER BY doc_id"""),
+    bench = true)
 
   /** q99: compressibility score — zlib-deflated length over raw length.
     * Low ratio = repetitive/templated text (the classic cheap quality

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Dsl, Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / split-assignment operators for the
@@ -171,29 +172,53 @@ object Sampling {
     "q153_dsir_resample",
     (s, d) => {
       graft.functions.TextFunctions.register(s)
-      val W = array(dsirW.map(lit): _*)
-      val t = toks(lower(col("text")))
-      // guarded bigram index — Spark sequence(1, 0) counts DOWN
-      val bi = when(size(col("t")) >= 2,
-        transform(sequence(lit(1), size(col("t")) - 1),
-          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
-        .otherwise(array().cast("array<string>"))
+      // Two hard-won evaluation-cost rules (tools/Q153Prof dissection,
+      // 9.7 s -> 0.3 s at sf0.1):
+      //  1. ONE array Literal (typedlit), never array(lit, ...) inside
+      //     a lambda: ConstantFolding does not collapse a foldable
+      //     CreateArray there, so the element-wise form rebuilds the
+      //     64-element array on EVERY gram evaluation.
+      //  2. Bind the token array as a LAMBDA VARIABLE, not a projected
+      //     column: PushDownPredicates inlines column aliases through
+      //     projections with no cheap-expression guard, so a filter on
+      //     the score substitutes split(text) into every bigram
+      //     lambda element — O(tokens²) re-tokenization per doc. A
+      //     lambda binding cannot be torn apart by alias inlining; the
+      //     split stays once-per-doc wherever the expression lands.
+      val W = typedlit(dsirW)
+      def statsOf(text: Column): Column = element_at(
+        transform(array(toks(lower(text))), tv => {
+          // guarded bigram index — Spark sequence(1, 0) counts DOWN
+          val bi = when(size(tv) >= 2,
+            transform(sequence(lit(1), size(tv) - 1),
+              i => concat_ws(" ", element_at(tv, i), element_at(tv, i + 1))))
+            .otherwise(array().cast("array<string>"))
+          element_at(transform(array(concat(tv, bi)), gv =>
+            struct(
+              (aggregate(transform(gv, g =>
+                element_at(W,
+                  (md5h61(concat(lit("dsirg:"), g)) % DsirB).cast("int") + 1)),
+                lit(0.0), (a, x) => a + x) / size(gv)).as("iscore"),
+              size(gv).as("n_grams"))), 1)
+        }), 1)
+      // accept iff coin < rate(iscore); rewritten with ONE iscore
+      // reference — iscore >= threshold(coin) — so the pushed filter
+      // evaluates the scoring tree once per row, not once per CASE arm
+      val coin =
+        md5h61(concat(lit("dsirs:"), col("doc_id").cast("string"))) % 16
       Tables.documents(s, d)
-        .withColumn("t", t)
-        .withColumn("grams", concat(col("t"), bi))
-        .withColumn("iscore",
-          aggregate(transform(col("grams"), g =>
-            element_at(W,
-              (md5h61(concat(lit("dsirg:"), g)) % DsirB).cast("int") + 1)),
-            lit(0.0), (a, x) => a + x) / size(col("grams")))
-        .withColumn("rate",
+        .withColumn("st", statsOf(col("text")))
+        .withColumn("coin", coin)
+        .filter(col("st.iscore") >=
+          when(col("coin") < 1, Double.NegativeInfinity)
+            .when(col("coin") < 4, -0.25)
+            .when(col("coin") < 8, 0.0).otherwise(0.25))
+        .withColumn("iscore", col("st.iscore"))
+        .select(col("doc_id"), col("st.n_grams").as("n_grams"),
+          col("iscore"),
           when(col("iscore") >= 0.25, 16).when(col("iscore") >= 0.0, 8)
-            .when(col("iscore") >= -0.25, 4).otherwise(1))
-        .withColumn("coin",
-          md5h61(concat(lit("dsirs:"), col("doc_id").cast("string"))) % 16)
-        .filter(col("coin") < col("rate"))
-        .select(col("doc_id"), size(col("grams")).as("n_grams"),
-          col("iscore"), col("rate"), col("coin"))
+            .when(col("iscore") >= -0.25, 4).otherwise(1).as("rate"),
+          col("coin"))
         .orderBy("doc_id")
     },
     Some {
@@ -217,7 +242,8 @@ object Sampling {
           FROM sc)
         SELECT doc_id, n_grams, iscore, rate, coin FROM r
         WHERE coin < rate ORDER BY doc_id"""
-    })
+    },
+    bench = true)
 
   val all: Seq[Q] = Seq(hashSample, stratifiedSplit, groupQuotaSample,
     temperatureSample, dsirResample)

@@ -442,7 +442,8 @@ object Similarity {
           cast(count(*) as bigint) AS n_close, max(cosine) AS max_cosine
         FROM p WHERE cosine >= $SemTau
         GROUP BY vec_id, cell ORDER BY vec_id"""
-    })
+    },
+    bench = true)
 
   /** Multimodal columns: opaque binary payload + typed metadata. The
     * decode step is a stub (no image libs in this container) — what's

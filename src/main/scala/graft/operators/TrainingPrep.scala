@@ -911,7 +911,8 @@ object TrainingPrep {
             GROUP BY w)),
         $stages
         SELECT * FROM ($unions) ORDER BY "rank""""
-    })
+    },
+    bench = true)
 
   // ------------------------------------------------------------------
   // q148 — BPE ENCODE, the serving side of q147: tokenize the corpus
@@ -971,7 +972,8 @@ object TrainingPrep {
           CASE WHEN n_pieces > 0
             THEN cast(n_bpe as double) / n_pieces END AS fertility
         FROM e ORDER BY doc_id"""
-      })
+      },
+      bench = true)
   }
 
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
