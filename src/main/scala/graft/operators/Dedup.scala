@@ -518,39 +518,91 @@ object Dedup {
     * in more than this many documents are dropped before the pair join. */
   private[graft] val DfCap = 16L
 
+  /** Exact intersection sizes over the df-capped candidate universe —
+    * the shared engine of q121 (Jaccard) and q149 (containment).
+    * Returns (sets, inter(doc_a, doc_b, n_shared)); both frames are
+    * CacheScope-registered.
+    *
+    * Candidates are pairs sharing ≥1 CAPPED shingle (df in [2, DfCap]
+    * — df = 1 cannot pair, df > DfCap is boilerplate and generates no
+    * candidates, bounding every join bucket's fanout at DfCap²/2).
+    * n_shared is then EXACT over the FULL shingle sets via an exact
+    * decomposition instead of a full join-back: every shared shingle
+    * has df ≤ DfCap or df > DfCap, so
+    *   n_shared = n_capped + n_hot,
+    * where n_capped falls out of the SAME equi-join that enumerates
+    * candidates (group the per-shingle collisions by pair — no
+    * .distinct() pass, no re-join), and n_hot joins the candidate keys
+    * back through ONLY the hot slice of the postings (df > DfCap).
+    * The hot slice is the point: the old form joined every candidate
+    * pair back through ALL its postings — ~|cand| × avg_df rows (49M
+    * at sf0.1) — while the hot slice is a few percent of postings in
+    * ANY corpus shape (here 12k of 260k instances; in a power-law
+    * corpus smaller still), so the join-back shrinks by the same
+    * factor (measured ~20×). Each emitted pair still matches q76
+    * bit-for-bit; the only deviation is recall (a pair is missed iff
+    * its entire overlap is above-cap boilerplate). */
+  private def cappedPairIntersections(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val sets = graft.CacheScope.cached(shingleSets(s, d))
+    val ex = graft.CacheScope.cached(
+      sets.select(col("doc_id"), explode(col("sh")).as("sg"))
+        .select(col("doc_id"), md5h61(col("sg")).as("h")))
+    val dfs = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val keep = dfs.filter(col("df") <= DfCap && col("df") >= 2).select("h")
+    val hot = dfs.filter(col("df") > DfCap).select("h")
+    val exf = ex.join(keep, "h")
+    val pc = exf.as("a").join(exf.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_capped"))
+    val exHot = ex.join(hot, "h")
+    val nh = pc.select("doc_a", "doc_b")
+      .join(exHot.as("ea"), col("doc_a") === col("ea.doc_id"))
+      .join(exHot.as("eb"),
+        col("doc_b") === col("eb.doc_id") && col("ea.h") === col("eb.h"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_hot"))
+    val inter = pc.join(nh, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_capped") + coalesce(col("n_hot"), lit(0L))).as("n_shared"))
+    (sets, inter)
+  }
+
+  /** SQL twin of [[cappedPairIntersections]]: CTE chain ending in
+    * `inter(doc_a, doc_b, n_shared)` and `sz(doc_id, sz)` (expects
+    * `sets` from [[sqlShingleSets]]). MATERIALIZED where referenced
+    * twice (the DuckDB CTE-inlining trap). */
+  private val sqlCappedInterChain: String =
+    s"""ex AS MATERIALIZED (SELECT doc_id, ${sqlMd5h61("sg")} AS h
+        FROM (SELECT doc_id, unnest(sh) AS sg FROM sets)),
+      dfs AS MATERIALIZED (SELECT h, count(*) AS df FROM ex GROUP BY h),
+      exf AS (SELECT ex.doc_id, ex.h FROM ex
+        JOIN (SELECT h FROM dfs WHERE df <= $DfCap AND df >= 2) keep
+          USING (h)),
+      pc AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          cast(count(*) as bigint) AS n_capped
+        FROM exf a JOIN exf b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      exh AS MATERIALIZED (SELECT ex.doc_id, ex.h FROM ex
+        JOIN (SELECT h FROM dfs WHERE df > $DfCap) hot USING (h)),
+      nh AS (SELECT p.doc_a, p.doc_b, cast(count(*) as bigint) AS n_hot
+        FROM pc p JOIN exh ea ON ea.doc_id = p.doc_a
+                  JOIN exh eb ON eb.doc_id = p.doc_b AND eb.h = ea.h
+        GROUP BY 1, 2),
+      inter AS (SELECT pc.doc_a, pc.doc_b,
+          pc.n_capped + coalesce(nh.n_hot, 0) AS n_shared
+        FROM pc LEFT JOIN nh
+          ON pc.doc_a = nh.doc_a AND pc.doc_b = nh.doc_b),
+      sz AS (SELECT doc_id, cast(len(sh) as bigint) AS sz FROM sets)"""
+
   /** q121: the production guard q76's comment defers — prefix df-cap
-    * near-dup pairing. A shingle shared by df documents generates
-    * ~df²/2 candidate pairs (the quadratic hot-bucket at 100 TB) while
-    * carrying almost no similarity signal; dropping shingles with
-    * document frequency above [[DfCap]] bounds every join bucket's
-    * fanout at DfCap²/2. Candidates come from the capped universe
-    * (df in [2, DfCap] — df=1 shingles cannot pair), then n_shared and
-    * jaccard are EXACT over the FULL shingle sets via a candidate-
-    * restricted join-back — each emitted pair matches q76 bit-for-bit;
-    * the only deviation is recall (a pair is missed iff every one of
-    * its shared shingles is above-cap, i.e. the pair's entire overlap
-    * is boilerplate). */
+    * near-dup pairing over [[cappedPairIntersections]]'s candidate
+    * universe and exact intersection decomposition. */
   val ngramJaccardDfCap: Q = Q(
     "q121_ngram_jaccard_dfcap",
     (s, d) => {
-      val sets = graft.CacheScope.cached(shingleSets(s, d))
-      val ex = graft.CacheScope.cached(
-        sets.select(col("doc_id"), explode(col("sh")).as("sg"))
-          .select(col("doc_id"), md5h61(col("sg")).as("h")))
-      val keep = ex.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= DfCap && col("df") >= 2)
-        .select("h")
-      val exf = ex.join(keep, "h")
-      val cand = exf.as("a").join(exf.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val inter = cand
-        .join(ex.as("ea"), col("doc_a") === col("ea.doc_id"))
-        .join(ex.as("eb"),
-          col("doc_b") === col("eb.doc_id") && col("ea.h") === col("eb.h"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("n_shared"))
+      val (sets, inter) = cappedPairIntersections(s, d)
       val sz = sets.select(col("doc_id"), size(col("sh")).cast("long").as("sz"))
       inter
         .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -562,18 +614,7 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
     Some(s"""WITH $sqlShingleSets,
-      ex AS (SELECT doc_id, ${sqlMd5h61("sg")} AS h
-        FROM (SELECT doc_id, unnest(sh) AS sg FROM sets)),
-      keep AS (SELECT h FROM (SELECT h, count(*) AS df FROM ex GROUP BY h)
-        WHERE df <= $DfCap AND df >= 2),
-      exf AS (SELECT ex.doc_id, ex.h FROM ex JOIN keep USING (h)),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM exf a JOIN exf b ON a.h = b.h AND a.doc_id < b.doc_id),
-      inter AS (SELECT c.doc_a, c.doc_b, cast(count(*) as bigint) AS n_shared
-        FROM cand c JOIN ex ea ON ea.doc_id = c.doc_a
-                    JOIN ex eb ON eb.doc_id = c.doc_b AND eb.h = ea.h
-        GROUP BY 1, 2),
-      sz AS (SELECT doc_id, cast(len(sh) as bigint) AS sz FROM sets)
+      $sqlCappedInterChain
       SELECT doc_a, doc_b, n_shared,
         cast(n_shared as double) / (sa.sz + sb.sz - n_shared) AS jaccard
       FROM inter JOIN sz sa ON doc_a = sa.doc_id
@@ -599,24 +640,7 @@ object Dedup {
   val containmentPairs: Q = Q(
     "q149_containment_pairs",
     (s, d) => {
-      val sets = graft.CacheScope.cached(shingleSets(s, d))
-      val ex = graft.CacheScope.cached(
-        sets.select(col("doc_id"), explode(col("sh")).as("sg"))
-          .select(col("doc_id"), md5h61(col("sg")).as("h")))
-      val keep = ex.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= DfCap && col("df") >= 2)
-        .select("h")
-      val exf = ex.join(keep, "h")
-      val cand = exf.as("a").join(exf.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val inter = cand
-        .join(ex.as("ea"), col("doc_a") === col("ea.doc_id"))
-        .join(ex.as("eb"),
-          col("doc_b") === col("eb.doc_id") && col("ea.h") === col("eb.h"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("n_shared"))
+      val (sets, inter) = cappedPairIntersections(s, d)
       val sz = sets.select(col("doc_id"), size(col("sh")).cast("long").as("sz"))
       inter
         .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -638,18 +662,7 @@ object Dedup {
         .orderBy("contained_doc", "container_doc")
     },
     Some(s"""WITH $sqlShingleSets,
-      ex AS (SELECT doc_id, ${sqlMd5h61("sg")} AS h
-        FROM (SELECT doc_id, unnest(sh) AS sg FROM sets)),
-      keep AS (SELECT h FROM (SELECT h, count(*) AS df FROM ex GROUP BY h)
-        WHERE df <= $DfCap AND df >= 2),
-      exf AS (SELECT ex.doc_id, ex.h FROM ex JOIN keep USING (h)),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM exf a JOIN exf b ON a.h = b.h AND a.doc_id < b.doc_id),
-      inter AS (SELECT c.doc_a, c.doc_b, cast(count(*) as bigint) AS n_shared
-        FROM cand c JOIN ex ea ON ea.doc_id = c.doc_a
-                    JOIN ex eb ON eb.doc_id = c.doc_b AND eb.h = ea.h
-        GROUP BY 1, 2),
-      sz AS (SELECT doc_id, cast(len(sh) as bigint) AS sz FROM sets),
+      $sqlCappedInterChain,
       j AS (SELECT doc_a, doc_b, n_shared, sa.sz AS sz_a, sb.sz AS sz_b
         FROM inter JOIN sz sa ON doc_a = sa.doc_id
                    JOIN sz sb ON doc_b = sb.doc_id),
