@@ -379,18 +379,30 @@ object Similarity {
   // Scale shape: assignment is a per-row projection (centroids are
   // k-bounded literals, zero shuffles); the pair join shuffles on the
   // cell id and is quadratic only WITHIN a cell — SemDeDup's entire
-  // point. k is pinned at 16 for oracle replay; production scales k
-  // with corpus size (the paper runs 50k clusters on 100M+ docs) so
-  // per-cell population — and per-cell pair work — stays bounded, the
-  // same knob as q41's corpus-adaptive plane count. The recall
-  // boundary is inherent: a near-pair straddling a cell boundary is
-  // never compared (documented + pinned in SimilaritySpec).
+  // point (the paper runs 50k clusters on 100M+ docs). The ACTIVE
+  // cell count is therefore corpus-adaptive, exactly like q41's plane
+  // fanout: a 64-centroid pool is pinned, and the smallest power-of-2
+  // prefix k ∈ {16, 32, 64} with k · target ≥ n is active — mean cell
+  // population stays ~target as the corpus grows, so per-cell pair
+  // work grows linearly in total, not quadratically. Both engines
+  // derive k from count(*) inside the query (exact integer
+  // thresholds, no libm) and mask the inactive pool tail, keeping the
+  // static oracle SQL hash-identical at every scale; the active set
+  // is a PREFIX of the pool, so a corpus crossing a threshold refines
+  // the partition without changing any centroid. The recall boundary
+  // is inherent: a near-pair straddling a cell boundary is never
+  // compared (documented + pinned in SimilaritySpec).
   // ------------------------------------------------------------------
-  private val SemK = 16
+  /** Pinned centroid-pool size; [[adaptiveSemCells]] activates a
+    * prefix. */
+  private val SemPoolK = 64
+  private val SemMinCells = 16
+  /** Mean cell population the adaptive cell count aims for. */
+  private[graft] val SemTargetCell = 128L
   private[graft] val SemTau = 0.35
   private[graft] val semCentroids: Seq[(Int, Array[Double])] = {
     val mdig = java.security.MessageDigest.getInstance("MD5")
-    (0 until SemK).map { c =>
+    (0 until SemPoolK).map { c =>
       (c, (0 until EmbeddingDim).map { i =>
         val h = mdig.digest(s"semcent:$c:$i".getBytes("UTF-8"))
         if ((h(0) & 1) == 1) 1.0 else -1.0
@@ -398,15 +410,58 @@ object Similarity {
     }
   }
 
+  /** Active cell count for a corpus of `n` vectors: smallest
+    * power-of-2 k in [SemMinCells, SemPoolK] with k · target ≥ n. */
+  private[graft] def adaptiveSemCells(n: Long,
+      target: Long = SemTargetCell): Int = {
+    var k = SemMinCells
+    while (k < SemPoolK && n > k.toLong * target) k *= 2
+    k
+  }
+
+  /** Column twin of [[adaptiveSemCells]] (exact integer thresholds). */
+  private def semCellsCol(n: Column): Column =
+    Seq(SemMinCells, SemMinCells * 2).foldRight(lit(SemPoolK): Column) {
+      (k, rest) => when(n <= lit(k.toLong * SemTargetCell), lit(k)).otherwise(rest)
+    }
+
+  /** SQL twin of [[semCellsCol]] over a count expression. */
+  private def sqlSemCells(n: String): String =
+    Seq(SemMinCells, SemMinCells * 2).map(k =>
+      s"WHEN $n <= ${k.toLong * SemTargetCell} THEN $k")
+      .mkString("CASE ", " ", s" ELSE $SemPoolK END")
+
+  /** Masked argmin over the pool: entries at or past the active count
+    * score 1.0e308, so the min can only land in the active prefix —
+    * within it, the score expression is IDENTICAL to
+    * IvfIndex.assignToCentroids' (|c|² − 2·e·c, ties to the lower
+    * cell via struct ordering). */
+  private def semCellCol(ka: Column): Column = {
+    val scored = semCentroids.map { case (cellId, c) =>
+      val c2 = c.map(x => x * x).sum
+      struct(
+        when(lit(cellId) < ka,
+          lit(c2) - lit(2.0) * call_function("dot_product",
+            col("e"), array(c.toSeq.map(lit): _*)))
+          .otherwise(lit(1.0e308)).as("score"),
+        lit(cellId).as("cell"))
+    }
+    array_min(array(scored: _*)).getField("cell")
+  }
+
   val semanticDedup: Q = Q(
     "q151_semantic_dedup",
     (s, d) => {
-      val cells = IvfIndex.assignToCentroids(normed(s, d), semCentroids)
+      val w0 = normed(s, d)
+      val total = w0.agg(count(lit(1)).as("n_vec"))
+      val cells = w0.crossJoin(broadcast(total))
+        .withColumn("cell", semCellCol(semCellsCol(col("n_vec"))))
         .select("vec_id", "e", "nrm", "cell")
       // no cache: both self-join sides shuffle on the identical
       // (scan -> assign -> exchange) subplan, so Catalyst reuses one
       // exchange (plan-audited in SimilaritySpec) — the embeddings
-      // parquet is read once
+      // parquet is read once plus a column-pruned count(*) footer
+      // scan for n_vec
       val a = cells.as("a"); val b = cells.as("b")
       a.join(b, col("a.cell") === col("b.cell") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -420,17 +475,19 @@ object Similarity {
         .orderBy("vec_id")
     },
     Some {
-      // the same pinned centroids inlined as literals; argmin via
+      // the same pinned centroid pool inlined as literals, masked by
+      // the count-derived active prefix; argmin via
       // list_position(scores, list_min(scores)) — first index of the
       // min, i.e. ties break to the LOWER cell exactly like the Spark
       // side's (score, cell) struct ordering
-      val scores = semCentroids.map { case (_, c) =>
+      val scores = semCentroids.map { case (cellId, c) =>
         val c2 = c.map(x => x * x).sum
         val arr = c.map(v => s"$v").mkString("[", ", ", "]")
-        s"($c2 - 2.0 * list_reduce(list_transform(generate_series(1, $EmbeddingDim), i -> ($arr::double[])[i] * e[i]), (x, y) -> x + y))"
+        s"(CASE WHEN $cellId < ka THEN ($c2 - 2.0 * list_reduce(list_transform(generate_series(1, $EmbeddingDim), i -> ($arr::double[])[i] * e[i]), (x, y) -> x + y)) ELSE 1.0e308 END)"
       }.mkString(", ")
       s"""WITH $sqlNormed,
-        sc AS (SELECT vec_id, e, nrm, [$scores] AS scores FROM w),
+        ka AS (SELECT ${sqlSemCells("(SELECT count(*) FROM embeddings)")} AS ka),
+        sc AS (SELECT vec_id, e, nrm, [$scores] AS scores FROM w, ka),
         cells AS (SELECT vec_id, e, nrm,
           cast(list_position(scores, list_min(scores)) - 1 as int) AS cell
           FROM sc),

@@ -250,8 +250,10 @@ class PlanAuditSpec extends AnyFunSuite {
       ("q47b_rare_terms", "documents", 2),
       // uncached self-join on the cell id: both sides canonicalize to
       // the same scan->assign->exchange subtree, so one side must be a
-      // ReusedExchange and embeddings is read once
-      ("q151_semantic_dedup", "embeddings", 1))
+      // ReusedExchange; 2 scans = the shared full scan plus the
+      // column-pruned count(*) footer scan feeding the adaptive cell
+      // count (the q85/q47b shape)
+      ("q151_semantic_dedup", "embeddings", 2))
     for ((q, fact, expected) <- pinned) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
@@ -316,6 +318,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q74_title_match" -> Map("part" -> 2),
       "q81_corpus_pipeline" -> Map("documents" -> 2),
       "q84_contamination" -> Map("documents" -> 2),
+      // shared full scan + count(*) footer scan for the adaptive cell
+      // count (q41's corpus-adaptive discipline applied to SemDeDup)
+      "q151_semantic_dedup" -> Map("embeddings" -> 2),
       "q85_salient_terms" -> Map("documents" -> 2),
       "q97_fuzzy_pairs" -> Map("part" -> 2))
     // Skipped: construction already runs driver-side jobs (model fits,

@@ -113,8 +113,12 @@ class SimilaritySpec extends AnyFunSuite {
       d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
     }
     assert(cos(v2, v3) >= Similarity.SemTau, "planted cross-cell pair must be near")
+    // 4 vectors -> the query's active cell count is the 16-centroid
+    // prefix of the pinned pool; the precondition check must assign
+    // against the same prefix the query masks to
     val cells = IvfIndex.assignToCentroids(
-      Similarity.normed(spark, dir), Similarity.semCentroids.toSeq)
+      Similarity.normed(spark, dir),
+      Similarity.semCentroids.take(Similarity.adaptiveSemCells(4)))
       .select("vec_id", "cell").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(cells(0L) == 2 && cells(1L) == 2, s"v0/v1 must share cell 2: $cells")
@@ -125,6 +129,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.keySet == Set(1L),
       s"only v1 has an in-cell lower-id near neighbor: $rows")
     assert(rows(1L) == ((2, 0L, 1L)), s"v1 pruned by keeper v0 in cell 2: $rows")
+  }
+
+  test("semantic dedup cell count is corpus-adaptive: a larger corpus activates more of the pinned pool") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // exact integer thresholds (target cell population 128)
+    assert(Similarity.adaptiveSemCells(500) == 16)
+    assert(Similarity.adaptiveSemCells(2048) == 16)
+    assert(Similarity.adaptiveSemCells(2049) == 32)
+    assert(Similarity.adaptiveSemCells(4097) == 64)
+    assert(Similarity.adaptiveSemCells(1L << 40) == 64) // pool ceiling
+    // 3000 vectors cross the first threshold: the query must use
+    // cells beyond the 16-centroid prefix (population per cell stays
+    // ~target instead of doubling), and every cell id stays inside
+    // the active 32-cell prefix
+    val rng = new scala.util.Random(23)
+    val df = (0L until 3000L)
+      .map(i => (i, Array.fill(64)(rng.nextFloat() * 2f - 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val dir = TestSpark.makeSfDir("embeddings" -> df)
+    val cells = SparkEntry.queries("q151_semantic_dedup")(spark, dir)
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.forall(c => c >= 0 && c < 32),
+      s"cell ids must stay in the active 32-cell prefix: $cells")
+    assert(cells.exists(_ >= 16),
+      s"3000 vectors must activate cells beyond the 16-prefix: $cells")
   }
 
   test("multimodal metadata is deterministic and sized correctly") {
