@@ -245,6 +245,103 @@ object Sampling {
     },
     bench = true)
 
+  // ------------------------------------------------------------------
+  // q154 — budget-constrained mixture sampling: the "hit a target
+  // source mix under a token budget" solver every training-mix recipe
+  // needs (Dolma/FineWeb-style: q87 REPORTS the mix, q126 flattens it
+  // by sqrt, q153 reweights by importance — this one solves for
+  // per-source keep rates). Each source gets a PINNED mixing weight
+  // (hash-derived 1..5 — in production these are the recipe's target
+  // shares, a broadcast constant); the token budget is half the
+  // corpus; a source's keep rate is min(1, its budget share / its
+  // available tokens) and docs are admitted by the q77 hash gate.
+  //
+  // Determinism: the ENTIRE computation is integer arithmetic — token
+  // counts, weights, want = (B·w) div W, rate_ppm = min(10⁶,
+  // (want·10⁶) div avail), and the coin — so both engines agree
+  // bit-for-bit with no float knobs at all (stronger than q126's
+  // quantized sqrt). The budget is met in expectation per source
+  // (hash sampling); undersized sources saturate at rate 10⁶ and the
+  // audit makes the shortfall visible (tokens_kept vs want).
+  //
+  // Scale shape: one narrow per-doc projection (source, n_tokens,
+  // coin), a per-source aggregate (map-side partials, |sources| rows),
+  // a 1-row totals broadcast, and the admission filter is a per-row
+  // comparison against the |sources|-row broadcast rate table —
+  // nothing but the two tiny aggregates shuffles. documents is read
+  // twice in different ROLES (stats pass vs admission pass — the q126
+  // shape, triaged in the scan-allowance sweep).
+  // ------------------------------------------------------------------
+  val budgetMix: Q = Q(
+    "q154_budget_mix",
+    (s, d) => {
+      graft.functions.TextFunctions.register(s)
+      val docs = Tables.documents(s, d)
+        .select(col("source"),
+          size(toks(col("text"))).cast("long").as("ntok"),
+          (md5h61(concat(lit("mixkeep:"), col("doc_id").cast("string")))
+            % 1000000L).as("coin"))
+      val weight = (md5h61(concat(lit("mixw:"), col("source"))) % 5L + 1L)
+        .as("weight")
+      // |sources|-row frame consumed four ways (totals, rate table,
+      // admission broadcast, final audit join): cache it so documents
+      // is scanned once for the stats pass + once for the admission
+      // pass, not once per consumer (ReuseAudit: 4 -> 2)
+      val perSrc = graft.CacheScope.cached(docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens_avail"))
+        .withColumn("weight", weight))
+      val totals = perSrc.agg(
+        sum(col("tokens_avail")).as("total_tokens"),
+        sum(col("weight")).as("w_total"))
+      val rates = perSrc.crossJoin(broadcast(totals))
+        .withColumn("want",
+          expr("((total_tokens div 2) * weight) div w_total"))
+        .withColumn("rate_ppm",
+          least(lit(1000000L), expr("(want * 1000000) div tokens_avail")))
+        .select("source", "weight", "n_docs", "tokens_avail", "want",
+          "rate_ppm")
+      val kept = docs.join(broadcast(rates.select("source", "rate_ppm")),
+          "source")
+        .filter(col("coin") < col("rate_ppm"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("ntok")).as("tokens_kept"))
+      rates.join(kept, Seq("source"), "left")
+        .select(col("source"), col("weight"), col("n_docs"),
+          col("tokens_avail"), col("want"), col("rate_ppm"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+        .orderBy("source")
+    },
+    Some(s"""WITH docs AS (SELECT source,
+          cast(len(${sqlToks("text")}) as bigint) AS ntok,
+          ${sqlMd5h61("'mixkeep:' || cast(doc_id as varchar)")} % 1000000
+            AS coin
+        FROM documents),
+      per_src AS (SELECT source, cast(count(*) as bigint) AS n_docs,
+          sum(ntok) AS tokens_avail,
+          ${sqlMd5h61("'mixw:' || source")} % 5 + 1 AS weight
+        FROM docs GROUP BY source),
+      totals AS (SELECT sum(tokens_avail) AS total_tokens,
+          sum(weight) AS w_total FROM per_src),
+      rates AS (SELECT source, weight, n_docs, tokens_avail,
+          ((total_tokens // 2) * weight) // w_total AS want,
+          least(1000000,
+            ((((total_tokens // 2) * weight) // w_total) * 1000000)
+              // tokens_avail) AS rate_ppm
+        FROM per_src, totals),
+      kept AS (SELECT d.source, cast(count(*) as bigint) AS n_kept,
+          sum(d.ntok) AS tokens_kept
+        FROM docs d JOIN rates r ON d.source = r.source
+        WHERE d.coin < r.rate_ppm GROUP BY d.source)
+      SELECT r.source, cast(r.weight as bigint) AS weight, r.n_docs,
+        cast(r.tokens_avail as bigint) AS tokens_avail,
+        cast(r.want as bigint) AS want, cast(r.rate_ppm as bigint)
+          AS rate_ppm,
+        coalesce(k.n_kept, 0) AS n_kept,
+        cast(coalesce(k.tokens_kept, 0) as bigint) AS tokens_kept
+      FROM rates r LEFT JOIN kept k ON r.source = k.source
+      ORDER BY r.source"""))
+
   val all: Seq[Q] = Seq(hashSample, stratifiedSplit, groupQuotaSample,
-    temperatureSample, dsirResample)
+    temperatureSample, dsirResample, budgetMix)
 }

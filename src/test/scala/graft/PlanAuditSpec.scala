@@ -297,7 +297,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q41_embed_neardup_pairs" -> "embeddings",
       "q42_ann_bruteforce" -> "embeddings",
       "q43_ann_lsh" -> "embeddings",
-      "q58_ann_batch" -> "embeddings"
+      "q58_ann_batch" -> "embeddings",
+      // caches the |sources|-row per-source aggregate; stats pass +
+      // admission pass are the two roles
+      "q154_budget_mix" -> "documents"
     ).map { case (q, t) => q -> Map(t -> 2) }
     val multi: Map[String, Map[String, Int]] = cachedFamily ++ Map(
       "q105_scd2" -> Map("part" -> 2),

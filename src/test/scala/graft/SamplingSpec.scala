@@ -71,19 +71,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == rows)
   }
 
+  /** Independent md5h61 twin (digest bytes 8..15 little-endian, mod
+    * 2^61) — recomputes engine hashes with no Spark code. */
+  private def h61(s: String): Long = {
+    val dg = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val be = Array.tabulate(8)(i => dg(15 - i))
+    new java.math.BigInteger(1, be)
+      .mod(java.math.BigInteger.valueOf(2305843009213693952L)).longValue()
+  }
+
   test("DSIR importance score matches an independent plain-Scala recomputation; acceptance is band-consistent") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // independent md5h61 twin (digest bytes 8..15 little-endian,
-    // mod 2^61) — recomputes the engine's score with no Spark code
-    def h61(s: String): Long = {
-      val dg = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      // unsigned little-endian uint64 of digest bytes 8..15, mod 2^61
-      val be = Array.tabulate(8)(i => dg(15 - i))
-      new java.math.BigInteger(1, be)
-        .mod(java.math.BigInteger.valueOf(2305843009213693952L)).longValue()
-    }
     def score(text: String): Double = {
       val t = text.trim.toLowerCase.split("\\s+").toSeq
       val grams = t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
@@ -127,5 +127,47 @@ class SamplingSpec extends AnyFunSuite {
     val b = SparkEntry.queries("q153_dsir_resample")(spark, sf)
       .collect().map(_.toSeq).toSeq
     assert(a == b && a.nonEmpty)
+  }
+
+  test("budget mix solves integer keep rates; audit matches exact brute-force recomputation") {
+    import spark.implicits._
+    // three sources: "big" oversupplied (rate < 1e6), "tiny"
+    // undersupplied (rate saturates at 1e6 — the shortfall shape),
+    // "mid" in between; every number in the operator is integer
+    // arithmetic, so the whole audit is recomputable bit-for-bit
+    val docs = (
+      (0 until 200).map(i => (i.toLong, (1 to 20).map(t => s"b$t").mkString(" "), "en", "big", 10L)) ++
+      (0 until 5).map(i => (500L + i, (1 to 8).map(t => s"t$t").mkString(" "), "en", "tiny", 10L)) ++
+      (0 until 40).map(i => (700L + i, (1 to 15).map(t => s"m$t").mkString(" "), "en", "mid", 10L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q154_budget_mix")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // exact recomputation with the independent h61 twin
+    val toks = Map("big" -> 20L, "tiny" -> 8L, "mid" -> 15L)
+    val nDocs = Map("big" -> 200L, "tiny" -> 5L, "mid" -> 40L)
+    val ids = Map(
+      "big" -> (0L until 200L), "tiny" -> (500L until 505L),
+      "mid" -> (700L until 740L))
+    val w = Seq("big", "tiny", "mid")
+      .map(src => src -> (h61(s"mixw:$src") % 5 + 1)).toMap
+    val totalTokens = toks.map { case (s0, t) => t * nDocs(s0) }.sum
+    val budget = totalTokens / 2
+    val wTotal = w.values.sum
+    for (src <- Seq("big", "tiny", "mid")) {
+      val avail = toks(src) * nDocs(src)
+      val want = budget * w(src) / wTotal
+      val rate = math.min(1000000L, want * 1000000L / avail)
+      val keptIds = ids(src).filter(i => h61(s"mixkeep:$i") % 1000000L < rate)
+      val expected = (w(src), nDocs(src), avail, want, rate,
+        keptIds.size.toLong, keptIds.size.toLong * toks(src))
+      assert(rows(src) == expected,
+        s"$src audit diverges: got ${rows(src)}, expected $expected")
+    }
+    // the undersupplied source must saturate; the oversupplied must not
+    assert(rows("tiny")._5 == 1000000L, s"tiny must saturate: ${rows("tiny")}")
+    assert(rows("big")._5 < 1000000L, s"big must be rate-limited: ${rows("big")}")
   }
 }
