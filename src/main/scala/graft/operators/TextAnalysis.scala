@@ -751,8 +751,68 @@ object TextAnalysis {
       FROM s JOIN m ON s.lang = m.lang
       GROUP BY s.lang, med ORDER BY s.lang"""))
 
+  // ------------------------------------------------------------------
+  // q155 — markup stripping, the WET-extraction shape (Common Crawl
+  // HTML → text: strip tags, decode entities, collapse whitespace).
+  // The synthetic corpus carries no markup, so both engines wrap each
+  // doc in IDENTICAL synthetic HTML first (the q83 PII discipline —
+  // the wrapping is the same SQL expression on both sides; the
+  // STRIPPER is the operator under test, exercised against the Java
+  // regex ∩ RE2 common dialect). Entity decode runs tag-strip-first
+  // and &amp; LAST (standard single-pass order — decoding it earlier
+  // would double-decode "&amp;lt;"). The cleaned TEXT itself is
+  // emitted and hash-compared, not just a digest of it.
+  //
+  // Scale shape: one per-row projection chain inside whole-stage
+  // codegen — no shuffle, no UDF; at 100 TB this is a scan-stage map
+  // exactly like q83.
+  // ------------------------------------------------------------------
+  private val TagRe = "<[^>]+>"
+  private val entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&amp;" -> "&") // &amp; last
+
+  val markupStrip: Q = Q(
+    "q155_markup_strip",
+    (s, d) => {
+      val wrapped = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title></head><body><h1 class=\"t\">T"), col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit(" &amp; more &lt;tags&gt;</p><div id=\"f\">footer</div></body></html>"))
+      val stripped = regexp_replace(col("pt"), TagRe, " ")
+      val decoded = entities.foldLeft(stripped) { case (acc, (e, ch)) =>
+        replace(acc, lit(e), lit(ch))
+      }
+      Tables.documents(s, d)
+        .withColumn("pt", wrapped)
+        .select(
+          col("doc_id"),
+          regexp_count(col("pt"), lit(TagRe)).as("n_tags"),
+          regexp_count(col("pt"), lit("&[a-z#0-9]+;")).as("n_entities"),
+          trim(regexp_replace(decoded, "\\s+", " ")).as("cleaned"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val wrapped = "'<html><head><title>Doc ' || doc_id || " +
+        "'</title></head><body><h1 class=\"t\">T' || doc_id || " +
+        "'</h1><p>' || text || " +
+        "' &amp; more &lt;tags&gt;</p><div id=\"f\">footer</div></body></html>'"
+      val decoded = entities.foldLeft(s"regexp_replace(pt, '$TagRe', ' ', 'g')") {
+        case (acc, (e, ch)) =>
+          s"replace($acc, '$e', '${if (ch == "'") "''" else ch}')"
+      }
+      s"""WITH p AS (SELECT doc_id, $wrapped AS pt FROM documents)
+        SELECT doc_id,
+          cast(len(regexp_extract_all(pt, '$TagRe')) as int) AS n_tags,
+          cast(len(regexp_extract_all(pt, '&[a-z#0-9]+;')) as int)
+            AS n_entities,
+          trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS cleaned
+        FROM p ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
     fingerprint, topTerms, pivotEvents, rareTerms, regexTokens,
     repetitionFilter, madOutliers, blocklistFilter, ngramNovelty, bm25TopK,
-    bm25TextbookTopK, adaptiveQualityFilter)
+    bm25TextbookTopK, adaptiveQualityFilter, markupStrip)
 }

@@ -172,4 +172,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows("en") == ((3L, 2L, 0.8)), s"en median/kept wrong: ${rows("en")}")
     assert(rows("fr") == ((4L, 2L, 0.7)), s"fr median/kept wrong: ${rows("fr")}")
   }
+
+  test("markup strip removes tags inside the document text, decodes entities once, collapses whitespace") {
+    import spark.implicits._
+    // the doc text ITSELF carries markup and entities — including
+    // "&amp;lt;" which must decode to "&lt;" (one pass, &amp; last),
+    // not double-decode to "<"
+    val docs = Seq(
+      (1L, "x <i>y</i> z &amp; w &amp;lt; v", "en", "s", 1L),
+      (2L, "plain words only", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q155_markup_strip")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // independent plain-Scala recomputation of the full chain
+    def expected(id: Long, text: String): (Int, Int, String) = {
+      val pt = s"""<html><head><title>Doc $id</title></head><body><h1 class="t">T$id</h1><p>$text &amp; more &lt;tags&gt;</p><div id="f">footer</div></body></html>"""
+      val nTags = "<[^>]+>".r.findAllIn(pt).size
+      val nEnt = "&[a-z#0-9]+;".r.findAllIn(pt).size
+      var c = pt.replaceAll("<[^>]+>", " ")
+      for ((e, ch) <- Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&")) c = c.replace(e, ch)
+      (nTags, nEnt, c.replaceAll("\\s+", " ").trim)
+    }
+    assert(rows(1L) == expected(1L, "x <i>y</i> z &amp; w &amp;lt; v"),
+      s"doc 1 diverges: ${rows(1L)}")
+    assert(rows(2L) == expected(2L, "plain words only"),
+      s"doc 2 diverges: ${rows(2L)}")
+    // the critical single-pass property, stated directly
+    assert(rows(1L)._3.contains("&lt; v"),
+      s"&amp;lt; must decode ONCE to &lt;, got: ${rows(1L)._3}")
+    assert(rows(1L)._3.contains("x y z & w"),
+      s"in-text tags must strip to spaces: ${rows(1L)._3}")
+  }
 }
