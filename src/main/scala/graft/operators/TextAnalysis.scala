@@ -811,8 +811,96 @@ object TextAnalysis {
         FROM p ORDER BY doc_id"""
     })
 
+  // ------------------------------------------------------------------
+  // q156 — Gopher quality rules (Rae et al. 2021, Table A1): the
+  // NAMED rule battery, distinct from q31's generic score — each doc
+  // carries one flag per rule plus the composite keep decision, the
+  // audit shape a pipeline needs to see WHICH rule rejects its corpus
+  // slice. Rules over the whitespace tokenization: word count in
+  // [50, 100000]; mean word length in [3, 10]; ≥ 80% of words contain
+  // an alphabetic character; ≥ 2 stop words (Gopher's 8-word list);
+  // symbol-to-word ratio (# or ...) ≤ 0.1. (The paper's line-based
+  // bullet/ellipsis rules need multi-line docs — the testdata corpus
+  // is single-line, so they are omitted rather than trivially true.)
+  //
+  // Determinism: every ratio is ONE IEEE division of exactly-computed
+  // integers (counts), compared against exact literal thresholds —
+  // identical on both engines, no quantization needed. Flags are
+  // ints, keep is their conjunction. One per-row projection chain,
+  // zero shuffles; `t` is kept as its own projection level so
+  // CollapseProject preserves the single tokenize (non-cheap
+  // multi-referenced alias) across the five rule expressions.
+  // ------------------------------------------------------------------
+  private val GopherStops = Seq("the", "be", "to", "of", "and", "that",
+    "have", "with")
+
+  val gopherRules: Q = Q(
+    "q156_gopher_rules",
+    (s, d) => {
+      val stops = typedlit(GopherStops)
+      val nTok = size(col("t")).cast("long")
+      val meanLen = aggregate(transform(col("t"), x => length(x)),
+        lit(0), (a, x) => a + x).cast("double") / size(col("t"))
+      val fracAlpha = size(filter(col("t"), x => x.rlike("[a-z]")))
+        .cast("double") / size(col("t"))
+      val nStop = size(filter(col("t"), x => array_contains(stops, x)))
+      val fracSym = size(filter(col("t"),
+        x => x.contains("#") || x.contains("...")))
+        .cast("double") / size(col("t"))
+      Tables.documents(s, d)
+        .withColumn("t", toks(lower(col("text"))))
+        .select(col("doc_id"), nTok.as("n_tokens"),
+          meanLen.as("mean_word_len"), fracAlpha.as("frac_alpha"),
+          nStop.cast("long").as("n_stop"), fracSym.as("frac_sym"))
+        .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+          col("frac_alpha"), col("n_stop"), col("frac_sym"),
+          (col("n_tokens") >= 50 && col("n_tokens") <= 100000)
+            .cast("int").as("r_wordcount"),
+          (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+            .cast("int").as("r_meanlen"),
+          (col("frac_alpha") >= 0.8).cast("int").as("r_alpha"),
+          (col("n_stop") >= 2).cast("int").as("r_stop"),
+          (col("frac_sym") <= 0.1).cast("int").as("r_symbol"))
+        .withColumn("keep",
+          (col("r_wordcount") === 1 && col("r_meanlen") === 1 &&
+            col("r_alpha") === 1 && col("r_stop") === 1 &&
+            col("r_symbol") === 1).cast("int"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val stops = GopherStops.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH tk AS (SELECT doc_id, ${sqlToks("lower(text)")} AS t
+          FROM documents),
+        f AS (SELECT doc_id,
+            cast(len(t) as bigint) AS n_tokens,
+            cast(list_sum(list_transform(t, x -> length(x))) as double)
+              / len(t) AS mean_word_len,
+            cast(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+              as double) / len(t) AS frac_alpha,
+            cast(len(list_filter(t, x -> list_contains($stops, x)))
+              as bigint) AS n_stop,
+            cast(len(list_filter(t, x ->
+              contains(x, '#') OR contains(x, '...'))) as double)
+              / len(t) AS frac_sym
+          FROM tk),
+        r AS (SELECT *,
+            cast(n_tokens >= 50 AND n_tokens <= 100000 as int)
+              AS r_wordcount,
+            cast(mean_word_len >= 3.0 AND mean_word_len <= 10.0 as int)
+              AS r_meanlen,
+            cast(frac_alpha >= 0.8 as int) AS r_alpha,
+            cast(n_stop >= 2 as int) AS r_stop,
+            cast(frac_sym <= 0.1 as int) AS r_symbol
+          FROM f)
+        SELECT doc_id, n_tokens, mean_word_len, frac_alpha, n_stop,
+          frac_sym, r_wordcount, r_meanlen, r_alpha, r_stop, r_symbol,
+          cast(r_wordcount = 1 AND r_meanlen = 1 AND r_alpha = 1
+            AND r_stop = 1 AND r_symbol = 1 as int) AS keep
+        FROM r ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
     fingerprint, topTerms, pivotEvents, rareTerms, regexTokens,
     repetitionFilter, madOutliers, blocklistFilter, ngramNovelty, bm25TopK,
-    bm25TextbookTopK, adaptiveQualityFilter, markupStrip)
+    bm25TextbookTopK, adaptiveQualityFilter, markupStrip, gopherRules)
 }

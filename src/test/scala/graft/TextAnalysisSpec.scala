@@ -206,4 +206,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows(1L)._3.contains("x y z & w"),
       s"in-text tags must strip to spaces: ${rows(1L)._3}")
   }
+
+  test("gopher rules flag exactly the violated rule per crafted doc") {
+    import spark.implicits._
+    val clean = (Seq.fill(10)("the") ++ Seq.fill(40)("words")).mkString(" ")
+    val short = "the of and word"                       // 4 tokens
+    val longWords = (Seq.fill(2)("the") ++
+      Seq.fill(48)("extraordinarily")).mkString(" ")    // mean len 14.3
+    val digits = (Seq.fill(2)("the") ++
+      Seq.fill(48)("12345")).mkString(" ")              // alpha 2/50
+    val symbols = (Seq.fill(2)("the") ++ Seq.fill(38)("women") ++
+      Seq.fill(10)("###")).mkString(" ")                // sym 10/50 = 0.2
+    val docs = Seq(
+      (0L, clean, "en", "s", 1L), (1L, short, "en", "s", 1L),
+      (2L, longWords, "en", "s", 1L), (3L, digits, "en", "s", 1L),
+      (4L, symbols, "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q156_gopher_rules")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(6), r.getInt(7), r.getInt(8), r.getInt(9), r.getInt(10),
+          r.getInt(11)))).toMap
+    // (r_wordcount, r_meanlen, r_alpha, r_stop, r_symbol, keep)
+    assert(rows(0L) == ((1, 1, 1, 1, 1, 1)), s"clean doc: ${rows(0L)}")
+    assert(rows(1L) == ((0, 1, 1, 1, 1, 0)), s"short doc: ${rows(1L)}")
+    assert(rows(2L) == ((1, 0, 1, 1, 1, 0)), s"long-word doc: ${rows(2L)}")
+    assert(rows(3L)._3 == 0 && rows(3L)._6 == 0, s"digit doc: ${rows(3L)}")
+    // alpha sits exactly ON the 0.8 boundary (40/50) -> passes; only
+    // the symbol rule rejects
+    assert(rows(4L) == ((1, 1, 1, 1, 0, 0)), s"symbol doc: ${rows(4L)}")
+  }
 }
