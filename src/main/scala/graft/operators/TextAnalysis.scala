@@ -899,8 +899,97 @@ object TextAnalysis {
         FROM r ORDER BY doc_id"""
     })
 
+  // ------------------------------------------------------------------
+  // q157 — Gopher repetition battery (Rae et al. 2021, Table A1's
+  // other half; q80 covers token-level repetition ratios): per doc and
+  // per n ∈ {2, 3, 4}, the most frequent word n-gram (ties to the
+  // lexicographically smallest — deterministic on both engines) and
+  // the fraction of document characters its occurrences cover,
+  // count × len(gram) / len(doc) (the Dolma approximation: overlapping
+  // occurrences may double-count — documented, identical both sides).
+  // High top-n-gram coverage = templated/boilerplate text.
+  //
+  // Scale shape: n-gram enumeration is doc-local (guarded sequence
+  // transform — no O(tokens²) lambda inlining, the q84 lesson); the
+  // count aggregate shuffles on (doc_id, n, gram) with map-side
+  // partials; the per-(doc, n) argmax is the row_number()-filter
+  // pattern, which GraftExtensions' TopKPerGroup strategy rewrites to
+  // the bounded-heap exec (k=1 — no per-group sort); the doc-length
+  // join is a narrow projection of the same tokenize. The fraction is
+  // one IEEE division of exact integers — no quantization.
+  // ------------------------------------------------------------------
+  val gopherRepetition: Q = Q(
+    "q157_gopher_repetition",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // isNotNull on the SHARED source, not per-branch: the final
+      // chars join would otherwise push isnotnull(doc_id) into only
+      // its own branch's scan and de-canonicalize it from the union
+      // branches, breaking exchange reuse (the q145/q133 trap).
+      // Semantically a no-op: doc_id is the table's key.
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("doc_id"))
+        .select(col("doc_id"), toks(lower(col("text"))).as("t"))
+      def gramsOf(n: Int) = {
+        val idx = when(size(col("t")) >= n,
+          sequence(lit(1), size(col("t")) - (n - 1)))
+          .otherwise(array().cast("array<int>"))
+        transform(idx, i => concat_ws(" ",
+          (0 until n).map(j => element_at(col("t"), i + j)): _*))
+      }
+      // explode_OUTER + explicit null filter: the inner form infers
+      // size(grams)>0 and pushes it below the exchange into only the
+      // gram branches' scans, de-canonicalizing them from the chars
+      // branch (the q152 trap); the null filter references the
+      // GENERATED column, so it cannot sink past the Generate and the
+      // shared exchange stays canonical. Docs with < n tokens emit a
+      // null gram that the filter drops — same semantics as inner.
+      val grams = (2 to 4).map(n => docs.select(col("doc_id"),
+          lit(n).as("n"), explode_outer(gramsOf(n)).as("gram")))
+        .reduce(_ unionByName _)
+        .filter(col("gram").isNotNull)
+      val counts = grams.groupBy("doc_id", "n", "gram")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("doc_id"), col("n"))
+        .orderBy(desc("cnt"), asc("gram"))
+      val top = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "n", "gram", "cnt")
+      val chars = docs.select(col("doc_id"),
+        length(concat_ws(" ", col("t"))).cast("long").as("doc_chars"))
+      top.join(chars, "doc_id")
+        .select(col("doc_id"), col("n"), col("gram"), col("cnt"),
+          ((col("cnt") * length(col("gram")).cast("long")).cast("double") /
+            col("doc_chars")).as("top_gram_char_frac"))
+        .orderBy("doc_id", "n")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, ${sqlToks("lower(text)")} AS t
+        FROM documents),
+      g AS (${(2 to 4).map(n =>
+        s"""SELECT doc_id, $n AS n, concat_ws(' ', ${(0 until n).map(j =>
+          s"t[i+$j]").mkString(", ")}) AS gram
+          FROM tk, unnest(generate_series(1, len(t) - ${n - 1})) AS u(i)""")
+        .mkString(" UNION ALL ")}),
+      c AS (SELECT doc_id, n, gram, cast(count(*) as bigint) AS cnt
+        FROM g GROUP BY 1, 2, 3),
+      r AS (SELECT doc_id, n, gram, cnt,
+          row_number() OVER (PARTITION BY doc_id, n
+            ORDER BY cnt DESC, gram) AS rn
+        FROM c),
+      ch AS (SELECT doc_id,
+          cast(length(array_to_string(t, ' ')) as bigint) AS doc_chars
+        FROM tk)
+      SELECT r.doc_id, cast(n as int) AS n, gram, cnt,
+        cast(cnt * length(gram) as double) / doc_chars
+          AS top_gram_char_frac
+      FROM r JOIN ch ON r.doc_id = ch.doc_id
+      WHERE rn = 1 ORDER BY r.doc_id, n"""))
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
     fingerprint, topTerms, pivotEvents, rareTerms, regexTokens,
     repetitionFilter, madOutliers, blocklistFilter, ngramNovelty, bm25TopK,
-    bm25TextbookTopK, adaptiveQualityFilter, markupStrip, gopherRules)
+    bm25TextbookTopK, adaptiveQualityFilter, markupStrip, gopherRules,
+    gopherRepetition)
 }

@@ -236,4 +236,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     // the symbol rule rejects
     assert(rows(4L) == ((1, 1, 1, 1, 0, 0)), s"symbol doc: ${rows(4L)}")
   }
+
+  test("gopher repetition finds the hand-planted top n-grams through the TopKPerGroup exec") {
+    import spark.implicits._
+    // "ab cd ab cd ab xx": bigrams -> "ab cd"x2, "cd ab"x2, "ab xx"x1;
+    // tie at cnt=2 -> lexicographically smaller "ab cd" wins.
+    // doc chars = 17; frac(2) = 2*5/17.
+    val docs = Seq((1L, "ab cd ab cd ab xx", "en", "s", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val df = SparkEntry.queries("q157_gopher_repetition")(spark, dir)
+    val rows = df.collect().map(r =>
+      r.getInt(1) -> ((r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows(2) == (("ab cd", 2L, 10.0 / 17)), s"bigram: ${rows(2)}")
+    assert(rows(3) == (("ab cd ab", 2L, 16.0 / 17)), s"trigram: ${rows(3)}")
+    assert(rows(4)._2 == 1L, s"4-gram must be unique: ${rows(4)}")
+    // the per-(doc, n) argmax is the row_number-filter shape the
+    // custom strategy rewrites — the heap exec must actually fire
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup "),
+      "custom TopKPerGroup exec did not fire on the argmax")
+  }
 }
