@@ -266,6 +266,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("projection-only operators stay scan-stage: no join, no aggregate exchange") {
+    // q153 (DSIR score+gate), q155 (markup strip), q156 (Gopher rules)
+    // all claim "one codegen projection chain, zero shuffles" — pin it:
+    // the ONLY exchange allowed is the presentational output sort's
+    // rangepartitioning, and no join or aggregate may appear. A
+    // refactor that turns the per-row filter into a join against a
+    // derived table fails here instead of surviving as a silent
+    // corpus-width shuffle at 100 TB.
+    for (q <- Seq("q153_dsir_resample", "q155_markup_strip",
+        "q156_gopher_rules")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert("Exchange [a-z]*partitioning".r.findAllIn(p).size ==
+        "Exchange rangepartitioning".r.findAllIn(p).size,
+        s"$q must shuffle only for the output sort:\n$p")
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+      assert(!p.contains("HashAggregate"), s"$q must not aggregate:\n$p")
+    }
+  }
+
   test("registry-wide scan allowance: no query reads a base table more than committed") {
     // The ReuseAudit invariant promoted to CI (round-8): every query's
     // FINAL adaptive plan may read each base table at most its committed
