@@ -335,6 +335,45 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.isEmpty, s"within-doc repeat must not be flagged: ${rows.toSeq}")
   }
 
+  test("df-capped pairs are a bit-exact subset of the uncapped reference (q121 vs q76)") {
+    // the capped+hot intersection decomposition must emit, for every
+    // pair it keeps, EXACTLY the row the uncapped q76 computes —
+    // n_shared and jaccard bit-for-bit; the cap may only shrink the
+    // pair set, never alter a surviving row. Differential guard for
+    // the round-9 decomposition rewrite, on real testdata.
+    val sf = TestSpark.sf0001
+    val exact = SparkEntry.queries("q76_ngram_jaccard_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val capped = SparkEntry.queries("q121_ngram_jaccard_dfcap")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(capped.nonEmpty, "capped pairs empty at sf0.001 — law vacuous")
+    capped.foreach { case (pair, stats) =>
+      assert(exact.get(pair).contains(stats),
+        s"pair $pair: capped $stats != exact ${exact.get(pair)}")
+    }
+  }
+
+  test("paragraph dedup with an absent delimiter degenerates to whole-doc exact dedup") {
+    import spark.implicits._
+    // no delimiter occurrences -> every doc is ONE paragraph, so
+    // keep-first paragraph dedup must equal q35's exact-doc semantics:
+    // the first copy survives verbatim, later copies are fully excised
+    val docs = Seq(
+      (0L, "alpha beta gamma", "en", "s", 1L),
+      (1L, "alpha beta gamma", "en", "s", 1L), // exact dup of 0
+      (2L, "delta epsilon", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = graft.operators.Dedup.paragraphDedup("@@never@@")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(rows(0L) == ((1, 1, "alpha beta gamma")))
+    assert(rows(1L) == ((1, 0, "")), s"dup doc must be fully excised: ${rows(1L)}")
+    assert(rows(2L) == ((1, 1, "delta epsilon")))
+  }
+
   test("paragraph dedup: a footer planted in 50 docs survives only in the lowest doc_id, docs reassemble in order") {
     import spark.implicits._
     // RefinedWeb shape with a real newline delimiter: every doc is a
