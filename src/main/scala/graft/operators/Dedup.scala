@@ -983,9 +983,92 @@ object Dedup {
     Some(sqlParagraphDedup(ParaDelim)),
     bench = true)
 
+  /** q158: INCREMENTAL paragraph dedup — q127's nightly-batch shape at
+    * q152's paragraph granularity: a batch paragraph survives iff its
+    * hash is absent from the existing corpus (left-anti equi-join on
+    * the 61-bit hash — at scale only the corpus's paragraph-hash
+    * column is touched, never its text, the q127 argument) AND it is
+    * the first occurrence within its own batch (min occurrence key),
+    * then each batch doc is reassembled from its survivors in order.
+    * Existing-corpus docs are never re-cleaned or re-emitted — the
+    * whole point of the incremental shape. Split convention mirrors
+    * q127: corpus = doc_id % 10 < 8, batch = the rest.
+    *
+    * Scale shape: the corpus side reduces to (h) before the anti-join
+    * (content-free, map-side dedup via the anti-join's build side);
+    * batch-internal keep-first is the q145/q152 aggregate+join-back;
+    * reassembly is doc-local. The corpus/batch role split pushes its
+    * doc_id % 10 predicate into per-branch scans (pruned re-reads are
+    * the RIGHT plan here — cheaper than shuffling the corpus text
+    * through one shared exchange; triaged in the scan-allowance
+    * sweep, the q127 precedent). */
+  val incrementalParagraphDedup: Q = Q(
+    "q158_incremental_paragraph_dedup",
+    (s, d) => {
+      graft.functions.TextFunctions.register(s)
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("doc_id"))
+        .select(col("doc_id"),
+          split(col("text"),
+            java.util.regex.Pattern.quote(ParaDelim), -1).as("paras"))
+      val ex = docs
+        .select(col("doc_id"),
+          posexplode_outer(col("paras")).as(Seq("pidx", "para")))
+        .select(col("doc_id"), col("pidx"),
+          (col("doc_id") * 1000000L + col("pidx")).as("okey"),
+          md5h61(col("para")).as("h"))
+      val corpusH = ex.filter(col("doc_id") % 10 < 8).select("h")
+      val batchEx = ex.filter(col("doc_id") % 10 >= 8)
+      val fresh = batchEx.join(corpusH, Seq("h"), "left_anti")
+      val keep = fresh.groupBy("h").agg(min(col("okey")).as("keeper"))
+      val kp = fresh.join(keep, "h")
+        .filter(col("okey") === col("keeper"))
+        .groupBy("doc_id")
+        .agg(collect_list(col("pidx")).as("kp"))
+      docs.filter(col("doc_id") % 10 >= 8)
+        .join(kp, Seq("doc_id"), "left")
+        .withColumn("kp", coalesce(col("kp"), array().cast("array<int>")))
+        .withColumn("ki", filter(sequence(lit(0), size(col("paras")) - 1),
+          i => array_contains(col("kp"), i)))
+        .select(col("doc_id"),
+          size(col("paras")).as("n_paras"),
+          size(col("ki")).as("n_kept"),
+          concat_ws(ParaDelim,
+            transform(col("ki"), i => element_at(col("paras"), i + 1)))
+            .as("cleaned"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val dl = "'" + ParaDelim.replace("'", "''") + "'"
+      s"""WITH t AS (SELECT doc_id, string_split(text, $dl) AS paras
+          FROM documents WHERE doc_id IS NOT NULL),
+        ex AS (SELECT doc_id, i - 1 AS pidx,
+            doc_id * 1000000 + (i - 1) AS okey,
+            ${sqlMd5h61("paras[i]")} AS h
+          FROM t, unnest(generate_series(1, len(paras))) AS u(i)),
+        fresh AS (SELECT b.doc_id, b.pidx, b.okey, b.h
+          FROM ex b
+          WHERE b.doc_id % 10 >= 8 AND NOT EXISTS (
+            SELECT 1 FROM ex c WHERE c.doc_id % 10 < 8 AND c.h = b.h)),
+        keep AS (SELECT h, min(okey) AS keeper FROM fresh GROUP BY h),
+        kp AS (SELECT doc_id, list(pidx ORDER BY pidx) AS kp
+          FROM fresh JOIN keep USING (h) WHERE okey = keeper
+          GROUP BY doc_id),
+        k AS (SELECT t.doc_id, t.paras, coalesce(kp.kp, []) AS kp
+          FROM t LEFT JOIN kp ON t.doc_id = kp.doc_id
+          WHERE t.doc_id % 10 >= 8)
+        SELECT doc_id, cast(len(paras) as int) AS n_paras,
+          cast(len(kp) as int) AS n_kept,
+          coalesce(array_to_string(list_transform(kp, i -> paras[i + 1]),
+            $dl), '') AS cleaned
+        FROM k ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
     ngramJaccardPairs, ngramJaccardDfCap, containmentPairs, sketchQuality,
     dupDegrees, dupBySource, incrementalDedup, substringDedup,
-    substringRemoval, paragraphDedupQ)
+    substringRemoval, paragraphDedupQ, incrementalParagraphDedup)
 }

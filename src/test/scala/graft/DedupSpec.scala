@@ -374,6 +374,35 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(2L) == ((1, 1, "delta epsilon")))
   }
 
+  test("incremental paragraph dedup admits only batch paragraphs unseen in the corpus, first-in-batch") {
+    import spark.implicits._
+    // corpus docs (id % 10 < 8) carry a boilerplate footer; batch docs
+    // (id % 10 >= 8): doc 8 = fresh body + the corpus footer (footer
+    // must be excised — it exists in the corpus), docs 18/28 share a
+    // batch-internal paragraph (first-in-batch survives, only in 18),
+    // and the corpus docs themselves must NOT be re-emitted.
+    // Registry delimiter is the token " the ".
+    val docs = Seq(
+      (0L, "corpus body zero the footer boilerplate", "en", "s", 1L),
+      (1L, "corpus body one the footer boilerplate", "en", "s", 1L),
+      (8L, "fresh batch body the footer boilerplate", "en", "s", 1L),
+      (18L, "batch shared para the unique eighteen", "en", "s", 1L),
+      (28L, "batch shared para the unique twentyeight", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q158_incremental_paragraph_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(rows.keySet == Set(8L, 18L, 28L),
+      s"only batch docs may be emitted: ${rows.keySet}")
+    assert(rows(8L) == ((2, 1, "fresh batch body")),
+      s"corpus-seen footer must be excised: ${rows(8L)}")
+    assert(rows(18L) == ((2, 2, "batch shared para the unique eighteen")),
+      s"first-in-batch keeps both paragraphs: ${rows(18L)}")
+    assert(rows(28L) == ((2, 1, "unique twentyeight")),
+      s"batch-internal dup must keep only doc 18's copy: ${rows(28L)}")
+  }
+
   test("paragraph dedup: a footer planted in 50 docs survives only in the lowest doc_id, docs reassemble in order") {
     import spark.implicits._
     // RefinedWeb shape with a real newline delimiter: every doc is a

@@ -329,6 +329,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q125_tpch_q21" -> Map("lineitem" -> 3),
       "q126_temperature_sample" -> Map("documents" -> 2),
       "q127_incremental_dedup" -> Map("documents" -> 2),
+      // corpus-vs-batch role split (the q127 precedent): the doc_id
+      // % 10 predicates push into per-branch scans — pruned re-reads
+      // beat shuffling the corpus text through one shared exchange
+      "q158_incremental_paragraph_dedup" -> Map("documents" -> 2),
       // TPC-H Q8 joins nation in two ROLES (supplier nation + customer
       // market nation) — a semantic double-read of a 25-row dim
       "q130_tpch_q8" -> Map("nation" -> 2),
