@@ -911,9 +911,10 @@ object Dedup {
     * array with the surviving index list, and the source is
     * isNotNull-guarded once so every branch hangs off ONE canonical
     * exchange (single documents scan, plan-pinned). The occurrence
-    * key packs (doc_id, pidx) into one BIGINT (pidx < 10^6 — a
-    * million paragraphs per doc; a corpus violating that would use a
-    * struct min). */
+    * key is a (doc_id, pidx) STRUCT min — lexicographic, exact for
+    * any doc_id domain (arithmetic doc_id*10⁶+pidx packing would
+    * silently misorder for negative or hash-derived 61-bit doc_ids,
+    * exactly what md5h61 produces elsewhere in this repo). */
   private[graft] def paragraphDedup(delim: String)(
       s: SparkSession, d: String): DataFrame = {
     graft.functions.TextFunctions.register(s)
@@ -932,7 +933,7 @@ object Dedup {
     val ex = docs
       .select(col("doc_id"), posexplode_outer(col("paras")).as(Seq("pidx", "para")))
       .select(col("doc_id"), col("pidx"),
-        (col("doc_id") * 1000000L + col("pidx")).as("okey"),
+        struct(col("doc_id"), col("pidx")).as("okey"),
         md5h61(col("para")).as("h"))
     val keep = ex.groupBy("h").agg(min(col("okey")).as("keeper"))
     val kp = ex.join(keep, "h")
@@ -957,7 +958,7 @@ object Dedup {
     s"""WITH t AS (SELECT doc_id, string_split(text, $dl) AS paras
         FROM documents WHERE doc_id IS NOT NULL),
       ex AS (SELECT doc_id, i - 1 AS pidx,
-          doc_id * 1000000 + (i - 1) AS okey,
+          row(doc_id, i - 1) AS okey,
           ${sqlMd5h61("paras[i]")} AS h
         FROM t, unnest(generate_series(1, len(paras))) AS u(i)),
       keep AS (SELECT h, min(okey) AS keeper FROM ex GROUP BY h),
@@ -1017,7 +1018,7 @@ object Dedup {
         .select(col("doc_id"),
           posexplode_outer(col("paras")).as(Seq("pidx", "para")))
         .select(col("doc_id"), col("pidx"),
-          (col("doc_id") * 1000000L + col("pidx")).as("okey"),
+          struct(col("doc_id"), col("pidx")).as("okey"),
           md5h61(col("para")).as("h"))
       val corpusH = ex.filter(col("doc_id") % 10 < 8).select("h")
       val batchEx = ex.filter(col("doc_id") % 10 >= 8)
@@ -1045,7 +1046,7 @@ object Dedup {
       s"""WITH t AS (SELECT doc_id, string_split(text, $dl) AS paras
           FROM documents WHERE doc_id IS NOT NULL),
         ex AS (SELECT doc_id, i - 1 AS pidx,
-            doc_id * 1000000 + (i - 1) AS okey,
+            row(doc_id, i - 1) AS okey,
             ${sqlMd5h61("paras[i]")} AS h
           FROM t, unnest(generate_series(1, len(paras))) AS u(i)),
         fresh AS (SELECT b.doc_id, b.pidx, b.okey, b.h

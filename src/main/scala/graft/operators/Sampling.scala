@@ -257,10 +257,12 @@ object Sampling {
   // available tokens) and docs are admitted by the q77 hash gate.
   //
   // Determinism: the ENTIRE computation is integer arithmetic — token
-  // counts, weights, want = (B·w) div W, rate_ppm = min(10⁶,
-  // (want·10⁶) div avail), and the coin — so both engines agree
-  // bit-for-bit with no float knobs at all (stronger than q126's
-  // quantized sqrt). The budget is met in expectation per source
+  // counts, weights, want = (B·w) div W, rate_ppm (saturates at 10⁶
+  // when want ≥ avail; otherwise (want·10⁶) div avail computed in
+  // decimal(38,0)/HUGEINT so the multiply is exact PAST the ~9.2e12-
+  // token point where a 64-bit product would wrap — the 100 TB design
+  // point), and the coin — so both engines agree bit-for-bit with no
+  // float knobs at all (stronger than q126's quantized sqrt). The budget is met in expectation per source
   // (hash sampling); undersized sources saturate at rate 10⁶ and the
   // audit makes the shortfall visible (tokens_kept vs want).
   //
@@ -297,7 +299,9 @@ object Sampling {
         .withColumn("want",
           expr("((total_tokens div 2) * weight) div w_total"))
         .withColumn("rate_ppm",
-          least(lit(1000000L), expr("(want * 1000000) div tokens_avail")))
+          when(col("want") >= col("tokens_avail"), lit(1000000L))
+            .otherwise(expr(
+              "(cast(want as decimal(38,0)) * 1000000) div tokens_avail")))
         .select("source", "weight", "n_docs", "tokens_avail", "want",
           "rate_ppm")
       val kept = docs.join(broadcast(rates.select("source", "rate_ppm")),
@@ -323,12 +327,14 @@ object Sampling {
         FROM docs GROUP BY source),
       totals AS (SELECT sum(tokens_avail) AS total_tokens,
           sum(weight) AS w_total FROM per_src),
-      rates AS (SELECT source, weight, n_docs, tokens_avail,
-          ((total_tokens // 2) * weight) // w_total AS want,
-          least(1000000,
-            ((((total_tokens // 2) * weight) // w_total) * 1000000)
-              // tokens_avail) AS rate_ppm
+      wants AS (SELECT source, weight, n_docs, tokens_avail,
+          ((total_tokens // 2) * weight) // w_total AS want
         FROM per_src, totals),
+      rates AS (SELECT source, weight, n_docs, tokens_avail, want,
+          CASE WHEN want >= tokens_avail THEN 1000000
+               ELSE cast((want::HUGEINT * 1000000) // tokens_avail
+                 AS bigint) END AS rate_ppm
+        FROM wants),
       kept AS (SELECT d.source, cast(count(*) as bigint) AS n_kept,
           sum(d.ntok) AS tokens_kept
         FROM docs d JOIN rates r ON d.source = r.source

@@ -790,7 +790,10 @@ object TextAnalysis {
           col("doc_id"),
           regexp_count(col("pt"), lit(TagRe)).as("n_tags"),
           regexp_count(col("pt"), lit("&[a-z#0-9]+;")).as("n_entities"),
-          trim(regexp_replace(decoded, "\\s+", " ")).as("cleaned"))
+          // explicit class, not \s: Java \s includes U+000B, RE2's
+          // does not — same Java∩RE2 dialect discipline as TagRe
+          trim(regexp_replace(decoded, "[ \\t\\n\\f\\r\\x0B]+", " "))
+            .as("cleaned"))
         .orderBy("doc_id")
     },
     Some {
@@ -807,7 +810,8 @@ object TextAnalysis {
           cast(len(regexp_extract_all(pt, '$TagRe')) as int) AS n_tags,
           cast(len(regexp_extract_all(pt, '&[a-z#0-9]+;')) as int)
             AS n_entities,
-          trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS cleaned
+          trim(regexp_replace($decoded, '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g'))
+            AS cleaned
         FROM p ORDER BY doc_id"""
     })
 
