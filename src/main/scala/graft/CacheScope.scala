@@ -31,11 +31,28 @@ object CacheScope {
     new ThreadLocal[scala.collection.mutable.ArrayBuffer[DataFrame]]
 
   /** Cache `df`; if a scope is active on this thread, the frame is
-    * unpersisted when that scope exits. */
+    * unpersisted when that scope exits.
+    *
+    * Idempotent by PLAN identity: two operators sharing a subframe
+    * (q56's clusters and q100's degrees both route through
+    * verifiedPairs → signedSets) would otherwise each call `.cache()`
+    * on the same analyzed plan — harmless (CacheManager keeps one
+    * entry) but it logs `WARN CacheManager: Asked to cache already
+    * cached data`, and a wall of benign warnings is exactly the place
+    * a REAL double-cache bug hides. The lookup is the same
+    * canonicalized-plan probe CacheManager itself uses; an
+    * already-cached frame is NOT re-registered either: the call site
+    * that first cached it (possibly an enclosing scope) owns the
+    * unpersist — re-registering here would let an inner scope free a
+    * cache its outer consumers still need. */
   def cached(df: DataFrame): DataFrame = {
-    df.cache()
-    val buf = active.get()
-    if (buf != null) buf += df
+    val already = df.sparkSession.sharedState.cacheManager
+      .lookupCachedData(df).isDefined
+    if (!already) {
+      df.cache()
+      val buf = active.get()
+      if (buf != null) buf += df
+    }
     df
   }
 

@@ -34,11 +34,14 @@ object Dedup {
     Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_dups
       FROM documents GROUP BY text ORDER BY keep_id"""))
 
-  /** Distinct word-3-gram shingle sets per document (docs with < 3 tokens
-    * are excluded on both engines — see [[Dsl.shingles3]]). */
-  private def shingleSets(s: SparkSession, d: String): DataFrame = {
+  /** Distinct word-3-gram shingle sets over an arbitrary (doc_id, text)
+    * frame (docs with < 3 tokens are excluded on both engines — see
+    * [[Dsl.shingles3]]). Frame-parameterized so the persisted-index
+    * lifecycle ([[LshBandIndex]]) can shingle a corpus slice or a
+    * nightly batch with the exact q36/q37 semantics. */
+  private[operators] def shingleSetsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.TextFunctions.register(s)
-    Tables.documents(s, d)
+    docs
       // The documents parquet arrives in O(1) partitions; spread the
       // per-row shingling/hashing work across all cores before computing
       // it (explicit partition count — AQE would coalesce a keyed
@@ -50,6 +53,9 @@ object Dedup {
       // array_distinct(shingles3(t)) — see DistinctShingles scaladoc
       .select(col("doc_id"), expr("distinct_shingles(t, 3)").as("sh"))
   }
+
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    shingleSetsOf(s, Tables.documents(s, d))
 
   private val sqlShingleSets =
     s"""t AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
@@ -81,8 +87,13 @@ object Dedup {
     * whatever consumes it. `hs` is a separate projection level so the
     * expensive md5 transform is evaluated once, not once per rehash
     * (CollapseProject keeps non-cheap multi-referenced aliases). */
-  private def signedSets(s: SparkSession, d: String): DataFrame = {
-    val withHs = shingleSets(s, d).withColumn("hs",
+  private def signedSets(s: SparkSession, d: String): DataFrame =
+    signedSetsOf(s, Tables.documents(s, d))
+
+  /** [[signedSets]] over an arbitrary (doc_id, text) frame — the
+    * [[LshBandIndex]] entry point. */
+  private[operators] def signedSetsOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    val withHs = shingleSetsOf(s, docs).withColumn("hs",
       transform(col("sh"), x => md5h61(x).cast(DecimalType(38, 0))))
     val mhCols = (0 until K).map { k =>
       val (a, b) = affine(k)
@@ -118,6 +129,10 @@ object Dedup {
     * band (2 rows/band). */
   private def bandCol(b: Int): Column =
     md5(concat_ws(",", col(mhNames(2 * b)), col(mhNames(2 * b + 1))).cast("binary"))
+
+  /** All band hash columns in band order (consumed positionally by the
+    * band posexplode in [[LshBandIndex]] and [[scoredPairs]]). */
+  private[operators] def bandColumns: Seq[Column] = (0 until Bands).map(bandCol)
 
   private def sqlBandExpr(b: Int): String =
     s"md5(concat_ws(',', ${mhNames(2 * b)}, ${mhNames(2 * b + 1)}))"
