@@ -46,8 +46,12 @@ object CacheScope {
     * unpersist — re-registering here would let an inner scope free a
     * cache its outer consumers still need. */
   def cached(df: DataFrame): DataFrame = {
+    // sql.DataFrame is the interface type in Spark 4; CacheManager's
+    // probe takes the classic implementation (always what a local
+    // session hands out)
     val already = df.sparkSession.sharedState.cacheManager
-      .lookupCachedData(df).isDefined
+      .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .isDefined
     if (!already) {
       df.cache()
       val buf = active.get()

@@ -35,15 +35,26 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the legacy conf and
-    * convert to a proper timestamp (integer `div` — double math would lose
-    * precision above 2^53 ns). */
+  /** events.ts has shipped in two physical layouts across driver
+    * testdata generations: parquet TIMESTAMP(NANOS) — which Spark 4
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]) unless read as raw nanos
+    * via the legacy conf and converted (integer `div` — double math
+    * would lose precision above 2^53 ns) — and, since the round-10
+    * regeneration, plain TIMESTAMP(MICROS) without isAdjustedToUTC,
+    * which arrives as TIMESTAMP_NTZ. Branch on the arrived type; every
+    * graft session pins spark.sql.session.timeZone=UTC, so the
+    * NTZ→timestamp cast is value-preserving and matches DuckDB's naive
+    * reading of the same file. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
+    }
+    raw.withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

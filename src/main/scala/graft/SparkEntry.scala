@@ -30,6 +30,7 @@ object Registry {
       operators.TpchMore.all ++
       operators.TextAnalysis.all ++
       operators.Dedup.all ++
+      operators.LshBandIndex.all ++
       operators.Similarity.all ++
       operators.Pipelines.all ++
       operators.Sampling.all ++

@@ -57,7 +57,7 @@ object Dedup {
   private def shingleSets(s: SparkSession, d: String): DataFrame =
     shingleSetsOf(s, Tables.documents(s, d))
 
-  private val sqlShingleSets =
+  private[operators] val sqlShingleSets =
     s"""t AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
        sets AS (SELECT doc_id, list_distinct(${sqlShingles3("t")}) AS sh
                 FROM t WHERE len(t) >= 3)"""
@@ -107,7 +107,7 @@ object Dedup {
   private def signatures(s: SparkSession, d: String): DataFrame =
     signedSets(s, d).drop("sh")
 
-  private val sqlSignatures = {
+  private[operators] val sqlSignatures = {
     val aggs = (0 until K).map { k =>
       val (a, b) = affine(k)
       s"min(cast((${a}::hugeint * h + ${b}::hugeint) % ${P61}::hugeint as bigint)) AS ${mhNames(k)}"
@@ -136,6 +136,12 @@ object Dedup {
 
   private def sqlBandExpr(b: Int): String =
     s"md5(concat_ws(',', ${mhNames(2 * b)}, ${mhNames(2 * b + 1)}))"
+
+  /** SQL twin of [[bandColumns]]: `(doc_id, band_id, bh)` rows over the
+    * `sig` CTE — shared by the q37-family oracles and [[LshBandIndex]]. */
+  private[operators] val sqlBandsAll: String = (0 until Bands).map(b =>
+    s"SELECT doc_id, $b AS band_id, ${sqlBandExpr(b)} AS bh FROM sig")
+    .mkString(" UNION ALL ")
 
   /** q37: MinHash-LSH near-dup pairs. Candidates = docs sharing any band
     * bucket; verified with true shingle jaccard >= 0.8. Output carries the
@@ -202,9 +208,7 @@ object Dedup {
     * `bucketCap` mirrors the Spark side's band-bucket population cap so
     * both engines drop the identical buckets. */
   private def sqlVerified(bucketCap: Option[Long]): String = {
-    val bandSelects = (0 until Bands).map(b =>
-      s"SELECT doc_id, $b AS band_id, ${sqlBandExpr(b)} AS bh FROM sig")
-      .mkString(" UNION ALL ")
+    val bandSelects = sqlBandsAll
     val matchSum = mhNames.map(m =>
       s"CASE WHEN x.$m = y.$m THEN 1 ELSE 0 END").mkString(" + ")
     val capChain = bucketCap.map(cap =>

@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH band-bucket index — the incremental NEAR-dup
+  * admit shape (q127/q158 do exact-hash incremental admit; production
+  * pipelines admit nightly batches against a persisted LSH index so a
+  * lightly-edited repost is caught too).
+  *
+  * Reference behavior generalized: the reference app recomputes its
+  * pandas dedup over the full corpus on every ingest
+  * (/root/reference/backend: the upload path re-runs clean+drop_duplicates
+  * over the accumulated frame); at 100 TB the corpus must instead be
+  * summarized ONCE into an index the nightly batch probes. Same
+  * lifecycle discipline as [[IvfIndex]] (build once / probe many /
+  * append survivors), applied to q37's LSH sketch (Dedup.scala).
+  *
+  * The index is two parquet tables:
+  *   - `bands/` — (band_id, bh, doc_id): one row per (doc, band); the
+  *     probe is an equi-join on (band_id, bh). At cluster scale this
+  *     table would be written bucketed by `bh` so nightly probes
+  *     shuffle only the (small) batch side; local parquet has no
+  *     metastore, so build() approximates with a hash-repartition on
+  *     `bh` and the join broadcasts the batch side anyway.
+  *   - `sets/`  — (doc_id, sh): distinct word-3-gram shingle sets,
+  *     read ONLY to verify exact jaccard on band-collision candidates
+  *     (never the corpus text — the index is self-contained, so admit
+  *     never touches the original documents table: LshBandIndexSpec
+  *     pins every file scan of the probe plan under the index dir).
+  *
+  * Admit semantics (one row per shingle-eligible batch doc):
+  * rejected iff it has a verified (exact jaccard ≥ [[Threshold]]) match
+  * in the index, or a verified match to a SMALLER-id doc of its own
+  * batch (greedy keep-first, the q127/q145/q152 convention — a doc
+  * rejected only for a prior-dup is still covered on the next replay
+  * because its admitted prior is then in the index). Survivors append
+  * their band and set rows; existing index rows are never read back,
+  * rewritten, or re-verified.
+  */
+object LshBandIndex {
+
+  /** Exact-jaccard verification threshold (q37's published semantics). */
+  val Threshold = 0.8
+
+  private def bandsOf(signed: DataFrame): DataFrame =
+    signed.select(col("doc_id"),
+      posexplode(array(Dedup.bandColumns: _*)).as(Seq("band_id", "bh")))
+
+  /** Build the index over a (doc_id, text) corpus frame. One linear
+    * pass: signatures are a per-row projection (Dedup.signedSetsOf),
+    * cached once so the two table writes share the computation. */
+  def build(spark: SparkSession, corpus: DataFrame, indexDir: String): Unit = {
+    val signed = Dedup.signedSetsOf(spark, corpus).cache()
+    try {
+      bandsOf(signed)
+        .repartition(col("bh")) // co-locate buckets (bucketed-write stand-in)
+        .write.mode("overwrite").parquet(s"$indexDir/bands")
+      signed.select("doc_id", "sh")
+        .write.mode("overwrite").parquet(s"$indexDir/sets")
+    } finally { signed.unpersist(); () }
+  }
+
+  /** Admit audit over explicit index frames: one row per batch doc with
+    * verified-match counts and the admit bit. Shared verbatim by the
+    * persisted lifecycle ([[admit]]) and the oracle-checked registry
+    * instance (q159) — the registry form IS this audit with the corpus
+    * slice standing in for the index tables. */
+  private def audit(signedBatch: DataFrame, indexBands: DataFrame,
+      indexSets: DataFrame): DataFrame = {
+    val bB = bandsOf(signedBatch)
+    // candidates: any shared band bucket (8 bands x 2 rows — the q37
+    // recall envelope); the distinct collapses multi-band collisions
+    // before the shingle-set join-back so each pair is verified once
+    val candIdx = bB.as("b").join(indexBands.as("c"),
+        col("b.band_id") === col("c.band_id") && col("b.bh") === col("c.bh"))
+      .select(col("b.doc_id").as("doc_id"), col("c.doc_id").as("index_id"))
+      .distinct()
+    val candPrior = bB.as("x").join(bB.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") > col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("prior_id"))
+      .distinct()
+    val bsh = signedBatch.select(col("doc_id"), col("sh"))
+    def verifiedCount(cand: DataFrame, otherKey: String, otherSets: DataFrame,
+        out: String): DataFrame = {
+      val a = bsh.select(col("doc_id"), col("sh").as("sh_a"))
+      val b = otherSets.select(col("doc_id").as(otherKey), col("sh").as("sh_b"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      cand.join(a, "doc_id").join(b, otherKey)
+        .filter((inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter)) >= Threshold)
+        .groupBy("doc_id").agg(count(lit(1)).as(out))
+    }
+    val vIdx = verifiedCount(candIdx, "index_id", indexSets, "n_index_dups")
+    val vPrior = verifiedCount(candPrior, "prior_id", bsh, "n_prior_dups")
+    signedBatch.select("doc_id")
+      .join(vIdx, Seq("doc_id"), "left")
+      .join(vPrior, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_index_dups"), lit(0L)).as("n_index_dups"),
+        coalesce(col("n_prior_dups"), lit(0L)).as("n_prior_dups"))
+      .withColumn("admitted",
+        when(col("n_index_dups") === 0L && col("n_prior_dups") === 0L, 1L)
+          .otherwise(0L))
+  }
+
+  /** Probe only: verified (batch doc, index doc, jaccard) matches of a
+    * (doc_id, text) batch against the persisted index — no writes, no
+    * batch-internal gate. The index side contributes band rows to the
+    * equi-join and shingle sets to the verification; the corpus text is
+    * never touched. */
+  def probe(spark: SparkSession, batch: DataFrame, indexDir: String)
+      : DataFrame = {
+    val signed = Dedup.signedSetsOf(spark, batch)
+    val iBands = spark.read.parquet(s"$indexDir/bands")
+      .select(col("band_id"), col("bh"), col("doc_id").as("index_id"))
+    val cand = bandsOf(signed).as("b")
+      .join(iBands,
+        col("b.band_id") === iBands("band_id") && col("b.bh") === iBands("bh"))
+      .select(col("b.doc_id").as("doc_id"), col("index_id")).distinct()
+    val iSets = spark.read.parquet(s"$indexDir/sets")
+      .select(col("doc_id").as("index_id"), col("sh").as("sh_b"))
+    val a = signed.select(col("doc_id"), col("sh").as("sh_a"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    cand.join(a, "doc_id").join(iSets, "index_id")
+      .select(col("doc_id"), col("index_id"),
+        (inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= Threshold)
+      .orderBy("doc_id", "index_id")
+  }
+
+  /** Nightly admit against a persisted index: audits the batch, then
+    * (by default) appends the survivors' band/set rows. EAGER — the
+    * audit is materialized (localCheckpoint) BEFORE the append so the
+    * returned frame cannot lazily re-probe an index that now contains
+    * the survivors themselves (which would flip every admitted row to
+    * rejected-at-jaccard-1.0 on re-evaluation). */
+  def admit(spark: SparkSession, batch: DataFrame, indexDir: String,
+      appendSurvivors: Boolean = true): DataFrame = {
+    val signed = Dedup.signedSetsOf(spark, batch).cache()
+    try {
+      val iBands = spark.read.parquet(s"$indexDir/bands")
+      val iSets = spark.read.parquet(s"$indexDir/sets")
+      val a = audit(signed, iBands, iSets).orderBy("doc_id").localCheckpoint()
+      if (appendSurvivors) {
+        val surv = signed.join(
+          a.filter(col("admitted") === 1L).select("doc_id"), "doc_id")
+        bandsOf(surv).write.mode("append").parquet(s"$indexDir/bands")
+        surv.select("doc_id", "sh").write.mode("append").parquet(s"$indexDir/sets")
+      }
+      a
+    } finally { signed.unpersist(); () }
+  }
+
+  /** q159: the oracle-checked registry twin of [[admit]] — corpus =
+    * doc_id % 10 < 8 plays the persisted index, batch = the rest
+    * (the q127/q158 split convention). The registry form recomputes
+    * corpus signatures because the oracle needs self-contained SQL; the
+    * persisted lifecycle ([[build]]/[[admit]]) reads them from the index
+    * parquet instead, and LshBandIndexSpec pins the two paths equal. */
+  val admitQ: Q = Q(
+    "q159_lsh_index_admit",
+    (s, d) => {
+      val signed = graft.CacheScope.cached(
+        Dedup.signedSetsOf(s, Tables.documents(s, d)))
+      val corpus = signed.filter(col("doc_id") % 10 < 8)
+      val batch = signed.filter(col("doc_id") % 10 >= 8)
+      audit(batch, bandsOf(corpus), corpus.select("doc_id", "sh"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${Dedup.sqlShingleSets}, ${Dedup.sqlSignatures},
+      bands_all AS MATERIALIZED (${Dedup.sqlBandsAll}),
+      cb AS (SELECT doc_id, band_id, bh FROM bands_all WHERE doc_id % 10 < 8),
+      bb AS MATERIALIZED (
+        SELECT doc_id, band_id, bh FROM bands_all WHERE doc_id % 10 >= 8),
+      candc AS (SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS index_id
+        FROM bb b JOIN cb c ON b.band_id = c.band_id AND b.bh = c.bh),
+      candp AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS prior_id
+        FROM bb x JOIN bb y
+          ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id > y.doc_id),
+      vc AS (SELECT c.doc_id, cast(count(*) as bigint) AS n_index_dups
+        FROM candc c JOIN sets p ON p.doc_id = c.doc_id
+                     JOIN sets q ON q.doc_id = c.index_id
+        WHERE cast(len(list_intersect(p.sh, q.sh)) as double) /
+          (len(p.sh) + len(q.sh) - len(list_intersect(p.sh, q.sh)))
+          >= $Threshold
+        GROUP BY 1),
+      vp AS (SELECT c.doc_id, cast(count(*) as bigint) AS n_prior_dups
+        FROM candp c JOIN sets p ON p.doc_id = c.doc_id
+                     JOIN sets q ON q.doc_id = c.prior_id
+        WHERE cast(len(list_intersect(p.sh, q.sh)) as double) /
+          (len(p.sh) + len(q.sh) - len(list_intersect(p.sh, q.sh)))
+          >= $Threshold
+        GROUP BY 1)
+      SELECT s.doc_id,
+        coalesce(vc.n_index_dups, 0) AS n_index_dups,
+        coalesce(vp.n_prior_dups, 0) AS n_prior_dups,
+        cast(CASE WHEN coalesce(vc.n_index_dups, 0) = 0
+          AND coalesce(vp.n_prior_dups, 0) = 0 THEN 1 ELSE 0 END as bigint)
+          AS admitted
+      FROM (SELECT doc_id FROM sig WHERE doc_id % 10 >= 8) s
+      LEFT JOIN vc ON vc.doc_id = s.doc_id
+      LEFT JOIN vp ON vp.doc_id = s.doc_id
+      ORDER BY s.doc_id"""))
+
+  val all: Seq[Q] = Seq(admitQ)
+}

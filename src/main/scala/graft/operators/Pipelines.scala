@@ -34,6 +34,76 @@ object Pipelines {
     },
     None)
 
+  /** q50b — the hash-verified clustering twin of q50: one Lloyd
+    * iteration from a PINNED centroid set, so assignment AND centroid
+    * update are DuckDB-verified (the q98→q98b discipline: the seeded
+    * MLlib fit stays rows-only, the pinned-artifact variant makes the
+    * math oracle-checkable). Centroids are 10 md5-derived ±1 sign
+    * vectors (the q151 semCentroids discipline); assignment is the
+    * IvfIndex literal argmin (|c|² − 2·e·c, ties to the lower cell —
+    * zero shuffles, one scan); the update is the per-(cluster, dim)
+    * exact-decimal mean of assigned vectors — ONE shuffle on a key
+    * whose cardinality is k·dim = 640, regardless of corpus size (the
+    * explode carries (cluster, dim, v): map-side partial aggs collapse
+    * it before the exchange, so 100 TB of vectors reduce to 640 rows).
+    * Output: (cluster, dim, n_vecs, c_old, c_new); empty clusters emit
+    * no rows on either engine. */
+  private val LloydK = 10
+  private[graft] val lloydCentroids: Seq[(Int, Array[Double])] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    (0 until LloydK).map { c =>
+      (c, (0 until Similarity.EmbeddingDim).map { i =>
+        val h = mdig.digest(s"kmb:$c:$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1.0 else -1.0
+      }.toArray)
+    }
+  }
+
+  val kmeansLloydStep: Q = Q(
+    "q50b_kmeans_lloyd_step",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val w = Tables.embeddings(s, d)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("vec_id")) // single-file parquet -> use all cores
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+      val assigned = IvfIndex.assignToCentroids(w, lloydCentroids)
+      val ev = assigned.select(col("cell").as("cluster"),
+        posexplode(col("e")).as(Seq("dim", "v")))
+      val cOldRow = element_at(
+        typedlit(lloydCentroids.map(_._2.toSeq)), col("cluster") + 1)
+      ev.groupBy("cluster", "dim")
+        .agg(count(lit(1)).as("n_vecs"), davg(col("v")).as("c_new"))
+        .select(col("cluster"), col("dim"), col("n_vecs"),
+          element_at(cOldRow, col("dim") + 1).as("c_old"), col("c_new"))
+        .orderBy("cluster", "dim")
+    },
+    Some {
+      val dim = Similarity.EmbeddingDim
+      val scores = lloydCentroids.map { case (cellId, c) =>
+        val c2 = c.map(v => v * v).sum
+        val arr = c.map(v => s"$v").mkString("[", ", ", "]")
+        s"($c2 - 2.0 * list_reduce(list_transform(generate_series(1, $dim), i -> ($arr::double[])[i] * e[i]), (x, y) -> x + y))"
+      }.mkString(", ")
+      val cOld = lloydCentroids
+        .map(_._2.map(v => s"$v").mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")
+      s"""WITH ed AS (SELECT vec_id,
+          list_transform(embedding, x -> cast(x as double)) AS e
+          FROM embeddings),
+        sc AS (SELECT vec_id, e, [$scores] AS scores FROM ed),
+        cells AS (SELECT vec_id, e,
+          cast(list_position(scores, list_min(scores)) - 1 as int) AS cluster
+          FROM sc),
+        ev AS (SELECT cluster, cast(i - 1 as int) AS dim, e[i] AS v
+          FROM cells, unnest(generate_series(1, $dim)) AS u(i))
+        SELECT cluster, dim, cast(count(*) as bigint) AS n_vecs,
+          ($cOld::double[][])[cluster + 1][dim + 1] AS c_old,
+          ${sqlDavg("v")} AS c_new
+        FROM ev GROUP BY cluster, dim ORDER BY cluster, dim"""
+    })
+
   /** RandomForest regression on lineitem (predict extendedprice from
     * quantity/discount/tax; seed=42, maxBins=64 like the reference's RF
     * stage) → one row with the training RMSE and row count. */
@@ -274,7 +344,8 @@ object Pipelines {
       FROM ev e JOIN cohort c ON e.user_id = c.user_id
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  val all: Seq[Q] = Seq(kmeansEmbeddings, rfRegression, streamWindow60s,
+  val all: Seq[Q] = Seq(kmeansEmbeddings, kmeansLloydStep, rfRegression,
+    streamWindow60s,
     asofJoin, approxDistinct, rangeJoin, annBatch, gapFill, funnel,
     retention)
 }

@@ -807,17 +807,21 @@ object TrainingPrep {
   private[graft] def bpeSymCount(c: org.apache.spark.sql.Column) =
     size(filter(split(c, BpeSep2), v => v =!= ""))
 
+  /** The ONE corpus-width pass both learners share: (sym, freq) word
+    * histogram in the doubled-separator symbol encoding. */
+  private def bpeBase(docs: DataFrame): DataFrame = docs
+    .select(explode(
+      expr(s"regexp_extract_all(lower($StripSep), '$BpePat', 0)")).as("w"))
+    .groupBy("w").agg(count(lit(1)).as("freq"))
+    .select(bpeWrap(col("w")).as("sym"), col("freq"))
+
   /** The q147 merge loop, exposed for the learner-vs-encoder law: runs
     * k iterations over `docs` and returns the merge table plus the
     * FINAL (sym, freq) word frame, still localCheckpoint-ed — the
     * caller owns unpersisting it. */
   private[graft] def learnBpe(s: SparkSession, docs: DataFrame, k: Int)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
-    val base = docs
-      .select(explode(
-        expr(s"regexp_extract_all(lower($StripSep), '$BpePat', 0)")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(bpeWrap(col("w")).as("sym"), col("freq"))
+    val base = bpeBase(docs)
     // Lineage discipline: a checkpoint EVERY merge costs one
     // materialization job per iteration (2k Spark jobs for k merges,
     // fixed scheduling overhead each). Instead let up to CkptEvery
@@ -875,11 +879,99 @@ object TrainingPrep {
     (merges.toSeq, fin)
   }
 
+  /** Unsigned UTF-8 byte-wise `<` — the collation Spark (UTF8String)
+    * and DuckDB (binary) both use for ORDER BY, so the driver-side
+    * tie-break below is bit-identical to the engines'. (JVM
+    * String.compareTo orders by UTF-16 code unit, which diverges for
+    * supplementary characters.) */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Driver-side histogram learner — the path that makes production
+    * vocab sizes (k ≈ 32k) tractable. The distributed loop pays one
+    * vocabulary-sized aggregate JOB per merge: at k=50 that is already
+    * ~4 s of pure scheduling latency at sf0.1, and k=32k would be
+    * hours — while the (sym, freq) histogram the loop iterates over is
+    * VOCABULARY-sized (bounded by distinct pre-tokenizer pieces, a few
+    * million rows for any corpus — Zipf, not linear in corpus bytes).
+    * So: run the ONE corpus-width pass distributed ([[bpeBase]] — the
+    * only stage that grows with corpus size), and when the histogram
+    * fits `collectBudget` rows, collect it and run the merge loop in
+    * driver memory — the same plan HuggingFace tokenizers uses
+    * (distributed word count, in-memory merge training). Semantics are
+    * BIT-IDENTICAL to [[learnBpe]] by construction: same overlapping
+    * adjacent-pair counting (freq-weighted), same (cnt DESC, a, b)
+    * tie-break under the engines' binary collation ([[utf8Lt]]), and
+    * Java String.replace is the same left-to-right non-rescanning
+    * greedy merge as Spark's StringReplace — TrainingPrepSpec pins the
+    * two paths equal merge-for-merge. Returns None when the histogram
+    * exceeds the budget (caller falls back to the distributed loop). */
+  private[graft] def learnBpeHist(s: SparkSession, docs: DataFrame, k: Int,
+      collectBudget: Long = 1L << 20)
+      : Option[(Seq[(Long, String, String, Long)], DataFrame)] = {
+    val base = bpeBase(docs).cache()
+    try {
+      if (base.count() > collectBudget) None
+      else {
+        var words = base.collect().map(r => (r.getString(0), r.getLong(1)))
+        val sepPat = java.util.regex.Pattern.quote(BpeSep2)
+        val merges =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+        var rank = 1L
+        var done = false
+        while (rank <= k && !done) {
+          val cnt = new java.util.HashMap[(String, String), Long]()
+          for ((sym, freq) <- words) {
+            val t = sym.split(sepPat, -1).filter(_.nonEmpty)
+            var i = 0
+            while (i + 1 < t.length) {
+              cnt.merge((t(i), t(i + 1)), freq, (p, q) => p + q)
+              i += 1
+            }
+          }
+          if (cnt.isEmpty) done = true
+          else {
+            var best: ((String, String), Long) = null
+            cnt.forEach { (p, c) =>
+              if (best == null || c > best._2 ||
+                (c == best._2 && (utf8Lt(p._1, best._1._1) ||
+                  (p._1 == best._1._1 && utf8Lt(p._2, best._1._2)))))
+                best = (p, c)
+            }
+            val ((a, b), c) = best
+            merges += ((rank, a, b, c))
+            val pat = BpeSep + a + BpeSep2 + b + BpeSep
+            val rep = BpeSep + a + b + BpeSep
+            words = words.map { case (sym, f) => (sym.replace(pat, rep), f) }
+            rank += 1
+          }
+        }
+        val s2 = s
+        import s2.implicits._
+        Some((merges.toSeq, words.toSeq.toDF("sym", "freq")))
+      }
+    } finally { base.unpersist(); () }
+  }
+
+  /** Histogram fast path when the vocab fits the collect budget (always,
+    * for any realistic corpus), distributed loop otherwise. */
+  private[graft] def learnBpeAuto(s: SparkSession, docs: DataFrame, k: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) =
+    learnBpeHist(s, docs, k).getOrElse(learnBpe(s, docs, k))
+
   val bpeMerges: Q = Q(
     "q147_bpe_merges",
     (s, d) => {
       import s.implicits._
-      val (merges, fin) = learnBpe(s, Tables.documents(s, d), BpeK)
+      val (merges, fin) = learnBpeAuto(s, Tables.documents(s, d), BpeK)
       fin.unpersist()
       merges.toDF("rank", "pair_a", "pair_b", "freq").orderBy("rank")
     },

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Persisted LSH band-bucket index lifecycle (build / probe / admit /
+  * append), pinned against the oracle-checked registry twin q159 and
+  * replay-tested: once a batch has been admitted, re-admitting it must
+  * reject every doc. */
+class LshBandIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private def corpusDocs = Tables.documents(spark, sf)
+    .filter(col("doc_id") % 10 < 8).select("doc_id", "text")
+  private def batchDocs = Tables.documents(spark, sf)
+    .filter(col("doc_id") % 10 >= 8).select("doc_id", "text")
+
+  private def freshIndex(): String = {
+    val dir = Files.createTempDirectory("graft-lsh-index").toFile
+    dir.deleteOnExit()
+    operators.LshBandIndex.build(spark, corpusDocs, dir.getAbsolutePath)
+    dir.getAbsolutePath
+  }
+
+  test("persisted-index admit matches the oracle-checked registry twin q159") {
+    val dir = freshIndex()
+    val got = operators.LshBandIndex
+      .admit(spark, batchDocs, dir, appendSurvivors = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = SparkEntry.queries("q159_lsh_index_admit")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq,
+      "lifecycle admit diverged from the registry/oracle semantics")
+    assert(got.nonEmpty && got.exists(_._4 == 1L), "no admitted docs — vacuous")
+  }
+
+  test("replay: after append, re-admitting the same batch rejects every doc") {
+    val dir = freshIndex()
+    val first = operators.LshBandIndex.admit(spark, batchDocs, dir)
+      .collect()
+    val admitted = first.filter(_.getLong(3) == 1L).map(_.getLong(0)).toSet
+    assert(admitted.nonEmpty, "first admit must admit something")
+    // survivors are now IN the index: each re-probed doc finds itself at
+    // jaccard 1.0; docs first rejected for a prior-dup now match their
+    // admitted prior in the index
+    val second = operators.LshBandIndex.admit(spark, batchDocs, dir,
+      appendSurvivors = false).collect()
+    assert(second.forall(_.getLong(3) == 0L),
+      s"replay admitted ${second.count(_.getLong(3) == 1L)} docs — append not served")
+    // and the previously-admitted docs specifically are caught by the
+    // index side (n_index_dups >= 1), not just the batch-internal gate
+    second.filter(r => admitted(r.getLong(0))).foreach { r =>
+      assert(r.getLong(1) >= 1L,
+        s"doc ${r.getLong(0)} was appended but the index probe missed it")
+    }
+  }
+
+  test("planted near-dup is rejected by the index; fresh text is admitted") {
+    import spark.implicits._
+    val dir = freshIndex()
+    // near-dup: a corpus doc's text with one token appended (jaccard of
+    // 3-gram shingle sets stays >> 0.8 for 10-99-token docs); fresh: a
+    // token sequence that exists nowhere in the synthetic vocabulary
+    val donor = corpusDocs.orderBy("doc_id").limit(1)
+      .collect().head.getString(1)
+    val fresh = (1 to 30).map(i => s"zq$i").mkString(" ")
+    val batch = Seq(
+      (900001L, donor + " extra"),
+      (900002L, fresh)).toDF("doc_id", "text")
+    val rows = operators.LshBandIndex
+      .admit(spark, batch, dir, appendSurvivors = false)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(3)))).toMap
+    assert(rows(900001L)._1 >= 1L && rows(900001L)._2 == 0L,
+      s"planted near-dup not caught: ${rows(900001L)}")
+    assert(rows(900002L)._1 == 0L && rows(900002L)._2 == 1L,
+      s"fresh doc not admitted: ${rows(900002L)}")
+  }
+
+  test("probe plan touches only the index parquet, and bands reads no shingle sets") {
+    import spark.implicits._
+    val batch = Seq((900001L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val df = operators.LshBandIndex.probe(spark, batch,
+      freshIndex())
+    df.collect()
+    // sparkPlan (pre-AQE): AdaptiveSparkPlanExec is a leaf — collect
+    // can't descend into it (the PlanAuditSpec.scanMeta discipline)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "expected file scans over the index")
+    scans.foreach { s =>
+      val loc = s.relation.location.rootPaths.map(_.toString).mkString(",")
+      assert(loc.contains("graft-lsh-index"),
+        s"probe scanned a non-index file: $loc")
+      if (loc.contains("/bands")) {
+        val cols = s.requiredSchema.fieldNames.toSet
+        assert(cols == Set("band_id", "bh", "doc_id"),
+          s"bands scan read unexpected columns: $cols")
+      }
+    }
+    // the corpus documents table itself must never appear
+    val all = df.queryExecution.sparkPlan.toString
+    assert(!all.contains("documents.parquet"),
+      "probe plan reads the corpus documents table — index not self-contained")
+  }
+}

@@ -377,4 +377,50 @@ class TrainingPrepSpec extends AnyFunSuite {
         s"learner final state counts $learnerTotal tokens, encoder replay $encodeTotal")
     } finally { fin.unpersist(); () }
   }
+
+  test("driver-side histogram BPE is bit-equal to the distributed loop") {
+    // the q147 fast path: same corpus pass, merge loop in driver memory
+    // — every (rank, pair_a, pair_b, freq) row must match the
+    // distributed learner's, and so must the final word state
+    val docs = Tables.documents(spark, sf)
+    val (distMerges, distFin) = operators.TrainingPrep.learnBpe(spark, docs, 50)
+    val (histMerges, histFin) = operators.TrainingPrep
+      .learnBpeHist(spark, docs, 50).getOrElse(fail("histogram path declined"))
+    try {
+      assert(histMerges == distMerges,
+        s"merge tables diverge at rank ${
+          histMerges.zip(distMerges).indexWhere(p => p._1 != p._2) + 1}")
+      val d = distFin.orderBy("sym").collect().map(r => (r.getString(0), r.getLong(1)))
+      val h = histFin.orderBy("sym").collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(d.toSeq == h.toSeq, "final word states diverge")
+    } finally { distFin.unpersist(); () }
+  }
+
+  test("histogram BPE reaches production k: k=500 within 2x the k=50 wall time") {
+    // the scale criterion for the fast path: merges are driver-memory
+    // cheap, so pushing k 10x costs only the in-memory loop — the
+    // corpus pass dominates both runs. (The distributed loop pays one
+    // vocabulary-wide aggregate JOB per merge and could never satisfy
+    // this.) Warm-up first so JIT/caching noise doesn't skew run 1.
+    val docs = Tables.documents(spark, sf)
+    operators.TrainingPrep.learnBpeHist(spark, docs, 5)
+    def time(k: Int): (Long, Int) = {
+      val t0 = System.nanoTime()
+      val (m, _) = operators.TrainingPrep.learnBpeHist(spark, docs, k)
+        .getOrElse(fail("histogram path declined"))
+      ((System.nanoTime() - t0) / 1000000, m.size)
+    }
+    val (t50, n50) = time(50)
+    val (t500, n500) = time(500)
+    assert(n50 == 50)
+    // sf0.001's vocab may exhaust pairable symbols before 500 merges;
+    // the loop must then terminate cleanly, still having passed k=50
+    assert(n500 > n50, s"k=500 learned only $n500 merges")
+    // prefix stability: larger k only APPENDS merges
+    val (m500, _) = operators.TrainingPrep.learnBpeHist(spark, docs, 500).get
+    val (m50, _) = operators.TrainingPrep.learnBpeHist(spark, docs, 50).get
+    assert(m500.take(50) == m50, "k=500 run diverges from k=50 prefix")
+    assert(t500 < 2 * t50 + 2000,
+      s"k=500 took ${t500}ms vs k=50 ${t50}ms — fast path not amortizing")
+  }
 }
