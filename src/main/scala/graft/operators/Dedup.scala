@@ -20,7 +20,7 @@ object Dedup {
   import Dsl._
 
   private val K = 16    // minhash signature length
-  private val Bands = 8 // 8 bands × 2 rows (high recall at jaccard ≥ 0.8)
+  private[graft] val Bands = 8 // 8 bands × 2 rows (high recall at jaccard ≥ 0.8)
   private val mhNames = (0 until K).map(k => f"mh$k%02d")
 
   /** Exact dedup: group by full text, keep the minimum doc_id. */
@@ -133,6 +133,35 @@ object Dedup {
   /** All band hash columns in band order (consumed positionally by the
     * band posexplode in [[LshBandIndex]] and [[scoredPairs]]). */
   private[operators] def bandColumns: Seq[Column] = (0 until Bands).map(bandCol)
+
+  /** Append a `bands` column (the 8 LSH band hashes, in band order) to
+    * ANY frame with a text column — q36/q37's exact shingle → minhash →
+    * band math as one narrow per-row projection chain that keeps every
+    * input column (no repartition, no pruning), so event-time/watermark
+    * columns survive: the streaming near-dup gate's entry point
+    * (StreamIngest.nearDedupStream). Docs with < 3 tokens have no
+    * shingles and get a NULL `bands` (an empty-shingle band hash would
+    * make all short docs collide with each other). Interior projection
+    * levels keep the expensive md5 transform single-evaluated
+    * (CollapseProject keeps non-cheap multi-referenced aliases — the
+    * signedSetsOf discipline). */
+  private[graft] def withBands(df: DataFrame, textCol: String): DataFrame = {
+    graft.functions.TextFunctions.register(df.sparkSession)
+    val base = df
+      .withColumn("__sh", when(size(toks(col(textCol))) >= 3,
+        call_function("distinct_shingles", toks(col(textCol)), lit(3))))
+      .withColumn("__hs", transform(col("__sh"),
+        x => md5h61(x).cast(DecimalType(38, 0))))
+    val withMh = (0 until K).foldLeft(base) { (acc, k) =>
+      val (a, b) = affine(k)
+      acc.withColumn(mhNames(k), array_min(transform(col("__hs"),
+        h => ((lit(BigDecimal(a)) * h + lit(BigDecimal(b))) % lit(BigDecimal(P61)))
+          .cast(LongType))))
+    }
+    withMh
+      .withColumn("bands", when(col("__sh").isNotNull, array(bandColumns: _*)))
+      .drop(Seq("__sh", "__hs") ++ mhNames: _*)
+  }
 
   private def sqlBandExpr(b: Int): String =
     s"md5(concat_ws(',', ${mhNames(2 * b)}, ${mhNames(2 * b + 1)}))"

@@ -119,4 +119,95 @@ object IvfIndex {
     * with no error anywhere). */
   private def Tables_normed(s: SparkSession, d: String): DataFrame =
     Similarity.normed(s, d)
+
+  /** Per-cell index health: population and mean squared displacement of
+    * member vectors from their STORED centroid. [[appendVectors]]
+    * assigns without refit forever; under skewed appends a cell's
+    * population and displacement both grow while its centroid stays
+    * where the original fit left it — recall then decays because nprobe
+    * cells no longer cover the query's true neighbors. This audit is
+    * the detection side: one scan of the index (k-bounded centroid
+    * literals, the [[assignToCentroids]] discipline; |e−c|² =
+    * nrm² − 2·e·c + |c|²), k rows out. Feed it a threshold to decide
+    * when [[rebalance]] is due. */
+  def driftAudit(spark: SparkSession, indexDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+    val whens = cents.sortBy(_._1).map { case (cell, c) =>
+      val c2 = c.map(x => x * x).sum
+      when(col("cell") === cell,
+        col("nrm") * col("nrm") - lit(2.0) * call_function("dot_product",
+          col("e"), array(c.toSeq.map(lit): _*)) + lit(c2))
+    }
+    spark.read.parquet(s"$indexDir/vectors")
+      .withColumn("d2", coalesce(whens: _*))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), avg("d2").as("mean_disp2"))
+      .orderBy("cell")
+  }
+
+  /** Maintenance: re-split every cell whose population exceeds
+    * `factor` × the mean cell population. Each hot cell is re-fit
+    * LOCALLY (k=2 KMeans over just its members — work bounded by the
+    * hot cell, not the index), its rows rewritten under the original
+    * id + one freshly allocated id via DYNAMIC partition overwrite (the
+    * untouched cells' files are never read or rewritten — same
+    * touch-only-what-changed discipline as [[appendVectors]]), and the
+    * centroids table (k+splits rows, tiny) rewritten last so a reader
+    * racing the rebalance still resolves every cell directory. Returns
+    * the number of cells split. */
+  def rebalance(spark: SparkSession, indexDir: String,
+      factor: Double = 2.0, seed: Long = 1L): Int = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    graft.functions.VectorFunctions.register(spark)
+    val vecs = spark.read.parquet(s"$indexDir/vectors")
+    val counts = vecs.groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    if (counts.length < 2) return 0
+    val meanN = counts.map(_._2).sum.toDouble / counts.length
+    val hot = counts.filter(_._2 > factor * meanN).map(_._1).sorted
+    if (hot.isEmpty) return 0
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    var nextId = centroids.map(_._1).max + 1
+    val kept = scala.collection.mutable.ArrayBuffer(
+      centroids.filterNot(c => hot.contains(c._1)).toSeq: _*)
+    for (cellId <- hot) {
+      val members = vecs.filter(col("cell") === cellId)
+        .select("vec_id", "label", "e", "nrm")
+        .withColumn("fv", array_to_vector(col("e"))).cache()
+      try {
+        val km = new KMeans().setK(2).setSeed(seed)
+          .setFeaturesCol("fv").setPredictionCol("sub").fit(members)
+        val subCents = km.clusterCenters.map(_.toArray)
+        val subIds = Array(cellId, nextId)
+        nextId += 1
+        // localCheckpoint BEFORE the write: the target partition is the
+        // very one `members` reads — severing lineage materializes the
+        // assignment so the overwrite neither trips the
+        // read-path-conflict check nor races its own source files
+        val assigned = km.transform(members)
+          .withColumn("cell",
+            when(col("sub") === 0, lit(subIds(0))).otherwise(lit(subIds(1))))
+          .select("vec_id", "label", "e", "nrm", "cell")
+          .localCheckpoint()
+        assigned.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic") // writer-scoped, not session
+          .partitionBy("cell").parquet(s"$indexDir/vectors")
+        assigned.unpersist()
+        kept += ((subIds(0), subCents(0)))
+        kept += ((subIds(1), subCents(1)))
+      } finally { members.unpersist(); () }
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    kept.sortBy(_._1)
+      .map { case (c, arr) => (c, arr.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    hot.length
+  }
 }

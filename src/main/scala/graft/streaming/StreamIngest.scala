@@ -257,6 +257,40 @@ object StreamIngest {
     df.withWatermark(watermarkCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming NEAR-dup gate — q37's MinHash-LSH recall envelope on an
+    * infinite stream, with state bounded by the watermark the way
+    * [[dedupStream]] bounds exact dedup. Each doc's 8 band hashes
+    * (Dedup.withBands — the exact q36/q37 math as a narrow projection)
+    * are exploded to (band_id, bh) rows and deduplicated within the
+    * watermark: the output is each doc's FRESH band rows. A doc that
+    * emits all [[graft.operators.Dedup.Bands]] rows collided with
+    * nothing inside the watermark horizon; a doc that emits fewer
+    * shares ≥ 1 band bucket with an earlier doc — exactly q37's
+    * candidate condition (any shared band), so the gate's recall
+    * envelope matches the batch operator's. [[nearDedupAdmitted]]
+    * reduces a sink of fresh-band rows to the admitted doc ids.
+    * State per entry is one (band_id, bh) key — bounded by stream rate
+    * × watermark, never corpus size. Docs with < 3 tokens have no
+    * shingles (NULL bands) and are excluded here — a caller wanting
+    * them admitted unions them around the gate. */
+  def nearDedupStream(df: DataFrame, idCol: String, textCol: String,
+      watermarkCol: String, delay: String): DataFrame =
+    graft.operators.Dedup.withBands(df, textCol)
+      .filter(col("bands").isNotNull)
+      .withWatermark(watermarkCol, delay)
+      .select(col(idCol), col(watermarkCol),
+        posexplode(col("bands")).as(Seq("band_id", "bh")))
+      .dropDuplicatesWithinWatermark("band_id", "bh")
+
+  /** Batch reduction of [[nearDedupStream]] output (run it over the
+    * sink table, or per micro-batch in foreachBatch): doc ids whose
+    * every band was fresh — the admitted set. */
+  def nearDedupAdmitted(freshBands: DataFrame, idCol: String): DataFrame =
+    freshBands.groupBy(idCol)
+      .agg(count(lit(1)).as("n_fresh_bands"))
+      .filter(col("n_fresh_bands") === graft.operators.Dedup.Bands)
+      .select(idCol)
+
   /** Event-time upgrade of the tumbling window: 60 s windows with a
     * watermark for late data (SURVEY §2.12 'n/a in parity mode' path).
     * Works identically on batch and streaming frames. */

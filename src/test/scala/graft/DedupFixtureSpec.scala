@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The dedup family over a SKEWED-vocabulary, NEWLINE-bearing corpus —
+  * the two corpus shapes the driver testdata lacks (its vocabulary is
+  * flat and it encodes no newlines, so the q149 floor and the
+  * capped+hot decomposition were only ever measured on the
+  * hot-slice-unfriendly flat shape, and q152 registry-splits on a
+  * stopword token). This fixture pins both: tokens are drawn from a
+  * log-uniform (Zipf-ish) rank distribution over a 2,000-word
+  * vocabulary, docs are multi-paragraph with real `\n\n` breaks, and a
+  * boilerplate paragraph pool repeats across ~30% of paragraph slots —
+  * the power-law + boilerplate shape production corpora actually have.
+  * Everything is seed-fixed (Random(42)) so the assertions are exact.
+  */
+class DedupFixtureSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // ---- the fixture ----------------------------------------------------
+  private val V = 2000
+
+  private lazy val fixtureDir: String = {
+    import spark.implicits._
+    val rnd = new java.util.Random(42)
+    def tok(): String =
+      if (rnd.nextDouble() < 0.10) "the" // guarantees q152/q158's " the " splits fire
+      else {
+        val u = rnd.nextDouble()
+        val r = math.min(V - 1, math.floor(math.exp(u * math.log(V))).toInt)
+        s"w$r"
+      }
+    def para(n: Int): String = (0 until n).map(_ => tok()).mkString(" ")
+    val boiler = (0 until 5).map(_ => para(12))
+    val organic = (0 until 400).map { i =>
+      val nP = 2 + rnd.nextInt(4)
+      val paras = (0 until nP).map { _ =>
+        if (rnd.nextDouble() < 0.3) boiler(rnd.nextInt(boiler.size))
+        else para(8 + rnd.nextInt(10))
+      }
+      (i.toLong, paras.mkString("\n\n"))
+    }
+    // planted shapes (ids chosen so % 10 routes them as commented):
+    val base = (0 until 30).map(i => s"uniq$i").mkString(" ")
+    val short = (0 until 15).map(i => s"cont$i").mkString(" ")
+    val planted = Seq(
+      9000L -> base,                                  // corpus …
+      9001L -> (base + " extraxyz"),                  // … near-dup of 9000
+      9002L -> short,                                 // corpus …
+      9003L -> (short + " " + para(40)),              // … contains 9002 wholly
+      9008L -> organic.head._2)                       // batch clone of doc 0 (q158)
+    val docs = (organic ++ planted).toDF("doc_id", "text")
+    TestSpark.makeSfDir("documents" -> docs)
+  }
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, fixtureDir)
+
+  test("power-law fixture: the hot slice is a small, non-empty posting fraction") {
+    // the capped+hot decomposition's economics: n_hot joins back through
+    // ONLY postings with df > DfCap. On a flat vocabulary that slice was
+    // ~5% (12k of 260k); on this power-law + boilerplate corpus it must
+    // be present (else the hot path is untested) yet minor (else the
+    // decomposition buys nothing). Pin the band.
+    graft.functions.TextFunctions.register(spark)
+    val sets = Tables.documents(spark, fixtureDir)
+      .select(col("doc_id"), Dsl.toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr("distinct_shingles(t, 3)")).as("sg"))
+      .select(col("doc_id"), Dsl.md5h61(col("sg")).as("h"))
+    val withDf = sets.groupBy("h").agg(count(lit(1)).as("df"))
+    val total = sets.count().toDouble
+    val hot = sets.join(withDf.filter(col("df") > operators.Dedup.DfCap), "h").count()
+    val frac = hot / total
+    assert(frac > 0.01, s"hot slice $frac — fixture failed to create boilerplate")
+    assert(frac < 0.40, s"hot slice $frac — decomposition would stop paying")
+  }
+
+  test("q121 finds the planted near-dup on the skewed corpus and stays a subset of q76") {
+    val q121 = run("q121_ngram_jaccard_dfcap").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(q121.contains((9000L, 9001L)), "planted near-dup pair missed")
+    assert(q121((9000L, 9001L))._2 >= 0.8, "planted pair scored implausibly low")
+    val q76 = run("q76_ngram_jaccard_pairs").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // every capped pair must carry the EXACT full-set intersection the
+    // uncapped operator computes (the decomposition's core claim)
+    q121.foreach { case (k, v) =>
+      assert(q76.contains(k), s"pair $k in q121 but not q76")
+      assert(q76(k) == v, s"pair $k: capped $v vs exact ${q76(k)}")
+    }
+  }
+
+  test("q149 flags the planted quote (containment) that jaccard misses") {
+    val t0 = System.nanoTime()
+    val q149 = run("q149_containment_pairs").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    info(f"q149 wall on the skewed fixture (405 docs): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    assert(q149.contains((9002L, 9003L)),
+      "short doc wholly quoted in a larger one must score containment >= 0.8")
+    assert(q149((9002L, 9003L)) >= 0.9)
+    val q121 = run("q121_ngram_jaccard_dfcap").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!q121.contains((9002L, 9003L)),
+      "the quote pair's jaccard should stay below the q121 threshold — " +
+        "that asymmetry is q149's reason to exist")
+  }
+
+  test("newline paragraph dedup keeps each boilerplate paragraph exactly once") {
+    val out = operators.Dedup.paragraphDedup("\n\n")(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    val keptParas = out.flatMap(_._2.split("\n\n", -1)).filter(_.nonEmpty)
+    // reconstruct the boilerplate pool from the ORIGINAL corpus: any
+    // paragraph text appearing in >= 5 docs is boilerplate
+    val orig = Tables.documents(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val paraCounts = orig.flatMap(_._2.split("\n\n", -1))
+      .groupBy(identity).map { case (p, o) => (p, o.length) }
+    val boiler = paraCounts.filter(_._2 >= 5).keys.toSeq
+    assert(boiler.nonEmpty, "fixture lost its boilerplate")
+    boiler.foreach { b =>
+      val n = keptParas.count(_ == b)
+      assert(n == 1, s"boilerplate paragraph kept $n times (want exactly 1)")
+    }
+    // reassembly preserved doc count and order
+    assert(out.length == orig.length)
+  }
+
+  test("q152/q158 registry instances run green on the skewed corpus; the planted batch clone is fully excised") {
+    val q152 = run("q152_paragraph_dedup").collect()
+    assert(q152.nonEmpty)
+    val q158 = run("q158_incremental_paragraph_dedup").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toMap
+    // doc 9008 (batch side: 9008 % 10 >= 8) is a verbatim clone of
+    // corpus doc 0 — every one of its paragraphs already exists in the
+    // corpus, so the incremental admit must keep NONE of them
+    val (nParas, nKept) = q158(9008L)
+    assert(nParas >= 1)
+    assert(nKept == 0, s"clone batch doc kept $nKept of $nParas paragraphs")
+    // and a typical batch doc keeps at least something
+    assert(q158.values.exists(_._2 > 0), "every batch doc lost everything — fixture degenerate")
+  }
+}

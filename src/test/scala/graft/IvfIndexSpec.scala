@@ -107,6 +107,50 @@ class IvfIndexSpec extends AnyFunSuite {
       "planted clone must score cosine ~ 1.0")
   }
 
+  test("drift audit flags a skewed append; rebalance splits it and recall holds") {
+    import spark.implicits._
+    val dir2 = Files.createTempDirectory("graft-ivf-rebalance").toFile
+    dir2.deleteOnExit()
+    operators.IvfIndex.build(spark, sf, dir2.getAbsolutePath)
+    val d = dir2.getAbsolutePath
+    val total = spark.read.parquet(s"$d/vectors").count()
+    // skewed append: one clone of the query vector per original vector —
+    // the corpus doubles, but every new row lands in ONE cell
+    val q = queryVec
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val clones = (0L until total).map(i =>
+      (1000000L + i, 7, q.toSeq, qn)).toDF("vec_id", "label", "e", "nrm")
+    operators.IvfIndex.appendVectors(spark, d, clones)
+    // detection: the clone cell's population dwarfs the mean
+    val audit = operators.IvfIndex.driftAudit(spark, d)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val hotN = audit.map(_._2).max
+    val meanN = audit.map(_._2).sum.toDouble / audit.length
+    assert(hotN > 2.0 * meanN,
+      s"append was supposed to skew one cell: max $hotN vs mean $meanN")
+    // maintenance: at least the hot cell splits; nothing is lost
+    val nCellsBefore = audit.length
+    val splits = operators.IvfIndex.rebalance(spark, d, factor = 2.0)
+    assert(splits >= 1, "rebalance found nothing to split")
+    val after = operators.IvfIndex.driftAudit(spark, d)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(after.map(_._2).sum == 2 * total, "rebalance lost or duplicated vectors")
+    assert(after.length == nCellsBefore + splits,
+      "each split must add exactly one cell")
+    assert(after.map(_._2).max < hotN,
+      "the hot cell's population must shrink after its split")
+    val nCents = spark.read.parquet(s"$d/centroids").count()
+    assert(nCents == after.length.toLong, "centroids table out of sync with cells")
+    // recall: nprobe=4 probe vs exact (all-cells) search on the
+    // rebalanced index stays within the pinned band
+    val exact = operators.IvfIndex.query(spark, d, q,
+      topK = 10, nprobe = after.length).collect().map(_.getLong(0)).toSeq
+    val probed = operators.IvfIndex.query(spark, d, q,
+      topK = 10, nprobe = 4).collect().map(_.getLong(0)).toSet
+    val recall = exact.count(probed.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"recall@10 after rebalance: $recall")
+  }
+
   test("q144 incremental IVF recall tracks combined-corpus brute force") {
     val got = SparkEntry.queries("q144_ivf_incremental")(spark, sf)
       .collect().map(_.getLong(0))

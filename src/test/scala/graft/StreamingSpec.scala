@@ -261,4 +261,44 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.getName).filter(_.startsWith("state_v")).sorted.toSeq
     assert(versions == Seq("state_v000000000", "state_v000000001"))
   }
+
+  test("streaming near-dup gate catches a planted near-dup, passes a far doc") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 30-token base text; the near-dup changes ONE token (3-gram shingle
+    // jaccard >> 0.8 -> identical minhash bands with overwhelming
+    // probability); the far doc shares no vocabulary at all
+    val baseText = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearText = ((1 to 29).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
+    val farText = (1 to 30).map(i => s"other$i").mkString(" ")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val fresh = StreamIngest.nearDedupStream(
+      mem.toDF().toDF("doc_id", "ts", "text"),
+      "doc_id", "text", "ts", "10 minutes")
+    val q = fresh.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      mem.addData((1L, Timestamp.valueOf("2026-01-01 10:00:00"), baseText))
+      q.processAllAvailable()
+      mem.addData(
+        (2L, Timestamp.valueOf("2026-01-01 10:00:05"), nearText),
+        (3L, Timestamp.valueOf("2026-01-01 10:00:10"), farText))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("neardup_out")
+    val admitted = StreamIngest.nearDedupAdmitted(out, "doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // doc 1 seeds the state (8 fresh bands); doc 3 shares nothing and
+    // emits 8 fresh bands; doc 2 collides with doc 1 on >= 1 band
+    assert(admitted.contains(1L) && admitted.contains(3L),
+      s"far docs must be admitted: $admitted")
+    assert(!admitted.contains(2L), s"planted near-dup slipped through: $admitted")
+    // the near-dup emitted FEWER than Bands fresh rows, but its id may
+    // legitimately appear with a partial count — check the row counts
+    val counts = out.groupBy("doc_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts(1L) == 8L && counts(3L) == 8L)
+    assert(counts.getOrElse(2L, 0L) < 8L)
+  }
 }
