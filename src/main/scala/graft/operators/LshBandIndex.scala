@@ -206,5 +206,29 @@ object LshBandIndex {
       LEFT JOIN vp ON vp.doc_id = s.doc_id
       ORDER BY s.doc_id"""))
 
-  val all: Seq[Q] = Seq(admitQ)
+  /** q160: band-bucket population histogram — the LSH health diagnostic
+    * (q91/q100's role, for the index): per band, how many buckets hold
+    * df docs. This is the number that SIZES [[Dedup.BandBucketCap]]
+    * (a bucket of df docs costs ~df²/2 candidate pairs) and predicts
+    * q159's probe fanout — at 100 TB you read this histogram BEFORE
+    * running a pair join, because a boilerplate-driven mega-bucket
+    * shows up here as one row. Two hash aggregates with map-side
+    * partials; output cardinality is bounded by Bands × max-df, not
+    * corpus size. */
+  val bucketStats: Q = Q(
+    "q160_lsh_bucket_stats",
+    (s, d) => {
+      val bands = bandsOf(Dedup.signedSetsOf(s, Tables.documents(s, d)))
+      bands.groupBy("band_id", "bh").agg(count(lit(1)).as("df"))
+        .groupBy("band_id", "df").agg(count(lit(1)).as("n_buckets"))
+        .orderBy("band_id", "df")
+    },
+    Some(s"""WITH ${Dedup.sqlShingleSets}, ${Dedup.sqlSignatures},
+      bands_all AS (${Dedup.sqlBandsAll}),
+      dfs AS (SELECT band_id, bh, cast(count(*) as bigint) AS df
+        FROM bands_all GROUP BY 1, 2)
+      SELECT band_id, df, cast(count(*) as bigint) AS n_buckets
+      FROM dfs GROUP BY band_id, df ORDER BY band_id, df"""))
+
+  val all: Seq[Q] = Seq(admitQ, bucketStats)
 }
