@@ -204,7 +204,8 @@ object LshBandIndex {
       FROM (SELECT doc_id FROM sig WHERE doc_id % 10 >= 8) s
       LEFT JOIN vc ON vc.doc_id = s.doc_id
       LEFT JOIN vp ON vp.doc_id = s.doc_id
-      ORDER BY s.doc_id"""))
+      ORDER BY s.doc_id"""),
+    bench = true)
 
   /** q160: band-bucket population histogram — the LSH health diagnostic
     * (q91/q100's role, for the index): per band, how many buckets hold
