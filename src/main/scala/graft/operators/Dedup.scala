@@ -147,6 +147,12 @@ object Dedup {
     * signedSetsOf discipline). */
   private[graft] def withBands(df: DataFrame, textCol: String): DataFrame = {
     graft.functions.TextFunctions.register(df.sparkSession)
+    // the scratch + output names this projection owns; a caller frame
+    // already carrying one (say a batch frame that went through the
+    // signature path) would be silently clobbered and dropped below
+    val owned = Seq("bands", "__sh", "__hs") ++ mhNames
+    val clash = df.columns.toSet.intersect(owned.toSet)
+    require(clash.isEmpty, s"withBands would clobber input column(s): $clash")
     val base = df
       .withColumn("__sh", when(size(toks(col(textCol))) >= 3,
         call_function("distinct_shingles", toks(col(textCol)), lit(3))))

@@ -155,8 +155,11 @@ object IvfIndex {
     * untouched cells' files are never read or rewritten — same
     * touch-only-what-changed discipline as [[appendVectors]]), and the
     * centroids table (k+splits rows, tiny) rewritten last so a reader
-    * racing the rebalance still resolves every cell directory. Returns
-    * the number of cells split. */
+    * racing the rebalance still resolves every cell directory. A
+    * degenerate hot cell (all members identical — the pure clone-burst)
+    * cannot be split and is kept whole: see the in-loop comment for why
+    * writing anyway would silently duplicate the cell. Returns the
+    * number of cells actually split. */
   def rebalance(spark: SparkSession, indexDir: String,
       factor: Double = 2.0, seed: Long = 1L): Int = {
     import org.apache.spark.ml.clustering.KMeans
@@ -172,6 +175,7 @@ object IvfIndex {
     val centroids = spark.read.parquet(s"$indexDir/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     var nextId = centroids.map(_._1).max + 1
+    var splits = 0
     val kept = scala.collection.mutable.ArrayBuffer(
       centroids.filterNot(c => hot.contains(c._1)).toSeq: _*)
     for (cellId <- hot) {
@@ -182,23 +186,42 @@ object IvfIndex {
         val km = new KMeans().setK(2).setSeed(seed)
           .setFeaturesCol("fv").setPredictionCol("sub").fit(members)
         val subCents = km.clusterCenters.map(_.toArray)
-        val subIds = Array(cellId, nextId)
-        nextId += 1
-        // localCheckpoint BEFORE the write: the target partition is the
-        // very one `members` reads — severing lineage materializes the
-        // assignment so the overwrite neither trips the
-        // read-path-conflict check nor races its own source files
-        val assigned = km.transform(members)
-          .withColumn("cell",
-            when(col("sub") === 0, lit(subIds(0))).otherwise(lit(subIds(1))))
-          .select("vec_id", "label", "e", "nrm", "cell")
-          .localCheckpoint()
-        assigned.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic") // writer-scoped, not session
-          .partitionBy("cell").parquet(s"$indexDir/vectors")
-        assigned.unpersist()
-        kept += ((subIds(0), subCents(0)))
-        kept += ((subIds(1), subCents(1)))
+        // Degenerate hot cells — all members (near-)identical, EXACTLY
+        // the clone-burst shape that triggers a rebalance — can yield
+        // one center (MLlib returns < k for < k distinct points) or an
+        // empty sub-cluster. Splitting is then impossible AND writing
+        // would corrupt the index: dynamic partition overwrite only
+        // replaces partitions PRESENT in the written data, so an empty
+        // sub-0 would leave the old cellId files alive alongside the
+        // rewrite under the new id — every vector in the cell silently
+        // duplicated. Probe the assignment (tiny agg over the cached
+        // members) and keep the cell whole unless BOTH halves are
+        // non-empty.
+        val subCounts = km.transform(members).groupBy("sub").count()
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+        if (subCents.length < 2 ||
+            subCounts.getOrElse(0, 0L) == 0L || subCounts.getOrElse(1, 0L) == 0L) {
+          kept += ((cellId, centroids.find(_._1 == cellId).get._2))
+        } else {
+          val subIds = Array(cellId, nextId)
+          nextId += 1
+          // localCheckpoint BEFORE the write: the target partition is the
+          // very one `members` reads — severing lineage materializes the
+          // assignment so the overwrite neither trips the
+          // read-path-conflict check nor races its own source files
+          val assigned = km.transform(members)
+            .withColumn("cell",
+              when(col("sub") === 0, lit(subIds(0))).otherwise(lit(subIds(1))))
+            .select("vec_id", "label", "e", "nrm", "cell")
+            .localCheckpoint()
+          assigned.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic") // writer-scoped, not session
+            .partitionBy("cell").parquet(s"$indexDir/vectors")
+          assigned.unpersist()
+          kept += ((subIds(0), subCents(0)))
+          kept += ((subIds(1), subCents(1)))
+          splits += 1
+        }
       } finally { members.unpersist(); () }
     }
     val spark2 = spark
@@ -208,6 +231,6 @@ object IvfIndex {
       .toDF("cell", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
-    hot.length
+    splits
   }
 }

@@ -148,7 +148,9 @@ object LshBandIndex {
       if (appendSurvivors) {
         val surv = signed.join(
           a.filter(col("admitted") === 1L).select("doc_id"), "doc_id")
-        bandsOf(surv).write.mode("append").parquet(s"$indexDir/bands")
+        bandsOf(surv)
+          .repartition(col("bh")) // keep build()'s co-location invariant across appends
+          .write.mode("append").parquet(s"$indexDir/bands")
         surv.select("doc_id", "sh").write.mode("append").parquet(s"$indexDir/sets")
       }
       a

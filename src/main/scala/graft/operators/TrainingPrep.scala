@@ -820,8 +820,14 @@ object TrainingPrep {
     * FINAL (sym, freq) word frame, still localCheckpoint-ed — the
     * caller owns unpersisting it. */
   private[graft] def learnBpe(s: SparkSession, docs: DataFrame, k: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) =
+    learnBpeFromBase(s, bpeBase(docs), k)
+
+  /** Distributed merge loop over a (possibly precomputed) base frame —
+    * [[learnBpeAuto]]'s over-budget fallback reuses its already-cached
+    * corpus pass here instead of recomputing it. */
+  private def learnBpeFromBase(s: SparkSession, base: DataFrame, k: Int)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
-    val base = bpeBase(docs)
     // Lineage discipline: a checkpoint EVERY merge costs one
     // materialization job per iteration (2k Spark jobs for k merges,
     // fixed scheduling overhead each). Instead let up to CkptEvery
@@ -920,52 +926,67 @@ object TrainingPrep {
     val base = bpeBase(docs).cache()
     try {
       if (base.count() > collectBudget) None
-      else {
-        var words = base.collect().map(r => (r.getString(0), r.getLong(1)))
-        val sepPat = java.util.regex.Pattern.quote(BpeSep2)
-        val merges =
-          scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-        var rank = 1L
-        var done = false
-        while (rank <= k && !done) {
-          val cnt = new java.util.HashMap[(String, String), Long]()
-          for ((sym, freq) <- words) {
-            val t = sym.split(sepPat, -1).filter(_.nonEmpty)
-            var i = 0
-            while (i + 1 < t.length) {
-              cnt.merge((t(i), t(i + 1)), freq, (p, q) => p + q)
-              i += 1
-            }
-          }
-          if (cnt.isEmpty) done = true
-          else {
-            var best: ((String, String), Long) = null
-            cnt.forEach { (p, c) =>
-              if (best == null || c > best._2 ||
-                (c == best._2 && (utf8Lt(p._1, best._1._1) ||
-                  (p._1 == best._1._1 && utf8Lt(p._2, best._1._2)))))
-                best = (p, c)
-            }
-            val ((a, b), c) = best
-            merges += ((rank, a, b, c))
-            val pat = BpeSep + a + BpeSep2 + b + BpeSep
-            val rep = BpeSep + a + b + BpeSep
-            words = words.map { case (sym, f) => (sym.replace(pat, rep), f) }
-            rank += 1
-          }
-        }
-        val s2 = s
-        import s2.implicits._
-        Some((merges.toSeq, words.toSeq.toDF("sym", "freq")))
-      }
+      else Some(histLoop(s,
+        base.collect().map(r => (r.getString(0), r.getLong(1))), k))
     } finally { base.unpersist(); () }
   }
 
+  /** The in-memory merge loop itself (see [[learnBpeHist]] for the
+    * bit-equality argument). */
+  private def histLoop(s: SparkSession, collected: Array[(String, Long)],
+      k: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    var words = collected
+    val sepPat = java.util.regex.Pattern.quote(BpeSep2)
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rank = 1L
+    var done = false
+    while (rank <= k && !done) {
+      val cnt = new java.util.HashMap[(String, String), Long]()
+      for ((sym, freq) <- words) {
+        val t = sym.split(sepPat, -1).filter(_.nonEmpty)
+        var i = 0
+        while (i + 1 < t.length) {
+          cnt.merge((t(i), t(i + 1)), freq, (p, q) => p + q)
+          i += 1
+        }
+      }
+      if (cnt.isEmpty) done = true
+      else {
+        var best: ((String, String), Long) = null
+        cnt.forEach { (p, c) =>
+          if (best == null || c > best._2 ||
+            (c == best._2 && (utf8Lt(p._1, best._1._1) ||
+              (p._1 == best._1._1 && utf8Lt(p._2, best._1._2)))))
+            best = (p, c)
+        }
+        val ((a, b), c) = best
+        merges += ((rank, a, b, c))
+        val pat = BpeSep + a + BpeSep2 + b + BpeSep
+        val rep = BpeSep + a + b + BpeSep
+        words = words.map { case (sym, f) => (sym.replace(pat, rep), f) }
+        rank += 1
+      }
+    }
+    val s2 = s
+    import s2.implicits._
+    (merges.toSeq, words.toSeq.toDF("sym", "freq"))
+  }
+
   /** Histogram fast path when the vocab fits the collect budget (always,
-    * for any realistic corpus), distributed loop otherwise. */
-  private[graft] def learnBpeAuto(s: SparkSession, docs: DataFrame, k: Int)
-      : (Seq[(Long, String, String, Long)], DataFrame) =
-    learnBpeHist(s, docs, k).getOrElse(learnBpe(s, docs, k))
+    * for any realistic corpus), distributed loop otherwise — ONE corpus
+    * pass either way: the budget check's cached base frame feeds
+    * whichever loop runs. */
+  private[graft] def learnBpeAuto(s: SparkSession, docs: DataFrame, k: Int,
+      collectBudget: Long = 1L << 20)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    val base = bpeBase(docs).cache()
+    try {
+      if (base.count() <= collectBudget)
+        histLoop(s, base.collect().map(r => (r.getString(0), r.getLong(1))), k)
+      else learnBpeFromBase(s, base, k)
+    } finally { base.unpersist(); () }
+  }
 
   val bpeMerges: Q = Q(
     "q147_bpe_merges",

@@ -278,15 +278,33 @@ object StreamIngest {
     graft.operators.Dedup.withBands(df, textCol)
       .filter(col("bands").isNotNull)
       .withWatermark(watermarkCol, delay)
+      // EXACT-dup pre-gate, chained stateful op #1: two VERBATIM copies
+      // in the SAME micro-batch share all 8 band keys, and the per-key
+      // winner of the band dedup below is independent across keys — the
+      // wins could split 5/3 and BOTH copies would then emit < 8 rows,
+      // i.e. both rejected and the content lost entirely (drop-all,
+      // where keep-first is the contract). Collapsing exact copies on
+      // the content hash first guarantees the surviving copy contends
+      // alone. (A same-batch NEAR-identical pair can still split wins —
+      // the gate is conservative there: both rejected, and a re-send
+      // after the watermark horizon is admitted fresh.)
+      .withColumn("__fp", graft.Dsl.md5h61(col(textCol)))
+      .dropDuplicatesWithinWatermark("__fp")
       .select(col(idCol), col(watermarkCol),
         posexplode(col("bands")).as(Seq("band_id", "bh")))
       .dropDuplicatesWithinWatermark("band_id", "bh")
 
-  /** Batch reduction of [[nearDedupStream]] output (run it over the
-    * sink table, or per micro-batch in foreachBatch): doc ids whose
-    * every band was fresh — the admitted set. */
-  def nearDedupAdmitted(freshBands: DataFrame, idCol: String): DataFrame =
-    freshBands.groupBy(idCol)
+  /** Batch reduction of [[nearDedupStream]] output: ids whose every
+    * band was fresh — the admitted set. Grouping includes the event-time
+    * column: over an accumulated sink a doc re-sent across watermark
+    * horizons appears once per send, and summing band counts across
+    * sends would let two partial (rejected) appearances masquerade as
+    * one fully-fresh admit (5+3 = 8). Run per micro-batch in
+    * foreachBatch, or over the sink table — either way each (id,
+    * event-time) appearance is judged alone. */
+  def nearDedupAdmitted(freshBands: DataFrame, idCol: String,
+      watermarkCol: String): DataFrame =
+    freshBands.groupBy(idCol, watermarkCol)
       .agg(count(lit(1)).as("n_fresh_bands"))
       .filter(col("n_fresh_bands") === graft.operators.Dedup.Bands)
       .select(idCol)

@@ -151,6 +151,30 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall@10 after rebalance: $recall")
   }
 
+  test("rebalance keeps a degenerate all-identical hot cell whole (no split, no corruption)") {
+    import spark.implicits._
+    val dir3 = Files.createTempDirectory("graft-ivf-degenerate").toFile
+    dir3.deleteOnExit()
+    val d3 = dir3.getAbsolutePath
+    val e0 = Seq(1.0, 0.0, 0.0)
+    val e1 = Seq(0.0, 1.0, 0.0)
+    // cell 0: 20 IDENTICAL vectors (unsplittable); cell 1: 2 distinct
+    val vecs = ((0 until 20).map(i => (i.toLong, 0, e0, 1.0, 0)) ++
+      Seq((100L, 1, e1, 1.0, 1), (101L, 1, Seq(0.0, 0.9, 0.1), 0.906, 1)))
+      .toDF("vec_id", "label", "e", "nrm", "cell")
+    vecs.write.partitionBy("cell").parquet(s"$d3/vectors")
+    Seq((0, e0), (1, e1)).toDF("cell", "centroid")
+      .coalesce(1).write.parquet(s"$d3/centroids")
+    // cell 0 is hot (20 > 1.5 x mean 11) but cannot be split two ways —
+    // the dynamic-overwrite write would leave the old partition intact
+    // AND write a copy under a new id, duplicating all 20 vectors
+    val splits = operators.IvfIndex.rebalance(spark, d3, factor = 1.5)
+    assert(splits == 0, "an unsplittable cell must be kept whole")
+    assert(spark.read.parquet(s"$d3/vectors").count() == 22,
+      "degenerate rebalance duplicated or dropped vectors")
+    assert(spark.read.parquet(s"$d3/centroids").count() == 2)
+  }
+
   test("q144 incremental IVF recall tracks combined-corpus brute force") {
     val got = SparkEntry.queries("q144_ivf_incremental")(spark, sf)
       .collect().map(_.getLong(0))

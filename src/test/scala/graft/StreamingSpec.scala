@@ -283,17 +283,24 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       mem.addData(
         (2L, Timestamp.valueOf("2026-01-01 10:00:05"), nearText),
-        (3L, Timestamp.valueOf("2026-01-01 10:00:10"), farText))
+        (3L, Timestamp.valueOf("2026-01-01 10:00:10"), farText),
+        // two VERBATIM copies in ONE micro-batch: without the exact-dup
+        // pre-gate their band wins could split and BOTH would be
+        // rejected (drop-all); exactly one must survive
+        (4L, Timestamp.valueOf("2026-01-01 10:00:12"), (1 to 30).map(i => s"same$i").mkString(" ")),
+        (5L, Timestamp.valueOf("2026-01-01 10:00:13"), (1 to 30).map(i => s"same$i").mkString(" ")))
       q.processAllAvailable()
     } finally q.stop()
     val out = spark.table("neardup_out")
-    val admitted = StreamIngest.nearDedupAdmitted(out, "doc_id")
+    val admitted = StreamIngest.nearDedupAdmitted(out, "doc_id", "ts")
       .collect().map(_.getLong(0)).sorted.toSeq
     // doc 1 seeds the state (8 fresh bands); doc 3 shares nothing and
     // emits 8 fresh bands; doc 2 collides with doc 1 on >= 1 band
     assert(admitted.contains(1L) && admitted.contains(3L),
       s"far docs must be admitted: $admitted")
     assert(!admitted.contains(2L), s"planted near-dup slipped through: $admitted")
+    assert(Seq(4L, 5L).count(admitted.contains) == 1,
+      s"exactly one of a same-batch verbatim pair must survive: $admitted")
     // the near-dup emitted FEWER than Bands fresh rows, but its id may
     // legitimately appear with a partial count — check the row counts
     val counts = out.groupBy("doc_id").count()

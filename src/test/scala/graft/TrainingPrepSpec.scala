@@ -420,7 +420,11 @@ class TrainingPrepSpec extends AnyFunSuite {
     val (m500, _) = operators.TrainingPrep.learnBpeHist(spark, docs, 500).get
     val (m50, _) = operators.TrainingPrep.learnBpeHist(spark, docs, 50).get
     assert(m500.take(50) == m50, "k=500 run diverges from k=50 prefix")
-    assert(t500 < 2 * t50 + 2000,
+    // generous absolute slack: the property being pinned is "k=500 is
+    // NOT 10x k=50" (a distributed per-merge loop would be ~40 s here);
+    // a tight wall-clock ratio would fail on machine load, not on a
+    // product regression
+    assert(t500 < 2 * t50 + 5000,
       s"k=500 took ${t500}ms vs k=50 ${t50}ms — fast path not amortizing")
   }
 }
