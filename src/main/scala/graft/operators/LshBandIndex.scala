@@ -68,12 +68,28 @@ object LshBandIndex {
     * instance (q159) — the registry form IS this audit with the corpus
     * slice standing in for the index tables. */
   private def audit(signedBatch: DataFrame, indexBands: DataFrame,
-      indexSets: DataFrame): DataFrame = {
+      indexSets: DataFrame, bucketCap: Option[Long] = None): DataFrame = {
     val bB = bandsOf(signedBatch)
+    // Optional probe-side population cap: an index bucket holding df
+    // docs hands EVERY batch doc that hits it df candidate rows — a
+    // boilerplate-shaped mega-bucket (the q160 histogram's tail) makes
+    // the probe quadratic-ish exactly like the q56 pair join, and the
+    // same cap bounds it: a true near-dup is missed only if EVERY band
+    // it shares with its index twin is above-cap boilerplate. df == 1
+    // buckets stay (unlike q56's pairing, one index doc + one batch
+    // doc IS a candidate). The cap frame is computed once from the
+    // index side only — at scale, from the index parquet's (band_id,
+    // bh) columns, no text.
+    val iBands = bucketCap.fold(indexBands) { cap =>
+      val keep = indexBands.groupBy("band_id", "bh")
+        .agg(count(lit(1)).as("df")).filter(col("df") <= cap)
+        .select("band_id", "bh")
+      indexBands.join(keep, Seq("band_id", "bh"))
+    }
     // candidates: any shared band bucket (8 bands x 2 rows — the q37
     // recall envelope); the distinct collapses multi-band collisions
     // before the shingle-set join-back so each pair is verified once
-    val candIdx = bB.as("b").join(indexBands.as("c"),
+    val candIdx = bB.as("b").join(iBands.as("c"),
         col("b.band_id") === col("c.band_id") && col("b.bh") === col("c.bh"))
       .select(col("b.doc_id").as("doc_id"), col("c.doc_id").as("index_id"))
       .distinct()
@@ -137,14 +153,19 @@ object LshBandIndex {
     * audit is materialized (localCheckpoint) BEFORE the append so the
     * returned frame cannot lazily re-probe an index that now contains
     * the survivors themselves (which would flip every admitted row to
-    * rejected-at-jaccard-1.0 on re-evaluation). */
+    * rejected-at-jaccard-1.0 on re-evaluation). At cluster scale pass
+    * `bucketCap = Some(Dedup.BandBucketCap)` — see the cap comment in
+    * [[audit]]; the default None keeps q159's exact published
+    * semantics. */
   def admit(spark: SparkSession, batch: DataFrame, indexDir: String,
-      appendSurvivors: Boolean = true): DataFrame = {
+      appendSurvivors: Boolean = true,
+      bucketCap: Option[Long] = None): DataFrame = {
     val signed = Dedup.signedSetsOf(spark, batch).cache()
     try {
       val iBands = spark.read.parquet(s"$indexDir/bands")
       val iSets = spark.read.parquet(s"$indexDir/sets")
-      val a = audit(signed, iBands, iSets).orderBy("doc_id").localCheckpoint()
+      val a = audit(signed, iBands, iSets, bucketCap)
+        .orderBy("doc_id").localCheckpoint()
       if (appendSurvivors) {
         val surv = signed.join(
           a.filter(col("admitted") === 1L).select("doc_id"), "doc_id")

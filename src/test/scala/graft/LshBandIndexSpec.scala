@@ -78,6 +78,25 @@ class LshBandIndexSpec extends AnyFunSuite {
       s"fresh doc not admitted: ${rows(900002L)}")
   }
 
+  test("bucket-capped admit keeps the planted verdicts (cold buckets unaffected)") {
+    import spark.implicits._
+    val dir = freshIndex()
+    val donor = corpusDocs.orderBy("doc_id").limit(1)
+      .collect().head.getString(1)
+    val batch = Seq(
+      (900001L, donor + " extra"),
+      (900002L, (1 to 30).map(i => s"zq$i").mkString(" "))).toDF("doc_id", "text")
+    // the planted pair's buckets hold ~2 docs — far below the cap — so
+    // the capped probe must reproduce the uncapped verdicts while
+    // bounding the fanout a boilerplate mega-bucket could inject
+    val rows = operators.LshBandIndex
+      .admit(spark, batch, dir, appendSurvivors = false,
+        bucketCap = Some(operators.Dedup.BandBucketCap))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(3)))).toMap
+    assert(rows(900001L)._1 >= 1L && rows(900001L)._2 == 0L)
+    assert(rows(900002L)._1 == 0L && rows(900002L)._2 == 1L)
+  }
+
   test("probe plan touches only the index parquet, and bands reads no shingle sets") {
     import spark.implicits._
     val batch = Seq((900001L, "alpha beta gamma delta epsilon zeta"))
