@@ -180,7 +180,11 @@ class TextAnalysisSpec extends AnyFunSuite {
     // not double-decode to "<"
     val docs = Seq(
       (1L, "x <i>y</i> z &amp; w &amp;lt; v", "en", "s", 1L),
-      (2L, "plain words only", "en", "s", 1L))
+      (2L, "plain words only", "en", "s", 1L),
+      // vertical tab: Java \s includes U+000B but RE2's does not — the
+      // operator's explicit [ \t\n\f\r\x0B] class collapses it on both
+      // engines (the round-9 dialect fix, pinned here)
+      (3L, "a\u000Bb plain", "en", "s", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val dir = TestSpark.makeSfDir("documents" -> docs)
     val rows = SparkEntry.queries("q155_markup_strip")(spark, dir)
@@ -205,6 +209,8 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"&amp;lt; must decode ONCE to &lt;, got: ${rows(1L)._3}")
     assert(rows(1L)._3.contains("x y z & w"),
       s"in-text tags must strip to spaces: ${rows(1L)._3}")
+    assert(rows(3L)._3.contains("a b plain"),
+      s"U+000B must collapse to a single space: '${rows(3L)._3}'")
   }
 
   test("gopher rules flag exactly the violated rule per crafted doc") {
