@@ -233,4 +233,24 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
     splits
   }
+
+  /** [[rebalance]] to a fixpoint: a cell at 10× the mean splits into
+    * two ~5× halves — still hot — so one maintenance pass is rarely
+    * enough after a heavy append. Loops until a pass splits nothing
+    * (degenerate all-identical cells are kept whole and cannot loop
+    * forever) or `maxRounds` caps runaway pathologies. Returns the
+    * total number of splits performed. */
+  def rebalanceToConvergence(spark: SparkSession, indexDir: String,
+      factor: Double = 2.0, seed: Long = 1L, maxRounds: Int = 8): Int = {
+    var total = 0
+    var rounds = 0
+    var again = true
+    while (again && rounds < maxRounds) {
+      val n = rebalance(spark, indexDir, factor, seed)
+      total += n
+      again = n > 0
+      rounds += 1
+    }
+    total
+  }
 }

@@ -151,6 +151,35 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall@10 after rebalance: $recall")
   }
 
+  test("rebalanceToConvergence reaches a state where no splittable cell exceeds the factor") {
+    import spark.implicits._
+    val dir4 = Files.createTempDirectory("graft-ivf-converge").toFile
+    dir4.deleteOnExit()
+    operators.IvfIndex.build(spark, sf, dir4.getAbsolutePath)
+    val d4 = dir4.getAbsolutePath
+    val total = spark.read.parquet(s"$d4/vectors").count()
+    // clone burst with per-clone jitter, so the hot cell stays
+    // SPLITTABLE all the way down (distinct vectors at every level)
+    val q = queryVec
+    val clones = (0L until 3 * total).map { i =>
+      val e = q.toSeq.updated(0, q(0) + 1e-3 * i)
+      (1000000L + i, 7, e, math.sqrt(e.map(x => x * x).sum))
+    }.toDF("vec_id", "label", "e", "nrm")
+    operators.IvfIndex.appendVectors(spark, d4, clones)
+    val splits = operators.IvfIndex.rebalanceToConvergence(spark, d4, factor = 2.0)
+    assert(splits >= 2, s"a 4x corpus burst should need more than one split, got $splits")
+    val after = operators.IvfIndex.driftAudit(spark, d4)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(after.map(_._2).sum == 4 * total, "convergence lost or duplicated vectors")
+    val meanN = after.map(_._2).sum.toDouble / after.length
+    // every remaining above-factor cell must be one a further pass
+    // declines to split (degenerate) — with jittered clones there
+    // should be none at all unless KMeans refuses a cut
+    val stillHot = after.filter(_._2 > 2.0 * meanN)
+    assert(stillHot.isEmpty || splits >= 8,
+      s"converged with splittable hot cells remaining: $stillHot")
+  }
+
   test("rebalance keeps a degenerate all-identical hot cell whole (no split, no corruption)") {
     import spark.implicits._
     val dir3 = Files.createTempDirectory("graft-ivf-degenerate").toFile
