@@ -178,6 +178,33 @@ object LshBandIndex {
     } finally { signed.unpersist(); () }
   }
 
+  /** Physical maintenance: every nightly [[admit]] append adds a file
+    * set sized by that batch, so a year of batches leaves the bands
+    * table as hundreds of small files whose per-file open/footer cost
+    * starts to dominate the probe scan (the classic small-files decay —
+    * the LSH twin of [[IvfIndex.rebalance]]'s logical decay). Rewrites
+    * each table once — bands re-co-located on `bh` (restoring build()'s
+    * layout invariant exactly), sets by doc_id — via a temp-dir write +
+    * atomic rename so a concurrent reader never sees a half-written
+    * table. Contents are untouched: LshBandIndexSpec pins probe results
+    * bit-identical across a compact. */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def rewrite(table: String, partCol: String): Unit = {
+      val path = s"$indexDir/$table"
+      val tmp = s"$indexDir/${table}_compact_tmp"
+      spark.read.parquet(path)
+        .repartition(col(partCol))
+        .write.mode("overwrite").parquet(tmp)
+      val p = new org.apache.hadoop.fs.Path(path)
+      fs.delete(p, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    }
+    rewrite("bands", "bh")
+    rewrite("sets", "doc_id")
+  }
+
   /** q159: the oracle-checked registry twin of [[admit]] — corpus =
     * doc_id % 10 < 8 plays the persisted index, batch = the rest
     * (the q127/q158 split convention). The registry form recomputes

@@ -97,6 +97,34 @@ class LshBandIndexSpec extends AnyFunSuite {
     assert(rows(900002L)._1 == 0L && rows(900002L)._2 == 1L)
   }
 
+  test("compact shrinks the file count and leaves probe results bit-identical") {
+    import spark.implicits._
+    val dir = freshIndex()
+    // two nightly appends -> extra file sets under bands/ and sets/
+    operators.LshBandIndex.admit(spark,
+      Seq((910001L, (1 to 25).map(i => s"ca$i").mkString(" "))).toDF("doc_id", "text"), dir)
+    operators.LshBandIndex.admit(spark,
+      Seq((910002L, (1 to 25).map(i => s"cb$i").mkString(" "))).toDF("doc_id", "text"), dir)
+    def parquetFiles(sub: String) = {
+      val d = new java.io.File(s"$dir/$sub")
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val probeBatch = (batchDocs.limit(3).collect().map(r => (r.getLong(0), r.getString(1)))
+      :+ ((910001L, (1 to 25).map(i => s"ca$i").mkString(" ")))).toSeq
+      .toDF("doc_id", "text")
+    val before = operators.LshBandIndex.probe(spark, probeBatch, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val filesBefore = parquetFiles("bands")
+    operators.LshBandIndex.compact(spark, dir)
+    val after = operators.LshBandIndex.probe(spark, probeBatch, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(after == before, "compact changed probe results")
+    assert(parquetFiles("bands") < filesBefore,
+      s"compact did not shrink the bands file count ($filesBefore)")
+    // the appended doc must still be served post-compact (jaccard 1.0 self-match)
+    assert(after.exists(r => r._1 == 910001L && r._2 == 910001L && r._3 == 1.0))
+  }
+
   test("probe plan touches only the index parquet, and bands reads no shingle sets") {
     import spark.implicits._
     val batch = Seq((900001L, "alpha beta gamma delta epsilon zeta"))
