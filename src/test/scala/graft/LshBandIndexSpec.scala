@@ -97,6 +97,36 @@ class LshBandIndexSpec extends AnyFunSuite {
     assert(rows(900002L)._1 == 0L && rows(900002L)._2 == 1L)
   }
 
+  test("q159 dup counts equal q37's verified pairs restricted to the split") {
+    // cross-operator law: the admit audit is exactly q37's LSH
+    // candidate envelope + jaccard gate, restricted to cross-split
+    // (index side) and intra-batch smaller-id (prior side) pairs — the
+    // two operators share the band and shingle math, so their verified
+    // pair sets must agree pair-for-pair
+    val pairs = SparkEntry.queries("q37_minhash_lsh_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def isBatch(id: Long) = id % 10 >= 8
+    val expIdx = pairs.flatMap { case (a, b) =>
+      (isBatch(a), isBatch(b)) match {
+        case (false, true) => Some(b)
+        case (true, false) => Some(a)
+        case _ => None
+      }
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val expPrior = pairs.filter { case (a, b) => isBatch(a) && isBatch(b) }
+      .map(_._2) // q37 emits doc_a < doc_b; the LARGER id carries the prior
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = SparkEntry.queries("q159_lsh_index_admit")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got.foreach { case (id, (nIdx, nPrior)) =>
+      assert(nIdx == expIdx.getOrElse(id, 0L),
+        s"doc $id: q159 n_index_dups $nIdx vs q37 ${expIdx.getOrElse(id, 0L)}")
+      assert(nPrior == expPrior.getOrElse(id, 0L),
+        s"doc $id: q159 n_prior_dups $nPrior vs q37 ${expPrior.getOrElse(id, 0L)}")
+    }
+    assert(expIdx.keys.forall(got.contains), "q37 found dups for docs q159 missed")
+  }
+
   test("compact shrinks the file count and leaves probe results bit-identical") {
     import spark.implicits._
     val dir = freshIndex()
