@@ -137,12 +137,24 @@ object Dsl {
   def sqlMd5h61(expr: String): String =
     s"cast(md5_number_lower($expr) % $H61Mod as bigint)"
 
-  /** Whitespace tokenizer (both engines split on \s+ after trim). */
-  def toks(c: Column): Column = split(trim(c), "\\s+")
+  /** Whitespace class written out explicitly, in class-body form so
+    * negated classes can embed it. A bare `\s` is a cross-engine trap:
+    * Java's includes U+000B (vertical tab) but RE2's does not, so the
+    * two engines silently tokenize a vertical-tab document differently
+    * (the q155 lesson, centralized here). The reference's Python `re`
+    * treats U+000B as whitespace too, so the Java reading is the
+    * parity-correct side; Java regex and RE2 both read this source
+    * text identically (verified against DuckDB 1.0: chr(11) splits
+    * under this class and does NOT split under RE2's `\s+`). */
+  val WsChars: String = " \\t\\n\\f\\r\\x0B"
+
+  /** Whitespace tokenizer — both engines split on the explicit
+    * [[WsChars]] class after trim. */
+  def toks(c: Column): Column = split(trim(c), s"[$WsChars]+")
 
   /** SQL twin of [[toks]]. */
   def sqlToks(expr: String): String =
-    s"string_split_regex(trim($expr), '\\s+')"
+    s"string_split_regex(trim($expr), '[$WsChars]+')"
 
   /** Word 3-gram shingles over a token array (1-based element access on
     * both engines). The index sequence is guarded: Spark's sequence(1, 0)

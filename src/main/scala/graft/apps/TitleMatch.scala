@@ -1,6 +1,6 @@
 package graft.apps
 
-import graft.{Q, Tables}
+import graft.{Dsl, Q, Tables}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -14,17 +14,20 @@ import org.apache.spark.sql.functions._
   */
 object TitleMatch {
 
-  /** Distinct lowercase word set of a title (app_scraper.py:23-24). */
+  /** Distinct lowercase word set of a title (app_scraper.py:23-24).
+    * Whitespace is the explicit [[Dsl.WsChars]] class, not `\s` — Java's
+    * `\s` includes U+000B while RE2's does not, and the reference's
+    * Python `re` sides with Java, so the explicit class is the
+    * parity-correct tokenization on all three engines. */
   def cleanWords(c: Column): Column =
     array_distinct(filter(
-      split(regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+"),
+      split(regexp_replace(lower(c), s"[^a-z0-9${Dsl.WsChars}]", ""),
+        s"[${Dsl.WsChars}]+"),
       w => length(w) > 0))
 
-  // the s-interpolator processes escapes even in triple quotes, so the
-  // `\\s` below reaches DuckDB's RE2 as `\s`
   private def sqlCleanWords(e: String): String =
     s"""list_distinct(list_filter(
-       string_split_regex(regexp_replace(lower($e), '[^a-z0-9\\s]', '', 'g'), '\\s+'),
+       string_split_regex(regexp_replace(lower($e), '[^a-z0-9${Dsl.WsChars}]', '', 'g'), '[${Dsl.WsChars}]+'),
        w -> len(w) > 0))"""
 
   /** True when the two titles match under the reference's tolerance

@@ -37,7 +37,8 @@ object CorpusPipeline {
         .filter(col("n_tokens") >= 20 &&
           col("n_uniq").cast("double") / col("n_tokens") >= 0.3)
       // stage 2: exact dedup on the whitespace-normalized fingerprint
-      val fp = md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")).cast("binary"))
+      // (explicit Dsl.WsChars class — the Java∩RE2 \s dialect fix)
+      val fp = md5(lower(regexp_replace(trim(col("text")), s"[$WsChars]+", " ")).cast("binary"))
       val exactKeep = quality.withColumn("fp", fp)
         .withColumn("rn",
           row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
@@ -78,7 +79,7 @@ object CorpusPipeline {
         WHERE n_tokens >= 20 AND cast(n_uniq as double) / n_tokens >= 0.3),
       fpk AS (SELECT doc_id, n_tokens,
           row_number() OVER (
-            PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+            PARTITION BY md5(lower(regexp_replace(trim(text), '[$WsChars]+', ' ', 'g')))
             ORDER BY doc_id) AS rn
         FROM qual),
       corpus AS (SELECT doc_id, n_tokens FROM fpk

@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   *
   * Reference behavior generalized: the reference app recomputes its
   * pandas dedup over the full corpus on every ingest
-  * (/root/reference/backend: the upload path re-runs clean+drop_duplicates
-  * over the accumulated frame); at 100 TB the corpus must instead be
-  * summarized ONCE into an index the nightly batch probes. Same
+  * (feature_extractor.py:47-54 — every run re-globs ALL batch CSVs and
+  * re-runs dropna+drop_duplicates over the concatenated frame); at
+  * 100 TB the corpus must instead be summarized ONCE into an index the
+  * nightly batch probes. Same
   * lifecycle discipline as [[IvfIndex]] (build once / probe many /
   * append survivors), applied to q37's LSH sketch (Dedup.scala).
   *

@@ -175,12 +175,12 @@ object TextAnalysis {
     "q34_fingerprint",
     (s, d) => Tables.documents(s, d)
       .withColumn("fp",
-        md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")).cast("binary")))
+        md5(lower(regexp_replace(trim(col("text")), s"[$WsChars]+", " ")).cast("binary")))
       .groupBy("fp")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("keep_id"),
-    Some("""WITH f AS (SELECT doc_id,
-        md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+    Some(s"""WITH f AS (SELECT doc_id,
+        md5(lower(regexp_replace(trim(text), '[$WsChars]+', ' ', 'g'))) AS fp
       FROM documents)
       SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups
       FROM f GROUP BY fp ORDER BY keep_id"""))
@@ -791,8 +791,8 @@ object TextAnalysis {
           regexp_count(col("pt"), lit(TagRe)).as("n_tags"),
           regexp_count(col("pt"), lit("&[a-z#0-9]+;")).as("n_entities"),
           // explicit class, not \s: Java \s includes U+000B, RE2's
-          // does not — same Java∩RE2 dialect discipline as TagRe
-          trim(regexp_replace(decoded, "[ \\t\\n\\f\\r\\x0B]+", " "))
+          // does not — Dsl.WsChars is the centralized form of the fix
+          trim(regexp_replace(decoded, s"[$WsChars]+", " "))
             .as("cleaned"))
         .orderBy("doc_id")
     },
@@ -810,7 +810,7 @@ object TextAnalysis {
           cast(len(regexp_extract_all(pt, '$TagRe')) as int) AS n_tags,
           cast(len(regexp_extract_all(pt, '&[a-z#0-9]+;')) as int)
             AS n_entities,
-          trim(regexp_replace($decoded, '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g'))
+          trim(regexp_replace($decoded, '[$WsChars]+', ' ', 'g'))
             AS cleaned
         FROM p ORDER BY doc_id"""
     })

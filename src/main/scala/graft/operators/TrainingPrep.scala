@@ -236,8 +236,8 @@ object TrainingPrep {
         .orderBy(col("lift").desc, col("bigram"))
         .limit(20)
     },
-    Some("""WITH tk AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+    Some(s"""WITH tk AS (
+        SELECT doc_id, ${sqlToks("lower(text)")} AS t
         FROM documents),
       uni AS (
         SELECT g.w AS w, count(*) AS c_w

@@ -49,6 +49,8 @@ class DedupFixtureSpec extends AnyFunSuite {
       9001L -> (base + " extraxyz"),                  // … near-dup of 9000
       9002L -> short,                                 // corpus …
       9003L -> (short + " " + para(40)),              // … contains 9002 wholly
+      9004L -> "vtw alpha\u000Bbeta gamma delta",     // U+000B-separated twin …
+      9005L -> "vtw alpha beta gamma delta",          // … of the space form
       9008L -> organic.head._2)                       // batch clone of doc 0 (q158)
     val docs = (organic ++ planted).toDF("doc_id", "text")
     TestSpark.makeSfDir("documents" -> docs)
@@ -104,6 +106,29 @@ class DedupFixtureSpec extends AnyFunSuite {
     assert(!q121.contains((9002L, 9003L)),
       "the quote pair's jaccard should stay below the q121 threshold — " +
         "that asymmetry is q149's reason to exist")
+  }
+
+  test("U+000B: tokenizer and fingerprint treat a vertical tab as whitespace on both engines") {
+    // Java \s includes U+000B, RE2's \s does not — Dsl.WsChars spells the
+    // class out so both engines read identical source (the q155 fix,
+    // centralized round 11). The DuckDB half of the law was verified
+    // directly against duckdb 1.0: string_split_regex(chr(11)-joined
+    // text, '[ \t\n\f\r\x0B]+') splits where '\s+' does NOT. Here we pin
+    // the Spark half plus the oracled q34 grouping on the fixture.
+    import spark.implicits._
+    val t = Seq("a\u000Bb c\td").toDF("s")
+      .select(Dsl.toks(col("s")).as("t")).head().getSeq[String](0)
+    assert(t == Seq("a", "b", "c", "d"), s"toks split $t")
+    val w = Seq("Hello,\u000BWorld! 42").toDF("s")
+      .select(graft.apps.TitleMatch.cleanWords(col("s")).as("w"))
+      .head().getSeq[String](0)
+    assert(w.sorted == Seq("42", "hello", "world"), s"cleanWords gave $w")
+    // q34 over the fixture: the \x0B doc (9004) and its space twin (9005)
+    // must collapse into one whitespace-normalized fingerprint class
+    val q34 = run("q34_fingerprint").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(q34(9004L) == 2L,
+      s"vertical-tab doc not fingerprint-equal to its space twin: ${q34(9004L)}")
   }
 
   test("newline paragraph dedup keeps each boilerplate paragraph exactly once") {
