@@ -185,25 +185,81 @@ object LshBandIndex {
     * starts to dominate the probe scan (the classic small-files decay —
     * the LSH twin of [[IvfIndex.rebalance]]'s logical decay). Rewrites
     * each table once — bands re-co-located on `bh` (restoring build()'s
-    * layout invariant exactly), sets by doc_id — via a temp-dir write +
-    * atomic rename so a concurrent reader never sees a half-written
-    * table. Contents are untouched: LshBandIndexSpec pins probe results
-    * bit-identical across a compact. */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
+    * layout invariant exactly), sets by doc_id.
+    *
+    * Crash-safety: the swap is rename-aside (live → `_compact_old`),
+    * rename-in (tmp → live), delete-aside — so EVERY intermediate state
+    * keeps at least one complete copy of the table on disk, and a crash
+    * at any point is repaired by [[recover]] (which prefers the
+    * completed tmp and otherwise restores the aside copy). A reader
+    * racing the swap itself can still observe a missing-table window of
+    * one rename pair — local FS / HDFS rename is atomic per rename, but
+    * there are two; a snapshot-isolated reader needs a manifest layer
+    * (out of scope here, and object stores' non-atomic rename would
+    * too). Contents are untouched: LshBandIndexSpec pins probe results
+    * bit-identical across a compact AND across a crash+recover at each
+    * injected failure point. */
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    compactImpl(spark, indexDir, _ => ())
+
+  /** [[compact]] with an injectable crash point (spec-only seam —
+    * `crashPoint` is called with "table:written" / "table:aside" /
+    * "table:swapped" and may throw to simulate dying there). */
+  private[graft] def compactImpl(spark: SparkSession, indexDir: String,
+      crashPoint: String => Unit): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    def P(s: String) = new org.apache.hadoop.fs.Path(s)
     def rewrite(table: String, partCol: String): Unit = {
-      val path = s"$indexDir/$table"
+      val live = s"$indexDir/$table"
       val tmp = s"$indexDir/${table}_compact_tmp"
-      spark.read.parquet(path)
+      val old = s"$indexDir/${table}_compact_old"
+      spark.read.parquet(live)
         .repartition(col(partCol))
         .write.mode("overwrite").parquet(tmp)
-      val p = new org.apache.hadoop.fs.Path(path)
-      fs.delete(p, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+      crashPoint(s"$table:written")
+      fs.rename(P(live), P(old))
+      crashPoint(s"$table:aside")
+      fs.rename(P(tmp), P(live))
+      crashPoint(s"$table:swapped")
+      fs.delete(P(old), true)
+      ()
     }
     rewrite("bands", "bh")
     rewrite("sets", "doc_id")
+  }
+
+  /** Repair a [[compact]] (or a crashed one) to a fully-live index:
+    * if a table's live dir is missing, the completed compacted copy
+    * (`_compact_tmp` — complete by construction once the aside rename
+    * has happened) is swapped in, else the aside copy (`_compact_old`)
+    * is restored; stale aside/tmp dirs (including a PARTIAL tmp from a
+    * crash mid-write, when live is still intact) are deleted. Safe to
+    * run unconditionally at index-open time; returns true when it
+    * changed anything. */
+  def recover(spark: SparkSession, indexDir: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def P(s: String) = new org.apache.hadoop.fs.Path(s)
+    var repaired = false
+    for (table <- Seq("bands", "sets")) {
+      val live = P(s"$indexDir/$table")
+      val tmp = P(s"$indexDir/${table}_compact_tmp")
+      val old = P(s"$indexDir/${table}_compact_old")
+      if (!fs.exists(live)) {
+        // live can only be absent between the two renames — tmp is then
+        // a COMPLETE compacted table (the write finished before the
+        // aside rename); finish the compact. The old-only branch is
+        // defensive: no crash point produces it.
+        if (fs.exists(tmp)) { fs.rename(tmp, live); repaired = true }
+        else if (fs.exists(old)) { fs.rename(old, live); repaired = true }
+      }
+      if (fs.exists(live)) {
+        if (fs.exists(old)) { fs.delete(old, true); repaired = true }
+        if (fs.exists(tmp)) { fs.delete(tmp, true); repaired = true }
+      }
+    }
+    repaired
   }
 
   /** q159: the oracle-checked registry twin of [[admit]] — corpus =

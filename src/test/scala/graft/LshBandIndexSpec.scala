@@ -155,6 +155,46 @@ class LshBandIndexSpec extends AnyFunSuite {
     assert(after.exists(r => r._1 == 910001L && r._2 == 910001L && r._3 == 1.0))
   }
 
+  test("a crash at any compact step is repaired by recover() with probe results intact") {
+    import spark.implicits._
+    val dir = freshIndex()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def exists(sub: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+    val probeBatch = (batchDocs.limit(3).collect()
+      .map(r => (r.getLong(0), r.getString(1)))).toSeq.toDF("doc_id", "text")
+    val want = operators.LshBandIndex.probe(spark, probeBatch, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(want.nonEmpty, "probe found nothing — crash test would be vacuous")
+    // kill the compact at each injection point in turn; after recover()
+    // the index must serve bit-identical probe results every time
+    for (point <- Seq("bands:written", "bands:aside", "bands:swapped",
+        "sets:aside")) {
+      val ex = intercept[RuntimeException] {
+        operators.LshBandIndex.compactImpl(spark, dir,
+          p => if (p == point) throw new RuntimeException(s"boom at $p"))
+      }
+      assert(ex.getMessage == s"boom at $point")
+      if (point.endsWith(":aside")) {
+        // the real torn state the round-10 delete-then-rename could
+        // strand forever: the live dir is GONE at this instant
+        val table = point.split(":")(0)
+        assert(!exists(table), s"$table still live at $point — test not exercising the window")
+      }
+      assert(operators.LshBandIndex.recover(spark, dir),
+        s"recover() found nothing to repair after crash at $point")
+      assert(exists("bands") && exists("sets"))
+      assert(!exists("bands_compact_old") && !exists("bands_compact_tmp") &&
+        !exists("sets_compact_old") && !exists("sets_compact_tmp"))
+      val got = operators.LshBandIndex.probe(spark, probeBatch, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == want, s"probe diverged after crash at $point + recover")
+    }
+    // on a healthy index recover is a no-op
+    assert(!operators.LshBandIndex.recover(spark, dir))
+  }
+
   test("probe plan touches only the index parquet, and bands reads no shingle sets") {
     import spark.implicits._
     val batch = Seq((900001L, "alpha beta gamma delta epsilon zeta"))
