@@ -159,7 +159,19 @@ object IvfIndex {
     * degenerate hot cell (all members identical — the pure clone-burst)
     * cannot be split and is kept whole: see the in-loop comment for why
     * writing anyway would silently duplicate the cell. Returns the
-    * number of cells actually split. */
+    * number of cells actually split.
+    *
+    * Torn-state semantics and recovery: a crash between a split's
+    * vector-partition write and the final centroid rewrite leaves
+    * ORPHAN cells — directories under vectors/ whose ids the stale
+    * centroids table does not list. [[query]] never probes them (a
+    * recall dip, NOT an error — IvfIndexSpec pins the interleaved
+    * state), and [[driftAudit]] surfaces them as rows with a null
+    * mean_disp2. The next rebalance run self-heals: it ADOPTS every
+    * orphan cell first (centroid := the member mean — what the lost
+    * k=2 sub-center was approximating), and it allocates fresh ids
+    * from max over BOTH tables, so a re-run can never hand an orphan's
+    * id to an unrelated split and silently merge two vector sets. */
   def rebalance(spark: SparkSession, indexDir: String,
       factor: Double = 2.0, seed: Long = 1L): Int = {
     import org.apache.spark.ml.clustering.KMeans
@@ -171,10 +183,28 @@ object IvfIndex {
     if (counts.length < 2) return 0
     val meanN = counts.map(_._2).sum.toDouble / counts.length
     val hot = counts.filter(_._2 > factor * meanN).map(_._1).sorted
-    if (hot.isEmpty) return 0
-    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val stored = spark.read.parquet(s"$indexDir/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    var nextId = centroids.map(_._1).max + 1
+    // adopt orphan cells from a previously crashed rebalance (vector
+    // dirs the centroids table doesn't know) — see the scaladoc; the
+    // mean is exact and k-bounded (orphans × dim rows out)
+    val known = stored.map(_._1).toSet
+    val orphans = counts.map(_._1).filterNot(known).sorted
+    val adopted: Seq[(Int, Array[Double])] =
+      if (orphans.isEmpty) Seq.empty
+      else vecs.filter(col("cell").isin(orphans: _*))
+        .select(col("cell"), posexplode(col("e")).as(Seq("i", "x")))
+        .groupBy("cell", "i").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+    val centroids = stored ++ adopted
+    if (hot.isEmpty && orphans.isEmpty) return 0
+    // fresh ids come from max over BOTH tables: after a crash the
+    // vectors side can be ahead of the centroids side, and reusing one
+    // of ITS ids would merge unrelated vectors into one cell
+    var nextId = math.max(centroids.map(_._1).max, counts.map(_._1).max) + 1
     var splits = 0
     val kept = scala.collection.mutable.ArrayBuffer(
       centroids.filterNot(c => hot.contains(c._1)).toSeq: _*)

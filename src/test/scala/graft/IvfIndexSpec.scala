@@ -204,6 +204,61 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$d3/centroids").count() == 2)
   }
 
+  test("reader racing a rebalance (stale centroids + orphan cell dirs) degrades gracefully; the next rebalance adopts the orphans") {
+    import spark.implicits._
+    val dir5 = Files.createTempDirectory("graft-ivf-torn").toFile
+    dir5.deleteOnExit()
+    val d5 = dir5.getAbsolutePath
+    operators.IvfIndex.build(spark, sf, d5)
+    val q = queryVec
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val knownCells = spark.read.parquet(s"$d5/centroids")
+      .collect().map(_.getInt(0))
+    // the torn state rebalance can crash into: vector rows landed under
+    // a cell id the (not-yet-rewritten) centroids table doesn't list
+    val orphanId = knownCells.max + 7
+    val before = operators.IvfIndex.query(spark, d5, q,
+      topK = 10, nprobe = knownCells.length)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    (0 until 25).map { i =>
+      val e = q.toSeq.updated(0, q(0) + 1e-3 * i)
+      (2000000L + i, 7, e, math.sqrt(e.map(x => x * x).sum), orphanId)
+    }.toDF("vec_id", "label", "e", "nrm", "cell")
+      .write.mode("append").partitionBy("cell").parquet(s"$d5/vectors")
+    // 1) the racing reader: no exception, full top-k, and results
+    //    EXACTLY what the stale centroids describe — the orphan dir is
+    //    simply not probed (recall dip, not an error)
+    val during = operators.IvfIndex.query(spark, d5, q,
+      topK = 10, nprobe = knownCells.length)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(during == before,
+      "reader in the torn state must see exactly the pre-rebalance index")
+    assert(!during.exists(_._1 >= 2000000L), "orphan rows leaked into a stale-centroid probe")
+    // 2) driftAudit surfaces the orphan cell (population visible, no
+    //    stored centroid -> null displacement)
+    val audit = operators.IvfIndex.driftAudit(spark, d5).collect()
+      .map(r => (r.getInt(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val orphanRow = audit.find(_._1 == orphanId)
+    assert(orphanRow.exists(r => r._2 == 25L && r._3.isEmpty),
+      s"driftAudit should flag the orphan cell with null displacement: $orphanRow")
+    // 3) the next rebalance adopts the orphan instead of stranding or
+    //    merging it: its id appears in centroids, nothing lost, and an
+    //    exact probe now surfaces the planted near-clone of q
+    val nVecs = spark.read.parquet(s"$d5/vectors").count()
+    operators.IvfIndex.rebalance(spark, d5)
+    val cents = spark.read.parquet(s"$d5/centroids")
+      .collect().map(_.getInt(0)).toSet
+    val cells = spark.read.parquet(s"$d5/vectors")
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells == cents, s"cells $cells vs centroids $cents still out of sync after rebalance")
+    assert(spark.read.parquet(s"$d5/vectors").count() == nVecs,
+      "adoption lost or duplicated vectors")
+    val healed = operators.IvfIndex.query(spark, d5, q,
+      topK = 3, nprobe = cents.size).collect().map(_.getLong(0)).toSet
+    assert(healed.contains(2000000L),
+      s"adopted orphan's near-clone of the query vector missing from top-3: $healed")
+  }
+
   test("q144 incremental IVF recall tracks combined-corpus brute force") {
     val got = SparkEntry.queries("q144_ivf_incremental")(spark, sf)
       .collect().map(_.getLong(0))
