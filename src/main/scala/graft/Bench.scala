@@ -10,6 +10,60 @@ import org.apache.spark.sql.SparkSession
   * classloading cost is not charged to the measured run.
   */
 object Bench {
+
+  /** A headline min is load-suspect when it exceeds this factor × its
+    * committed idle-machine floor (bench_floor.json). */
+  private[graft] val SuspectFactor = 2.0
+
+  /** Parse bench_floor.json's flat name → seconds map (the `_comment`
+    * key is prose and skipped). Regex-based on purpose: no JSON library
+    * in the dependency set, and the file is machine-written. */
+  private[graft] def parseFloors(txt: String): Map[String, Double] =
+    "\"(q[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
+      .findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .toMap
+
+  /** Names whose measured min exceeds [[SuspectFactor]] × their
+    * committed floor — the per-query validity flag. Round 10's record
+    * archived 5-11× inflated mins for five queries with
+    * load_suspect=false, because the single calibration probe ran only
+    * AFTER the headline runs and the co-tenant load had ended by then;
+    * comparing every headline min to its own floor has no such timing
+    * blind spot. A query with no committed floor is never flagged. */
+  private[graft] def floorSuspects(mins: Map[String, Double],
+      floors: Map[String, Double]): Seq[String] =
+    mins.toSeq.sorted.collect {
+      case (q, m) if floors.get(q).exists(f => m > SuspectFactor * f) => q
+    }
+
+  /** Min-of-3 with an outlier retry, over an injectable measurement
+    * function (the spec drives this with synthetic timings). Rounds 4-6
+    * all recorded a 3-4x inflated official number because the bench
+    * shares the machine with the driver's other work: under SUSTAINED
+    * load every sample is polluted, so even the median records the
+    * machine, not the engine (r6: q117 median 8.20 s vs min 0.85 s vs
+    * true 0.79 s). For a fixed deterministic workload contention only
+    * ever ADDS time, so min is the load-robust estimator of engine
+    * throughput — it matched the judge's idle-machine re-run within
+    * noise every round while the median was off by 4x. min/median/max
+    * still ship in `spread` so the variance stays visible. */
+  private[graft] def robustTimes(names: Seq[String],
+      measure: String => Double): Seq[(String, Seq[Double])] =
+    names.map { name =>
+      var times = Seq.fill(3)(measure(name))
+      var retries = 0
+      while (times.max > 2 * times.min && retries < 2) {
+        times :+= measure(name); retries += 1
+      }
+      name -> times
+    }
+
+  private def median(ts: Seq[Double]): Double = {
+    val s = ts.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,6 +78,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val byName = Registry.benchSet.map(q => q.name -> q).toMap
+
     // Warm each query ON THE MEASURED SF DIR: AQE picks different
     // physical plans (broadcast vs shuffle join) at different scales, so
     // an sf0.001 warmup leaves the sf0.1 stage shapes and their codegen
@@ -36,69 +92,53 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench-warm] ${q.name}: ${e.getMessage}") }
     }
 
-    // Min-of-3 with an outlier retry. Rounds 4-6 all recorded a 3-4x
-    // inflated official number because the bench shares the machine with
-    // the driver's other work: under SUSTAINED load every sample is
-    // polluted, so even the median records the machine, not the engine
-    // (r6: q117 median 8.20 s vs min 0.85 s vs true 0.79 s). For a fixed
-    // deterministic workload contention only ever ADDS time, so min is
-    // the load-robust estimator of engine throughput — it matched the
-    // judge's idle-machine re-run within noise every round while the
-    // median was off by 4x. min/median/max still ship in `spread` so the
-    // variance stays visible.
-    def measure(q: Q): Double = {
+    def measure(name: String): Double = {
       val t0 = System.nanoTime()
-      try q.run(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
+      try byName(name).run(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       (System.nanoTime() - t0) / 1e9
     }
-    def median(ts: Seq[Double]): Double = {
-      val s = ts.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
-    val results = Registry.benchSet.map { q =>
-      var times = Seq.fill(3)(measure(q))
-      var retries = 0
-      while (times.max > 2 * times.min && retries < 2) {
-        times :+= measure(q); retries += 1
-      }
-      q.name -> times
-    }
-    // Noise-floor self-calibration: after the measured runs, probe the
-    // cheapest headline query once more and compare against its
-    // committed idle-machine floor (bench_floor.json — the round-7
-    // judge re-run on a quiet box). Min-of-3 absorbs TRANSIENT load,
-    // but under sustained co-tenancy (the driver's own verify/judge
-    // work) even the min is polluted; the probe makes the archived
-    // record carry its own validity flag instead of relying on an
-    // out-of-band re-run to notice.
+    val results = robustTimes(Registry.benchSet.map(_.name), measure)
+
+    // Validity stamping, two layers (each has caught a real polluted
+    // record the other could miss):
+    //  - per-query: every headline min vs its own committed idle floor
+    //    (floorSuspects — catches mid-run load that ends before the
+    //    probe, the round-10 blind spot);
+    //  - end probe: re-measure the cheapest query after the headline
+    //    runs (catches a machine that is STILL loaded, and still works
+    //    if the floors file ever goes missing).
     val CalibQ = "q128_tpch_q6"
     // min-of-3 like the headline runs: a single probe sample can eat a
     // GC pause or scheduler hiccup and stamp load_suspect=true on a
     // genuinely valid record (transient noise only ever ADDS time).
     val calib = Registry.benchSet.find(_.name == CalibQ)
-      .map(q => Seq.fill(3)(measure(q)).min)
-    val floor = Seq("bench_floor.json", "target/bench_floor.json").view
+      .map(q => Seq.fill(3)(measure(q.name)).min)
+    val floorsTxt = Seq("bench_floor.json", "target/bench_floor.json").view
       .map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.exists(_))
-      .flatMap { p =>
-        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        ("\"" + CalibQ + "\"\\s*:\\s*([0-9.]+)").r
-          .findFirstMatchIn(txt).map(_.group(1).toDouble)
-      }
-    val loadSuspect = (for (c <- calib; f <- floor) yield c > 2 * f)
-      .getOrElse(false)
+      .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    val floors = floorsTxt.map(parseFloors).getOrElse(Map.empty)
+    val suspects = floorSuspects(
+      results.map { case (k, ts) => k -> ts.min }.toMap, floors)
+    val probeSuspect = (for (c <- calib; f <- floors.get(CalibQ))
+      yield c > SuspectFactor * f).getOrElse(false)
+    val loadSuspect = probeSuspect || suspects.nonEmpty
+
     def fmt(v: Double): String = f"$v%.4f"
     val qs = results.map { case (k, ts) => "\"" + k + "\":" + fmt(ts.min) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, ts) =>
+      val floorPart = floors.get(k).map(f => ",\"floor\":" + fmt(f)).getOrElse("")
+      val susPart = ",\"suspect\":" + suspects.contains(k)
       "\"" + k + "\":{\"min\":" + fmt(ts.min) + ",\"median\":" + fmt(median(ts)) +
-        ",\"max\":" + fmt(ts.max) + ",\"runs\":" + ts.size + "}"
+        ",\"max\":" + fmt(ts.max) + ",\"runs\":" + ts.size + floorPart + susPart + "}"
     }.mkString("{", ",", "}")
     val total = results.map { case (_, ts) => ts.min }.sum
     val calibJson = "{\"query\":\"" + CalibQ + "\"" +
       calib.map(c => ",\"probe\":" + fmt(c)).getOrElse("") +
-      floor.map(f => ",\"floor\":" + fmt(f)).getOrElse("") + "}"
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"calib":$calibJson,"load_suspect":$loadSuspect,"sf":"$sfDir"}"""
+      floors.get(CalibQ).map(f => ",\"floor\":" + fmt(f)).getOrElse("") + "}"
+    val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"calib":$calibJson,"floor_suspects":$suspectsJson,"load_suspect":$loadSuspect,"sf":"$sfDir"}"""
     println(json)
     // Belt-and-braces: also drop the line where the driver can read it
     // even if a logger decorates stdout. stdout already carries the
