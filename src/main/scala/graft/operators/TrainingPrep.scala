@@ -890,15 +890,15 @@ object TrainingPrep {
     * tie-break below is bit-identical to the engines'. (JVM
     * String.compareTo orders by UTF-16 code unit, which diverges for
     * supplementary characters.) */
-  private def utf8Lt(x: String, y: String): Boolean = {
+  private def utf8Cmp(x: String, y: String): Int = {
     val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
     var i = 0
     while (i < a.length && i < b.length) {
       val c = (a(i) & 0xff) - (b(i) & 0xff)
-      if (c != 0) return c < 0
+      if (c != 0) return c
       i += 1
     }
-    a.length < b.length
+    a.length - b.length
   }
 
   /** Driver-side histogram learner — the path that makes production
@@ -931,46 +931,116 @@ object TrainingPrep {
     } finally { base.unpersist(); () }
   }
 
+  /** Driver-side twin of [[bpeWrap]] for callers that synthesize
+    * histogram rows directly (the BpeScale tool). */
+  private[graft] def bpeWrapStr(w: String): String =
+    BpeSep2 + w.map(ch => s"$ch$BpeSep2").mkString
+
   /** The in-memory merge loop itself (see [[learnBpeHist]] for the
-    * bit-equality argument). */
-  private def histLoop(s: SparkSession, collected: Array[(String, Long)],
+    * bit-equality argument), INCREMENTAL: the naive form rescans the
+    * whole vocabulary per merge — O(vocab × k), measured 349 s for
+    * k=2048 over a 95k-word Zipf vocabulary (BpeScale tool) — while
+    * after the first ranks each merge touches only the few words that
+    * contain the merged pair. Maintain (1) the freq-weighted
+    * overlapping adjacent-pair counts as a map updated by exact deltas
+    * when a word is rewritten, (2) an occurrence index pair → word ids
+    * (append-only, re-checked at use — a stale entry is skipped), and
+    * (3) an ordered set over (cnt DESC, a, b) under the engines'
+    * binary collation ([[utf8Cmp]]) whose head IS the old full-scan
+    * argmax. The per-word rewrite replays String.replace's
+    * left-to-right non-rescanning greedy pass over the symbol array,
+    * so every iteration selects the same pair and produces the same
+    * words as the rescan loop — TrainingPrepSpec's law (and the
+    * BpeScale prefix law at sf0.1) pin it merge-for-merge against the
+    * distributed loop. Same 95k-vocab probe after: 1-2 s. */
+  private[graft] def histLoop(s: SparkSession, collected: Array[(String, Long)],
       k: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
-    var words = collected
     val sepPat = java.util.regex.Pattern.quote(BpeSep2)
+    val words: Array[Array[String]] =
+      collected.map { case (sym, _) => sym.split(sepPat, -1).filter(_.nonEmpty) }
+    val freqs: Array[Long] = collected.map(_._2)
+
+    val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where =
+      scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.BitSet]
+    val ord: Ordering[(Long, String, String)] =
+      (x: (Long, String, String), y: (Long, String, String)) => {
+        if (x._1 != y._1) java.lang.Long.compare(y._1, x._1) // cnt DESC
+        else {
+          val c = utf8Cmp(x._2, y._2)
+          if (c != 0) c else utf8Cmp(x._3, y._3)
+        }
+      }
+    val queue = scala.collection.mutable.TreeSet.empty[(Long, String, String)](ord)
+
+    // cnt/queue always mirror each other exactly; `where` may hold
+    // stale word ids (a word that no longer contains the pair) but
+    // never misses a live occurrence
+    def bump(p: (String, String), delta: Long, wi: Int): Unit = {
+      val old = cnt.getOrElse(p, 0L)
+      if (old != 0L) queue.remove((old, p._1, p._2))
+      val nw = old + delta
+      if (nw != 0L) {
+        cnt(p) = nw
+        queue.add((nw, p._1, p._2))
+      } else cnt.remove(p)
+      if (delta > 0L)
+        where.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += wi
+      ()
+    }
+    for (wi <- words.indices) {
+      val t = words(wi); val f = freqs(wi)
+      var i = 0
+      while (i + 1 < t.length) { bump((t(i), t(i + 1)), f, wi); i += 1 }
+    }
+
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var rank = 1L
-    var done = false
-    while (rank <= k && !done) {
-      val cnt = new java.util.HashMap[(String, String), Long]()
-      for ((sym, freq) <- words) {
-        val t = sym.split(sepPat, -1).filter(_.nonEmpty)
+    while (rank <= k && queue.nonEmpty) {
+      val (c, a, b) = queue.head
+      merges += ((rank, a, b, c))
+      val hits = where.getOrElse((a, b), scala.collection.mutable.BitSet.empty)
+      for (wi <- hits.toArray) {
+        val t = words(wi); val f = freqs(wi)
+        // re-check: the index entry may be stale
+        var has = false
         var i = 0
-        while (i + 1 < t.length) {
-          cnt.merge((t(i), t(i + 1)), freq, (p, q) => p + q)
-          i += 1
+        while (!has && i + 1 < t.length) {
+          has = t(i) == a && t(i + 1) == b; i += 1
+        }
+        if (has) {
+          // String.replace semantics: one left-to-right pass, a merged
+          // symbol never re-matches as the head of the same pass
+          val nt = scala.collection.mutable.ArrayBuffer.empty[String]
+          i = 0
+          while (i < t.length) {
+            if (i + 1 < t.length && t(i) == a && t(i + 1) == b) {
+              nt += a + b; i += 2
+            } else { nt += t(i); i += 1 }
+          }
+          val na = nt.toArray
+          i = 0
+          while (i + 1 < t.length) { bump((t(i), t(i + 1)), -f, wi); i += 1 }
+          i = 0
+          while (i + 1 < na.length) { bump((na(i), na(i + 1)), f, wi); i += 1 }
+          words(wi) = na
         }
       }
-      if (cnt.isEmpty) done = true
-      else {
-        var best: ((String, String), Long) = null
-        cnt.forEach { (p, c) =>
-          if (best == null || c > best._2 ||
-            (c == best._2 && (utf8Lt(p._1, best._1._1) ||
-              (p._1 == best._1._1 && utf8Lt(p._2, best._1._2)))))
-            best = (p, c)
-        }
-        val ((a, b), c) = best
-        merges += ((rank, a, b, c))
-        val pat = BpeSep + a + BpeSep2 + b + BpeSep
-        val rep = BpeSep + a + b + BpeSep
-        words = words.map { case (sym, f) => (sym.replace(pat, rep), f) }
-        rank += 1
-      }
+      where.remove((a, b))
+      // every live (a,b) adjacency was in `where` and a rewrite pass
+      // leaves none behind, so the count must have drained to zero —
+      // fail loudly rather than spin re-selecting a pair that can no
+      // longer change anything
+      require(!cnt.contains((a, b)),
+        s"merge $rank ($a,$b) left a live pair count — occurrence index broken")
+      rank += 1
     }
     val s2 = s
     import s2.implicits._
-    (merges.toSeq, words.toSeq.toDF("sym", "freq"))
+    val enc = words.indices
+      .map(wi => (BpeSep2 + words(wi).map(_ + BpeSep2).mkString, freqs(wi)))
+    (merges.toSeq, enc.toDF("sym", "freq"))
   }
 
   /** Histogram fast path when the vocab fits the collect budget (always,

@@ -58,6 +58,31 @@ class DedupFixtureSpec extends AnyFunSuite {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, fixtureDir)
 
+  /** FLAT-repetition twin of the fixture: same doc count and length
+    * profile and the same total repetition mass, but every paragraph is
+    * drawn UNIFORMLY from one shared pool — so shingle df is uniform at
+    * ~3 (UNDER DfCap: all of it generates candidate pairs) instead of
+    * the fixture's split into unique organic text (df 1) plus a hot
+    * boilerplate head (df >> cap, EXCLUDED from pair generation). This
+    * is the df shape of the driver's synthetic testdata, whose
+    * committed q149 floor the bench compares against; the twin exists
+    * to MEASURE the bench_floor.json claim that flat repetition is
+    * q121/q149's worst case (the capped+hot decomposition's savings
+    * grow with skew). */
+  private lazy val flatDir: String = {
+    import spark.implicits._
+    val rnd = new java.util.Random(43)
+    def para(n: Int): String =
+      (0 until n).map(_ => s"w${rnd.nextInt(V)}").mkString(" ")
+    val pool = (0 until 500).map(_ => para(8 + rnd.nextInt(10)))
+    val docs = (0 until 400).map { i =>
+      val nP = 2 + rnd.nextInt(4)
+      (i.toLong,
+        (0 until nP).map(_ => pool(rnd.nextInt(pool.size))).mkString("\n\n"))
+    }
+    TestSpark.makeSfDir("documents" -> docs.toDF("doc_id", "text"))
+  }
+
   test("power-law fixture: the hot slice is a small, non-empty posting fraction") {
     // the capped+hot decomposition's economics: n_hot joins back through
     // ONLY postings with df > DfCap. On a flat vocabulary that slice was
@@ -106,6 +131,46 @@ class DedupFixtureSpec extends AnyFunSuite {
     assert(!q121.contains((9002L, 9003L)),
       "the quote pair's jaccard should stay below the q121 threshold — " +
         "that asymmetry is q149's reason to exist")
+  }
+
+  test("flat-vs-skewed cost: the flat twin does more intersection work per doc (the committed floors' worst case)") {
+    // Structural comparison first (deterministic): the capped join's
+    // posting-pair work. On the flat twin nearly every shingle is rare
+    // (df <= cap), so candidate generation carries the full corpus; on
+    // the power-law fixture the boilerplate mass sits in the hot slice
+    // and is EXCLUDED from pair generation. Wall times are info-only
+    // (recorded in bench_floor.json's comment), the structure is the
+    // assertion.
+    graft.functions.TextFunctions.register(spark)
+    def cappedPairWork(dir: String): Long = {
+      val sets = Tables.documents(spark, dir)
+        .select(col("doc_id"), Dsl.toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(expr("distinct_shingles(t, 3)")).as("sg"))
+        .select(col("doc_id"), Dsl.md5h61(col("sg")).as("h"))
+      val df = sets.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= operators.Dedup.DfCap)
+      // sum over capped postings of df*(df-1)/2 = candidate pair slots
+      df.select(sum(col("df") * (col("df") - 1) / 2).cast("long")).head().getLong(0)
+    }
+    def wall(dir: String, name: String): Double = {
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runs.min
+    }
+    val (workFlat, workSkew) = (cappedPairWork(flatDir), cappedPairWork(fixtureDir))
+    val docsFlat = Tables.documents(spark, flatDir).count().toDouble
+    val docsSkew = Tables.documents(spark, fixtureDir).count().toDouble
+    info(f"capped pair slots: flat $workFlat (${workFlat / docsFlat}%.1f/doc), " +
+      f"skewed $workSkew (${workSkew / docsSkew}%.1f/doc)")
+    for (q <- Seq("q121_ngram_jaccard_dfcap", "q149_containment_pairs"))
+      info(f"$q wall: flat ${wall(flatDir, q)}%.2f s, skewed ${wall(fixtureDir, q)}%.2f s")
+    assert(workFlat / docsFlat > workSkew / docsSkew,
+      "flat twin should carry MORE capped pair work per doc — " +
+        "else the committed flat floors are not the worst case")
   }
 
   test("U+000B: tokenizer and fingerprint treat a vertical tab as whitespace on both engines") {
