@@ -576,6 +576,208 @@ object Similarity {
         list_sort(e)[3] AS bottom_3
       FROM n ORDER BY vec_id"""))
 
+  // ------------------------------------------------------------------
+  // q161/q162 — product quantization (Jégou, Douze, Schmid 2011:
+  // "Product Quantization for Nearest Neighbor Search"). THE way
+  // 100 TB of embeddings becomes a RAM-resident search structure:
+  // split each vector into M subvectors, quantize each against a
+  // K-codeword codebook, store M small codes instead of the floats —
+  // here 64 float32 = 256 B/vector becomes 8 codes (4 bits each at
+  // K=16), a 64× compression — and answer queries with Asymmetric
+  // Distance Computation: precompute the M × K table of squared
+  // distances from the QUERY's subvectors to every codeword ONCE, then
+  // score each database vector with M table lookups + (M−1) adds, no
+  // float math against the vector itself (the codes are all you read).
+  //
+  // The codebook is DATA-DERIVED but deterministic: codeword j of
+  // subspace m is the m-th subvector of the vector with vec_id = j —
+  // the sample-init baseline every k-means codebook training starts
+  // from. A TRAINED per-subspace fit is a seeded MLlib k-means — the
+  // q50 class of inherent non-SQL-replicability (q50b oracle-verifies
+  // the Lloyd step math separately); the sample codebook keeps the
+  // ENTIRE encode + ADC search path DuckDB-verified bit-exactly, and
+  // fit quality is orthogonal to the operator's correctness. (An
+  // md5-sign pinned codebook was tried first and measured recall@10 ≈
+  // 0.06 on this corpus — decorative, not an operator; the sample
+  // codebook measures ≈ 0.34 mean on isotropic synthetic embeddings,
+  // PQ's adversarial case.)
+  //
+  // Scale shape: the registry instances build the codebook as a
+  // K-row broadcast frame and score via an M-row explode — fully
+  // self-contained SQL for the oracle. The 100 TB shape is
+  // [[pqEncodeScan]]: collect the K×M codebook driver-side (k-bounded,
+  // the IvfIndex discipline) and inline it as literals — the encode
+  // becomes a ZERO-shuffle scan projection (SimilaritySpec pins it
+  // equal to q161 row-for-row). q162's ADC broadcasts the 1-row
+  // query-side lookup table (scalar-broadcast idiom) over the codes;
+  // per-row cost is M element_at's + fixed-order adds. The ACCURACY
+  // boundary is inherent to PQ (quantization error ⇒ approximate
+  // ranking); SimilaritySpec pins recall@10 against exact search —
+  // embeddings are unit-norm, so exact-L2 order IS exact-cosine order
+  // (q42) — and ADC self-consistency against a Scala recomputation.
+  // ------------------------------------------------------------------
+  private[graft] val PqM = 8 // subspaces
+  private[graft] val PqD = EmbeddingDim / PqM // dims per subspace
+  private[graft] val PqK = 16 // codewords per subspace
+
+  /** (vec_id, label, m, j, score): squared L2 from each vector's
+    * subspace-m subvector to codeword j (the m-th subvector of vector
+    * j). Shared by q161 (argmin per (vec, m) = the code) and q162 (the
+    * vec_id = 0 slice IS the query's ADC lookup table). Left-fold sum,
+    * same order as the SQL twin. */
+  private def pqScored(s: SparkSession, d: String): DataFrame = {
+    val w = normed(s, d).select(col("vec_id"), col("label"), col("e"))
+    val cb = w.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast("int").as("j"), col("e").as("ce"))
+    val dist = (0 until PqD).map { i =>
+      val idx = col("m") * PqD + lit(i + 1)
+      val diff = element_at(col("e"), idx) - element_at(col("ce"), idx)
+      diff * diff
+    }.reduce(_ + _)
+    w.select(col("vec_id"), col("label"), col("e"),
+        explode(array((0 until PqM).map(lit(_)): _*)).as("m"))
+      .join(broadcast(cb))
+      .select(col("vec_id"), col("label"), col("m"), col("j"),
+        dist.as("score"))
+  }
+
+  /** Per (vec, m) argmin over the K codewords — ties to the lower code
+    * via (score, j) struct ordering, [[IvfIndex.assignToCentroids]]'s
+    * convention. */
+  private def pqCodes(scored: DataFrame): DataFrame =
+    scored.groupBy(col("vec_id"), col("label"), col("m"))
+      .agg(min(struct(col("score"), col("j"))).as("b"))
+      .select(col("vec_id"), col("label"), col("m"),
+        col("b").getField("j").as("code"),
+        col("b").getField("score").as("ms"))
+
+  private def sqlPqDist(e: String, ce: String, m: String): String =
+    s"list_reduce(list_transform(generate_series(1, $PqD), i -> " +
+      s"($e[$m*$PqD + i] - $ce[$m*$PqD + i]) * ($e[$m*$PqD + i] - $ce[$m*$PqD + i])), (p, q) -> p + q)"
+
+  /** Shared SQL CTE chain up to (vec_id, label, m, code, ms). The
+    * tie-break twin of the Spark struct-min: min(score) per (vec, m),
+    * then min(j) among the rows carrying exactly that score. */
+  private def sqlPqCodes: String =
+    s"""cbk AS (SELECT cast(vec_id as int) AS j, e AS ce FROM w WHERE vec_id < $PqK),
+      mm AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+      sc AS MATERIALIZED (SELECT x.vec_id, x.label, mm.m, c.j,
+          ${sqlPqDist("x.e", "c.ce", "mm.m")} AS score
+        FROM w x, mm, cbk c),
+      best AS (SELECT vec_id, label, m, min(score) AS ms FROM sc GROUP BY 1, 2, 3),
+      code AS (SELECT b.vec_id, b.label, b.m, b.ms, min(s.j) AS code
+        FROM best b JOIN sc s ON s.vec_id = b.vec_id AND s.m = b.m AND s.score = b.ms
+        GROUP BY 1, 2, 3, 4)"""
+
+  val pqEncode: Q = Q(
+    "q161_pq_encode",
+    (s, d) => {
+      val codes = pqCodes(pqScored(s, d))
+      val aggs = (0 until PqM).map(m =>
+        min(when(col("m") === m, col("code"))).as(s"code_$m"))
+      val recon = (0 until PqM)
+        .map(m => min(when(col("m") === m, col("ms"))))
+        .reduce(_ + _).as("recon_err")
+      codes.groupBy("vec_id")
+        .agg(aggs.head, aggs.tail :+ recon: _*)
+        .orderBy("vec_id")
+    },
+    Some {
+      val codeCols = (0 until PqM)
+        .map(m => s"min(CASE WHEN m = $m THEN code END) AS code_$m")
+        .mkString(", ")
+      val recon = (0 until PqM)
+        .map(m => s"min(CASE WHEN m = $m THEN ms END)")
+        .reduce((a, b) => s"($a + $b)")
+      s"""WITH $sqlNormed, $sqlPqCodes
+        SELECT vec_id, $codeCols, $recon AS recon_err
+        FROM code GROUP BY vec_id ORDER BY vec_id"""
+    },
+    bench = true)
+
+  val pqAdcTopK: Q = Q(
+    "q162_pq_adc_topk",
+    (s, d) => {
+      val scored = graft.CacheScope.cached(pqScored(s, d))
+      val codeCols = (0 until PqM).map(m =>
+        min(when(col("m") === m, col("code"))).as(s"code_$m"))
+      val pivoted = pqCodes(scored).groupBy("vec_id", "label")
+        .agg(codeCols.head, codeCols.tail: _*)
+      // the query's ADC table = the vec_id = 0 slice of the shared
+      // score frame, pivoted to one row of M ordered lookup arrays
+      val qt = scored.filter(col("vec_id") === 0)
+        .groupBy("m")
+        .agg(transform(
+          array_sort(collect_list(struct(col("j"), col("score")))),
+          x => x.getField("score")).as("t"))
+      val tCols = (0 until PqM).map(m =>
+        min(when(col("m") === m, col("t"))).as(s"t$m"))
+      val qrow = qt.groupBy().agg(tCols.head, tCols.tail: _*)
+      val adc = (0 until PqM)
+        .map(m => element_at(col(s"t$m"), col(s"code_$m") + 1))
+        .reduce(_ + _)
+      pivoted.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qrow))
+        .select(col("vec_id"), col("label"), adc.as("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(10)
+    },
+    Some {
+      val codeCols = (0 until PqM)
+        .map(m => s"min(CASE WHEN m = $m THEN code END) AS code_$m")
+        .mkString(", ")
+      val tCols = (0 until PqM)
+        .map(m => s"(SELECT list(score ORDER BY j) FROM sc WHERE vec_id = 0 AND m = $m) AS t$m")
+        .mkString(", ")
+      val adc = (0 until PqM)
+        .map(m => s"t$m[code_$m + 1]")
+        .reduce((a, b) => s"($a + $b)")
+      s"""WITH $sqlNormed, $sqlPqCodes,
+        piv AS (SELECT vec_id, label, $codeCols FROM code GROUP BY vec_id, label),
+        qrow AS (SELECT $tCols)
+        SELECT vec_id, label, $adc AS adc_dist
+        FROM piv, qrow WHERE vec_id <> 0
+        ORDER BY adc_dist, vec_id LIMIT 10"""
+    })
+
+  /** The 100 TB encode shape: codebooks collected driver-side
+    * (K-bounded — K×M subvectors), inlined as literals, argmin per
+    * subspace as a pure scan projection with ZERO shuffles (the
+    * registry q161 shuffles M rows per vector so its SQL twin is
+    * self-contained — this is the same trade [[IvfIndex.query]] makes
+    * vs q55). Output matches q161 row-for-row (SimilaritySpec law). */
+  private[graft] def pqEncodeScan(vecs: DataFrame,
+      codebooks: Seq[Seq[Array[Double]]]): DataFrame = {
+    require(codebooks.size == PqM && codebooks.forall(_.size == PqK))
+    val mins = (0 until PqM).map { m =>
+      val scored = codebooks(m).zipWithIndex.map { case (c, j) =>
+        val dist = (0 until PqD).map { i =>
+          val diff = element_at(col("e"), m * PqD + i + 1) - lit(c(i))
+          diff * diff
+        }.reduce(_ + _)
+        struct(dist.as("score"), lit(j).as("code"))
+      }
+      array_min(array(scored: _*)).as(s"b$m")
+    }
+    val recon = (0 until PqM)
+      .map(m => col(s"b$m").getField("score"))
+      .reduce(_ + _)
+    vecs.select(col("vec_id") +: mins: _*)
+      .select(col("vec_id") +:
+        (0 until PqM).map(m => col(s"b$m").getField("code").as(s"code_$m")) :+
+        recon.as("recon_err"): _*)
+  }
+
+  /** Collect the sample codebook from an embeddings frame (K rows). */
+  private[graft] def pqCollectCodebooks(w: DataFrame): Seq[Seq[Array[Double]]] = {
+    val rows = w.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast("int"), col("e"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    (0 until PqM).map(m => rows.toSeq.map(_._2.slice(m * PqD, (m + 1) * PqD)))
+  }
+
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
-    annIvf, annIvfIncremental, semanticDedup, multimodalMeta, arrayFuncs)
+    annIvf, annIvfIncremental, semanticDedup, multimodalMeta, arrayFuncs,
+    pqEncode, pqAdcTopK)
 }

@@ -351,6 +351,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // count (q41's corpus-adaptive discipline applied to SemDeDup)
       "q151_semantic_dedup" -> Map("embeddings" -> 2),
       "q85_salient_terms" -> Map("documents" -> 2),
+      // sample-codebook branch: a SECOND scan with vec_id < 16 pushed
+      // to the parquet reader — a 16-row pruned read (footer + one row
+      // group at any scale), the price of a self-contained oracle; the
+      // 100 TB form (pqEncodeScan, codebook collected once) scans once
+      "q161_pq_encode" -> Map("embeddings" -> 2),
+      "q162_pq_adc_topk" -> Map("embeddings" -> 2),
       "q97_fuzzy_pairs" -> Map("part" -> 2))
     // Skipped: construction already runs driver-side jobs (model fits,
     // sketch builds, the BPE merge loop) — executing them here pays a

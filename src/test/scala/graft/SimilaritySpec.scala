@@ -157,6 +157,76 @@ class SimilaritySpec extends AnyFunSuite {
       s"3000 vectors must activate cells beyond the 16-prefix: $cells")
   }
 
+  test("PQ: codes in range, recon positive, ADC self-consistent, recall@10 bounded, scan variant row-identical") {
+    val sf = TestSpark.sf0001
+    val enc = SparkEntry.queries("q161_pq_encode")(spark, sf).collect()
+    assert(enc.length == 500)
+    val M = operators.Similarity.PqM
+    enc.foreach { r =>
+      (1 to M).foreach(c => assert(r.getInt(c) >= 0 && r.getInt(c) < 16,
+        s"code out of range on vec ${r.getLong(0)}"))
+      // donors (vec < 16) quantize to themselves at exactly 0
+      assert(r.getDouble(M + 1) >= 0 &&
+        (r.getLong(0) < 16 || r.getDouble(M + 1) > 0),
+        s"recon_err out of range on vec ${r.getLong(0)}")
+    }
+    // vec j < 16 donates its subvectors as codeword j of every
+    // subspace, so its own best codeword is itself in each subspace —
+    // codes (j, ..., j) and recon_err exactly 0.0 (identical doubles
+    // subtract to zero; no epsilon needed)
+    enc.filter(_.getLong(0) < 16).foreach { r =>
+      (1 to M).foreach(c => assert(r.getInt(c) == r.getLong(0).toInt,
+        s"codebook donor ${r.getLong(0)} not self-coded"))
+      assert(r.getDouble(M + 1) == 0.0,
+        s"donor ${r.getLong(0)} recon ${r.getDouble(M + 1)} != 0")
+    }
+    // ADC self-consistency: q162's distances recomputed in Scala from
+    // the q161 codes + raw embeddings, same fold order -> exact match
+    val emb = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.col("embedding"),
+          x => x.cast("double")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val D = 64 / M
+    val q = emb(0L)
+    val cb = (0 until M).map(m =>
+      (0 until 16).map(j => emb(j.toLong).slice(m * D, (m + 1) * D)))
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      (0 until D).map(i => (a(i) - b(i)) * (a(i) - b(i))).reduce(_ + _)
+    val codes = enc.map(r => r.getLong(0) -> (1 to M).map(r.getInt)).toMap
+    val adc = SparkEntry.queries("q162_pq_adc_topk")(spark, sf).collect()
+    assert(adc.length == 10)
+    adc.foreach { r =>
+      val id = r.getLong(0)
+      val want = (0 until M)
+        .map(m => dist(q.slice(m * D, (m + 1) * D), cb(m)(codes(id)(m))))
+        .reduce(_ + _)
+      assert(r.getDouble(2) == want, s"ADC mismatch on vec $id")
+    }
+    // recall@10 vs exact search (unit-norm embeddings: L2 order ==
+    // cosine order, so q42 is the ground truth). Measured 0.4 for this
+    // query on this corpus; 0.2 is the stability floor — PQ at 32 bits
+    // on isotropic synthetic data is its adversarial case.
+    val exact = SparkEntry.queries("q42_ann_bruteforce")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val recall = adc.map(_.getLong(0)).count(exact.contains).toDouble / 10
+    assert(recall >= 0.2, s"ADC recall@10 $recall below the stability floor")
+    // the 100 TB zero-shuffle scan variant is row-identical to q161
+    val w = operators.Similarity.normed(spark, sf)
+    val scan = operators.Similarity.pqEncodeScan(
+      w, operators.Similarity.pqCollectCodebooks(w))
+      .orderBy("vec_id").collect()
+    assert(scan.length == enc.length)
+    scan.zip(enc).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      (1 to M).foreach(c => assert(a.getInt(c) == b.getInt(c),
+        s"scan code differs on vec ${a.getLong(0)} subspace ${c - 1}"))
+      assert(a.getDouble(M + 1) == b.getDouble(M + 1),
+        s"scan recon differs on vec ${a.getLong(0)}")
+    }
+  }
+
   test("multimodal metadata is deterministic and sized correctly") {
     import spark.implicits._
     val docs = Seq((0L, "PNGx some fake payload", "en", "s", 22L),
