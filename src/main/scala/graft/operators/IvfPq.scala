@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: the composed production ANN index (the FAISS `IVFx,PQy`
+  * shape, Jégou et al. 2011 §IV) — IvfIndex's coarse partition pruning
+  * over PQ-compressed codes instead of raw vectors. At 100 TB the
+  * two compressions multiply: the coarse quantizer prunes the scan to
+  * nprobe cell directories (partition pruning IS the index lookup,
+  * [[IvfIndex]]'s argument), and within them only the 4-byte code rows
+  * are read — the original float vectors are touched ONLY by the
+  * optional exact-rerank stage, as [[Similarity.pqRerankTopK]]'s
+  * pruned point-lookup (q164).
+  *
+  * The index is three parquet tables:
+  *   - `centroids/` — (cell, centroid), k rows (seeded KMeans coarse
+  *     fit — the q50/q55 seeded-fit class, hence no direct oracle:
+  *     correctness is pinned by IvfPqSpec's cross-laws against the
+  *     DuckDB-oracled q162/q164 — with nprobe = all cells the pruning
+  *     is a no-op and query()/queryRerank() must reproduce those
+  *     queries' rows EXACTLY, ADC values bit-equal);
+  *   - `codebooks/`  — (m, j, cw), M×K rows: the PQ sample codebook
+  *     ([[Similarity.pqCollectCodebooks]]);
+  *   - `codes/`      — (vec_id, label, code_0..M-1) PARTITIONED BY
+  *     cell: [[Similarity.pqEncodeScan]] output + the coarse
+  *     assignment.
+  *
+  * Query = load centroids + codebooks (k-bounded collects, the
+  * [[IvfIndex.query]] discipline) → nearest nprobe cells driver-side →
+  * ADC lookup table computed DRIVER-side (M×K doubles, same left-fold
+  * arithmetic as the engines) and inlined as literal arrays →
+  * partition-pruned scan of the probed cells' codes with M element_at
+  * lookups per row. No broadcast join, no float math on vectors. */
+object IvfPq {
+  import Similarity.{PqM, PqD, PqK}
+
+  def build(spark: SparkSession, sfDir: String, indexDir: String,
+      k: Int = 16, seed: Long = 1L): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark2 = spark
+    import spark2.implicits._
+    val w = Similarity.normed(spark, sfDir)
+      .select("vec_id", "label", "e")
+      .withColumn("fv", array_to_vector(col("e"))).cache()
+    try {
+      val km = new KMeans().setK(k).setSeed(seed)
+        .setFeaturesCol("fv").setPredictionCol("cell").fit(w)
+      km.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexDir/centroids")
+      val cbs = Similarity.pqCollectCodebooks(w)
+      (0 until PqM).flatMap(m => (0 until PqK)
+        .map(j => (m, j, cbs(m)(j).toSeq)))
+        .toDF("m", "j", "cw")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+      val cells = km.transform(w).select(col("vec_id"), col("label"), col("cell"))
+      Similarity.pqEncodeScan(w, cbs)
+        .drop("recon_err")
+        .join(cells, "vec_id")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/codes")
+    } finally { w.unpersist(); () }
+  }
+
+  /** Probe cells + driver-computed ADC table for `query`, shared by
+    * [[query]] and [[queryRerank]]. The fold is the engines' left
+    * fold, so ADC values are bit-equal to q162's. */
+  private def probePlan(spark: SparkSession, indexDir: String,
+      q: Array[Double], nprobe: Int): (Seq[Int], DataFrame) = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val probes = centroids.map { case (cell, c) =>
+      (c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, cell)
+    }.sorted.take(nprobe).map(_._2).toSeq
+    val cbs = spark.read.parquet(s"$indexDir/codebooks")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val adcTable: Seq[Seq[Double]] = (0 until PqM).map { m =>
+      (0 until PqK).map { j =>
+        val c = cbs((m, j))
+        (0 until PqD).map { i =>
+          val diff = q(m * PqD + i) - c(i); diff * diff
+        }.reduce(_ + _)
+      }
+    }
+    val adc = (0 until PqM)
+      .map(m => element_at(typedLit(adcTable(m)), col(s"code_$m") + 1))
+      .reduce(_ + _)
+    val scored = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("cell").isin(probes: _*)) // partition pruning = the lookup
+      .withColumn("adc_dist", adc)
+    (probes, scored)
+  }
+
+  /** Top-k by ADC over the probed cells' codes. */
+  def query(spark: SparkSession, indexDir: String, q: Array[Double],
+      topK: Int = 10, nprobe: Int = 4): DataFrame = {
+    val (_, scored) = probePlan(spark, indexDir, q, nprobe)
+    scored.select("vec_id", "label", "cell", "adc_dist")
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(topK)
+  }
+
+  /** Two-stage: ADC shortlist over the probed cells, exact cosine
+    * rerank of ONLY the shortlist against `vectors` (the original
+    * embeddings frame — at scale a pruned point-lookup read by id,
+    * q164's stage 2). */
+  def queryRerank(spark: SparkSession, indexDir: String,
+      vectors: DataFrame, q: Array[Double], topK: Int = 10,
+      nprobe: Int = 4, shortlist: Int = 100): DataFrame = {
+    val (_, scored) = probePlan(spark, indexDir, q, nprobe)
+    val short = scored.select("vec_id", "label", "adc_dist")
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(shortlist)
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val qe = array(q.toSeq.map(lit): _*)
+    graft.functions.VectorFunctions.register(spark)
+    short.join(vectors.select(col("vec_id"), col("e"), col("nrm")), "vec_id")
+      .withColumn("qe", qe)
+      .select(col("vec_id"), col("label"), col("adc_dist"),
+        (expr("dot_product(e, qe)") / (col("nrm") * lit(qn))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(topK)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** IVF-PQ composed index lifecycle. The coarse quantizer is a seeded
+  * KMeans fit (no direct oracle — the q50/q55 class), so correctness
+  * is pinned by cross-laws against the DuckDB-oracled PQ queries: with
+  * nprobe = all cells the pruning is a no-op and the lifecycle must
+  * reproduce q162 (ADC top-k) and q164 (rerank top-k) EXACTLY, ADC and
+  * cosine values bit-equal — the driver-side ADC table and the
+  * engines' in-plan table share the same left-fold arithmetic. */
+class IvfPqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+  private val CoarseK = 16
+
+  private lazy val indexDir: String = {
+    val dir = Files.createTempDirectory("graft-ivfpq-index").toFile
+    dir.deleteOnExit()
+    operators.IvfPq.build(spark, sf, dir.getAbsolutePath, k = CoarseK)
+    dir.getAbsolutePath
+  }
+
+  private def queryVec: Array[Double] =
+    Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")).as("e"))
+      .collect()(0).getSeq[Double](0).toArray
+
+  test("query scans only the probed cells' code partitions, never the vectors") {
+    val df = operators.IvfPq.query(spark, indexDir, queryVec,
+      topK = 10, nprobe = 4)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty, "cell filter must prune partitions")
+    assert(scan.selectedPartitions.partitionCount <= 4,
+      s"scan touched ${scan.selectedPartitions.partitionCount} partitions")
+    // the codes table carries no embedding column at all — the scan
+    // physically cannot read float vectors
+    assert(!scan.requiredSchema.fieldNames.contains("e"))
+    assert(!df.queryExecution.sparkPlan.toString.contains("embeddings.parquet"),
+      "ADC stage must not touch the embeddings table")
+  }
+
+  test("nprobe = all cells reproduces the oracled q162 rows, ADC bit-equal") {
+    val got = operators.IvfPq.query(spark, indexDir, queryVec,
+      topK = 11, nprobe = CoarseK).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+    // the query vector itself is a codebook donor: its codes' codewords
+    // ARE its subvectors, so its ADC distance is exactly 0.0 and it
+    // ranks first — drop it to align with q162's vec_id <> 0 filter
+    assert(got.head._1 == 0L && got.head._3 == 0.0,
+      s"query vector not at exact ADC 0: ${got.head}")
+    val want = SparkEntry.queries("q162_pq_adc_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.drop(1).toSeq == want.toSeq,
+      "lifecycle ADC diverged from the oracle-checked q162")
+  }
+
+  test("nprobe = all cells + rerank reproduces the oracled q164 rows, cosine bit-equal") {
+    val w = operators.Similarity.normed(spark, sf)
+    val got = operators.IvfPq.queryRerank(spark, indexDir, w, queryVec,
+      topK = 11, nprobe = CoarseK, shortlist = 101).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.head._1 == 0L, "self-match must lead the exact rerank")
+    val want = SparkEntry.queries("q164_pq_rerank_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.drop(1).toSeq == want.toSeq,
+      "lifecycle rerank diverged from the oracle-checked q164")
+  }
+
+  test("pruned probe (nprobe=4) returns a full top-k from probed cells only") {
+    val got = operators.IvfPq.query(spark, indexDir, queryVec,
+      topK = 10, nprobe = 4).collect()
+    assert(got.length == 10)
+    val cells = got.map(_.getInt(2)).distinct
+    assert(cells.length <= 4, s"results from ${cells.length} cells with nprobe=4")
+    val dists = got.map(_.getDouble(3))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a <= b },
+      "not sorted by ADC")
+    // pruning can only LOSE candidates vs the all-cells probe: every
+    // pruned-probe result must appear in the all-cells ranking with
+    // the same ADC value
+    val all = operators.IvfPq.query(spark, indexDir, queryVec,
+      topK = 500, nprobe = CoarseK).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    got.foreach { r =>
+      assert(all(r.getLong(0)) == r.getDouble(3),
+        s"vec ${r.getLong(0)} ADC changed under pruning")
+    }
+  }
+}
