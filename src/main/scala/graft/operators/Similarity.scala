@@ -815,6 +815,151 @@ object Similarity {
         ORDER BY cosine DESC, s.vec_id LIMIT 10"""
     })
 
+  // ------------------------------------------------------------------
+  // q163 — PQ codebook balance audit: vectors assigned per (subspace,
+  // codeword), INCLUDING zero rows for dead codewords. Codebook health
+  // is the operational metric behind PQ quality (Jégou et al. 2011
+  // §II.C: balanced cells minimize quantization distortion for a given
+  // K): a subspace whose assignments pile onto a few codewords — or
+  // whose codewords never fire at all — wastes its code bits, and the
+  // fix (retrain that subspace's codebook, the IvfIndex.rebalance
+  // discipline applied to PQ) starts from exactly this histogram. At
+  // 100 TB the histogram is one M·K-key groupBy over the codes table —
+  // map-side combinable, M×K = 128 output rows regardless of corpus
+  // size; the codeword grid is a literal frame, so dead codes surface
+  // without any second corpus pass.
+  // ------------------------------------------------------------------
+  val pqCodeBalance: Q = Q(
+    "q163_pq_code_balance",
+    (s, d) => {
+      val spark2 = s
+      import spark2.implicits._
+      val counts = pqCodes(pqScored(s, d))
+        .groupBy("m", "code").agg(count(lit(1)).as("n"))
+      val grid = (for (m <- 0 until PqM; j <- 0 until PqK) yield (m, j))
+        .toDF("m", "code")
+      grid.join(counts, Seq("m", "code"), "left")
+        .select(col("m"), col("code"),
+          coalesce(col("n"), lit(0L)).as("n_vecs"))
+        .orderBy("m", "code")
+    },
+    Some(s"""WITH $sqlNormed, $sqlPqCodes,
+      counts AS (SELECT m, code, cast(count(*) as bigint) AS n
+        FROM code GROUP BY 1, 2),
+      grid AS (SELECT mm.m, jj.j AS code
+        FROM (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) mm,
+             (SELECT unnest(generate_series(0, ${PqK - 1})) AS j) jj)
+      SELECT grid.m, grid.code, coalesce(n, 0) AS n_vecs
+      FROM grid LEFT JOIN counts
+        ON grid.m = counts.m AND grid.code = counts.code
+      ORDER BY grid.m, grid.code"""))
+
+  /** Query vectors for the recall evaluation: vec_id < this. */
+  private[graft] val PqEvalQueries = 10
+
+  // ------------------------------------------------------------------
+  // q167 — ANN recall@10 evaluation harness: PQ-ADC top-10 vs exact
+  // cosine top-10 for each of [[PqEvalQueries]] query vectors, scored
+  // as |intersection| / 10 per query. The eval loop every production
+  // ANN deployment runs before trusting an index (recall targets are
+  // SLOs; Jégou et al. 2011 §V evaluates exactly this way) — here both
+  // sides AND the set-overlap live in one declarative plan, so the
+  // whole harness is DuckDB-oracled bit-exactly, ties broken by vec_id
+  // on both engines.
+  //
+  // Scale shape: both sides are corpus × NQ with the NQ query rows
+  // BROADCAST (ADC tables resp. query vectors) — linear scans, no
+  // shuffle of the corpus; per-query top-10 is the row_number≤k idiom,
+  // which GraftExtensions compiles to the TopKPerGroup bounded heap
+  // (NQ × 10 rows of state, no full sort); the overlap join touches
+  // only NQ × 10 rows a side. ADC sums use the same fixed-order adds
+  // as q162, so the ranking is reproducible across partitionings.
+  // ------------------------------------------------------------------
+  val pqRecallEval: Q = Q(
+    "q167_pq_recall_eval",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = graft.CacheScope.cached(pqScored(s, d))
+      val codeCols = (0 until PqM).map(m =>
+        min(when(col("m") === m, col("code"))).as(s"code_$m"))
+      val pivoted = pqCodes(scored).groupBy("vec_id")
+        .agg(codeCols.head, codeCols.tail: _*)
+      val qt = scored.filter(col("vec_id") < PqEvalQueries)
+        .groupBy(col("vec_id").as("qid"), col("m"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("j"), col("score")))),
+          x => x.getField("score")).as("t"))
+      val tCols = (0 until PqM).map(m =>
+        min(when(col("m") === m, col("t"))).as(s"t$m"))
+      val qrows = qt.groupBy("qid").agg(tCols.head, tCols.tail: _*)
+      val adc = (0 until PqM)
+        .map(m => element_at(col(s"t$m"), col(s"code_$m") + 1))
+        .reduce(_ + _)
+      val adcTop = pivoted
+        .join(broadcast(qrows), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), adc.as("adc_dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adc_dist"), col("vec_id"))))
+        .filter(col("rn") <= 10).select("qid", "vec_id")
+      val w = normed(s, d)
+      val qs = w.filter(col("vec_id") < PqEvalQueries)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qnrm"))
+      val exTop = w.join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (dot("e", "qe") / (col("nrm") * col("qnrm"))).as("cosine"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("rn") <= 10).select("qid", "vec_id")
+      val hits = adcTop.join(exTop, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("h"))
+      qs.select("qid").join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hit"),
+          (coalesce(col("h"), lit(0L)).cast("double") / lit(10.0))
+            .as("recall_at_10"))
+        .orderBy("qid")
+    },
+    Some {
+      val codeCols = (0 until PqM)
+        .map(m => s"min(CASE WHEN m = $m THEN code END) AS code_$m")
+        .mkString(", ")
+      val tCols = (0 until PqM)
+        .map(m => s"min(CASE WHEN m = $m THEN t END) AS t$m")
+        .mkString(", ")
+      val adc = (0 until PqM)
+        .map(m => s"t$m[code_$m + 1]")
+        .reduce((a, b) => s"($a + $b)")
+      s"""WITH $sqlNormed, $sqlPqCodes,
+        piv AS (SELECT vec_id, $codeCols FROM code GROUP BY vec_id),
+        qt AS (SELECT vec_id AS qid, m, list(score ORDER BY j) AS t
+          FROM sc WHERE vec_id < $PqEvalQueries GROUP BY 1, 2),
+        qp AS MATERIALIZED (SELECT qid, $tCols FROM qt GROUP BY qid),
+        adc AS (SELECT qp.qid, piv.vec_id, $adc AS adc_dist
+          FROM piv JOIN qp ON piv.vec_id <> qp.qid),
+        atop AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+              PARTITION BY qid ORDER BY adc_dist, vec_id) AS rn FROM adc)
+          WHERE rn <= 10),
+        ex AS (SELECT q.vec_id AS qid, v.vec_id,
+            ${sqlDot("v.e", "q.e")} / (v.nrm * q.nrm) AS cosine
+          FROM w v JOIN w q
+            ON q.vec_id < $PqEvalQueries AND v.vec_id <> q.vec_id),
+        etop AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+              PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn FROM ex)
+          WHERE rn <= 10),
+        hits AS (SELECT a.qid, cast(count(*) as bigint) AS h
+          FROM atop a JOIN etop e
+            ON a.qid = e.qid AND a.vec_id = e.vec_id
+          GROUP BY 1)
+        SELECT q.qid, coalesce(h, 0) AS n_hit,
+          cast(coalesce(h, 0) as double) / 10.0 AS recall_at_10
+        FROM (SELECT DISTINCT vec_id AS qid FROM w
+          WHERE vec_id < $PqEvalQueries) q
+        LEFT JOIN hits ON q.qid = hits.qid
+        ORDER BY q.qid"""
+    })
+
   /** The 100 TB encode shape: codebooks collected driver-side
     * (K-bounded — K×M subvectors), inlined as literals, argmin per
     * subspace as a pure scan projection with ZERO shuffles (the
@@ -854,5 +999,5 @@ object Similarity {
 
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
     annIvf, annIvfIncremental, semanticDedup, multimodalMeta, arrayFuncs,
-    pqEncode, pqAdcTopK, pqRerankTopK)
+    pqEncode, pqAdcTopK, pqCodeBalance, pqRerankTopK, pqRecallEval)
 }
