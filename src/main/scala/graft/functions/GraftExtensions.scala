@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(exprs.length == 1, "md5h61(bytes)")
       Md5Hash61(exprs.head)
     }))
+    ext.injectFunction(fn("pq_encode", PqEncodeCodes.fromExprs))
     ext.injectFunction(fn("distinct_shingles", { exprs =>
       require(exprs.length == 2, "distinct_shingles(tokens, n)")
       val n = exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)

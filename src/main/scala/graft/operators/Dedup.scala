@@ -731,6 +731,92 @@ object Dedup {
       ORDER BY contained_doc, container_doc"""),
     bench = true)
 
+  /** Jaccard threshold for [[prefixJaccardJoin]] as the exact integer
+    * ratio `PfNum/PfDen` (0.7) — every admission guard and the final
+    * threshold compare run in integer arithmetic on both engines, so
+    * no float boundary can diverge them. */
+  private val PfNum = 7L
+  private val PfDen = 10L
+
+  /** q165 — EXACT set-similarity join by prefix filtering (Chaudhuri,
+    * Ganti, Kaushik ICDE'06; Bayardo, Ma, Srikant WWW'07 "All-Pairs";
+    * Xiao et al. WWW'08 PPJoin): all pairs with shingle Jaccard ≥ 0.7,
+    * with ZERO recall loss — the exactness q121's df-cap trades away.
+    * Reference behavior: feature_extractor.py:47-54 re-runs
+    * drop_duplicates over the whole accumulated frame (exact dedup);
+    * this is the exact NEAR-dup analogue at corpus scale.
+    *
+    * The trick: order every doc's shingles by one GLOBAL rarest-first
+    * total order (df asc, h asc). If J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·|A|⌉
+    * and ≥ ⌈τ·|B|⌉, so A and B must share a shingle within their first
+    * |X| − ⌈τ·|X|⌉ + 1 shingles under that order — the candidate join
+    * runs over PREFIXES only (~30% of postings at τ=0.7), and because
+    * the order is rarest-FIRST, the prefixes hold the rarest shingles:
+    * hot boilerplate lands in suffixes and never generates a
+    * candidate, which is what bounds bucket fanout at 100 TB (the same
+    * boilerplate q121 must cap away — here it prunes itself, exactly).
+    * The τ·max ≤ min length guard prunes cross-size pairs inside the
+    * join condition. n_shared is then EXACT over the full sets via the
+    * candidate-restricted join-back (the q149 discipline), and the
+    * final threshold is the integer compare
+    * n·PfDen ≥ PfNum·(|A|+|B|−n). Oracle = the BRUTE-FORCE all-pairs
+    * join, so any prefix-pruning bug surfaces as a hash mismatch, not
+    * a silent recall dip. */
+  val prefixJaccardJoin: Q = Q(
+    "q165_prefix_jaccard_join",
+    (s, d) => {
+      val sets = graft.CacheScope.cached(shingleSets(s, d))
+      val ex = graft.CacheScope.cached(
+        sets.select(col("doc_id"), explode(col("sh")).as("sg"))
+          .select(col("doc_id"), md5h61(col("sg")).as("h")))
+      val dfs = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      val srt = ex.join(dfs, "h")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+        .select(col("doc_id"), size(col("ord")).cast("long").as("sz"),
+          transform(col("ord"), x => x.getField("h")).as("hs"))
+      val pref = srt.select(col("doc_id"), col("sz"),
+        explode(slice(col("hs"), lit(1),
+          expr(s"cast(sz - ((sz * $PfNum + ${PfDen - 1}) div $PfDen) + 1 as int)")))
+          .as("h"))
+      val cand = pref.as("a").join(pref.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.sz") * PfNum <= col("b.sz") * PfDen &&
+            col("b.sz") * PfNum <= col("a.sz") * PfDen)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val inter = cand
+        .join(ex.as("ea"), col("doc_a") === col("ea.doc_id"))
+        .join(ex.as("eb"),
+          col("doc_b") === col("eb.doc_id") && col("ea.h") === col("eb.h"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      val sz = sets.select(col("doc_id"), size(col("sh")).cast("long").as("sz"))
+      inter
+        .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .filter(col("n_shared") * PfDen >=
+          (col("sa.sz") + col("sb.sz") - col("n_shared")) * PfNum)
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          (col("n_shared").cast("double") /
+            (col("sa.sz") + col("sb.sz") - col("n_shared"))).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH $sqlShingleSets,
+      ex AS MATERIALIZED (SELECT doc_id, ${sqlMd5h61("sg")} AS h
+        FROM (SELECT doc_id, unnest(sh) AS sg FROM sets)),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          cast(count(*) as bigint) AS n_shared
+        FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sz AS (SELECT doc_id, cast(len(sh) as bigint) AS sz FROM sets)
+      SELECT doc_a, doc_b, n_shared,
+        cast(n_shared as double) / (sa.sz + sb.sz - n_shared) AS jaccard
+      FROM inter JOIN sz sa ON doc_a = sa.doc_id
+                 JOIN sz sb ON doc_b = sb.doc_id
+      WHERE n_shared * $PfDen >= (sa.sz + sb.sz - n_shared) * $PfNum
+      ORDER BY doc_a, doc_b"""),
+    bench = true)
+
   /** q127: incremental ingest dedup — the nightly-batch shape every
     * growing corpus needs: documents split into an existing corpus
     * (doc_id % 10 < 8) and a new batch; a new doc is admitted iff its
@@ -1123,7 +1209,8 @@ object Dedup {
 
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
-    ngramJaccardPairs, ngramJaccardDfCap, containmentPairs, sketchQuality,
+    ngramJaccardPairs, ngramJaccardDfCap, containmentPairs,
+    prefixJaccardJoin, sketchQuality,
     dupDegrees, dupBySource, incrementalDedup, substringDedup,
     substringRemoval, paragraphDedupQ, incrementalParagraphDedup)
 }

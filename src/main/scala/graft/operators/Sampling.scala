@@ -348,6 +348,60 @@ object Sampling {
       FROM rates r LEFT JOIN kept k ON r.source = k.source
       ORDER BY r.source"""))
 
+  /** Epoch count / shard fanout for [[epochShuffle]]. Production runs
+    * use thousands of shards; the mechanics are shard-count
+    * independent. */
+  private val Epochs = 3
+  private val ShuffleShards = 8
+
+  // ------------------------------------------------------------------
+  // q166 — deterministic multi-epoch training order: the dataloader
+  // shape for multi-epoch pretraining. Epoch e's read order must be a
+  // fresh pseudorandom permutation of the corpus — reproducible from
+  // nothing but (doc_id, e), because a 100 TB run can never
+  // materialize (or re-consult) a stored permutation, and any worker
+  // must be able to recompute its own shard's order after preemption.
+  // Position key = md5h61(doc_id ":" epoch): a new independent order
+  // per epoch ([[Sampling]]'s salt discipline, the epoch IS the salt);
+  // shard = key % ShuffleShards, so each worker reads its shard in
+  // (key, doc_id) order. The only window is row_number per
+  // (epoch, shard) — partitioned exactly like the workers consume it,
+  // never a global sort (q115's packing argument); at scale each
+  // shard's order materializes independently, and the sequence column
+  // makes resume-from-step-N a range predicate.
+  // ------------------------------------------------------------------
+  val epochShuffle: Q = Q(
+    "q166_epoch_shuffle",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.documents(s, d).select(col("doc_id"))
+        .select(col("doc_id"),
+          explode(array((0 until Epochs).map(lit(_)): _*)).as("epoch"))
+      val keyed = e.select(col("doc_id"), col("epoch"),
+        md5h61(concat(col("doc_id").cast("string"), lit(":"),
+          col("epoch").cast("string"))).as("pos"))
+      keyed
+        .select(col("doc_id"), col("epoch"),
+          (col("pos") % ShuffleShards).as("shard"), col("pos"))
+        .withColumn("seq", row_number().over(
+          Window.partitionBy("epoch", "shard")
+            .orderBy(col("pos"), col("doc_id"))))
+        .select(col("epoch"), col("shard"), col("seq"), col("doc_id"))
+        .orderBy("epoch", "shard", "seq")
+    },
+    Some(s"""WITH e AS (SELECT doc_id, epoch
+        FROM documents,
+          (SELECT unnest(generate_series(0, ${Epochs - 1})) AS epoch)),
+      k AS (SELECT doc_id, epoch,
+        ${sqlMd5h61("cast(doc_id as varchar) || ':' || cast(epoch as varchar)")}
+          AS pos FROM e)
+      SELECT cast(epoch as int) AS epoch,
+        pos % $ShuffleShards AS shard,
+        cast(row_number() OVER (PARTITION BY epoch, pos % $ShuffleShards
+          ORDER BY pos, doc_id) as int) AS seq,
+        doc_id
+      FROM k ORDER BY epoch, shard, seq"""))
+
   val all: Seq[Q] = Seq(hashSample, stratifiedSplit, groupQuotaSample,
-    temperatureSample, dsirResample, budgetMix)
+    temperatureSample, dsirResample, budgetMix, epochShuffle)
 }

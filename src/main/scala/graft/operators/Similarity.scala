@@ -969,23 +969,21 @@ object Similarity {
   private[graft] def pqEncodeScan(vecs: DataFrame,
       codebooks: Seq[Seq[Array[Double]]]): DataFrame = {
     require(codebooks.size == PqM && codebooks.forall(_.size == PqK))
-    val mins = (0 until PqM).map { m =>
-      val scored = codebooks(m).zipWithIndex.map { case (c, j) =>
-        val dist = (0 until PqD).map { i =>
-          val diff = element_at(col("e"), m * PqD + i + 1) - lit(c(i))
-          diff * diff
-        }.reduce(_ + _)
-        struct(dist.as("score"), lit(j).as("code"))
-      }
-      array_min(array(scored: _*)).as(s"b$m")
-    }
-    val recon = (0 until PqM)
-      .map(m => col(s"b$m").getField("score"))
-      .reduce(_ + _)
-    vecs.select(col("vec_id") +: mins: _*)
+    // ONE native loop expression ([[graft.functions.PqEncodeCodes]])
+    // instead of M×K unrolled struct terms: the unrolled form blew
+    // janino's 64 KB method limit and silently dropped the WHOLE stage
+    // to interpreted execution — the opposite of this function's
+    // purpose. Arithmetic order (and so every bit of the output) is
+    // identical; the row-identical-to-q161 law below pins it.
+    graft.functions.VectorFunctions.register(vecs.sparkSession)
+    val cbLit = typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    vecs
+      .select(col("vec_id"),
+        call_function("pq_encode", col("e"), cbLit).as("r"))
       .select(col("vec_id") +:
-        (0 until PqM).map(m => col(s"b$m").getField("code").as(s"code_$m")) :+
-        recon.as("recon_err"): _*)
+        (0 until PqM).map(m =>
+          element_at(col("r").getField("codes"), m + 1).as(s"code_$m")) :+
+        col("r").getField("recon").as("recon_err"): _*)
   }
 
   /** Collect the sample codebook from an embeddings frame (K rows). */

@@ -118,6 +118,37 @@ class DedupFixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("q165 prefix-filter join is EXACT on the skewed corpus: equals brute force, catches the planted pair") {
+    val got = run("q165_prefix_jaccard_join").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.contains((9000L, 9001L)), "planted near-dup pair missed")
+    // brute force over the same hashed-shingle universe: the prefix
+    // filter's claim is ZERO recall loss (unlike q121's df-cap), so
+    // the result sets must be IDENTICAL, pair keys and exact n_shared
+    graft.functions.TextFunctions.register(spark)
+    val ex = Tables.documents(spark, fixtureDir)
+      .select(col("doc_id"), Dsl.toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr("distinct_shingles(t, 3)")).as("sg"))
+      .select(col("doc_id"), Dsl.md5h61(col("sg")).as("h"))
+    val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val brute = ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("n"))
+      .join(sz.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("db") === col("sb.doc_id"))
+      .filter(col("n") * 10 >= (col("sa.sz") + col("sb.sz") - col("n")) * 7)
+      .select("da", "db", "n").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.keySet == brute.keySet,
+      s"prefix filtering must lose nothing vs brute force: " +
+        s"missing ${brute.keySet -- got.keySet}, extra ${got.keySet -- brute.keySet}")
+    got.foreach { case (k, (n, _)) =>
+      assert(brute(k) == n, s"pair $k: prefix-join n_shared $n vs brute ${brute(k)}")
+    }
+  }
+
   test("q149 flags the planted quote (containment) that jaccard misses") {
     val t0 = System.nanoTime()
     val q149 = run("q149_containment_pairs").collect()

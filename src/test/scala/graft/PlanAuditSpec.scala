@@ -316,6 +316,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q76_ngram_jaccard_pairs" -> "documents",
       "q121_ngram_jaccard_dfcap" -> "documents",
       "q149_containment_pairs" -> "documents",
+      "q165_prefix_jaccard_join" -> "documents",
       "q41_embed_neardup_pairs" -> "embeddings",
       "q42_ann_bruteforce" -> "embeddings",
       "q43_ann_lsh" -> "embeddings",
@@ -357,6 +358,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // 100 TB form (pqEncodeScan, codebook collected once) scans once
       "q161_pq_encode" -> Map("embeddings" -> 2),
       "q162_pq_adc_topk" -> Map("embeddings" -> 2),
+      "q163_pq_code_balance" -> Map("embeddings" -> 2),
+      // cached score frame (corpus + 16-row codebook slice when cold)
+      // plus the exact-search side's corpus scan and its 10-row pruned
+      // query slice — two SEMANTIC roles (ADC vs exact) by design: the
+      // harness compares two independent pipelines over one table
+      "q167_pq_recall_eval" -> Map("embeddings" -> 4),
       "q97_fuzzy_pairs" -> Map("part" -> 2))
     // Skipped: construction already runs driver-side jobs (model fits,
     // sketch builds, the BPE merge loop) — executing them here pays a

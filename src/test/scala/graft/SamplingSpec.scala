@@ -170,4 +170,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(rows("tiny")._5 == 1000000L, s"tiny must saturate: ${rows("tiny")}")
     assert(rows("big")._5 < 1000000L, s"big must be rate-limited: ${rows("big")}")
   }
+
+  test("epoch shuffle: each epoch is a full permutation with contiguous per-shard sequences; epochs reshuffle") {
+    val rows = SparkEntry.queries("q166_epoch_shuffle")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val nDocs = Tables.documents(spark, sf).count()
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0, 1, 2), "three epochs expected")
+    for ((e, rs) <- byEpoch) {
+      assert(rs.map(_._4).distinct.length.toLong == nDocs &&
+        rs.length.toLong == nDocs,
+        s"epoch $e must be a permutation of the corpus")
+      for ((sh, srs) <- rs.groupBy(_._2))
+        assert(srs.map(_._3).sorted.toSeq == (1 to srs.length),
+          s"epoch $e shard $sh: seq must be contiguous from 1 " +
+            "(resume-from-step-N is a range predicate)")
+    }
+    // a fresh permutation per epoch: some doc must land on a different
+    // shard (the epoch salt actually reshuffles)
+    val sh0 = byEpoch(0).map(r => r._4 -> r._2).toMap
+    val sh1 = byEpoch(1).map(r => r._4 -> r._2).toMap
+    assert(sh0.exists { case (doc, sh) => sh1(doc) != sh },
+      "epoch 1 must not replay epoch 0's shard assignment")
+  }
 }

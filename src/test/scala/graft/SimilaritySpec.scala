@@ -227,6 +227,33 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q163 balance sums to the corpus per subspace; q167 recall row 0 equals the q162-vs-q42 overlap") {
+    val sf = TestSpark.sf0001
+    val bal = SparkEntry.queries("q163_pq_code_balance")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val M = operators.Similarity.PqM
+    assert(bal.length == M * 16, "histogram must cover the full m x code grid")
+    (0 until M).foreach { m =>
+      assert(bal.filter(_._1 == m).map(_._3).sum == 500L,
+        s"subspace $m histogram must account for every vector exactly once")
+    }
+    val rec = SparkEntry.queries("q167_pq_recall_eval")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rec.map(_._1).toSeq == (0L to 9L), "one row per query vector")
+    rec.foreach { case (q, h, r) =>
+      assert(h >= 0 && h <= 10 && r == h / 10.0, s"recall row broken for qid $q")
+    }
+    // cross-law: qid 0's hit count IS the overlap of the two oracled
+    // top-10 queries (q162 ADC, q42 exact cosine) — the eval harness
+    // measures exactly what those queries emit, by construction
+    val adc0 = SparkEntry.queries("q162_pq_adc_topk")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val ex0 = SparkEntry.queries("q42_ann_bruteforce")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(rec.head._2 == (adc0 & ex0).size.toLong,
+      s"q167 qid 0 (${rec.head._2}) must equal |q162 ∩ q42| = ${(adc0 & ex0).size}")
+  }
+
   test("multimodal metadata is deterministic and sized correctly") {
     import spark.implicits._
     val docs = Seq((0L, "PNGx some fake payload", "en", "s", 22L),
