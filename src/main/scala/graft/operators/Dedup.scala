@@ -817,6 +817,71 @@ object Dedup {
       ORDER BY doc_a, doc_b"""),
     bench = true)
 
+  /** q168 — FUZZY test-set contamination: train docs near-duplicating an
+    * eval doc (shingle Jaccard ≥ 0.5), found by BIPARTITE MinHash-band
+    * blocking. q84 catches exact n-gram overlap; a reformatted or
+    * lightly-paraphrased eval question (the contamination that actually
+    * survives exact decontamination — Brown et al. 2020 §C document
+    * fuzzy 13-gram scrubbing for exactly this reason) shares few exact
+    * grams but keeps a high Jaccard, and MinHash bands catch it.
+    *
+    * Scale shape: candidates come ONLY from cross-side band-bucket
+    * collisions (train × eval on (band_id, bh)) — the train×train
+    * quadratic never materializes, and the eval side is tiny at
+    * production scale, so the band join degenerates to a probe against
+    * a broadcast-scale eval band index (the q159 admit discipline,
+    * bipartite). Verification is exact Jaccard over the full shingle
+    * sets, restricted to candidates; the ≥ 0.5 admission is the
+    * integer compare 3·n ≥ |A|+|B|. Recall boundary (inherent to LSH,
+    * same as q37): a true pair is missed iff NO band collides —
+    * P(miss) = (1 − J²)^8, ≈ 9% at J = 0.5, falling fast toward 0 as
+    * J → 1; the oracle replays the same bands, so the boundary is
+    * deterministic, not a flake. */
+  val fuzzyContamination: Q = Q(
+    "q168_fuzzy_contamination",
+    (s, d) => {
+      val enriched = graft.CacheScope.cached(signedSets(s, d))
+      val bandsAll = enriched.select(col("doc_id"),
+        posexplode(array((0 until Bands).map(bandCol): _*))
+          .as(Seq("band_id", "bh")))
+      val evalB = bandsAll.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("eval_doc"), col("band_id"), col("bh"))
+      val trainB = bandsAll.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("train_doc"), col("band_id"), col("bh"))
+      val cand = trainB.join(evalB, Seq("band_id", "bh"))
+        .select("train_doc", "eval_doc").distinct()
+      val x = enriched.as("x"); val y = enriched.as("y")
+      val inter = size(array_intersect(col("x.sh"), col("y.sh")))
+      cand
+        .join(x, col("train_doc") === col("x.doc_id"))
+        .join(y, col("eval_doc") === col("y.doc_id"))
+        .select(col("train_doc"), col("eval_doc"),
+          inter.cast("long").as("n_shared"),
+          (size(col("x.sh")) + size(col("y.sh"))).cast("long").as("sz2"),
+          (inter.cast("double") /
+            (size(col("x.sh")) + size(col("y.sh")) - inter)).as("jaccard"))
+        .filter(col("n_shared") * 3 >= col("sz2"))
+        .select("train_doc", "eval_doc", "n_shared", "jaccard")
+        .orderBy("train_doc", "eval_doc")
+    },
+    Some(s"""WITH $sqlShingleSets, $sqlSignatures,
+      bands AS MATERIALIZED ($sqlBandsAll),
+      cand AS (SELECT DISTINCT t.doc_id AS train_doc, e.doc_id AS eval_doc
+        FROM bands t JOIN bands e
+          ON t.band_id = e.band_id AND t.bh = e.bh
+        WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0),
+      v AS (SELECT c.train_doc, c.eval_doc,
+          cast(len(list_intersect(p.sh, q.sh)) as bigint) AS n_shared,
+          len(p.sh) + len(q.sh) AS sz2,
+          cast(len(list_intersect(p.sh, q.sh)) as double) /
+            (len(p.sh) + len(q.sh) - len(list_intersect(p.sh, q.sh)))
+            AS jaccard
+        FROM cand c JOIN sets p ON p.doc_id = c.train_doc
+                    JOIN sets q ON q.doc_id = c.eval_doc)
+      SELECT train_doc, eval_doc, n_shared, jaccard
+      FROM v WHERE 3 * n_shared >= sz2
+      ORDER BY train_doc, eval_doc"""))
+
   /** q127: incremental ingest dedup — the nightly-batch shape every
     * growing corpus needs: documents split into an existing corpus
     * (doc_id % 10 < 8) and a new batch; a new doc is admitted iff its
@@ -1210,7 +1275,7 @@ object Dedup {
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
     ngramJaccardPairs, ngramJaccardDfCap, containmentPairs,
-    prefixJaccardJoin, sketchQuality,
+    prefixJaccardJoin, fuzzyContamination, sketchQuality,
     dupDegrees, dupBySource, incrementalDedup, substringDedup,
     substringRemoval, paragraphDedupQ, incrementalParagraphDedup)
 }

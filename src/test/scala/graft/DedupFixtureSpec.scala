@@ -149,6 +149,20 @@ class DedupFixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("q168 catches the planted cross-split near-dup as fuzzy contamination") {
+    // planted 9000 (eval: % 10 == 0) vs 9001 (train) are near-identical
+    // — the reformatted-eval-question shape fuzzy decontamination exists
+    // to catch; bands collide on every band for J ≈ 0.97
+    val got = run("q168_fuzzy_contamination").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(got.contains((9001L, 9000L)), "planted contaminated pair missed")
+    assert(got((9001L, 9000L)) >= 0.9, "planted pair scored implausibly low")
+    // bipartite: train side never % 10 == 0, eval side always is
+    got.keys.foreach { case (t, e) =>
+      assert(t % 10 != 0 && e % 10 == 0, s"pair ($t, $e) breaks the split")
+    }
+  }
+
   test("q149 flags the planted quote (containment) that jaccard misses") {
     val t0 = System.nanoTime()
     val q149 = run("q149_containment_pairs").collect()

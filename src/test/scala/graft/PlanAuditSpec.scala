@@ -317,6 +317,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q121_ngram_jaccard_dfcap" -> "documents",
       "q149_containment_pairs" -> "documents",
       "q165_prefix_jaccard_join" -> "documents",
+      "q168_fuzzy_contamination" -> "documents",
       "q41_embed_neardup_pairs" -> "embeddings",
       "q42_ann_bruteforce" -> "embeddings",
       "q43_ann_lsh" -> "embeddings",
