@@ -67,6 +67,41 @@ object IvfPq {
     } finally { w.unpersist(); () }
   }
 
+  /** Incremental append — [[IvfIndex.appendVectors]]'s discipline at PQ
+    * granularity: encode the batch with the PERSISTED codebooks
+    * (K-bounded collect → the native `pq_encode` literal-loop
+    * expression, one zero-shuffle projection), coarse-assign against
+    * the PERSISTED centroids ([[IvfIndex.assignToCentroids]]'s literal
+    * argmin), and parquet-APPEND under the touched cell partitions
+    * only — existing code rows are never read or rewritten, and
+    * neither quantizer is refit (coarse drift under skewed appends is
+    * [[IvfIndex.driftAudit]]'s domain; codebook staleness shows up in
+    * q163's balance histogram). Batch columns are cast to the STORED
+    * schema before the write so a drifting input type fails loudly at
+    * append time, not in every later reader. */
+  def append(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    graft.functions.VectorFunctions.register(spark)
+    val cbRows = spark.read.parquet(s"$indexDir/codebooks").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val cbs: Seq[Seq[Array[Double]]] =
+      (0 until PqM).map(m => (0 until PqK).map(j => cbRows((m, j))))
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+    val stored = spark.read.parquet(s"$indexDir/codes").schema
+    val cbLit = typedlit(cbs.map(_.map(_.toSeq).toSeq).toSeq)
+    val enc = IvfIndex.assignToCentroids(batch, centroids)
+      .withColumn("r", call_function("pq_encode", col("e"), cbLit))
+    val withCodes = (0 until PqM).foldLeft(enc) { (acc, m) =>
+      acc.withColumn(s"code_$m",
+        element_at(col("r").getField("codes"), m + 1))
+    }
+    val aligned = stored.fields.filterNot(_.name == "cell")
+      .map(f => col(f.name).cast(f.dataType).as(f.name))
+    withCodes.select(aligned :+ col("cell"): _*)
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/codes")
+  }
+
   /** Probe cells + driver-computed ADC table for `query`, shared by
     * [[query]] and [[queryRerank]]. The fold is the engines' left
     * fold, so ADC values are bit-equal to q162's. */

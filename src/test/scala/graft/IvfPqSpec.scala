@@ -94,4 +94,64 @@ class IvfPqSpec extends AnyFunSuite {
         s"vec ${r.getLong(0)} ADC changed under pruning")
     }
   }
+
+  test("append encodes with the persisted quantizers, touches only its cells, and is immediately queryable") {
+    val dir = Files.createTempDirectory("graft-ivfpq-append").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    operators.IvfPq.build(spark, sf, path, k = CoarseK)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"),
+        (0 until operators.Similarity.PqM).map(m => r.getAs[Int](s"code_$m")),
+        r.getAs[Int]("cell"))
+    val before = spark.read.parquet(s"$path/codes").collect().map(key).toSet
+    def cellFiles(): Map[String, Set[String]] = {
+      val root = new java.io.File(s"$path/codes")
+      root.listFiles().filter(_.getName.startsWith("cell=")).map { d =>
+        d.getName -> d.listFiles().map(_.getName).toSet
+      }.toMap
+    }
+    val filesBefore = cellFiles()
+    // batch: re-id'ed clones of vectors 100..109 — known PQ codes (the
+    // originals'), fresh ids so existing rows must be bit-untouched
+    val batch = operators.Similarity.normed(spark, sf)
+      .filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      .withColumn("vec_id", col("vec_id") + 10000)
+    operators.IvfPq.append(spark, path, batch)
+    val after = spark.read.parquet(s"$path/codes").collect().map(key).toSet
+    assert(after.size == before.size + 10)
+    assert(before.subsetOf(after), "append must not rewrite existing rows")
+    // appended codes = pqEncodeScan over the batch with the PERSISTED
+    // codebooks (the encode-with-frozen-artifact law)
+    val cbRows = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val cbs = (0 until operators.Similarity.PqM).map(m =>
+      (0 until operators.Similarity.PqK).map(j => cbRows((m, j))): Seq[Array[Double]])
+    val expected = operators.Similarity.pqEncodeScan(batch, cbs).collect()
+      .map(r => r.getLong(0) ->
+        (1 to operators.Similarity.PqM).map(r.getInt)).toMap
+    val appended = (after -- before).map(t => t._1 -> t._2).toMap
+    assert(appended.keySet == expected.keySet)
+    appended.foreach { case (id, codes) =>
+      assert(codes == expected(id), s"vec $id codes drifted from the frozen codebook encode")
+    }
+    // only the batch's cells gained files; untouched cell dirs are
+    // byte-for-byte the same file sets
+    val touched = (after -- before).map(t => s"cell=${t._3}")
+    cellFiles().foreach { case (cell, files) =>
+      if (!touched(cell))
+        assert(filesBefore(cell) == files, s"append touched unrelated $cell")
+    }
+    // a clone of vec 100 must rank beside it with the IDENTICAL ADC
+    val q100 = operators.Similarity.normed(spark, sf)
+      .filter(col("vec_id") === 100).select("e")
+      .collect()(0).getSeq[Double](0).toArray
+    val ranks = operators.IvfPq.query(spark, path, q100,
+      topK = 5, nprobe = CoarseK).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ranks.contains(100L) && ranks.contains(10100L),
+      s"clone must be queryable immediately: $ranks")
+    assert(ranks(100L) == ranks(10100L), "identical vectors, identical codes, identical ADC")
+  }
 }
