@@ -360,6 +360,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "q161_pq_encode" -> Map("embeddings" -> 2),
       "q162_pq_adc_topk" -> Map("embeddings" -> 2),
       "q163_pq_code_balance" -> Map("embeddings" -> 2),
+      // cached ADC frame (corpus + codebook slice when cold — whether
+      // the sweep sees them depends on registry iteration order, i.e.
+      // which pq query ran first) + the exact-rerank stage's pruned
+      // vector read — the two-stage design reads the table in two
+      // SEMANTIC roles (codes vs rerank floats) by construction
+      "q164_pq_rerank_topk" -> Map("embeddings" -> 3),
       // cached score frame (corpus + 16-row codebook slice when cold)
       // plus the exact-search side's corpus scan and its 10-row pruned
       // query slice — two SEMANTIC roles (ADC vs exact) by design: the
