@@ -92,5 +92,97 @@ object CorpusPipeline {
         min(doc_id) AS min_doc, max(doc_id) AS max_doc
       FROM corpus GROUP BY 1 ORDER BY split"""))
 
-  val all: Seq[Q] = Seq(cleanCorpusStats)
+  /** q169 — pipeline funnel audit: docs and tokens SURVIVING each q81
+    * stage (raw → quality → exact dedup → near-dup removal), one row
+    * per stage. The observability query behind every production corpus
+    * build — "where did my corpus go" answered with numbers per stage
+    * instead of one end-state count, so a mis-tuned filter (or a dedup
+    * stage suddenly eating 40% of tokens) is visible at the stage that
+    * caused it.
+    *
+    * Scale shape: one cached NARROW base frame (doc_id + token counts,
+    * never the text) feeds every stage; each stage's row is a
+    * map-side-combinable global aggregate (4 scalar rows total); the
+    * only non-scan work is q81's own machinery — the fingerprint
+    * keep-first and the blocked LSH cluster chain, both already
+    * bounded ([[Dedup.clustersDf]]). Stage counts are monotone
+    * non-increasing by construction; the spec pins that law and the
+    * q81 consistency (stage 3 == the corpus q81 splits). */
+  val pipelineFunnel: Q = Q(
+    "q169_pipeline_funnel",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val base = graft.CacheScope.cached(docs
+        .withColumn("t", toks(col("text")))
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          size(col("t")).as("n_tokens"),
+          size(array_distinct(col("t"))).as("n_uniq")))
+      val quality = base.filter(col("n_tokens") >= 20 &&
+        col("n_uniq").cast("double") / col("n_tokens") >= 0.3)
+      val fp = md5(lower(
+        regexp_replace(trim(col("text")), s"[$WsChars]+", " ")).cast("binary"))
+      val exactKeep = quality.withColumn("fp", fp)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      val members = Dedup.clustersDf(s, d)
+        .join(base.select("doc_id", "n_chars"), "doc_id")
+      val survW = Window.partitionBy(col("cluster_root"))
+        .orderBy(desc("n_chars"), asc("doc_id"))
+      val dropped = members.withColumn("srn", row_number().over(survW))
+        .filter(col("srn") =!= 1).select("doc_id")
+      val nearKeep = exactKeep.join(dropped, Seq("doc_id"), "left_anti")
+      def stageRow(df: org.apache.spark.sql.DataFrame, stage: Int,
+          name: String) =
+        df.groupBy().agg(
+            count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_tokens").cast("long")), lit(0L))
+              .as("sum_tokens"))
+          .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"), col("sum_tokens"))
+      stageRow(base, 0, "raw")
+        .unionAll(stageRow(quality, 1, "quality"))
+        .unionAll(stageRow(exactKeep, 2, "exact_dedup"))
+        .unionAll(stageRow(nearKeep, 3, "near_dedup"))
+        .orderBy("stage")
+    },
+    Some(s"""WITH RECURSIVE ${Dedup.sqlClustersChain},
+      members AS (SELECT c.cluster_root, c.doc_id, d.n_chars
+        FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+      dropped AS (SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (PARTITION BY cluster_root
+            ORDER BY n_chars DESC, doc_id) AS srn
+          FROM members)
+        WHERE srn <> 1),
+      base AS MATERIALIZED (SELECT doc_id, text,
+          cast(len(${sqlToks("text")}) as int) AS n_tokens,
+          cast(len(list_distinct(${sqlToks("text")})) as int) AS n_uniq
+        FROM documents),
+      qual AS MATERIALIZED (SELECT doc_id, text, n_tokens FROM base
+        WHERE n_tokens >= 20 AND cast(n_uniq as double) / n_tokens >= 0.3),
+      fpk AS (SELECT doc_id, n_tokens,
+          row_number() OVER (
+            PARTITION BY md5(lower(regexp_replace(trim(text), '[$WsChars]+', ' ', 'g')))
+            ORDER BY doc_id) AS rn
+        FROM qual),
+      exact AS MATERIALIZED (SELECT doc_id, n_tokens FROM fpk WHERE rn = 1),
+      near AS (SELECT doc_id, n_tokens FROM exact
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+      SELECT * FROM (
+        SELECT 0 AS stage, 'raw' AS stage_name,
+          cast(count(*) as bigint) AS n_docs,
+          cast(coalesce(sum(n_tokens), 0) as bigint) AS sum_tokens FROM base
+        UNION ALL
+        SELECT 1, 'quality', cast(count(*) as bigint),
+          cast(coalesce(sum(n_tokens), 0) as bigint) FROM qual
+        UNION ALL
+        SELECT 2, 'exact_dedup', cast(count(*) as bigint),
+          cast(coalesce(sum(n_tokens), 0) as bigint) FROM exact
+        UNION ALL
+        SELECT 3, 'near_dedup', cast(count(*) as bigint),
+          cast(coalesce(sum(n_tokens), 0) as bigint) FROM near)
+      ORDER BY stage"""))
+
+  val all: Seq[Q] = Seq(cleanCorpusStats, pipelineFunnel)
 }

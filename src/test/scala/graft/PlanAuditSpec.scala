@@ -348,6 +348,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "q68_merge_upsert" -> Map("orders" -> 3),
       "q74_title_match" -> Map("part" -> 2),
       "q81_corpus_pipeline" -> Map("documents" -> 2),
+      // TEXTUAL count, not file reads: the two cache builds (narrow
+      // base, LSH signature frame) print their FileScan body at every
+      // InMemoryTableScan site of the 4-stage funnel; actual cold file
+      // reads are 2 (base + signatures) — ReuseAudit-measured
+      "q169_pipeline_funnel" -> Map("documents" -> 5),
       "q84_contamination" -> Map("documents" -> 2),
       // shared full scan + count(*) footer scan for the adaptive cell
       // count (q41's corpus-adaptive discipline applied to SemDeDup)

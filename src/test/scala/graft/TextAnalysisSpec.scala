@@ -83,6 +83,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"expected 2 surviving docs, got $rows")
   }
 
+  test("pipeline funnel is monotone per stage and lands on q81's corpus") {
+    val sf = TestSpark.sf0001
+    val rows = SparkEntry.queries("q169_pipeline_funnel")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).toSeq ==
+      Seq("raw", "quality", "exact_dedup", "near_dedup"))
+    // each stage only removes docs/tokens — a negative delta anywhere
+    // means a stage ADDED rows, i.e. the funnel is lying
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4,
+        s"stage ${b._2} grew vs ${a._2}: $b vs $a")
+    }
+    // the funnel's terminal stage IS the corpus q81 splits: doc counts
+    // must agree exactly
+    val q81docs = SparkEntry.queries("q81_corpus_pipeline")(spark, sf)
+      .collect().map(_.getLong(1)).sum
+    assert(rows.last._3 == q81docs,
+      s"funnel terminal ${rows.last._3} != q81 corpus $q81docs")
+  }
+
   test("fingerprint is whitespace- and case-insensitive") {
     import spark.implicits._
     val docs = Seq(
