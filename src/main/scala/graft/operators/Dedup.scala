@@ -1272,10 +1272,127 @@ object Dedup {
         FROM k ORDER BY doc_id"""
     })
 
+  /** q170 — WITHIN-document repeated-segment removal (the
+    * RefinedWeb/Falcon line-wise filter: a crawled page repeating its
+    * own nav bar / cookie banner keeps ONE copy; later in-doc repeats
+    * are excised, order preserved). Complements q152, which dedups
+    * segments ACROSS documents: here the keep-first scope is the
+    * single document, so two different docs may both keep the same
+    * segment. Same segment convention as q152 ([[ParaDelim]] — the
+    * driver corpus has no newlines).
+    *
+    * Scale shape: ZERO shuffles — segment split, per-segment hash,
+    * first-occurrence filter, and reassembly are all array ops inside
+    * one codegen projection (the final orderBy exists only for the
+    * deterministic dump). Per-doc cost is O(p) md5 digests + O(p²)
+    * 64-bit compares with p = segments per doc — bounded by document
+    * length, independent of corpus size, so the operator scales
+    * strictly linearly and joins no other table. The cross-doc q152
+    * machinery (groupBy h + join-back) is exactly what this op does
+    * NOT need: in-doc scope keeps everything row-local. */
+  private[graft] def withinDocDedupDf(delim: String)(
+      s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextFunctions.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        split(col("text"),
+          java.util.regex.Pattern.quote(delim), -1).as("paras"))
+      .withColumn("hs", transform(col("paras"), p => md5h61(p)))
+      .withColumn("ki", filter(sequence(lit(1), size(col("paras"))),
+        i => array_position(col("hs"), element_at(col("hs"), i)) === i))
+      .select(col("doc_id"),
+        size(col("paras")).as("n_paras"),
+        size(col("ki")).as("n_kept"),
+        concat_ws(delim,
+          transform(col("ki"), i => element_at(col("paras"), i)))
+          .as("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  private def sqlWithinDocDedup(delim: String): String = {
+    val dl = "'" + delim.replace("'", "''") + "'"
+    s"""WITH t AS (SELECT doc_id, string_split(text, $dl) AS paras
+        FROM documents),
+      h AS (SELECT doc_id, paras,
+          list_transform(paras, p -> ${sqlMd5h61("p")}) AS hs
+        FROM t),
+      k AS (SELECT doc_id, paras,
+          list_filter(generate_series(1, len(paras)),
+            i -> list_position(hs, hs[i]) = i) AS ki
+        FROM h)
+      SELECT doc_id, cast(len(paras) as int) AS n_paras,
+        cast(len(ki) as int) AS n_kept,
+        coalesce(array_to_string(list_transform(ki, i -> paras[i]), $dl),
+          '') AS cleaned
+      FROM k ORDER BY doc_id"""
+  }
+
+  val withinDocDedup: Q = Q(
+    "q170_withindoc_dedup",
+    (s, d) => withinDocDedupDf(ParaDelim)(s, d),
+    Some(sqlWithinDocDedup(ParaDelim)))
+
+  /** q172 — soft dedup: DOWN-WEIGHT duplicate clusters instead of
+    * dropping members (the data-constrained regime — when hard dedup
+    * would shrink the corpus below the token budget, repeated content
+    * is kept but its sampling mass is normalized so each distinct
+    * passage contributes ~one document's worth of expected tokens;
+    * cf. the repeat-epoch analysis in Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"). Every doc gets
+    * weight = 1 / |its near-dup cluster| (singletons weight 1), from
+    * the same verified-pair connected components as q56, so
+    * Σ weight over a cluster = 1 and `eff_tokens` is the doc's token
+    * mass after normalization. The weights compose directly with the
+    * q104 weighted sampler.
+    *
+    * Scale shape: cluster membership is the bounded q56 machinery
+    * (LSH-blocked pairs, min-label propagation); cluster sizes are a
+    * groupBy+join-back on cluster_root (map-side partials, never a
+    * window); the corpus-side join is one equi-join on doc_id and the
+    * weight math is scan-local. The double division 1/csize runs on
+    * identical exact integers in both engines → bit-identical IEEE
+    * doubles. */
+  val softDedupWeights: Q = Q(
+    "q172_soft_dedup_weights",
+    (s, d) => {
+      val members = clustersDf(s, d)
+      val sizes = members.groupBy("cluster_root")
+        .agg(count(lit(1)).as("cluster_size"))
+      val mw = members.join(sizes, "cluster_root")
+        .select("doc_id", "cluster_size")
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(toks(col("text"))).as("n_tokens"))
+        .join(mw, Seq("doc_id"), "left")
+        .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+        .select(col("doc_id"), col("cluster_size"), col("n_tokens"),
+          (lit(1.0) / col("cluster_size")).as("weight"),
+          (col("n_tokens") / col("cluster_size").cast("double"))
+            .as("eff_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $sqlClustersChain,
+      sizes AS (SELECT cluster_root, count(*) AS cluster_size
+        FROM clusters GROUP BY cluster_root),
+      mw AS (SELECT c.doc_id, s.cluster_size
+        FROM clusters c JOIN sizes s USING (cluster_root)),
+      docs AS (SELECT doc_id,
+          cast(len(${sqlToks("text")}) as int) AS n_tokens
+        FROM documents)
+      SELECT d.doc_id,
+        cast(coalesce(mw.cluster_size, 1) as bigint) AS cluster_size,
+        d.n_tokens,
+        cast(1.0 as double) / cast(coalesce(mw.cluster_size, 1) as bigint)
+          AS weight,
+        d.n_tokens / cast(cast(coalesce(mw.cluster_size, 1) as bigint)
+          as double) AS eff_tokens
+      FROM docs d LEFT JOIN mw ON d.doc_id = mw.doc_id
+      ORDER BY d.doc_id"""))
+
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
     ngramJaccardPairs, ngramJaccardDfCap, containmentPairs,
     prefixJaccardJoin, fuzzyContamination, sketchQuality,
     dupDegrees, dupBySource, incrementalDedup, substringDedup,
-    substringRemoval, paragraphDedupQ, incrementalParagraphDedup)
+    substringRemoval, paragraphDedupQ, incrementalParagraphDedup,
+    withinDocDedup, softDedupWeights)
 }

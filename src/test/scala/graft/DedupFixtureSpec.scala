@@ -261,6 +261,55 @@ class DedupFixtureSpec extends AnyFunSuite {
     assert(out.length == orig.length)
   }
 
+  test("q170 within-doc dedup: in-doc repeats collapse, cross-doc copies survive in every doc") {
+    val out = operators.Dedup.withinDocDedupDf("\n\n")(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    val orig = Tables.documents(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.size == orig.length, "reassembly must emit every doc")
+    var sawInDocRepeat = false
+    orig.foreach { case (id, text) =>
+      val paras = text.split("\n\n", -1)
+      if (paras.distinct.length < paras.length) sawInDocRepeat = true
+      // cleaned = first occurrences in original order — exactly
+      val expect = {
+        val seen = scala.collection.mutable.LinkedHashSet[String]()
+        paras.foreach(seen += _); seen.mkString("\n\n")
+      }
+      assert(out(id) == expect, s"doc $id: not keep-first-in-order")
+    }
+    assert(sawInDocRepeat,
+      "fixture degenerate: no doc repeats a paragraph internally")
+    // cross-doc scope check: a boilerplate paragraph present in >= 2
+    // docs is kept once in EACH of them (q152 would keep one globally)
+    val keptBy = out.toSeq.flatMap { case (id, t) =>
+      t.split("\n\n", -1).filter(_.nonEmpty).distinct.map(p => (p, id)) }
+      .groupBy(_._1).view.mapValues(_.size)
+    assert(keptBy.values.exists(_ >= 5),
+      "boilerplate must survive per-doc under within-doc scope")
+  }
+
+  test("q172 soft-dedup weights: cluster mass normalizes to 1, singletons keep weight 1") {
+    val rows = run("q172_soft_dedup_weights").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val nDocs = Tables.documents(spark, fixtureDir).count()
+    assert(rows.length == nDocs, "every doc gets a weight row")
+    rows.filter(_._2 == 1L).foreach { case (id, _, w) =>
+      assert(w == 1.0, s"singleton $id weight $w != 1.0") }
+    // the planted near-dup pair 9000/9001 forms a cluster: both carry
+    // weight <= 1/2 and identical cluster sizes
+    val m = rows.map(r => r._1 -> r).toMap
+    assert(m(9000L)._2 >= 2L && m(9000L)._2 == m(9001L)._2,
+      "planted near-dup pair not clustered together")
+    assert(m(9000L)._3 <= 0.5 + 1e-12)
+    // cluster mass: group rows by (size, weight) — every member of a
+    // cluster carries the same weight, so Σ over each cluster = size*w ≈ 1
+    rows.filter(_._2 > 1L).groupBy(_._1).foreach { case (_, rs) =>
+      rs.foreach { case (_, sz, w) =>
+        assert(math.abs(sz * w - 1.0) < 1e-9,
+          s"cluster of $sz: member weight $w, mass ${sz * w}") } }
+  }
+
   test("q152/q158 registry instances run green on the skewed corpus; the planted batch clone is fully excised") {
     val q152 = run("q152_paragraph_dedup").collect()
     assert(q152.nonEmpty)
