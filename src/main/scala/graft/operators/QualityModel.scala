@@ -127,57 +127,140 @@ object QualityModel {
     * equi-join on (w1,w2) against the finished model; V is a 1-row
     * broadcast. Docs with fewer than 2 tokens have no bigrams and are
     * excluded (inner joins, identical on both engines). */
-  val bigramPerplexity: Q = Q(
-    "q150_bigram_nll",
-    (s, d) => {
-      val tk = Tables.documents(s, d)
-        .select(col("doc_id"), toks(lower(col("text"))).as("t"))
-        // no-op predicates written out so BOTH explode branches (doc
-        // bigrams, unigram counts) infer identical constraints and
-        // share one tokenize+scan — the q86 symmetrize discipline;
-        // scan count pinned in PlanAuditSpec's allowance sweep
-        .filter(size(col("t")) > 0 && col("t").isNotNull)
-        .repartition(col("doc_id"))
-      val db = tk.select(col("doc_id"), explode(transform(
-          when(size(col("t")) >= 2, sequence(lit(1), size(col("t")) - 1))
-            .otherwise(array().cast("array<int>")),
-          i => struct(element_at(col("t"), i).as("w1"),
-            element_at(col("t"), i + 1).as("w2")))).as("b"))
-        .select(col("doc_id"), col("b.w1"), col("b.w2"))
-      val bm = db.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
-      val uni = tk.select(explode(col("t")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c_w"))
-      val vc = uni.agg(count(lit(1)).as("v"))
-      val model = bm
-        .join(uni.withColumnRenamed("w", "w1"), "w1")
-        .crossJoin(broadcast(vc))
-        .select(col("w1"), col("w2"), floor(-log(
-          (col("c_xy") + 1) / (col("c_w") + col("v")).cast("double"))
-          * 1e9).cast("long").as("nll_q9"))
-      db.join(model, Seq("w1", "w2"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_q9")).as("s9"))
-        .select(col("doc_id"), col("n_bigrams"),
-          floor(col("s9") / (col("n_bigrams") * 1000.0)).cast("long")
-            .as("nll_q6"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH tk AS (
+  /** Per-doc bigram NLL — (doc_id, n_bigrams, nll_q6), unordered.
+    * The q150 machinery, factored so q171's bucketing reuses the same
+    * model + scoring plan (see [[bigramPerplexity]] for the full
+    * determinism + scale argument). */
+  private[operators] def docNll(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), toks(lower(col("text"))).as("t"))
+      // no-op predicates written out so BOTH explode branches (doc
+      // bigrams, unigram counts) infer identical constraints and
+      // share one tokenize+scan — the q86 symmetrize discipline;
+      // scan count pinned in PlanAuditSpec's allowance sweep
+      .filter(size(col("t")) > 0 && col("t").isNotNull)
+      .repartition(col("doc_id"))
+    val db = tk.select(col("doc_id"), explode(transform(
+        when(size(col("t")) >= 2, sequence(lit(1), size(col("t")) - 1))
+          .otherwise(array().cast("array<int>")),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val bm = db.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val uni = tk.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val vc = uni.agg(count(lit(1)).as("v"))
+    val model = bm
+      .join(uni.withColumnRenamed("w", "w1"), "w1")
+      .crossJoin(broadcast(vc))
+      .select(col("w1"), col("w2"), floor(-log(
+        (col("c_xy") + 1) / (col("c_w") + col("v")).cast("double"))
+        * 1e9).cast("long").as("nll_q9"))
+    db.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_q9")).as("s9"))
+      .select(col("doc_id"), col("n_bigrams"),
+        floor(col("s9") / (col("n_bigrams") * 1000.0)).cast("long")
+          .as("nll_q6"))
+  }
+
+  /** SQL CTE chain ending in `nllt(doc_id, n_bigrams, nll_q6)` — the
+    * oracle twin of [[docNll]], shared by q150/q171. tk and db are
+    * MATERIALIZED: both are referenced twice downstream and DuckDB
+    * inlines CTEs per reference site (the q147 lesson). */
+  private[operators] val sqlDocNllCtes: String =
+    s"""tk AS MATERIALIZED (
         SELECT doc_id, ${sqlToks("lower(text)")} AS t FROM documents),
-      db AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      db AS MATERIALIZED (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
         FROM tk, unnest(generate_series(1, len(t) - 1)) AS g(i)),
       bm AS (SELECT w1, w2, count(*) AS c_xy FROM db GROUP BY 1, 2),
-      uni AS (SELECT g.w AS w, count(*) AS c_w
+      uni AS MATERIALIZED (SELECT g.w AS w, count(*) AS c_w
         FROM tk, unnest(t) AS g(w) GROUP BY 1),
       vc AS (SELECT count(*) AS v FROM uni),
       q AS (SELECT doc_id,
           cast(floor(-ln((c_xy + 1) / cast(c_w + v as double)) * 1000000000.0)
             as bigint) AS nll_q9
-        FROM db JOIN bm USING (w1, w2) JOIN uni ON db.w1 = uni.w, vc)
-      SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
-        cast(floor(sum(nll_q9) / (count(*) * 1000.0)) as bigint) AS nll_q6
-      FROM q GROUP BY doc_id ORDER BY doc_id"""),
+        FROM db JOIN bm USING (w1, w2) JOIN uni ON db.w1 = uni.w, vc),
+      nllt AS (SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
+          cast(floor(sum(nll_q9) / (count(*) * 1000.0)) as bigint) AS nll_q6
+        FROM q GROUP BY doc_id)"""
+
+  val bigramPerplexity: Q = Q(
+    "q150_bigram_nll",
+    (s, d) => docNll(s, d).orderBy("doc_id"),
+    Some(s"""WITH $sqlDocNllCtes
+      SELECT doc_id, n_bigrams, nll_q6 FROM nllt ORDER BY doc_id"""),
     bench = true)
+
+  /** q171 — CCNet-style perplexity bucketing (Wenzek et al. 2020):
+    * per language, docs are cut into head / middle / tail thirds by
+    * their LM score (q150's bigram NLL), the classic precursor to
+    * "train on head+middle, drop tail". Bucket semantics are VALUE
+    * cutoffs, not ntile: c1/c2 are the per-lang scores at exact ranks
+    * ⌈n/3⌉ and ⌈2n/3⌉ in (nll_q6, doc_id) order, and a doc's bucket is
+    * 1 + (nll > c1) + (nll > c2) — every tied doc lands in the same
+    * bucket (CCNet cuts on percentile values too), and the assignment
+    * is derivable from a doc's own score + two broadcast scalars.
+    *
+    * Scale shape: the cutoffs come from the q113 histogram discipline,
+    * NOT a per-lang window over the corpus (ntile/row_number over
+    * PARTITION BY lang routes an entire language — most of a 100 TB
+    * corpus is one language — through a single task's sort). Here:
+    * (1) reduce scores to a (lang, nll_q6) histogram — map-side
+    * combinable, |rows| = distinct scores per lang; (2) cumulative
+    * count over the AGGREGATED histogram only; (3) c1/c2 = min score
+    * whose cumulative count reaches the rank target — a per-lang agg;
+    * (4) one broadcast join stamps buckets on the scored corpus.
+    * Docs with <2 tokens have no bigrams and are excluded (inner
+    * join), exactly as in q150. */
+  val perplexityBuckets: Q = Q(
+    "q171_perplexity_buckets",
+    (s, d) => {
+      val scored = graft.CacheScope.cached(
+        docNll(s, d).join(
+          Tables.documents(s, d).select("doc_id", "lang"), "doc_id"))
+      val hist = scored.groupBy("lang", "nll_q6")
+        .agg(count(lit(1)).as("cnt"))
+      val cum = hist.withColumn("cum",
+        sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+            .orderBy(col("nll_q6"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+      val ks = hist.groupBy("lang").agg(sum(col("cnt")).as("n"))
+        .select(col("lang"), expr("(n + 2) div 3").as("k1"),
+          expr("(2 * n + 2) div 3").as("k2"))
+      val cuts = cum.join(ks, "lang")
+        .groupBy("lang")
+        .agg(min(when(col("cum") >= col("k1"), col("nll_q6"))).as("c1"),
+          min(when(col("cum") >= col("k2"), col("nll_q6"))).as("c2"))
+      scored.join(broadcast(cuts), "lang")
+        .select(col("doc_id"), col("lang"), col("nll_q6"),
+          (lit(1) + (col("nll_q6") > col("c1")).cast("int") +
+            (col("nll_q6") > col("c2")).cast("int")).as("bucket"))
+        .withColumn("label",
+          when(col("bucket") === 1, "head")
+            .when(col("bucket") === 2, "middle").otherwise("tail"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $sqlDocNllCtes,
+      sc AS MATERIALIZED (SELECT n.doc_id, d.lang, n.nll_q6
+        FROM nllt n JOIN documents d USING (doc_id)),
+      tot AS (SELECT lang, count(*) AS n FROM sc GROUP BY lang),
+      ranked AS (SELECT lang, nll_q6,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY nll_q6, doc_id) AS rn
+        FROM sc),
+      cuts AS (SELECT r.lang,
+          min(CASE WHEN r.rn = (t.n + 2) // 3 THEN r.nll_q6 END) AS c1,
+          min(CASE WHEN r.rn = (2 * t.n + 2) // 3 THEN r.nll_q6 END) AS c2
+        FROM ranked r JOIN tot t USING (lang) GROUP BY r.lang)
+      SELECT s.doc_id, s.lang, s.nll_q6,
+        1 + cast(s.nll_q6 > c.c1 as int) + cast(s.nll_q6 > c.c2 as int)
+          AS bucket,
+        CASE 1 + cast(s.nll_q6 > c.c1 as int) + cast(s.nll_q6 > c.c2 as int)
+          WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS label
+      FROM sc s JOIN cuts c USING (lang) ORDER BY s.doc_id"""))
 
   /** q99: compressibility score — zlib-deflated length over raw length.
     * Low ratio = repetitive/templated text (the classic cheap quality
@@ -217,5 +300,5 @@ object QualityModel {
     None)
 
   val all: Seq[Q] = Seq(qualityClassifier, fixedWeightScorer,
-    bigramPerplexity, compressibility)
+    bigramPerplexity, perplexityBuckets, compressibility)
 }

@@ -87,4 +87,32 @@ class QualityModelSpec extends AnyFunSuite {
     assert(deflate(Seq.fill(200)("spam").mkString(" ")) <
       deflate((1 to 200).map(i => s"w$i").mkString(" ")))
   }
+
+  test("q171 buckets: per-lang thirds by value cutoffs, consistent with q150 scores") {
+    val rows = SparkEntry.queries("q171_perplexity_buckets")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val nll = SparkEntry.queries("q150_bigram_nll")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows.length == nll.size, "same doc universe as q150")
+    rows.foreach { case (id, _, v, b) =>
+      assert(nll(id) == v, s"doc $id: bucket score != q150 score")
+      assert(b >= 1 && b <= 3)
+    }
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val n = rs.length
+      val k1 = (n + 2) / 3; val k2 = (2 * n + 2) / 3
+      val byB: Map[Int, Seq[Long]] =
+        rs.groupBy(_._4).map { case (b, v) => b -> v.map(_._3).toSeq }
+      // rank coverage: cumulative counts reach the tercile targets
+      assert(byB.getOrElse(1, Seq.empty[Long]).size >= k1,
+        s"$lang: head covers ${byB.getOrElse(1, Seq.empty[Long]).size} < k1=$k1")
+      assert(byB.getOrElse(1, Seq.empty[Long]).size +
+        byB.getOrElse(2, Seq.empty[Long]).size >= k2)
+      // value monotonicity: head < middle < tail strictly across cuts
+      for (b <- 1 to 2; if byB.contains(b) && byB.contains(b + 1))
+        assert(byB(b).max < byB(b + 1).min,
+          s"$lang: bucket $b max !< bucket ${b + 1} min")
+    }
+  }
 }
