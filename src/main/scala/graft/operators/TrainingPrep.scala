@@ -1159,9 +1159,78 @@ object TrainingPrep {
       bench = true)
   }
 
+  /** q173 — length-grouped batch manifest (padding-waste report): sort
+    * docs by token length, cut into fixed batches of B consecutive
+    * docs, and report each batch's padded cost — `n_docs · max_len`
+    * tokens — against its real token mass. This is the dataloader
+    * optimization behind dynamic batching (grouping similar lengths
+    * slashes pad-token waste vs arrival-order batches); the manifest
+    * is what the trainer consumes to budget step costs.
+    *
+    * Bit-identical to `(row_number() OVER (ORDER BY n_tokens, doc_id)
+    * - 1) / B` batch assignment — the oracle IS that naive global
+    * window, so the equivalence is hash-checked — but computed WITHOUT
+    * one: the q113 histogram discipline again. (1) reduce the corpus
+    * to its token-length histogram (map-side combinable; |hist| ≤ max
+    * doc length); (2) prefix-sum over the AGGREGATED histogram only;
+    * (3) each histogram run covers batches first..last by pure rank
+    * arithmetic — explode those (runs + batches total rows, each run's
+    * contribution = the overlap of its rank interval with the batch's)
+    * and (4) one groupBy(batch) rebuilds every batch's stats, because
+    * a batch's docs are a contiguous rank range and ranks within one
+    * n_tokens value are interchangeable for {count, max, sum}. No
+    * per-doc batch ids are ever materialized — at 100 TB the manifest
+    * (n/B rows) is the small output of a linear aggregation, not a
+    * global sort. */
+  val lengthBatchManifest: Q = {
+    val B = 32
+    Q(
+      "q173_length_batch_manifest",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+          .select(size(toks(col("text"))).as("n_tokens"))
+        val hist = docs.groupBy("n_tokens").agg(count(lit(1)).as("cnt"))
+        val cum = hist.withColumn("cum_before",
+          coalesce(sum(col("cnt")).over(Window.orderBy(col("n_tokens"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        cum
+          .select(col("n_tokens"), col("cnt"), col("cum_before"),
+            (col("cum_before") + col("cnt")).as("cum_end"))
+          .select(col("n_tokens"), col("cum_before"), col("cum_end"),
+            explode(sequence(expr(s"cum_before div $B"),
+              expr(s"(cum_end - 1) div $B"))).as("batch"))
+          .withColumn("overlap",
+            least(col("cum_end"), (col("batch") + 1) * B) -
+              greatest(col("cum_before"), col("batch") * B))
+          .groupBy("batch")
+          .agg(sum(col("overlap")).as("n_docs"),
+            max(col("n_tokens")).as("max_len"),
+            sum(col("n_tokens").cast("long") * col("overlap"))
+              .as("sum_tokens"))
+          .select(col("batch"), col("n_docs"), col("max_len"),
+            col("sum_tokens"),
+            (col("n_docs") * col("max_len")).as("padded"),
+            (col("n_docs") * col("max_len") - col("sum_tokens"))
+              .as("waste"))
+          .orderBy("batch")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+          cast(len(${sqlToks("text")}) as int) AS n_tokens FROM documents),
+        r AS (SELECT n_tokens,
+            row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS rk
+          FROM t)
+        SELECT rk // $B AS batch, cast(count(*) as bigint) AS n_docs,
+          max(n_tokens) AS max_len,
+          cast(sum(n_tokens) as bigint) AS sum_tokens,
+          cast(count(*) * max(n_tokens) as bigint) AS padded,
+          cast(count(*) * max(n_tokens) - sum(n_tokens) as bigint) AS waste
+        FROM r GROUP BY 1 ORDER BY batch"""))
+  }
+
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
     bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf,
     approxPercentiles, bloomContamination, fuzzyPairs, heavyHitters,
     weightedSample, oovRate, embeddingQuantize, sequencePacking,
-    winnowFingerprints, bpeMerges, bpeEncode)
+    winnowFingerprints, bpeMerges, bpeEncode, lengthBatchManifest)
 }

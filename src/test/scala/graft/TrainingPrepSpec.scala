@@ -427,4 +427,38 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(t500 < 2 * t50 + 5000,
       s"k=500 took ${t500}ms vs k=50 ${t50}ms — fast path not amortizing")
   }
+
+  test("q173 manifest: batches tile the corpus and length-grouping beats arrival order on padding") {
+    val B = 32
+    val rows = SparkEntry.queries("q173_length_batch_manifest")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(5)))
+    val docLens = {
+      import org.apache.spark.sql.functions._
+      graft.Tables.documents(spark, sf)
+        .select(col("doc_id"), size(graft.Dsl.toks(col("text"))).as("n"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+    }
+    val n = docLens.length
+    // tiling: batch ids contiguous from 0, sizes B except a last remainder
+    assert(rows.map(_._1).toSeq == (0L until rows.length.toLong))
+    assert(rows.map(_._2).sum == n)
+    rows.dropRight(1).foreach { case (b, nd, _, _, _) =>
+      assert(nd == B, s"batch $b has $nd docs") }
+    // per-batch stats equal a direct sorted-grouping recomputation
+    val sorted = docLens.sortBy { case (id, len) => (len, id) }.map(_._2)
+    sorted.grouped(B).zipWithIndex.foreach { case (g, b) =>
+      val (_, nd, mx, st, waste) = rows(b)
+      assert(nd == g.length && mx == g.max && st == g.map(_.toLong).sum)
+      assert(waste == g.length.toLong * g.max - g.map(_.toLong).sum)
+    }
+    // the point of the operator: padded cost under length grouping is
+    // strictly below arrival-order (doc_id-order) batching
+    val arrival = docLens.sortBy(_._1).map(_._2)
+    def paddedCost(xs: Seq[Int]) =
+      xs.grouped(B).map(g => g.length.toLong * g.max).sum
+    assert(paddedCost(sorted) < paddedCost(arrival),
+      "sorted batching must reduce padded token cost on this corpus")
+  }
 }
