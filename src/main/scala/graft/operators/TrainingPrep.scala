@@ -1228,9 +1228,81 @@ object TrainingPrep {
         FROM r GROUP BY 1 ORDER BY batch"""))
   }
 
+  /** q174 — content-defined chunking (the Rabin/CDC boundary rule of
+    * LBFS, Muthitacharoen et al. SOSP'01, at token granularity): cut
+    * after token i whenever the hash of the trailing W-token window
+    * ≡ 0 (mod D), so boundaries depend only on LOCAL content. This is
+    * the insertion-robust complement of q82's fixed-stride chunks: a
+    * token inserted at the head shifts EVERY q82 chunk hash, while CDC
+    * boundaries downstream of the edit land on the identical windows
+    * and the chunk stream resynchronizes — which is what makes
+    * chunk-hash dedup work on near-identical crawls of the same page
+    * (the spec pins exactly this law). Expected chunk length ≈ D
+    * tokens; a final boundary at the last token is ignored (it would
+    * cut an empty chunk).
+    *
+    * Scale shape: boundary detection, start/end derivation, and chunk
+    * hashing are all doc-local array ops — ZERO shuffles before the
+    * deterministic output sort; per-doc cost is O(n) rolling windows
+    * of W tokens. Downstream chunk-level exact dedup is q35's
+    * hash-groupBy on chunk_hash. */
+  val cdcChunks: Q = {
+    val W = 4; val D = 16
+    Q(
+      "q174_cdc_chunks",
+      (s, d) => {
+        graft.functions.TextFunctions.register(s)
+        Tables.documents(s, d)
+          .select(col("doc_id"), toks(col("text")).as("t"))
+          .withColumn("bpos", filter(
+            when(size(col("t")) >= W + 1,
+              sequence(lit(W), size(col("t")) - 1))
+              .otherwise(array().cast("array<int>")),
+            i => md5h61(concat_ws(" ",
+              slice(col("t"), i - W + 1, lit(W)))) % D === 0))
+          .withColumn("starts",
+            concat(array(lit(1)), transform(col("bpos"), b => b + 1)))
+          .select(col("doc_id"), col("t"), col("starts"),
+            posexplode_outer(col("starts")).as(Seq("ci", "st")))
+          .withColumn("en",
+            when(col("ci") + 2 <= size(col("starts")),
+              element_at(col("starts"), col("ci") + 2) - 1)
+              .otherwise(size(col("t"))))
+          .select(col("doc_id"), col("ci").as("chunk_idx"),
+            col("st").as("chunk_start"), col("en").as("chunk_end"),
+            (col("en") - col("st") + 1).as("n_tokens"),
+            md5h61(concat_ws(" ",
+              slice(col("t"), col("st"), col("en") - col("st") + 1)))
+              .as("chunk_hash"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+        b AS (SELECT doc_id, t,
+            list_filter(generate_series($W, len(t) - 1),
+              i -> ${sqlMd5h61(s"array_to_string(t[i-${W - 1}:i], ' ')")}
+                % $D = 0) AS bpos
+          FROM tk),
+        st AS (SELECT doc_id, t,
+            list_concat([1], list_transform(bpos, b -> b + 1)) AS starts
+          FROM b),
+        ex AS (SELECT doc_id, t, starts,
+            cast(i - 1 as int) AS ci, cast(starts[i] as int) AS st
+          FROM st, unnest(generate_series(1, len(starts))) AS u(i)),
+        sp AS (SELECT doc_id, ci, st,
+            cast(CASE WHEN ci + 2 <= len(starts) THEN starts[ci + 2] - 1
+              ELSE len(t) END as int) AS en, t
+          FROM ex)
+        SELECT doc_id, ci AS chunk_idx, st AS chunk_start,
+          en AS chunk_end, en - st + 1 AS n_tokens,
+          ${sqlMd5h61("array_to_string(t[st:en], ' ')")} AS chunk_hash
+        FROM sp ORDER BY doc_id, chunk_idx"""))
+  }
+
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
     bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf,
     approxPercentiles, bloomContamination, fuzzyPairs, heavyHitters,
     weightedSample, oovRate, embeddingQuantize, sequencePacking,
-    winnowFingerprints, bpeMerges, bpeEncode, lengthBatchManifest)
+    winnowFingerprints, bpeMerges, bpeEncode, lengthBatchManifest,
+    cdcChunks)
 }

@@ -461,4 +461,30 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(paddedCost(sorted) < paddedCost(arrival),
       "sorted batching must reduce padded token cost on this corpus")
   }
+
+  test("q174 CDC chunks resynchronize after a head insertion; fixed-stride q82 chunks do not") {
+    import spark.implicits._
+    val rnd = new java.util.Random(7)
+    val body = (0 until 300).map(_ => s"tok${rnd.nextInt(500)}")
+    val shifted = (0 until 7).map(i => s"junk$i") ++ body
+    val dir = TestSpark.makeSfDir("documents" ->
+      Seq((0L, body.mkString(" ")), (1L, shifted.mkString(" ")))
+        .toDF("doc_id", "text"))
+    def hashesByDoc(q: String, hashCol: String) =
+      SparkEntry.queries(q)(spark, dir).collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rs) =>
+          id -> rs.map(_.getAs[Long](hashCol)).toSet }
+    val cdc = hashesByDoc("q174_cdc_chunks", "chunk_hash")
+    val fixed = hashesByDoc("q82_text_chunks", "chunk_hash")
+    val cdcShared = (cdc(0L) & cdc(1L)).size.toDouble / cdc(0L).size
+    val fixedShared = (fixed(0L) & fixed(1L)).size.toDouble / fixed(0L).size
+    // CDC boundaries depend only on local windows: everything after the
+    // first boundary past the insertion is chunked identically
+    assert(cdcShared >= 0.8,
+      f"CDC recovered only $cdcShared%.2f of chunks after a 7-token insert")
+    // the fixed-stride baseline shifts every window by 7 — (near-)zero reuse
+    assert(cdcShared > fixedShared + 0.5,
+      f"CDC ($cdcShared%.2f) must decisively beat fixed-stride ($fixedShared%.2f)")
+  }
 }
