@@ -137,8 +137,13 @@ object QualityModel {
       // no-op predicates written out so BOTH explode branches (doc
       // bigrams, unigram counts) infer identical constraints and
       // share one tokenize+scan — the q86 symmetrize discipline;
-      // scan count pinned in PlanAuditSpec's allowance sweep
-      .filter(size(col("t")) > 0 && col("t").isNotNull)
+      // scan count pinned in PlanAuditSpec's allowance sweep.
+      // isNotNull(doc_id) sits on the SHARED source for the same
+      // reason (the q145 discipline): q171's lang join would
+      // otherwise infer it into only the bigram branch's scan and
+      // de-canonicalize the exchange uni hangs off (the q133 trap).
+      .filter(size(col("t")) > 0 && col("t").isNotNull &&
+        col("doc_id").isNotNull)
       .repartition(col("doc_id"))
     val db = tk.select(col("doc_id"), explode(transform(
         when(size(col("t")) >= 2, sequence(lit(1), size(col("t")) - 1))

@@ -324,7 +324,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q58_ann_batch" -> "embeddings",
       // caches the |sources|-row per-source aggregate; stats pass +
       // admission pass are the two roles
-      "q154_budget_mix" -> "documents"
+      "q154_budget_mix" -> "documents",
+      // embeds clustersDf's cached pair/edge frames (the q56 family)
+      // plus its own n_tokens scan — cold file reads are 2
+      "q172_soft_dedup_weights" -> "documents"
     ).map { case (q, t) => q -> Map(t -> 2) }
     val multi: Map[String, Map[String, Int]] = cachedFamily ++ Map(
       "q105_scd2" -> Map("part" -> 2),
@@ -354,6 +357,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // reads are 2 (base + signatures) — ReuseAudit-measured
       "q169_pipeline_funnel" -> Map("documents" -> 5),
       "q84_contamination" -> Map("documents" -> 2),
+      // TEXTUAL count (the q169 caveat): the cached `scored` frame's
+      // build — itself a SEMANTIC two-role read (doc text for the NLL
+      // model, doc lang for the bucket key) — prints its FileScan body
+      // at both InMemoryTableScan sites (histogram chain + final
+      // stamp); actual cold file reads are 2, ReuseAudit-measured
+      "q171_perplexity_buckets" -> Map("documents" -> 4),
       // shared full scan + count(*) footer scan for the adaptive cell
       // count (q41's corpus-adaptive discipline applied to SemDeDup)
       "q151_semantic_dedup" -> Map("embeddings" -> 2),
