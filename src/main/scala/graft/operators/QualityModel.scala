@@ -265,7 +265,8 @@ object QualityModel {
           AS bucket,
         CASE 1 + cast(s.nll_q6 > c.c1 as int) + cast(s.nll_q6 > c.c2 as int)
           WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS label
-      FROM sc s JOIN cuts c USING (lang) ORDER BY s.doc_id"""))
+      FROM sc s JOIN cuts c USING (lang) ORDER BY s.doc_id"""),
+    bench = true)
 
   /** q99: compressibility score — zlib-deflated length over raw length.
     * Low ratio = repetitive/templated text (the classic cheap quality

@@ -1296,7 +1296,8 @@ object TrainingPrep {
         SELECT doc_id, ci AS chunk_idx, st AS chunk_start,
           en AS chunk_end, en - st + 1 AS n_tokens,
           ${sqlMd5h61("array_to_string(t[st:en], ' ')")} AS chunk_hash
-        FROM sp ORDER BY doc_id, chunk_idx"""))
+        FROM sp ORDER BY doc_id, chunk_idx"""),
+      bench = true)
   }
 
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
