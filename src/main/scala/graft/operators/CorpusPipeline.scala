@@ -184,5 +184,103 @@ object CorpusPipeline {
           cast(coalesce(sum(n_tokens), 0) as bigint) FROM near)
       ORDER BY stage"""))
 
-  val all: Seq[Q] = Seq(cleanCorpusStats, pipelineFunnel)
+  /** q176 — corpus datasheet (the composition card published WITH a
+    * dataset — Gebru et al. 2021's "Datasheets for Datasets" shape, at
+    * corpus-stats granularity): one query → (metric, value) rows
+    * covering size (docs / tokens / chars), diversity (distinct
+    * languages / sources, language entropy), duplication (exact
+    * fingerprint dup rate), and length composition (mean tokens, short
+    * fraction). The numbers a consumer reads before training on the
+    * corpus, emitted by the engine itself so they can never drift from
+    * the data.
+    *
+    * Determinism: every value is either an exact integer in double, or
+    * ONE IEEE op over exact integers (mean, rates); language entropy
+    * follows the q150 quantization discipline — each lang's
+    * −(c/n)·ln(c/n) is floored at 10⁻⁹ FIRST (the ratio is
+    * integer-derived and bit-identical; flooring absorbs libm ulp),
+    * summed exactly as integers, and reported at that quantization.
+    *
+    * Scale shape: ONE cached narrow base (never the text past the
+    * tokenize/fingerprint projection); the scalar block is a single
+    * map-side-combinable aggregate UNPIVOTED via explode(map(...)) —
+    * not a union of single-row selects, which would re-run the
+    * aggregate per metric; entropy adds one lang-keyed groupBy
+    * (|langs| rows) against a 1-row broadcast total. Output is ~10
+    * rows at any corpus size. */
+  val corpusDatasheet: Q = Q(
+    "q176_corpus_datasheet",
+    (s, d) => {
+      graft.functions.TextFunctions.register(s)
+      val base = graft.CacheScope.cached(Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          size(toks(col("text"))).as("n_tokens"),
+          md5h61(lower(regexp_replace(trim(col("text")),
+            s"[$WsChars]+", " "))).as("fp")))
+      val a = base.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        count_distinct(col("fp")).as("n_distinct_fp"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"),
+        sum(when(col("n_tokens") < 20, 1L).otherwise(0L)).as("n_short"))
+      val scalarRows = a.select(explode(map(
+        lit("n_docs"), col("n_docs").cast("double"),
+        lit("sum_tokens"), col("sum_tokens").cast("double"),
+        lit("sum_chars"), col("sum_chars").cast("double"),
+        lit("distinct_langs"), col("n_langs").cast("double"),
+        lit("distinct_sources"), col("n_sources").cast("double"),
+        lit("mean_tokens"),
+          col("sum_tokens").cast("double") / col("n_docs"),
+        lit("exact_dup_rate"),
+          (col("n_docs") - col("n_distinct_fp")).cast("double") / col("n_docs"),
+        lit("short_doc_rate"), col("n_short").cast("double") / col("n_docs")))
+        .as(Seq("metric", "value")))
+      val total = base.agg(count(lit(1)).as("n"))
+      val entropy = base.groupBy("lang").agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(total))
+        .agg(sum(floor(
+          (col("c") / col("n").cast("double")) *
+            -log(col("c") / col("n").cast("double")) * 1e9))
+          .as("e9"))
+        .select(lit("lang_entropy_q9").as("metric"),
+          col("e9").cast("double").as("value"))
+      scalarRows.unionAll(entropy).orderBy("metric")
+    },
+    Some(s"""WITH base AS MATERIALIZED (SELECT doc_id, lang, source, n_chars,
+          cast(len(${sqlToks("text")}) as int) AS n_tokens,
+          ${sqlMd5h61(s"lower(regexp_replace(trim(text), '[$WsChars]+', ' ', 'g'))")}
+            AS fp
+        FROM documents),
+      a AS MATERIALIZED (SELECT
+          cast(count(*) as bigint) AS n_docs,
+          cast(sum(n_tokens) as bigint) AS sum_tokens,
+          cast(sum(n_chars) as bigint) AS sum_chars,
+          cast(count(DISTINCT fp) as bigint) AS n_distinct_fp,
+          cast(count(DISTINCT lang) as bigint) AS n_langs,
+          cast(count(DISTINCT source) as bigint) AS n_sources,
+          cast(count(*) FILTER (WHERE n_tokens < 20) as bigint) AS n_short
+        FROM base),
+      ent AS (SELECT 'lang_entropy_q9' AS metric,
+          cast(sum(floor((c / cast(n as double)) *
+            -ln(c / cast(n as double)) * 1000000000.0)) as double) AS value
+        FROM (SELECT lang, count(*) AS c FROM base GROUP BY lang),
+          (SELECT count(*) AS n FROM base))
+      SELECT metric, value FROM (
+        SELECT 'n_docs' AS metric, cast(n_docs as double) AS value FROM a
+        UNION ALL SELECT 'sum_tokens', cast(sum_tokens as double) FROM a
+        UNION ALL SELECT 'sum_chars', cast(sum_chars as double) FROM a
+        UNION ALL SELECT 'distinct_langs', cast(n_langs as double) FROM a
+        UNION ALL SELECT 'distinct_sources', cast(n_sources as double) FROM a
+        UNION ALL SELECT 'mean_tokens',
+          cast(sum_tokens as double) / n_docs FROM a
+        UNION ALL SELECT 'exact_dup_rate',
+          cast(n_docs - n_distinct_fp as double) / n_docs FROM a
+        UNION ALL SELECT 'short_doc_rate',
+          cast(n_short as double) / n_docs FROM a
+        UNION ALL SELECT metric, value FROM ent)
+      ORDER BY metric"""))
+
+  val all: Seq[Q] = Seq(cleanCorpusStats, pipelineFunnel, corpusDatasheet)
 }

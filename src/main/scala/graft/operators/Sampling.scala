@@ -402,6 +402,71 @@ object Sampling {
         doc_id
       FROM k ORDER BY epoch, shard, seq"""))
 
+  /** q177 — source-balanced deterministic interleave: the dataloader
+    * read order that surfaces every source at roughly EQUAL rate
+    * regardless of how skewed the corpus is (the uniform-mixture
+    * counterpart of q154's token budgets and q166's per-epoch
+    * shuffle). Each doc draws a deterministic exponential clock with
+    * rate 1/n_source — the Efraimidis–Spirakis weighted-order idea
+    * with weight 1/n_s, so P(doc arrives next) ∝ 1/n_s and any prefix
+    * of the stream is near-uniform across sources while docs WITHIN a
+    * source arrive in hash-shuffled order.
+    *
+    * Determinism discipline: u = (md5h61(salt‖doc_id)+1)/2^61 is an
+    * identical IEEE double on both engines; −ln(u) is floored at 10⁻⁶
+    * FIRST (the q150 quantization discipline absorbs libm ulp), giving
+    * an exact integer clock ≤ ~4.3·10⁷; the 1/n_s rate is applied as
+    * an EXACT integer multiply clock·n_s (never a division), so the
+    * full ordering key is integer arithmetic with a doc_id tie-break —
+    * and stays within int64 for per-source counts up to ~2·10¹¹ (a
+    * 100 TB corpus is ~10¹⁰ docs), which is why the clock is q6, not
+    * q9.
+    *
+    * Scale shape: per-source counts are one map-combinable groupBy
+    * broadcast back (|sources| rows); the clock is a scan-local
+    * projection; the "first 200 of the stream" is
+    * TakeOrderedAndProject (no global sort materializes); the
+    * row_number ranks a 200-row post-limit frame. */
+  val sourceInterleave: Q = Q(
+    "q177_source_interleave",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.TextFunctions.register(s)
+      // isNotNull on the SHARED source (the q126 discipline): the
+      // broadcast join would otherwise infer isnotnull(source) into
+      // only its own branch's scan and split the exchange ns hangs off
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+        .filter(col("source").isNotNull)
+      val ns = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val keyed = docs.join(broadcast(ns), "source")
+        .withColumn("h",
+          md5h61(concat(lit("mix:"), col("doc_id").cast("string"))))
+        .withColumn("clock_q6",
+          floor(-log((col("h") + 1).cast("double") / lit(Dsl.H61Mod))
+            * 1e6).cast("long"))
+        .withColumn("okey", col("clock_q6") * col("n_s"))
+      val top = keyed
+        .orderBy(col("okey"), col("doc_id"))
+        .limit(200)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("okey"), col("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("source"), col("okey"))
+        .orderBy("rank")
+    },
+    Some(s"""WITH ns AS (SELECT source, count(*) AS n_s
+        FROM documents GROUP BY source),
+      keyed AS (SELECT d.doc_id, d.source,
+          cast(floor(-ln(cast(${sqlMd5h61("concat('mix:', cast(d.doc_id as varchar))")} + 1
+            as double) / ${Dsl.H61Mod}) * 1000000.0) as bigint) * n_s
+            AS okey
+        FROM documents d JOIN ns USING (source)),
+      top AS (SELECT doc_id, source, okey FROM keyed
+        ORDER BY okey, doc_id LIMIT 200)
+      SELECT cast(row_number() OVER (ORDER BY okey, doc_id) as int) AS rank,
+        doc_id, source, okey
+      FROM top ORDER BY rank"""))
+
   val all: Seq[Q] = Seq(hashSample, stratifiedSplit, groupQuotaSample,
-    temperatureSample, dsirResample, budgetMix, epochShuffle)
+    temperatureSample, dsirResample, budgetMix, epochShuffle,
+    sourceInterleave)
 }

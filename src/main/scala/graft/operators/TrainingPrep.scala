@@ -1300,10 +1300,95 @@ object TrainingPrep {
       bench = true)
   }
 
+  /** q175 — eval-span decontamination APPLIED (the GPT-3 appendix-C
+    * discipline, Brown et al. 2020: excise every 13-gram that
+    * collides with the eval set from the TRAINING documents, rather
+    * than dropping whole docs): q84 only counts collisions and q145
+    * excises within-corpus repeats — this is the bipartite form, where
+    * the eval side (doc_id % 10 = 0, q84's split convention) is
+    * read-only and every train occurrence of an eval 13-token window
+    * is cut, splitting the doc around the removed spans. Output is the
+    * cleaned train corpus (eval docs are never emitted or modified).
+    *
+    * Scale shape: the eval side reduces to its DISTINCT window hashes
+    * before the join — at production scale a broadcast (eval sets are
+    * MBs against a 100 TB corpus; the q84/q96 argument), so the train
+    * side is never shuffled at all: hash windows, probe the broadcast,
+    * aggregate removal positions per doc (map-side combinable), excise
+    * doc-locally. The split predicates push into per-branch pruned
+    * scans (the q127/q158 role-split precedent). K=13 matches the
+    * published protocol; q143/q145's K=25 substring machinery is the
+    * within-corpus sibling. */
+  val decontaminateSpans: Q = {
+    val K = 13
+    Q(
+      "q175_decontaminate_spans",
+      (s, d) => {
+        graft.functions.TextFunctions.register(s)
+        val docs = Tables.documents(s, d)
+          .filter(col("doc_id").isNotNull)
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("doc_id"))
+          .select(col("doc_id"), toks(col("text")).as("t"))
+        val idx = when(size(col("t")) >= K,
+          sequence(lit(1), size(col("t")) - (K - 1)))
+          .otherwise(array().cast("array<int>"))
+        val wins = docs
+          .select(col("doc_id"),
+            posexplode_outer(transform(idx,
+              i => concat_ws(" ", slice(col("t"), i, lit(K)))))
+              .as(Seq("pos0", "win")))
+          .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+            md5h61(col("win")).as("h"))
+        val evalH = wins.filter(col("doc_id") % 10 === 0)
+          .select("h").distinct()
+        val removeAgg = wins.filter(col("doc_id") % 10 =!= 0)
+          .join(broadcast(evalH), "h")
+          .groupBy("doc_id")
+          .agg(collect_list(col("pos")).as("rp"))
+        docs.filter(col("doc_id") % 10 =!= 0)
+          .join(removeAgg, Seq("doc_id"), "left")
+          .withColumn("rp", coalesce(col("rp"), array().cast("array<int>")))
+          .withColumn("kept", filter(sequence(lit(1), size(col("t"))),
+            i => !exists(col("rp"),
+              p => i >= p && i <= p + lit(K - 1))))
+          .select(col("doc_id"),
+            size(col("t")).as("n_before"),
+            size(col("kept")).as("n_after"),
+            size(col("rp")).as("n_hits"),
+            concat_ws(" ",
+              transform(col("kept"), i => element_at(col("t"), i)))
+              .as("cleaned"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, ${sqlToks("text")} AS t FROM documents
+          WHERE doc_id IS NOT NULL),
+        w AS (SELECT doc_id, i AS pos,
+            ${sqlMd5h61(s"array_to_string(t[i:i+$K-1], ' ')")} AS h
+          FROM t, unnest(generate_series(1, len(t)-$K+1)) AS u(i)),
+        ev AS (SELECT DISTINCT h FROM w WHERE doc_id % 10 = 0),
+        ra AS (SELECT doc_id, list(pos) AS rp
+          FROM w JOIN ev USING (h) WHERE doc_id % 10 <> 0
+          GROUP BY doc_id),
+        k AS (SELECT t.doc_id, t.t, coalesce(ra.rp, []) AS rp,
+            list_filter(generate_series(1, len(t.t)), i ->
+              len(list_filter(coalesce(ra.rp, []), p ->
+                i >= p AND i <= p + $K - 1)) = 0) AS kept
+          FROM t LEFT JOIN ra ON t.doc_id = ra.doc_id
+          WHERE t.doc_id % 10 <> 0)
+        SELECT doc_id, cast(len(t) as int) AS n_before,
+          cast(len(kept) as int) AS n_after,
+          cast(len(rp) as int) AS n_hits,
+          coalesce(array_to_string(list_transform(kept, i -> t[i]), ' '),
+            '') AS cleaned
+        FROM k ORDER BY doc_id"""))
+  }
+
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
     bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf,
     approxPercentiles, bloomContamination, fuzzyPairs, heavyHitters,
     weightedSample, oovRate, embeddingQuantize, sequencePacking,
     winnowFingerprints, bpeMerges, bpeEncode, lengthBatchManifest,
-    cdcChunks)
+    cdcChunks, decontaminateSpans)
 }

@@ -357,6 +357,17 @@ class PlanAuditSpec extends AnyFunSuite {
       // reads are 2 (base + signatures) — ReuseAudit-measured
       "q169_pipeline_funnel" -> Map("documents" -> 5),
       "q84_contamination" -> Map("documents" -> 2),
+      // eval-vs-train role split (the q127/q158 precedent): the % 10
+      // predicates push into per-branch pruned scans
+      "q175_decontaminate_spans" -> Map("documents" -> 2),
+      // TEXTUAL count (the q169 caveat): ONE cached narrow base whose
+      // build prints its FileScan body at the scalar-agg, total and
+      // entropy InMemoryTableScan sites; cold file reads are 1
+      "q176_corpus_datasheet" -> Map("documents" -> 3),
+      // narrow-column re-scan: the ns aggregate reads ONLY `source`
+      // (1-column pruned ReadSchema) for its broadcast side — cheaper
+      // than routing the probe side's rows through a shared exchange
+      "q177_source_interleave" -> Map("documents" -> 2),
       // TEXTUAL count (the q169 caveat): the cached `scored` frame's
       // build — itself a SEMANTIC two-role read (doc text for the NLL
       // model, doc lang for the bucket key) — prints its FileScan body

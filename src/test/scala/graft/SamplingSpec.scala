@@ -193,4 +193,67 @@ class SamplingSpec extends AnyFunSuite {
     assert(sh0.exists { case (doc, sh) => sh1(doc) != sh },
       "epoch 1 must not replay epoch 0's shard assignment")
   }
+
+  test("q177 interleave: prefix composition is near-uniform across sources despite corpus skew") {
+    val rows = SparkEntry.queries("q177_source_interleave")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 200)
+    assert(rows.map(_._1).toSeq == (1 to 200), "rank must be 1..200 dense")
+    // deterministic: a second run is identical
+    val again = SparkEntry.queries("q177_source_interleave")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    assert(rows.toSeq == again.toSeq)
+    // corpus source counts vs prefix counts: the corpus is skewed, the
+    // prefix must be (roughly) flat — each source's share within a
+    // ±2.5x band of uniform, and the max/min prefix ratio far below
+    // the corpus max/min ratio
+    val corpus = graft.Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prefix = rows.groupBy(_._3).map { case (s, rs) => s -> rs.length }
+    assert(prefix.keySet == corpus.keySet, "every source must surface in 200")
+    val uniform = 200.0 / corpus.size
+    prefix.foreach { case (s, c) =>
+      assert(c > uniform / 2.5 && c < uniform * 2.5,
+        s"source $s got $c of 200 (uniform would be $uniform)") }
+    // the flatten law needs actual skew (the driver corpus is
+    // source-uniform): plant a 6:2:2 corpus and check the 200-prefix
+    // lands far closer to uniform than the corpus mix
+    import spark.implicits._
+    val skewDir = TestSpark.makeSfDir("documents" ->
+      (0 until 1000).map { i =>
+        val src = if (i < 600) "big" else if (i < 800) "mid" else "small"
+        (i.toLong, s"text $i", "en", src, 10L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val skPrefix = SparkEntry.queries("q177_source_interleave")(spark, skewDir)
+      .collect().map(_.getString(2)).groupBy(identity)
+      .map { case (s, xs) => s -> xs.length }
+    val skRatio = skPrefix.values.max.toDouble / skPrefix.values.min
+    assert(skRatio < 2.0,
+      s"skewed-corpus prefix ratio $skRatio (corpus ratio 3.0) — not flattened")
+    assert(skPrefix("big") < 600.0 / 1000 * 200,
+      "dominant source not downweighted in the prefix")
+  }
+
+  test("q176 datasheet matches an independent recomputation") {
+    val m = SparkEntry.queries("q176_corpus_datasheet")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val docs = graft.Tables.documents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val n = docs.length
+    assert(m("n_docs") == n.toDouble)
+    assert(m("distinct_langs") == docs.map(_._3).distinct.length.toDouble)
+    assert(m("distinct_sources") == docs.map(_._4).distinct.length.toDouble)
+    assert(m("sum_chars") == docs.map(_._5).sum.toDouble)
+    val toks = docs.map(d => d._2.trim.split("[ \t\n\f\r]+").length)
+    assert(m("sum_tokens") == toks.map(_.toLong).sum.toDouble)
+    assert(m("mean_tokens") == toks.map(_.toLong).sum.toDouble / n)
+    val fps = docs.map(_._2.trim.replaceAll("[ \t\n\f\r]+", " ")
+      .toLowerCase).distinct.length
+    assert(m("exact_dup_rate") == (n - fps).toDouble / n)
+    assert(m("short_doc_rate") == toks.count(_ < 20).toDouble / n)
+    // entropy: positive, bounded by ln(|langs|), quantized at 1e-9
+    val maxEnt = math.log(m("distinct_langs")) * 1e9
+    assert(m("lang_entropy_q9") > 0 && m("lang_entropy_q9") <= maxEnt)
+  }
 }

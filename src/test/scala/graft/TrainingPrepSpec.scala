@@ -487,4 +487,35 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(cdcShared > fixedShared + 0.5,
       f"CDC ($cdcShared%.2f) must decisively beat fixed-stride ($fixedShared%.2f)")
   }
+
+  test("q175 excises the planted eval passage from train docs and only there") {
+    import spark.implicits._
+    val evalPassage = (0 until 20).map(i => s"secret$i")   // >= K=13 tokens
+    val trainPre = (0 until 30).map(i => s"pre$i")
+    val trainPost = (0 until 30).map(i => s"post$i")
+    val cleanDoc = (0 until 50).map(i => s"clean$i")
+    val dir = TestSpark.makeSfDir("documents" -> Seq(
+      // doc 10: the eval doc (10 % 10 == 0)
+      (10L, evalPassage.mkString(" ")),
+      // doc 11: train doc embedding the eval passage mid-document
+      (11L, (trainPre ++ evalPassage ++ trainPost).mkString(" ")),
+      // doc 12: uncontaminated train doc
+      (12L, cleanDoc.mkString(" "))).toDF("doc_id", "text"))
+    val out = SparkEntry.queries("q175_decontaminate_spans")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4))).toMap
+    assert(!out.contains(10L), "eval docs must never be emitted")
+    val (nb, na, hits, cleaned) = out(11L)
+    assert(hits >= 1, "planted contamination not detected")
+    val keptToks = cleaned.split(" ").toSet
+    assert(evalPassage.forall(t => !keptToks.contains(t)),
+      "an eval token survived excision")
+    // excision is span-scoped: tokens >= K away from the passage survive
+    assert(keptToks.contains("pre0") && keptToks.contains("post29"),
+      "excision overreached far beyond the contaminated span")
+    assert(na < nb)
+    // the clean doc passes through verbatim
+    assert(out(12L) == ((50, 50, 0, cleanDoc.mkString(" "))))
+  }
 }
