@@ -995,7 +995,96 @@ object Similarity {
     (0 until PqM).map(m => rows.toSeq.map(_._2.slice(m * PqD, (m + 1) * PqD)))
   }
 
+  /** Matryoshka prefix length for q178 (first quarter of the 64-dim
+    * embedding). */
+  private[graft] val MrlDim = 16
+
+  // ------------------------------------------------------------------
+  // q178 — Matryoshka-truncation recall harness (Kusupati et al. 2022:
+  // MRL-trained embeddings keep most retrieval quality in a prefix of
+  // the dimensions): search with only the FIRST 16 of 64 dims
+  // (renormalized — the division by the truncated norms IS the
+  // renormalization) vs exact full-dim cosine, recall@10 per query —
+  // the q167 harness shape with the ADC side swapped for the prefix
+  // side. This is the decision query behind shipping truncated
+  // embeddings: 4x less float traffic per probe, measured recall cost.
+  //
+  // On the driver's SYNTHETIC embeddings the measured recall@10 is
+  // ~0.1 (sf0.1) — barely above the ~10/N chance floor — which is the
+  // harness doing its job: these vectors are random, not MRL-trained,
+  // so their prefixes carry no concentrated signal and truncation
+  // would be unsafe to ship. A real MRL checkpoint is exactly what
+  // this query certifies (or vetoes) before the 4x saving is taken.
+  //
+  // Scale shape: identical to q167 — corpus × NQ with the NQ query
+  // rows broadcast, per-query top-10 via the row_number≤k idiom
+  // (TopKPerGroup bounded heap), overlap join over NQ×10 rows a side.
+  // At rest the 16-dim prefix would be stored as its own column/table
+  // so the probe physically reads 1/4 of the floats; here both live in
+  // one cached frame. The dot/sqrt/divide chain is the shared
+  // left-fold arithmetic, so ranks are bit-reproducible.
+  // ------------------------------------------------------------------
+  val mrlRecallEval: Q = Q(
+    "q178_mrl_recall_eval",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = graft.CacheScope.cached(normed(s, d)
+        .withColumn("te", slice(col("e"), 1, MrlDim))
+        .withColumn("tnrm", sqrt(dot("te", "te"))))
+      val qs = w.filter(col("vec_id") < PqEvalQueries)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qnrm"), col("te").as("qte"),
+          col("tnrm").as("qtnrm"))
+      def top10(score: Column, asc: Boolean) = {
+        w.join(broadcast(qs), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), score.as("sc"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("qid")
+              .orderBy(if (asc) col("sc").asc else col("sc").desc,
+                col("vec_id"))))
+          .filter(col("rn") <= 10).select("qid", "vec_id")
+      }
+      val tTop = top10(dot("te", "qte") / (col("tnrm") * col("qtnrm")),
+        asc = false)
+      val exTop = top10(dot("e", "qe") / (col("nrm") * col("qnrm")),
+        asc = false)
+      val hits = tTop.join(exTop, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("h"))
+      qs.select("qid").join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hit"),
+          (coalesce(col("h"), lit(0L)).cast("double") / lit(10.0))
+            .as("recall_at_10"))
+        .orderBy("qid")
+    },
+    Some {
+      val te = s"e[1:$MrlDim]"
+      s"""WITH $sqlNormed,
+        tw AS MATERIALIZED (SELECT vec_id, e, nrm, $te AS te,
+            sqrt(${sqlDot(te, te)}) AS tnrm FROM w),
+        q AS MATERIALIZED (SELECT vec_id AS qid, e AS qe, nrm AS qnrm,
+            te AS qte, tnrm AS qtnrm FROM tw
+          WHERE vec_id < $PqEvalQueries),
+        tt AS (SELECT qid, vec_id FROM (
+            SELECT q.qid, v.vec_id, row_number() OVER (PARTITION BY q.qid
+              ORDER BY ${sqlDot("v.te", "q.qte")} / (v.tnrm * q.qtnrm) DESC,
+                v.vec_id) AS rn
+            FROM tw v JOIN q ON v.vec_id <> q.qid) WHERE rn <= 10),
+        et AS (SELECT qid, vec_id FROM (
+            SELECT q.qid, v.vec_id, row_number() OVER (PARTITION BY q.qid
+              ORDER BY ${sqlDot("v.e", "q.qe")} / (v.nrm * q.qnrm) DESC,
+                v.vec_id) AS rn
+            FROM tw v JOIN q ON v.vec_id <> q.qid) WHERE rn <= 10),
+        hits AS (SELECT t.qid, cast(count(*) as bigint) AS h
+          FROM tt t JOIN et e ON t.qid = e.qid AND t.vec_id = e.vec_id
+          GROUP BY 1)
+        SELECT q.qid, coalesce(h, 0) AS n_hit,
+          cast(coalesce(h, 0) as double) / 10.0 AS recall_at_10
+        FROM (SELECT qid FROM q) q LEFT JOIN hits ON q.qid = hits.qid
+        ORDER BY q.qid"""
+    })
+
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
     annIvf, annIvfIncremental, semanticDedup, multimodalMeta, arrayFuncs,
-    pqEncode, pqAdcTopK, pqCodeBalance, pqRerankTopK, pqRecallEval)
+    pqEncode, pqAdcTopK, pqCodeBalance, pqRerankTopK, pqRecallEval,
+    mrlRecallEval)
 }

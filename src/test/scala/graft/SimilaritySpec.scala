@@ -254,6 +254,37 @@ class SimilaritySpec extends AnyFunSuite {
       s"q167 qid 0 (${rec.head._2}) must equal |q162 ∩ q42| = ${(adc0 & ex0).size}")
   }
 
+  test("q178 MRL recall rows are well-formed; full-dim side reproduces q42; prefix search is self-consistent") {
+    val sf = TestSpark.sf0001
+    val rec = SparkEntry.queries("q178_mrl_recall_eval")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rec.map(_._1).toSeq == (0L to 9L), "one row per query vector")
+    rec.foreach { case (q, h, r) =>
+      assert(h >= 0 && h <= 10 && r == h / 10.0, s"recall row broken for qid $q")
+    }
+    // cross-law against an independent plain-Scala recomputation for
+    // qid 0: truncated-prefix top-10 ∩ full top-10 == the emitted hit
+    // count (and the full side must equal q42's oracled answer)
+    val vecs = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double], n: Int) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q0 = vecs(0L)
+    def top10(n: Int) = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v, q0, n)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val full = top10(64); val pref = top10(operators.Similarity.MrlDim)
+    val q42ids = SparkEntry.queries("q42_ann_bruteforce")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == q42ids, "full-dim recomputation must match q42")
+    assert(rec.head._2 == (pref & full).size.toLong,
+      s"q178 qid 0 (${rec.head._2}) != |prefix ∩ full| = ${(pref & full).size}")
+  }
+
   test("multimodal metadata is deterministic and sized correctly") {
     import spark.implicits._
     val docs = Seq((0L, "PNGx some fake payload", "en", "s", 22L),
