@@ -305,6 +305,137 @@ object QualityModel {
     },
     None)
 
+  /** q179 — Stupid Backoff trigram scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" §4: the score that made
+    * web-scale LMs tractable — no discounting, no normalization, just
+    * relative frequencies with a fixed 0.4 backoff multiplier). The
+    * model is fit on the TRAIN split (doc_id % 10 < 8, the q127
+    * convention) and scores the HELD-OUT docs — which is both the real
+    * deployment shape and what makes backoff actually fire (a
+    * self-trained model never sees an unseen trigram). Per trigram:
+    * S(w₃|w₁w₂) = C₃/C₂(w₁w₂) if the trigram was seen, else
+    * 0.4·C₂(w₂w₃)/C₁(w₂) if that bigram was seen, else 0.16·C₁(w₃)/T
+    * (0 for OOV w₃ — scores are linear frequencies, not logs, so zero
+    * is well-defined). Output per eval doc: the backoff mix (how many
+    * trigrams resolved at each level — the model-coverage diagnostic)
+    * and the mean score.
+    *
+    * Determinism: every branch is a ratio of exact integer counts
+    * (both engines divide as double) optionally times the same 0.4 /
+    * 0.16 double literal — identical IEEE ops on identical operands —
+    * and the per-doc MEAN follows the q150 discipline: quantize each
+    * trigram's score to 10⁻⁹ first, sum exactly as integers
+    * (order-independent), one final divide.
+    *
+    * Scale shape: the model is three groupBys with map-side partials
+    * over the train explode (counts per trigram/bigram/unigram TYPE,
+    * not instance); scoring is equi-joins of the eval trigrams against
+    * the finished count tables on their type keys — at 100 TB the
+    * n-gram tables outgrow any broadcast and these joins shuffle on
+    * the n-gram key exactly like q150's; T is a 1-row broadcast. The
+    * denominator joins are guaranteed-match by construction (a seen
+    * trigram implies its seen prefix bigram; a seen bigram implies its
+    * seen head unigram), so every branch is total. */
+  val stupidBackoff: Q = Q(
+    "q179_stupid_backoff",
+    (s, d) => {
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), toks(lower(col("text"))).as("t"))
+        .filter(size(col("t")) > 0 && col("t").isNotNull &&
+          col("doc_id").isNotNull)
+        .repartition(col("doc_id"))
+      def ngrams(df: DataFrame, n: Int) = {
+        val idx = when(size(col("t")) >= n,
+          sequence(lit(1), size(col("t")) - (n - 1)))
+          .otherwise(array().cast("array<int>"))
+        df.select(col("doc_id"), explode(transform(idx, i =>
+          struct((0 until n).map(k =>
+            element_at(col("t"), i + k).as(s"w${k + 1}")): _*))).as("g"))
+          .select(col("doc_id") +: (1 to n).map(k => col(s"g.w$k")): _*)
+      }
+      val train = tk.filter(col("doc_id") % 10 < 8)
+      val c3 = ngrams(train, 3).groupBy("w1", "w2", "w3")
+        .agg(count(lit(1)).as("c3"))
+      val c2 = ngrams(train, 2).groupBy("w1", "w2")
+        .agg(count(lit(1)).as("c2"))
+      val c1 = ngrams(train, 1).groupBy("w1")
+        .agg(count(lit(1)).as("c1"))
+      val tTot = c1.agg(sum(col("c1")).as("tt"))
+      val ev = ngrams(tk.filter(col("doc_id") % 10 >= 8), 3)
+      val scored = ev
+        .join(c3, Seq("w1", "w2", "w3"), "left")
+        .join(c2.select(col("w1"), col("w2"), col("c2").as("c2a")),
+          Seq("w1", "w2"), "left")
+        .join(c2.select(col("w1").as("w2"), col("w2").as("w3"),
+          col("c2").as("c2b")), Seq("w2", "w3"), "left")
+        .join(c1.select(col("w1").as("w2"), col("c1").as("c1b")),
+          Seq("w2"), "left")
+        .join(c1.select(col("w1").as("w3"), col("c1").as("c1c")),
+          Seq("w3"), "left")
+        .crossJoin(broadcast(tTot))
+        .withColumn("lvl",
+          when(col("c3").isNotNull, 3)
+            .when(col("c2b").isNotNull, 2).otherwise(1))
+        .withColumn("s",
+          when(col("lvl") === 3, col("c3") / col("c2a"))
+            .when(col("lvl") === 2,
+              lit(0.4) * (col("c2b") / col("c1b")))
+            .otherwise(lit(0.16) *
+              (coalesce(col("c1c"), lit(0L)) / col("tt"))))
+        .withColumn("s9", floor(col("s") * 1e9).cast("long"))
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_hit3"),
+          sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_hit2"),
+          sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_back1"),
+          sum(col("s9")).as("s9sum"))
+        .select(col("doc_id"), col("n_trigrams"), col("n_hit3"),
+          col("n_hit2"), col("n_back1"),
+          floor(col("s9sum") / (col("n_trigrams") * 1000.0)).cast("long")
+            .as("score_q6"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS MATERIALIZED (
+        SELECT doc_id, ${sqlToks("lower(text)")} AS t FROM documents
+        WHERE doc_id IS NOT NULL),
+      tr3 AS (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3,
+          count(*) AS c3
+        FROM tk, unnest(generate_series(1, len(t) - 2)) AS g(i)
+        WHERE doc_id % 10 < 8 GROUP BY 1, 2, 3),
+      tr2 AS MATERIALIZED (SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c2
+        FROM tk, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+      tr1 AS MATERIALIZED (SELECT g.w AS w1, count(*) AS c1
+        FROM tk, unnest(t) AS g(w)
+        WHERE doc_id % 10 < 8 GROUP BY 1),
+      tt AS (SELECT sum(c1) AS tt FROM tr1),
+      ev AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+        FROM tk, unnest(generate_series(1, len(t) - 2)) AS g(i)
+        WHERE doc_id % 10 >= 8),
+      sc AS (SELECT ev.doc_id,
+          CASE WHEN c3 IS NOT NULL THEN 3
+               WHEN b.c2 IS NOT NULL THEN 2 ELSE 1 END AS lvl,
+          CASE WHEN c3 IS NOT NULL THEN c3 / a.c2
+               WHEN b.c2 IS NOT NULL THEN
+                 cast(0.4 as double) * (b.c2 / u2.c1)
+               ELSE cast(0.16 as double) * (coalesce(u3.c1, 0) / tt.tt)
+          END AS s
+        FROM ev
+        LEFT JOIN tr3 ON ev.w1 = tr3.w1 AND ev.w2 = tr3.w2
+          AND ev.w3 = tr3.w3
+        LEFT JOIN tr2 a ON ev.w1 = a.w1 AND ev.w2 = a.w2
+        LEFT JOIN tr2 b ON ev.w2 = b.w1 AND ev.w3 = b.w2
+        LEFT JOIN tr1 u2 ON ev.w2 = u2.w1
+        LEFT JOIN tr1 u3 ON ev.w3 = u3.w1, tt),
+      q AS (SELECT doc_id, lvl,
+          cast(floor(s * 1000000000.0) as bigint) AS s9 FROM sc)
+      SELECT doc_id, cast(count(*) as bigint) AS n_trigrams,
+        cast(count(*) FILTER (WHERE lvl = 3) as bigint) AS n_hit3,
+        cast(count(*) FILTER (WHERE lvl = 2) as bigint) AS n_hit2,
+        cast(count(*) FILTER (WHERE lvl = 1) as bigint) AS n_back1,
+        cast(floor(sum(s9) / (count(*) * 1000.0)) as bigint) AS score_q6
+      FROM q GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qualityClassifier, fixedWeightScorer,
-    bigramPerplexity, perplexityBuckets, compressibility)
+    bigramPerplexity, perplexityBuckets, compressibility, stupidBackoff)
 }

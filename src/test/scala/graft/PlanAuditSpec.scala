@@ -360,6 +360,7 @@ class PlanAuditSpec extends AnyFunSuite {
       // eval-vs-train role split (the q127/q158 precedent): the % 10
       // predicates push into per-branch pruned scans
       "q175_decontaminate_spans" -> Map("documents" -> 2),
+      "q179_stupid_backoff" -> Map("documents" -> 2),
       // TEXTUAL count (the q169 caveat): ONE cached narrow base whose
       // build prints its FileScan body at the scalar-agg, total and
       // entropy InMemoryTableScan sites; cold file reads are 1

@@ -115,4 +115,25 @@ class QualityModelSpec extends AnyFunSuite {
           s"$lang: bucket $b max !< bucket ${b + 1} min")
     }
   }
+
+  test("q179 stupid backoff resolves all three levels with hand-computed scores") {
+    import spark.implicits._
+    val dir = TestSpark.makeSfDir("documents" -> Seq(
+      (0L, "x a b c"),   // train: trigrams (x,a,b),(a,b,c)
+      (1L, "c d e"),     // train: trigram (c,d,e)
+      (8L, "a b c d e zz") // eval: one hit per backoff level + one OOV
+    ).toDF("doc_id", "text"))
+    val rows = SparkEntry.queries("q179_stupid_backoff")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(rows.keySet == Set(8L), "only held-out docs are scored")
+    // (a,b,c): seen trigram -> 1/1 = 1.0          (level 3)
+    // (b,c,d): unseen; bigram (c,d) seen -> 0.4 * 1/2 = 0.2   (level 2)
+    // (c,d,e): seen trigram -> 1/1 = 1.0          (level 3)
+    // (d,e,zz): unseen everywhere, zz OOV -> 0.16 * 0/T = 0   (level 1)
+    // mean = floor((1e9 + floor(0.2*1e9) + 1e9 + 0) / (4 * 1000)) = 550000
+    assert(rows(8L) == ((4L, 2L, 1L, 1L, 550000L)),
+      s"got ${rows(8L)}")
+  }
 }
