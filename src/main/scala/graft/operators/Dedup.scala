@@ -762,45 +762,55 @@ object Dedup {
     * n·PfDen ≥ PfNum·(|A|+|B|−n). Oracle = the BRUTE-FORCE all-pairs
     * join, so any prefix-pruning bug surfaces as a hash mismatch, not
     * a silent recall dip. */
+  /** EXACT Jaccard pairs at threshold ≥ [[PfNum]]/[[PfDen]] via the
+    * prefix-filter join — (doc_a, doc_b, n_shared, sz_a, sz_b,
+    * jaccard), unordered. The q165 machinery, factored so q180's
+    * recall harness can reuse the exact truth set at a tighter
+    * threshold (the τ=0.7 prefix admits every pair ≥ 0.7, so any
+    * filter at τ' ≥ 0.7 over this frame is still EXACT). */
+  private def exactPairsDf(s: SparkSession, d: String): DataFrame = {
+    val sets = graft.CacheScope.cached(shingleSets(s, d))
+    val ex = graft.CacheScope.cached(
+      sets.select(col("doc_id"), explode(col("sh")).as("sg"))
+        .select(col("doc_id"), md5h61(col("sg")).as("h")))
+    val dfs = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val srt = ex.join(dfs, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+      .select(col("doc_id"), size(col("ord")).cast("long").as("sz"),
+        transform(col("ord"), x => x.getField("h")).as("hs"))
+    val pref = srt.select(col("doc_id"), col("sz"),
+      explode(slice(col("hs"), lit(1),
+        expr(s"cast(sz - ((sz * $PfNum + ${PfDen - 1}) div $PfDen) + 1 as int)")))
+        .as("h"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * PfNum <= col("b.sz") * PfDen &&
+          col("b.sz") * PfNum <= col("a.sz") * PfDen)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(ex.as("ea"), col("doc_a") === col("ea.doc_id"))
+      .join(ex.as("eb"),
+        col("doc_b") === col("eb.doc_id") && col("ea.h") === col("eb.h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    val sz = sets.select(col("doc_id"), size(col("sh")).cast("long").as("sz"))
+    inter
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(col("n_shared") * PfDen >=
+        (col("sa.sz") + col("sb.sz") - col("n_shared")) * PfNum)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("sa.sz").as("sz_a"), col("sb.sz").as("sz_b"),
+        (col("n_shared").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("n_shared"))).as("jaccard"))
+  }
+
   val prefixJaccardJoin: Q = Q(
     "q165_prefix_jaccard_join",
-    (s, d) => {
-      val sets = graft.CacheScope.cached(shingleSets(s, d))
-      val ex = graft.CacheScope.cached(
-        sets.select(col("doc_id"), explode(col("sh")).as("sg"))
-          .select(col("doc_id"), md5h61(col("sg")).as("h")))
-      val dfs = ex.groupBy("h").agg(count(lit(1)).as("df"))
-      val srt = ex.join(dfs, "h")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
-        .select(col("doc_id"), size(col("ord")).cast("long").as("sz"),
-          transform(col("ord"), x => x.getField("h")).as("hs"))
-      val pref = srt.select(col("doc_id"), col("sz"),
-        explode(slice(col("hs"), lit(1),
-          expr(s"cast(sz - ((sz * $PfNum + ${PfDen - 1}) div $PfDen) + 1 as int)")))
-          .as("h"))
-      val cand = pref.as("a").join(pref.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
-            col("a.sz") * PfNum <= col("b.sz") * PfDen &&
-            col("b.sz") * PfNum <= col("a.sz") * PfDen)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val inter = cand
-        .join(ex.as("ea"), col("doc_a") === col("ea.doc_id"))
-        .join(ex.as("eb"),
-          col("doc_b") === col("eb.doc_id") && col("ea.h") === col("eb.h"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
-      val sz = sets.select(col("doc_id"), size(col("sh")).cast("long").as("sz"))
-      inter
-        .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .filter(col("n_shared") * PfDen >=
-          (col("sa.sz") + col("sb.sz") - col("n_shared")) * PfNum)
-        .select(col("doc_a"), col("doc_b"), col("n_shared"),
-          (col("n_shared").cast("double") /
-            (col("sa.sz") + col("sb.sz") - col("n_shared"))).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    },
+    (s, d) => exactPairsDf(s, d)
+      .select("doc_a", "doc_b", "n_shared", "jaccard")
+      .orderBy("doc_a", "doc_b"),
     Some(s"""WITH $sqlShingleSets,
       ex AS MATERIALIZED (SELECT doc_id, ${sqlMd5h61("sg")} AS h
         FROM (SELECT doc_id, unnest(sh) AS sg FROM sets)),
@@ -1388,11 +1398,67 @@ object Dedup {
       FROM docs d LEFT JOIN mw ON d.doc_id = mw.doc_id
       ORDER BY d.doc_id"""))
 
+  /** q180 — LSH blocking recall, measured EXACTLY: q91 measures the
+    * MinHash band pipeline's precision and estimator error but
+    * documents that recall "needs the O(n²) truth set"; since q165 the
+    * truth set is computable WITHOUT O(n²) — the prefix-filter join is
+    * exact at τ=0.7, and any tighter threshold over it is still exact.
+    * This harness counts the jaccard ≥ 0.8 truth pairs (integer
+    * admission n·5 ≥ 4·(|A|+|B|−n) — no float boundary), joins the
+    * band-blocked verified pairs (q37) against them, and reports
+    * n_truth / n_caught / n_missed / recall in one row: the measured
+    * counterpart of the documented (1−J^k)^b recall boundary, the
+    * number an operator checks before trusting banded dedup on a new
+    * corpus shape.
+    *
+    * Scale shape: both sides are the already-bounded machineries
+    * (prefix-filter candidates, band buckets); the overlap join
+    * touches only pair rows; the final frame is two 1-row aggregates
+    * cross-joined broadcast (the scalar-broadcast idiom). */
+  val lshRecallEval: Q = Q(
+    "q180_lsh_recall_eval",
+    (s, d) => {
+      val truth = exactPairsDf(s, d)
+        .filter(col("n_shared") * 5 >=
+          (col("sz_a") + col("sz_b") - col("n_shared")) * 4)
+        .select("doc_a", "doc_b")
+      val lsh = verifiedPairs(s, d).select("doc_a", "doc_b")
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val nC = truth.join(lsh, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_caught"))
+      nT.crossJoin(broadcast(nC))
+        .select(col("n_truth"), col("n_caught"),
+          (col("n_truth") - col("n_caught")).as("n_missed"),
+          when(col("n_truth") === 0, lit(1.0))
+            .otherwise(col("n_caught").cast("double") / col("n_truth"))
+            .as("recall"))
+    },
+    Some(s"""WITH $sqlVerifiedChain,
+      exb AS MATERIALIZED (SELECT doc_id, ${sqlMd5h61("sg")} AS h
+        FROM (SELECT doc_id, unnest(sh) AS sg FROM sets)),
+      interb AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          cast(count(*) as bigint) AS n_shared
+        FROM exb a JOIN exb b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      szb AS (SELECT doc_id, cast(len(sh) as bigint) AS sz FROM sets),
+      truth AS (SELECT doc_a, doc_b FROM interb
+        JOIN szb sa ON doc_a = sa.doc_id
+        JOIN szb sb ON doc_b = sb.doc_id
+        WHERE n_shared * 5 >= (sa.sz + sb.sz - n_shared) * 4),
+      lsh AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
+      nt AS (SELECT cast(count(*) as bigint) AS n_truth FROM truth),
+      nc AS (SELECT cast(count(*) as bigint) AS n_caught
+        FROM truth JOIN lsh USING (doc_a, doc_b))
+      SELECT n_truth, n_caught, n_truth - n_caught AS n_missed,
+        CASE WHEN n_truth = 0 THEN cast(1.0 as double)
+          ELSE cast(n_caught as double) / n_truth END AS recall
+      FROM nt, nc"""))
+
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
     ngramJaccardPairs, ngramJaccardDfCap, containmentPairs,
     prefixJaccardJoin, fuzzyContamination, sketchQuality,
     dupDegrees, dupBySource, incrementalDedup, substringDedup,
     substringRemoval, paragraphDedupQ, incrementalParagraphDedup,
-    withinDocDedup, softDedupWeights)
+    withinDocDedup, softDedupWeights, lshRecallEval)
 }

@@ -310,6 +310,18 @@ class DedupFixtureSpec extends AnyFunSuite {
           s"cluster of $sz: member weight $w, mass ${sz * w}") } }
   }
 
+  test("q180 measures band recall on the skewed corpus: truth non-empty, caught <= truth, planted pair counted") {
+    val r = run("q180_lsh_recall_eval").collect().head
+    val (nT, nC, nM, rec) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(nT >= 1, "the planted 9000/9001 near-dup must be in the truth set")
+    assert(nC <= nT && nM == nT - nC)
+    assert(rec >= 0.0 && rec <= 1.0 && rec == nC.toDouble / nT)
+    // the documented LSH miss bound at J>=0.8 is (1-J^2)^8 ~ 2.8e-4 per
+    // pair — on this corpus size the expected misses are << 1
+    assert(rec >= 0.9, s"band recall $rec collapsed — blocking regression")
+  }
+
   test("q152/q158 registry instances run green on the skewed corpus; the planted batch clone is fully excised") {
     val q152 = run("q152_paragraph_dedup").collect()
     assert(q152.nonEmpty)

@@ -327,7 +327,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q154_budget_mix" -> "documents",
       // embeds clustersDf's cached pair/edge frames (the q56 family)
       // plus its own n_tokens scan — cold file reads are 2
-      "q172_soft_dedup_weights" -> "documents"
+      "q172_soft_dedup_weights" -> "documents",
+      // embeds BOTH cached machineries (q165 sets/ex, q37 bands)
+      "q180_lsh_recall_eval" -> "documents"
     ).map { case (q, t) => q -> Map(t -> 2) }
     val multi: Map[String, Map[String, Int]] = cachedFamily ++ Map(
       "q105_scd2" -> Map("part" -> 2),
