@@ -81,11 +81,7 @@ object IvfPq {
     * append time, not in every later reader. */
   def append(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
     graft.functions.VectorFunctions.register(spark)
-    val cbRows = spark.read.parquet(s"$indexDir/codebooks").collect()
-      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
-      .toMap
-    val cbs: Seq[Seq[Array[Double]]] =
-      (0 until PqM).map(m => (0 until PqK).map(j => cbRows((m, j))))
+    val cbs = loadCodebooks(spark, indexDir)
     val centroids = spark.read.parquet(s"$indexDir/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
     val stored = spark.read.parquet(s"$indexDir/codes").schema
@@ -139,6 +135,164 @@ object IvfPq {
     scored.select("vec_id", "label", "cell", "adc_dist")
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(topK)
+  }
+
+  /** The persisted codebooks as nested Seqs (m → j → subvector). */
+  private def loadCodebooks(spark: SparkSession,
+      indexDir: String): Seq[Seq[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$indexDir/codebooks").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    (0 until PqM).map(m => (0 until PqK).map(j => rows((m, j))))
+  }
+
+  /** PQ-decode projection over a codes frame: reconstructed vector =
+    * the concatenation of each subspace's selected codeword — a
+    * zero-shuffle projection against inlined codebook literals (the
+    * probePlan discipline; the codes table still carries no floats at
+    * rest). */
+  private def decodeCol(cbs: Seq[Seq[Array[Double]]]):
+      org.apache.spark.sql.Column =
+    concat((0 until PqM).map { m =>
+      element_at(typedlit(cbs(m).map(_.toSeq)), col(s"code_$m") + 1)
+    }: _*)
+
+  /** Per-cell index health at PQ granularity — [[IvfIndex.driftAudit]]
+    * with the displacement measured from the RECONSTRUCTED vectors,
+    * since the codes table stores no floats: |decode(v) − c|² =
+    * Σ_m |cw_{m,code_m} − c_m|², and those M×K partial distances are
+    * precomputed DRIVER-side per cell (k·M·K doubles — 2 048 at the
+    * default shape) and inlined, so the audit is ONE scan of the codes
+    * with M table lookups per row, k rows out. Population growth +
+    * displacement growth under frozen-quantizer appends is exactly the
+    * signal [[rebalance]] consumes. */
+  def driftAudit(spark: SparkSession, indexDir: String): DataFrame = {
+    val cbs = loadCodebooks(spark, indexDir)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val whens = cents.map { case (cell, c) =>
+      val tables: Seq[Seq[Double]] = (0 until PqM).map { m =>
+        (0 until PqK).map { j =>
+          (0 until PqD).map { i =>
+            val diff = cbs(m)(j)(i) - c(m * PqD + i); diff * diff
+          }.sum
+        }
+      }
+      val d2 = (0 until PqM)
+        .map(m => element_at(typedlit(tables(m)), col(s"code_$m") + 1))
+        .reduce(_ + _)
+      when(col("cell") === cell, d2)
+    }
+    spark.read.parquet(s"$indexDir/codes")
+      .withColumn("d2", coalesce(whens: _*))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), avg("d2").as("mean_disp2"))
+      .orderBy("cell")
+  }
+
+  /** Maintenance — [[IvfIndex.rebalance]]'s touch-only-what-changed
+    * discipline over the codes table: re-split every cell whose
+    * population exceeds `factor` × the mean, fitting k=2 over the
+    * cell's DECODED members (work bounded by the hot cell), rewriting
+    * only that cell's partitions via dynamic partition overwrite, and
+    * rewriting the centroids table LAST. Codes are NEVER re-encoded —
+    * a rebalance moves rows between cell directories and refines the
+    * coarse map, so at nprobe = all cells the ADC answer is
+    * bit-identical before and after (IvfPqSpec pins this invariant:
+    * rebalance is a pure repartitioning of the search space). Orphan
+    * adoption + fresh-id allocation from max over BOTH tables mirror
+    * [[IvfIndex.rebalance]]'s torn-state recovery; degenerate
+    * (all-identical) hot cells are kept whole for the same
+    * dynamic-overwrite reason documented there. Returns cells split. */
+  def rebalance(spark: SparkSession, indexDir: String,
+      factor: Double = 2.0, seed: Long = 1L): Int = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val cbs = loadCodebooks(spark, indexDir)
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    val counts = codes.groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    if (counts.length < 2) return 0
+    val meanN = counts.map(_._2).sum.toDouble / counts.length
+    val hot = counts.filter(_._2 > factor * meanN).map(_._1).sorted
+    val stored = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val known = stored.map(_._1).toSet
+    val orphans = counts.map(_._1).filterNot(known).sorted
+    val adopted: Seq[(Int, Array[Double])] =
+      if (orphans.isEmpty) Seq.empty
+      else codes.filter(col("cell").isin(orphans: _*))
+        .withColumn("de", decodeCol(cbs))
+        .select(col("cell"), posexplode(col("de")).as(Seq("i", "x")))
+        .groupBy("cell", "i").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+    val centroids = stored ++ adopted
+    if (hot.isEmpty && orphans.isEmpty) return 0
+    var nextId = math.max(centroids.map(_._1).max, counts.map(_._1).max) + 1
+    var splits = 0
+    val storedCols = codes.schema.fields.map(_.name)
+      .filterNot(_ == "cell")
+    val kept = scala.collection.mutable.ArrayBuffer(
+      centroids.filterNot(c => hot.contains(c._1)).toSeq: _*)
+    for (cellId <- hot) {
+      val members = codes.filter(col("cell") === cellId)
+        .withColumn("fv", array_to_vector(decodeCol(cbs))).cache()
+      try {
+        val km = new KMeans().setK(2).setSeed(seed)
+          .setFeaturesCol("fv").setPredictionCol("sub").fit(members)
+        val subCents = km.clusterCenters.map(_.toArray)
+        val subCounts = km.transform(members).groupBy("sub").count()
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+        if (subCents.length < 2 ||
+            subCounts.getOrElse(0, 0L) == 0L ||
+            subCounts.getOrElse(1, 0L) == 0L) {
+          kept += ((cellId, centroids.find(_._1 == cellId).get._2))
+        } else {
+          val subIds = Array(cellId, nextId)
+          nextId += 1
+          val assigned = km.transform(members)
+            .withColumn("cell",
+              when(col("sub") === 0, lit(subIds(0))).otherwise(lit(subIds(1))))
+            .select(storedCols.map(col) :+ col("cell"): _*)
+            .localCheckpoint()
+          assigned.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell").parquet(s"$indexDir/codes")
+          assigned.unpersist()
+          kept += ((subIds(0), subCents(0)))
+          kept += ((subIds(1), subCents(1)))
+          splits += 1
+        }
+      } finally { members.unpersist(); () }
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    kept.sortBy(_._1)
+      .map { case (c, arr) => (c, arr.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    splits
+  }
+
+  /** [[rebalance]] to a fixpoint — the [[IvfIndex.rebalanceToConvergence]]
+    * loop at PQ granularity. */
+  def rebalanceToConvergence(spark: SparkSession, indexDir: String,
+      factor: Double = 2.0, seed: Long = 1L, maxRounds: Int = 8): Int = {
+    var total = 0
+    var rounds = 0
+    var again = true
+    while (again && rounds < maxRounds) {
+      val n = rebalance(spark, indexDir, factor, seed)
+      total += n
+      again = n > 0
+      rounds += 1
+    }
+    total
   }
 
   /** Two-stage: ADC shortlist over the probed cells, exact cosine

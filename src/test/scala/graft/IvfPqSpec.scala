@@ -154,4 +154,49 @@ class IvfPqSpec extends AnyFunSuite {
       s"clone must be queryable immediately: $ranks")
     assert(ranks(100L) == ranks(10100L), "identical vectors, identical codes, identical ADC")
   }
+
+  test("drift audit flags a clone burst; rebalance splits it and is a pure repartitioning (full-probe ADC bit-identical)") {
+    val dir = Files.createTempDirectory("graft-ivfpq-rebal").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    operators.IvfPq.build(spark, sf, path, k = CoarseK)
+    // clone burst: 60 re-id'ed copies of vector 100 pile into ONE cell
+    val burst = operators.Similarity.normed(spark, sf)
+      .filter(col("vec_id") === 100)
+      .crossJoin(spark.range(60).select(col("id")))
+      .withColumn("vec_id", col("id") + 20000).drop("id")
+    operators.IvfPq.append(spark, path, burst)
+    val audit = operators.IvfPq.driftAudit(spark, path).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.get(2)))
+    assert(audit.map(_._2).sum == 560L, "audit must account for every code row")
+    val burstCell = spark.read.parquet(s"$path/codes")
+      .filter(col("vec_id") === 20000L).select("cell").collect()(0).getInt(0)
+    assert(audit.maxBy(_._2)._1 == burstCell,
+      "the burst cell must dominate the population audit")
+    // full-probe ADC before the rebalance
+    val before = operators.IvfPq.query(spark, path, queryVec,
+      topK = 30, nprobe = 256).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    val splits = operators.IvfPq.rebalance(spark, path)
+    assert(splits >= 1, "the burst cell must be split")
+    // codes are never re-encoded: same row count, and the full-probe
+    // answer is BIT-identical — a rebalance only repartitions the
+    // search space
+    assert(spark.read.parquet(s"$path/codes").count() == 560L)
+    val after = operators.IvfPq.query(spark, path, queryVec,
+      topK = 30, nprobe = 256).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(before.toSeq == after.toSeq,
+      "full-probe ADC ranking must be unchanged by a rebalance")
+    // centroids/codes stay consistent and the loop reaches a fixpoint
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(_.getInt(0)).toSet
+    val cellsNow = spark.read.parquet(s"$path/codes")
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cellsNow.subsetOf(cents),
+      "every code partition must be probeable after the rebalance")
+    operators.IvfPq.rebalanceToConvergence(spark, path)
+    assert(operators.IvfPq.rebalance(spark, path) == 0,
+      "convergence loop must reach a fixpoint")
+  }
 }
