@@ -1385,10 +1385,144 @@ object TrainingPrep {
         FROM k ORDER BY doc_id"""))
   }
 
+  /** q181 — deterministic span corruption (the T5 denoising objective,
+    * Raffel et al. 2020 §3.1.4: mask contiguous spans, replace each
+    * with a sentinel, emit the dropped spans as the target sequence).
+    * Randomness is the q77 salted-hash discipline instead of an RNG:
+    * position i starts a span iff md5h61(salt‖doc_id‖i) % 100 < 5 (5%
+    * start rate), and that same hash's next two digits pick the span
+    * length 1..3 — so the corruption is a pure function of (doc, pos),
+    * reproducible across reruns, partitionings, and engines (an
+    * rng-based masker can't be oracled and can't be resumed). Spans
+    * may overlap; a position is masked iff ANY span covers it, and
+    * consecutive masked positions collapse into ONE sentinel (exactly
+    * T5's contiguous-span semantics). Output per doc: corrupted text
+    * with `<extra_id_k>` sentinels, the target sequence
+    * `<extra_id_k> …dropped tokens…`, and the mask bookkeeping.
+    *
+    * Scale shape: everything is doc-local array arithmetic in one
+    * codegen projection — ZERO shuffles (the output sort is the dump
+    * determinism only); per-doc cost is O(n²) array-lookup
+    * work (the run-index prefix count) — bounded by DOC length like
+    * q170's, independent of corpus size.
+    * This is the objective-prep stage that runs LAST in the pipeline,
+    * so it composes with q115's packing downstream. */
+  val spanCorruption: Q = {
+    val StartPct = 5 // span-start rate per position, %
+    Q(
+      "q181_span_corruption",
+      (s, d) => {
+        graft.functions.TextFunctions.register(s)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), toks(col("text")).as("t"))
+        val hOf = (i: org.apache.spark.sql.Column) => md5h61(concat(lit("t5:"),
+          col("doc_id").cast("string"), lit(":"), i.cast("string")))
+        val idx = sequence(lit(1), size(col("t")))
+        val withSpans = docs
+          .withColumn("starts", filter(idx, i => hOf(i) % 100 < StartPct))
+          // span length from (h div 100) mod 3 WITHOUT an integer div
+          // (Spark Column `/` is double division — lossy above 2^53):
+          // (h div 100) mod 3 == (h mod 300) div 100, decided by a CASE
+          // over the three hundred-bands on BOTH engines
+          .withColumn("lens", transform(col("starts"),
+            i => lit(1) + when(hOf(i) % 300 < 100, 0)
+              .when(hOf(i) % 300 < 200, 1).otherwise(2)))
+          // sequence(1, 0) counts DOWN to [1, 0] (the Dsl.shingles3
+          // trap): a doc with zero span starts must probe NO indices
+          .withColumn("masked", transform(idx, i =>
+            exists(
+              when(size(col("starts")) >= 1,
+                sequence(lit(1), size(col("starts"))))
+                .otherwise(array().cast("array<int>")),
+              k => i >= element_at(col("starts"), k) &&
+                i < element_at(col("starts"), k) +
+                  element_at(col("lens"), k))))
+        // sentinel index of masked run r = number of run STARTS at or
+        // before position i: a masked position opens a run iff its
+        // predecessor is unmasked
+        // CASE keeps element_at(masked, 0) unevaluated at i = 1 (ANSI
+        // mode throws on array index 0; `||` does not short-circuit
+        // inside codegen the way CASE branches do)
+        val runStart = (i: org.apache.spark.sql.Column) =>
+          element_at(col("masked"), i) &&
+            when(i === 1, lit(true))
+              .otherwise(!element_at(col("masked"), i - 1))
+        withSpans
+          .withColumn("runIdx", transform(idx, i =>
+            size(filter(slice(idx, lit(1), i), j => runStart(j)))))
+          .select(col("doc_id"),
+            size(col("t")).as("n_tokens"),
+            size(filter(col("masked"), m => m)).as("n_masked"),
+            size(filter(idx, i => runStart(i))).as("n_spans"),
+            concat_ws(" ", filter(transform(idx, i =>
+              when(runStart(i),
+                concat(lit("<extra_id_"),
+                  (element_at(col("runIdx"), i) - 1).cast("string"),
+                  lit(">")))
+                .when(element_at(col("masked"), i),
+                  lit(null).cast("string"))
+                .otherwise(element_at(col("t"), i))),
+              x => x.isNotNull)).as("corrupted"),
+            concat_ws(" ", transform(filter(idx,
+              i => element_at(col("masked"), i)), i =>
+              when(runStart(i),
+                concat(lit("<extra_id_"),
+                  (element_at(col("runIdx"), i) - 1).cast("string"),
+                  lit("> "), element_at(col("t"), i)))
+                .otherwise(element_at(col("t"), i)))).as("target"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val h = (i: String) =>
+          sqlMd5h61(s"concat('t5:', cast(doc_id as varchar), ':', cast($i as varchar))")
+        s"""WITH tk AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+          sp AS (SELECT doc_id, t,
+              list_filter(generate_series(1, len(t)),
+                i -> ${h("i")} % 100 < $StartPct) AS starts
+            FROM tk),
+          ln AS (SELECT doc_id, t, starts,
+              list_transform(starts,
+                i -> 1 + CASE WHEN ${h("i")} % 300 < 100 THEN 0
+                  WHEN ${h("i")} % 300 < 200 THEN 1 ELSE 2 END) AS lens
+            FROM sp),
+          mk AS (SELECT doc_id, t,
+              list_transform(generate_series(1, len(t)), i ->
+                len(list_filter(generate_series(1, len(starts)), k ->
+                  i >= starts[k] AND i < starts[k] + lens[k])) > 0) AS masked
+            FROM ln),
+          rs AS (SELECT doc_id, t, masked,
+              list_transform(generate_series(1, len(t)), i ->
+                masked[i] AND (i = 1 OR NOT masked[i - 1])) AS rstart
+            FROM mk),
+          ri AS (SELECT doc_id, t, masked, rstart,
+              list_transform(generate_series(1, len(t)), i ->
+                len(list_filter(generate_series(1, i), j -> rstart[j])))
+                AS runidx
+            FROM rs)
+          SELECT doc_id, cast(len(t) as int) AS n_tokens,
+            cast(len(list_filter(masked, m -> m)) as int) AS n_masked,
+            cast(len(list_filter(rstart, r -> r)) as int) AS n_spans,
+            coalesce(array_to_string(list_filter(
+              list_transform(generate_series(1, len(t)), i ->
+                CASE WHEN rstart[i] THEN
+                    concat('<extra_id_', cast(runidx[i] - 1 as varchar), '>')
+                  WHEN masked[i] THEN NULL
+                  ELSE t[i] END),
+              x -> x IS NOT NULL), ' '), '') AS corrupted,
+            coalesce(array_to_string(list_transform(
+              list_filter(generate_series(1, len(t)), i -> masked[i]), i ->
+                CASE WHEN rstart[i] THEN
+                    concat('<extra_id_', cast(runidx[i] - 1 as varchar),
+                      '> ', t[i])
+                  ELSE t[i] END), ' '), '') AS target
+          FROM ri ORDER BY doc_id"""
+      })
+  }
+
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
     bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf,
     approxPercentiles, bloomContamination, fuzzyPairs, heavyHitters,
     weightedSample, oovRate, embeddingQuantize, sequencePacking,
     winnowFingerprints, bpeMerges, bpeEncode, lengthBatchManifest,
-    cdcChunks, decontaminateSpans)
+    cdcChunks, decontaminateSpans, spanCorruption)
 }

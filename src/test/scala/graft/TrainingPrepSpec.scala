@@ -518,4 +518,41 @@ class TrainingPrepSpec extends AnyFunSuite {
     // the clean doc passes through verbatim
     assert(out(12L) == ((50, 50, 0, cleanDoc.mkString(" "))))
   }
+
+  test("q181 span corruption round-trips: sentinel-splicing target into corrupted rebuilds every doc") {
+    val rows = SparkEntry.queries("q181_span_corruption")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4), r.getString(5)))
+    val orig = graft.Tables.documents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == orig.size)
+    var nTok = 0L; var nMask = 0L; var sawSpan = false
+    rows.foreach { case (id, nt, nm, ns, corrupted, target) =>
+      nTok += nt; nMask += nm; if (ns > 0) sawSpan = true
+      // parse target into sentinel -> span tokens
+      val spans = scala.collection.mutable.Map[Int, List[String]]()
+      var cur = -1
+      target.split(" ").filter(_.nonEmpty).foreach { w =>
+        if (w.startsWith("<extra_id_")) {
+          cur = w.stripPrefix("<extra_id_").stripSuffix(">").toInt
+          spans(cur) = Nil
+        } else spans(cur) = spans(cur) :+ w
+      }
+      assert(spans.size == ns, s"doc $id: target sentinels != n_spans")
+      // splice: each sentinel in corrupted expands to its span
+      val rebuilt = corrupted.split(" ").filter(_.nonEmpty).flatMap { w =>
+        if (w.startsWith("<extra_id_"))
+          spans(w.stripPrefix("<extra_id_").stripSuffix(">").toInt)
+        else List(w)
+      }.mkString(" ")
+      val expected = orig(id).trim.split("[ \t\n\f\r]+").mkString(" ")
+      assert(rebuilt == expected, s"doc $id failed the round trip")
+      assert(nm >= ns, s"doc $id: spans longer than mask count")
+    }
+    assert(sawSpan, "corpus produced no spans — corruption degenerate")
+    val rate = nMask.toDouble / nTok
+    assert(rate > 0.03 && rate < 0.20,
+      s"mask rate $rate outside the designed ~10% band")
+  }
 }
