@@ -991,9 +991,86 @@ object TextAnalysis {
       FROM r JOIN ch ON r.doc_id = ch.doc_id
       WHERE rn = 1 ORDER BY r.doc_id, n"""))
 
+  /** q182 — vocabulary coverage curve: what fraction of corpus TOKEN
+    * mass the top-N most frequent types cover, for N ∈ {10, 100,
+    * 1000, 10000} — the query behind every vocab-size decision (a
+    * tokenizer whose 32k vocab covers 95% of running text byte-falls-
+    * back on the rest; cf. q107's OOV rate, which fixes N=100 and
+    * reports per doc). Ties at the cutoff frequency are
+    * interchangeable: any N-subset of equal-frequency types covers
+    * identical mass, so the value is well-defined and the naive
+    * row_number oracle (ties by term) hash-matches.
+    *
+    * Scale shape: the q113 discipline applied to the FREQUENCY domain
+    * — unigram counts (one vocab-keyed shuffle with map-side
+    * partials), then the COUNT-OF-COUNTS histogram (how many types
+    * have frequency f — map-combinable, |rows| = distinct
+    * frequencies, a long-tail corpus has ~√(token mass) of them), a
+    * descending cumulative over that AGGREGATED frame only, and a
+    * 4-row broadcast bounds join locating each target's cutoff band:
+    * covered = full bands above the cutoff + (N − types_before)·f* in
+    * the tie band. No vocab-sized window, no top-N sort, no second
+    * corpus pass. */
+  val vocabCoverage: Q = Q(
+    "q182_vocab_coverage",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val spark2 = s
+      import spark2.implicits._
+      val uni = Tables.documents(s, d)
+        .select(explode(toks(lower(col("text")))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      val hist = uni.groupBy("f").agg(count(lit(1)).as("n_types"))
+      val cum = hist.select(col("f"), col("n_types"),
+        coalesce(sum(col("n_types")).over(Window.orderBy(col("f").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("types_before"),
+        coalesce(sum(col("f") * col("n_types"))
+          .over(Window.orderBy(col("f").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("mass_before"))
+      val totals = hist.agg(
+        coalesce(sum(col("f") * col("n_types")), lit(0L)).as("total_tokens"),
+        coalesce(sum(col("n_types")), lit(0L)).as("n_types_all"))
+      val targets = Seq(10, 100, 1000, 10000).toDF("n_target")
+        .crossJoin(broadcast(totals))
+        .select(col("n_target"), col("total_tokens"),
+          least(col("n_target").cast("long"), col("n_types_all")).as("eff"))
+      cum.join(broadcast(targets),
+          col("types_before") < col("eff") &&
+            col("eff") <= col("types_before") + col("n_types"))
+        .select(col("n_target"), col("eff").as("n_vocab"),
+          (col("mass_before") +
+            (col("eff") - col("types_before")) * col("f"))
+            .as("covered_tokens"),
+          col("total_tokens"),
+          ((col("mass_before") +
+            (col("eff") - col("types_before")) * col("f")).cast("double") /
+            col("total_tokens")).as("coverage"))
+        .orderBy("n_target")
+    },
+    Some(s"""WITH uni AS MATERIALIZED (SELECT g.w AS w, count(*) AS f
+        FROM (SELECT ${sqlToks("lower(text)")} AS t FROM documents),
+          unnest(t) AS g(w)
+        GROUP BY 1),
+      r AS MATERIALIZED (SELECT f,
+          row_number() OVER (ORDER BY f DESC, w) AS rn FROM uni),
+      tot AS (SELECT cast(sum(f) as bigint) AS total_tokens,
+          cast(count(*) as bigint) AS nt FROM uni),
+      t(n_target) AS (VALUES (10), (100), (1000), (10000))
+      SELECT t.n_target, least(t.n_target, tot.nt) AS n_vocab,
+        cast(coalesce(sum(CASE WHEN r.rn <= least(t.n_target, tot.nt)
+          THEN r.f END), 0) as bigint) AS covered_tokens,
+        tot.total_tokens,
+        cast(coalesce(sum(CASE WHEN r.rn <= least(t.n_target, tot.nt)
+          THEN r.f END), 0) as double) / tot.total_tokens AS coverage
+      FROM r, t, tot
+      GROUP BY t.n_target, tot.nt, tot.total_tokens
+      ORDER BY t.n_target"""))
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
     fingerprint, topTerms, pivotEvents, rareTerms, regexTokens,
     repetitionFilter, madOutliers, blocklistFilter, ngramNovelty, bm25TopK,
     bm25TextbookTopK, adaptiveQualityFilter, markupStrip, gopherRules,
-    gopherRepetition)
+    gopherRepetition, vocabCoverage)
 }

@@ -282,4 +282,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup "),
       "custom TopKPerGroup exec did not fire on the argmax")
   }
+
+  test("q182 coverage: tie-band cutoff math matches hand computation; coverage is monotone") {
+    import spark.implicits._
+    // freq profile: 5 types x100, 20 types x10, 100 types x1
+    // total mass 800; N=10 cuts INSIDE the x10 tie band
+    val dir = TestSpark.makeSfDir("documents" -> Seq(
+      (1L, (1 to 5).flatMap(i => Seq.fill(100)(s"a$i")).mkString(" ")),
+      (2L, (1 to 20).flatMap(i => Seq.fill(10)(s"b$i")).mkString(" ")),
+      (3L, (1 to 100).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text"))
+    val rows = SparkEntry.queries("q182_vocab_coverage")(spark, dir)
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(rows(10) == ((10L, 550L, 800L, 550.0 / 800)),
+      s"N=10 tie-band cutoff: ${rows(10)}")        // 5x100 + 5x10
+    assert(rows(100) == ((100L, 775L, 800L, 775.0 / 800)),
+      s"N=100: ${rows(100)}")                      // 700 + 75x1
+    assert(rows(1000) == ((125L, 800L, 800L, 1.0)), // saturates at 125 types
+      s"N=1000: ${rows(1000)}")
+    assert(rows(10000)._2 == 800L)
+    val cov = Seq(10, 100, 1000, 10000).map(rows(_)._4)
+    assert(cov == cov.sorted, "coverage must be monotone in N")
+  }
 }
