@@ -294,6 +294,31 @@ object StreamIngest {
         posexplode(col("bands")).as(Seq("band_id", "bh")))
       .dropDuplicatesWithinWatermark("band_id", "bh")
 
+  /** Streaming eval-contamination gate — q84's exact-shingle
+    * contamination check at stream time: a doc is dropped iff ANY of
+    * its word-3-gram shingle hashes appears in the eval set. The eval
+    * side is collected ONCE and inlined as a literal array (the
+    * q84/q96 broadcast argument: eval sets are MBs against the
+    * corpus), so the gate is a STATELESS scan filter — no stream-state
+    * store, no watermark, safe in any output mode; beyond literal-array
+    * sizes the batch pipeline's bloom variant (q96) is the scale path.
+    * StreamingSpec pins the cross-law: run over a static frame, the
+    * gate's drop set IS q84's flagged-doc set. */
+  def contaminationGate(df: DataFrame, textCol: String,
+      evalShingleHashes: Seq[Long]): DataFrame = {
+    val hs = transform(graft.Dsl.shingles3(graft.Dsl.toks(col(textCol))),
+      s => graft.Dsl.md5h61(s))
+    df.filter(size(array_intersect(hs, typedlit(evalShingleHashes))) === 0)
+  }
+
+  /** Distinct shingle hashes of an eval frame, for [[contaminationGate]].
+    * The collect is eval-set-bounded by design (never the corpus). */
+  def evalShingleHashes(eval: DataFrame, textCol: String): Seq[Long] =
+    eval.select(explode(transform(
+        graft.Dsl.shingles3(graft.Dsl.toks(col(textCol))),
+        s => graft.Dsl.md5h61(s))).as("h"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+
   /** Batch reduction of [[nearDedupStream]] output: ids whose every
     * band was fresh — the admitted set. Grouping includes the event-time
     * column: over an accumulated sink a doc re-sent across watermark

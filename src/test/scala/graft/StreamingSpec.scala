@@ -308,4 +308,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts(1L) == 8L && counts(3L) == 8L)
     assert(counts.getOrElse(2L, 0L) < 8L)
   }
+
+  test("streaming contamination gate drops the planted shingle overlap; on a static frame its drop set IS q84's") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // eval doc shares the exact 3-gram "leak a b" with stream doc 2
+    val evalDf = Seq((100L, "leak a b c d")).toDF("doc_id", "text")
+    val hashes = StreamIngest.evalShingleHashes(evalDf, "text")
+    assert(hashes.nonEmpty)
+    val mem = MemoryStream[(Long, String)]
+    val gated = StreamIngest.contaminationGate(
+      mem.toDF().toDF("doc_id", "text"), "text", hashes)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("contam_out").start()
+    try {
+      mem.addData(
+        (1L, "clean words only here nothing shared"),
+        (2L, "prefix tokens then leak a b suffix"),
+        (3L, "x y"))  // < 3 tokens: no shingles, trivially clean
+      q.processAllAvailable()
+    } finally q.stop()
+    val passed = spark.table("contam_out")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(passed == Seq(1L, 3L), s"gate passed: $passed")
+    // cross-law on a static frame at sf0.001: the gate (eval = the
+    // %10==0 split, q84's convention) drops EXACTLY q84's flagged docs
+    val sf = TestSpark.sf0001
+    val docs = Tables.documents(spark, sf)
+    val evalHashes = StreamIngest.evalShingleHashes(
+      docs.filter(col("doc_id") % 10 === 0), "text")
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val kept = StreamIngest.contaminationGate(train, "text", evalHashes)
+      .collect().map(_.getLong(0)).toSet
+    val dropped = train.collect().map(_.getLong(0)).toSet -- kept
+    val q84Flagged = SparkEntry.queries("q84_contamination")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped == q84Flagged,
+      s"gate drop set != q84 flagged (diff: ${dropped.diff(q84Flagged)} / ${q84Flagged.diff(dropped)})")
+  }
 }
