@@ -282,5 +282,73 @@ object CorpusPipeline {
         UNION ALL SELECT metric, value FROM ent)
       ORDER BY metric"""))
 
-  val all: Seq[Q] = Seq(cleanCorpusStats, pipelineFunnel, corpusDatasheet)
+  /** q183 — corpus snapshot diff: added / removed / changed / unchanged
+    * between two corpus versions, per source. The operational complement
+    * of the q106 checksum: when two 100 TB snapshots DISAGREE, this is
+    * the query that says what moved — release-note material for a
+    * dataset card, and the admission gate's audit trail.
+    *
+    * Reference behavior generalized: the reference re-derives its whole
+    * frame from scratch every run (feature_extractor.py:47-54 re-globs
+    * all batch CSVs and recomputes), so "what changed since yesterday"
+    * is unanswerable there; at scale the diff must be computed, not
+    * inferred. The two snapshots here are deterministic derivations of
+    * the one driver table (prev drops doc_id%17==3, cur drops %19==7
+    * and revises the text of %13==5) so the oracle is self-contained.
+    *
+    * Scale shape: each side is reduced AT THE SCAN to (doc_id, source,
+    * row-hash) — the text is hashed in the scan-stage projection and
+    * never crosses an exchange; the full-outer join shuffles ~24 bytes
+    * a row on the id, and the classification is a post-join projection
+    * feeding a |sources|×4-row hash-agg. Any partitioning of either
+    * side works; no sort anywhere. */
+  val snapshotDiff: Q = {
+    def rowHash(text: org.apache.spark.sql.Column) =
+      md5h61(concat_ws("|", text, col("lang"), col("source")))
+    Q(
+      "q183_snapshot_diff",
+      (s, d) => {
+        graft.functions.TextFunctions.register(s)
+        val docs = Tables.documents(s, d)
+        val prev = docs.filter(col("doc_id") % 17 =!= 3)
+          .select(col("doc_id"), col("source").as("p_source"),
+            rowHash(col("text")).as("h_prev"))
+        val cur = docs.filter(col("doc_id") % 19 =!= 7)
+          .select(col("doc_id"), col("source").as("c_source"),
+            rowHash(when(col("doc_id") % 13 === 5,
+              concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text"))).as("h_cur"))
+        prev.join(cur, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            coalesce(col("c_source"), col("p_source")).as("source"),
+            when(col("h_prev").isNull, "added")
+              .when(col("h_cur").isNull, "removed")
+              .when(col("h_prev") =!= col("h_cur"), "changed")
+              .otherwise("unchanged").as("status"))
+          .groupBy("source", "status")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+          .orderBy("source", "status")
+      },
+      Some(s"""WITH prev AS MATERIALIZED (SELECT doc_id, source,
+            ${sqlMd5h61("concat_ws('|', text, lang, source)")} AS h_prev
+          FROM documents WHERE doc_id % 17 <> 3),
+        cur AS MATERIALIZED (SELECT doc_id, source,
+            ${sqlMd5h61("concat_ws('|', CASE WHEN doc_id % 13 = 5" +
+              " THEN text || ' [rev2]' ELSE text END, lang, source)")}
+              AS h_cur
+          FROM documents WHERE doc_id % 19 <> 7)
+        SELECT coalesce(c.source, p.source) AS source,
+          CASE WHEN h_prev IS NULL THEN 'added'
+               WHEN h_cur IS NULL THEN 'removed'
+               WHEN h_prev <> h_cur THEN 'changed'
+               ELSE 'unchanged' END AS status,
+          cast(count(*) as bigint) AS n_docs,
+          cast(sum(doc_id) as bigint) AS id_sum
+        FROM prev p FULL OUTER JOIN cur c USING (doc_id)
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
+  }
+
+  val all: Seq[Q] =
+    Seq(cleanCorpusStats, pipelineFunnel, corpusDatasheet, snapshotDiff)
 }

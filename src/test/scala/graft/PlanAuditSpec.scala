@@ -362,6 +362,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // eval-vs-train role split (the q127/q158 precedent): the % 10
       // predicates push into per-branch pruned scans
       "q175_decontaminate_spans" -> Map("documents" -> 2),
+      // prev-vs-cur snapshot role split (the q127 precedent): each
+      // branch reduces to (doc_id, source, row-hash) at its own scan
+      "q183_snapshot_diff" -> Map("documents" -> 2),
       "q179_stupid_backoff" -> Map("documents" -> 2),
       // TEXTUAL count (the q169 caveat): ONE cached narrow base whose
       // build prints its FileScan body at the scalar-agg, total and

@@ -103,6 +103,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"funnel terminal ${rows.last._3} != q81 corpus $q81docs")
   }
 
+  test("q183 snapshot diff partitions both snapshots exactly") {
+    val sf = TestSpark.sf0001
+    val rows = SparkEntry.queries("q183_snapshot_diff")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val ids = graft.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val inPrev = ids.filter(_ % 17 != 3).toSet
+    val inCur = ids.filter(_ % 19 != 7).toSet
+    def n(s: String) = rows.getOrElse(s, 0L)
+    // every prev row is removed/changed/unchanged; every cur row is
+    // added/changed/unchanged — the diff must partition BOTH exactly
+    assert(n("removed") + n("changed") + n("unchanged") == inPrev.size)
+    assert(n("added") + n("changed") + n("unchanged") == inCur.size)
+    assert(n("added") == (inCur -- inPrev).size)
+    assert(n("removed") == (inPrev -- inCur).size)
+    // changed = present in both AND carrying the %13==5 text revision
+    assert(n("changed") == (inPrev & inCur).count(_ % 13 == 5))
+  }
+
   test("fingerprint is whitespace- and case-insensitive") {
     import spark.implicits._
     val docs = Seq(
