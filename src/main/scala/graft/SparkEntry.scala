@@ -35,6 +35,7 @@ object Registry {
       operators.Pipelines.all ++
       operators.Sampling.all ++
       operators.CorpusPipeline.all ++
+      operators.Layout.all ++
       operators.TrainingPrep.all ++
       operators.QualityModel.all ++
       apps.TitleMatch.all

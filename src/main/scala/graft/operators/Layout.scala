@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators: multi-dimensional clustering for data
+  * skipping.
+  *
+  * At 100 TB the scan cost of a selective query is decided before it
+  * runs — by how the writer laid rows out. Sorting by ONE column gives
+  * min/max pruning on that column only; a Morton (Z-order) key
+  * interleaves the bits of several columns so that consecutive rows
+  * are close in EVERY interleaved dimension, and row-group min/max
+  * stats prune on each of them (the public mechanism behind Delta /
+  * Iceberg `OPTIMIZE ZORDER BY`). The engine exposes the key as a
+  * plain deterministic Column: `orderBy(zValue(...))` before a write
+  * is the whole API, so any sink (parquet shards, bucketed tables,
+  * [[TrainingExport]]) inherits the layout.
+  *
+  * Reference context: the reference app has no layout control at all —
+  * its pandas frames are written in arrival order
+  * (feature_extractor.py:47-54), which is exactly the layout this
+  * operator exists to replace at scale.
+  */
+object Layout {
+  import graft.Dsl._
+
+  /** 16-bit × 16-bit Morton interleave of two non-negative integer
+    * columns (x in even bits, y in odd bits) — a pure bit expression,
+    * codegen-friendly, no UDF. Inputs are masked to 16 bits so the
+    * key is total at any scale; at testdata scale the mask is the
+    * identity. */
+  def zValue(x: Column, y: Column): Column = {
+    val xm = x.bitwiseAND(lit(65535L))
+    val ym = y.bitwiseAND(lit(65535L))
+    (0 until 16).map { i =>
+      shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** SQL twin of [[zValue]] over two integer expressions. */
+  def sqlZValue(x: String, y: String): String = {
+    val xm = s"(($x) & 65535)"
+    val ym = s"(($y) & 65535)"
+    (0 until 16).map { i =>
+      s"((($xm >> $i) & 1) << ${2 * i}) + ((($ym >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** q184 — Z-order layout audit over orders on (o_custkey, order day):
+    * assign each row its Morton key, group into z-ranges (the row-group
+    * analogue: key >> 16), and report each range's bounding rectangle
+    * (min/max of BOTH dimensions) + row count. The rectangles ARE the
+    * min/max stats a parquet writer would persist after
+    * `orderBy(zValue)`; narrow rectangles in both dimensions = both
+    * predicates prune. ScaleLayoutSpec quantifies it: a 30-day date
+    * predicate overlaps a minority of z-ranges while pruning NOTHING
+    * under a custkey-sorted layout of the same table.
+    *
+    * Scale shape: one scan, one hash-agg on the derived range id —
+    * the audit is the same O(n) as the write it certifies; output is
+    * #ranges rows. */
+  val zorderAudit: Q = {
+    Q(
+      "q184_zorder_layout",
+      (s, d) => {
+        val day = expr("unix_seconds(cast(o_orderdate as timestamp)) div 86400")
+        Tables.orders(s, d)
+          .select(zValue(col("o_custkey"), day).as("z"),
+            col("o_custkey"), day.as("day"))
+          .groupBy(shiftright(col("z"), 16).as("z_range"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("o_custkey")).as("min_custkey"),
+            max(col("o_custkey")).as("max_custkey"),
+            min(col("day")).as("min_day"),
+            max(col("day")).as("max_day"))
+          .orderBy("z_range")
+      },
+      Some(s"""WITH xy AS MATERIALIZED (SELECT o_custkey,
+            epoch_us(o_orderdate) // 1000000 // 86400 AS day
+          FROM orders),
+        z AS MATERIALIZED (SELECT o_custkey, day,
+            ${sqlZValue("o_custkey", "day")} AS z
+          FROM xy)
+        SELECT z >> 16 AS z_range,
+          cast(count(*) as bigint) AS n_rows,
+          cast(min(o_custkey) as bigint) AS min_custkey,
+          cast(max(o_custkey) as bigint) AS max_custkey,
+          cast(min(day) as bigint) AS min_day,
+          cast(max(day) as bigint) AS max_day
+        FROM z GROUP BY 1 ORDER BY 1"""))
+  }
+
+  val all: Seq[Q] = Seq(zorderAudit)
+}

@@ -106,6 +106,46 @@ class ScaleLayoutSpec extends AnyFunSuite {
       s"DPP must list only the dim's 3 of $allDays partitions, listed $touched")
   }
 
+  test("z-order layout prunes on BOTH dimensions; a single-column sort cannot") {
+    // sf0.01: sf0.001's custkeys all fit one 256-aligned z block, so
+    // only the larger table exercises custkey pruning
+    val sf = "/root/testdata/sf0.01"
+    val zb = SparkEntry.queries("q184_zorder_layout")(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        expr("unix_seconds(cast(o_orderdate as timestamp)) div 86400"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(zb.map(_ => 1).sum > 20, "need enough z-ranges to measure")
+    // a 30-day predicate and a 200-customer predicate, placed relative
+    // to the data so they exist at any regeneration
+    val minDay = rows.map(_._2).min
+    val minCk = rows.map(_._1).min
+    val (dLo, dHi) = (minDay + 1000, minDay + 1029)
+    val (cLo, cHi) = (minCk + 200, minCk + 399)
+    def dayFrac(bs: Array[(Long, Long, Long, Long)]) =
+      bs.count(b => b._4 >= dLo && b._3 <= dHi).toDouble / bs.length
+    def ckFrac(bs: Array[(Long, Long, Long, Long)]) =
+      bs.count(b => b._2 >= cLo && b._1 <= cHi).toDouble / bs.length
+    // the comparison layout: the SAME table in the same number of
+    // equal-count buckets, sorted by custkey only
+    val sorted = rows.sortBy(identity)
+    val per = math.max(1, rows.length / zb.length)
+    val ckSorted = sorted.grouped(per).toArray.map(g =>
+      (g.map(_._1).min, g.map(_._1).max, g.map(_._2).min, g.map(_._2).max))
+    // z-order: both predicates skip a majority of ranges (measured
+    // 0.09 / 0.33 at sf0.01); custkey sort: the date predicate skips
+    // NOTHING (measured 1.0) — every bucket spans all dates
+    assert(dayFrac(zb) < 0.3, s"z day-overlap ${dayFrac(zb)}")
+    assert(ckFrac(zb) < 0.6, s"z custkey-overlap ${ckFrac(zb)}")
+    assert(dayFrac(ckSorted) > 0.95,
+      s"custkey-sorted day-overlap ${dayFrac(ckSorted)}")
+    // and the audit's ranges cover the table exactly
+    val n = SparkEntry.queries("q184_zorder_layout")(spark, sf)
+      .agg(sum("n_rows")).collect()(0).getLong(0)
+    assert(n == rows.length.toLong)
+  }
+
   test("shard export is balanced, deterministic, one file per shard, and pruned at read") {
     val sf = TestSpark.sf0001
     val docs = Tables.documents(spark, sf)
