@@ -1454,11 +1454,87 @@ object Dedup {
           ELSE cast(n_caught as double) / n_truth END AS recall
       FROM nt, nc"""))
 
+  /** q185 — memorization-risk audit: the duplication-count profile of
+    * k-token windows. Carlini et al. 2023 ("Quantifying Memorization
+    * Across Neural Language Models") measure that a sequence seen c
+    * times is regurgitated at a rate growing log-linearly in c, and
+    * Lee et al. 2022 make the removal case; this is the MEASUREMENT
+    * side the dedup family (q143/q145 remove, q35 dedups docs) needs
+    * before deciding policy: window types bucketed by occurrence count
+    * (power-of-2 lower bounds 1/2/4/8/16+), per bucket the type count,
+    * total instances, how many types cross document boundaries, and
+    * how many docs carry at least one such window — the "how much of
+    * my corpus is c-duplicated" release-gate number.
+    *
+    * Scale shape: same windowing scan as q143 (one pass, 1 row per
+    * token position), ONE shuffle on the window hash; the docs-touched
+    * aggregate re-joins instances on that same hash partitioning
+    * (exchange-reused, no second scan); output is ≤5 rows. */
+  val memorizationAudit: Q = {
+    val K = WinK
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      when(c === 1, 1L).when(c < 4, 2L).when(c < 8, 4L)
+        .when(c < 16, 8L).otherwise(16L)
+    Q(
+      "q185_memorization_audit",
+      (s, d) => {
+        graft.functions.TextFunctions.register(s)
+        val wins = Tables.documents(s, d)
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("doc_id"))
+          .select(col("doc_id"), toks(col("text")).as("t"))
+          .filter(size(col("t")) >= K)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("t")) - (K - 1)),
+              i => concat_ws(" ", slice(col("t"), i, lit(K))))).as("win"))
+          .select(col("doc_id"), md5h61(col("win")).as("h"))
+        val counts = wins.groupBy("h")
+          .agg(count(lit(1)).as("c"), count_distinct(col("doc_id")).as("nd"))
+        val byBucket = counts.withColumn("dup_bucket", bucketOf(col("c")))
+          .groupBy("dup_bucket")
+          .agg(count(lit(1)).as("n_window_types"),
+            sum(col("c")).cast("long").as("n_instances"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L))
+              .as("n_crossdoc_types"))
+        val touched = wins
+          .join(counts.select(col("h"), bucketOf(col("c")).as("dup_bucket")),
+            "h")
+          .groupBy("dup_bucket")
+          .agg(count_distinct(col("doc_id")).as("n_docs"))
+        byBucket.join(touched, "dup_bucket").orderBy("dup_bucket")
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+        tt AS (SELECT doc_id, t FROM t WHERE len(t) >= $K),
+        w AS MATERIALIZED (SELECT doc_id,
+            ${sqlMd5h61(s"array_to_string(t[i:i+$K-1], ' ')")} AS h
+          FROM tt, unnest(generate_series(1, len(t)-$K+1)) AS u(i)),
+        c AS MATERIALIZED (SELECT h, count(*) AS c,
+            count(DISTINCT doc_id) AS nd
+          FROM w GROUP BY h),
+        cb AS MATERIALIZED (SELECT h, c, nd,
+            cast(CASE WHEN c = 1 THEN 1 WHEN c < 4 THEN 2 WHEN c < 8 THEN 4
+              WHEN c < 16 THEN 8 ELSE 16 END as bigint) AS dup_bucket
+          FROM c),
+        a AS (SELECT dup_bucket,
+            cast(count(*) as bigint) AS n_window_types,
+            cast(sum(c) as bigint) AS n_instances,
+            cast(count(*) FILTER (WHERE nd >= 2) as bigint)
+              AS n_crossdoc_types
+          FROM cb GROUP BY 1),
+        dd AS (SELECT dup_bucket,
+            cast(count(DISTINCT doc_id) as bigint) AS n_docs
+          FROM w JOIN cb USING (h) GROUP BY 1)
+        SELECT dup_bucket, n_window_types, n_instances, n_crossdoc_types,
+          n_docs
+        FROM a JOIN dd USING (dup_bucket) ORDER BY dup_bucket"""))
+  }
+
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
     ngramJaccardPairs, ngramJaccardDfCap, containmentPairs,
     prefixJaccardJoin, fuzzyContamination, sketchQuality,
     dupDegrees, dupBySource, incrementalDedup, substringDedup,
     substringRemoval, paragraphDedupQ, incrementalParagraphDedup,
-    withinDocDedup, softDedupWeights, lshRecallEval)
+    withinDocDedup, softDedupWeights, lshRecallEval, memorizationAudit)
 }

@@ -275,6 +275,30 @@ class DedupSpec extends AnyFunSuite {
       assert(rows(id) == ((35, 10)), s"doc $id not excised: ${rows(id)}")
   }
 
+  test("q185 memorization buckets tile the window mass with consistent labels") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val rows = SparkEntry.queries("q185_memorization_audit")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // Σ instances over buckets == total 25-token windows in the corpus
+    val nWindows = Tables.documents(spark, sf)
+      .select(greatest(size(Dsl.toks(col("text"))) - 24, lit(0))
+        .cast("long").as("w"))
+      .agg(sum("w")).collect()(0).getLong(0)
+    assert(rows.map(_._3).sum == nWindows,
+      s"buckets carry ${rows.map(_._3).sum} instances, corpus has $nWindows")
+    // a count-1 window cannot cross documents; its instances == types
+    rows.find(_._1 == 1L).foreach { b1 =>
+      assert(b1._4 == 0 && b1._3 == b1._2)
+    }
+    // bucket label b means per-type count in [b, 2b) (16 = open-ended)
+    for ((b, types, inst, _) <- rows if b >= 2) {
+      assert(inst >= b * types, s"bucket $b: $inst < $b*$types")
+      if (b < 16) assert(inst < 2 * b * types, s"bucket $b: $inst >= 2*$b*$types")
+    }
+  }
+
   test("substring report (q143) and removal (q145) agree on real testdata") {
     // cross-operator law at sf0.001: q145 excises only positions that
     // q143 reported as duplicated (removal ⊆ report), and every doc
