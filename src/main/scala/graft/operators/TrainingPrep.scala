@@ -1519,10 +1519,144 @@ object TrainingPrep {
       })
   }
 
+  // ------------------------------------------------------------------
+  // q186 — WORDPIECE encode (Wu et al. 2016, the BERT tokenizer family):
+  // greedy longest-match-first over a PINNED subword vocabulary with
+  // initial-vs-continuation ("##") piece tables — the tokenizer trio's
+  // third member next to BPE learn (q147) / BPE encode (q148). BERT's
+  // rules faithfully: match the longest vocab prefix at each position,
+  // continuation table after the first piece, and if ANY position has
+  // no match — or the word exceeds the max char budget — the WHOLE
+  // word becomes one [UNK] (matched prefixes are discarded).
+  //
+  // Execution shape: the greedy loop is a bounded FOLD per word
+  // (`aggregate` over 1..24 — each step consumes ≥1 char, and words
+  // over 24 chars are [UNK] by the BERT budget rule, so the fold
+  // always terminates with an empty remainder), run INSIDE a
+  // transform() over the doc's word array: all doc-local, one scan,
+  // zero joins, zero explode. The DuckDB twin replays the identical
+  // greedy rule as a bounded WITH RECURSIVE over (word, remainder) —
+  // a per-position nested CASE on both engines, so any greedy-order
+  // bug is a hash mismatch. Vocab lookups are one typedlit Literal
+  // per (table, length) — never an array(...) rebuilt per element
+  // (the q153 lesson).
+  // ------------------------------------------------------------------
+  private val WpMaxChars = 24
+  private val WpMaxLen = 4
+  // singles deliberately exclude q/x/z so the [UNK] path is exercised
+  // deterministically by real words (boxes, quiz, zero, ...)
+  private val WpSingles: Seq[String] =
+    (('a' to 'z').filterNot("qxz".contains(_)) ++ ('0' to '9')).map(_.toString)
+  private val WpInit: Seq[String] = WpSingles ++ Seq(
+    "th", "in", "an", "re", "on", "at", "en", "or", "er", "to", "of",
+    "is", "es", "ar", "al", "st", "the", "and", "ing", "with", "that")
+  private val WpCont: Seq[String] = WpSingles ++ Seq(
+    "th", "in", "an", "re", "on", "at", "en", "or", "er", "es", "ar",
+    "al", "st", "nd", "nt", "ly", "le", "ti", "ing", "tion")
+
+  val wordpieceEncode: Q = {
+    import org.apache.spark.sql.Column
+    // longest vocab prefix of rem (0 = no match), table chosen by `first`
+    def plen(rem: Column, first: Column): Column = {
+      val cands = (WpMaxLen to 1 by -1).map { l =>
+        val iv = typedlit(WpInit.filter(_.length == l))
+        val cv = typedlit(WpCont.filter(_.length == l))
+        when(length(rem) >= l &&
+          ((first && array_contains(iv, substring(rem, 1, l))) ||
+            (!first && array_contains(cv, substring(rem, 1, l)))), l)
+      }
+      coalesce(cands :+ lit(0): _*)
+    }
+    def sqlPlen(rem: String, first: String): String = {
+      def set(v: Seq[String]) = v.map(p => s"'$p'").mkString("[", ", ", "]")
+      val cands = (WpMaxLen to 1 by -1).map { l =>
+        s"""WHEN len($rem) >= $l AND (($first AND
+           list_contains(${set(WpInit.filter(_.length == l))}, substr($rem, 1, $l)))
+           OR ((NOT $first) AND
+           list_contains(${set(WpCont.filter(_.length == l))}, substr($rem, 1, $l))))
+           THEN $l"""
+      }.mkString(" ")
+      s"(CASE $cands ELSE 0 END)"
+    }
+    Q(
+      "q186_wordpiece_encode",
+      (s, d) => {
+        val pw = transform(col("ws"), w => {
+          val init = struct(
+            when(length(w) > WpMaxChars, lit("")).otherwise(w).as("rem"),
+            when(length(w) > WpMaxChars, lit(1)).otherwise(lit(0)).as("cnt"),
+            (length(w) > WpMaxChars).as("unk"),
+            lit(true).as("first"))
+          aggregate(sequence(lit(1), lit(WpMaxChars)), init,
+            (acc, _) => {
+              val rem = acc.getField("rem")
+              val done = acc.getField("unk") || rem === ""
+              val pl = plen(rem, acc.getField("first"))
+              struct(
+                when(done, rem).when(pl === 0, lit(""))
+                  .otherwise(rem.substr(pl + 1, length(rem))).as("rem"),
+                when(done, acc.getField("cnt"))
+                  .when(pl === 0, lit(1))
+                  .otherwise(acc.getField("cnt") + 1).as("cnt"),
+                when(done, acc.getField("unk"))
+                  .otherwise(pl === 0).as("unk"),
+                when(done, acc.getField("first")).otherwise(lit(false))
+                  .as("first"))
+            },
+            acc => struct(acc.getField("cnt").as("cnt"),
+              acc.getField("unk").as("unk")))
+        })
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ws"))
+          .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+            aggregate(pw, lit(0),
+              (a, x) => a + x.getField("cnt")).cast("long").as("n_pieces"),
+            aggregate(pw, lit(0), (a, x) =>
+              a + when(x.getField("unk"), 1).otherwise(0))
+              .cast("long").as("n_unk"))
+          .withColumn("fertility",
+            when(col("n_words") > 0,
+              col("n_pieces").cast("double") / col("n_words")))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE d AS MATERIALIZED (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+          FROM documents),
+        wrd AS MATERIALIZED (SELECT doc_id, i AS wid, ws[i] AS w
+          FROM d, unnest(generate_series(1, len(ws))) AS u(i)),
+        step AS (
+          SELECT doc_id, wid,
+            CASE WHEN len(w) > $WpMaxChars THEN '' ELSE w END AS rem,
+            CASE WHEN len(w) > $WpMaxChars THEN 1 ELSE 0 END AS cnt,
+            len(w) > $WpMaxChars AS unk,
+            true AS "first"
+          FROM wrd
+          UNION ALL
+          SELECT doc_id, wid,
+            CASE WHEN plen = 0 THEN '' ELSE substr(rem, plen + 1) END,
+            CASE WHEN plen = 0 THEN 1 ELSE cnt + 1 END,
+            plen = 0,
+            false
+          FROM (SELECT doc_id, wid, rem, cnt,
+              ${sqlPlen("rem", "\"first\"")} AS plen
+            FROM step WHERE rem <> '') s),
+        fin AS (SELECT doc_id, wid, cnt, unk FROM step WHERE rem = ''),
+        agg AS (SELECT doc_id, cast(count(*) as bigint) AS n_words,
+            cast(sum(cnt) as bigint) AS n_pieces,
+            cast(count(*) FILTER (WHERE unk) as bigint) AS n_unk
+          FROM fin GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+          coalesce(n_pieces, 0) AS n_pieces, coalesce(n_unk, 0) AS n_unk,
+          CASE WHEN coalesce(n_words, 0) > 0
+            THEN cast(n_pieces as double) / n_words END AS fertility
+        FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""))
+  }
+
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
     bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf,
     approxPercentiles, bloomContamination, fuzzyPairs, heavyHitters,
     weightedSample, oovRate, embeddingQuantize, sequencePacking,
     winnowFingerprints, bpeMerges, bpeEncode, lengthBatchManifest,
-    cdcChunks, decontaminateSpans, spanCorruption)
+    cdcChunks, decontaminateSpans, spanCorruption, wordpieceEncode)
 }

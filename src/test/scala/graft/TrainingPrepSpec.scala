@@ -555,4 +555,29 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(rate > 0.03 && rate < 0.20,
       s"mask rate $rate outside the designed ~10% band")
   }
+
+  test("q186 wordpiece greedy matching on a hand-tokenized fixture") {
+    import spark.implicits._
+    // hand-derivations against the pinned vocab (WpInit/WpCont):
+    //  "the"       -> [the]                           1 piece
+    //  "nation"    -> [n ##at ##i ##on]               4
+    //  "box"       -> b, ##o, then 'x' has no piece   -> whole word [UNK] = 1, unk
+    //  "thatching" -> [that ##c ##h ##ing]            4
+    //  "123"       -> [1 2 3]                         3
+    //  26*'a'      -> over the 24-char budget         -> [UNK] = 1, unk
+    val docs = Seq(
+      (1L, "The nation box", "en", "s", 14L),
+      (2L, "thatching 123 " + "a" * 26, "en", "s", 40L),
+      (3L, "?!", "en", "s", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q186_wordpiece_encode")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(rows == Seq(
+      (1L, 3L, 6L, 1L, Some(2.0)),
+      (2L, 3L, 8L, 1L, Some(8.0 / 3)),
+      (3L, 0L, 0L, 0L, None)), s"got $rows")
+  }
 }
