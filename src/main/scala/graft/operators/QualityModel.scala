@@ -436,6 +436,61 @@ object QualityModel {
         cast(floor(sum(s9) / (count(*) * 1000.0)) as bigint) AS score_q6
       FROM q GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** q187 — scorer calibration (reliability diagram): before a
+    * classifier score is used as a KEEP-probability over a 100 TB
+    * corpus (sampling weight, threshold, mixture quota), its
+    * probabilities must be checked against observed frequencies —
+    * Guo et al. 2017's reliability buckets, over the q98b fixed-weight
+    * scorer and the same weak label q98 trains on (n_tokens ≥ 30).
+    * Per predicted-probability decile: doc count, mean predicted
+    * probability, observed positive rate — a calibrated scorer has
+    * the two columns tracking each other; the spec folds them into an
+    * expected-calibration-error bound.
+    *
+    * Determinism: the sigmoid is the q98b millionth-quantized integer
+    * (libm drift absorbed), so bucket ids, sums and both output ratios
+    * are integer-derived; each ratio is one/two IEEE divides of
+    * identical operands on both engines. Scale shape: one scan, one
+    * 10-row hash-agg; the model is a literal constant. */
+  val scorerCalibration: Q = Q(
+    "q187_scorer_calibration",
+    (s, d) => {
+      val z = ((lit(W0) + lit(Wt) * col("n_tokens"))
+        + lit(Wr) * col("ttr")) + lit(Wl) * col("avg_len")
+      featurize(s, d)
+        .withColumn("p6",
+          floor((lit(1.0) / (lit(1.0) + exp(-z))) * 1e6).cast("long"))
+        .withColumn("lab", when(col("n_tokens") >= 30, 1L).otherwise(0L))
+        .groupBy(least(expr("p6 div 100000"), lit(9L)).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("p6")).as("sum_p6"),
+          sum(col("lab")).as("n_pos"))
+        .select(col("bucket"), col("n_docs"),
+          (col("sum_p6").cast("double") / col("n_docs") / 1e6)
+            .as("mean_pred"),
+          (col("n_pos").cast("double") / col("n_docs")).as("obs_rate"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH t AS (
+        SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+      f AS (SELECT doc_id,
+          cast(len(t) as double) AS n_tokens,
+          cast(len(list_distinct(t)) as double) / len(t) AS ttr,
+          cast(list_sum(list_transform(t, x -> length(x))) as double)
+            / len(t) AS avg_len
+        FROM t),
+      sc AS (SELECT doc_id,
+          cast(floor((1.0 / (1.0 + exp(-((($W0 + $Wt * n_tokens)
+            + $Wr * ttr) + $Wl * avg_len)))) * 1000000.0) as bigint) AS p6,
+          CASE WHEN n_tokens >= 30 THEN 1 ELSE 0 END AS lab
+        FROM f)
+      SELECT least(p6 // 100000, 9) AS bucket,
+        cast(count(*) as bigint) AS n_docs,
+        cast(sum(p6) as double) / count(*) / 1000000.0 AS mean_pred,
+        cast(sum(lab) as double) / count(*) AS obs_rate
+      FROM sc GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(qualityClassifier, fixedWeightScorer,
-    bigramPerplexity, perplexityBuckets, compressibility, stupidBackoff)
+    bigramPerplexity, perplexityBuckets, compressibility, stupidBackoff,
+    scorerCalibration)
 }

@@ -136,4 +136,30 @@ class QualityModelSpec extends AnyFunSuite {
     assert(rows(8L) == ((4L, 2L, 1L, 1L, 550000L)),
       s"got ${rows(8L)}")
   }
+
+  test("q187 calibration buckets are well-formed and ECE-bounded on the teacher") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val rows = SparkEntry.queries("q187_scorer_calibration")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val nCorpus = Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == nCorpus, "buckets must tile the corpus")
+    for ((b, _, meanPred, obs) <- rows) {
+      assert(b >= 0 && b <= 9)
+      // mean predicted prob lies in its decile (bucket 9 includes 1.0)
+      assert(meanPred >= b / 10.0 && meanPred < (b + 1) / 10.0 + 1e-6,
+        s"bucket $b mean_pred $meanPred outside its decile")
+      assert(obs >= 0.0 && obs <= 1.0)
+    }
+    // the scorer's n_tokens weight dominates its logit and the label IS
+    // an n_tokens threshold, so the reliability curve must be usable:
+    // expected calibration error under 0.35 (an uncalibrated or
+    // anti-calibrated scorer lands far above)
+    val n = rows.map(_._2).sum.toDouble
+    val ece = rows.map { case (_, nb, mp, obs) =>
+      nb / n * math.abs(mp - obs)
+    }.sum
+    assert(ece < 0.35, s"ECE $ece — scorer not usably calibrated")
+  }
 }
