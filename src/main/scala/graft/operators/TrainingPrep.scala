@@ -1653,10 +1653,147 @@ object TrainingPrep {
         FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""))
   }
 
+  // ------------------------------------------------------------------
+  // q188 — UNIGRAM-LM Viterbi segmentation (Kudo 2018, the SentencePiece
+  // model family): segment every word into the maximum-likelihood piece
+  // sequence under a PINNED piece vocabulary with pinned counts, and
+  // emit each piece's Viterbi usage count over the corpus — the E-step
+  // of SentencePiece's EM (usage counts are what the M-step renormalizes
+  // and the pruning step ranks). Completes the tokenizer family: BPE
+  // learn (q147) / BPE encode (q148) / WordPiece greedy (q186) /
+  // unigram Viterbi (here) — the q50b discipline (oracle the STEP's
+  // math, since the full EM loop is seeded float iteration).
+  //
+  // Determinism: piece log-probs ln(c/T) are computed ONCE in Scala and
+  // embedded as the same floor(·1e9) integer literals in BOTH the Spark
+  // expression and the SQL twin — no libm crosses engines; DP scores
+  // are exact integer sums, and ties break to the SHORTEST candidate
+  // piece (strict > in l = 1..4 order, mirrored in the twin).
+  //
+  // Scale shape: the corpus reduces to (word type, freq) first — the
+  // q147 discipline, so the DP runs once per TYPE, not per instance;
+  // the DP + backtrace are bounded folds (≤ 24 chars per word — longer
+  // words filtered, the SentencePiece max-length rule) entirely inside
+  // one projection; output is one groupBy over vocab-sized keys.
+  // ------------------------------------------------------------------
+  private[graft] val UniVocab: Map[String, Long] = {
+    val singles = (('a' to 'z') ++ ('0' to '9')).map(_.toString -> 5L)
+    val multi = Seq("th" -> 50L, "the" -> 80L, "in" -> 40L, "an" -> 30L,
+      "er" -> 30L, "on" -> 25L, "at" -> 25L, "re" -> 25L, "en" -> 20L,
+      "or" -> 20L, "es" -> 20L, "ar" -> 15L, "al" -> 15L, "st" -> 15L,
+      "ing" -> 60L, "and" -> 50L, "ed" -> 20L, "to" -> 20L, "of" -> 15L,
+      "is" -> 15L, "tion" -> 40L)
+    (singles ++ multi).toMap
+  }
+  private val UniT: Long = UniVocab.values.sum
+  /** floor(ln(c/T)·1e9) — computed once here, embedded as the same
+    * literal on both engines. */
+  private[graft] def uniLp(c: Long): Long =
+    math.floor(math.log(c.toDouble / UniT) * 1e9).toLong
+  private[graft] val UniMaxLen = 4
+
+  val unigramViterbi: Q = {
+    import org.apache.spark.sql.Column
+    def lpMap(l: Int): Column = typedlit(
+      UniVocab.filter(_._1.length == l).map { case (p, c) => p -> uniLp(c) })
+    Q(
+      "q188_unigram_viterbi",
+      (s, d) => {
+        val w = col("w")
+        // dp: entry i (1-based) = position i-1; sc exact-int score, bl
+        // the backpointer piece length
+        val dp = aggregate(sequence(lit(1), length(w).cast("int")),
+          array(struct(lit(0L).as("sc"), lit(0).as("bl"))),
+          (acc, j) => {
+            val cands = (1 to UniMaxLen).map { l =>
+              val piece = w.substr(j - (l - 1), lit(l))
+              val lp = element_at(lpMap(l), piece)
+              when(j >= l && lp.isNotNull,
+                struct((element_at(acc, j - l + 1).getField("sc") + lp)
+                  .as("sc"), lit(l).as("bl")))
+            }
+            val best = cands.reduce((a, b) =>
+              when(b.isNotNull &&
+                (a.isNull || b.getField("sc") > a.getField("sc")), b)
+                .otherwise(a))
+            concat(acc, array(best))
+          })
+        val bt = (dpc: Column) => aggregate(
+          sequence(lit(1), lit(WpMaxChars)),
+          struct(length(w).cast("int").as("p"),
+            array().cast("array<string>").as("ps")),
+          (st, _) => {
+            val p = st.getField("p")
+            val bl = element_at(dpc, p + 1).getField("bl")
+            when(p > 0, struct((p - bl).as("p"),
+              concat(st.getField("ps"),
+                array(w.substr(p - bl + 1, bl))).as("ps")))
+              .otherwise(st)
+          },
+          st => st.getField("ps"))
+        Tables.documents(s, d)
+          .select(explode(
+            expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+          .filter(length(col("w")) <= WpMaxChars)
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          .withColumn("dp", dp)
+          .select(col("freq"), explode(bt(col("dp"))).as("piece"))
+          .groupBy("piece")
+          .agg(sum(col("freq")).cast("long").as("viterbi_count"))
+          .orderBy("piece")
+      },
+      Some {
+        def lpCase(l: Int, pieceExpr: String): String = {
+          val entries = UniVocab.filter(_._1.length == l).toSeq.sorted
+            .map { case (p, c) => s"WHEN '$p' THEN ${uniLp(c)}" }
+            .mkString(" ")
+          s"(CASE $pieceExpr $entries ELSE NULL END)"
+        }
+        // candidate columns for the entry at position j+1 (counter j)
+        val candCols = (1 to UniMaxLen).map { l =>
+          s"""CASE WHEN j + 1 >= $l
+               AND ${lpCase(l, s"substr(w, j + 2 - $l, $l)")} IS NOT NULL
+             THEN struct_pack(sc := dp[j + 2 - $l].sc +
+               ${lpCase(l, s"substr(w, j + 2 - $l, $l)")}, bl := $l)
+             END AS c$l"""
+        }.mkString(", ")
+        // shortest-piece tie-break: strict > in c1..c4 order
+        val best = (2 to UniMaxLen).foldLeft("c1") { (acc, l) =>
+          s"(CASE WHEN c$l IS NOT NULL AND ($acc IS NULL OR c$l.sc > ($acc).sc) THEN c$l ELSE $acc END)"
+        }
+        s"""WITH RECURSIVE wf AS MATERIALIZED (
+            SELECT w, cast(count(*) as bigint) AS freq FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                AS w FROM documents)
+            WHERE len(w) <= $WpMaxChars GROUP BY w),
+          vit AS (
+            SELECT w, freq, 0 AS j,
+              [struct_pack(sc := 0::BIGINT, bl := 0)] AS dp
+            FROM wf
+            UNION ALL
+            SELECT w, freq, j + 1, list_append(dp, $best)
+            FROM (SELECT w, freq, j, dp, $candCols
+                  FROM vit WHERE j < len(w)) s),
+          fin AS (SELECT w, freq, dp FROM vit WHERE j = len(w)),
+          bt AS (
+            SELECT w, freq, len(w) AS p, []::VARCHAR[] AS ps, dp FROM fin
+            UNION ALL
+            SELECT w, freq, p - dp[p + 1].bl,
+              list_append(ps, substr(w, p - dp[p + 1].bl + 1, dp[p + 1].bl)),
+              dp
+            FROM bt WHERE p > 0),
+          pieces AS (SELECT unnest(ps) AS piece, freq
+            FROM bt WHERE p = 0)
+          SELECT piece, cast(sum(freq) as bigint) AS viterbi_count
+          FROM pieces GROUP BY piece ORDER BY piece"""
+      })
+  }
+
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
     bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf,
     approxPercentiles, bloomContamination, fuzzyPairs, heavyHitters,
     weightedSample, oovRate, embeddingQuantize, sequencePacking,
     winnowFingerprints, bpeMerges, bpeEncode, lengthBatchManifest,
-    cdcChunks, decontaminateSpans, spanCorruption, wordpieceEncode)
+    cdcChunks, decontaminateSpans, spanCorruption, wordpieceEncode,
+    unigramViterbi)
 }

@@ -580,4 +580,41 @@ class TrainingPrepSpec extends AnyFunSuite {
       (2L, 3L, 8L, 1L, Some(8.0 / 3)),
       (3L, 0L, 0L, 0L, None)), s"got $rows")
   }
+
+  test("q188 unigram Viterbi matches an independent plain-Scala DP") {
+    import spark.implicits._
+    import graft.operators.TrainingPrep.{UniVocab, uniLp, UniMaxLen}
+    // the independent reimplementation: same quantized scores, same
+    // shortest-piece tie-break (strict > scanning l = 1..4)
+    def segment(w: String): Seq[String] = {
+      val dp = Array.fill[(Long, Int)](w.length + 1)((Long.MinValue, 0))
+      dp(0) = (0L, 0)
+      for (j <- 1 to w.length; l <- 1 to UniMaxLen if j >= l) {
+        val piece = w.substring(j - l, j)
+        UniVocab.get(piece).foreach { c =>
+          val sc = dp(j - l)._1 + uniLp(c)
+          if (dp(j - l)._1 != Long.MinValue && sc > dp(j)._1) dp(j) = (sc, l)
+        }
+      }
+      var p = w.length
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      while (p > 0) { val l = dp(p)._2; out += w.substring(p - l, p); p -= l }
+      out.toSeq
+    }
+    val texts = Seq(
+      (1L, "The sting of things", "en", "s", 19L),
+      (2L, "rationalisation nation the the errors", "en", "s", 37L),
+      (3L, "internationalization 42", "en", "s", 23L))
+    val dir = TestSpark.makeSfDir("documents" ->
+      texts.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = SparkEntry.queries("q188_unigram_viterbi")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val words = texts.flatMap(_._2.toLowerCase
+        .split("[^a-z0-9]+").filter(w => w.nonEmpty && w.length <= 24))
+    val expected = words.flatMap(segment)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+    // sanity: the LM actually prefers multi-char pieces where present
+    assert(got.contains("the") && got.contains("ing") && got.contains("tion"))
+  }
 }
