@@ -1407,7 +1407,55 @@ object Relational {
           WHERE l3.okey = l1.okey AND l3.skey <> l1.skey)
       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""))
 
+  /** q189 — mergeable-rollup maintenance: two PARTIAL aggregate states
+    * over disjoint halves of the event stream (split by event_id
+    * parity — the "yesterday's rollup + today's delta" shape with
+    * overlapping group keys) merged into the exact global rollup by
+    * state algebra alone: n = n₁+n₂, Σ = Σ₁+Σ₂ (exact decimal),
+    * min = least, max = greatest. This is THE incremental pattern that
+    * makes a 100 TB daily rollup affordable — the day's delta is
+    * aggregated alone and merged into the standing state table, never
+    * recomputing history — and the ORACLE IS the direct full
+    * recompute, so merge ≡ recompute is hash-proven, not asserted.
+    *
+    * Scale shape: each branch is one map-side-combinable groupBy on
+    * (day, event_type); the full-outer merge joins on the grouping key
+    * both branches are already hash-partitioned by (no extra
+    * exchange). Avg is NOT carried as a state — it is derived from
+    * (Σ, n) after the merge, the textbook mergeable-state rule. */
+  val rollupMerge: Q = {
+    def partial(df: org.apache.spark.sql.DataFrame, pfx: String) = df
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as(s"${pfx}_n"),
+        sum(col("value").cast(Dec)).as(s"${pfx}_sum"),
+        min(col("value")).as(s"${pfx}_min"),
+        max(col("value")).as(s"${pfx}_max"))
+    Q(
+      "q189_rollup_merge",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val a = partial(ev.filter(pmod(col("event_id"), lit(2)) === 0), "a")
+        val b = partial(ev.filter(pmod(col("event_id"), lit(2)) === 1), "b")
+        a.join(b, Seq("day", "event_type"), "full_outer")
+          .select(col("day"), col("event_type"),
+            (coalesce(col("a_n"), lit(0L)) + coalesce(col("b_n"), lit(0L)))
+              .as("n_events"),
+            splitDbl(coalesce(col("a_sum"), lit(BigDecimal(0)).cast(Dec))
+              + coalesce(col("b_sum"), lit(BigDecimal(0)).cast(Dec)))
+              .as("sum_value"),
+            least(col("a_min"), col("b_min")).as("min_value"),
+            greatest(col("a_max"), col("b_max")).as("max_value"))
+          .orderBy("day", "event_type")
+      },
+      // the direct, non-incremental rollup: equality proves the merge
+      Some(s"""SELECT date_trunc('day', ts) AS day, event_type,
+          count(*) AS n_events, ${sqlDsum("value")} AS sum_value,
+          min(value) AS min_value, max(value) AS max_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+  }
+
   val all: Seq[Q] = Seq(
+    rollupMerge,
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
     groupCount, globalCount, distinctSingle, distinctMulti,

@@ -348,6 +348,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q47b_rare_terms" -> Map("documents" -> 2),
       "q57_range_join" -> Map("part" -> 2),
       "q59_gap_fill" -> Map("events" -> 2),
+      // yesterday-state vs today-delta role split (event_id parity):
+      // each partial aggregates its own pruned scan; the merge join
+      // reuses their (day,event_type) partitioning
+      "q189_rollup_merge" -> Map("events" -> 2),
       "q60_sql_correlated" -> Map("orders" -> 2),
       "q66_retention" -> Map("events" -> 2),
       "q68_merge_upsert" -> Map("orders" -> 3),

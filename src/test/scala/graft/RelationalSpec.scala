@@ -83,4 +83,25 @@ class RelationalSpec extends AnyFunSuite {
     val plan = run("q06_join_multiway_agg").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("q189 merge handles one-sided group keys via the coalesce path") {
+    import spark.implicits._
+    // real testdata has both parities in every group; this fixture pins
+    // the empty-state side of the merge (a key seen only in the delta)
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
+    val events = Seq(
+      (2L, ts, 1L, "only_even", 5.0, ""),
+      (3L, ts, 1L, "only_odd", 7.0, ""),
+      (4L, ts, 1L, "both", 1.5, ""),
+      (5L, ts, 1L, "both", 2.5, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = TestSpark.makeSfDir("events" -> events)
+    val rows = SparkEntry.queries("q189_rollup_merge")(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.toSet == Set(
+      ("only_even", 1L, 5.0, 5.0, 5.0),
+      ("only_odd", 1L, 7.0, 7.0, 7.0),
+      ("both", 2L, 4.0, 1.5, 2.5)), s"got ${rows.toSeq}")
+  }
 }
