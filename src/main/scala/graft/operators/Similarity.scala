@@ -1083,8 +1083,128 @@ object Similarity {
         ORDER BY q.qid"""
     })
 
+  // ------------------------------------------------------------------
+  // q190 — GRADED retrieval metrics: MRR@10 and nDCG@10 of the PQ-ADC
+  // ranking against exact-cosine truth, per query. q167's recall@10
+  // treats the top-10 as a set; ranking quality is what users feel, so
+  // the production eval adds position-aware metrics (Järvelin &
+  // Kekäläinen 2002 for nDCG): graded relevance = 11 − truth-rank for
+  // the exact top-10, 0 otherwise; discount weights 1/log2(r+1) and
+  // the ideal DCG are computed ONCE in Scala and embedded as the same
+  // floor(·1e9) integer literals on both engines (the q188 discipline
+  // — no libm crosses engines), so DCG is an exact integer sum and
+  // nDCG/MRR are single divides of identical operands.
+  //
+  // Scale shape: identical to q167 (broadcast query rows, TopKPerGroup
+  // bounded heaps, overlap join over NQ × 10 rows) plus one 100-row
+  // left join and a 10-row agg.
+  // ------------------------------------------------------------------
+  val retrievalMetrics: Q = {
+    // w(r) = floor(1e9 / log2(r+1)), r = 1..10; idcg = Σ (11−r)·w(r)
+    val ws: Seq[Long] = (1 to 10).map(r =>
+      math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+    val idcgQ9: Long = (1 to 10).map(r => (11L - r) * ws(r - 1)).sum
+    Q(
+      "q190_retrieval_metrics",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = graft.CacheScope.cached(pqScored(s, d))
+        val codeCols = (0 until PqM).map(m =>
+          min(when(col("m") === m, col("code"))).as(s"code_$m"))
+        val pivoted = pqCodes(scored).groupBy("vec_id")
+          .agg(codeCols.head, codeCols.tail: _*)
+        val qt = scored.filter(col("vec_id") < PqEvalQueries)
+          .groupBy(col("vec_id").as("qid"), col("m"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("j"), col("score")))),
+            x => x.getField("score")).as("t"))
+        val tCols = (0 until PqM).map(m =>
+          min(when(col("m") === m, col("t"))).as(s"t$m"))
+        val qrows = qt.groupBy("qid").agg(tCols.head, tCols.tail: _*)
+        val adc = (0 until PqM)
+          .map(m => element_at(col(s"t$m"), col(s"code_$m") + 1))
+          .reduce(_ + _)
+        val atop = pivoted
+          .join(broadcast(qrows), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), adc.as("adc_dist"))
+          .withColumn("rs", row_number().over(
+            Window.partitionBy("qid").orderBy(col("adc_dist"), col("vec_id"))))
+          .filter(col("rs") <= 10).select("qid", "vec_id", "rs")
+        val w = normed(s, d)
+        val qs = w.filter(col("vec_id") < PqEvalQueries)
+          .select(col("vec_id").as("qid"), col("e").as("qe"),
+            col("nrm").as("qnrm"))
+        val etop = w.join(broadcast(qs), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            (dot("e", "qe") / (col("nrm") * col("qnrm"))).as("cosine"))
+          .withColumn("rt", row_number().over(
+            Window.partitionBy("qid")
+              .orderBy(col("cosine").desc, col("vec_id"))))
+          .filter(col("rt") <= 10).select("qid", "vec_id", "rt")
+        atop.join(etop, Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(count(col("rt")).as("n_hit"),
+            sum(when(col("rt").isNotNull,
+              (lit(11) - col("rt")).cast("long") *
+                element_at(typedlit(ws), col("rs"))).otherwise(0L))
+              .cast("long").as("dcg_q9"),
+            min(when(col("rt").isNotNull, col("rs"))).as("fr"))
+          .select(col("qid"), col("n_hit"),
+            coalesce(expr("1000000 div fr"), lit(0L)).as("rr_q6"),
+            col("dcg_q9"),
+            (col("dcg_q9").cast("double") / lit(idcgQ9.toDouble))
+              .as("ndcg"))
+          .orderBy("qid")
+      },
+      Some {
+        val codeCols = (0 until PqM)
+          .map(m => s"min(CASE WHEN m = $m THEN code END) AS code_$m")
+          .mkString(", ")
+        val tCols = (0 until PqM)
+          .map(m => s"min(CASE WHEN m = $m THEN t END) AS t$m")
+          .mkString(", ")
+        val adc = (0 until PqM)
+          .map(m => s"t$m[code_$m + 1]")
+          .reduce((a, b) => s"($a + $b)")
+        val wsList = ws.mkString("[", ", ", "]")
+        s"""WITH $sqlNormed, $sqlPqCodes,
+          piv AS (SELECT vec_id, $codeCols FROM code GROUP BY vec_id),
+          qt AS (SELECT vec_id AS qid, m, list(score ORDER BY j) AS t
+            FROM sc WHERE vec_id < $PqEvalQueries GROUP BY 1, 2),
+          qp AS MATERIALIZED (SELECT qid, $tCols FROM qt GROUP BY qid),
+          adc AS (SELECT qp.qid, piv.vec_id, $adc AS adc_dist
+            FROM piv JOIN qp ON piv.vec_id <> qp.qid),
+          atop AS (SELECT qid, vec_id, rs FROM (
+              SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY adc_dist, vec_id) AS rs FROM adc)
+            WHERE rs <= 10),
+          ex AS (SELECT q.vec_id AS qid, v.vec_id,
+              ${sqlDot("v.e", "q.e")} / (v.nrm * q.nrm) AS cosine
+            FROM w v JOIN w q
+              ON q.vec_id < $PqEvalQueries AND v.vec_id <> q.vec_id),
+          etop AS (SELECT qid, vec_id, rt FROM (
+              SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rt
+              FROM ex)
+            WHERE rt <= 10),
+          j AS (SELECT a.qid, a.rs, e.rt
+            FROM atop a LEFT JOIN etop e
+              ON a.qid = e.qid AND a.vec_id = e.vec_id)
+          SELECT qid, cast(count(rt) as bigint) AS n_hit,
+            coalesce(1000000 // min(CASE WHEN rt IS NOT NULL THEN rs END),
+              0) AS rr_q6,
+            cast(sum(CASE WHEN rt IS NOT NULL
+              THEN (11 - rt) * ($wsList)[rs] ELSE 0 END) as bigint)
+              AS dcg_q9,
+            cast(sum(CASE WHEN rt IS NOT NULL
+              THEN (11 - rt) * ($wsList)[rs] ELSE 0 END) as double)
+              / ${idcgQ9}.0 AS ndcg
+          FROM j GROUP BY qid ORDER BY qid"""
+      })
+  }
+
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
     annIvf, annIvfIncremental, semanticDedup, multimodalMeta, arrayFuncs,
     pqEncode, pqAdcTopK, pqCodeBalance, pqRerankTopK, pqRecallEval,
-    mrlRecallEval)
+    mrlRecallEval, retrievalMetrics)
 }

@@ -406,6 +406,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // query slice — two SEMANTIC roles (ADC vs exact) by design: the
       // harness compares two independent pipelines over one table
       "q167_pq_recall_eval" -> Map("embeddings" -> 4),
+      // same two-independent-pipelines harness as q167 (ADC vs exact),
+      // plus the same cached-frame textual-count caveat
+      "q190_retrieval_metrics" -> Map("embeddings" -> 4),
       "q97_fuzzy_pairs" -> Map("part" -> 2))
     // Skipped: construction already runs driver-side jobs (model fits,
     // sketch builds, the BPE merge loop) — executing them here pays a

@@ -299,4 +299,23 @@ class SimilaritySpec extends AnyFunSuite {
     val (_, _, w, h) = rows(0L)
     assert(w >= 32 && w < 480 && h >= 32 && h < 352)
   }
+
+  test("q190 graded metrics agree with q167 hits and respect metric bounds") {
+    val sf = TestSpark.sf0001
+    val g = SparkEntry.queries("q190_retrieval_metrics")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val rec = SparkEntry.queries("q167_pq_recall_eval")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // both harnesses rank the same two top-10 lists: hit counts agree
+    assert(g.keySet == rec.keySet)
+    for ((q, (nHit, rr, dcg, ndcg)) <- g) {
+      assert(nHit == rec(q), s"qid $q: n_hit $nHit != q167 ${rec(q)}")
+      assert(rr >= 0L && rr <= 1000000L)
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+      if (nHit == 0) assert(rr == 0L && dcg == 0L)
+      // any hit inside the top-10 puts the first one at rank <= 10
+      else assert(rr >= 100000L, s"qid $q: rr_q6 $rr < 1e6/10")
+    }
+  }
 }
