@@ -1530,11 +1530,89 @@ object Dedup {
         FROM a JOIN dd USING (dup_bucket) ORDER BY dup_bucket"""))
   }
 
+  /** q191 — PageRank over the near-dup graph (Page et al. 1998; fixed
+    * 10 power iterations, d = 0.85). Centrality in the duplication
+    * graph ranks the TEMPLATE documents — the pages whose boilerplate
+    * radiates through the corpus — which is exactly the triage order
+    * for cleaning rules; q56 finds the components, this ranks inside
+    * them. The iterative-join shape (sparse matvec as equi-join +
+    * groupBy, lineage localCheckpoint'ed each round, superseded frame
+    * unpersisted) is the same discipline as the q56 label propagation.
+    *
+    * Determinism: all arithmetic is integer in 1e-9 units — pr₀ =
+    * 10⁹ div N, teleport = 1.5·10⁸ div N, each contribution
+    * (85·prq) div (100·deg) — so partitioning cannot reorder a float
+    * sum, and the DuckDB twin (a generated 10-stage materialized CTE
+    * chain) is bit-identical. In a symmetrized graph every node has
+    * in-edges, so the contribution aggregate covers every node — no
+    * left-join round-trip.
+    *
+    * Scale shape: edges cached once with degrees; each round is ONE
+    * equi-join on src (both sides hash-partitioned by the same key
+    * after round 1) + one map-combinable groupBy(dst); N is a 1-row
+    * broadcast. */
+  val dupPagerank: Q = {
+    val Iters = 10
+    Q(
+      "q191_dup_pagerank",
+      (s, d) => {
+        val pairs = graft.CacheScope.cached(
+          verifiedPairs(s, d).select("doc_a", "doc_b"))
+        val ed = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        val deg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
+        val e = graft.CacheScope.cached(ed.join(deg, "src"))
+        val nn = deg.agg(count(lit(1)).as("nn"))
+        var pr = deg.select(col("src").as("doc")).crossJoin(broadcast(nn))
+          .select(col("doc"), expr("1000000000 div nn").as("prq"))
+          .localCheckpoint()
+        for (_ <- 1 to Iters) {
+          val prev = pr
+          pr = e.join(pr, e("src") === pr("doc"))
+            .select(col("dst"), expr("(85 * prq) div (100 * deg)").as("c"))
+            .groupBy("dst").agg(sum(col("c")).as("cs"))
+            .crossJoin(broadcast(nn))
+            .select(col("dst").as("doc"),
+              (expr("150000000 div nn") + col("cs")).as("prq"))
+            .localCheckpoint()
+          prev.unpersist()
+        }
+        pr.select(col("doc").as("doc_id"), col("prq"))
+          .orderBy(desc("prq"), asc("doc_id"))
+      },
+      Some {
+        val stages = (1 to Iters).map { i =>
+          s"""p$i AS MATERIALIZED (SELECT e.dst AS doc,
+              cast((SELECT 150000000 // nn FROM cnt) +
+                sum((85 * p.prq) // (100 * e.deg)) as bigint) AS prq
+            FROM e JOIN p${i - 1} p ON e.src = p.doc
+            GROUP BY e.dst)"""
+        }.mkString(",\n          ")
+        s"""WITH ${sqlVerified(None)},
+          vp AS MATERIALIZED (SELECT doc_a, doc_b FROM verified
+            WHERE jaccard >= 0.8),
+          ed AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+            UNION ALL SELECT doc_b, doc_a FROM vp),
+          dg AS MATERIALIZED (SELECT src, count(*) AS deg
+            FROM ed GROUP BY src),
+          e AS MATERIALIZED (SELECT ed.src, ed.dst, dg.deg
+            FROM ed JOIN dg USING (src)),
+          cnt AS MATERIALIZED (SELECT count(*) AS nn FROM dg),
+          p0 AS MATERIALIZED (SELECT src AS doc,
+            cast(1000000000 // nn as bigint) AS prq
+            FROM dg, cnt),
+          $stages
+          SELECT doc AS doc_id, prq FROM p$Iters
+          ORDER BY prq DESC, doc_id"""
+      })
+  }
+
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
     ngramJaccardPairs, ngramJaccardDfCap, containmentPairs,
     prefixJaccardJoin, fuzzyContamination, sketchQuality,
     dupDegrees, dupBySource, incrementalDedup, substringDedup,
     substringRemoval, paragraphDedupQ, incrementalParagraphDedup,
-    withinDocDedup, softDedupWeights, lshRecallEval, memorizationAudit)
+    withinDocDedup, softDedupWeights, lshRecallEval, memorizationAudit,
+    dupPagerank)
 }

@@ -299,6 +299,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q191 pagerank conserves mass, floors at teleport, ties symmetric pairs") {
+    val sf = TestSpark.sf0001
+    val pr = SparkEntry.queries("q191_dup_pagerank")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = SparkEntry.queries("q37_minhash_lsh_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(pr.keySet == nodes, "pagerank must cover exactly the dup-graph nodes")
+    val base = 150000000L / nodes.size
+    assert(pr.values.forall(_ >= base), "every node keeps at least the teleport mass")
+    // integer floors only LOSE mass; 10 iterations lose a bounded sliver
+    val total = pr.values.sum
+    assert(total <= 1000000000L && total > 800000000L, s"mass $total")
+    // an isolated mutual pair is symmetric: both ends must tie exactly
+    val deg = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val isolated = pairs.filter { case (a, b) => deg(a) == 1 && deg(b) == 1 }
+    assert(isolated.nonEmpty, "fixture assumption: testdata has isolated pairs")
+    for ((a, b) <- isolated) assert(pr(a) == pr(b), s"pair ($a,$b) asymmetric")
+  }
+
   test("substring report (q143) and removal (q145) agree on real testdata") {
     // cross-operator law at sf0.001: q145 excises only positions that
     // q143 reported as duplicated (removal ⊆ report), and every doc

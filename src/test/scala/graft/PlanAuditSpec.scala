@@ -329,7 +329,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // plus its own n_tokens scan — cold file reads are 2
       "q172_soft_dedup_weights" -> "documents",
       // embeds BOTH cached machineries (q165 sets/ex, q37 bands)
-      "q180_lsh_recall_eval" -> "documents"
+      "q180_lsh_recall_eval" -> "documents",
+      // embeds the cached q37 pair machinery (LSH signature frame)
+      "q191_dup_pagerank" -> "documents"
     ).map { case (q, t) => q -> Map(t -> 2) }
     val multi: Map[String, Map[String, Int]] = cachedFamily ++ Map(
       "q105_scd2" -> Map("part" -> 2),
