@@ -1527,7 +1527,8 @@ object Dedup {
           FROM w JOIN cb USING (h) GROUP BY 1)
         SELECT dup_bucket, n_window_types, n_instances, n_crossdoc_types,
           n_docs
-        FROM a JOIN dd USING (dup_bucket) ORDER BY dup_bucket"""))
+        FROM a JOIN dd USING (dup_bucket) ORDER BY dup_bucket"""),
+      bench = true)
   }
 
   /** q191 — PageRank over the near-dup graph (Page et al. 1998; fixed
@@ -1604,7 +1605,8 @@ object Dedup {
           $stages
           SELECT doc AS doc_id, prq FROM p$Iters
           ORDER BY prq DESC, doc_id"""
-      })
+      },
+      bench = true)
   }
 
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,

@@ -1650,7 +1650,8 @@ object TrainingPrep {
           coalesce(n_pieces, 0) AS n_pieces, coalesce(n_unk, 0) AS n_unk,
           CASE WHEN coalesce(n_words, 0) > 0
             THEN cast(n_pieces as double) / n_words END AS fertility
-        FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""))
+        FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""),
+      bench = true)
   }
 
   // ------------------------------------------------------------------
@@ -1786,7 +1787,8 @@ object TrainingPrep {
             FROM bt WHERE p = 0)
           SELECT piece, cast(sum(freq) as bigint) AS viterbi_count
           FROM pieces GROUP BY piece ORDER BY piece"""
-      })
+      },
+      bench = true)
   }
 
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
