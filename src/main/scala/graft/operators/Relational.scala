@@ -1454,8 +1454,92 @@ object Relational {
         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
   }
 
+  /** q192 — watermark-lateness audit: the out-of-orderness profile that
+    * SIZES a streaming watermark (`withWatermark(delay)` admits an
+    * event iff its lateness vs the running event-time max is under the
+    * delay — this query reports that lateness distribution, so the
+    * delay is chosen from data, not folklore). The driver's events
+    * arrive in perfect event-time order, so the wire is SIMULATED:
+    * arrival = ts ± up to 60 s of salted-hash jitter, a pure function
+    * of event_id (q77 discipline), replayed identically by the twin.
+    *
+    * Lateness needs a RUNNING max over arrival order — inherently
+    * sequential, and a naive `max OVER (ORDER BY arrival)` funnels
+    * 100 TB through one task's sort. The q113/q173 histogram
+    * discipline instead: 60-second arrival buckets; within-bucket
+    * running max is a window over time-bounded partitions;
+    * cross-bucket prefix max is a window over the AGGREGATED frame
+    * (one row per minute); an event's predecessor max = greatest of
+    * the two. The ORACLE IS the naive global window, so the
+    * decomposition is hash-proven equivalent, not asserted (the q173
+    * pattern). All lateness math in exact integer microseconds (the
+    * epoch_us discipline). */
+  val latenessAudit: Q = {
+    Q(
+      "q192_lateness_audit",
+      (s, d) => {
+        graft.functions.TextFunctions.register(s)
+        // the driver's events arrive in perfect event-time order, so the
+        // stream is SIMULATED as network-reordered: arrival time = ts ±
+        // up to 60 s of salted-hash jitter (the q77 discipline — a pure
+        // function of event_id, so both engines replay the same wire)
+        val jit = md5h61(concat(lit("arr:"), col("event_id").cast("string"))) %
+          lit(120000000L) - lit(60000000L)
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), unix_micros(col("ts")).as("tus"))
+          .withColumn("akey", col("tus") + jit)
+          .withColumn("bkt", expr("akey div 60000000"))
+        val wIn = Window.partitionBy("bkt").orderBy("akey", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val withPrevIn = ev.withColumn("prev_in", max(col("tus")).over(wIn))
+        val bAgg = ev.groupBy("bkt").agg(max(col("tus")).as("bmax"))
+        val wB = Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bPrev = bAgg.withColumn("prev_b", max(col("bmax")).over(wB))
+          .select("bkt", "prev_b")
+        val late = withPrevIn.join(bPrev, "bkt")
+          .withColumn("prev", greatest(col("prev_in"), col("prev_b")))
+          .withColumn("late_us",
+            when(col("prev").isNull || col("prev") <= col("tus"), 0L)
+              .otherwise(col("prev") - col("tus")))
+        late
+          .withColumn("ord",
+            when(col("late_us") === 0, 0)
+              .when(col("late_us") < 1000000L, 1)
+              .when(col("late_us") < 10000000L, 2)
+              .when(col("late_us") < 60000000L, 3)
+              .when(col("late_us") < 600000000L, 4)
+              .when(col("late_us") < 3600000000L, 5).otherwise(6))
+          .groupBy("ord")
+          .agg(count(lit(1)).as("n_events"),
+            (max(col("late_us")).cast("long")).as("max_late_us"))
+          .orderBy("ord")
+      },
+      // the naive global running max IS the oracle: hash equality
+      // proves the bucket decomposition
+      Some(s"""WITH e AS (SELECT event_id, epoch_us(ts) AS tus,
+            epoch_us(ts) + ${sqlMd5h61("concat('arr:', event_id)")} %
+              120000000 - 60000000 AS akey
+          FROM events),
+        r AS (SELECT event_id, tus,
+            max(tus) OVER (ORDER BY akey, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+          FROM e),
+        l AS (SELECT CASE WHEN prev IS NULL OR prev <= tus THEN 0
+            ELSE prev - tus END AS late_us FROM r)
+        SELECT CASE WHEN late_us = 0 THEN 0
+            WHEN late_us < 1000000 THEN 1
+            WHEN late_us < 10000000 THEN 2
+            WHEN late_us < 60000000 THEN 3
+            WHEN late_us < 600000000 THEN 4
+            WHEN late_us < 3600000000 THEN 5 ELSE 6 END AS ord,
+          count(*) AS n_events,
+          cast(max(late_us) as bigint) AS max_late_us
+        FROM l GROUP BY 1 ORDER BY 1"""))
+  }
+
   val all: Seq[Q] = Seq(
-    rollupMerge,
+    rollupMerge, latenessAudit,
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
     groupCount, globalCount, distinctSingle, distinctMulti,

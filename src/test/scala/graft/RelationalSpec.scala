@@ -84,6 +84,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("q192 lateness respects the jitter bound and covers every event") {
+    val sf = TestSpark.sf0001
+    val rows = SparkEntry.queries("q192_lateness_audit")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val n = Tables.events(spark, sf).count()
+    assert(rows.map(_._2).sum == n, "lateness buckets must tile the stream")
+    // theorem of the ±60 s jitter: if p arrived before e but carries a
+    // later event time, ts_p − ts_e < jit_e − jit_p ≤ 120 s strictly
+    assert(rows.forall(_._3 < 120000000L),
+      s"lateness exceeds the 120 s jitter bound: ${rows.toSeq}")
+    // the simulation must actually disorder the wire (a degenerate
+    // all-on-time profile would make the audit vacuous)
+    assert(rows.exists(r => r._1 > 0 && r._2 > 0), "no late events simulated")
+    // and most events still arrive on time (jitter ≪ event spacing ×
+    // stream length): the on-time bucket holds the majority
+    val onTime = rows.find(_._1 == 0).map(_._2).getOrElse(0L)
+    assert(onTime * 2 > n, s"on-time $onTime of $n")
+  }
+
   test("q189 merge handles one-sided group keys via the coalesce path") {
     import spark.implicits._
     // real testdata has both parities in every group; this fixture pins
