@@ -1485,10 +1485,29 @@ object Relational {
         // function of event_id, so both engines replay the same wire)
         val jit = md5h61(concat(lit("arr:"), col("event_id").cast("string"))) %
           lit(120000000L) - lit(60000000L)
+        // canonical-exchange treatment (the q171/q145 discipline):
+        // both branches below — the within-bucket window and the
+        // per-bucket max aggregate — need the SAME hash partitioning
+        // on bkt, so shuffle ONCE and let ReuseExchange collapse the
+        // two branches onto a single events scan. Two traps to dodge:
+        // (1) the repartition must sit BELOW the akey/bkt projections
+        // (partition by the raw expression, alias above it) — else
+        // column pruning pushes each branch's narrower projection
+        // under its own exchange copy and de-canonicalizes them;
+        // (2) the bkt null-guard goes at the shared source, so the
+        // join's inferred isnotnull(bkt) is already a constraint on
+        // both sides and never pushes into just one branch's scan
+        // (the q133 trap). ProjectExec's alias-aware partitioning
+        // rewrites hashpartitioning(div-expr) → hashpartitioning(bkt),
+        // so neither the window nor the groupBy adds an exchange.
+        val akeyC = col("tus") + jit
+        val bktC = call_function("div", akeyC, lit(60000000L))
         val ev = Tables.events(s, d)
           .select(col("event_id"), unix_micros(col("ts")).as("tus"))
-          .withColumn("akey", col("tus") + jit)
-          .withColumn("bkt", expr("akey div 60000000"))
+          .filter(bktC.isNotNull)
+          .repartition(bktC)
+          .withColumn("akey", akeyC)
+          .withColumn("bkt", bktC)
         val wIn = Window.partitionBy("bkt").orderBy("akey", "event_id")
           .rowsBetween(Window.unboundedPreceding, -1)
         val withPrevIn = ev.withColumn("prev_in", max(col("tus")).over(wIn))

@@ -1046,15 +1046,28 @@ object TrainingPrep {
   /** Histogram fast path when the vocab fits the collect budget (always,
     * for any realistic corpus), distributed loop otherwise — ONE corpus
     * pass either way: the budget check's cached base frame feeds
-    * whichever loop runs. */
+    * whichever loop runs. The gate is the driver-funnel guard for
+    * 100 TB web crawls whose raw pre-token vocabulary (junk tokens,
+    * URLs) can exceed 10⁸ entries: the caller never has to know which
+    * path is safe — the row count decides, the chosen path is logged,
+    * and TrainingPrepSpec pins the two paths bit-equal by forcing the
+    * fallback with a tiny budget. */
   private[graft] def learnBpeAuto(s: SparkSession, docs: DataFrame, k: Int,
       collectBudget: Long = 1L << 20)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val base = bpeBase(docs).cache()
     try {
-      if (base.count() <= collectBudget)
+      val n = base.count()
+      if (n <= collectBudget) {
+        log.info(s"learnBpeAuto: vocab $n <= budget $collectBudget — " +
+          "driver-side histogram merge loop")
         histLoop(s, base.collect().map(r => (r.getString(0), r.getLong(1))), k)
-      else learnBpeFromBase(s, base, k)
+      } else {
+        log.info(s"learnBpeAuto: vocab $n > budget $collectBudget — " +
+          "distributed merge loop fallback")
+        learnBpeFromBase(s, base, k)
+      }
     } finally { base.unpersist(); () }
   }
 

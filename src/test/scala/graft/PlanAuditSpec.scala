@@ -326,9 +326,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // admission pass are the two roles
       "q154_budget_mix" -> "documents",
       // embeds clustersDf's cached pair/edge frames (the q56 family)
-      // plus its own n_tokens scan — cold file reads are 2
+      // plus its own n_tokens scan — r12 ReuseAudit measured COLD file
+      // reads = 1 (the cached machinery absorbs the rest); the 2 here
+      // is pure textual cache-state headroom for this sweep's
+      // registry-order cache, not a real second read
       "q172_soft_dedup_weights" -> "documents",
-      // embeds BOTH cached machineries (q165 sets/ex, q37 bands)
+      // embeds BOTH cached machineries (q165 sets/ex, q37 bands) —
+      // r12 ReuseAudit measured COLD file reads = 1 (same caveat)
       "q180_lsh_recall_eval" -> "documents",
       // embeds the cached q37 pair machinery (LSH signature frame)
       "q191_dup_pagerank" -> "documents"

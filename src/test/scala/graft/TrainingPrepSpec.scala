@@ -396,6 +396,30 @@ class TrainingPrepSpec extends AnyFunSuite {
     } finally { distFin.unpersist(); () }
   }
 
+  test("learnBpeAuto's collect-budget gate: forced fallback is bit-equal") {
+    // the driver-funnel guard: a 100 TB crawl's raw vocabulary can
+    // exceed any driver budget, so the AUTO path must (a) fall back to
+    // the distributed loop when the histogram row count exceeds the
+    // budget, and (b) produce bit-identical merges either way. Force
+    // the fallback with budget=1 (any real corpus has >1 distinct
+    // pre-token) and compare against the default (histogram) path.
+    val docs = Tables.documents(spark, sf)
+    val (histM, histFin) =
+      operators.TrainingPrep.learnBpeAuto(spark, docs, 50)
+    val (distM, distFin) =
+      operators.TrainingPrep.learnBpeAuto(spark, docs, 50, collectBudget = 1L)
+    try {
+      assert(histM == distM,
+        s"gate paths diverge at rank ${
+          histM.zip(distM).indexWhere(p => p._1 != p._2) + 1}")
+      val h = histFin.orderBy("sym").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val d = distFin.orderBy("sym").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(h.toSeq == d.toSeq, "final word states diverge across the gate")
+    } finally { distFin.unpersist(); () }
+  }
+
   test("histogram BPE reaches production k: k=500 within 2x the k=50 wall time") {
     // the scale criterion for the fast path: merges are driver-memory
     // cheap, so pushing k 10x costs only the in-memory loop — the
