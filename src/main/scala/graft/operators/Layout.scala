@@ -29,8 +29,14 @@ object Layout {
   /** 16-bit × 16-bit Morton interleave of two non-negative integer
     * columns (x in even bits, y in odd bits) — a pure bit expression,
     * codegen-friendly, no UDF. Inputs are masked to 16 bits so the
-    * key is total at any scale; at testdata scale the mask is the
-    * identity. */
+    * key is total at any scale, WHICH MEANS THE CLUSTERING PROPERTY
+    * ONLY HOLDS FOR DOMAINS ≤ 65535: above that, values 65536 apart
+    * silently alias into the same key and row-group rectangles
+    * degrade with no signal (TPC-H o_custkey crosses 65535 around
+    * sf≈0.44). For larger domains use [[zValueScaled]], which
+    * interleaves the high-order bits of a bucketed key instead of
+    * the masked low bits. ScaleLayoutSpec asserts the audited q184
+    * domains fit the 16-bit space at the test sf. */
   def zValue(x: Column, y: Column): Column = {
     val xm = x.bitwiseAND(lit(65535L))
     val ym = y.bitwiseAND(lit(65535L))
@@ -39,6 +45,26 @@ object Layout {
         shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
   }
+
+  /** [[zValue]] for domains beyond 16 bits: each dimension is first
+    * bucketed into the 16-bit space by integer-dividing by
+    * ceil((cap+1)/2^16), i.e. the HIGH-order bits of the scaled key
+    * are interleaved instead of the masked low bits — two values far
+    * apart in a 2^32 domain land in different buckets (coarser cells,
+    * same clustering property), where the plain mask would alias them
+    * into one key. `xCap`/`yCap` are inclusive upper bounds of the
+    * dimension's domain (a writer knows them from stats or a footer
+    * max; over-estimating only coarsens cells, never aliases).
+    * Identical to [[zValue]] when both caps ≤ 65535 (width 1). */
+  def zValueScaled(x: Column, xCap: Long, y: Column, yCap: Long): Column = {
+    def width(cap: Long): Long = (cap >>> 16) + 1
+    zValue(call_function("div", x, lit(width(xCap))),
+      call_function("div", y, lit(width(yCap))))
+  }
+
+  /** SQL twin of [[zValueScaled]]. */
+  def sqlZValueScaled(x: String, xCap: Long, y: String, yCap: Long): String =
+    sqlZValue(s"(($x) // ${(xCap >>> 16) + 1})", s"(($y) // ${(yCap >>> 16) + 1})")
 
   /** SQL twin of [[zValue]] over two integer expressions. */
   def sqlZValue(x: String, y: String): String = {

@@ -447,11 +447,19 @@ object QualityModel {
     * the two columns tracking each other; the spec folds them into an
     * expected-calibration-error bound.
     *
-    * Determinism: the sigmoid is the q98b millionth-quantized integer
-    * (libm drift absorbed), so bucket ids, sums and both output ratios
-    * are integer-derived; each ratio is one/two IEEE divides of
-    * identical operands on both engines. Scale shape: one scan, one
-    * 10-row hash-agg; the model is a literal constant. */
+    * Determinism: the sigmoid is the q98b millionth-quantized integer,
+    * so bucket ids, sums and both output ratios are integer-derived;
+    * each ratio is one/two IEEE divides of identical operands on both
+    * engines. CAVEAT (same as q98b): the floor(·1e6) tolerance is ~10⁹
+    * coarser than libm ulp drift, but both engines still call their
+    * own native exp() BEFORE the floor — an input whose sigmoid lands
+    * within one ulp of a 1e-6 boundary would quantize differently per
+    * engine and flip a bucket id. The guarantee is EMPIRICAL (hash-
+    * green at sf0.001/0.01/0.1), not structural; a testdata
+    * regeneration could surface it, in which case pin a piecewise
+    * sigmoid table (the q188 floor(·1e9) literal discipline). Scale
+    * shape: one scan, one 10-row hash-agg; the model is a literal
+    * constant. */
   val scorerCalibration: Q = Q(
     "q187_scorer_calibration",
     (s, d) => {

@@ -1068,9 +1068,127 @@ object TextAnalysis {
       GROUP BY t.n_target, tot.nt, tot.total_tokens
       ORDER BY t.n_target"""))
 
+  /** q193 — BM25 known-item retrieval MRR@10, the LEXICAL twin of
+    * q190's graded ANN eval: queries are built FROM held-out docs
+    * (doc_id < 8, tokens 11–14 dedup'd — the known-item protocol:
+    * "can BM25 find the doc its query came from"), every corpus doc
+    * with a matching term is scored with q142's unlogged-idf BM25
+    * (bit-exact across engines — no libm anywhere), and the metric is
+    * the reciprocal rank of the source doc in its query's top-10
+    * (rr_q6 = 10⁶ div rank, q190's integer convention; mean over qids
+    * = MRR@10).
+    *
+    * Determinism: each per-term score is the same IEEE +,*,/ sequence
+    * on both engines (the q142 argument), quantized to a millionth
+    * BEFORE the per-(query,doc) sum so the sum runs in exact integer
+    * arithmetic (order-independent, the q150 discipline). Floor of
+    * BITWISE-IDENTICAL doubles is exactly equal, so unlike q187 there
+    * is no quantization-boundary risk here.
+    *
+    * Scale shape: tokenize once behind a canonical doc_id exchange
+    * (q142 discipline — postings build + corpus stats share it);
+    * postings = one map-combinable (doc_id, term) groupBy — the
+    * inverted-index build; the query-term join BROADCASTS ≤ 32
+    * (qid, term) rows so only the query terms' posting lists survive
+    * (never corpus × queries); df and the 1-row corpus stats are
+    * broadcast; the top-10 row_number compiles to TopKPerGroup's
+    * bounded heap. The query branch reads its 8 docs through a
+    * doc_id < 8 pruned scan (footer + one row group at any scale —
+    * the q161 triage shape). */
+  val bm25MrrEval: Q = {
+    val NQ = 8
+    Q(
+      "q193_bm25_mrr_eval",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tk = Tables.documents(s, d)
+          .filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), toks(col("text")).as("t"))
+          .repartition(col("doc_id"))
+        val stats = tk.agg(count(lit(1)).as("n"),
+          davg(size(col("t")).cast("double")).as("avgdl"))
+        val postings = tk
+          .select(col("doc_id"), size(col("t")).cast("double").as("dl"),
+            explode(col("t")).as("term"))
+          .groupBy("doc_id", "term")
+          .agg(count(lit(1)).cast("double").as("tf"), min(col("dl")).as("dl"))
+        val qterms = Tables.documents(s, d)
+          .filter(col("doc_id") < NQ)
+          .select(col("doc_id").as("qid"),
+            explode(array_distinct(slice(toks(col("text")), 11, 4)))
+              .as("term"))
+        val hits = graft.CacheScope.cached(
+          postings.join(broadcast(qterms), "term"))
+        val dfs = hits.select("term", "doc_id").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val termScore =
+          ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            ((col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+        val top = hits.join(broadcast(dfs), "term")
+          .crossJoin(broadcast(stats))
+          .withColumn("s_q6", floor(termScore * lit(1e6)).cast("long"))
+          .groupBy("qid", "doc_id")
+          .agg(sum(col("s_q6")).as("score_q6"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("qid")
+              .orderBy(col("score_q6").desc, col("doc_id"))))
+          .filter(col("rnk") <= 10)
+        top.groupBy("qid")
+          .agg(count(lit(1)).as("n_top"),
+            coalesce(min(when(col("doc_id") === col("qid"), col("rnk"))),
+              lit(0)).as("sr"))
+          .select(col("qid"), col("n_top"),
+            col("sr").cast("long").as("self_rank"),
+            when(col("sr") > 0, expr("1000000 div sr"))
+              .otherwise(lit(0)).cast("long").as("rr_q6"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH tk AS MATERIALIZED (SELECT doc_id, ${sqlToks("text")} AS t
+            FROM documents),
+          st AS (SELECT count(*) AS n,
+            ${sqlDavg("cast(len(t) as double)")} AS avgdl FROM tk),
+          post AS MATERIALIZED (SELECT doc_id, term,
+              cast(count(*) as double) AS tf, min(dl) AS dl
+            FROM (SELECT doc_id, cast(len(t) as double) AS dl,
+                g.term AS term
+              FROM tk, unnest(t) AS g(term))
+            GROUP BY 1, 2),
+          q AS (SELECT qid, g.term AS term
+            FROM (SELECT doc_id AS qid, list_distinct(t[11:14]) AS qt
+                FROM tk WHERE doc_id < $NQ),
+              unnest(qt) AS g(term)),
+          h AS MATERIALIZED (SELECT q.qid, post.doc_id, post.term,
+              post.tf, post.dl
+            FROM post JOIN q USING (term)),
+          dfs AS (SELECT term, count(DISTINCT doc_id) AS df
+            FROM h GROUP BY 1),
+          sc AS (SELECT h.qid, h.doc_id,
+              sum(cast(floor((((st.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+                ((h.tf * 2.2) / (h.tf + 1.2 *
+                  (0.25 + 0.75 * (h.dl / st.avgdl))))) * 1000000.0)
+                as bigint)) AS score_q6
+            FROM h JOIN dfs USING (term), st
+            GROUP BY 1, 2),
+          top AS (SELECT qid, doc_id, rnk FROM (
+              SELECT qid, doc_id, row_number() OVER (
+                PARTITION BY qid ORDER BY score_q6 DESC, doc_id) AS rnk
+              FROM sc)
+            WHERE rnk <= 10)
+          SELECT qid, cast(count(*) as bigint) AS n_top,
+            cast(coalesce(min(CASE WHEN doc_id = qid THEN rnk END), 0)
+              as bigint) AS self_rank,
+            cast(CASE WHEN coalesce(min(CASE WHEN doc_id = qid
+                THEN rnk END), 0) > 0
+              THEN 1000000 // min(CASE WHEN doc_id = qid THEN rnk END)
+              ELSE 0 END as bigint) AS rr_q6
+          FROM top GROUP BY qid ORDER BY qid"""))
+  }
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
     fingerprint, topTerms, pivotEvents, rareTerms, regexTokens,
     repetitionFilter, madOutliers, blocklistFilter, ngramNovelty, bm25TopK,
     bm25TextbookTopK, adaptiveQualityFilter, markupStrip, gopherRules,
-    gopherRepetition, vocabCoverage)
+    gopherRepetition, vocabCoverage, bm25MrrEval)
 }

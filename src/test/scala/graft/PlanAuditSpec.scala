@@ -335,7 +335,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // r12 ReuseAudit measured COLD file reads = 1 (same caveat)
       "q180_lsh_recall_eval" -> "documents",
       // embeds the cached q37 pair machinery (LSH signature frame)
-      "q191_dup_pagerank" -> "documents"
+      "q191_dup_pagerank" -> "documents",
+      // caches the query-term posting join; the two roles are the
+      // index-build tokenize scan (postings + the stats pass a BM25
+      // index persists at build time) and the doc_id<8 pruned
+      // query-doc read (the q161 footer+row-group shape)
+      "q193_bm25_mrr_eval" -> "documents"
     ).map { case (q, t) => q -> Map(t -> 2) }
     val multi: Map[String, Map[String, Int]] = cachedFamily ++ Map(
       "q105_scd2" -> Map("part" -> 2),

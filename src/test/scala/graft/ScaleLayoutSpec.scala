@@ -144,6 +144,43 @@ class ScaleLayoutSpec extends AnyFunSuite {
     val n = SparkEntry.queries("q184_zorder_layout")(spark, sf)
       .agg(sum("n_rows")).collect()(0).getLong(0)
     assert(n == rows.length.toLong)
+    // the documented zValue validity bound: above 65535 a dimension
+    // silently aliases (TPC-H o_custkey crosses it around sf≈0.44) —
+    // assert both audited domains fit the 16-bit space at this sf, so
+    // a testdata regeneration that breaks the premise fails HERE
+    // instead of silently degrading the rectangles
+    assert(rows.map(_._1).max <= 65535L,
+      s"o_custkey ${rows.map(_._1).max} exceeds zValue's 16-bit domain " +
+        "— switch q184 to zValueScaled")
+    assert(rows.map(_._2).max <= 65535L,
+      s"day ${rows.map(_._2).max} exceeds zValue's 16-bit domain")
+  }
+
+  test("zValueScaled keeps clustering beyond the 16-bit domain where zValue aliases") {
+    import spark.implicits._
+    graft.functions.TextFunctions.register(spark)
+    // a 2^20 domain: x strides of 65536 are EXACTLY the aliasing case —
+    // the plain mask folds them all onto x=0
+    val xs = (0L until 16L).map(_ * 65536L)
+    val df = xs.map(x => (x, 0L)).toDF("x", "y")
+      .select(col("x"), col("y"),
+        operators.Layout.zValue(col("x"), col("y")).as("z"),
+        operators.Layout.zValueScaled(col("x"), (1L << 20) - 1,
+          col("y"), 65535L).as("zs"))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).distinct.length == 1,
+      "plain zValue should alias all 65536-strided values into one key")
+    assert(got.map(_._3).distinct.length == got.length,
+      "zValueScaled must separate them (high-order bits interleaved)")
+    // monotone in x ⇒ locality survives: nearby x stay in nearby cells
+    assert(got.sortBy(_._1).map(_._3).sliding(2).forall(p => p(0) < p(1)))
+    // degenerates to zValue exactly when the domain fits 16 bits
+    val small = (0L until 200L by 7L).map(x => (x, (x * 13) % 65536L))
+      .toDF("x", "y")
+      .select(operators.Layout.zValue(col("x"), col("y")).as("z"),
+        operators.Layout.zValueScaled(col("x"), 65535L, col("y"), 65535L)
+          .as("zs"))
+    assert(small.filter(col("z") =!= col("zs")).count() == 0)
   }
 
   test("shard export is balanced, deterministic, one file per shard, and pruned at read") {

@@ -346,4 +346,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(dropped == q84Flagged,
       s"gate drop set != q84 flagged (diff: ${dropped.diff(q84Flagged)} / ${q84Flagged.diff(dropped)})")
   }
+
+  test("q192's lateness profile sizes the watermark; admitted count matches the batch prediction") {
+    // the closed loop the audit exists for: q192 reports the wire's
+    // lateness distribution → the p99 bucket's upper bound becomes
+    // `withWatermark(delay)` → replaying the SAME jittered wire in
+    // arrival order through the event-time window must admit exactly
+    // the rows Spark's published watermark semantics predict (watermark
+    // = prior-batch max event time − delay, a row admitted iff its
+    // window END is past the watermark), and ≥ 99% overall — the
+    // guarantee the p99 sizing bought.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = TestSpark.sf0001
+    graft.functions.TextFunctions.register(spark)
+
+    // 1. the batch audit → p99 delay
+    val prof = SparkEntry.queries("q192_lateness_audit")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = prof.map(_._2).sum
+    // upper bound (µs) of each lateness bucket, as committed in q192
+    val boundUs = Map(0 -> 0L, 1 -> 1000000L, 2 -> 10000000L,
+      3 -> 60000000L, 4 -> 600000000L, 5 -> 3600000000L)
+    var cum = 0L
+    val p99ord = prof.find { case (_, n) => cum += n; cum * 100 >= total * 99 }
+      .map(_._1).get
+    assert(p99ord <= 4, "jitter theorem bounds lateness < 120 s")
+    val delayUs = boundUs(p99ord)
+
+    // 2. the arrival-ordered wire — the exact q192 jitter (q77
+    // discipline: a pure function of event_id)
+    val jit = Dsl.md5h61(concat(lit("arr:"), col("event_id").cast("string"))) %
+      lit(120000000L) - lit(60000000L)
+    val wire = Tables.events(spark, sf)
+      .select(col("ts"), col("event_type"), col("value"),
+        (unix_micros(col("ts")) + jit).as("akey"), col("event_id"))
+      .orderBy("akey", "event_id")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+    assert(wire.length.toLong == total)
+
+    // 3. replay through the existing event-time window in micro-batches
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamIngest.windowedEventCounts(
+      mem.toDF().toDF("ts", "event_type", "value"),
+      s"${delayUs / 1000000} seconds")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_sized")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    val batches = wire.grouped(50).toSeq
+    try {
+      batches.foreach { g => mem.addData(g); q.processAllAvailable() }
+      // sentinel 2 h past the wire closes every real window (append
+      // mode only emits closed windows)
+      val sentinelTs = new Timestamp(wire.map(_._1.getTime).max + 7200000L)
+      mem.addData((sentinelTs, "sentinel", 0.0))
+      q.processAllAvailable()
+      mem.addData((new Timestamp(sentinelTs.getTime + 60000L), "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.table("wm_sized")
+      .filter(col("event_type") =!= "sentinel")
+      .agg(sum("n")).collect()(0).getLong(0)
+
+    // 4. the batch-side prediction from the same wire
+    val delayMs = delayUs / 1000
+    var maxMs = Long.MinValue; var wmMs = 0L; var predicted = 0L
+    batches.foreach { g =>
+      g.foreach { case (ts, _, _) =>
+        val wEndMs = (ts.getTime / 60000L) * 60000L + 60000L
+        if (wEndMs > wmMs) predicted += 1
+      }
+      maxMs = math.max(maxMs, g.map(_._1.getTime).max)
+      wmMs = math.max(wmMs, maxMs - delayMs)
+    }
+    assert(admitted == predicted,
+      s"streamed admitted $admitted != batch-predicted $predicted " +
+        s"(delay ${delayUs / 1000000}s from p99 bucket $p99ord)")
+    assert(admitted * 100 >= total * 99,
+      s"p99-sized watermark admitted only $admitted/$total")
+  }
 }
