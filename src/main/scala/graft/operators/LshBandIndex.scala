@@ -123,15 +123,50 @@ object LshBandIndex {
           .otherwise(0L))
   }
 
+  /** Right-to-be-forgotten delete — the GDPR path a 100 TB persisted
+    * index must have. A physical rewrite per delete request would
+    * re-shuffle the whole index for a handful of ids, so deletes are
+    * TOMBSTONES (the public deletion-vector idea in Delta/Iceberg):
+    * O(batch) append of the ids to `tombstones/`, every probe/admit
+    * anti-joins the (broadcast-scale) tombstone set out of BOTH index
+    * tables, and [[compact]] applies them physically and clears the
+    * set. Idempotent (anti-join of absent rows is a no-op; re-deleting
+    * is harmless). CONSTRAINT: doc ids are append-only — a re-sent
+    * document enters through [[admit]] under a NEW id (the lifecycle's
+    * existing convention), because a resurrected OLD id would be
+    * suppressed by its own tombstone until the next compact. */
+  def delete(spark: SparkSession, docIds: Seq[Long], indexDir: String): Unit = {
+    import spark.implicits._
+    docIds.toDF("doc_id").repartition(1)
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+  }
+
+  private def tombstonesOf(spark: SparkSession, indexDir: String)
+      : Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  private def minusTombstones(df: DataFrame, ts: Option[DataFrame])
+      : DataFrame =
+    ts.map(t => df.join(broadcast(t.select("doc_id")), Seq("doc_id"),
+      "left_anti")).getOrElse(df)
+
   /** Probe only: verified (batch doc, index doc, jaccard) matches of a
     * (doc_id, text) batch against the persisted index — no writes, no
     * batch-internal gate. The index side contributes band rows to the
     * equi-join and shingle sets to the verification; the corpus text is
-    * never touched. */
+    * never touched. Tombstoned (deleted) docs are anti-joined out of
+    * the band side before candidates form, so a forgotten doc can
+    * never match — even before the compact that physically drops it. */
   def probe(spark: SparkSession, batch: DataFrame, indexDir: String)
       : DataFrame = {
     val signed = Dedup.signedSetsOf(spark, batch)
-    val iBands = spark.read.parquet(s"$indexDir/bands")
+    val ts = tombstonesOf(spark, indexDir)
+    val iBands = minusTombstones(
+      spark.read.parquet(s"$indexDir/bands"), ts)
       .select(col("band_id"), col("bh"), col("doc_id").as("index_id"))
     val cand = bandsOf(signed).as("b")
       .join(iBands,
@@ -163,7 +198,11 @@ object LshBandIndex {
       bucketCap: Option[Long] = None): DataFrame = {
     val signed = Dedup.signedSetsOf(spark, batch).cache()
     try {
-      val iBands = spark.read.parquet(s"$indexDir/bands")
+      // tombstoned docs leave the BAND side; candidates then never name
+      // them, so the sets side needs no filter (the verify join drops)
+      val iBands = minusTombstones(
+        spark.read.parquet(s"$indexDir/bands"),
+        tombstonesOf(spark, indexDir))
       val iSets = spark.read.parquet(s"$indexDir/sets")
       val a = audit(signed, iBands, iSets, bucketCap)
         .orderBy("doc_id").localCheckpoint()
@@ -210,11 +249,19 @@ object LshBandIndex {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     def P(s: String) = new org.apache.hadoop.fs.Path(s)
+    // compact is also where tombstones ([[delete]]) are applied
+    // PHYSICALLY: each rewrite anti-joins them out, and the set is
+    // cleared only after BOTH tables are swapped. A crash anywhere
+    // before the clear leaves the tombstones in place — reapplying
+    // them to an already-cleaned table is a no-op, so every crash
+    // state is repaired by recover() + rerun (idempotence; the spec
+    // injects a crash between the clears to pin it).
+    val ts = tombstonesOf(spark, indexDir)
     def rewrite(table: String, partCol: String): Unit = {
       val live = s"$indexDir/$table"
       val tmp = s"$indexDir/${table}_compact_tmp"
       val old = s"$indexDir/${table}_compact_old"
-      spark.read.parquet(live)
+      minusTombstones(spark.read.parquet(live), ts)
         .repartition(col(partCol))
         .write.mode("overwrite").parquet(tmp)
       crashPoint(s"$table:written")
@@ -227,6 +274,9 @@ object LshBandIndex {
     }
     rewrite("bands", "bh")
     rewrite("sets", "doc_id")
+    crashPoint("tombstones:applied")
+    fs.delete(P(s"$indexDir/tombstones"), true)
+    ()
   }
 
   /** Repair a [[compact]] (or a crashed one) to a fully-live index:

@@ -1203,8 +1203,93 @@ object Similarity {
       })
   }
 
+  // ------------------------------------------------------------------
+  // q194 — HARD-NEGATIVE MINING for embedding training: per query, the
+  // top-10 most-similar corpus vectors that are NOT known near-dups of
+  // it. Contrastive training (DPR, SimCSE, E5 — all public recipes)
+  // needs negatives that are hard (high similarity) but not false
+  // (actual duplicates of the anchor); the production shape is exactly
+  // this composition — ANN candidates minus a dedup-index lookup. The
+  // dup set is q41's banded-LSH verified pairs (cosine >= 0.35 among
+  // band-bucket collisions), symmetrized and restricted to the query
+  // side; exclusion is a left-anti join BEFORE the top-10 rank, so a
+  // removed dup promotes the next-hardest candidate (rank over the
+  // surviving set, not a post-filter of a top-k).
+  //
+  // Scale shape: the dup side is LSH-bounded (never all-pairs) and
+  // only pairs touching the <= NQ query ids survive — a broadcast-
+  // scale anti-join input; the candidate side is the q190 harness
+  // shape (corpus x broadcast query rows); row_number <= 10 compiles
+  // to TopKPerGroup's bounded heap. Cosines are the same IEEE sequence
+  // on both engines (the q41/q42 argument), so the full hash oracle
+  // applies.
+  // ------------------------------------------------------------------
+  val hardNegatives: Q = {
+    val NQ = PqEvalQueries
+    Q(
+      "q194_hard_negatives",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val bb = graft.CacheScope.cached(bandedBuckets(s, d))
+        val a = bb.as("a"); val b = bb.as("b")
+        val dupPairs = a.join(b, col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+            (dot("a.e", "b.e") / (col("a.nrm") * col("b.nrm")))
+              .as("cosine"))
+          .distinct()
+          .filter(col("cosine") >= 0.35)
+        val dup = dupPairs.filter(col("va") < NQ)
+          .select(col("va").as("qid"), col("vb").as("vec_id"))
+          .unionByName(dupPairs.filter(col("vb") < NQ)
+            .select(col("vb").as("qid"), col("va").as("vec_id")))
+        val w = normed(s, d)
+        val qs = w.filter(col("vec_id") < NQ)
+          .select(col("vec_id").as("qid"), col("e").as("qe"),
+            col("nrm").as("qnrm"))
+        w.join(broadcast(qs), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), col("label"),
+            (dot("e", "qe") / (col("nrm") * col("qnrm"))).as("cosine"))
+          .join(dup, Seq("qid", "vec_id"), "left_anti")
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("qid")
+              .orderBy(col("cosine").desc, col("vec_id"))))
+          .filter(col("rnk") <= 10)
+          .select(col("qid"), col("rnk").cast("long").as("rnk"),
+            col("vec_id"), col("label"), col("cosine"))
+          .orderBy("qid", "rnk")
+      },
+      Some(s"""WITH $sqlNormed,
+        t AS (SELECT ${sqlPlanes("(SELECT count(*) FROM embeddings)")} AS planes),
+        bb AS (${(0 until NdBands).map(bnd =>
+          s"SELECT vec_id, e, nrm, $bnd AS band, ${sqlBandBucket("e", bnd, "planes")} AS bucket FROM w, t")
+          .mkString(" UNION ALL ")}),
+        dp AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+            ${sqlDot("a.e", "b.e")} / (a.nrm * b.nrm) AS cosine
+          FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+            AND a.vec_id < b.vec_id),
+        dup AS (SELECT va AS qid, vb AS vec_id FROM dp
+            WHERE cosine >= 0.35 AND va < $PqEvalQueries
+          UNION ALL
+          SELECT vb AS qid, va AS vec_id FROM dp
+            WHERE cosine >= 0.35 AND vb < $PqEvalQueries),
+        cand AS (SELECT q.vec_id AS qid, v.vec_id, v.label,
+            ${sqlDot("v.e", "q.e")} / (v.nrm * q.nrm) AS cosine
+          FROM w v JOIN w q
+            ON q.vec_id < $PqEvalQueries AND v.vec_id <> q.vec_id),
+        surv AS (SELECT c.* FROM cand c
+          WHERE NOT EXISTS (SELECT 1 FROM dup
+            WHERE dup.qid = c.qid AND dup.vec_id = c.vec_id)),
+        r AS (SELECT qid, vec_id, label, cosine, row_number() OVER (
+            PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+          FROM surv)
+        SELECT qid, cast(rnk as bigint) AS rnk, vec_id, label, cosine
+        FROM r WHERE rnk <= 10 ORDER BY qid, rnk"""))
+  }
+
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
     annIvf, annIvfIncremental, semanticDedup, multimodalMeta, arrayFuncs,
     pqEncode, pqAdcTopK, pqCodeBalance, pqRerankTopK, pqRecallEval,
-    mrlRecallEval, retrievalMetrics)
+    mrlRecallEval, retrievalMetrics, hardNegatives)
 }

@@ -223,4 +223,61 @@ class LshBandIndexSpec extends AnyFunSuite {
     assert(!all.contains("documents.parquet"),
       "probe plan reads the corpus documents table — index not self-contained")
   }
+
+  test("right-to-be-forgotten: tombstone hides the doc at once; compact applies it physically, crash-safely") {
+    import spark.implicits._
+    val dir = freshIndex()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def exists(sub: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+    val donor = corpusDocs.orderBy("doc_id").limit(1).collect().head
+    val donorId = donor.getLong(0)
+    val repost = Seq((900001L, donor.getString(1) + " extra"))
+      .toDF("doc_id", "text")
+    val before = operators.LshBandIndex.probe(spark, repost, dir)
+      .collect().map(_.getLong(1)).toSet
+    assert(before.contains(donorId),
+      "repost must match its donor before the delete")
+    operators.LshBandIndex.delete(spark, Seq(donorId), dir)
+    // the logical delete is immediate — no compact needed to stop the
+    // forgotten doc from matching
+    val afterDel = operators.LshBandIndex.probe(spark, repost, dir)
+      .collect().map(_.getLong(1)).toSet
+    assert(afterDel == before - donorId,
+      s"tombstone must hide exactly the donor: $afterDel vs $before")
+    if (afterDel.isEmpty) {
+      val verdict = operators.LshBandIndex
+        .admit(spark, repost, dir, appendSurvivors = false)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+      assert(verdict(900001L) == 1L,
+        "with its only twin forgotten, the repost is admitted fresh")
+    }
+    // deleting again is a no-op (idempotence)
+    operators.LshBandIndex.delete(spark, Seq(donorId), dir)
+    // a compact crashed right before the tombstone clear leaves the
+    // tombstones in place; reapplying them to the already-rewritten
+    // tables is a no-op, so the rerun completes the job
+    val ex = intercept[RuntimeException] {
+      operators.LshBandIndex.compactImpl(spark, dir,
+        p => if (p == "tombstones:applied") throw new RuntimeException("boom"))
+    }
+    assert(ex.getMessage == "boom")
+    assert(exists("tombstones"),
+      "crash before the clear must keep the tombstones")
+    operators.LshBandIndex.recover(spark, dir)
+    assert(operators.LshBandIndex.probe(spark, repost, dir)
+      .collect().map(_.getLong(1)).toSet == afterDel)
+    operators.LshBandIndex.compact(spark, dir)
+    assert(!exists("tombstones"), "completed compact clears the tombstones")
+    assert(spark.read.parquet(s"$dir/bands")
+      .filter(col("doc_id") === donorId).count() == 0,
+      "donor band rows must be physically gone after compact")
+    assert(spark.read.parquet(s"$dir/sets")
+      .filter(col("doc_id") === donorId).count() == 0,
+      "donor set rows must be physically gone after compact")
+    assert(operators.LshBandIndex.probe(spark, repost, dir)
+      .collect().map(_.getLong(1)).toSet == afterDel,
+      "probe results unchanged across the physical apply")
+  }
 }

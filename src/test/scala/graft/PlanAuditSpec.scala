@@ -420,6 +420,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // same two-independent-pipelines harness as q167 (ADC vs exact),
       // plus the same cached-frame textual-count caveat
       "q190_retrieval_metrics" -> Map("embeddings" -> 4),
+      // two SEMANTIC roles by design (the q167/q190 argument): the
+      // cached banded dup machinery (corpus scan + adaptive-planes
+      // count(*), q41's shape) prints at its InMemoryTableScan sites,
+      // plus the exact candidate side's corpus scan and its vec_id<10
+      // pruned query slice; at 100 TB the dup side is a PERSISTED
+      // index probe (LshBandIndex discipline), not a recompute
+      "q194_hard_negatives" -> Map("embeddings" -> 4),
       "q97_fuzzy_pairs" -> Map("part" -> 2))
     // Skipped: construction already runs driver-side jobs (model fits,
     // sketch builds, the BPE merge loop) — executing them here pays a

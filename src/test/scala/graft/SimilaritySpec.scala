@@ -318,4 +318,47 @@ class SimilaritySpec extends AnyFunSuite {
       else assert(rr >= 100000L, s"qid $q: rr_q6 $rr < 1e6/10")
     }
   }
+
+  test("q194 hard negatives = exact ranking minus q41 dups; planted dup excluded, removal promotes") {
+    // crafted corpus: vec 0 has an exact dup (1) and a near-dup (2) —
+    // both are FALSE negatives a contrastive batch must not contain
+    val out = SparkEntry.queries("q194_hard_negatives")(spark, sfDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    val dupDir = SparkEntry.queries("q41_embed_neardup_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }.toSet
+    // sanity: the banding caught the planted exact dup
+    assert(dupDir.contains(0L -> 1L), "q41 must find the planted dup")
+    // no returned negative is a known dup; qid 0 excludes BOTH plants
+    out.foreach { case (q, _, v, _) =>
+      assert(!dupDir.contains(q -> v), s"dup ($q,$v) leaked into negatives") }
+    val q0 = out.filter(_._1 == 0L)
+    assert(q0.length == 10 && !q0.exists(_._3 == 1L) && !q0.exists(_._3 == 2L))
+    // ranks are contiguous from 1 and cosine is non-increasing
+    out.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rs.length).toSeq, s"qid $q ranks")
+      assert(sorted.map(_._4).sliding(2).toSeq
+        .forall(p => p.length < 2 || p(0) >= p(1)), s"qid $q cosine order")
+    }
+    // full differential: driver-side exact ranking over the collected
+    // vectors, minus the dup set, must produce the SAME id sequences —
+    // i.e. removing a dup PROMOTES the next-hardest candidate rather
+    // than shortening the list
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.map(i => a(i) * b(i)).sum
+    def cos(a: Long, b: Long) = dot(vecs(a), vecs(b)) /
+      (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b))))
+    for (q <- 0L until 10L) {
+      val expect = vecs.keys.filter(v => v != q && !dupDir.contains(q -> v))
+        .toSeq.map(v => (v, cos(q, v)))
+        .sortBy { case (v, c) => (-c, v) }.take(10).map(_._1)
+      val got = out.filter(_._1 == q).sortBy(_._2).map(_._3).toSeq
+      assert(got == expect, s"qid $q: $got != $expect")
+    }
+  }
 }
