@@ -1609,6 +1609,79 @@ object Dedup {
       bench = true)
   }
 
+  /** q196 — QUALITY-AWARE canonical selection: keep the BEST copy of
+    * each near-dup cluster instead of the first (q69's keep-first is
+    * the cheap default; production web pipelines keep the richest
+    * extraction of a page — e.g. the RefinedWeb/FineWeb line keeps one
+    * representative per cluster, and WHICH one decides the surviving
+    * text quality). Quality here is the q31 richness proxy packed into
+    * ONE exact integer key — qkey = n_uniq · 10¹⁰ + n_tokens (distinct
+    * tokens primary, length secondary; n_tokens < 10¹⁰ keeps the pack
+    * collision-free and the product < 2⁶³) — with doc_id ASC breaking
+    * exact ties; any scorer that yields a deterministic integer (q98b's
+    * p6, q150's NLL) swaps in at the qkey projection.
+    *
+    * Scale shape: cluster membership is the bounded q56 machinery;
+    * best-per-cluster is max(qkey) — a map-combinable groupBy, never a
+    * window — then min(doc_id) over the qkey ties, and the verdict is
+    * one equi-join back on cluster_root; the corpus side computes qkey
+    * scan-locally. Singletons are their own canonical (left-join
+    * coalesce, the q172 convention). */
+  val qualityCanonical: Q = Q(
+    "q196_quality_canonical",
+    (s, d) => {
+      graft.functions.TextFunctions.register(s)
+      // feat is consumed by BOTH the cluster-side quality join and the
+      // final corpus stamp — guard + repartition at the shared source
+      // (the q145/q192 canonical-exchange discipline) so the two
+      // branches reuse ONE tokenize scan instead of re-reading the
+      // corpus per branch
+      val feat = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull)
+        .repartition(col("doc_id"))
+        .withColumn("t", toks(col("text")))
+        .select(col("doc_id"),
+          (size(array_distinct(col("t"))).cast("long") * lit(10000000000L) +
+            size(col("t")).cast("long")).as("qkey"))
+      val members = clustersDf(s, d)
+      val mf = members.join(feat, "doc_id")
+      val best = mf.groupBy("cluster_root").agg(max(col("qkey")).as("bq"))
+      val canon = mf.join(best, "cluster_root")
+        .filter(col("qkey") === col("bq"))
+        .groupBy("cluster_root").agg(min(col("doc_id")).as("canonical_id"))
+      feat.join(members, Seq("doc_id"), "left")
+        .join(canon, Seq("cluster_root"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_root"), col("doc_id")).as("cluster_root"),
+          col("qkey"),
+          coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"),
+          when(coalesce(col("canonical_id"), col("doc_id")) === col("doc_id"),
+            1L).otherwise(0L).as("is_canonical"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $sqlClustersChain,
+      feat AS (SELECT doc_id,
+          cast(len(list_distinct(${sqlToks("text")})) as bigint) * 10000000000
+            + cast(len(${sqlToks("text")}) as bigint) AS qkey
+        FROM documents),
+      mf AS (SELECT c.cluster_root, c.doc_id, f.qkey
+        FROM clusters c JOIN feat f USING (doc_id)),
+      best AS (SELECT cluster_root, max(qkey) AS bq FROM mf GROUP BY 1),
+      canon AS (SELECT mf.cluster_root, min(mf.doc_id) AS canonical_id
+        FROM mf JOIN best ON mf.cluster_root = best.cluster_root
+          AND mf.qkey = best.bq
+        GROUP BY 1)
+      SELECT f.doc_id,
+        coalesce(c.cluster_root, f.doc_id) AS cluster_root,
+        f.qkey,
+        coalesce(n.canonical_id, f.doc_id) AS canonical_id,
+        cast(CASE WHEN coalesce(n.canonical_id, f.doc_id) = f.doc_id
+          THEN 1 ELSE 0 END as bigint) AS is_canonical
+      FROM feat f
+      LEFT JOIN clusters c ON f.doc_id = c.doc_id
+      LEFT JOIN canon n ON c.cluster_root = n.cluster_root
+      ORDER BY f.doc_id"""))
+
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
     ngramJaccardPairs, ngramJaccardDfCap, containmentPairs,
@@ -1616,5 +1689,5 @@ object Dedup {
     dupDegrees, dupBySource, incrementalDedup, substringDedup,
     substringRemoval, paragraphDedupQ, incrementalParagraphDedup,
     withinDocDedup, softDedupWeights, lshRecallEval, memorizationAudit,
-    dupPagerank)
+    dupPagerank, qualityCanonical)
 }

@@ -1186,9 +1186,78 @@ object TextAnalysis {
           FROM top GROUP BY qid ORDER BY qid"""))
   }
 
+  /** q195 — per-source n-gram diversity audit, the SYNTHETIC-DATA
+    * COLLAPSE detector: a model-generated (or template-stamped) source
+    * shows a collapsed 3-gram distribution — low type/token ratio and
+    * a few shingles carrying an outsized share of the mass — long
+    * before any pairwise dedup fires (the diversity-collapse failure
+    * mode described in the model-collapse literature, e.g. Shumailov
+    * et al. 2023). Per source: doc count, 3-gram instances, distinct
+    * 3-gram types, TTR, and the single hottest shingle's mass share
+    * (`top_share` — the template smoking gun; q157 measures the same
+    * idea per doc, this per SOURCE, the granularity at which synthetic
+    * data enters a mixture).
+    *
+    * Scale shape: explode → ONE map-combinable groupBy on (source,
+    * shingle) — parallel across shingles, never a per-source funnel —
+    * then a second tiny groupBy on source over the type counts; the
+    * per-source doc count is a separate 1-column `source` scan (the
+    * q177 narrow-column precedent: cheaper than routing the shingle
+    * explode through a shared exchange). Ratios are single IEEE
+    * divides of exact integers. */
+  val sourceDiversity: Q = Q(
+    "q195_source_diversity",
+    (s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("source"),
+          explode(shingles3(toks(col("text")))).as("sh"))
+        .groupBy("source", "sh").agg(count(lit(1)).as("cnt"))
+      val agg = sh.groupBy("source").agg(
+        sum(col("cnt")).as("n_shingles"),
+        count(lit(1)).as("n_types"),
+        max(col("cnt")).as("top_count"))
+      val docs = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      docs.join(agg, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_types"), lit(0L)).as("n_types"),
+          coalesce(col("top_count"), lit(0L)).as("top_count"),
+          when(coalesce(col("n_shingles"), lit(0L)) > 0,
+            coalesce(col("n_types"), lit(0L)).cast("double") /
+              col("n_shingles")).otherwise(lit(0.0)).as("ttr"),
+          when(coalesce(col("n_shingles"), lit(0L)) > 0,
+            coalesce(col("top_count"), lit(0L)).cast("double") /
+              col("n_shingles")).otherwise(lit(0.0)).as("top_share"))
+        .orderBy("source")
+    },
+    Some(s"""WITH sh AS MATERIALIZED (SELECT source, g.sh AS sh, count(*) AS cnt
+          FROM (SELECT source, ${sqlShingles3(sqlToks("text"))} AS shs
+              FROM documents),
+            unnest(shs) AS g(sh)
+          GROUP BY 1, 2),
+        agg AS (SELECT source, cast(sum(cnt) as bigint) AS n_shingles,
+            cast(count(*) as bigint) AS n_types,
+            cast(max(cnt) as bigint) AS top_count
+          FROM sh GROUP BY 1),
+        docs AS (SELECT source, cast(count(*) as bigint) AS n_docs
+          FROM documents GROUP BY 1)
+        SELECT d.source, d.n_docs,
+          coalesce(a.n_shingles, 0) AS n_shingles,
+          coalesce(a.n_types, 0) AS n_types,
+          coalesce(a.top_count, 0) AS top_count,
+          CASE WHEN coalesce(a.n_shingles, 0) > 0
+            THEN cast(a.n_types as double) / a.n_shingles
+            ELSE 0.0 END AS ttr,
+          CASE WHEN coalesce(a.n_shingles, 0) > 0
+            THEN cast(a.top_count as double) / a.n_shingles
+            ELSE 0.0 END AS top_share
+        FROM docs d LEFT JOIN agg a USING (source)
+        ORDER BY d.source"""))
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
     fingerprint, topTerms, pivotEvents, rareTerms, regexTokens,
     repetitionFilter, madOutliers, blocklistFilter, ngramNovelty, bm25TopK,
     bm25TextbookTopK, adaptiveQualityFilter, markupStrip, gopherRules,
-    gopherRepetition, vocabCoverage, bm25MrrEval)
+    gopherRepetition, vocabCoverage, bm25MrrEval, sourceDiversity)
 }

@@ -474,4 +474,32 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(50L) == ((3, 2, "alpha para\n\nomega para")),
       s"within-doc duplicate paragraph must keep only its first copy: ${rows(50L)}")
   }
+
+  test("q196 canonical is the richest cluster member, not the first; ties fall back to keep-first") {
+    import spark.implicits._
+    val base = (1 to 80).map(i => s"tok${i % 13} word${i % 7} item$i").mkString(" ")
+    val richer = base + " extra1 extra2 extra3 extra4 extra5"
+    val unrelated = (1 to 80).map(i => s"zebra$i quux${i % 5}").mkString(" ")
+    val dir = TestSpark.makeSfDir("documents" -> Seq(
+      (0L, base, "en", "s", base.length.toLong),
+      (1L, richer, "en", "s", richer.length.toLong),
+      (2L, unrelated, "en", "s", unrelated.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = SparkEntry.queries("q196_quality_canonical")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    // 0 and 1 cluster under root 0, but the canonical is the RICHER
+    // later doc 1 — the exact case where keep-first (q69) throws away
+    // the better extraction
+    assert(rows(0L) == ((0L, 1L, 0L)), s"doc 0: ${rows(0L)}")
+    assert(rows(1L) == ((0L, 1L, 1L)), s"doc 1: ${rows(1L)}")
+    // the unrelated singleton is its own canonical
+    assert(rows(2L) == ((2L, 2L, 1L)), s"doc 2: ${rows(2L)}")
+    // exact-tie clusters (shared fixture: docs 0,1,2 have equal qkey)
+    // fall back to the keep-first convention — canonical = min doc_id
+    val tie = SparkEntry.queries("q196_quality_canonical")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(tie(0L) == 0L && tie(1L) == 0L && tie(2L) == 0L,
+      s"tie cluster must keep first: $tie")
+  }
 }

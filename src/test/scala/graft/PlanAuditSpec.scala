@@ -340,7 +340,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // index-build tokenize scan (postings + the stats pass a BM25
       // index persists at build time) and the doc_id<8 pruned
       // query-doc read (the q161 footer+row-group shape)
-      "q193_bm25_mrr_eval" -> "documents"
+      "q193_bm25_mrr_eval" -> "documents",
+      // embeds the cached q56 cluster machinery plus ONE canonical
+      // feat (qkey) exchange shared by both its consumers
+      // (ReuseAudit: reused=1, documents=2 cold)
+      "q196_quality_canonical" -> "documents"
     ).map { case (q, t) => q -> Map(t -> 2) }
     val multi: Map[String, Map[String, Int]] = cachedFamily ++ Map(
       "q105_scd2" -> Map("part" -> 2),
@@ -389,6 +393,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // (1-column pruned ReadSchema) for its broadcast side — cheaper
       // than routing the probe side's rows through a shared exchange
       "q177_source_interleave" -> Map("documents" -> 2),
+      // same narrow-column precedent: the per-source doc count reads
+      // ONLY `source`, separate from the shingle-explode scan
+      "q195_source_diversity" -> Map("documents" -> 2),
       // TEXTUAL count (the q169 caveat): the cached `scored` frame's
       // build — itself a SEMANTIC two-role read (doc text for the NLL
       // model, doc lang for the bucket key) — prints its FileScan body

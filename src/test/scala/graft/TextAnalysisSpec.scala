@@ -325,4 +325,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     val cov = Seq(10, 100, 1000, 10000).map(rows(_)._4)
     assert(cov == cov.sorted, "coverage must be monotone in N")
   }
+
+  test("q195 flags the template-stamped source: collapsed ttr, hot top_share") {
+    import spark.implicits._
+    // "syn": 10 docs, each ONE 3-token template repeated 20x — the
+    // shingle distribution collapses to 3 types cycling forever;
+    // "web": 10 docs of globally unique tokens — every shingle distinct
+    val syn = (1 to 10).map(i =>
+      (100L + i, Seq.fill(20)("buy now deal").mkString(" "), "en", "syn", 260L))
+    val web = (1 to 10).map(i =>
+      (200L + i, (1 to 60).map(j => s"w${i}x$j").mkString(" "), "en", "web", 400L))
+    val dir = TestSpark.makeSfDir("documents" ->
+      (syn ++ web).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = SparkEntry.queries("q195_source_diversity")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    val (synDocs, synSh, synTypes, synTtr, synTop) = rows("syn")
+    val (webDocs, webSh, webTypes, webTtr, webTop) = rows("web")
+    assert(synDocs == 10L && webDocs == 10L)
+    // syn: 60 tokens/doc -> 58 shingle instances, only 3 types total
+    assert(synSh == 580L && synTypes == 3L, s"syn: $synSh/$synTypes")
+    // web: every shingle unique -> ttr exactly 1.0
+    assert(webSh == 580L && webTypes == 580L && webTtr == 1.0)
+    assert(synTtr < 0.01, s"collapsed source ttr $synTtr not flagged")
+    // the hottest syn shingle carries ~1/3 of the mass; web's 1/580
+    assert(synTop > 0.3 && webTop < 0.01,
+      s"top_share syn=$synTop web=$webTop")
+  }
 }
