@@ -1285,7 +1285,8 @@ object Similarity {
             PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
           FROM surv)
         SELECT qid, cast(rnk as bigint) AS rnk, vec_id, label, cosine
-        FROM r WHERE rnk <= 10 ORDER BY qid, rnk"""))
+        FROM r WHERE rnk <= 10 ORDER BY qid, rnk"""),
+      bench = true)
   }
 
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,

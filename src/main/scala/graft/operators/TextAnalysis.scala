@@ -1183,7 +1183,8 @@ object TextAnalysis {
                 THEN rnk END), 0) > 0
               THEN 1000000 // min(CASE WHEN doc_id = qid THEN rnk END)
               ELSE 0 END as bigint) AS rr_q6
-          FROM top GROUP BY qid ORDER BY qid"""))
+          FROM top GROUP BY qid ORDER BY qid"""),
+      bench = true)
   }
 
   /** q195 — per-source n-gram diversity audit, the SYNTHETIC-DATA
