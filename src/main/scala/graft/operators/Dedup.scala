@@ -1682,6 +1682,56 @@ object Dedup {
       LEFT JOIN canon n ON c.cluster_root = n.cluster_root
       ORDER BY f.doc_id"""))
 
+  /** q197 — LEAKAGE-SAFE train/valid/test splits: q78 assigns splits
+    * by per-DOC content hash, which puts a train doc's near-duplicate
+    * into valid/test with probability ≈ the holdout fraction — exactly
+    * the contamination q168 then detects after the fact. This operator
+    * PREVENTS it: the split key is the near-dup CLUSTER root (q56's
+    * verified components; singletons key on themselves), so an entire
+    * duplication cluster moves atomically and no verified near-dup
+    * pair can ever straddle a split — leakage-freedom by construction,
+    * not by audit. Same 80/10/10 salted-hash buckets as q78 (the q77
+    * discipline — deterministic at any parallelism).
+    *
+    * Scale shape: cluster membership is the bounded q56 machinery; the
+    * corpus side is one left join on doc_id plus a scan-local hash
+    * projection — no window, no extra shuffle beyond the cluster join.
+    * The spec proves the guarantee pairwise (no q37 pair straddles)
+    * and shows the naive doc-hash split DOES straddle on a planted
+    * fixture. */
+  val leakageSafeSplits: Q = Q(
+    "q197_leakage_safe_splits",
+    (s, d) => {
+      graft.functions.TextFunctions.register(s)
+      val members = clustersDf(s, d)
+      val withRoot = Tables.documents(s, d).select(col("doc_id"))
+        .join(members, Seq("doc_id"), "left")
+        .withColumn("cluster_root",
+          coalesce(col("cluster_root"), col("doc_id")))
+      val bucket = md5h61(concat(lit("split:"),
+        col("cluster_root").cast("string"))) % 100
+      withRoot
+        .withColumn("bucket", bucket)
+        .select(col("doc_id"), col("cluster_root"), col("bucket"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "valid")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $sqlClustersChain,
+      wr AS (SELECT d.doc_id,
+          coalesce(c.cluster_root, d.doc_id) AS cluster_root
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+      SELECT doc_id, cluster_root,
+        ${sqlMd5h61("'split:' || cast(cluster_root as varchar)")} % 100
+          AS bucket,
+        CASE WHEN ${sqlMd5h61("'split:' || cast(cluster_root as varchar)")}
+            % 100 < 80 THEN 'train'
+          WHEN ${sqlMd5h61("'split:' || cast(cluster_root as varchar)")}
+            % 100 < 90 THEN 'valid'
+          ELSE 'test' END AS split
+      FROM wr ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
     ngramJaccardPairs, ngramJaccardDfCap, containmentPairs,
@@ -1689,5 +1739,5 @@ object Dedup {
     dupDegrees, dupBySource, incrementalDedup, substringDedup,
     substringRemoval, paragraphDedupQ, incrementalParagraphDedup,
     withinDocDedup, softDedupWeights, lshRecallEval, memorizationAudit,
-    dupPagerank, qualityCanonical)
+    dupPagerank, qualityCanonical, leakageSafeSplits)
 }

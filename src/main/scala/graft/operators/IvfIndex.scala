@@ -60,14 +60,87 @@ object IvfIndex {
     }.sortBy(_._2).take(nprobe).map(_._1).toSeq
     val qnrm = math.sqrt(query.map(x => x * x).sum)
     val qe = array(query.map(lit): _*)
-    spark.read.parquet(s"$indexDir/vectors")
-      .filter(col("cell").isin(probes: _*)) // partition pruning = the lookup
+    minusTombstones(spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("cell").isin(probes: _*)), // partition pruning = the lookup
+      tombstonesOf(spark, indexDir))
       .withColumn("qe", qe)
       .withColumn("cosine",
         expr("dot_product(e, qe)") / (col("nrm") * lit(qnrm)))
       .select("vec_id", "label", "cell", "cosine")
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(topK)
+  }
+
+  /** Right-to-be-forgotten delete — [[LshBandIndex.delete]]'s tombstone
+    * discipline applied to the vector index: O(batch) append of the ids
+    * to `tombstones/`, [[query]] anti-joins them out AFTER the
+    * partition-pruned scan (broadcast-scale set, so the lookup shape is
+    * unchanged), and [[applyDeletes]] removes them physically. A
+    * forgotten vector can never be served, even before the physical
+    * apply. Same id-append-only constraint as the LSH twin. */
+  def delete(spark: SparkSession, vecIds: Seq[Long], indexDir: String): Unit = {
+    import spark.implicits._
+    vecIds.toDF("vec_id").repartition(1)
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+  }
+
+  private def tombstonesOf(spark: SparkSession, indexDir: String)
+      : Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  private def minusTombstones(df: DataFrame, ts: Option[DataFrame]): DataFrame =
+    ts.map(t => df.join(broadcast(t.select("vec_id")), Seq("vec_id"),
+      "left_anti")).getOrElse(df)
+
+  /** Physically remove tombstoned vectors, touching ONLY the cell
+    * partitions that contain them (the partition-pruned twin of
+    * [[LshBandIndex.compact]]'s full rewrite — the vectors table is
+    * partitioned by cell, so a delete batch rewrites a handful of
+    * directories, not the corpus). Cells left EMPTY by the delete are
+    * removed with a directory delete — dynamic partition overwrite
+    * only replaces partitions PRESENT in the written data (the
+    * rebalance lesson), so an emptied cell would otherwise keep its
+    * old files alive. The tombstone set is cleared only after all
+    * rewrites; a crash anywhere earlier leaves it in place and the
+    * rerun reapplies harmlessly (idempotent — the spec pins it).
+    * Returns the number of cells rewritten or removed. */
+  def applyDeletes(spark: SparkSession, indexDir: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    tombstonesOf(spark, indexDir) match {
+      case None => 0
+      case Some(ts0) =>
+        val ts = ts0.select("vec_id")
+        val vecs = spark.read.parquet(s"$indexDir/vectors")
+        val touched = vecs.join(broadcast(ts), "vec_id")
+          .groupBy("cell").agg(count(lit(1)).as("n_del"))
+          .collect().map(_.getInt(0)).sorted.toSeq
+        if (touched.nonEmpty) {
+          val survivors = vecs.filter(col("cell").isin(touched: _*))
+            .join(broadcast(ts), Seq("vec_id"), "left_anti")
+            .select("vec_id", "label", "e", "nrm", "cell")
+            .localCheckpoint()
+          val liveCells = survivors.select("cell").distinct()
+            .collect().map(_.getInt(0)).toSet
+          if (liveCells.nonEmpty) {
+            survivors.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("cell").parquet(s"$indexDir/vectors")
+          }
+          survivors.unpersist()
+          for (c <- touched if !liveCells.contains(c)) {
+            fs.delete(new org.apache.hadoop.fs.Path(
+              s"$indexDir/vectors/cell=$c"), true)
+            ()
+          }
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
+        touched.length
+    }
   }
 
   /** Nearest-centroid assignment as a pure scan expression — the

@@ -502,4 +502,47 @@ class DedupSpec extends AnyFunSuite {
     assert(tie(0L) == 0L && tie(1L) == 0L && tie(2L) == 0L,
       s"tie cluster must keep first: $tie")
   }
+
+  test("q197 splits are leakage-free by construction where the doc-hash split leaks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // real testdata first: no q37 verified near-dup pair may straddle
+    val sf = TestSpark.sf0001
+    val split = SparkEntry.queries("q197_leakage_safe_splits")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val pairs = SparkEntry.queries("q37_minhash_lsh_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no pairs — straddle check would be vacuous")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b),
+        s"near-dup pair ($a,$b) straddles ${split(a)}/${split(b)}") }
+    assert(split.values.toSet == Set("train", "valid", "test"),
+      "all three splits must be populated")
+    // the leak the per-DOC hash (q78) would cause: find two ids whose
+    // own buckets land in different splits, plant identical text under
+    // them — q197 must put both in ONE split (the cluster root's)
+    graft.functions.TextFunctions.register(spark)
+    val buckets = (0L until 200L).toDF("id")
+      .select(col("id"), (Dsl.md5h61(concat(lit("split:"),
+        col("id").cast("string"))) % 100).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainId = buckets.find(_._2 < 80).get._1
+    val testId = buckets.find(_._2 >= 90).get._1
+    val text = (1 to 40).map(i => s"tok$i item$i").mkString(" ")
+    val dir = TestSpark.makeSfDir("documents" -> Seq(
+      (trainId, text, "en", "s", text.length.toLong),
+      (testId, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val planted = SparkEntry.queries("q197_leakage_safe_splits")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(3)))).toMap
+    // the per-doc buckets straddle by construction...
+    assert(buckets(trainId) < 80 && buckets(testId) >= 90)
+    // ...but the cluster-atomic split keeps the pair together, keyed
+    // on the min-id root
+    val root = math.min(trainId, testId)
+    assert(planted(trainId)._1 == root && planted(testId)._1 == root)
+    assert(planted(trainId)._2 == planted(testId)._2,
+      s"planted dup pair straddles: $planted")
+  }
 }

@@ -276,4 +276,55 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b },
       "top-k not sorted by cosine")
   }
+
+  test("right-to-be-forgotten: tombstoned vector is never served; applyDeletes prunes only touched cells") {
+    val dir = Files.createTempDirectory("graft-ivf-del").toFile
+    dir.deleteOnExit()
+    operators.IvfIndex.build(spark, sf, dir.getAbsolutePath)
+    val idx = dir.getAbsolutePath
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def exists(sub: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$idx/$sub"))
+    val before = operators.IvfIndex.query(spark, idx, queryVec, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    val victim = before.head._1
+    operators.IvfIndex.delete(spark, Seq(victim), idx)
+    // logical delete is immediate: the victim vanishes, the rest keep
+    // their relative order (next-best promoted into the top-10)
+    val after = operators.IvfIndex.query(spark, idx, queryVec, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(!after.map(_._1).contains(victim), "deleted vector still served")
+    assert(after.map(_._1).take(5).toSeq == before.filter(_._1 != victim)
+      .map(_._1).take(5).toSeq, "survivors must keep their order")
+    // physical apply: only the victim's cell is touched, tombstones
+    // cleared, results unchanged, rerun is a no-op
+    val nCells1 = operators.IvfIndex.applyDeletes(spark, idx)
+    assert(nCells1 == 1, s"one victim -> one touched cell, got $nCells1")
+    assert(!exists("tombstones"))
+    assert(spark.read.parquet(s"$idx/vectors")
+      .filter(col("vec_id") === victim).count() == 0,
+      "victim must be physically gone")
+    val afterApply = operators.IvfIndex.query(spark, idx, queryVec, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(afterApply.map(_._1).toSeq == after.map(_._1).toSeq,
+      "physical apply changed served results")
+    assert(operators.IvfIndex.applyDeletes(spark, idx) == 0,
+      "no tombstones -> no-op")
+    // emptying a whole cell removes its directory (the dynamic-
+    // overwrite blind spot: an emptied cell is NOT in the written
+    // data, so it must be dropped explicitly)
+    val someCell = spark.read.parquet(s"$idx/vectors")
+      .groupBy("cell").count().orderBy("count").limit(1)
+      .collect()(0).getInt(0)
+    val cellVecs = spark.read.parquet(s"$idx/vectors")
+      .filter(col("cell") === someCell)
+      .collect().map(_.getLong(0)).toSeq
+    operators.IvfIndex.delete(spark, cellVecs, idx)
+    operators.IvfIndex.applyDeletes(spark, idx)
+    assert(!exists(s"vectors/cell=$someCell"),
+      s"emptied cell $someCell directory must be removed")
+    assert(spark.read.parquet(s"$idx/vectors")
+      .filter(col("cell") === someCell).count() == 0)
+  }
 }

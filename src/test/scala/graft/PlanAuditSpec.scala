@@ -344,7 +344,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // embeds the cached q56 cluster machinery plus ONE canonical
       // feat (qkey) exchange shared by both its consumers
       // (ReuseAudit: reused=1, documents=2 cold)
-      "q196_quality_canonical" -> "documents"
+      "q196_quality_canonical" -> "documents",
+      // embeds the cached q56 cluster machinery; its own corpus side
+      // is one doc_id-only scan (ReuseAudit: documents=1 cold)
+      "q197_leakage_safe_splits" -> "documents"
     ).map { case (q, t) => q -> Map(t -> 2) }
     val multi: Map[String, Map[String, Int]] = cachedFamily ++ Map(
       "q105_scd2" -> Map("part" -> 2),
