@@ -1289,8 +1289,66 @@ object Similarity {
       bench = true)
   }
 
+  // ------------------------------------------------------------------
+  // q199 — LATE-INTERACTION MaxSim scoring (Khattab & Zaharia 2020,
+  // ColBERT): a multi-vector query scored against multi-vector
+  // documents as Σ over query vectors of the MAX cosine against the
+  // document's vectors — the interaction that single-vector retrieval
+  // (q42) cannot express (each query vector matches its own best doc
+  // region). Here the query is the vec_id < 8 vector set and each
+  // label group plays a multi-vector document (the testdata's grouping
+  // column standing in for per-token document embeddings).
+  //
+  // Determinism: each (doc-group, query-vector) max is a max over
+  // BITWISE-IDENTICAL cosines (the q41/q42 IEEE argument), quantized
+  // floor(·1e9) to an integer BEFORE the per-group sum (q150
+  // discipline — the sum is exact and order-independent; floor of
+  // bit-identical doubles has no boundary risk).
+  //
+  // Scale shape: corpus × a BROADCAST 8-row query set — never doc ×
+  // doc; the (label, qvec) max and the per-label sum are both
+  // map-combinable groupBys; output is |labels| rows. In a production
+  // ColBERT stack the corpus side would first be cut by an ANN
+  // prefilter (q43/q162) — this operator is the exact re-scoring leg.
+  // ------------------------------------------------------------------
+  val maxSimScores: Q = {
+    val NQ = 8
+    Q(
+      "q199_colbert_maxsim",
+      (s, d) => {
+        val w = normed(s, d)
+        val qs = w.filter(col("vec_id") < NQ)
+          .select(col("vec_id").as("qv"), col("e").as("qe"),
+            col("nrm").as("qnrm"))
+        w.crossJoin(broadcast(qs))
+          .select(col("label"), col("qv"),
+            floor((dot("e", "qe") / (col("nrm") * col("qnrm"))) * lit(1e9))
+              .cast("long").as("c_q9"))
+          .groupBy("label", "qv").agg(max(col("c_q9")).as("m_q9"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_qvecs"),
+            sum(col("m_q9")).as("maxsim_q9"))
+          .select(col("label"), col("n_qvecs"), col("maxsim_q9"),
+            (col("maxsim_q9").cast("double") / 1e9).as("maxsim"))
+          .orderBy(desc("maxsim_q9"), asc("label"))
+      },
+      Some(s"""WITH $sqlNormed,
+        qs AS (SELECT vec_id AS qv, e AS qe, nrm AS qnrm FROM w
+          WHERE vec_id < $NQ),
+        c AS (SELECT w.label, qs.qv,
+            cast(floor((${sqlDot("w.e", "qs.qe")} / (w.nrm * qs.qnrm))
+              * 1000000000.0) as bigint) AS c_q9
+          FROM w, qs),
+        m AS (SELECT label, qv, max(c_q9) AS m_q9 FROM c GROUP BY 1, 2)
+        SELECT label, cast(count(*) as bigint) AS n_qvecs,
+          cast(sum(m_q9) as bigint) AS maxsim_q9,
+          cast(sum(m_q9) as double) / 1000000000.0 AS maxsim
+        FROM m GROUP BY label
+        ORDER BY maxsim_q9 DESC, label"""))
+  }
+
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
     annIvf, annIvfIncremental, semanticDedup, multimodalMeta, arrayFuncs,
     pqEncode, pqAdcTopK, pqCodeBalance, pqRerankTopK, pqRecallEval,
-    mrlRecallEval, retrievalMetrics, hardNegatives)
+    mrlRecallEval, retrievalMetrics, hardNegatives, maxSimScores)
 }

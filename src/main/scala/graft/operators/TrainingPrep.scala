@@ -1804,11 +1804,75 @@ object TrainingPrep {
       bench = true)
   }
 
+  /** q198 — prefix-cache savings audit, the BATCH-INFERENCE layout
+    * query: serving stacks reuse the KV cache of a shared token prefix
+    * across requests (the public radix-/prefix-caching design in vLLM
+    * / SGLang), so "how much prefix mass does this corpus share, at
+    * which depths" decides whether prefix-aware request ordering is
+    * worth building. Per prefix depth K ∈ {2,4,8}: eligible docs
+    * (≥ K tokens), distinct K-token prefixes, reuse slots (Σ (n−1)
+    * over prefix groups — every doc after a group's first hits the
+    * cache), saved tokens (· K) and the saved fraction of eligible
+    * token mass. Grouping by the prefix string IS the radix-tree level
+    * — no pairwise comparison anywhere.
+    *
+    * Scale shape: tokenize once; the three depths ride ONE scan via a
+    * 3-element literal explode (rows 3× corpus, cheaper than three
+    * passes); groupBy (k, prefix) is map-combinable; the per-level
+    * rollup is 3 rows. saved_frac = one IEEE divide of exact ints. */
+  val prefixCacheAudit: Q = {
+    val Ks = Seq(2, 4, 8)
+    Q(
+      "q198_prefix_cache_audit",
+      (s, d) => {
+        val ex = Tables.documents(s, d)
+          .select(toks(col("text")).as("t"))
+          .select(explode(typedlit(Ks)).as("k"), col("t"))
+          .filter(size(col("t")) >= col("k"))
+          .select(col("k"),
+            size(col("t")).cast("long").as("dl"),
+            concat_ws(" ", slice(col("t"), lit(1), col("k"))).as("pfx"))
+        ex.groupBy("k", "pfx")
+          .agg(count(lit(1)).as("n"), sum(col("dl")).as("gdl"))
+          .groupBy("k")
+          .agg(sum(col("n")).as("n_docs"),
+            count(lit(1)).as("n_prefixes"),
+            sum(col("gdl")).as("total_tokens"),
+            sum(when(col("n") > 1, col("n") - 1).otherwise(0L))
+              .as("n_reused"),
+            (sum(when(col("n") > 1, col("n") - 1).otherwise(0L)) *
+              col("k")).as("saved_tokens"))
+          .select(col("k"), col("n_docs"), col("n_prefixes"),
+            col("n_reused"), col("saved_tokens"), col("total_tokens"),
+            (col("saved_tokens").cast("double") / col("total_tokens"))
+              .as("saved_frac"))
+          .orderBy("k")
+      },
+      Some(s"""WITH tk AS MATERIALIZED (SELECT ${sqlToks("text")} AS t
+            FROM documents),
+          ks(k) AS (VALUES (2), (4), (8)),
+          ex AS (SELECT ks.k, cast(len(t) as bigint) AS dl,
+              array_to_string(t[1:ks.k], ' ') AS pfx
+            FROM tk, ks WHERE len(t) >= ks.k),
+          g AS (SELECT k, pfx, count(*) AS n, sum(dl) AS gdl
+            FROM ex GROUP BY 1, 2)
+          SELECT k, cast(sum(n) as bigint) AS n_docs,
+            cast(count(*) as bigint) AS n_prefixes,
+            cast(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) as bigint)
+              AS n_reused,
+            cast(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) * k as bigint)
+              AS saved_tokens,
+            cast(sum(gdl) as bigint) AS total_tokens,
+            cast(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) * k as double)
+              / cast(sum(gdl) as bigint) AS saved_frac
+          FROM g GROUP BY k ORDER BY k"""))
+  }
+
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
     bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf,
     approxPercentiles, bloomContamination, fuzzyPairs, heavyHitters,
     weightedSample, oovRate, embeddingQuantize, sequencePacking,
     winnowFingerprints, bpeMerges, bpeEncode, lengthBatchManifest,
     cdcChunks, decontaminateSpans, spanCorruption, wordpieceEncode,
-    unigramViterbi)
+    unigramViterbi, prefixCacheAudit)
 }

@@ -414,6 +414,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // group at any scale), the price of a self-contained oracle; the
       // 100 TB form (pqEncodeScan, codebook collected once) scans once
       "q161_pq_encode" -> Map("embeddings" -> 2),
+      // corpus-vs-query role split (the q42/q58 precedent): the 8-row
+      // query side is a vec_id<8 pruned read broadcast to the probe
+      "q199_colbert_maxsim" -> Map("embeddings" -> 2),
       "q162_pq_adc_topk" -> Map("embeddings" -> 2),
       "q163_pq_code_balance" -> Map("embeddings" -> 2),
       // cached ADC frame (corpus + codebook slice when cold — whether

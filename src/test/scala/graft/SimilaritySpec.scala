@@ -361,4 +361,32 @@ class SimilaritySpec extends AnyFunSuite {
       assert(got == expect, s"qid $q: $got != $expect")
     }
   }
+
+  test("q199 MaxSim equals the driver-side late-interaction sum; planted group wins") {
+    // crafted corpus: label 1 holds exact/near dups of query vecs 0..2,
+    // so its per-qvec maxes hit cosine ~1.0 and it must outrank labels
+    // that only meet the queries at random angles
+    val out = SparkEntry.queries("q199_colbert_maxsim")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._2).forall(_ == 8L), "every label scores all 8 query vecs")
+    assert(out.head._1 == 1, s"planted label 1 must rank first: ${out.toSeq}")
+    // full differential: recompute sum-of-max-quantized-cosines in Scala
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.map(i => a(i) * b(i)).sum
+    def nrm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val qs = rows.filter(_._1 < 8)
+    val expect = rows.map(_._3).distinct.map { lbl =>
+      val members = rows.filter(_._3 == lbl)
+      val score = qs.map { case (_, qe, _) =>
+        members.map { case (_, e, _) =>
+          math.floor(dot(e, qe) / (nrm(e) * nrm(qe)) * 1e9).toLong }.max
+      }.sum
+      lbl -> score
+    }.toMap
+    out.foreach { case (lbl, _, got) =>
+      assert(got == expect(lbl), s"label $lbl: $got != ${expect(lbl)}") }
+  }
 }

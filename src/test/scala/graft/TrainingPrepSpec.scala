@@ -641,4 +641,33 @@ class TrainingPrepSpec extends AnyFunSuite {
     // sanity: the LM actually prefers multi-char pieces where present
     assert(got.contains("the") && got.contains("ing") && got.contains("tion"))
   }
+
+  test("q198 prefix-cache savings match a hand-built radix corpus") {
+    import spark.implicits._
+    // 4 docs share the 2-token prefix "sys prompt"; two of those also
+    // share 4 tokens; one loner shares nothing. K=8: nobody eligible
+    // except the three 8+-token docs, all distinct prefixes.
+    val docs = Seq(
+      (0L, "sys prompt alpha beta gamma delta epsilon zeta", "en", "s", 40L),
+      (1L, "sys prompt alpha beta other tokens here now", "en", "s", 40L),
+      (2L, "sys prompt xx yy", "en", "s", 16L),
+      (3L, "sys prompt zz", "en", "s", 13L),
+      (4L, "lone wolf text", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q198_prefix_cache_audit")(spark, dir)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // K=2: 5 eligible docs, prefixes {sys prompt, lone wolf} -> 2
+    // groups, 3 reuse slots in the first, 0 in the second; saved 3*2=6
+    assert(rows(2) == ((5L, 2L, 3L, 6L)), s"K=2: ${rows(2)}")
+    // K=4: docs 0,1,2 eligible (>=4 tokens): prefixes {sys prompt
+    // alpha beta} x2 + {sys prompt xx yy} -> wait doc 4 has 3 tokens
+    // (ineligible); doc 3 has 3 tokens (ineligible). 1 reuse * 4 = 4
+    assert(rows(4)._3 == 1L && rows(4)._4 == 4L, s"K=4: ${rows(4)}")
+    // K=8: docs 0,1,2? doc 2 has 4 tokens -> only 0,1 eligible, their
+    // 8-token prefixes differ -> zero savings
+    assert(rows(8)._1 == 2L && rows(8)._3 == 0L && rows(8)._4 == 0L,
+      s"K=8: ${rows(8)}")
+  }
 }
