@@ -1557,8 +1557,82 @@ object Relational {
         FROM l GROUP BY 1 ORDER BY 1"""))
   }
 
+  /** q200 — per-user sliding-window burst audit (the rate-limit /
+    * abuse-detection shape): for every event, how many events the SAME
+    * user emitted in the closed 60 s window ending at it; per user,
+    * the peak burst and how many events ran hot (burst ≥ 10). The
+    * naive form — `count OVER (PARTITION BY user ORDER BY ts RANGE 60 s
+    * PRECEDING)` — puts a user's whole LIFETIME in one task's sort
+    * (a bot emitting 10/s for a year is 300M rows); the q192 bucket
+    * decomposition bounds it instead: a 60 s window ending in minute
+    * bucket b can only reach events in buckets b and b−1, so burst =
+    * (within-bucket range count) + (membership count against bucket
+    * b−1's timestamp list, a bounded array). Partitions are (user,
+    * minute) — bounded by 2 minutes of per-user rate, never lifetime.
+    * The ORACLE IS the naive global-per-user window, so the
+    * decomposition is hash-proven equivalent (the q173/q192 pattern).
+    * All comparisons in exact integer microseconds. */
+  val burstAudit: Q = {
+    Q(
+      "q200_burst_audit",
+      (s, d) => {
+        // q192 canonical-exchange discipline: partition by the RAW
+        // (user, minute-bucket) expressions below the projections and
+        // guard nulls at the source, so the within-bucket window and
+        // the neighbor-list aggregate reuse ONE events scan
+        val tusC = unix_micros(col("ts"))
+        val bktC = call_function("div", tusC, lit(60000000L))
+        // the (bktC + 1) guard looks redundant — it is, semantically —
+        // but the left join's inferred isnotnull(bkt + 1) would
+        // otherwise push into only the neighbor-list branch's scan and
+        // de-canonicalize the shared exchange (the q133 trap, in its
+        // shifted-join-key form); with it at the source both scans are
+        // identical and the inference is pruned as already-guaranteed
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"))
+          .filter(col("user_id").isNotNull && bktC.isNotNull &&
+            (bktC + lit(1L)).isNotNull)
+          .repartition(col("user_id"), bktC)
+          .withColumn("tus", tusC)
+          .withColumn("bkt", bktC)
+          .select("user_id", "tus", "bkt")
+        val wIn = Window.partitionBy("user_id", "bkt").orderBy("tus")
+          .rangeBetween(-60000000L, 0L)
+        val withIn = ev.withColumn("n_in", count(lit(1)).over(wIn))
+        val prevLists = ev.groupBy("user_id", "bkt")
+          .agg(collect_list(col("tus")).as("pl"))
+          .select(col("user_id"), (col("bkt") + 1).as("bkt"), col("pl"))
+        val burst = withIn
+          .join(prevLists, Seq("user_id", "bkt"), "left")
+          .withColumn("n_prev",
+            when(col("pl").isNull, lit(0))
+              .otherwise(size(filter(col("pl"),
+                x => x >= col("tus") - lit(60000000L)))))
+          .withColumn("burst", col("n_in") + col("n_prev"))
+        burst.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            max(col("burst")).as("max_burst"),
+            sum(when(col("burst") >= 10, 1L).otherwise(0L)).as("n_hot"))
+          .orderBy("user_id")
+      },
+      // the naive per-user lifetime window IS the oracle: hash
+      // equality proves the two-bucket decomposition
+      Some(s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events
+            WHERE user_id IS NOT NULL),
+          b AS (SELECT user_id,
+              count(*) OVER (PARTITION BY user_id ORDER BY tus
+                RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW)
+                AS burst
+            FROM e)
+          SELECT user_id, cast(count(*) as bigint) AS n_events,
+            cast(max(burst) as bigint) AS max_burst,
+            cast(sum(CASE WHEN burst >= 10 THEN 1 ELSE 0 END) as bigint)
+              AS n_hot
+          FROM b GROUP BY user_id ORDER BY user_id"""))
+  }
+
   val all: Seq[Q] = Seq(
-    rollupMerge, latenessAudit,
+    rollupMerge, latenessAudit, burstAudit,
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
     groupCount, globalCount, distinctSingle, distinctMulti,

@@ -123,4 +123,29 @@ class RelationalSpec extends AnyFunSuite {
       ("only_odd", 1L, 7.0, 7.0, 7.0),
       ("both", 2L, 4.0, 1.5, 2.5)), s"got ${rows.toSeq}")
   }
+
+  test("q200 burst crosses the minute boundary exactly (neighbor-bucket path)") {
+    import spark.implicits._
+    // user 1 fires 12 events one second apart from 10:00:55 to
+    // 10:01:06 — the run STRADDLES the minute boundary, so the last
+    // seven events must count predecessors through the neighbor-bucket
+    // list, not the within-bucket window; burst at the i-th event is
+    // exactly i (span 11 s << 60 s). user 2's events sit 2 min apart.
+    val t0 = java.sql.Timestamp.valueOf("2024-01-05 10:00:54")
+    val ev = (1 to 12).map { i =>
+      (i.toLong, new java.sql.Timestamp(t0.getTime + i * 1000L),
+        1L, "e", 1.0, "")
+    } ++ Seq(
+      (20L, java.sql.Timestamp.valueOf("2024-01-05 11:00:00"), 2L, "e", 1.0, ""),
+      (21L, java.sql.Timestamp.valueOf("2024-01-05 11:02:00"), 2L, "e", 1.0, ""))
+    val dir = TestSpark.makeSfDir("events" ->
+      ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = SparkEntry.queries("q200_burst_audit")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // bursts 1..12 -> max 12, hot (>=10) at events 10,11,12 -> 3
+    assert(rows(1L) == ((12L, 12L, 3L)), s"user 1: ${rows(1L)}")
+    // 2 minutes apart: no window holds both
+    assert(rows(2L) == ((2L, 1L, 0L)), s"user 2: ${rows(2L)}")
+  }
 }
