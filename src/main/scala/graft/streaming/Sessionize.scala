@@ -67,4 +67,66 @@ object Sessionize {
           }
       }
   }
+
+  final case class Burst(user_id: Long, tus: Long, burst: Long)
+  final case class BurstState(within: List[Long])
+
+  /** Streaming twin of q200's sliding-window burst audit: per user,
+    * every event is emitted with the count of same-user events in the
+    * closed 60 s window ending at it. State per user is ONLY the
+    * timestamps still inside the horizon of the newest event seen —
+    * bounded by 60 s × per-user rate, never lifetime (the same bound
+    * q200's bucket decomposition buys the batch side), and evicted via
+    * the event-time timeout once the watermark passes the horizon.
+    *
+    * In-order delivery (within a micro-batch the iterator is sorted
+    * here; across batches the caller's source order) reproduces the
+    * batch audit exactly — StreamingSessionSpec replays a wire through
+    * both paths and asserts per-event equality. An out-of-order event
+    * inside the watermark still gets a correct count of its OWN
+    * predecessors (the state keeps everything in the newest horizon),
+    * but cannot retroactively raise counts already emitted — the
+    * documented streaming-vs-batch gap, the same one windowed
+    * aggregation has before the watermark closes a window. Tied
+    * timestamps likewise count only their predecessors in arrival
+    * order, where the batch RANGE frame counts the whole tie group
+    * for every member — equality holds when per-user timestamps are
+    * unique (true of the driver wire; the spec's fixture keeps it). */
+  def burstCounts(events: Dataset[Evt],
+      horizonSeconds: Long = 60): Dataset[Burst] = {
+    implicit val evtEnc = Encoders.product[Evt]
+    implicit val outEnc = Encoders.product[Burst]
+    implicit val stateEnc = Encoders.product[BurstState]
+    implicit val longEnc = Encoders.scalaLong
+    val horizonUs = horizonSeconds * 1000000L
+
+    events
+      .withWatermark("ts", s"${2 * horizonSeconds} seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Evt], state: GroupState[BurstState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // full-microsecond extraction: getTime truncates to ms and
+            // would diverge from the batch side's unix_micros
+            val sorted = batch.toSeq
+              .map(e => (e.ts.getTime / 1000) * 1000000L +
+                e.ts.getNanos / 1000)
+              .sorted
+            var within = state.getOption.map(_.within).getOrElse(Nil)
+            val out = sorted.map { tus =>
+              val lo = tus - horizonUs
+              val n = within.count(x => x >= lo && x <= tus) + 1L
+              within ::= tus
+              Burst(userId, tus, n)
+            }
+            val maxT = within.max
+            within = within.filter(_ >= maxT - horizonUs)
+            state.update(BurstState(within))
+            state.setTimeoutTimestamp(maxT / 1000 + 2 * horizonSeconds * 1000 + 1)
+            out.iterator
+          }
+      }
+  }
 }

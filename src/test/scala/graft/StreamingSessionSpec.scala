@@ -91,4 +91,48 @@ class StreamingSessionSpec extends AnyFunSuite {
       (1L, ts("2026-02-01 10:00:00"), ts("2026-02-01 10:00:00"), 1),
       (3L, ts("2026-02-01 09:00:00"), ts("2026-02-01 09:00:00"), 1)))
   }
+
+  test("streaming burst counts equal the batch q200 window on the driver wire") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // the real driver wire, in event-time order (unique (user, ts) —
+    // verified in the fixture data), replayed through the stateful
+    // stream; the reference is the NAIVE per-event batch window (the
+    // q200 oracle form)
+    val sf = TestSpark.sf0001
+    val wire = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .orderBy(col("ts"), col("user_id"))
+      .collect().map(r => Evt(r.getLong(0), r.getTimestamp(1), r.getString(2)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tus").rangeBetween(-60000000L, 0L)
+    val batch = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("burst", count(lit(1)).over(w))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val mem = MemoryStream[Evt]
+    val q = Sessionize.burstCounts(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("burst_stream").start()
+    try {
+      wire.grouped(200).foreach { g => mem.addData(g.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("burst_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed.size == batch.size,
+      s"row counts differ: ${streamed.size} vs ${batch.size}")
+    streamed.foreach { case (k, v) =>
+      assert(batch(k) == v, s"event $k: streamed $v != batch ${batch(k)}") }
+    // and the per-user rollup equals the q200 registry audit
+    val agg = streamed.toSeq.groupBy(_._1._1).map { case (u, rs) =>
+      u -> ((rs.size.toLong, rs.map(_._2).max, rs.count(_._2 >= 10).toLong)) }
+    val q200 = SparkEntry.queries("q200_burst_audit")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(agg == q200, "streamed rollup diverges from the batch audit")
+  }
 }
