@@ -1732,6 +1732,95 @@ object Dedup {
           ELSE 'test' END AS split
       FROM wr ORDER BY doc_id"""))
 
+  /** q205 — dedup THRESHOLD-SWEEP curve: what each Jaccard cutoff
+    * t ∈ {0.5 … 0.9} would cost — qualifying pairs, docs dropped under
+    * the deterministic pair-greedy rule (a doc is dropped iff it has a
+    * qualifying pair with a LOWER doc_id — exactly q69's keep-first
+    * applied per pair), and the dropped distinct-shingle mass — the
+    * tuning audit run BEFORE committing a threshold to a 100 TB dedup
+    * pass, where re-running the pipeline per candidate t is the thing
+    * you cannot afford. All five thresholds ride ONE pass over
+    * [[cappedPairIntersections]]'s candidate-bounded pair frame via a
+    * 5-element literal explode (the q198 multi-depth discipline).
+    *
+    * Determinism: the threshold test is the exact integer cross-
+    * multiplication n_shared·10 ≥ t10·(szA+szB−n_shared) — no double
+    * ever compared against a cutoff (stronger than q121, whose single
+    * pinned 0.5 is safe only because both engines build the identical
+    * double); masses and counts are integers; the one double division
+    * (dropped fraction) happens on bitwise-equal integer pairs.
+    *
+    * Scale shape: pair frame is candidate-bounded (df-cap) and the
+    * sweep multiplies it by 5 literals — never re-derives it; dropped
+    * docs per t are a (t10, doc_b) distinct-agg (map-combinable) over
+    * qualifying pairs; output is 5 rows left-joined from the literal
+    * threshold table so an empty threshold band still reports zeros. */
+  val thresholdCurve: Q = Q(
+    "q205_dedup_threshold_curve",
+    (s, d) => {
+      val spark2 = s
+      import spark2.implicits._
+      val (sets, inter) = cappedPairIntersections(s, d)
+      val sz = sets.select(col("doc_id"), size(col("sh")).cast("long").as("sz"))
+      val qual = graft.CacheScope.cached(inter
+        .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          (col("sa.sz") + col("sb.sz") - col("n_shared")).as("uni"),
+          col("sb.sz").as("szb"),
+          explode(typedlit(Seq(5L, 6L, 7L, 8L, 9L))).as("t10"))
+        .filter(col("n_shared") * 10 >= col("t10") * col("uni")))
+      val nPairs = qual.groupBy("t10").agg(count(lit(1)).as("n_pairs"))
+      val dropped = qual.groupBy("t10", "doc_b")
+        .agg(min(col("szb")).as("szb"))
+        .groupBy("t10")
+        .agg(count(lit(1)).as("n_docs_dropped"),
+          sum(col("szb")).as("dropped_mass"))
+      val totals = sz.agg(count(lit(1)).as("corpus_docs"),
+        sum(col("sz")).as("corpus_mass"))
+      Seq(5L, 6L, 7L, 8L, 9L).toDF("t10")
+        .crossJoin(broadcast(totals))
+        .join(nPairs, Seq("t10"), "left")
+        .join(dropped, Seq("t10"), "left")
+        .select(col("t10"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"),
+          coalesce(col("dropped_mass"), lit(0L)).as("dropped_mass"),
+          col("corpus_docs"),
+          (coalesce(col("n_docs_dropped"), lit(0L)).cast("double") /
+            col("corpus_docs")).as("dropped_doc_frac"))
+        .orderBy("t10")
+    },
+    Some(s"""WITH $sqlShingleSets,
+      $sqlCappedInterChain,
+      th(t10) AS (VALUES (5), (6), (7), (8), (9)),
+      qual AS MATERIALIZED (SELECT th.t10, i.doc_a, i.doc_b, i.n_shared,
+          sb.sz AS szb
+        FROM inter i
+        JOIN sz sa ON i.doc_a = sa.doc_id
+        JOIN sz sb ON i.doc_b = sb.doc_id
+        CROSS JOIN th
+        WHERE i.n_shared * 10 >= th.t10 * (sa.sz + sb.sz - i.n_shared)),
+      np AS (SELECT t10, cast(count(*) as bigint) AS n_pairs
+        FROM qual GROUP BY 1),
+      dr AS (SELECT t10, cast(count(*) as bigint) AS n_docs_dropped,
+          cast(sum(szb) as bigint) AS dropped_mass
+        FROM (SELECT t10, doc_b, min(szb) AS szb FROM qual GROUP BY 1, 2)
+        GROUP BY 1),
+      tot AS (SELECT cast(count(*) as bigint) AS corpus_docs,
+          cast(sum(sz) as bigint) AS corpus_mass FROM sz)
+      SELECT cast(th.t10 as bigint) AS t10,
+        coalesce(np.n_pairs, 0) AS n_pairs,
+        coalesce(dr.n_docs_dropped, 0) AS n_docs_dropped,
+        coalesce(dr.dropped_mass, 0) AS dropped_mass,
+        tot.corpus_docs,
+        cast(coalesce(dr.n_docs_dropped, 0) as double) / tot.corpus_docs
+          AS dropped_doc_frac
+      FROM th CROSS JOIN tot
+      LEFT JOIN np ON np.t10 = th.t10
+      LEFT JOIN dr ON dr.t10 = th.t10
+      ORDER BY t10"""))
+
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
     ngramJaccardPairs, ngramJaccardDfCap, containmentPairs,
@@ -1739,5 +1828,5 @@ object Dedup {
     dupDegrees, dupBySource, incrementalDedup, substringDedup,
     substringRemoval, paragraphDedupQ, incrementalParagraphDedup,
     withinDocDedup, softDedupWeights, lshRecallEval, memorizationAudit,
-    dupPagerank, qualityCanonical, leakageSafeSplits)
+    dupPagerank, qualityCanonical, leakageSafeSplits, thresholdCurve)
 }

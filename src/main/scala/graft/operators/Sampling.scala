@@ -466,7 +466,110 @@ object Sampling {
         doc_id, source, okey
       FROM top ORDER BY rank"""))
 
+  // ------------------------------------------------------------------
+  // q204 — DATA-CONSTRAINED token accounting (Muennighoff et al. 2023,
+  // "Scaling Data-Constrained Language Models"): when the target
+  // mixture wants more tokens from a source than it has UNIQUE tokens,
+  // the source gets repeated for multiple epochs — and repeated tokens
+  // are worth less. This audit answers, per source, under a UNIFORM
+  // target mixture at budget B = 2 × Σ unique tokens (both pinned
+  // audit parameters — in production the recipe's shares go here):
+  // how many epochs does the allocation force, and what
+  // effective-token mass does it actually buy?
+  //
+  // Unique mass U_s comes from exact within-source dedup (the q35
+  // content-hash convention — identical text ⇒ identical ntok, so
+  // min(ntok) per hash IS the value). Epoch k's tokens are valued at
+  // 2⁻ᵏ via integer right-shift — a PINNED dyadic decay standing in
+  // for the paper's fitted repeated-epoch decay (their finding:
+  // value ≈ 0 past ~16 epochs; the 40-epoch horizon caps the explode
+  // and drops only mass below U >> 40). effective = Σ_{k<e_full}
+  // (U >> k) + (rem >> e_full) where alloc = e_full·U + rem — every
+  // step integer `div`/`%`/`>>`, no float until the single final
+  // efficiency division (both engines divide the same two integers).
+  //
+  // Scale shape: ONE documents scan → (source, hash) partial agg →
+  // |sources|-row cached frame; everything downstream (totals, the
+  // ≤41-element epoch explode, the audit join) is |sources|-scale.
+  // Never a window, never a second corpus pass.
+  // ------------------------------------------------------------------
+  val dataConstrained: Q = Q(
+    "q204_data_constrained",
+    (s, d) => {
+      graft.functions.TextFunctions.register(s)
+      val docs = Tables.documents(s, d)
+        .select(col("source"), md5h61(col("text")).as("h"),
+          size(toks(col("text"))).cast("long").as("ntok"))
+      val uniq = docs.groupBy("source", "h")
+        .agg(min(col("ntok")).as("ntok"), count(lit(1)).as("n_copies"))
+      val perSrc = graft.CacheScope.cached(uniq.groupBy("source")
+        .agg(sum(col("n_copies")).as("n_docs"),
+          count(lit(1)).as("n_unique"),
+          sum(col("ntok")).as("u_tokens"))
+        .filter(col("u_tokens") > 0))
+      val totals = perSrc.agg(sum(col("u_tokens")).as("u_total"),
+        count(lit(1)).as("n_sources"))
+      val base = perSrc.crossJoin(broadcast(totals))
+        .withColumn("alloc", expr("(2 * u_total) div n_sources"))
+        .withColumn("e_full", expr("alloc div u_tokens"))
+        .withColumn("rem", expr("alloc % u_tokens"))
+      val eff = base
+        .select(col("source"), col("u_tokens"), col("e_full"), col("rem"),
+          explode(expr("sequence(cast(0 as bigint), " +
+            "least(e_full, cast(40 as bigint)))")).as("k"))
+        .select(col("source"),
+          when(col("k") < col("e_full"),
+            expr("shiftright(u_tokens, cast(k as int))"))
+            .otherwise(expr("shiftright(rem, cast(k as int))")).as("c"))
+        .groupBy("source").agg(sum(col("c")).as("effective_tokens"))
+      base.join(eff, "source")
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          col("u_tokens"), col("alloc"),
+          (col("e_full") + when(col("rem") > 0, lit(1L)).otherwise(lit(0L)))
+            .as("epochs"),
+          col("effective_tokens"),
+          when(col("alloc") > 0,
+            col("effective_tokens").cast("double") / col("alloc"))
+            .otherwise(lit(0.0)).as("efficiency"))
+        .orderBy("source")
+    },
+    Some(s"""WITH docs AS MATERIALIZED (SELECT source,
+          ${sqlMd5h61("text")} AS h,
+          cast(len(${sqlToks("text")}) as bigint) AS ntok
+        FROM documents),
+      uniq AS (SELECT source, h, min(ntok) AS ntok,
+          count(*) AS n_copies
+        FROM docs GROUP BY 1, 2),
+      per_src AS MATERIALIZED (SELECT source,
+          cast(sum(n_copies) as bigint) AS n_docs,
+          cast(count(*) as bigint) AS n_unique,
+          cast(sum(ntok) as bigint) AS u_tokens
+        FROM uniq GROUP BY 1 HAVING sum(ntok) > 0),
+      totals AS (SELECT cast(sum(u_tokens) as bigint) AS u_total,
+          cast(count(*) as bigint) AS n_sources FROM per_src),
+      base AS MATERIALIZED (SELECT source, n_docs, n_unique, u_tokens,
+          (2 * u_total) // n_sources AS alloc,
+          ((2 * u_total) // n_sources) // u_tokens AS e_full,
+          ((2 * u_total) // n_sources) % u_tokens AS rem
+        FROM per_src, totals),
+      ks AS (SELECT source, u_tokens, e_full, rem,
+          unnest(generate_series(0::BIGINT, least(e_full, 40))) AS k
+        FROM base),
+      eff AS (SELECT source, cast(sum(CASE WHEN k < e_full
+            THEN u_tokens >> k ELSE rem >> k END) as bigint)
+            AS effective_tokens
+        FROM ks GROUP BY 1)
+      SELECT b.source, b.n_docs, b.n_unique, b.u_tokens, b.alloc,
+        cast(b.e_full + CASE WHEN b.rem > 0 THEN 1 ELSE 0 END as bigint)
+          AS epochs,
+        e.effective_tokens,
+        CASE WHEN b.alloc > 0
+          THEN cast(e.effective_tokens as double) / b.alloc
+          ELSE 0.0 END AS efficiency
+      FROM base b JOIN eff e USING (source)
+      ORDER BY b.source"""))
+
   val all: Seq[Q] = Seq(hashSample, stratifiedSplit, groupQuotaSample,
     temperatureSample, dsirResample, budgetMix, epochShuffle,
-    sourceInterleave)
+    sourceInterleave, dataConstrained)
 }

@@ -1347,8 +1347,91 @@ object Similarity {
         ORDER BY maxsim_q9 DESC, label"""))
   }
 
+  // ------------------------------------------------------------------
+  // q202 — TRAINING-DATA ATTRIBUTION probe: for each doc in a FIXED
+  // probe panel of held-out eval docs (the q84 split convention
+  // doc_id % 10 == 0, bounded by the id cutoff < 1000 — a panel is a
+  // pinned audit artifact, NOT "all eval docs": 10% of a 100 TB corpus
+  // is not broadcastable, a 100-doc panel always is), the single
+  // nearest TRAIN doc by embedding cosine, corroborated lexically with
+  // the matched pair's shared distinct 3-gram count — the cheap
+  // influence proxy behind "which training document is this output
+  // closest to" audits (the retrieval stage of attribution methods
+  // in the data-influence literature; embedding nearest-neighbor +
+  // n-gram overlap is the standard first-pass evidence pair).
+  //
+  // Scale shape: normed corpus cached ONCE (both the panel filter and
+  // the train side read the same cache — one embeddings scan); panel
+  // broadcast against the corpus, top-1 per eval compiles to
+  // TopKPerGroup's bounded heap; the expensive shingle projection is
+  // restricted to the ≤ 2·|panel| matched docs via a broadcast
+  // semi-join BEFORE tokenization, so documents is scanned once and
+  // shingling cost is panel-bounded, never corpus-bounded. Cosines are
+  // the bitwise-identical q42 sequence; the shingle intersection is an
+  // exact integer.
+  // ------------------------------------------------------------------
+  val attributionProbe: Q = Q(
+    "q202_attribution_probe",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.TextFunctions.register(s)
+      val w = graft.CacheScope.cached(normed(s, d))
+      val ev = w.filter(col("vec_id") % 10 === 0 && col("vec_id") < 1000)
+        .select(col("vec_id").as("eval_id"), col("e").as("qe"),
+          col("nrm").as("qnrm"))
+      val matched = graft.CacheScope.cached(
+        w.filter(col("vec_id") % 10 =!= 0)
+          .crossJoin(broadcast(ev))
+          .select(col("eval_id"), col("vec_id").as("train_id"),
+            (dot("e", "qe") / (col("nrm") * col("qnrm"))).as("cosine"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("eval_id")
+              .orderBy(col("cosine").desc, col("train_id"))))
+          .filter(col("rnk") === 1)
+          .select("eval_id", "train_id", "cosine"))
+      val needed = matched.select(col("eval_id").as("doc_id"))
+        .union(matched.select(col("train_id").as("doc_id")))
+        .distinct()
+      val sh = graft.CacheScope.cached(
+        Tables.documents(s, d)
+          .join(broadcast(needed), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            array_distinct(shingles3(toks(col("text")))).as("g")))
+      matched
+        .join(sh.select(col("doc_id").as("eval_id"), col("g").as("ga")),
+          "eval_id")
+        .join(sh.select(col("doc_id").as("train_id"), col("g").as("gb")),
+          "train_id")
+        .select(col("eval_id"), col("train_id"), col("cosine"),
+          size(array_intersect(col("ga"), col("gb")))
+            .cast("long").as("shared_3grams"))
+        .orderBy("eval_id")
+    },
+    Some(s"""WITH $sqlNormed,
+      ev AS (SELECT vec_id AS eval_id, e AS qe, nrm AS qnrm FROM w
+        WHERE vec_id % 10 = 0 AND vec_id < 1000),
+      c AS (SELECT ev.eval_id, w.vec_id AS train_id,
+          ${sqlDot("w.e", "ev.qe")} / (w.nrm * ev.qnrm) AS cosine
+        FROM w, ev WHERE w.vec_id % 10 <> 0),
+      m AS (SELECT eval_id, train_id, cosine FROM (
+          SELECT eval_id, train_id, cosine, row_number() OVER (
+            PARTITION BY eval_id ORDER BY cosine DESC, train_id) AS rnk
+          FROM c)
+        WHERE rnk = 1),
+      sh AS (SELECT doc_id,
+          list_distinct(${sqlShingles3(sqlToks("text"))}) AS g
+        FROM documents
+        WHERE doc_id IN (SELECT eval_id FROM m
+          UNION SELECT train_id FROM m))
+      SELECT m.eval_id, m.train_id, m.cosine,
+        cast(len(list_intersect(a.g, b.g)) as bigint) AS shared_3grams
+      FROM m JOIN sh a ON m.eval_id = a.doc_id
+        JOIN sh b ON m.train_id = b.doc_id
+      ORDER BY m.eval_id"""))
+
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
     annIvf, annIvfIncremental, semanticDedup, multimodalMeta, arrayFuncs,
     pqEncode, pqAdcTopK, pqCodeBalance, pqRerankTopK, pqRecallEval,
-    mrlRecallEval, retrievalMetrics, hardNegatives, maxSimScores)
+    mrlRecallEval, retrievalMetrics, hardNegatives, maxSimScores,
+    attributionProbe)
 }

@@ -1256,9 +1256,143 @@ object TextAnalysis {
         FROM docs d LEFT JOIN agg a USING (source)
         ORDER BY d.source"""))
 
+  /** q201 — per-source vocabulary drift: χ² distance between each
+    * source's unigram distribution and the corpus mixture, over the
+    * top-100 corpus terms — the mixture-drift monitor that flags a
+    * source whose language shifted (a scraper gone wrong, a synthetic
+    * source leaking templates, a new crawl snapshot changing register)
+    * BEFORE it moves downstream metrics. χ² instead of KL on purpose:
+    * KL needs ln() (libm, engine-divergent on data-dependent values —
+    * the q188 literal trick only works for pinned vocabularies), while
+    * χ² = Σ (p_s − p_c)²/p_c is pure +,−,×,÷ — the same IEEE sequence
+    * on both engines. Each term's contribution is quantized
+    * floor(·10¹²) BEFORE the per-source sum (q150 discipline: exact
+    * integer sum, order-independent, no boundary risk on bitwise-
+    * identical doubles).
+    *
+    * Scale shape: ONE tokenize scan → (source, term) counts
+    * (map-combinable, vocabulary-bounded); corpus counts, per-source
+    * totals and the grand total all derive from that frame (cached —
+    * never a second corpus pass); top-100 selection is
+    * TakeOrderedAndProject with the (cnt DESC, w) tie-break — never a
+    * vocab-sized global window (the q182 trap); the scoring join is
+    * |sources| × 100 broadcast rows. */
+  val sourceDrift: Q = Q(
+    "q201_source_drift",
+    (s, d) => {
+      val sw = graft.CacheScope.cached(
+        Tables.documents(s, d)
+          .select(col("source"), explode(toks(lower(col("text")))).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("c_sw")))
+      val cw = sw.groupBy("w").agg(sum(col("c_sw")).as("c_w"))
+      val top = cw.orderBy(desc("c_w"), asc("w")).limit(100)
+      val ns = sw.groupBy("source").agg(sum(col("c_sw")).as("n_s"))
+      val tot = cw.agg(sum(col("c_w")).as("n_tot"))
+      val grid = ns.crossJoin(broadcast(top)).crossJoin(broadcast(tot))
+      val scored = grid
+        .join(sw, Seq("source", "w"), "left")
+        .withColumn("c_sw", coalesce(col("c_sw"), lit(0L)))
+        .withColumn("p_s", col("c_sw").cast("double") / col("n_s"))
+        .withColumn("p_c", col("c_w").cast("double") / col("n_tot"))
+        .withColumn("contrib_q12",
+          floor((col("p_s") - col("p_c")) * (col("p_s") - col("p_c")) /
+            col("p_c") * lit(1e12)).cast("long"))
+      scored.groupBy("source")
+        .agg(min(col("n_s")).as("n_tokens"),
+          sum(col("contrib_q12")).as("chi2_q12"))
+        .select(col("source"), col("n_tokens"), col("chi2_q12"),
+          (col("chi2_q12").cast("double") / 1e12).as("chi2"))
+        .orderBy(desc("chi2_q12"), asc("source"))
+    },
+    Some(s"""WITH sw AS MATERIALIZED (SELECT source, g.w AS w,
+          count(*) AS c_sw
+        FROM (SELECT source, ${sqlToks("lower(text)")} AS t FROM documents),
+          unnest(t) AS g(w)
+        GROUP BY 1, 2),
+      cw AS MATERIALIZED (SELECT w, cast(sum(c_sw) as bigint) AS c_w
+        FROM sw GROUP BY 1),
+      top AS (SELECT w, c_w FROM cw ORDER BY c_w DESC, w LIMIT 100),
+      ns AS (SELECT source, cast(sum(c_sw) as bigint) AS n_s
+        FROM sw GROUP BY 1),
+      tot AS (SELECT cast(sum(c_w) as bigint) AS n_tot FROM cw),
+      grid AS (SELECT ns.source, ns.n_s, top.w, top.c_w, tot.n_tot
+        FROM ns, top, tot),
+      scored AS (SELECT g.source, g.n_s,
+          cast(floor((cast(coalesce(sw.c_sw, 0) as double) / g.n_s
+              - cast(g.c_w as double) / g.n_tot)
+            * (cast(coalesce(sw.c_sw, 0) as double) / g.n_s
+              - cast(g.c_w as double) / g.n_tot)
+            / (cast(g.c_w as double) / g.n_tot) * 1000000000000.0)
+            as bigint) AS contrib_q12
+        FROM grid g LEFT JOIN sw ON g.source = sw.source AND g.w = sw.w)
+      SELECT source, cast(min(n_s) as bigint) AS n_tokens,
+        cast(sum(contrib_q12) as bigint) AS chi2_q12,
+        cast(sum(contrib_q12) as double) / 1000000000000.0 AS chi2
+      FROM scored GROUP BY source
+      ORDER BY chi2_q12 DESC, source"""))
+
+  /** q203 — EXACT corpus quantiles (p50/p90/p99/p999 of per-doc token
+    * counts) without a global sort: the length-distribution audit every
+    * packing/batching decision reads (q115's sequence length, q173's
+    * padding waste both key off these numbers), computed exactly — not
+    * approx_percentile, whose error bound is useless for a p999 SLO
+    * claim — via the two-level histogram decomposition: ONE tokenize
+    * scan builds the value histogram (v → cnt), a running sum over THE
+    * HISTOGRAM (bounded frame: distinct per-doc token counts are capped
+    * by the max document length — thousands of rows at 100 TB, never
+    * corpus-sized; the q182/q173 precedent) turns it into cumulative
+    * ranks (N itself rides the same pass as a full-frame sum — no
+    * second scan branch, no scalar agg), and each quantile's target
+    * rank k = ceil(q·N) lands in exactly one row's (cum−cnt, cum]
+    * interval — a 4-element literal explode + interval filter, no join
+    * at all. Rank selection semantics (lowest value whose rank ≥ k) match
+    * the oracle's row_number-over-full-sort EXACTLY; the oracle IS the
+    * naive global sort, so the decomposition is hash-proven. All
+    * arithmetic is exact integers (k via integer `div` ceil — never a
+    * double `/` on row counts, the q181 lesson). */
+  val exactQuantiles: Q = Q(
+    "q203_exact_quantiles",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables.documents(s, d)
+        .select(size(toks(col("text"))).cast("long").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+      // N rides the SAME single-partition histogram sort as the running
+      // sum (full-frame window) — no second scan branch, no scalar agg
+      val cum = hist.select(col("v"), col("cnt"),
+        sum(col("cnt")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)).as("cum"),
+        sum(col("cnt")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("n"))
+      cum.select(col("v"), col("cnt"), col("cum"),
+          explode(typedlit(Seq(("p50", 1L, 2L), ("p90", 9L, 10L),
+            ("p99", 99L, 100L), ("p999", 999L, 1000L)))).as("q"),
+          col("n"))
+        .withColumn("krank", expr("(q._2 * n + q._3 - 1) div q._3"))
+        .filter(col("cum") >= col("krank") &&
+          col("cum") - col("cnt") < col("krank"))
+        .select(col("q._1").as("label"), col("krank"), col("v").as("value"))
+        .orderBy("label")
+    },
+    Some(s"""WITH tc AS MATERIALIZED (SELECT
+          cast(len(${sqlToks("text")}) as bigint) AS v FROM documents),
+      n AS (SELECT cast(count(*) as bigint) AS n FROM tc),
+      r AS MATERIALIZED (SELECT v,
+          row_number() OVER (ORDER BY v) AS rn FROM tc),
+      q(label, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10),
+        ('p99', 99, 100), ('p999', 999, 1000))
+      SELECT q.label,
+        cast((q.num * n.n + q.den - 1) // q.den as bigint) AS krank,
+        r.v AS value
+      FROM q, n, r
+      WHERE r.rn = (q.num * n.n + q.den - 1) // q.den
+      ORDER BY q.label"""))
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
     fingerprint, topTerms, pivotEvents, rareTerms, regexTokens,
     repetitionFilter, madOutliers, blocklistFilter, ngramNovelty, bm25TopK,
     bm25TextbookTopK, adaptiveQualityFilter, markupStrip, gopherRules,
-    gopherRepetition, vocabCoverage, bm25MrrEval, sourceDiversity)
+    gopherRepetition, vocabCoverage, bm25MrrEval, sourceDiversity,
+    sourceDrift, exactQuantiles)
 }

@@ -545,4 +545,33 @@ class DedupSpec extends AnyFunSuite {
     assert(planted(trainId)._2 == planted(testId)._2,
       s"planted dup pair straddles: $planted")
   }
+
+  test("q205 threshold curve: graded fixture lands each pair in its exact band") {
+    import spark.implicits._
+    // docs 1,2: identical (jaccard 1.0 -> every band). docs 4,5: 10
+    // shingles each, 7 shared -> j = 7/13 ~ 0.538, band t10=5 ONLY.
+    // doc 3: disjoint. All >= 12 tokens so every doc shingles.
+    val p = (1 to 12).map(i => s"p$i").mkString(" ")
+    val q4 = (1 to 12).map(i => s"q$i").mkString(" ")
+    val q5 = ((1 to 9).map(i => s"q$i") ++ Seq("x", "y", "z")).mkString(" ")
+    val z = (1 to 12).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, p), (2L, p), (3L, z), (4L, q4), (5L, q5))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q205_dedup_threshold_curve")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(rows.keySet == Set(5L, 6L, 7L, 8L, 9L))
+    // t=0.5 admits both pairs; docs 2 and 5 drop (10 shingles each)
+    assert(rows(5L) == ((2L, 2L, 20L, 5L, 0.4)), s"t10=5: ${rows(5L)}")
+    // t>=0.6 keeps only the exact dup
+    for (t <- Seq(6L, 7L, 8L, 9L))
+      assert(rows(t) == ((1L, 1L, 10L, 5L, 0.2)), s"t10=$t: ${rows(t)}")
+    // monotonicity: pairs and drops never increase with the threshold
+    val sorted = rows.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted.sliding(2).forall { case Seq(a, b) =>
+      a._1 >= b._1 && a._2 >= b._2 })
+  }
 }

@@ -347,7 +347,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "q196_quality_canonical" -> "documents",
       // embeds the cached q56 cluster machinery; its own corpus side
       // is one doc_id-only scan (ReuseAudit: documents=1 cold)
-      "q197_leakage_safe_splits" -> "documents"
+      "q197_leakage_safe_splits" -> "documents",
+      // caches the (source, term) count frame every downstream
+      // aggregate derives from (ReuseAudit: documents=1 cold)
+      "q201_source_drift" -> "documents",
+      // caches the |sources|-row per-source aggregate consumed by
+      // totals + base + the epoch explode (ReuseAudit: documents=1 cold)
+      "q204_data_constrained" -> "documents",
+      // embeds the cached q121 sets/ex machinery plus its own cached
+      // qualifying-pair sweep frame (ReuseAudit: documents=1 cold)
+      "q205_dedup_threshold_curve" -> "documents"
     ).map { case (q, t) => q -> Map(t -> 2) }
     val multi: Map[String, Map[String, Int]] = cachedFamily ++ Map(
       "q105_scd2" -> Map("part" -> 2),
@@ -433,6 +442,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // same two-independent-pipelines harness as q167 (ADC vs exact),
       // plus the same cached-frame textual-count caveat
       "q190_retrieval_metrics" -> Map("embeddings" -> 4),
+      // caches normed (ONE embeddings scan feeds panel + train sides)
+      // and the panel-bounded shingle frame (ONE semi-joined documents
+      // scan) — ReuseAudit cold: embeddings=1, documents absorbed into
+      // the cache build; the 2s are textual cache-state headroom
+      "q202_attribution_probe" -> Map("embeddings" -> 2, "documents" -> 2),
       // two SEMANTIC roles by design (the q167/q190 argument): the
       // cached banded dup machinery (corpus scan + adaptive-planes
       // count(*), q41's shape) prints at its InMemoryTableScan sites,

@@ -256,4 +256,34 @@ class SamplingSpec extends AnyFunSuite {
     val maxEnt = math.log(m("distinct_langs")) * 1e9
     assert(m("lang_entropy_q9") > 0 && m("lang_entropy_q9") <= maxEnt)
   }
+
+  test("q204 data-constrained accounting: hand-computed dyadic sums + repetition penalty") {
+    import spark.implicits._
+    // source "big": 10 unique 10-token docs (U=100); source "small":
+    // ONE 10-token doc duplicated 5x (U=10). u_total=110, uniform
+    // alloc = 2*110/2 = 110 per source.
+    val smallText = "s x1 x2 x3 x4 x5 x6 x7 x8 x9"
+    val docs = ((1 to 10).map(i =>
+      (100L + i, s"t$i a b c d e f g h i", "en", "big", 20L)) ++
+      (1 to 5).map(i => (200L + i, smallText, "en", "small", 30L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q204_data_constrained")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)), r.getDouble(7))).toMap
+    // big: e_full = 110 div 100 = 1, rem = 10 -> epochs 2,
+    // effective = (100>>0) + (10>>1) = 105
+    assert(rows("big")._1 == ((10L, 10L, 100L, 110L, 2L, 105L)),
+      s"big: ${rows("big")}")
+    assert(rows("big")._2 == 105.0 / 110.0)
+    // small: e_full = 11, rem = 0 -> epochs 11,
+    // effective = sum_{k=0..10} (10>>k) = 10+5+2+1 = 18
+    assert(rows("small")._1 == ((5L, 1L, 10L, 110L, 11L, 18L)),
+      s"small: ${rows("small")}")
+    assert(rows("small")._2 == 18.0 / 110.0)
+    // the law the audit exists for: repeating a small source buys far
+    // less effective mass per allocated token than fresh data
+    assert(rows("small")._2 < rows("big")._2)
+  }
 }

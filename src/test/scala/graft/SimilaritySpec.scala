@@ -389,4 +389,44 @@ class SimilaritySpec extends AnyFunSuite {
     out.foreach { case (lbl, _, got) =>
       assert(got == expect(lbl), s"label $lbl: $got != ${expect(lbl)}") }
   }
+
+  test("q202 attribution probe: planted dup wins, tie-break, shared 3-grams exact") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    def randVec() = Array.fill(64)(rng.nextFloat() * 2f - 1f)
+    val v10 = randVec(); val v20 = randVec(); val v30 = randVec()
+    val v11 = v10.clone()                      // exact dup of eval 10
+    val v21 = v20.clone(); v21(0) += 0.01f     // near dup of eval 20
+    val v31 = v30.map(_ * 2f)                  // scaled copy of eval 30...
+    val v32 = v30.map(_ * 2f)                  // ...twice: cosine tie
+    val emb = Seq((10L, v10, 0), (11L, v11, 0), (12L, randVec(), 0),
+      (20L, v20, 0), (21L, v21, 0), (30L, v30, 0), (31L, v31, 0),
+      (32L, v32, 0)).toDF("vec_id", "embedding", "label")
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "alpha beta gamma delta epsilon"), // identical: 3 shared 3-grams
+      (12L, "unrelated words entirely here"),
+      (20L, "one two three four"),             // {one two three, two three four}
+      (21L, "zero one two three"),             // shares exactly {one two three}
+      (30L, "p q r s"),
+      (31L, "x y z w"),                        // disjoint: 0 shared
+      (32L, "x y z w"))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("embeddings" -> emb, "documents" -> docs)
+    val out = SparkEntry.queries("q202_attribution_probe")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set(10L, 20L, 30L), s"one row per eval doc: $out")
+    // exact dup: cosine ~1.0, all 3 distinct 3-grams shared
+    assert(out(10L)._1 == 11L && out(10L)._2 > 0.9999999 && out(10L)._3 == 3L,
+      s"eval 10: ${out(10L)}")
+    // near dup beats the random candidates; exactly one shared 3-gram
+    assert(out(20L)._1 == 21L && out(20L)._2 > 0.999 && out(20L)._3 == 1L,
+      s"eval 20: ${out(20L)}")
+    // bitwise cosine tie between 31 and 32 -> train_id ASC picks 31;
+    // lexical corroboration is honestly zero for a disjoint text
+    assert(out(30L)._1 == 31L && out(30L)._3 == 0L, s"eval 30: ${out(30L)}")
+  }
 }

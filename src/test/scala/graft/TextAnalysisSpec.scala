@@ -353,4 +353,60 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(synTop > 0.3 && webTop < 0.01,
       s"top_share syn=$synTop web=$webTop")
   }
+
+  test("q201 ranks the drifted source far above same-mixture sources") {
+    import spark.implicits._
+    // sources "a" and "b" draw from the SAME token mixture; "drift"
+    // uses a disjoint vocabulary — its distribution over the corpus
+    // top terms is all zeros where the mixture has mass, which is the
+    // maximal chi-square shape
+    val mixDoc = (1 to 60).map(j => s"common${j % 30}").mkString(" ")
+    val docs = ((1 to 10).map(i => (100L + i, mixDoc, "en", "a", 300L)) ++
+      (1 to 10).map(i => (200L + i, mixDoc, "en", "b", 300L)) ++
+      (1 to 10).map(i =>
+        (300L + i, (1 to 60).map(j => s"alien${i}x$j").mkString(" "),
+          "en", "drift", 400L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q201_source_drift")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(3))
+    assert(rows.head._1 == "drift",
+      s"drifted source must rank first: ${rows.toSeq}")
+    val byName = rows.toMap
+    // the mixture itself holds 1/3 drift mass, so even identical-mix
+    // sources carry chi2 from the drifted source's presence — the
+    // honest behavior of a mixture-relative metric; the margin is 4x
+    // here, assert 3x
+    assert(byName("drift") > 3 * math.max(byName("a"), byName("b")),
+      s"drift ${byName("drift")} must dwarf a=${byName("a")} b=${byName("b")}")
+    // identical distributions must score identically (up to the 1e-12
+    // quantization of each of the 100 contributions)
+    assert(math.abs(byName("a") - byName("b")) < 1e-9,
+      s"identical sources diverge: ${byName("a")} vs ${byName("b")}")
+  }
+
+  test("q203 exact quantiles: hand-computed ranks on a skewed fixture + all-equal edge") {
+    import spark.implicits._
+    // token counts [1, 2, 2, 3, 100]: N=5, sorted rank k picks
+    // p50 k=ceil(2.5)=3 -> 2; p90 k=5 -> 100; p99/p999 k=5 -> 100
+    val docs = Seq(
+      (1L, "a"), (2L, "a b"), (3L, "c d"), (4L, "e f g"),
+      (5L, (1 to 100).map(i => s"w$i").mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q203_exact_quantiles")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows == Map("p50" -> (3L, 2L), "p90" -> (5L, 100L),
+      "p99" -> (5L, 100L), "p999" -> (5L, 100L)), s"got $rows")
+    // all-equal edge: every quantile lands on the single value
+    val eq = Seq.tabulate(4)(i =>
+      (i.toLong, "x y z w v u t", "en", "s", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dirEq = TestSpark.makeSfDir("documents" -> eq)
+    val rowsEq = SparkEntry.queries("q203_exact_quantiles")(spark, dirEq)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rowsEq == Map("p50" -> (2L, 7L), "p90" -> (4L, 7L),
+      "p99" -> (4L, 7L), "p999" -> (4L, 7L)), s"got $rowsEq")
+  }
 }
