@@ -1819,7 +1819,8 @@ object Dedup {
       FROM th CROSS JOIN tot
       LEFT JOIN np ON np.t10 = th.t10
       LEFT JOIN dr ON dr.t10 = th.t10
-      ORDER BY t10"""))
+      ORDER BY t10"""),
+    bench = true)
 
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,

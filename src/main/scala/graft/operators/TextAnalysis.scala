@@ -1329,7 +1329,8 @@ object TextAnalysis {
         cast(sum(contrib_q12) as bigint) AS chi2_q12,
         cast(sum(contrib_q12) as double) / 1000000000000.0 AS chi2
       FROM scored GROUP BY source
-      ORDER BY chi2_q12 DESC, source"""))
+      ORDER BY chi2_q12 DESC, source"""),
+    bench = true)
 
   /** q203 — EXACT corpus quantiles (p50/p90/p99/p999 of per-doc token
     * counts) without a global sort: the length-distribution audit every
@@ -1387,7 +1388,8 @@ object TextAnalysis {
         r.v AS value
       FROM q, n, r
       WHERE r.rn = (q.num * n.n + q.den - 1) // q.den
-      ORDER BY q.label"""))
+      ORDER BY q.label"""),
+    bench = true)
 
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
     fingerprint, topTerms, pivotEvents, rareTerms, regexTokens,
