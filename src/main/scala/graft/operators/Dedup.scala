@@ -1822,6 +1822,71 @@ object Dedup {
       ORDER BY t10"""),
     bench = true)
 
+  /** q206 — cross-source MIRROR detection matrix: for every source
+    * pair, the exact-content overlap of their document-hash SETS —
+    * shared hashes, duplicated doc-pair mass, hash-set Jaccard, and
+    * BOTH asymmetric containments |A∩B|/|A| and |A∩B|/|B| (Broder's
+    * containment at SOURCE granularity — the quantity that exposes "B
+    * mirrors A" even when B is 1000× larger, which the symmetric
+    * Jaccard washes out; the standard crawl-hygiene question for
+    * CommonCrawl-style mirror/aggregator snapshots). q108 counts
+    * NEAR-dup pairs per source pair; this one works at exact-hash
+    * set granularity and normalizes per source.
+    *
+    * Scale shape: the corpus reduces to (source, hash, count) FIRST —
+    * the per-hash self-join then fans out at most |sources| rows per
+    * hash (never doc-count: a hash duplicated 10⁶ times within one
+    * source is still ONE row per source), so candidate volume is
+    * bounded by |hashes|·|sources|²; output is ≤ |sources|² rows. The
+    * three ratios each divide the same bitwise-equal integers once. */
+  val sourceMirror: Q = Q(
+    "q206_source_mirror",
+    (s, d) => {
+      val hs = graft.CacheScope.cached(
+        Tables.documents(s, d)
+          .select(col("source"), md5h61(col("text")).as("h"))
+          .groupBy("source", "h").agg(count(lit(1)).as("c")))
+      val per = hs.groupBy("source").agg(count(lit(1)).as("n_hashes"))
+      val pairs = hs.as("a").join(hs.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"),
+          sum(col("a.c") * col("b.c")).as("n_doc_pairs"))
+      pairs
+        .join(broadcast(per.select(col("source").as("source_a"),
+          col("n_hashes").as("na"))), "source_a")
+        .join(broadcast(per.select(col("source").as("source_b"),
+          col("n_hashes").as("nb"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          col("n_doc_pairs"), col("na"), col("nb"),
+          (col("n_shared").cast("double") /
+            (col("na") + col("nb") - col("n_shared"))).as("hash_jaccard"),
+          (col("n_shared").cast("double") / col("na")).as("containment_a"),
+          (col("n_shared").cast("double") / col("nb")).as("containment_b"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(s"""WITH hs AS MATERIALIZED (SELECT source,
+          ${sqlMd5h61("text")} AS h, count(*) AS c
+        FROM documents GROUP BY 1, 2),
+      per AS MATERIALIZED (SELECT source,
+          cast(count(*) as bigint) AS n_hashes
+        FROM hs GROUP BY 1),
+      p AS (SELECT a.source AS source_a, b.source AS source_b,
+          cast(count(*) as bigint) AS n_shared,
+          cast(sum(a.c * b.c) as bigint) AS n_doc_pairs
+        FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT p.source_a, p.source_b, p.n_shared, p.n_doc_pairs,
+        pa.n_hashes AS na, pb.n_hashes AS nb,
+        cast(p.n_shared as double) / (pa.n_hashes + pb.n_hashes - p.n_shared)
+          AS hash_jaccard,
+        cast(p.n_shared as double) / pa.n_hashes AS containment_a,
+        cast(p.n_shared as double) / pb.n_hashes AS containment_b
+      FROM p JOIN per pa ON p.source_a = pa.source
+             JOIN per pb ON p.source_b = pb.source
+      ORDER BY p.source_a, p.source_b"""))
+
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
     ngramJaccardPairs, ngramJaccardDfCap, containmentPairs,
@@ -1829,5 +1894,6 @@ object Dedup {
     dupDegrees, dupBySource, incrementalDedup, substringDedup,
     substringRemoval, paragraphDedupQ, incrementalParagraphDedup,
     withinDocDedup, softDedupWeights, lshRecallEval, memorizationAudit,
-    dupPagerank, qualityCanonical, leakageSafeSplits, thresholdCurve)
+    dupPagerank, qualityCanonical, leakageSafeSplits, thresholdCurve,
+    sourceMirror)
 }

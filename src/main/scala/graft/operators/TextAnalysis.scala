@@ -1391,10 +1391,92 @@ object TextAnalysis {
       ORDER BY q.label"""),
     bench = true)
 
+  /** q208 — quality × duplication SURVIVAL matrix: per quality tier
+    * (q31's exact integer rule — good/fair/poor on n_tokens/n_uniq, no
+    * float threshold anywhere), how much of the tier is exact-dup
+    * material and what the q35 keep-min-doc_id dedup actually removes
+    * (docs and token mass) — the interaction audit RefinedWeb-style
+    * pipelines publish: if dedup's removals concentrate in the "good"
+    * tier, the pipeline is eating its best data and the dedup key (not
+    * the quality filter) is what needs tuning.
+    *
+    * Determinism: tier rule, dup membership (hash count > 1) and
+    * keeper choice (min doc_id per hash) are all exact integers; the
+    * one fraction divides the same bitwise-equal integer pair on both
+    * engines, guarded to 0.0 for a zero-token tier.
+    *
+    * Scale shape: ONE documents scan projects (doc_id, h, n_tokens,
+    * tier) — cached, since both the per-hash aggregate and the
+    * join-back read it; the join-back is keyed on the 61-bit hash
+    * (narrow columns only, the q127 discipline) and the output is a
+    * ≤3-row hash-agg. Never a window, never a second corpus pass. */
+  val qualityDupMatrix: Q = Q(
+    "q208_quality_dup_matrix",
+    (s, d) => {
+      val base = graft.CacheScope.cached(
+        Tables.documents(s, d)
+          .withColumn("t", toks(col("text")))
+          .select(col("doc_id"), md5h61(col("text")).as("h"),
+            size(col("t")).cast("long").as("n_tokens"),
+            size(array_distinct(col("t"))).cast("long").as("n_uniq"))
+          .withColumn("quality",
+            when(col("n_tokens") >= 50 && col("n_uniq") >= 20, "good")
+              .when(col("n_tokens") >= 20, "fair")
+              .otherwise("poor")))
+      val byHash = base.groupBy("h")
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+      base.join(byHash, "h")
+        .groupBy("quality")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
+            .as("n_dropped"),
+          sum(col("n_tokens")).as("tokens_total"),
+          sum(when(col("doc_id") =!= col("keeper"), col("n_tokens"))
+            .otherwise(0L)).as("tokens_dropped"))
+        .select(col("quality"), col("n_docs"), col("n_dup_docs"),
+          col("n_dropped"), col("tokens_total"), col("tokens_dropped"),
+          when(col("tokens_total") > 0,
+            col("tokens_dropped").cast("double") / col("tokens_total"))
+            .otherwise(lit(0.0)).as("dropped_token_frac"))
+        .orderBy("quality")
+    },
+    Some(s"""WITH base AS MATERIALIZED (SELECT doc_id,
+          ${sqlMd5h61("text")} AS h,
+          cast(len(t) as bigint) AS n_tokens,
+          cast(len(list_distinct(t)) as bigint) AS n_uniq
+        FROM (SELECT doc_id, text, ${sqlToks("text")} AS t
+              FROM documents)),
+      tiered AS MATERIALIZED (SELECT doc_id, h, n_tokens,
+          CASE WHEN n_tokens >= 50 AND n_uniq >= 20 THEN 'good'
+               WHEN n_tokens >= 20 THEN 'fair' ELSE 'poor' END AS quality
+        FROM base),
+      by_hash AS (SELECT h, count(*) AS n_copies,
+          min(doc_id) AS keeper
+        FROM tiered GROUP BY 1)
+      SELECT t.quality,
+        cast(count(*) as bigint) AS n_docs,
+        cast(count(*) FILTER (WHERE bh.n_copies > 1) as bigint)
+          AS n_dup_docs,
+        cast(count(*) FILTER (WHERE t.doc_id <> bh.keeper) as bigint)
+          AS n_dropped,
+        cast(sum(t.n_tokens) as bigint) AS tokens_total,
+        cast(coalesce(sum(t.n_tokens)
+          FILTER (WHERE t.doc_id <> bh.keeper), 0) as bigint)
+          AS tokens_dropped,
+        CASE WHEN sum(t.n_tokens) > 0
+          THEN cast(coalesce(sum(t.n_tokens)
+            FILTER (WHERE t.doc_id <> bh.keeper), 0) as double)
+            / sum(t.n_tokens)
+          ELSE 0.0 END AS dropped_token_frac
+      FROM tiered t JOIN by_hash bh USING (h)
+      GROUP BY t.quality
+      ORDER BY t.quality"""))
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
     fingerprint, topTerms, pivotEvents, rareTerms, regexTokens,
     repetitionFilter, madOutliers, blocklistFilter, ngramNovelty, bm25TopK,
     bm25TextbookTopK, adaptiveQualityFilter, markupStrip, gopherRules,
     gopherRepetition, vocabCoverage, bm25MrrEval, sourceDiversity,
-    sourceDrift, exactQuantiles)
+    sourceDrift, exactQuantiles, qualityDupMatrix)
 }

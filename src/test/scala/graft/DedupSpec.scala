@@ -574,4 +574,27 @@ class DedupSpec extends AnyFunSuite {
     assert(sorted.sliding(2).forall { case Seq(a, b) =>
       a._1 >= b._1 && a._2 >= b._2 })
   }
+
+  test("q206 source mirror: planted 2/3 mirror with duplicated mass; unrelated source absent") {
+    import spark.implicits._
+    val (ta, tb, tc, td, te) = ("text aaa one", "text bbb two",
+      "text ccc three", "text ddd four", "text eee five")
+    // m1 = {A,B,C}; m2 = {B,B,C,D} (hash set {B,C,D}, B twice); u = {E}
+    val docs = Seq(
+      (1L, ta, "m1"), (2L, tb, "m1"), (3L, tc, "m1"),
+      (4L, tb, "m2"), (5L, tb, "m2"), (6L, tc, "m2"), (7L, td, "m2"),
+      (8L, te, "u"))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q206_source_mirror")(spark, dir).collect()
+    assert(rows.length == 1, s"only (m1, m2) overlaps: ${rows.toSeq}")
+    val r = rows.head
+    assert((r.getString(0), r.getString(1)) == (("m1", "m2")))
+    // shared hash set {B, C}; doc-pair mass counts B's two m2 copies
+    assert(r.getLong(2) == 2L && r.getLong(3) == 3L, s"shared/pairs: $r")
+    assert(r.getLong(4) == 3L && r.getLong(5) == 3L, s"na/nb: $r")
+    assert(r.getDouble(6) == 2.0 / 4.0)  // jaccard 2/(3+3-2)
+    assert(r.getDouble(7) == 2.0 / 3.0 && r.getDouble(8) == 2.0 / 3.0)
+  }
 }

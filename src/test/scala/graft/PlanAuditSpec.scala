@@ -356,7 +356,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "q204_data_constrained" -> "documents",
       // embeds the cached q121 sets/ex machinery plus its own cached
       // qualifying-pair sweep frame (ReuseAudit: documents=1 cold)
-      "q205_dedup_threshold_curve" -> "documents"
+      "q205_dedup_threshold_curve" -> "documents",
+      // caches the (source, hash, count) frame the self-join and both
+      // per-source aggregates read (ReuseAudit: documents=0 cold —
+      // fully absorbed into the cache build)
+      "q206_source_mirror" -> "documents",
+      // caches the (doc_id, hash, tier) projection read by the
+      // per-hash aggregate AND the join-back (ReuseAudit: documents=2
+      // cold — the cache build prints at both consumer sites)
+      "q208_quality_dup_matrix" -> "documents"
     ).map { case (q, t) => q -> Map(t -> 2) }
     val multi: Map[String, Map[String, Int]] = cachedFamily ++ Map(
       "q105_scd2" -> Map("part" -> 2),

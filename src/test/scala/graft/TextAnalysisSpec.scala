@@ -409,4 +409,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rowsEq == Map("p50" -> (2L, 7L), "p90" -> (4L, 7L),
       "p99" -> (4L, 7L), "p999" -> (4L, 7L)), s"got $rowsEq")
   }
+
+  test("q208 quality-dup matrix: per-tier dup membership, drops and token mass exact") {
+    import spark.implicits._
+    val good = (1 to 50).map(i => s"g$i").mkString(" ") // 50 toks, 50 uniq
+    val good3 = (1 to 50).map(i => s"h$i").mkString(" ")
+    val fair = Seq.fill(4)("a b c d e").mkString(" ")   // 20 toks, 5 uniq
+    val fair2 = (1 to 20).map(i => s"f$i").mkString(" ") // 20 toks, 20 uniq but n<50
+    val docs = Seq(
+      (1L, good), (2L, good), (3L, good3),   // good tier, 1+2 dup
+      (4L, fair), (5L, fair2),               // fair tier, no dups
+      (6L, "x y"), (7L, "x y"))              // poor tier, dup pair
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q208_quality_dup_matrix")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)), r.getDouble(6))).toMap
+    assert(rows("good")._1 == ((3L, 2L, 1L, 150L, 50L)), s"good: ${rows("good")}")
+    assert(rows("good")._2 == 50.0 / 150.0)
+    assert(rows("fair")._1 == ((2L, 0L, 0L, 40L, 0L)), s"fair: ${rows("fair")}")
+    assert(rows("fair")._2 == 0.0)
+    assert(rows("poor")._1 == ((2L, 2L, 1L, 4L, 2L)), s"poor: ${rows("poor")}")
+    assert(rows("poor")._2 == 0.5)
+  }
 }
