@@ -135,4 +135,56 @@ class StreamingSessionSpec extends AnyFunSuite {
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(agg == q200, "streamed rollup diverges from the batch audit")
   }
+
+  test("quality-drift monitor: baseline forms, spike alerts, clean source stays quiet") {
+    import spark.implicits._
+    import graft.streaming.QualityMonitor
+    import graft.streaming.QualityMonitor.DocEvt
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocEvt]
+    val out = QualityMonitor.qualityDrift(mem.toDS(), windowSeconds = 60)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("qdrift_out").start()
+    def d(src: String, t: String, n: Long) = DocEvt(src, ts(t), n)
+    try {
+      // window 1 (09:00): web 4 docs 1 poor (250000 ppm); clean 2 good
+      mem.addData(
+        d("web", "2026-01-01 09:00:01", 100),
+        d("web", "2026-01-01 09:00:10", 100),
+        d("web", "2026-01-01 09:00:20", 5),
+        d("web", "2026-01-01 09:00:30", 100),
+        d("clean", "2026-01-01 09:00:05", 100),
+        d("clean", "2026-01-01 09:00:06", 100))
+      q.processAllAvailable()
+      // window 2 (09:01): web spikes to 3/4 poor; clean stays good
+      mem.addData(
+        d("web", "2026-01-01 09:01:01", 5),
+        d("web", "2026-01-01 09:01:10", 5),
+        d("web", "2026-01-01 09:01:20", 5),
+        d("web", "2026-01-01 09:01:30", 100),
+        d("clean", "2026-01-01 09:01:05", 100),
+        d("clean", "2026-01-01 09:01:06", 100))
+      q.processAllAvailable()
+      // watermark pusher flushes the open second windows
+      mem.addData(d("zz", "2026-01-01 10:00:00", 100))
+      q.processAllAvailable()
+      mem.addData(d("zz2", "2026-01-01 11:00:00", 100))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("qdrift_out").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    // first web window: no baseline yet -> base = own rate, no alert
+    assert(rows(("web", "2026-01-01 09:00:00.0")) ==
+      ((4L, 1L, 250000L, 250000L, false)), s"got $rows")
+    // spike window: 750000 ppm vs baseline 250000 -> alert
+    assert(rows(("web", "2026-01-01 09:01:00.0")) ==
+      ((4L, 3L, 750000L, 250000L, true)), s"got $rows")
+    // clean source: 0 ppm both windows, never alerts
+    assert(rows(("clean", "2026-01-01 09:00:00.0")) ==
+      ((2L, 0L, 0L, 0L, false)))
+    assert(rows(("clean", "2026-01-01 09:01:00.0")) ==
+      ((2L, 0L, 0L, 0L, false)))
+  }
 }
