@@ -364,7 +364,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // caches the (doc_id, hash, tier) projection read by the
       // per-hash aggregate AND the join-back (ReuseAudit: documents=2
       // cold — the cache build prints at both consumer sites)
-      "q208_quality_dup_matrix" -> "documents"
+      "q208_quality_dup_matrix" -> "documents",
+      // caches the postings frame consumed by stats + hits + dfs; the
+      // query side is its own scan (corpus-vs-query role split, the
+      // q193 precedent; ReuseAudit: documents=1 cold)
+      "q209_bm25_index_topk" -> "documents"
     ).map { case (q, t) => q -> Map(t -> 2) }
     val multi: Map[String, Map[String, Int]] = cachedFamily ++ Map(
       "q105_scd2" -> Map("part" -> 2),
