@@ -1887,6 +1887,107 @@ object Dedup {
              JOIN per pb ON p.source_b = pb.source
       ORDER BY p.source_a, p.source_b"""))
 
+  /** Pinned theoretical band-collision probability per jaccard
+    * ventile, floor(·1e6): P = 1 − (1 − j^rows)^bands at the ventile
+    * midpoint, for this corpus's config (8 bands × 2 rows). Computed
+    * ONCE here and embedded as the same integer literals in the Spark
+    * expression and the SQL twin (the q188 literal discipline — pow()
+    * on data-dependent values could not cross engines). */
+  private[graft] val TheoCollidePpm: Seq[Long] = (0 until 20).map { b =>
+    val jm = (b + 0.5) / 20.0
+    math.floor((1.0 - math.pow(1.0 - jm * jm, Bands)) * 1e6).toLong
+  }
+
+  /** q211 — LSH S-CURVE CALIBRATION: measured band-collision rate per
+    * exact-jaccard ventile vs the pinned theoretical curve
+    * 1 − (1 − j²)⁸ — the audit that answers "is 8 bands × 2 rows the
+    * right config for a 0.8 threshold" from the corpus itself instead
+    * of trusting the formula's independence assumptions (minhashes of
+    * CORRELATED shingle sets are not ideal uniform hashes; template
+    * corpora bend the curve). A gap at the threshold ventile means
+    * recall loss (measured below theory) or wasted candidate fanout
+    * (above) — the number that would re-size Bands before a 100 TB
+    * dedup pass.
+    *
+    * Universe: the q121 capped-candidate pairs — every pair with a
+    * known EXACT jaccard (the conditional universe calibration needs;
+    * pairs whose entire overlap is above-cap boilerplate are absent,
+    * documented df-cap recall trade). Ventile by exact integer
+    * cross-multiplication (n_shared·20 div union, capped at 19);
+    * measured rate by integer ppm division; theory from
+    * [[TheoCollidePpm]] literals. No float ever meets a threshold.
+    *
+    * Scale shape: pair frame candidate-bounded (df-cap); the collision
+    * bit is two equi-joins against the cached (doc, band, bh) frame —
+    * ≤ 8 band rows per doc, distinct()-reduced to one row per colliding
+    * pair; output ≤ 20 rows. */
+  val lshCalibration: Q = Q(
+    "q211_lsh_calibration",
+    (s, d) => {
+      val signed = graft.CacheScope.cached(
+        signedSetsOf(s, Tables.documents(s, d)))
+      val (sets, inter) = cappedPairIntersections(s, d)
+      val sz = sets.select(col("doc_id"), size(col("sh")).cast("long").as("sz"))
+      val pairs = graft.CacheScope.cached(inter
+        .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          (col("sa.sz") + col("sb.sz") - col("n_shared")).as("uni"))
+        .withColumn("bucket",
+          least(expr("(n_shared * 20) div uni"), lit(19L))))
+      val bands = signed.select(col("doc_id"),
+        posexplode(array(bandColumns: _*)).as(Seq("band_id", "bh")))
+      val collide = pairs
+        .join(bands.as("ba"), col("doc_a") === col("ba.doc_id"))
+        .join(bands.as("bb"),
+          col("doc_b") === col("bb.doc_id") &&
+            col("ba.band_id") === col("bb.band_id") &&
+            col("ba.bh") === col("bb.bh"))
+        .select("doc_a", "doc_b", "bucket").distinct()
+        .groupBy("bucket").agg(count(lit(1)).as("n_collide"))
+      pairs.groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+        .join(collide, Seq("bucket"), "left")
+        .withColumn("n_collide", coalesce(col("n_collide"), lit(0L)))
+        .withColumn("measured_ppm",
+          expr("(n_collide * 1000000) div n_pairs"))
+        .withColumn("theo_ppm",
+          element_at(typedlit(TheoCollidePpm), (col("bucket") + 1).cast("int")))
+        .select(col("bucket"), col("n_pairs"), col("n_collide"),
+          col("measured_ppm"), col("theo_ppm"),
+          (col("measured_ppm") - col("theo_ppm")).as("gap_ppm"))
+        .orderBy("bucket")
+    },
+    Some {
+      val theoList = TheoCollidePpm.mkString("[", ", ", "]")
+      s"""WITH $sqlShingleSets, $sqlSignatures,
+      bands_all AS MATERIALIZED ($sqlBandsAll),
+      $sqlCappedInterChain,
+      pr AS MATERIALIZED (SELECT i.doc_a, i.doc_b,
+          least((i.n_shared * 20) // (sa.sz + sb.sz - i.n_shared), 19)
+            AS bucket
+        FROM inter i
+        JOIN sz sa ON i.doc_a = sa.doc_id
+        JOIN sz sb ON i.doc_b = sb.doc_id),
+      coll AS (SELECT bucket, cast(count(*) as bigint) AS n_collide
+        FROM (SELECT DISTINCT p.doc_a, p.doc_b, p.bucket
+          FROM pr p
+          JOIN bands_all ba ON p.doc_a = ba.doc_id
+          JOIN bands_all bb ON p.doc_b = bb.doc_id
+            AND ba.band_id = bb.band_id AND ba.bh = bb.bh)
+        GROUP BY 1),
+      np AS (SELECT bucket, cast(count(*) as bigint) AS n_pairs
+        FROM pr GROUP BY 1)
+      SELECT np.bucket, np.n_pairs,
+        coalesce(coll.n_collide, 0) AS n_collide,
+        cast((coalesce(coll.n_collide, 0) * 1000000) // np.n_pairs
+          as bigint) AS measured_ppm,
+        cast(($theoList)[cast(np.bucket + 1 as int)] as bigint) AS theo_ppm,
+        cast((coalesce(coll.n_collide, 0) * 1000000) // np.n_pairs
+          - ($theoList)[cast(np.bucket + 1 as int)] as bigint) AS gap_ppm
+      FROM np LEFT JOIN coll USING (bucket)
+      ORDER BY np.bucket"""
+    })
+
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
     ngramJaccardPairs, ngramJaccardDfCap, containmentPairs,
@@ -1895,5 +1996,5 @@ object Dedup {
     substringRemoval, paragraphDedupQ, incrementalParagraphDedup,
     withinDocDedup, softDedupWeights, lshRecallEval, memorizationAudit,
     dupPagerank, qualityCanonical, leakageSafeSplits, thresholdCurve,
-    sourceMirror)
+    sourceMirror, lshCalibration)
 }

@@ -1473,10 +1473,105 @@ object TextAnalysis {
       GROUP BY t.quality
       ORDER BY t.quality"""))
 
+  /** q210 — per-source LENGTH-distribution drift: the exact two-sample
+    * Kolmogorov–Smirnov statistic between each source's per-doc
+    * token-length distribution and the REST of the corpus — q201
+    * watches WHAT a source says (vocabulary), this watches the SHAPE
+    * of what it ships (a scraper that starts truncating, a source
+    * switching from articles to tweets, a chunking bug upstream — all
+    * move length before they move content metrics).
+    *
+    * Exactness: KS = sup|F_s − F_r| is attained at a jump point of
+    * either CDF, so evaluating on the corpus-wide distinct-length grid
+    * is EXACT, and |cum_s·n_r − cum_r·n_s| keeps the comparison in
+    * integers (decimal(38,0)/HUGEINT — the q154 headroom discipline:
+    * count × count overflows int64 at the 100 TB design point); the
+    * statistic is quantized to ks_q9 by integral division of the same
+    * bitwise-equal integers on both engines. A single-source corpus
+    * (n_r = 0) reports 0 by guard.
+    *
+    * Scale shape: ONE tokenize scan → (source, length) histogram
+    * (map-combinable, cached); every window runs over the
+    * |sources| × |distinct lengths| GRID, never over docs (the
+    * q182/q203 histogram-domain discipline — distinct lengths are
+    * bounded by max doc length); output is |sources| rows. */
+  val lengthDrift: Q = Q(
+    "q210_length_drift",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = graft.CacheScope.cached(
+        Tables.documents(s, d)
+          .select(col("source"), size(toks(col("text"))).cast("long").as("v"))
+          .groupBy("source", "v").agg(count(lit(1)).as("c")))
+      val allv = hist.select("v").distinct()
+      val srcs = hist.groupBy("source").agg(sum(col("c")).as("n_s"))
+      val tot = srcs.agg(sum(col("n_s")).as("n_all"))
+      val cums = srcs.crossJoin(broadcast(allv))
+        .join(hist, Seq("source", "v"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .withColumn("cum_s", sum(col("c")).over(
+          Window.partitionBy("source").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      val gh = hist.groupBy("v").agg(sum(col("c")).as("cv"))
+        .withColumn("cum_all", sum(col("cv")).over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .select("v", "cum_all")
+      cums.join(gh, "v")
+        .crossJoin(broadcast(tot))
+        .withColumn("n_r", col("n_all") - col("n_s"))
+        .withColumn("num", abs(
+          col("cum_s").cast("decimal(38,0)") * col("n_r") -
+            (col("cum_all") - col("cum_s")).cast("decimal(38,0)") * col("n_s")))
+        .groupBy("source")
+        .agg(min(col("n_s")).as("n_docs"), min(col("n_r")).as("n_r"),
+          max(col("num")).as("ks_num"))
+        .withColumn("ks_q9",
+          when(col("n_r") > 0, expr(
+            "cast((ks_num * 1000000000) div " +
+              "(cast(n_docs as decimal(38,0)) * n_r) as bigint)"))
+            .otherwise(lit(0L)))
+        .select(col("source"), col("n_docs"), col("ks_q9"),
+          (col("ks_q9").cast("double") / 1e9).as("ks"))
+        .orderBy(desc("ks_q9"), asc("source"))
+    },
+    Some(s"""WITH h AS MATERIALIZED (SELECT source,
+          cast(len(${sqlToks("text")}) as bigint) AS v, count(*) AS c
+        FROM documents GROUP BY 1, 2),
+      av AS (SELECT DISTINCT v FROM h),
+      srcs AS MATERIALIZED (SELECT source, cast(sum(c) as bigint) AS n_s
+        FROM h GROUP BY 1),
+      tot AS (SELECT cast(sum(n_s) as bigint) AS n_all FROM srcs),
+      grid AS (SELECT s.source, s.n_s, av.v,
+          cast(coalesce(hh.c, 0) as bigint) AS c
+        FROM srcs s CROSS JOIN av
+        LEFT JOIN h hh ON hh.source = s.source AND hh.v = av.v),
+      cums AS (SELECT source, n_s, v, sum(c) OVER (PARTITION BY source
+          ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_s
+        FROM grid),
+      gh AS (SELECT v, sum(cv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+          AS cum_all
+        FROM (SELECT v, cast(sum(c) as bigint) AS cv FROM h GROUP BY 1)),
+      sc AS (SELECT c.source, c.n_s, tot.n_all - c.n_s AS n_r,
+          abs(c.cum_s::hugeint * (tot.n_all - c.n_s)
+            - (g.cum_all - c.cum_s)::hugeint * c.n_s) AS num
+        FROM cums c JOIN gh g USING (v) CROSS JOIN tot),
+      agg AS (SELECT source, min(n_s) AS n_docs, min(n_r) AS n_r,
+          max(num) AS ks_num
+        FROM sc GROUP BY 1)
+      SELECT source, n_docs,
+        cast(CASE WHEN n_r > 0
+          THEN (ks_num * 1000000000) // (n_docs::hugeint * n_r)
+          ELSE 0 END as bigint) AS ks_q9,
+        cast(cast(CASE WHEN n_r > 0
+          THEN (ks_num * 1000000000) // (n_docs::hugeint * n_r)
+          ELSE 0 END as bigint) as double) / 1000000000.0 AS ks
+      FROM agg
+      ORDER BY ks_q9 DESC, source"""))
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
     fingerprint, topTerms, pivotEvents, rareTerms, regexTokens,
     repetitionFilter, madOutliers, blocklistFilter, ngramNovelty, bm25TopK,
     bm25TextbookTopK, adaptiveQualityFilter, markupStrip, gopherRules,
     gopherRepetition, vocabCoverage, bm25MrrEval, sourceDiversity,
-    sourceDrift, exactQuantiles, qualityDupMatrix)
+    sourceDrift, exactQuantiles, qualityDupMatrix, lengthDrift)
 }

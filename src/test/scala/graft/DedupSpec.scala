@@ -597,4 +597,30 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getDouble(6) == 2.0 / 4.0)  // jaccard 2/(3+3-2)
     assert(r.getDouble(7) == 2.0 / 3.0 && r.getDouble(8) == 2.0 / 3.0)
   }
+
+  test("q211 calibration: identical pair collides at bucket 19; theory literals pinned") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // the q205 graded fixture: (1,2) identical -> jaccard 1.0, bucket
+    // 19; (4,5) j = 7/13 -> bucket (7*20) div 13 = 10
+    val p = (1 to 12).map(i => s"p$i").mkString(" ")
+    val q4 = (1 to 12).map(i => s"q$i").mkString(" ")
+    val q5 = ((1 to 9).map(i => s"q$i") ++ Seq("x", "y", "z")).mkString(" ")
+    val docs = Seq((1L, p), (2L, p), (4L, q4), (5L, q5))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q211_lsh_calibration")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet == Set(10L, 19L), s"buckets: $rows")
+    // an identical pair has identical signatures: every band collides
+    val (n19, c19, m19, t19) = rows(19L)
+    assert(n19 == 1L && c19 == 1L && m19 == 1000000L)
+    assert(t19 == Dedup.TheoCollidePpm(19), "theory literal must be the pinned value")
+    assert(rows(10L)._1 == 1L && rows(10L)._4 == Dedup.TheoCollidePpm(10))
+    // the pinned curve itself is a monotone s-curve reaching ~1
+    assert(Dedup.TheoCollidePpm.sliding(2).forall { case Seq(a, b) => a <= b })
+    assert(Dedup.TheoCollidePpm.head < 10000 && Dedup.TheoCollidePpm.last > 999000)
+  }
 }

@@ -368,7 +368,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // caches the postings frame consumed by stats + hits + dfs; the
       // query side is its own scan (corpus-vs-query role split, the
       // q193 precedent; ReuseAudit: documents=1 cold)
-      "q209_bm25_index_topk" -> "documents"
+      "q209_bm25_index_topk" -> "documents",
+      // caches the (source, length) histogram every grid/window
+      // derives from (ReuseAudit: documents=1 cold)
+      "q210_length_drift" -> "documents",
+      // embeds the cached q121 sets/ex machinery plus the cached
+      // signature frame and pair sweep (ReuseAudit: documents=1 cold)
+      "q211_lsh_calibration" -> "documents"
     ).map { case (q, t) => q -> Map(t -> 2) }
     val multi: Map[String, Map[String, Int]] = cachedFamily ++ Map(
       "q105_scd2" -> Map("part" -> 2),

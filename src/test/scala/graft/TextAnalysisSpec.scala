@@ -434,4 +434,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows("poor")._1 == ((2L, 2L, 1L, 4L, 2L)), s"poor: ${rows("poor")}")
     assert(rows("poor")._2 == 0.5)
   }
+
+  test("q210 length drift: planted shifted source hits KS=1, identical sources tie") {
+    import spark.implicits._
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // a and b: identical mix of 5×len10 + 5×len20; shift: 10×len50 —
+    // the rest is entirely <= 20, so F diverges maximally below 50
+    val docs = ((1 to 5).map(i => (100L + i, doc(10), "a")) ++
+      (6 to 10).map(i => (100L + i, doc(20), "a")) ++
+      (1 to 5).map(i => (200L + i, doc(10), "b")) ++
+      (6 to 10).map(i => (200L + i, doc(20), "b")) ++
+      (1 to 10).map(i => (300L + i, doc(50), "shift")))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q210_length_drift")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // shift vs rest: rest fully arrived by v=20, shift still at 0 -> KS=1
+    assert(rows("shift") == ((10L, 1000000000L)), s"shift: ${rows("shift")}")
+    // a vs rest (b + shift): at v=20 cum_a=10/10, cum_r=10/20 -> KS=0.5
+    assert(rows("a") == ((10L, 500000000L)), s"a: ${rows("a")}")
+    assert(rows("b") == rows("a"), "identical distributions must tie exactly")
+  }
 }
