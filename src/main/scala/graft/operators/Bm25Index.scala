@@ -278,26 +278,10 @@ object Bm25Index {
     repaired
   }
 
-  /** q209: the oracle-checked registry twin of [[probe]] — the ranked
-    * top-10 lists themselves (q193 reduces them to MRR; serving wants
-    * the lists). Queries follow q193's known-item convention: doc_id
-    * < 8, distinct tokens 11–14. The registry form computes postings
-    * inline because the oracle needs self-contained SQL; the persisted
-    * lifecycle reads them from parquet, and Bm25IndexSpec pins the two
-    * paths row-identical. */
-  val indexTopK: Q = Q(
-    "q209_bm25_index_topk",
-    (s, d) => {
-      val post = graft.CacheScope.cached(
-        postingsOf(s, Tables.documents(s, d)))
-      val queries = Tables.documents(s, d)
-        .filter(col("doc_id") < 8)
-        .select(col("doc_id").as("qid"),
-          explode(array_distinct(slice(toks(col("text")), 11, 4)))
-            .as("term"))
-      scoreTopK(post, statsFrom(post), queries, TopK)
-    },
-    Some(s"""WITH tk AS MATERIALIZED (SELECT doc_id, ${sqlToks("text")} AS t
+  /** Oracle CTE chain ending in `bmtop(qid, doc_id, score_q6, rnk)` —
+    * the q209 semantics, shared with the hybrid-fusion oracle (q212). */
+  private[operators] val sqlBm25Chain: String =
+    s"""tk AS MATERIALIZED (SELECT doc_id, ${sqlToks("text")} AS t
           FROM documents WHERE doc_id IS NOT NULL),
         post AS MATERIALIZED (SELECT doc_id, term,
             cast(count(*) as bigint) AS tf, min(dl) AS dl
@@ -326,11 +310,39 @@ object Bm25Index {
               as bigint)) as bigint) AS score_q6
           FROM hits h JOIN dfs USING (term) CROSS JOIN st
           GROUP BY 1, 2),
-        top AS (SELECT qid, doc_id, score_q6, row_number() OVER (
-            PARTITION BY qid ORDER BY score_q6 DESC, doc_id) AS rnk
-          FROM sc)
+        bmtop AS MATERIALIZED (SELECT qid, doc_id, score_q6,
+            row_number() OVER (
+              PARTITION BY qid ORDER BY score_q6 DESC, doc_id) AS rnk
+          FROM sc)"""
+
+  /** The q209 known-item top-10 frame (qid, rank, doc_id, score_q6)
+    * over in-line postings — shared by q209 and the hybrid fusion
+    * (q212). */
+  private[operators] def bm25TopKFrame(s: SparkSession, d: String)
+      : DataFrame = {
+    val post = graft.CacheScope.cached(
+      postingsOf(s, Tables.documents(s, d)))
+    val queries = Tables.documents(s, d)
+      .filter(col("doc_id") < 8)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(toks(col("text")), 11, 4)))
+          .as("term"))
+    scoreTopK(post, statsFrom(post), queries, TopK)
+  }
+
+  /** q209: the oracle-checked registry twin of [[probe]] — the ranked
+    * top-10 lists themselves (q193 reduces them to MRR; serving wants
+    * the lists). Queries follow q193's known-item convention: doc_id
+    * < 8, distinct tokens 11–14. The registry form computes postings
+    * inline because the oracle needs self-contained SQL; the persisted
+    * lifecycle reads them from parquet, and Bm25IndexSpec pins the two
+    * paths row-identical. */
+  val indexTopK: Q = Q(
+    "q209_bm25_index_topk",
+    (s, d) => bm25TopKFrame(s, d),
+    Some(s"""WITH $sqlBm25Chain
         SELECT qid, cast(rnk as bigint) AS rank, doc_id, score_q6
-        FROM top WHERE rnk <= $TopK
+        FROM bmtop WHERE rnk <= $TopK
         ORDER BY qid, rank"""))
 
   val all: Seq[Q] = Seq(indexTopK)

@@ -1429,9 +1429,93 @@ object Similarity {
         JOIN sh b ON m.train_id = b.doc_id
       ORDER BY m.eval_id"""))
 
+  // ------------------------------------------------------------------
+  // q212 — HYBRID RETRIEVAL via Reciprocal Rank Fusion (Cormack,
+  // Clarke & Buettcher 2009): fuse the BM25 known-item top-10 (q209,
+  // lexical) with the embedding cosine top-10 (q42 shape, semantic)
+  // per query — the standard production composition behind RAG and
+  // training-data curation search, where neither ranker alone covers
+  // paraphrases AND exact identifiers. RRF is rank-only, so the two
+  // rankers' incomparable score scales never meet: fused = Σ_r
+  // 1/(60 + rank_r), here as the exact integer 10⁶ div (60 + rank)
+  // summed over the rankers that returned the doc (missing side
+  // contributes 0) — no float anywhere, ties broken by doc_id.
+  //
+  // Scale shape: both input rankings are top-10-per-query frames
+  // (TopKPerGroup bounded heaps); the fusion itself is a full-outer
+  // join of two ≤ 8·10-row frames + one more bounded rank — driver-
+  // scale after the rankers, exactly as in production. The doc_id ↔
+  // vec_id identification is the q202 panel convention.
+  // ------------------------------------------------------------------
+  val hybridFusion: Q = Q(
+    "q212_hybrid_rrf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bm = Bm25Index.bm25TopKFrame(s, d)
+        .select(col("qid"), col("doc_id"), col("rank").as("bm25_rank"))
+      val w = graft.CacheScope.cached(normed(s, d))
+      val qv = w.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qnrm"))
+      val ann = w.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          (dot("e", "qe") / (col("nrm") * col("qnrm"))).as("cosine"))
+        .withColumn("ann_rank", row_number().over(
+            Window.partitionBy("qid")
+              .orderBy(col("cosine").desc, col("doc_id")))
+          .cast("long"))
+        .filter(col("ann_rank") <= 10)
+        .select("qid", "doc_id", "ann_rank")
+      bm.join(ann, Seq("qid", "doc_id"), "full_outer")
+        .withColumn("rrf_q6",
+          coalesce(expr("1000000 div (60 + bm25_rank)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + ann_rank)"), lit(0L)))
+        .withColumn("rank", row_number().over(
+            Window.partitionBy("qid")
+              .orderBy(col("rrf_q6").desc, col("doc_id")))
+          .cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("doc_id"), col("rrf_q6"),
+          coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
+          coalesce(col("ann_rank"), lit(0L)).as("ann_rank"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH ${Bm25Index.sqlBm25Chain},
+      $sqlNormed,
+      qv AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM w
+        WHERE vec_id < 8),
+      annall AS (SELECT qv.qid, w.vec_id AS doc_id,
+          ${sqlDot("w.e", "qv.qe")} / (w.nrm * qv.qnrm) AS cosine
+        FROM w, qv WHERE w.vec_id <> qv.qid),
+      anntop AS (SELECT qid, doc_id, rnk AS ann_rank FROM (
+          SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+            ORDER BY cosine DESC, doc_id) AS rnk
+          FROM annall)
+        WHERE rnk <= 10),
+      bm AS (SELECT qid, doc_id, rnk AS bm25_rank FROM bmtop
+        WHERE rnk <= 10),
+      fused AS (SELECT coalesce(bm.qid, a.qid) AS qid,
+          coalesce(bm.doc_id, a.doc_id) AS doc_id,
+          coalesce(1000000 // (60 + bm.bm25_rank), 0)
+            + coalesce(1000000 // (60 + a.ann_rank), 0) AS rrf_q6,
+          coalesce(bm.bm25_rank, 0) AS bm25_rank,
+          coalesce(a.ann_rank, 0) AS ann_rank
+        FROM bm FULL OUTER JOIN anntop a
+          ON bm.qid = a.qid AND bm.doc_id = a.doc_id)
+      SELECT qid, cast(rnk as bigint) AS rank, doc_id,
+        cast(rrf_q6 as bigint) AS rrf_q6,
+        cast(bm25_rank as bigint) AS bm25_rank,
+        cast(ann_rank as bigint) AS ann_rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY rrf_q6 DESC, doc_id) AS rnk
+        FROM fused)
+      WHERE rnk <= 10
+      ORDER BY qid, rank"""))
+
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
     annIvf, annIvfIncremental, semanticDedup, multimodalMeta, arrayFuncs,
     pqEncode, pqAdcTopK, pqCodeBalance, pqRerankTopK, pqRecallEval,
     mrlRecallEval, retrievalMetrics, hardNegatives, maxSimScores,
-    attributionProbe)
+    attributionProbe, hybridFusion)
 }

@@ -375,7 +375,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // embeds the cached q121 sets/ex machinery plus the cached
       // signature frame and pair sweep (ReuseAudit: documents=1 cold)
       "q211_lsh_calibration" -> "documents"
-    ).map { case (q, t) => q -> Map(t -> 2) }
+    ).map { case (q, t) => q -> Map(t -> 2) } ++ Map(
+      // embeds BOTH cached machineries: the q209 postings frame over
+      // documents (corpus + query-role scans, the q193/q209 split) and
+      // the cached normed frame over embeddings (ReuseAudit: cold
+      // documents=1; the 2s are textual cache-state headroom)
+      "q212_hybrid_rrf" -> Map("documents" -> 2, "embeddings" -> 2))
     val multi: Map[String, Map[String, Int]] = cachedFamily ++ Map(
       "q105_scd2" -> Map("part" -> 2),
       "q125_tpch_q21" -> Map("lineitem" -> 3),

@@ -429,4 +429,41 @@ class SimilaritySpec extends AnyFunSuite {
     // lexical corroboration is honestly zero for a disjoint text
     assert(out(30L)._1 == 31L && out(30L)._3 == 0L, s"eval 30: ${out(30L)}")
   }
+
+  test("q212 hybrid RRF equals the driver-side fusion of q209 and the exact ANN ranking") {
+    val dir = TestSpark.sf0001
+    val bm = SparkEntry.queries("q209_bm25_index_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    // exact ANN top-10 per qid < 8, recomputed driver-side
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.map(i => a(i) * b(i)).sum
+    def nrm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val ann = (for {
+      (qid, qe) <- rows.filter(_._1 < 8)
+      ranked = rows.filter(_._1 != qid)
+        .map { case (v, e) => (v, dot(e, qe) / (nrm(e) * nrm(qe))) }
+        .sortBy { case (v, c) => (-c, v) }.take(10)
+      ((v, _), i) <- ranked.zipWithIndex
+    } yield (qid, v) -> (i + 1L)).toMap
+    // expected fusion per qid
+    val expect = (0L until 8L).flatMap { qid =>
+      val docs = (bm.keySet ++ ann.keySet).filter(_._1 == qid).map(_._2)
+      docs.toSeq.map { d =>
+        val s = bm.get((qid, d)).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+          ann.get((qid, d)).map(r => 1000000L / (60 + r)).getOrElse(0L)
+        (qid, d, s, bm.getOrElse((qid, d), 0L), ann.getOrElse((qid, d), 0L))
+      }.sortBy { case (_, d, s, _, _) => (-s, d) }.take(10).zipWithIndex
+        .map { case ((q, d, s, br, ar), i) => (q, i + 1L, d, s, br, ar) }
+    }
+    val got = SparkEntry.queries("q212_hybrid_rrf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect, s"fusion diverges:\n$got\nvs\n$expect")
+    // both rankers must actually contribute somewhere
+    assert(got.exists(r => r._5 > 0 && r._6 > 0), "no doc ranked by both")
+    assert(got.exists(r => r._5 == 0 || r._6 == 0), "no single-ranker doc")
+  }
 }
