@@ -1513,9 +1513,100 @@ object Similarity {
       WHERE rnk <= 10
       ORDER BY qid, rank"""))
 
+  // ------------------------------------------------------------------
+  // q213 — EMBEDDING-SPACE HEALTH per label: cosine dispersion of each
+  // label's members around its own centroid — the collapse/anisotropy
+  // audit (cf. Ethayarajh 2019) run before trusting an embedding
+  // column for dedup or retrieval: a collapsed encoder (all members
+  // cosine ≈ 1 to the centroid) makes SemDeDup/ANN over-merge, a
+  // degenerate one (cosine ≈ 0, centroid ≈ noise) makes them useless.
+  //
+  // Exactness without libm or float-sum order dependence: components
+  // quantize floor(·1e6) into integers FIRST (q150 discipline), the
+  // centroid is the per-component integer sum divided by n via
+  // floor(double-div) — written as the SAME IEEE floor(cast/n) on both
+  // engines, so even a boundary rounding is identical — and the
+  // AVERAGED centroid keeps every later product ≤ dims·10¹² —
+  // int64-safe at ANY corpus size (the sum-vector form would overflow
+  // at 100 TB; scale-invariance of cosine is what lets us average).
+  // Doc↔centroid cosine then divides exact-integer dot/norms in
+  // doubles, floor(·1e9)-quantized; per-label mean divides two exact
+  // integers once.
+  //
+  // Scale shape: ONE embeddings scan exploded to (vec, comp) rows —
+  // map-combinable groupBys only; the centroid frame is
+  // |labels|·dims rows (broadcast); output |labels| rows.
+  // ------------------------------------------------------------------
+  val embeddingHealth: Q = Q(
+    "q213_embedding_health",
+    (s, d) => {
+      val ex = graft.CacheScope.cached(
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          .withColumn("xq",
+            floor(col("x").cast("double") * lit(1e6)).cast("long")))
+      val cent = ex.groupBy("label", "i")
+        .agg(sum(col("xq")).as("cq"), count(lit(1)).as("n"))
+        .withColumn("cqa",
+          floor(col("cq").cast("double") / col("n")).cast("long"))
+        .select("label", "i", "cqa")
+      val cnorm = cent.groupBy("label")
+        .agg(sum(col("cqa") * col("cqa")).as("n2c"))
+      val per = ex.join(broadcast(cent), Seq("label", "i"))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("xq") * col("cqa")).as("dotq"),
+          sum(col("xq") * col("xq")).as("n2d"))
+        .join(broadcast(cnorm), "label")
+        .withColumn("cos_q9",
+          when(col("n2d") > 0 && col("n2c") > 0,
+            floor(col("dotq").cast("double") /
+              (sqrt(col("n2d").cast("double")) *
+                sqrt(col("n2c").cast("double"))) * lit(1e9)).cast("long"))
+            .otherwise(lit(0L)))
+      per.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("cos_q9")).as("sum_cos_q9"),
+          min(col("cos_q9")).as("min_cos_q9"),
+          max(col("cos_q9")).as("max_cos_q9"))
+        .select(col("label"), col("n_vecs"),
+          col("min_cos_q9"), col("max_cos_q9"),
+          (col("sum_cos_q9").cast("double") / col("n_vecs") / 1e9)
+            .as("mean_cos"))
+        .orderBy("label")
+    },
+    Some(s"""WITH ex AS MATERIALIZED (SELECT vec_id, label, g.i AS i,
+          cast(floor(cast(embedding[g.i] as double) * 1000000.0)
+            as bigint) AS xq
+        FROM embeddings,
+          unnest(generate_series(1, len(embedding))) AS g(i)),
+      cent AS MATERIALIZED (SELECT label, i,
+          cast(floor(cast(sum(xq) as double) / count(*)) as bigint) AS cqa
+        FROM ex GROUP BY 1, 2),
+      cnorm AS (SELECT label, cast(sum(cqa * cqa) as bigint) AS n2c
+        FROM cent GROUP BY 1),
+      per AS (SELECT e.vec_id, e.label,
+          cast(sum(e.xq * c.cqa) as bigint) AS dotq,
+          cast(sum(e.xq * e.xq) as bigint) AS n2d
+        FROM ex e JOIN cent c ON e.label = c.label AND e.i = c.i
+        GROUP BY 1, 2),
+      scored AS (SELECT p.vec_id, p.label,
+          CASE WHEN p.n2d > 0 AND cn.n2c > 0
+            THEN cast(floor(cast(p.dotq as double) /
+              (sqrt(cast(p.n2d as double)) * sqrt(cast(cn.n2c as double)))
+              * 1000000000.0) as bigint)
+            ELSE 0 END AS cos_q9
+        FROM per p JOIN cnorm cn USING (label))
+      SELECT label, cast(count(*) as bigint) AS n_vecs,
+        cast(min(cos_q9) as bigint) AS min_cos_q9,
+        cast(max(cos_q9) as bigint) AS max_cos_q9,
+        cast(sum(cos_q9) as double) / count(*) / 1000000000.0 AS mean_cos
+      FROM scored GROUP BY label
+      ORDER BY label"""))
+
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
     annIvf, annIvfIncremental, semanticDedup, multimodalMeta, arrayFuncs,
     pqEncode, pqAdcTopK, pqCodeBalance, pqRerankTopK, pqRecallEval,
     mrlRecallEval, retrievalMetrics, hardNegatives, maxSimScores,
-    attributionProbe, hybridFusion)
+    attributionProbe, hybridFusion, embeddingHealth)
 }

@@ -380,7 +380,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // documents (corpus + query-role scans, the q193/q209 split) and
       // the cached normed frame over embeddings (ReuseAudit: cold
       // documents=1; the 2s are textual cache-state headroom)
-      "q212_hybrid_rrf" -> Map("documents" -> 2, "embeddings" -> 2))
+      "q212_hybrid_rrf" -> Map("documents" -> 2, "embeddings" -> 2),
+      // TEXTUAL count (the q169/q176 caveat): ONE cached component
+      // explode whose build prints its FileScan body at the centroid,
+      // join and cnorm InMemoryTableScan sites; cold file reads = 1
+      // (ReuseAudit: embeddings=3 textual)
+      "q213_embedding_health" -> Map("embeddings" -> 3))
     val multi: Map[String, Map[String, Int]] = cachedFamily ++ Map(
       "q105_scd2" -> Map("part" -> 2),
       "q125_tpch_q21" -> Map("lineitem" -> 3),

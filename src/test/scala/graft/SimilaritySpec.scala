@@ -466,4 +466,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.exists(r => r._5 > 0 && r._6 > 0), "no doc ranked by both")
     assert(got.exists(r => r._5 == 0 || r._6 == 0), "no single-ranker doc")
   }
+
+  test("q213 embedding health: collapsed label ~1, antipodal ~0, full differential") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    def randVec() = Array.fill(64)(rng.nextFloat() * 2f - 1f)
+    val v0 = randVec()
+    val v3 = randVec()
+    // label 0 collapsed (3 identical); label 1 = a vector and its exact
+    // negation (centroid ~ 0); label 2 diffuse random
+    val emb2 = (Seq((0L, v0, 0), (1L, v0.clone(), 0), (2L, v0.clone(), 0),
+      (3L, v3, 1), (4L, v3.map(-_), 1)) ++
+      (5L to 14L).map(i => (i, randVec(), 2)))
+      .toDF("vec_id", "embedding", "label")
+    val dir = TestSpark.makeSfDir("embeddings" -> emb2)
+    val rows = SparkEntry.queries("q213_embedding_health")(spark, dir)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows(0)._1 == 3L && rows(0)._4 > 0.999, s"collapsed: ${rows(0)}")
+    assert(rows(1)._1 == 2L && math.abs(rows(1)._4) < 0.2, s"antipodal: ${rows(1)}")
+    assert(rows(2)._1 == 10L && rows(2)._4 > 0.0 && rows(2)._4 < 0.99 &&
+      rows(2)._2 < rows(2)._3, s"diffuse: ${rows(2)}")
+    // full differential: replicate the quantized pipeline in Scala
+    val data = emb2.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong).toArray,
+      r.getInt(2)))
+    data.map(_._3).distinct.foreach { lbl =>
+      val mem = data.filter(_._3 == lbl)
+      val cqa = (0 until 64).map(i =>
+        math.floor(mem.map(_._2(i)).sum.toDouble / mem.size).toLong)
+      val n2c = cqa.map(c => c * c).sum
+      val cs = mem.map { case (_, xq, _) =>
+        val dotq = xq.indices.map(i => xq(i) * cqa(i)).sum
+        val n2d = xq.map(x => x * x).sum
+        if (n2d > 0 && n2c > 0)
+          math.floor(dotq.toDouble /
+            (math.sqrt(n2d.toDouble) * math.sqrt(n2c.toDouble)) * 1e9).toLong
+        else 0L
+      }
+      val got = rows(lbl)
+      assert(got == ((mem.size.toLong, cs.min, cs.max,
+        cs.sum.toDouble / mem.size / 1e9)),
+        s"label $lbl: $got != ${(mem.size, cs.min, cs.max, cs.sum.toDouble / mem.size / 1e9)}")
+    }
+  }
 }
