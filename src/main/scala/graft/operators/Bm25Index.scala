@@ -343,7 +343,8 @@ object Bm25Index {
     Some(s"""WITH $sqlBm25Chain
         SELECT qid, cast(rnk as bigint) AS rank, doc_id, score_q6
         FROM bmtop WHERE rnk <= $TopK
-        ORDER BY qid, rank"""))
+        ORDER BY qid, rank"""),
+    bench = true)
 
   val all: Seq[Q] = Seq(indexTopK)
 }

@@ -1511,7 +1511,8 @@ object Similarity {
           ORDER BY rrf_q6 DESC, doc_id) AS rnk
         FROM fused)
       WHERE rnk <= 10
-      ORDER BY qid, rank"""))
+      ORDER BY qid, rank"""),
+    bench = true)
 
   // ------------------------------------------------------------------
   // q213 — EMBEDDING-SPACE HEALTH per label: cosine dispersion of each
@@ -1602,7 +1603,8 @@ object Similarity {
         cast(max(cos_q9) as bigint) AS max_cos_q9,
         cast(sum(cos_q9) as double) / count(*) / 1000000000.0 AS mean_cos
       FROM scored GROUP BY label
-      ORDER BY label"""))
+      ORDER BY label"""),
+    bench = true)
 
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
     annIvf, annIvfIncremental, semanticDedup, multimodalMeta, arrayFuncs,
