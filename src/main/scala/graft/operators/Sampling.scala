@@ -569,7 +569,93 @@ object Sampling {
       FROM base b JOIN eff e USING (source)
       ORDER BY b.source"""))
 
+  // ------------------------------------------------------------------
+  // q214 — WATER-FILLING mixture allocation: split a token budget
+  // B = total div 2 across sources as EQUALLY as possible subject to
+  // each source's availability cap — the classic max-min fair
+  // allocation (the "balanced mixture with small-source caps" solve
+  // that q154's proportional-rate form cannot express: there a tiny
+  // source saturates and its unused share is silently lost; here it
+  // redistributes to the unsaturated sources, which is what a
+  // balanced-mixture recipe actually wants).
+  //
+  // Closed form, no iteration: sort sources by availability ascending
+  // (tie: source name); source i saturates iff
+  // P_{i−1} + a_i·(n−i+1) ≤ B (the feasibility of lifting everyone to
+  // a_i) — the saturated set is a PREFIX of the sort order, so the
+  // water level L = (B − Σ_sat avail) div (n − k) and the remainder
+  // goes +1 to the first `rem` unsaturated sources in sort order
+  // (deterministic). Every step is exact integer arithmetic on
+  // non-negative values (no div/floor divergence risk); Σ alloc = B
+  // EXACTLY (spec law), alloc ≤ avail always.
+  //
+  // Scale shape: one tokenize scan → |sources|-row aggregate; the sort
+  // window runs over |sources| rows, never docs; the saturated-set
+  // aggregate is a 1-row broadcast. Output |sources| rows.
+  // ------------------------------------------------------------------
+  val waterfillMix: Q = Q(
+    "q214_waterfill_mix",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.TextFunctions.register(s)
+      val srcs = Tables.documents(s, d)
+        .select(col("source"), size(toks(col("text"))).cast("long").as("ntok"))
+        .groupBy("source").agg(sum(col("ntok")).as("avail"))
+      val tot = srcs.agg(sum(col("avail")).as("total"),
+        count(lit(1)).as("n"))
+      val ord = Window.orderBy(col("avail"), col("source"))
+      val g = graft.CacheScope.cached(srcs.crossJoin(broadcast(tot))
+        .withColumn("b", expr("total div 2"))
+        .withColumn("i", row_number().over(ord).cast("long"))
+        .withColumn("pprev", coalesce(sum(col("avail")).over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("sat",
+          col("pprev") + col("avail") * (col("n") - col("i") + 1) <= col("b")))
+      val sat = g.filter(col("sat"))
+        .agg(count(lit(1)).as("kk"),
+          coalesce(sum(col("avail")), lit(0L)).as("psat"))
+      g.crossJoin(broadcast(sat))
+        .withColumn("level", expr("(b - psat) div (n - kk)"))
+        .withColumn("rem", expr("(b - psat) % (n - kk)"))
+        .withColumn("alloc", when(col("sat"), col("avail"))
+          .otherwise(col("level") +
+            when(col("i") - col("kk") <= col("rem"), 1L).otherwise(0L)))
+        .select(col("source"), col("avail"), col("sat").as("saturated"),
+          col("alloc"), col("level"))
+        .orderBy("source")
+    },
+    Some(s"""WITH srcs AS MATERIALIZED (SELECT source,
+          cast(sum(ntok) as bigint) AS avail
+        FROM (SELECT source, cast(len(${sqlToks("text")}) as bigint)
+            AS ntok FROM documents)
+        GROUP BY 1),
+      tot AS (SELECT cast(sum(avail) as bigint) AS total,
+          cast(count(*) as bigint) AS n FROM srcs),
+      g AS MATERIALIZED (SELECT s.source, s.avail, t.n,
+          t.total // 2 AS b,
+          cast(row_number() OVER (ORDER BY s.avail, s.source) as bigint)
+            AS i,
+          cast(coalesce(sum(s.avail) OVER (ORDER BY s.avail, s.source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            as bigint) AS pprev
+        FROM srcs s CROSS JOIN tot t),
+      g2 AS MATERIALIZED (SELECT *,
+          pprev + avail * (n - i + 1) <= b AS sat FROM g),
+      k AS (SELECT cast(count(*) FILTER (WHERE sat) as bigint) AS kk,
+          cast(coalesce(sum(avail) FILTER (WHERE sat), 0) as bigint)
+            AS psat
+        FROM g2)
+      SELECT g2.source, g2.avail, g2.sat AS saturated,
+        cast(CASE WHEN g2.sat THEN g2.avail
+          ELSE (g2.b - k.psat) // (g2.n - k.kk)
+            + CASE WHEN g2.i - k.kk <= (g2.b - k.psat) % (g2.n - k.kk)
+              THEN 1 ELSE 0 END
+          END as bigint) AS alloc,
+        cast((g2.b - k.psat) // (g2.n - k.kk) as bigint) AS level
+      FROM g2 CROSS JOIN k
+      ORDER BY g2.source"""))
+
   val all: Seq[Q] = Seq(hashSample, stratifiedSplit, groupQuotaSample,
     temperatureSample, dsirResample, budgetMix, epochShuffle,
-    sourceInterleave, dataConstrained)
+    sourceInterleave, dataConstrained, waterfillMix)
 }

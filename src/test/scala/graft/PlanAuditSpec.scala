@@ -354,6 +354,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // caches the |sources|-row per-source aggregate consumed by
       // totals + base + the epoch explode (ReuseAudit: documents=1 cold)
       "q204_data_constrained" -> "documents",
+      // caches the |sources|-row sorted grid consumed by the
+      // saturated-set aggregate and the final allocation
+      "q214_waterfill_mix" -> "documents",
       // embeds the cached q121 sets/ex machinery plus its own cached
       // qualifying-pair sweep frame (ReuseAudit: documents=1 cold)
       "q205_dedup_threshold_curve" -> "documents",

@@ -286,4 +286,34 @@ class SamplingSpec extends AnyFunSuite {
     // less effective mass per allocated token than fresh data
     assert(rows("small")._2 < rows("big")._2)
   }
+
+  test("q214 water-filling: caps saturate, budget lands exactly, remainder deterministic") {
+    import spark.implicits._
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    def run(avails: Seq[(String, Int)]) = {
+      val docs = avails.zipWithIndex.map { case ((src, n), i) =>
+        (i.toLong, doc(n), "en", src, 10L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val dir = TestSpark.makeSfDir("documents" -> docs)
+      SparkEntry.queries("q214_waterfill_mix")(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getBoolean(2), r.getLong(3), r.getLong(4))))
+        .toMap
+    }
+    // tiny and mid saturate; big absorbs the rest of B = 1110/2 = 555
+    val a = run(Seq("tiny" -> 10, "mid" -> 100, "big" -> 1000))
+    assert(a("tiny") == ((10L, true, 10L, 445L)))
+    assert(a("mid") == ((100L, true, 100L, 445L)))
+    assert(a("big") == ((1000L, false, 445L, 445L)))
+    assert(a.values.map(_._3).sum == 555L, "budget must land exactly")
+    // remainder case: B = 307/2 = 153; 7 saturates, 146 div 3 = 48 rem 2
+    // -> the first two unsaturated sources in (avail, source) order +1
+    val b = run(Seq("s0" -> 7, "s1" -> 100, "s2" -> 100, "s3" -> 100))
+    assert(b("s0") == ((7L, true, 7L, 48L)))
+    assert(b("s1") == ((100L, false, 49L, 48L)))
+    assert(b("s2") == ((100L, false, 49L, 48L)))
+    assert(b("s3") == ((100L, false, 48L, 48L)))
+    assert(b.values.map(_._3).sum == 153L)
+    assert(b.values.forall { case (av, _, al, _) => al <= av })
+  }
 }
