@@ -122,10 +122,82 @@ object IvfPq {
     val adc = (0 until PqM)
       .map(m => element_at(typedLit(adcTable(m)), col(s"code_$m") + 1))
       .reduce(_ + _)
-    val scored = spark.read.parquet(s"$indexDir/codes")
-      .filter(col("cell").isin(probes: _*)) // partition pruning = the lookup
+    val scored = minusTombstones(spark.read.parquet(s"$indexDir/codes")
+      .filter(col("cell").isin(probes: _*)), // partition pruning = the lookup
+      tombstonesOf(spark, indexDir))
       .withColumn("adc_dist", adc)
     (probes, scored)
+  }
+
+  /** Right-to-be-forgotten delete over the CODES table — the
+    * [[IvfIndex.delete]] tombstone discipline for the PQ form:
+    * O(batch) id append, [[query]]/[[queryRerank]] anti-join the set
+    * out AFTER the partition-pruned scan (broadcast-scale, lookup
+    * shape unchanged), [[applyDeletes]] removes the codes physically.
+    * A forgotten vector can never be served, even before the apply.
+    * Maintenance ([[driftAudit]]/[[rebalance]]) reads the live table —
+    * run [[applyDeletes]] first; until then audits conservatively
+    * include the to-be-deleted rows. */
+  def delete(spark: SparkSession, vecIds: Seq[Long], indexDir: String): Unit = {
+    import spark.implicits._
+    vecIds.toDF("vec_id").repartition(1)
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+  }
+
+  private def tombstonesOf(spark: SparkSession, indexDir: String)
+      : Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  private def minusTombstones(df: DataFrame, ts: Option[DataFrame]): DataFrame =
+    ts.map(t => df.join(broadcast(t.select("vec_id")), Seq("vec_id"),
+      "left_anti")).getOrElse(df)
+
+  /** Physically remove tombstoned codes, touching ONLY the cell
+    * partitions that contain them — [[IvfIndex.applyDeletes]] over the
+    * codes-only table (no float column is ever read or written).
+    * Emptied cells' directories are deleted explicitly (dynamic
+    * overwrite cannot remove an absent partition — the rebalance
+    * lesson); tombstones are cleared last, so a crash anywhere earlier
+    * reruns idempotently. Returns the number of cells rewritten or
+    * removed. */
+  def applyDeletes(spark: SparkSession, indexDir: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    tombstonesOf(spark, indexDir) match {
+      case None => 0
+      case Some(ts0) =>
+        val ts = ts0.select("vec_id")
+        val codes = spark.read.parquet(s"$indexDir/codes")
+        val storedCols = codes.schema.fields.map(_.name)
+        val touched = codes.join(broadcast(ts), "vec_id")
+          .groupBy("cell").agg(count(lit(1)).as("n_del"))
+          .collect().map(_.getInt(0)).sorted.toSeq
+        if (touched.nonEmpty) {
+          val survivors = codes.filter(col("cell").isin(touched: _*))
+            .join(broadcast(ts), Seq("vec_id"), "left_anti")
+            .select(storedCols.map(col): _*)
+            .localCheckpoint()
+          val liveCells = survivors.select("cell").distinct()
+            .collect().map(_.getInt(0)).toSet
+          if (liveCells.nonEmpty) {
+            survivors.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("cell").parquet(s"$indexDir/codes")
+          }
+          survivors.unpersist()
+          for (c <- touched if !liveCells.contains(c)) {
+            fs.delete(new org.apache.hadoop.fs.Path(
+              s"$indexDir/codes/cell=$c"), true)
+            ()
+          }
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
+        touched.length
+    }
   }
 
   /** Top-k by ADC over the probed cells' codes. */

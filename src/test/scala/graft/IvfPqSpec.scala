@@ -199,4 +199,49 @@ class IvfPqSpec extends AnyFunSuite {
     assert(operators.IvfPq.rebalance(spark, path) == 0,
       "convergence loop must reach a fixpoint")
   }
+
+  test("right-to-be-forgotten: tombstone hides a code at once; apply prunes only touched cells; rerun is a no-op") {
+    // own index dir — this test mutates
+    val dir = Files.createTempDirectory("graft-ivfpq-del").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    operators.IvfPq.build(spark, sf, path, k = CoarseK)
+    val full = operators.IvfPq.query(spark, path, queryVec,
+      topK = 11, nprobe = CoarseK).collect()
+    val victim = full.head.getLong(0)
+    val victimCell = full.head.getInt(2)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def cellFiles(c: Int) = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$path/codes/cell=$c"))
+      .map(_.getPath.getName).toSet
+    val untouchedCell = spark.read.parquet(s"$path/codes")
+      .select("cell").distinct().collect().map(_.getInt(0))
+      .filter(_ != victimCell).head
+    val untouchedBefore = cellFiles(untouchedCell)
+    // logical hide: served top-k changes immediately, codes untouched
+    operators.IvfPq.delete(spark, Seq(victim), path)
+    val hidden = operators.IvfPq.query(spark, path, queryVec,
+      topK = 10, nprobe = CoarseK).collect()
+    assert(!hidden.map(_.getLong(0)).contains(victim), "tombstoned code served")
+    assert(hidden.map(_.getLong(0)).toSeq ==
+      full.map(_.getLong(0)).filterNot(_ == victim).take(10).toSeq,
+      "deletion must promote the next candidate")
+    // physical apply: only the victim's cell partition is rewritten
+    val n = operators.IvfPq.applyDeletes(spark, path)
+    assert(n == 1, s"exactly one cell touched, got $n")
+    assert(cellFiles(untouchedCell) == untouchedBefore,
+      "untouched cells' files must not be rewritten")
+    spark.catalog.refreshByPath(path)
+    assert(spark.read.parquet(s"$path/codes")
+      .filter(col("vec_id") === victim).isEmpty, "code physically gone")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")),
+      "tombstones cleared after apply")
+    // rerun (the crash-retry path) is a no-op
+    assert(operators.IvfPq.applyDeletes(spark, path) == 0)
+    val after = operators.IvfPq.query(spark, path, queryVec,
+      topK = 10, nprobe = CoarseK).collect().map(_.getLong(0)).toSeq
+    assert(after == hidden.map(_.getLong(0)).toSeq,
+      "served results must be identical before and after the physical apply")
+  }
 }
