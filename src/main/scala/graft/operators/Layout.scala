@@ -119,5 +119,84 @@ object Layout {
         FROM z GROUP BY 1 ORDER BY 1"""))
   }
 
-  val all: Seq[Q] = Seq(zorderAudit)
+  /** q215 — JOIN-KEY SKEW audit: per (table, join key), the exact
+    * shape of the key's frequency distribution — row count, distinct
+    * keys, the heaviest key's row count, the exact p99 key size, and
+    * skew = max/avg as an integer ppm ratio. This is the number read
+    * BEFORE a 100 TB join to decide between a plain hash join, AQE's
+    * adaptive skew split, and [[Skew.saltedJoin]]'s deterministic
+    * salting (a skew ratio of 1 means perfectly uniform keys; a
+    * hot-key ratio in the thousands means one task receives a
+    * thousand tasks' work and the join stalls on it).
+    *
+    * Exactness: per-key counts reduce to a COUNT-OF-COUNTS histogram
+    * (the q113/q182 discipline — windows run over the bounded
+    * histogram, never over keys), the p99 key size is the exact q203
+    * rank selection over that histogram, and the skew ratio
+    * max·n_keys·10⁶ div n_rows is computed in decimal(38,0)/HUGEINT
+    * (count × count overflows int64 at the design point — q154/q210
+    * discipline). One scan per audited table; three ~1-row outputs. */
+  val joinSkewAudit: Q = Q(
+    "q215_join_skew_audit",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def audit(df: org.apache.spark.sql.DataFrame, tbl: String,
+          key: String): org.apache.spark.sql.DataFrame = {
+        val hist = df.groupBy(col(key).as("k"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("c").agg(count(lit(1)).as("nk"))
+        val w = hist.select(col("c"), col("nk"),
+          sum(col("nk")).over(Window.orderBy(col("c"))
+            .rowsBetween(Window.unboundedPreceding, 0)).as("cum"),
+          sum(col("nk")).over(Window.orderBy(col("c"))
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)).as("n_keys"),
+          sum(col("c") * col("nk")).over(Window.orderBy(col("c"))
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)).as("n_rows"),
+          max(col("c")).over(Window.orderBy(col("c"))
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)).as("max_key_rows"))
+        w.withColumn("k99", expr("(99 * n_keys + 99) div 100"))
+          .filter(col("cum") >= col("k99") &&
+            col("cum") - col("nk") < col("k99"))
+          .select(lit(tbl).as("tbl"), lit(key).as("key_col"),
+            col("n_rows"), col("n_keys"), col("max_key_rows"),
+            col("c").as("p99_key_rows"),
+            expr("cast((cast(max_key_rows as decimal(38,0)) * n_keys" +
+              " * 1000000) div n_rows as bigint)").as("skew_ppm"))
+      }
+      audit(Tables.lineitem(s, d), "lineitem", "l_orderkey")
+        .unionAll(audit(Tables.orders(s, d), "orders", "o_custkey"))
+        .unionAll(audit(Tables.events(s, d), "events", "user_id"))
+        .orderBy("tbl")
+    },
+    Some {
+      def sqlAudit(tbl: String, key: String): String =
+        s"""SELECT '$tbl' AS tbl, '$key' AS key_col,
+          cast(n_rows as bigint) AS n_rows,
+          cast(n_keys as bigint) AS n_keys,
+          cast(max_key_rows as bigint) AS max_key_rows,
+          cast(c as bigint) AS p99_key_rows,
+          cast((max_key_rows::hugeint * n_keys * 1000000) // n_rows
+            as bigint) AS skew_ppm
+        FROM (SELECT c, nk,
+            sum(nk) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum,
+            sum(nk) OVER () AS n_keys,
+            sum(c * nk) OVER () AS n_rows,
+            max(c) OVER () AS max_key_rows
+          FROM (SELECT c, cast(count(*) as bigint) AS nk
+            FROM (SELECT $key, count(*) AS c FROM $tbl GROUP BY 1)
+            GROUP BY 1))
+        WHERE cum >= (99 * n_keys + 99) // 100
+          AND cum - nk < (99 * n_keys + 99) // 100"""
+      s"""WITH li AS (${sqlAudit("lineitem", "l_orderkey")}),
+        oo AS (${sqlAudit("orders", "o_custkey")}),
+        ee AS (${sqlAudit("events", "user_id")})
+        SELECT * FROM li UNION ALL SELECT * FROM oo
+        UNION ALL SELECT * FROM ee
+        ORDER BY tbl"""
+    })
+
+  val all: Seq[Q] = Seq(zorderAudit, joinSkewAudit)
 }

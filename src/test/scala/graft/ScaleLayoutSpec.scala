@@ -231,4 +231,29 @@ class ScaleLayoutSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(a == b)
   }
+
+  test("q215 join-skew audit matches a driver-side recomputation on events.user_id") {
+    val sf = TestSpark.sf0001
+    val rows = SparkEntry.queries("q215_join_skew_audit")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(rows.keySet == Set("lineitem", "orders", "events"))
+    // exact recomputation of the events row from raw per-key counts
+    val counts = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(_.getLong(1)).sorted
+    val nKeys = counts.length.toLong
+    val nRows = counts.sum
+    val mx = counts.max
+    val k99 = (99 * nKeys + 99) / 100
+    val p99 = counts((k99 - 1).toInt) // rank selection over sorted sizes
+    val skew = (BigInt(mx) * nKeys * 1000000 / nRows).toLong
+    assert(rows("events") == ((nRows, nKeys, mx, p99, skew)),
+      s"events: ${rows("events")} != ${(nRows, nKeys, mx, p99, skew)}")
+    // structural laws on every audited table
+    rows.values.foreach { case (nr, nk, m, p, s) =>
+      assert(p <= m && m <= nr && nk <= nr && s >= 1000000L,
+        s"laws violated: ${(nr, nk, m, p, s)}")
+    }
+  }
 }
