@@ -1084,6 +1084,106 @@ object Similarity {
     })
 
   // ------------------------------------------------------------------
+  // q216 — int8 scalar-quantization recall harness: search with
+  // PER-TENSOR symmetric int8 vectors (one global scale = the corpus
+  // max |component|; q[d] = clamp(floor(x·127/s + ½), ±127) — the
+  // standard symmetric scheme of Jacob et al. 2018 §2.1 / faiss's
+  // SQ8) vs exact float cosine, recall@10 per query. This is the
+  // THIRD quantization family next to PQ (q167) and Matryoshka
+  // truncation (q178): int8 keeps the dimensionality but stores 1/4
+  // of the bytes, and — unlike PQ — its inner product is an EXACT
+  // integer, so the approximate ranking is bit-reproducible by
+  // construction on any engine and any partitioning (no codebook, no
+  // ADC table, no libm). Per-tensor (not per-dim) scaling is chosen
+  // deliberately: one shared scale cancels in the cosine, so the
+  // quantized-cosine ranking equals the dequantized ranking exactly,
+  // with no per-dimension weight literals to ship.
+  //
+  // Determinism: x·127/s + ½ is two IEEE multiplies/divides of
+  // identical operands (no libm), floor of that is engine-identical,
+  // products and sums of the resulting small integers (≤127² per
+  // term, ≤64·127² per dot) are exact in double, and the final
+  // sqrt/divide is the q41/q42 correctly-rounded-IEEE argument. An
+  // all-zero quantized vector (norm 0) scores −2.0, below any cosine.
+  //
+  // Scale shape: the scale is ONE max aggregate over the cached
+  // corpus frame (scalar-broadcast idiom); quantization is a pure
+  // scan projection — at rest the int8 column is what you'd store,
+  // and the probe reads 1/4 the bytes of the float column; search is
+  // the q167/q178 shape (NQ query rows broadcast, per-query top-10
+  // via the row_number≤k idiom → TopKPerGroup bounded heap, overlap
+  // join over NQ×10 rows a side).
+  // ------------------------------------------------------------------
+  val int8RecallEval: Q = Q(
+    "q216_int8_recall_eval",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = graft.CacheScope.cached(normed(s, d))
+      val sc = base.agg(
+        max(array_max(transform(col("e"), x => abs(x)))).as("sg"))
+      val w = base.crossJoin(broadcast(sc))
+        .withColumn("qv", transform(col("e"), x =>
+          greatest(lit(-127.0), least(lit(127.0),
+            floor(x * lit(127.0) / col("sg") + lit(0.5)).cast("double")))))
+        .withColumn("qn", sqrt(dot("qv", "qv")))
+        .select("vec_id", "e", "nrm", "qv", "qn")
+      val qs = w.filter(col("vec_id") < PqEvalQueries)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qnrm"), col("qv").as("qqv"), col("qn").as("qqn"))
+      def top10(score: Column) = {
+        w.join(broadcast(qs), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), score.as("sc"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("qid").orderBy(col("sc").desc, col("vec_id"))))
+          .filter(col("rn") <= 10).select("qid", "vec_id")
+      }
+      val iTop = top10(
+        when(col("qn") === 0 || col("qqn") === 0, lit(-2.0))
+          .otherwise(dot("qv", "qqv") / (col("qn") * col("qqn"))))
+      val exTop = top10(dot("e", "qe") / (col("nrm") * col("qnrm")))
+      val hits = iTop.join(exTop, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("h"))
+      qs.select("qid").join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hit"),
+          (coalesce(col("h"), lit(0L)).cast("double") / lit(10.0))
+            .as("recall_at_10"))
+        .orderBy("qid")
+    },
+    Some {
+      // DuckDB rejects subqueries inside lambdas, so the scalar scale
+      // joins in via `FROM w, sc` (1-row cross) and is referenced as a
+      // plain column inside the transform
+      val qvExpr = "list_transform(e, x -> greatest(-127.0, least(127.0, " +
+        "cast(floor(x * 127.0 / sg + 0.5) as double))))"
+      s"""WITH $sqlNormed,
+        sc AS MATERIALIZED (SELECT max(list_max(
+            list_transform(e, x -> abs(x)))) AS sg FROM w),
+        qw AS MATERIALIZED (SELECT vec_id, e, nrm, qv,
+            sqrt(${sqlDot("qv", "qv")}) AS qn
+          FROM (SELECT vec_id, e, nrm, $qvExpr AS qv FROM w, sc)),
+        q AS MATERIALIZED (SELECT vec_id AS qid, e AS qe, nrm AS qnrm,
+            qv AS qqv, qn AS qqn FROM qw WHERE vec_id < $PqEvalQueries),
+        it AS (SELECT qid, vec_id FROM (
+            SELECT q.qid, v.vec_id, row_number() OVER (PARTITION BY q.qid
+              ORDER BY CASE WHEN v.qn = 0 OR q.qqn = 0 THEN -2.0
+                ELSE ${sqlDot("v.qv", "q.qqv")} / (v.qn * q.qqn) END DESC,
+                v.vec_id) AS rn
+            FROM qw v JOIN q ON v.vec_id <> q.qid) WHERE rn <= 10),
+        et AS (SELECT qid, vec_id FROM (
+            SELECT q.qid, v.vec_id, row_number() OVER (PARTITION BY q.qid
+              ORDER BY ${sqlDot("v.e", "q.qe")} / (v.nrm * q.qnrm) DESC,
+                v.vec_id) AS rn
+            FROM qw v JOIN q ON v.vec_id <> q.qid) WHERE rn <= 10),
+        hits AS (SELECT i.qid, cast(count(*) as bigint) AS h
+          FROM it i JOIN et e ON i.qid = e.qid AND i.vec_id = e.vec_id
+          GROUP BY 1)
+        SELECT q.qid, coalesce(h, 0) AS n_hit,
+          cast(coalesce(h, 0) as double) / 10.0 AS recall_at_10
+        FROM (SELECT qid FROM q) q LEFT JOIN hits ON q.qid = hits.qid
+        ORDER BY q.qid"""
+    })
+
+  // ------------------------------------------------------------------
   // q190 — GRADED retrieval metrics: MRR@10 and nDCG@10 of the PQ-ADC
   // ranking against exact-cosine truth, per query. q167's recall@10
   // treats the top-10 as a set; ranking quality is what users feel, so
@@ -1609,6 +1709,6 @@ object Similarity {
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
     annIvf, annIvfIncremental, semanticDedup, multimodalMeta, arrayFuncs,
     pqEncode, pqAdcTopK, pqCodeBalance, pqRerankTopK, pqRecallEval,
-    mrlRecallEval, retrievalMetrics, hardNegatives, maxSimScores,
-    attributionProbe, hybridFusion, embeddingHealth)
+    mrlRecallEval, int8RecallEval, retrievalMetrics, hardNegatives,
+    maxSimScores, attributionProbe, hybridFusion, embeddingHealth)
 }

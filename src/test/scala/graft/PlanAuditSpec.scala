@@ -473,6 +473,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // same two-independent-pipelines harness as q167 (ADC vs exact),
       // plus the same cached-frame textual-count caveat
       "q190_retrieval_metrics" -> Map("embeddings" -> 4),
+      // TEXTUAL count (the q169 caveat): ONE cached normed frame whose
+      // build prints its FileScan body at the scale-aggregate, query
+      // and both top-10 InMemoryTableScan sites; cold file reads = 1
+      // (ReuseAudit: embeddings=1 cold — the int8 and exact sides both
+      // read the same cache)
+      "q216_int8_recall_eval" -> Map("embeddings" -> 4),
       // caches normed (ONE embeddings scan feeds panel + train sides)
       // and the panel-bounded shingle frame (ONE semi-joined documents
       // scan) — ReuseAudit cold: embeddings=1, documents absorbed into

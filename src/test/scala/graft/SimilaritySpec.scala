@@ -285,6 +285,41 @@ class SimilaritySpec extends AnyFunSuite {
       s"q178 qid 0 (${rec.head._2}) != |prefix ∩ full| = ${(pref & full).size}")
   }
 
+  test("q216 int8 recall rows are well-formed; qid-0 hit count matches an independent quantize-and-rank recomputation") {
+    val sf = TestSpark.sf0001
+    val rec = SparkEntry.queries("q216_int8_recall_eval")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rec.map(_._1).toSeq == (0L to 9L), "one row per query vector")
+    rec.foreach { case (q, h, r) =>
+      assert(h >= 0 && h <= 10 && r == h / 10.0, s"recall row broken for qid $q")
+    }
+    // cross-law against a plain-Scala recomputation for qid 0: quantize
+    // every vector with the same per-tensor formula, rank by quantized
+    // cosine and by exact cosine, and the overlap must equal the
+    // emitted hit count. Also pins the quantized domain to [-127, 127].
+    val vecs = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val s0 = vecs.values.flatten.map(math.abs).max
+    val qvecs = vecs.map { case (id, v) =>
+      id -> v.map(x => math.max(-127.0,
+        math.min(127.0, math.floor(x * 127.0 / s0 + 0.5))))
+    }
+    qvecs.values.flatten.foreach(q =>
+      assert(q == math.rint(q) && math.abs(q) <= 127.0, s"bad int8 value $q"))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) -2.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def top10(m: Map[Long, Array[Double]]) = m.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v, m(0L))) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val exact = top10(vecs); val int8 = top10(qvecs)
+    assert(rec.head._2 == (int8 & exact).size.toLong,
+      s"q216 qid 0 (${rec.head._2}) != |int8 ∩ exact| = ${(int8 & exact).size}")
+  }
+
   test("multimodal metadata is deterministic and sized correctly") {
     import spark.implicits._
     val docs = Seq((0L, "PNGx some fake payload", "en", "s", 22L),
