@@ -444,6 +444,69 @@ object TextAnalysis {
       FROM documents ORDER BY doc_id"""))
 
   // ------------------------------------------------------------------
+  // q217 — multi-word PHRASE blocklist audit, the consecutive-token
+  // complement of q120's single-token gate: per (source, phrase), how
+  // many documents contain a blocked phrase as ADJACENT tokens and how
+  // many total occurrences — the report a policy/safety filter
+  // publishes before dropping content. Token-adjacency equality, not
+  // substring: substring matching is the classic over-blocking bug
+  // (q120's note), and a phrase hit must align on token boundaries.
+  //
+  // Scale shape — the reason this is a JOIN, not an isin literal:
+  // production phrase lists run 10⁴–10⁶ entries (too big to inline,
+  // still broadcast-sized), so docs explode to word bigrams and
+  // equi-join the broadcast phrase table on the bigram key. Phrases
+  // longer than two words block on their FIRST bigram the same way
+  // and verify the tail against the doc tokens (Aho-Corasick's
+  // prefix-blocking idea in join form); this registry instance's
+  // phrases are all two words, so block ≡ verify and the plan is the
+  // general one minus the verify projection. Explode is linear in
+  // corpus tokens, the join output is bounded by true hits, and the
+  // aggregate is map-combinable; nothing is quadratic anywhere.
+  // ------------------------------------------------------------------
+  private val PhraseBlocklist = Seq("big table", "slow query", "hash join",
+    "sort merge", "data stream", "fast scan")
+
+  val phraseBlocklist: Q = Q(
+    "q217_phrase_blocklist",
+    (s, d) => {
+      import s.implicits._
+      val phrases = broadcast(PhraseBlocklist.toDF("phrase"))
+      val t = Tables.documents(s, d)
+        // spread the per-row tokenize across cores (documents parquet
+        // arrives in O(1) partitions; the q136 discipline)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("doc_id"))
+        .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
+      // guarded index sequence (the shingles3 discipline): 1-token docs
+      // must yield [] — sequence(1, 0) counts DOWN, never rely on it
+      val idx = when(size(col("t")) >= 2, sequence(lit(1), size(col("t")) - 1))
+        .otherwise(array().cast("array<int>"))
+      val bg = t.select(col("doc_id"), col("source"),
+        explode_outer(transform(idx, i => concat_ws(" ",
+          element_at(col("t"), i), element_at(col("t"), i + 1)))).as("g"))
+      bg.join(phrases, col("g") === col("phrase"))
+        .groupBy("source", "phrase")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_hits"))
+        .orderBy("source", "phrase")
+    },
+    Some {
+      val values = PhraseBlocklist.map(p => s"('$p')").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, source, ${sqlToks("text")} AS tk
+          FROM documents),
+        bg AS (SELECT doc_id, source,
+            unnest(list_transform(generate_series(1, len(tk) - 1),
+              i -> tk[i] || ' ' || tk[i+1])) AS g
+          FROM t)
+        SELECT source, phrase,
+          cast(count(DISTINCT doc_id) as bigint) AS n_docs,
+          cast(count(*) as bigint) AS n_hits
+        FROM bg JOIN (VALUES $values) AS p(phrase) ON bg.g = p.phrase
+        GROUP BY 1, 2 ORDER BY 1, 2"""
+    })
+
+  // ------------------------------------------------------------------
   // q136 — n-gram novelty score: per doc, the fraction of its distinct
   // word-3-grams that appear in NO other document (corpus document
   // frequency = 1). The memorization-risk / boilerplate dual used in
@@ -1570,7 +1633,8 @@ object TextAnalysis {
 
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
     fingerprint, topTerms, pivotEvents, rareTerms, regexTokens,
-    repetitionFilter, madOutliers, blocklistFilter, ngramNovelty, bm25TopK,
+    repetitionFilter, madOutliers, blocklistFilter, phraseBlocklist,
+    ngramNovelty, bm25TopK,
     bm25TextbookTopK, adaptiveQualityFilter, markupStrip, gopherRules,
     gopherRepetition, vocabCoverage, bm25MrrEval, sourceDiversity,
     sourceDrift, exactQuantiles, qualityDupMatrix, lengthDrift)

@@ -63,6 +63,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!rows.contains(2L), "single-token doc has no bigram row")
   }
 
+  test("q217 phrase blocklist counts adjacent-token hits only, never substrings, with doc and occurrence grains distinct") {
+    import spark.implicits._
+    val docs = Seq(
+      // "big table" twice as adjacent tokens (overlapping bigram walk:
+      // big,table,big,table → "big table" ×2): n_hits 2, one doc
+      (0L, "big table big table", "en", "sA", 19L),
+      // substring trap: "bigger tables" must NOT match "big table"
+      (1L, "bigger tables are fine", "en", "sA", 22L),
+      // phrase split across a third token: NOT adjacent, no hit
+      (2L, "big red table", "en", "sA", 13L),
+      // single-token doc: no bigrams, no row, no crash
+      (3L, "big", "en", "sA", 3L),
+      // same phrase in a second source: grouped separately
+      (4L, "a hash join here", "en", "sB", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q217_phrase_blocklist")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows == Map(
+      ("sA", "big table") -> ((1L, 2L)),
+      ("sB", "hash join") -> ((1L, 1L))),
+      s"unexpected blocklist report: $rows")
+  }
+
   test("corpus pipeline drops low-quality, exact-dup, and near-dup docs once each") {
     import spark.implicits._
     val base = (1 to 80).map(i => s"tok${i % 13} word${i % 7} item$i").mkString(" ")
