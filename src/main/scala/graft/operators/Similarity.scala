@@ -1184,6 +1184,154 @@ object Similarity {
     })
 
   // ------------------------------------------------------------------
+  // q218 — MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+  // diversified re-ranking: from each query's top-C relevance
+  // candidates, greedily select K results maximizing
+  // λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — the standard
+  // redundancy-suppressing re-rank every retrieval stack runs between
+  // ANN and the user (near-dup corpora make the raw top-k a wall of
+  // clones; q41/q56 measure that redundancy, this removes it from
+  // result lists). λ = 1/2, so the argmax is EXACTLY argmax(rel −
+  // maxsim) — with rel/sim floor(·1e9)-quantized (the q213 discipline:
+  // the cosines are identical IEEE on both engines, so their floors
+  // are too), every step of the greedy loop is integer arithmetic and
+  // ties break to the lowest candidate index = lowest vec_id. Note
+  // MMR scores are NOT monotone down the ranking: maxsim can be
+  // negative (anti-correlated survivors), so a later pick can outscore
+  // an earlier one — the first pick's score is pure relevance.
+  //
+  // Scale shape: the ONLY corpus-touching stage is candidate
+  // generation (broadcast query rows + the row_number≤C idiom →
+  // TopKPerGroup bounded heap — at 100 TB you'd swap in the IvfPq
+  // probe, same downstream); the greedy loop itself runs over NQ rows,
+  // each carrying its C candidates + a C×C integer sim matrix, as a
+  // BOUNDED fold entirely inside one projection (the q188 discipline —
+  // no per-step shuffles, no driver loop); output is NQ×K rows. The
+  // oracle replays the identical greedy recursion as a WITH RECURSIVE
+  // over single-row-per-query list state.
+  // ------------------------------------------------------------------
+  private val MmrC = 12 // relevance candidates per query
+  private val MmrK = 5 // diversified results per query
+  private val MmrSent = -4000000000000000000L // chosen-slot sentinel
+
+  val mmrRerank: Q = Q(
+    "q218_mmr_rerank",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = graft.CacheScope.cached(normed(s, d))
+      val qs = w.filter(col("vec_id") < PqEvalQueries)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qnrm"))
+      val cand = w.join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), col("e"), col("nrm"),
+          (dot("e", "qe") / (col("nrm") * col("qnrm"))).as("cos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") <= MmrC)
+        .withColumn("rel9", floor(col("cos") * lit(1e9)).cast("long"))
+        .withColumn("ix", row_number().over(
+          Window.partitionBy("qid").orderBy("vec_id")))
+      val ci = graft.CacheScope.cached(
+        cand.select("qid", "vec_id", "e", "nrm", "rel9", "ix"))
+      val a = ci.select(col("qid"), col("ix").as("ai"),
+        col("e").as("ae"), col("nrm").as("anrm"))
+      val b = ci.select(col("qid"), col("ix").as("bi"),
+        col("e").as("be"), col("nrm").as("bnrm"))
+      val prow = a.join(b, "qid")
+        .select(col("qid"), col("ai"), col("bi"),
+          floor(dot("be", "ae") / (col("bnrm") * col("anrm")) * lit(1e9))
+            .cast("long").as("s9"))
+        .groupBy("qid", "ai")
+        .agg(transform(array_sort(collect_list(struct(col("bi"), col("s9")))),
+          x => x.getField("s9")).as("srow"))
+      val pq = prow.groupBy("qid")
+        .agg(transform(array_sort(collect_list(struct(col("ai"), col("srow")))),
+          x => x.getField("srow")).as("simm"))
+      val base = ci.groupBy("qid")
+        .agg(
+          transform(array_sort(collect_list(
+            struct(col("ix"), col("rel9")))), x => x.getField("rel9")).as("rel"),
+          transform(array_sort(collect_list(
+            struct(col("ix"), col("vec_id")))), x => x.getField("vec_id")).as("ids"))
+      val joined = base.join(pq, "qid")
+      val p1 = array_position(col("rel"), array_max(col("rel"))).cast("int")
+      val st0 = struct(
+        array(p1).as("chosen"),
+        element_at(col("simm"), p1).as("msim"),
+        array(array_max(col("rel"))).as("psc"))
+      val fold = aggregate(
+        sequence(lit(2), lit(MmrK)), st0,
+        (st, _) => {
+          val sc = transform(sequence(lit(1), size(col("rel"))),
+            i => when(array_contains(st.getField("chosen"), i.cast("int")),
+              lit(MmrSent))
+              .otherwise(element_at(col("rel"), i) -
+                element_at(st.getField("msim"), i)))
+          val p = array_position(sc, array_max(sc)).cast("int")
+          struct(
+            concat(st.getField("chosen"), array(p)).as("chosen"),
+            zip_with(st.getField("msim"), element_at(col("simm"), p),
+              (m, x) => greatest(m, x)).as("msim"),
+            concat(st.getField("psc"), array(array_max(sc))).as("psc"))
+        })
+      joined.select(col("qid"), col("ids"), fold.as("st"))
+        .select(col("qid"), col("ids"), col("st"),
+          posexplode(col("st").getField("chosen")))
+        .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+          element_at(col("ids"), col("col")).as("vec_id"),
+          element_at(col("st").getField("psc"),
+            (col("pos") + 1).cast("int")).as("mmr_q9"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH RECURSIVE $sqlNormed,
+      q AS MATERIALIZED (SELECT vec_id AS qid, e AS qe, nrm AS qnrm
+        FROM w WHERE vec_id < $PqEvalQueries),
+      cand AS MATERIALIZED (
+        SELECT qid, vec_id, e, nrm,
+          cast(floor(${sqlDot("e", "qe")} / (nrm * qnrm) * 1000000000.0)
+            as bigint) AS rel9,
+          row_number() OVER (PARTITION BY qid
+            ORDER BY ${sqlDot("e", "qe")} / (nrm * qnrm) DESC, vec_id) AS rn
+        FROM w JOIN q ON vec_id <> qid
+        QUALIFY rn <= $MmrC),
+      ci AS MATERIALIZED (SELECT qid, vec_id, e, nrm, rel9,
+          row_number() OVER (PARTITION BY qid ORDER BY vec_id) AS ix
+        FROM cand),
+      prow AS MATERIALIZED (SELECT a.qid, a.ix AS ai,
+          list(cast(floor(${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm)
+            * 1000000000.0) as bigint) ORDER BY b.ix) AS srow
+        FROM ci a JOIN ci b ON a.qid = b.qid
+        GROUP BY 1, 2),
+      pq AS MATERIALIZED (SELECT qid, list(srow ORDER BY ai) AS simm
+        FROM prow GROUP BY 1),
+      base AS MATERIALIZED (SELECT qid,
+          list(rel9 ORDER BY ix) AS rel, list(vec_id ORDER BY ix) AS ids
+        FROM ci GROUP BY 1),
+      st AS (
+        SELECT b.qid, 1 AS t,
+          [cast(list_position(rel, list_max(rel)) as int)] AS chosen,
+          simm[list_position(rel, list_max(rel))] AS msim,
+          [list_max(rel)] AS psc,
+          rel, ids, simm
+        FROM base b JOIN pq USING (qid)
+        UNION ALL
+        SELECT qid, t + 1,
+          list_append(chosen, cast(list_position(sc, list_max(sc)) as int)),
+          list_transform(generate_series(1, len(msim)),
+            i -> greatest(msim[i], simm[list_position(sc, list_max(sc))][i])),
+          list_append(psc, list_max(sc)),
+          rel, ids, simm
+        FROM (SELECT *, list_transform(generate_series(1, len(rel)),
+            i -> CASE WHEN list_contains(chosen, cast(i as int))
+              THEN $MmrSent ELSE rel[i] - msim[i] END) AS sc
+          FROM st WHERE t < $MmrK) s),
+      fin AS (SELECT qid, chosen, psc, ids FROM st WHERE t = $MmrK)
+      SELECT qid, cast(u.r as int) AS rank, ids[chosen[u.r]] AS vec_id,
+        psc[u.r] AS mmr_q9
+      FROM fin, unnest(generate_series(1, $MmrK)) AS u(r)
+      ORDER BY qid, rank"""))
+
+  // ------------------------------------------------------------------
   // q190 — GRADED retrieval metrics: MRR@10 and nDCG@10 of the PQ-ADC
   // ranking against exact-cosine truth, per query. q167's recall@10
   // treats the top-10 as a set; ranking quality is what users feel, so
@@ -1709,6 +1857,7 @@ object Similarity {
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
     annIvf, annIvfIncremental, semanticDedup, multimodalMeta, arrayFuncs,
     pqEncode, pqAdcTopK, pqCodeBalance, pqRerankTopK, pqRecallEval,
-    mrlRecallEval, int8RecallEval, retrievalMetrics, hardNegatives,
-    maxSimScores, attributionProbe, hybridFusion, embeddingHealth)
+    mrlRecallEval, int8RecallEval, mmrRerank, retrievalMetrics,
+    hardNegatives, maxSimScores, attributionProbe, hybridFusion,
+    embeddingHealth)
 }

@@ -479,6 +479,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // (ReuseAudit: embeddings=1 cold — the int8 and exact sides both
       // read the same cache)
       "q216_int8_recall_eval" -> Map("embeddings" -> 4),
+      // TEXTUAL count (the q169 caveat): TWO cached frames (normed +
+      // the C-bounded candidate frame) whose builds print FileScan
+      // bodies at the query, candidate and pairwise-sim consumer
+      // sites; cold file reads = 1 (ReuseAudit: embeddings=1 cold)
+      "q218_mmr_rerank" -> Map("embeddings" -> 4),
       // caches normed (ONE embeddings scan feeds panel + train sides)
       // and the panel-bounded shingle frame (ONE semi-joined documents
       // scan) — ReuseAudit cold: embeddings=1, documents absorbed into

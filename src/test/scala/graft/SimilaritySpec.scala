@@ -320,6 +320,51 @@ class SimilaritySpec extends AnyFunSuite {
       s"q216 qid 0 (${rec.head._2}) != |int8 ∩ exact| = ${(int8 & exact).size}")
   }
 
+  test("q218 MMR re-rank equals an independent plain-Scala greedy recomputation for every query") {
+    val sf = TestSpark.sf0001
+    val out = SparkEntry.queries("q218_mmr_rerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.size == 10 * 5, "10 queries x 5 ranks")
+    val vecs = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def q9(x: Double) = math.floor(x * 1e9).toLong
+    for (qid <- 0L to 9L) {
+      // top-12 candidates by (cos desc, vec_id), then index by vec_id
+      val cand = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(v, vecs(qid))) }
+        .sortBy { case (id, c) => (-c, id) }.take(12)
+        .sortBy(_._1)
+      val ids = cand.map(_._1).toArray
+      val rel = cand.map(c => q9(c._2)).toArray
+      val simm = Array.tabulate(ids.length, ids.length)((i, j) =>
+        q9(cos(vecs(ids(j)), vecs(ids(i)))))
+      // greedy MMR, lambda = 1/2 (argmax of rel - maxsim), 0-based here
+      var chosen = Vector(rel.indices.maxBy(i => (rel(i), -i)))
+      var msim = simm(chosen.head).clone()
+      var psc = Vector(rel(chosen.head))
+      for (_ <- 2 to 5) {
+        val sc = rel.indices.map(i =>
+          if (chosen.contains(i)) Long.MinValue else rel(i) - msim(i))
+        val p = sc.indices.maxBy(i => (sc(i), -i))
+        chosen :+= p
+        msim = msim.indices.map(i => math.max(msim(i), simm(p)(i))).toArray
+        psc :+= sc(p)
+      }
+      for (r <- 1 to 5) {
+        assert(out((qid, r)) == ((ids(chosen(r - 1)), psc(r - 1))),
+          s"qid $qid rank $r: got ${out((qid, r))}, " +
+            s"expected (${ids(chosen(r - 1))}, ${psc(r - 1)})")
+      }
+    }
+  }
+
   test("multimodal metadata is deterministic and sized correctly") {
     import spark.implicits._
     val docs = Seq((0L, "PNGx some fake payload", "en", "s", 22L),
