@@ -1172,6 +1172,84 @@ object TrainingPrep {
       bench = true)
   }
 
+  // ------------------------------------------------------------------
+  // q219 — per-LANGUAGE tokenizer economics, the fairness audit over
+  // q148's encoder: a BPE vocabulary learned on one language mix
+  // over-segments the others (more tokens per word and fewer chars
+  // per token → the under-served languages pay more compute and fit
+  // less context per sequence — the well-documented multilingual-BPE
+  // inequity). Per language: doc count, pre-token pieces, BPE tokens,
+  // piece chars, fertility = ΣBPE/Σpieces and chars-per-token =
+  // Σchars/ΣBPE — each a SINGLE IEEE division of exact integer sums,
+  // so both engines produce the identical double (the q30 int/int
+  // discipline; no per-doc ratios are ever averaged, which would be
+  // order-dependent).
+  //
+  // Scale shape: the 16-deep merge chain runs per piece inside
+  // whole-stage codegen exactly as in q148 (zero shuffles beyond the
+  // scan); the per-language rollup is ONE map-combinable groupBy over
+  // |langs| keys. chars counts the PIECES' characters (what the
+  // tokenizer actually consumes), not raw text length — whitespace
+  // and unmatched punctuation are not tokenizer input.
+  // ------------------------------------------------------------------
+  val tokenizerEconomics: Q = {
+    import org.apache.spark.sql.Column
+    def nSyms(c: Column): Column = bpeSymCount(bpeApply(c, BpeMerges16))
+    Q(
+      "q219_tokenizer_economics",
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"),
+          expr(s"regexp_extract_all(lower($StripSep), '$BpePat', 0)").as("pieces"))
+        .select(col("lang"), size(col("pieces")).as("n_pieces"),
+          aggregate(transform(col("pieces"), p => nSyms(p)),
+            lit(0), (a, x) => a + x).as("n_bpe"),
+          aggregate(transform(col("pieces"), p => length(p)),
+            lit(0), (a, x) => a + x).as("n_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_pieces")).cast("long").as("n_pieces"),
+          sum(col("n_bpe")).cast("long").as("n_bpe"),
+          sum(col("n_chars")).cast("long").as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_pieces"), col("n_bpe"),
+          col("n_chars"),
+          when(col("n_pieces") > 0,
+            col("n_bpe").cast("double") / col("n_pieces")).as("fertility"),
+          when(col("n_bpe") > 0,
+            col("n_chars").cast("double") / col("n_bpe")).as("chars_per_bpe"))
+        .orderBy("lang"),
+      Some {
+        val sep2 = "chr(1)||chr(1)"
+        def lit1(x: String) = "'" + x.replace("'", "''") + "'"
+        val wrapped = s"$sep2 || regexp_replace(w, '(.)', '\\1'||$sep2, 'gs')"
+        val chain = BpeMerges16.foldLeft(wrapped) { case (acc, (a, b)) =>
+          s"replace($acc, chr(1)||${lit1(a)}||$sep2||${lit1(b)}||chr(1), " +
+            s"chr(1)||${lit1(a + b)}||chr(1))"
+        }
+        s"""WITH p AS (SELECT lang,
+            regexp_extract_all(lower(replace(text, chr(1), '')), '$BpePat')
+              AS pieces
+          FROM documents),
+        e AS (SELECT lang, cast(len(pieces) as int) AS n_pieces,
+            cast(coalesce(list_sum(list_transform(pieces, w ->
+              len(list_filter(string_split($chain, $sep2),
+                x -> x <> '')))), 0) as int) AS n_bpe,
+            cast(coalesce(list_sum(list_transform(pieces, w -> len(w))), 0)
+              as int) AS n_chars
+          FROM p),
+        a AS (SELECT lang, cast(count(*) as bigint) AS n_docs,
+            cast(sum(n_pieces) as bigint) AS n_pieces,
+            cast(sum(n_bpe) as bigint) AS n_bpe,
+            cast(sum(n_chars) as bigint) AS n_chars
+          FROM e GROUP BY 1)
+        SELECT lang, n_docs, n_pieces, n_bpe, n_chars,
+          CASE WHEN n_pieces > 0
+            THEN cast(n_bpe as double) / n_pieces END AS fertility,
+          CASE WHEN n_bpe > 0
+            THEN cast(n_chars as double) / n_bpe END AS chars_per_bpe
+        FROM a ORDER BY lang"""
+      })
+  }
+
   /** q173 — length-grouped batch manifest (padding-waste report): sort
     * docs by token length, cut into fixed batches of B consecutive
     * docs, and report each batch's padded cost — `n_docs · max_len`
@@ -1872,7 +1950,8 @@ object TrainingPrep {
     bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf,
     approxPercentiles, bloomContamination, fuzzyPairs, heavyHitters,
     weightedSample, oovRate, embeddingQuantize, sequencePacking,
-    winnowFingerprints, bpeMerges, bpeEncode, lengthBatchManifest,
+    winnowFingerprints, bpeMerges, bpeEncode, tokenizerEconomics,
+    lengthBatchManifest,
     cdcChunks, decontaminateSpans, spanCorruption, wordpieceEncode,
     unigramViterbi, prefixCacheAudit)
 }

@@ -307,6 +307,27 @@ class TrainingPrepSpec extends AnyFunSuite {
       ((1L, 4, 9, 2.25)), s"encode wrong: $r")
   }
 
+  test("q219 tokenizer economics aggregates per language with ratio-of-sums, never mean-of-ratios") {
+    import spark.implicits._
+    // en doc: q148's hand-computed fixture (4 pieces, 9 tokens, piece
+    // chars 2+4+6+5 = 17) plus a 1-piece doc ("in" -> 1 token, 2 chars);
+    // de doc: "in in" -> pieces [in, " in"] -> 1 + 2 tokens, 5 chars
+    val docs = Seq(
+      (1L, "In the other hand", "en", "s", 17L),
+      (2L, "in", "en", "s", 2L),
+      (3L, "in in", "de", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q219_tokenizer_economics")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(rows("en") == ((2L, 5L, 10L, 19L, 10.0 / 5, 19.0 / 10)),
+      s"en row wrong: ${rows("en")}")
+    assert(rows("de") == ((1L, 2L, 3L, 5L, 3.0 / 2, 5.0 / 3)),
+      s"de row wrong: ${rows("de")}")
+  }
+
   test("bpe input is separator-safe: U+0001 in text is stripped, fertility of a zero-piece doc is NULL") {
     import spark.implicits._
     // doc 1 carries the BPE separator byte inside a word — it must
