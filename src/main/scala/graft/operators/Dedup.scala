@@ -1988,6 +1988,101 @@ object Dedup {
       ORDER BY np.bucket"""
     })
 
+  // ------------------------------------------------------------------
+  // q220 — per-source boilerplate-prevalence economics under the C4 /
+  // CCNet DROP-ALL policy (Raffel et al. 2020 §2.2 "three-sentence
+  // span appearing more than once is removed"; Wenzek et al. 2020
+  // dedup lines by prevalence): a segment that occurs in >= 2 DISTINCT
+  // documents corpus-wide is boilerplate and every copy is dropped —
+  // including the first, which is exactly where this differs from
+  // q152's keep-first reassembly (same [[ParaDelim]] segments, opposite
+  // keep policy). Output is the per-source audit a corpus team reads
+  // before enabling the filter: how many segment instances and chars
+  // each source would lose.
+  //
+  // Scale shape: ONE consumer chain over ONE documents scan. The
+  // explode carries (source, doc_id, h, len, pidx=0 flag) — 61-bit
+  // hashes, never segment text. ONE corpus-width exchange on (h,
+  // source) folds instances to the (segment, source) granularity; the
+  // GLOBAL distinct-doc prevalence is then a window over that
+  // aggregated frame partitioned by h with a frame bounded by
+  // |sources| rows (a doc has exactly one source, so global nd = sum
+  // of per-source nd — no second corpus pass and no self-join); the
+  // final rollup is a map-combinable groupBy over |sources| keys.
+  // Per-source doc counts need NO second scan branch either (a narrow
+  // count branch gets column-pruned into its own scan — caught by the
+  // allowance sweep): every doc contributes exactly one pidx=0
+  // instance, so n_docs = Σ first-instance flags riding the same
+  // aggregates.
+  // ------------------------------------------------------------------
+  val boilerplatePrevalence: Q = Q(
+    "q220_boilerplate_prevalence",
+    (s, d) => {
+      graft.functions.TextFunctions.register(s)
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"),
+          split(col("text"),
+            java.util.regex.Pattern.quote(ParaDelim), -1).as("paras"))
+      val ex = docs
+        .select(col("source"), col("doc_id"),
+          posexplode_outer(col("paras")).as(Seq("pidx", "para")))
+        .select(col("source"), col("doc_id"),
+          md5h61(col("para")).as("h"), length(col("para")).as("ln"),
+          when(col("pidx") === 0, 1L).otherwise(0L).as("isf"))
+      val g1 = ex.groupBy("h", "source")
+        .agg(count(lit(1)).as("n_inst"),
+          countDistinct(col("doc_id")).as("ndw"),
+          sum(col("ln")).as("chars"),
+          sum(col("isf")).as("nfirst"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+      val flagged = g1.withColumn("nd", sum(col("ndw")).over(w))
+        .withColumn("boiler", col("nd") >= lit(2L))
+      flagged.groupBy("source")
+        .agg(sum(col("nfirst")).cast(LongType).as("n_docs"),
+          sum(col("n_inst")).cast(LongType).as("n_seg"),
+          count(when(col("boiler"), 1)).cast(LongType).as("n_boiler_seg"),
+          sum(when(col("boiler"), col("n_inst")).otherwise(0L))
+            .cast(LongType).as("n_dropped"),
+          sum(col("chars")).cast(LongType).as("chars_total"),
+          sum(when(col("boiler"), col("chars")).otherwise(0L))
+            .cast(LongType).as("chars_dropped"))
+        .select(col("source"), col("n_docs"), col("n_seg"),
+          col("n_boiler_seg"), col("n_dropped"), col("chars_total"),
+          col("chars_dropped"),
+          when(col("chars_total") > 0,
+            col("chars_dropped").cast("double") / col("chars_total"))
+            .as("drop_ratio"))
+        .orderBy("source")
+    },
+    Some {
+      val dl = "'" + ParaDelim.replace("'", "''") + "'"
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, $dl) AS paras
+          FROM documents WHERE doc_id IS NOT NULL),
+        ex AS (SELECT source, doc_id, ${sqlMd5h61("paras[i]")} AS h,
+            len(paras[i]) AS ln, CASE WHEN i = 1 THEN 1 ELSE 0 END AS isf
+          FROM t, unnest(generate_series(1, len(paras))) AS u(i)),
+        g1 AS (SELECT h, source, count(*) AS n_inst,
+            count(distinct doc_id) AS ndw, sum(ln) AS chars,
+            sum(isf) AS nfirst
+          FROM ex GROUP BY 1, 2),
+        fl AS (SELECT *, sum(ndw) OVER (PARTITION BY h) >= 2 AS boiler
+          FROM g1)
+        SELECT source,
+          cast(sum(nfirst) as bigint) AS n_docs,
+          cast(sum(n_inst) as bigint) AS n_seg,
+          cast(count_if(boiler) as bigint) AS n_boiler_seg,
+          cast(sum(CASE WHEN boiler THEN n_inst ELSE 0 END) as bigint)
+            AS n_dropped,
+          cast(sum(chars) as bigint) AS chars_total,
+          cast(sum(CASE WHEN boiler THEN chars ELSE 0 END) as bigint)
+            AS chars_dropped,
+          CASE WHEN sum(chars) > 0
+            THEN cast(sum(CASE WHEN boiler THEN chars ELSE 0 END) as double)
+              / sum(chars) END AS drop_ratio
+        FROM fl GROUP BY 1 ORDER BY 1"""
+    })
+
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
     ngramJaccardPairs, ngramJaccardDfCap, containmentPairs,
@@ -1996,5 +2091,5 @@ object Dedup {
     substringRemoval, paragraphDedupQ, incrementalParagraphDedup,
     withinDocDedup, softDedupWeights, lshRecallEval, memorizationAudit,
     dupPagerank, qualityCanonical, leakageSafeSplits, thresholdCurve,
-    sourceMirror, lshCalibration)
+    sourceMirror, lshCalibration, boilerplatePrevalence)
 }

@@ -1250,6 +1250,85 @@ object TrainingPrep {
       })
   }
 
+  // ------------------------------------------------------------------
+  // q221 — BPE vocabulary-utilization audit (dead-merge detection),
+  // the tokenizer-maintenance counterpart of q219's economics: for
+  // each of the 16 pinned merge products, how often does it survive
+  // in the FINAL encoded corpus and in how many distinct word types?
+  // A merge whose product is always consumed by a later merge (e.g.
+  // "th" inside every "the") or never occurs is dead vocabulary —
+  // wasted embedding rows and logit width; this is the measurement
+  // behind vocabulary pruning.
+  //
+  // Scale shape: usage is computed over the (word, freq) TYPE
+  // histogram (the q147 bpeBase discipline — one corpus pass to
+  // vocab-sized data, each distinct word encoded ONCE, occurrence
+  // counts recovered as Σ freq · count-in-word); the merge chain runs
+  // inside whole-stage codegen; the isin(16 products) filter pushes
+  // below the symbol aggregate so the final shuffle carries only
+  // matching symbol instances; the merge table is a 16-row literal
+  // relation LEFT-joined so dead merges surface as explicit zeros
+  // instead of silently vanishing.
+  // ------------------------------------------------------------------
+  val bpeVocabUtil: Q = {
+    val products = BpeMerges16.map { case (a, b) => a + b }
+    Q(
+      "q221_bpe_vocab_util",
+      (s, d) => {
+        import s.implicits._
+        val merges = BpeMerges16.zipWithIndex
+          .map { case ((a, b), i) => (i + 1, a, b, a + b) }
+          .toDF("mrank", "a", "b", "token")
+        val hist = Tables.documents(s, d)
+          .select(explode(
+            expr(s"regexp_extract_all(lower($StripSep), '$BpePat', 0)"))
+            .as("w"))
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+        val usage = hist
+          .select(col("w"), col("freq"),
+            explode(filter(split(bpeApply(col("w"), BpeMerges16), BpeSep2),
+              v => v =!= "")).as("tok"))
+          .filter(col("tok").isin(products: _*))
+          .groupBy("tok")
+          .agg(sum(col("freq")).cast("long").as("occ"),
+            countDistinct(col("w")).cast("long").as("words"))
+        merges.join(broadcast(usage), col("token") === col("tok"), "left")
+          .select(col("mrank"), col("a"), col("b"), col("token"),
+            coalesce(col("occ"), lit(0L)).as("n_occ"),
+            coalesce(col("words"), lit(0L)).as("n_words"))
+          .orderBy("mrank")
+      },
+      Some {
+        val sep2 = "chr(1)||chr(1)"
+        def lit1(x: String) = "'" + x.replace("'", "''") + "'"
+        val wrapped = s"$sep2 || regexp_replace(w, '(.)', '\\1'||$sep2, 'gs')"
+        val chain = BpeMerges16.foldLeft(wrapped) { case (acc, (a, b)) =>
+          s"replace($acc, chr(1)||${lit1(a)}||$sep2||${lit1(b)}||chr(1), " +
+            s"chr(1)||${lit1(a + b)}||chr(1))"
+        }
+        val vals = BpeMerges16.zipWithIndex.map { case ((a, b), i) =>
+          s"(${i + 1}, ${lit1(a)}, ${lit1(b)}, ${lit1(a + b)})"
+        }.mkString(", ")
+        val inList = products.map(lit1).mkString(", ")
+        s"""WITH w0 AS (SELECT unnest(
+            regexp_extract_all(lower(replace(text, chr(1), '')), '$BpePat'))
+            AS w FROM documents),
+        hist AS (SELECT w, count(*) AS freq FROM w0 GROUP BY 1),
+        tok AS (SELECT w, freq,
+            unnest(list_filter(string_split($chain, $sep2), x -> x <> ''))
+              AS tok
+          FROM hist),
+        usage AS (SELECT tok, cast(sum(freq) as bigint) AS occ,
+            cast(count(distinct w) as bigint) AS words
+          FROM tok WHERE tok IN ($inList) GROUP BY 1),
+        m AS (SELECT * FROM (VALUES $vals) AS v(mrank, a, b, token))
+        SELECT mrank, a, b, token,
+          coalesce(occ, 0) AS n_occ, coalesce(words, 0) AS n_words
+        FROM m LEFT JOIN usage ON token = tok
+        ORDER BY mrank"""
+      })
+  }
+
   /** q173 — length-grouped batch manifest (padding-waste report): sort
     * docs by token length, cut into fixed batches of B consecutive
     * docs, and report each batch's padded cost — `n_docs · max_len`
@@ -1951,7 +2030,7 @@ object TrainingPrep {
     approxPercentiles, bloomContamination, fuzzyPairs, heavyHitters,
     weightedSample, oovRate, embeddingQuantize, sequencePacking,
     winnowFingerprints, bpeMerges, bpeEncode, tokenizerEconomics,
-    lengthBatchManifest,
+    bpeVocabUtil, lengthBatchManifest,
     cdcChunks, decontaminateSpans, spanCorruption, wordpieceEncode,
     unigramViterbi, prefixCacheAudit)
 }

@@ -623,4 +623,29 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.TheoCollidePpm.sliding(2).forall { case Seq(a, b) => a <= b })
     assert(Dedup.TheoCollidePpm.head < 10000 && Dedup.TheoCollidePpm.last > 999000)
   }
+
+  test("q220 drop-all prevalence: cross-doc segments dropped everywhere, within-doc repeats survive") {
+    import spark.implicits._
+    // "dup" appears in docs 1 (srcA) and 2 (srcB) -> global nd=2 ->
+    // boilerplate: ALL copies dropped (including the first, the exact
+    // point where this differs from q152 keep-first). "rep" appears
+    // twice but only inside doc 3 -> nd=1 -> NOT boilerplate (the
+    // prevalence unit is distinct documents, not instances).
+    val docs = Seq(
+      (1L, "dup the uniq1", "en", "srcA", 13L),
+      (2L, "dup the uniq2", "en", "srcB", 13L),
+      (3L, "rep the rep", "en", "srcA", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q220_boilerplate_prevalence")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getDouble(7)))).toMap
+    // srcA: segs dup|uniq1|rep|rep, chars 3+5+3+3=14, dup dropped (3)
+    assert(rows("srcA") == ((2L, 4L, 1L, 1L, 14L, 3L, 3.0 / 14)),
+      s"srcA wrong: ${rows("srcA")}")
+    // srcB: segs dup|uniq2, chars 3+5=8, dup dropped (3)
+    assert(rows("srcB") == ((1L, 2L, 1L, 1L, 8L, 3L, 3.0 / 8)),
+      s"srcB wrong: ${rows("srcB")}")
+  }
 }

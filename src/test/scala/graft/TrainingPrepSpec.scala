@@ -691,4 +691,29 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(rows(8)._1 == 2L && rows(8)._3 == 0L && rows(8)._4 == 0L,
       s"K=8: ${rows(8)}")
   }
+
+  test("q221 vocab utilization: merge products counted in the final encoding, dead merges explicit zeros") {
+    import spark.implicits._
+    // doc 1 pieces: "the" -> [the]; " then" -> [" the", n]; " thin" ->
+    // [" ", th, in]. doc 2 piece "thinthin" -> [th, in, th, in]:
+    // per-word MULTIPLICITY counts in n_occ but once in n_words.
+    // "th" inside "the" is consumed by the later th+e merge -- the
+    // dead-vocab mechanism this audit measures.
+    val docs = Seq(
+      (1L, "the then thin", "en", "s", 13L),
+      (2L, "thinthin", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q221_bpe_vocab_util")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length == 16 && rows.map(_._1).toSeq == (1 to 16), s"ranks: ${rows.toSeq}")
+    val byTok = rows.map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(byTok("th") == ((3L, 2L)), s"th: ${byTok("th")}")
+    assert(byTok("the") == ((1L, 1L)), s"the: ${byTok("the")}")
+    assert(byTok("in") == ((3L, 2L)), s"in: ${byTok("in")}")
+    assert(byTok(" the") == ((1L, 1L)), s"' the': ${byTok(" the")}")
+    val live = Set("th", "the", "in", " the")
+    assert(rows.filter(r => !live(r._2)).forall(r => r._3 == 0L && r._4 == 0L),
+      s"dead merges must be explicit zeros: ${rows.toSeq}")
+  }
 }
