@@ -425,4 +425,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted * 100 >= total * 99,
       s"p99-sized watermark admitted only $admitted/$total")
   }
+
+  test("boilerplate gate alerts once at the second distinct doc; alert set IS the q220 flag rule") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.BoilerplateGate
+    val mem = MemoryStream[(Long, String)]
+    val alerts = BoilerplateGate.gate(BoilerplateGate.segments(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", " the "))
+    val q = alerts.writeStream.outputMode("append")
+      .format("memory").queryName("boiler_alerts").start()
+    try {
+      // batch 1: "dup" in doc 1 only; "rep" twice WITHIN doc 3 -> no alerts
+      mem.addData((1L, "dup the uniq1"), (3L, "rep the rep"))
+      q.processAllAvailable()
+      assert(spark.table("boiler_alerts").count() == 0,
+        "no segment has crossed 2 distinct docs yet")
+      // batch 2: docs 2 and 4 both carry "dup" -> exactly ONE alert,
+      // second_doc = 2 (doc_id order within the batch, not arrival)
+      mem.addData((4L, "dup the uniq3"), (2L, "dup the uniq2"))
+      q.processAllAvailable()
+      // batch 3: yet another "dup" doc -> already flagged, still one alert
+      mem.addData((5L, "dup the uniq4"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hDup = spark.range(1)
+      .select(graft.Dsl.md5h61(lit("dup"))).head.getLong(0)
+    val got = spark.table("boiler_alerts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((hDup, 1L, 2L)), s"alerts wrong: $got")
+
+    // cross-law at sf0.001: streamed over the whole table, the alerted
+    // hash set equals the batch prevalence rule (>= 2 distinct docs)
+    // that q220 aggregates -- same segments, same within-doc collapse
+    val sf = TestSpark.sf0001
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val mem2 = MemoryStream[(Long, String)]
+    val alerts2 = BoilerplateGate.gate(BoilerplateGate.segments(
+      mem2.toDF().toDF("doc_id", "text"), "doc_id", "text", " the "))
+    val q2 = alerts2.writeStream.outputMode("append")
+      .format("memory").queryName("boiler_alerts_sf").start()
+    try {
+      val half = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      mem2.addData(half.take(half.length / 2).toSeq: _*)
+      q2.processAllAvailable()
+      mem2.addData(half.drop(half.length / 2).toSeq: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val streamed = spark.table("boiler_alerts_sf")
+      .collect().map(_.getLong(0)).toSet
+    val expected = BoilerplateGate.segments(docs, "doc_id", "text", " the ")
+      .groupBy("h").count().filter(col("count") >= 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == expected,
+      s"gate vs batch rule: ${streamed.size} vs ${expected.size}")
+    assert(expected.nonEmpty, "fixtureless law must not be vacuous")
+  }
 }
