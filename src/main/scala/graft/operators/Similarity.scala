@@ -1184,6 +1184,82 @@ object Similarity {
     })
 
   // ------------------------------------------------------------------
+  // q222 — filtered-ANN recall audit: metadata-constrained search
+  // ("top-10 nearest WITH label = X") done the cheap way — run the
+  // UNFILTERED search and post-filter — measured against the filtered
+  // truth, for the plain top-10 and for an over-fetch-100 remedy.
+  // This is the classic production ANN trap (a selective filter
+  // starves the post-filtered result list) and the over-fetch factor
+  // is the standard knob; this audit is the measurement that sizes it.
+  //
+  // No separate truth branch is needed, by a rank-preservation
+  // identity: filtering by label preserves cosine order, so the
+  // label-matching survivors of the global top-K are EXACTLY the
+  // best-ranked members of the filtered truth — hence
+  // recall@10(post-filter of top-K) = min(#matches in top-K, 10)/10.
+  // One windowed pass over the corpus yields both operating points.
+  //
+  // Scale shape: the q216 search shape (NQ query rows broadcast,
+  // row_number ≤ 100 compiles to the TopKPerGroup bounded heap), ONE
+  // corpus pass for the ranking plus a |labels|-key aggregate off the
+  // same cached frame for context counts; with the target label ~10%
+  // of the corpus, expected n_surv10 ≈ 1 — the audit shows the
+  // collapse (recall ≈ 0.1) and whether ×10 over-fetch repairs it.
+  // ------------------------------------------------------------------
+  val filteredAnnRecall: Q = Q(
+    "q222_filtered_ann_recall",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = graft.CacheScope.cached(normed(s, d))
+      val qs = w.filter(col("vec_id") < PqEvalQueries)
+        .select(col("vec_id").as("qid"), col("label").as("qlab"),
+          col("e").as("qe"), col("nrm").as("qnrm"))
+      val labCnt = w.groupBy("label")
+        .agg(count(lit(1)).cast("long").as("n_label"))
+      val top100 = w.join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlab"), col("vec_id"), col("label"),
+          (dot("e", "qe") / (col("nrm") * col("qnrm"))).as("cos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") <= 100)
+      val m = top100.groupBy("qid", "qlab")
+        .agg(count(when(col("rn") <= 10 && col("label") === col("qlab"), 1))
+            .cast("long").as("n_surv10"),
+          least(count(when(col("label") === col("qlab"), 1)), lit(10L))
+            .cast("long").as("n_surv100"))
+      m.join(labCnt, m("qlab") === labCnt("label"))
+        .select(col("qid"), col("qlab").as("label"), col("n_label"),
+          col("n_surv10"),
+          (col("n_surv10").cast("double") / lit(10.0)).as("recall_post10"),
+          col("n_surv100"),
+          (col("n_surv100").cast("double") / lit(10.0)).as("recall_over100"))
+        .orderBy("qid")
+    },
+    Some {
+      s"""WITH $sqlNormed,
+        q AS MATERIALIZED (SELECT vec_id AS qid, label AS qlab, e AS qe,
+            nrm AS qnrm FROM w WHERE vec_id < $PqEvalQueries),
+        t AS MATERIALIZED (SELECT qid, qlab, label, rn FROM (
+            SELECT q.qid, q.qlab, v.vec_id, v.label,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY ${sqlDot("v.e", "q.qe")} / (v.nrm * q.qnrm) DESC,
+                  v.vec_id) AS rn
+            FROM w v JOIN q ON v.vec_id <> q.qid) WHERE rn <= 100),
+        m AS (SELECT qid, qlab,
+            cast(count_if(rn <= 10 AND label = qlab) as bigint) AS n_surv10,
+            least(cast(count_if(label = qlab) as bigint), 10) AS n_surv100
+          FROM t GROUP BY 1, 2),
+        lc AS (SELECT label, cast(count(*) as bigint) AS n_label
+          FROM w GROUP BY 1)
+        SELECT qid, qlab AS label, n_label, n_surv10,
+          cast(n_surv10 as double) / 10.0 AS recall_post10,
+          n_surv100,
+          cast(n_surv100 as double) / 10.0 AS recall_over100
+        FROM m JOIN lc ON m.qlab = lc.label
+        ORDER BY qid"""
+    })
+
+  // ------------------------------------------------------------------
   // q218 — MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
   // diversified re-ranking: from each query's top-C relevance
   // candidates, greedily select K results maximizing
@@ -1857,7 +1933,8 @@ object Similarity {
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
     annIvf, annIvfIncremental, semanticDedup, multimodalMeta, arrayFuncs,
     pqEncode, pqAdcTopK, pqCodeBalance, pqRerankTopK, pqRecallEval,
-    mrlRecallEval, int8RecallEval, mmrRerank, retrievalMetrics,
+    mrlRecallEval, int8RecallEval, filteredAnnRecall, mmrRerank,
+    retrievalMetrics,
     hardNegatives, maxSimScores, attributionProbe, hybridFusion,
     embeddingHealth)
 }

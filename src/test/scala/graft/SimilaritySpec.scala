@@ -590,4 +590,33 @@ class SimilaritySpec extends AnyFunSuite {
         s"label $lbl: $got != ${(mem.size, cs.min, cs.max, cs.sum.toDouble / mem.size / 1e9)}")
     }
   }
+
+  test("q222 filtered-ANN recall: post-filter collapse and over-fetch repair on a planted-label fixture") {
+    import spark.implicits._
+    // query 0 (label 1) points along axis 0. 20 label-0 decoys hug the
+    // query direction (cos ~ 0.99+) and own the global top-10; the 5
+    // label-1 matches sit at cos ~ 0.707 -- ALL outside the global
+    // top-10 but inside the top-100. Expected: n_surv10 = 0 (the
+    // post-filter collapse), n_surv100 = 5 (over-fetch recovers every
+    // match), n_label = 6 (the 5 matches + the query itself).
+    def vec(x: Float, y: Float, slot: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(64)(0f); a(0) = x; a(1) = y
+      if (slot >= 2) a(slot) = eps
+      a
+    }
+    val query = Seq((0L, vec(1f, 0f, 0, 0f), 1))
+    val decoys = (0 until 20).map(i =>
+      (10L + i, vec(1f, 0.01f * i, 2 + i, 0.05f), 0))
+    val matches = (0 until 5).map(i =>
+      (40L + i, vec(1f, 1f, 30 + i, 0.05f), 1))
+    val df = (query ++ decoys ++ matches)
+      .toDF("vec_id", "embedding", "label")
+    val dir = TestSpark.makeSfDir("embeddings" -> df)
+    val rows = SparkEntry.queries("q222_filtered_ann_recall")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.length == 1, s"one query expected: ${rows.toSeq}")
+    assert(rows(0) == ((0L, 1, 6L, 0L, 0.0, 5L, 0.5)),
+      s"q222 fixture row wrong: ${rows(0)}")
+  }
 }
