@@ -168,6 +168,108 @@ object TextAnalysis {
       GROUP BY lang, guess ORDER BY lang, guess"""
     })
 
+  /** q223 — code-switching / mixed-language audit: the q32 marker vote
+    * run per fixed 20-token WINDOW instead of per document, then rolled
+    * up doc-locally into per-language window counts, the majority call
+    * (same ≥-chain tie-break as q32: en > es > fr > de), and the
+    * minority-window fraction. A document whose windows disagree is a
+    * mixed-language page (boilerplate chrome in one language around
+    * content in another, quote blocks, genuine code-switching) — the
+    * multilingual-cleaning decision CCNet §3.1 makes per PARAGRAPH
+    * score rather than per page; q33's doc-level confusion matrix
+    * cannot see it.
+    *
+    * Scale shape: ZERO shuffles — the windowing, the per-window vote,
+    * and the rollup are doc-local array expressions inside one scan
+    * projection (window count = ⌈tokens/20⌉, every step bounded by doc
+    * length). The whole computation binds the token array ONCE as a
+    * lambda variable (transform(array(toks), tt → …).getItem(0) — the
+    * q153 discipline), so PushDownPredicates cannot inline split(text)
+    * into each window slice and tear the O(n) sharing into O(n²/20).
+    * minor_frac is one IEEE division of exact integers. */
+  val codeSwitchAudit: Q = Q(
+    "q223_code_switch_audit",
+    (s, d) => {
+      val st = transform(array(toks(col("text"))), tt => {
+        val nch = floor((size(tt) + lit(19)) / lit(20.0)).cast("int")
+        val chunks = transform(sequence(lit(0), nch - 1),
+          i => slice(tt, i * 20 + 1, lit(20)))
+        val cnts = transform(chunks, ch => array(
+          markers.map { case (_, ws) =>
+            size(filter(ch, x => x.isin(ws: _*)))
+          }: _*))
+        val gs = transform(cnts, c =>
+          when(c.getItem(0) >= c.getItem(1) && c.getItem(0) >= c.getItem(2)
+              && c.getItem(0) >= c.getItem(3), "en")
+            .when(c.getItem(1) >= c.getItem(2)
+              && c.getItem(1) >= c.getItem(3), "es")
+            .when(c.getItem(2) >= c.getItem(3), "fr")
+            .otherwise("de"))
+        def cnt(l: String) = size(filter(gs, g => g === l)).cast("long")
+        struct(size(gs).cast("long").as("n_win"),
+          cnt("en").as("g_en"), cnt("es").as("g_es"),
+          cnt("fr").as("g_fr"), cnt("de").as("g_de"))
+      }).getItem(0)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), st.as("st"))
+        .select(col("doc_id"), col("lang"),
+          col("st.n_win").as("n_win"),
+          col("st.g_en").as("g_en"), col("st.g_es").as("g_es"),
+          col("st.g_fr").as("g_fr"), col("st.g_de").as("g_de"))
+        .withColumn("major",
+          when(col("g_en") >= col("g_es") && col("g_en") >= col("g_fr")
+            && col("g_en") >= col("g_de"), "en")
+            .when(col("g_es") >= col("g_fr")
+              && col("g_es") >= col("g_de"), "es")
+            .when(col("g_fr") >= col("g_de"), "fr")
+            .otherwise("de"))
+        .withColumn("n_minor", (col("n_win") - greatest(col("g_en"),
+          col("g_es"), col("g_fr"), col("g_de"))).cast("long"))
+        .withColumn("mixed",
+          when(col("n_minor") > 0, 1L).otherwise(0L))
+        .withColumn("minor_frac",
+          when(col("n_win") > 0,
+            col("n_minor").cast("double") / col("n_win")))
+        .orderBy("doc_id")
+    },
+    Some {
+      def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+      val cntList = markers.map { case (_, ws) =>
+        s"len(list_filter(ch, x -> x IN (${inList(ws)})))"
+      }.mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, lang, ${sqlToks("text")} AS tt
+          FROM documents),
+        c AS (SELECT doc_id, lang, list_transform(
+            generate_series(0, cast(floor((len(tt) + 19) / 20.0) as int) - 1),
+            i -> list_slice(tt, i * 20 + 1, i * 20 + 20)) AS chunks
+          FROM t),
+        g AS (SELECT doc_id, lang, list_transform(
+            list_transform(chunks, ch -> $cntList),
+            c -> CASE
+              WHEN c[1] >= c[2] AND c[1] >= c[3] AND c[1] >= c[4] THEN 'en'
+              WHEN c[2] >= c[3] AND c[2] >= c[4] THEN 'es'
+              WHEN c[3] >= c[4] THEN 'fr' ELSE 'de' END) AS gs
+          FROM c),
+        a AS (SELECT doc_id, lang,
+            cast(len(gs) as bigint) AS n_win,
+            cast(len(list_filter(gs, g -> g = 'en')) as bigint) AS g_en,
+            cast(len(list_filter(gs, g -> g = 'es')) as bigint) AS g_es,
+            cast(len(list_filter(gs, g -> g = 'fr')) as bigint) AS g_fr,
+            cast(len(list_filter(gs, g -> g = 'de')) as bigint) AS g_de
+          FROM g)
+        SELECT doc_id, lang, n_win, g_en, g_es, g_fr, g_de,
+          CASE WHEN g_en >= g_es AND g_en >= g_fr AND g_en >= g_de THEN 'en'
+               WHEN g_es >= g_fr AND g_es >= g_de THEN 'es'
+               WHEN g_fr >= g_de THEN 'fr' ELSE 'de' END AS major,
+          n_win - greatest(g_en, g_es, g_fr, g_de) AS n_minor,
+          cast(CASE WHEN n_win - greatest(g_en, g_es, g_fr, g_de) > 0
+            THEN 1 ELSE 0 END as bigint) AS mixed,
+          CASE WHEN n_win > 0
+            THEN cast(n_win - greatest(g_en, g_es, g_fr, g_de) as double)
+              / n_win END AS minor_frac
+        FROM a ORDER BY doc_id"""
+    })
+
   /** Document fingerprinting: md5 content hash of whitespace-normalized
     * lowercase text, plus the shared 61-bit hash, grouped into identity
     * classes (min doc_id keeps, duplicate count). */
@@ -1632,6 +1734,7 @@ object TextAnalysis {
       ORDER BY ks_q9 DESC, source"""))
 
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
+    codeSwitchAudit,
     fingerprint, topTerms, pivotEvents, rareTerms, regexTokens,
     repetitionFilter, madOutliers, blocklistFilter, phraseBlocklist,
     ngramNovelty, bm25TopK,

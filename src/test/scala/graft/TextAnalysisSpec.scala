@@ -482,4 +482,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows("a") == ((10L, 500000000L)), s"a: ${rows("a")}")
     assert(rows("b") == rows("a"), "identical distributions must tie exactly")
   }
+
+  test("q223 code-switch audit: window votes split on a planted bilingual doc, tie-break and fractions exact") {
+    import spark.implicits._
+    // doc 1: 20 es-marker tokens then 20 fr-marker tokens -> windows
+    // vote [es, fr]; majority tie-break es (the q32 chain), n_minor 1,
+    // minor_frac 0.5, mixed. doc 2: pure en, 25 tokens -> 2 windows
+    // both en, unmixed. doc 3: 5 tokens (single short window).
+    val esW = Seq.fill(6)(Seq("el", "la", "los")).flatten.take(20)
+    val frW = Seq.fill(6)(Seq("le", "les", "des")).flatten.take(20)
+    val enW = Seq.fill(9)(Seq("the", "is", "and")).flatten.take(25)
+    val docs = Seq(
+      (1L, (esW ++ frW).mkString(" "), "es", "s", 100L),
+      (2L, enW.mkString(" "), "en", "s", 100L),
+      (3L, "the is and x y", "en", "s", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q223_code_switch_audit")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getString(7), r.getLong(8), r.getLong(9),
+          r.getDouble(10)))).toMap
+    assert(rows(1L) == ((2L, 0L, 1L, 1L, 0L, "es", 1L, 1L, 0.5)),
+      s"bilingual doc wrong: ${rows(1L)}")
+    assert(rows(2L) == ((2L, 2L, 0L, 0L, 0L, "en", 0L, 0L, 0.0)),
+      s"pure-en doc wrong: ${rows(2L)}")
+    assert(rows(3L) == ((1L, 1L, 0L, 0L, 0L, "en", 0L, 0L, 0.0)),
+      s"short doc wrong: ${rows(3L)}")
+  }
 }
