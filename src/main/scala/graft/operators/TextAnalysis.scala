@@ -1352,6 +1352,186 @@ object TextAnalysis {
       bench = true)
   }
 
+  /** q224 — RM3-style pseudo-relevance-feedback query expansion
+    * (Lavrenko & Croft 2001's relevance-model idea in the integer
+    * dialect this repo can certify): run the q193 known-item BM25
+    * round, take each query's top-5 feedback docs, mine the 3
+    * heaviest non-query terms from their postings (weight = Σ tf over
+    * the feedback docs — the RM3 P(t|R) numerator with the uniform
+    * doc prior), and re-run BM25 with original terms at weight 2 and
+    * expansion terms at weight 1 (the classic ~2/3–1/3 interpolation
+    * as exact integers). Output compares self-rank/RR before vs after
+    * — the measurement behind "does PRF help or drift" per query.
+    *
+    * Determinism: both rounds quantize each per-term score to a
+    * millionth BEFORE weighting and summing (the q193/q150 integer-sum
+    * discipline; floor of bitwise-identical IEEE doubles is equal), so
+    * feedback selection, expansion mining (integer tf sums, ties to
+    * the alphabetically-first term), and the final ranking are all
+    * integer decisions on both engines.
+    *
+    * Scale shape: q193's exactly — postings built once behind the
+    * canonical doc_id exchange and CACHED (both rounds' hits probe it
+    * via ≤ 32- and ≤ 56-row broadcast term lists, so only the query
+    * terms' posting lists ever leave the scan); feedback-doc postings
+    * come from the SAME cached frame via a ≤ 40-row broadcast semi
+    * shape, never a corpus re-read; every window is the row_number≤k
+    * → TopKPerGroup bounded heap. */
+  val rm3Expansion: Q = {
+    val NQ = 8
+    Q(
+      "q224_rm3_expansion",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tk = Tables.documents(s, d)
+          .filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), toks(col("text")).as("t"))
+          .repartition(col("doc_id"))
+        val stats = tk.agg(count(lit(1)).as("n"),
+          davg(size(col("t")).cast("double")).as("avgdl"))
+        val postings = graft.CacheScope.cached(tk
+          .select(col("doc_id"), size(col("t")).cast("double").as("dl"),
+            explode(col("t")).as("term"))
+          .groupBy("doc_id", "term")
+          .agg(count(lit(1)).cast("double").as("tf"), min(col("dl")).as("dl")))
+        val qterms = Tables.documents(s, d)
+          .filter(col("doc_id") < NQ)
+          .select(col("doc_id").as("qid"),
+            explode(array_distinct(slice(toks(col("text")), 11, 4)))
+              .as("term"))
+        val termScore =
+          ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            ((col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+        def ranked(qt: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val hits = postings.join(broadcast(qt), "term")
+          val dfs = hits.select("term", "doc_id").distinct()
+            .groupBy("term").agg(count(lit(1)).as("df"))
+          hits.join(broadcast(dfs), "term")
+            .crossJoin(broadcast(stats))
+            .withColumn("s_q6",
+              col("w") * floor(termScore * lit(1e6)).cast("long"))
+            .groupBy("qid", "doc_id")
+            .agg(sum(col("s_q6")).as("score_q6"))
+            .withColumn("rnk", row_number().over(
+              Window.partitionBy("qid")
+                .orderBy(col("score_q6").desc, col("doc_id"))))
+        }
+        val top1 = graft.CacheScope.cached(
+          ranked(qterms.withColumn("w", lit(1L))).filter(col("rnk") <= 10))
+        val fb = top1.filter(col("rnk") <= 5).select("qid", "doc_id")
+        val exp = postings.join(broadcast(fb), "doc_id")
+          .join(qterms, Seq("qid", "term"), "left_anti")
+          .groupBy("qid", "term")
+          .agg(sum(col("tf")).cast("long").as("wt"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("qid")
+              .orderBy(col("wt").desc, col("term"))))
+          .filter(col("rn") <= 3)
+          .select("qid", "term")
+        val expC = graft.CacheScope.cached(exp)
+        val q2 = qterms.withColumn("w", lit(2L))
+          .unionByName(expC.withColumn("w", lit(1L)))
+        val top2 = ranked(q2).filter(col("rnk") <= 10)
+        def metrics(top: org.apache.spark.sql.DataFrame, r: String): org.apache.spark.sql.DataFrame = top
+          .groupBy("qid")
+          .agg(coalesce(min(when(col("doc_id") === col("qid"), col("rnk"))),
+            lit(0)).cast("long").as(s"self_rank_$r"))
+          .withColumn(s"rr${r}_q6",
+            when(col(s"self_rank_$r") > 0,
+              expr(s"1000000 div self_rank_$r"))
+              .otherwise(lit(0)).cast("long"))
+        val expStr = expC.groupBy("qid")
+          .agg(concat_ws(",", sort_array(collect_list(col("term"))))
+            .as("exp_terms"))
+        metrics(top1, "1").join(metrics(top2, "2"), Seq("qid"))
+          .join(expStr, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("exp_terms"), lit("")).as("exp_terms"),
+            col("self_rank_1"), col("rr1_q6"),
+            col("self_rank_2"), col("rr2_q6"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH tk AS MATERIALIZED (SELECT doc_id, ${sqlToks("text")} AS t
+            FROM documents),
+          st AS MATERIALIZED (SELECT count(*) AS n,
+            ${sqlDavg("cast(len(t) as double)")} AS avgdl FROM tk),
+          post AS MATERIALIZED (SELECT doc_id, term,
+              cast(count(*) as double) AS tf, min(dl) AS dl
+            FROM (SELECT doc_id, cast(len(t) as double) AS dl,
+                g.term AS term
+              FROM tk, unnest(t) AS g(term))
+            GROUP BY 1, 2),
+          q AS MATERIALIZED (SELECT qid, g.term AS term
+            FROM (SELECT doc_id AS qid, list_distinct(t[11:14]) AS qt
+                FROM tk WHERE doc_id < $NQ),
+              unnest(qt) AS g(term)),
+          h1 AS MATERIALIZED (SELECT q.qid, post.doc_id, post.term,
+              post.tf, post.dl
+            FROM post JOIN q USING (term)),
+          dfs1 AS MATERIALIZED (SELECT term, count(DISTINCT doc_id) AS df
+            FROM h1 GROUP BY 1),
+          top1 AS MATERIALIZED (SELECT qid, doc_id, rnk FROM (
+              SELECT qid, doc_id, row_number() OVER (
+                PARTITION BY qid ORDER BY score_q6 DESC, doc_id) AS rnk
+              FROM (SELECT h1.qid, h1.doc_id,
+                  sum(cast(floor((((st.n - dfs1.df + 0.5) / (dfs1.df + 0.5)) *
+                    ((h1.tf * 2.2) / (h1.tf + 1.2 *
+                      (0.25 + 0.75 * (h1.dl / st.avgdl))))) * 1000000.0)
+                    as bigint)) AS score_q6
+                FROM h1 JOIN dfs1 USING (term), st
+                GROUP BY 1, 2))
+            WHERE rnk <= 10),
+          fb AS MATERIALIZED (SELECT qid, doc_id FROM top1 WHERE rnk <= 5),
+          ex AS MATERIALIZED (SELECT qid, term FROM (
+              SELECT c.qid, c.term, row_number() OVER (
+                PARTITION BY c.qid ORDER BY c.wt DESC, c.term) AS rn
+              FROM (SELECT fb.qid, post.term,
+                  cast(sum(post.tf) as bigint) AS wt
+                FROM post JOIN fb USING (doc_id)
+                WHERE NOT EXISTS (SELECT 1 FROM q
+                  WHERE q.qid = fb.qid AND q.term = post.term)
+                GROUP BY 1, 2) c)
+            WHERE rn <= 3),
+          q2 AS MATERIALIZED (SELECT qid, term, 2 AS w FROM q
+            UNION ALL SELECT qid, term, 1 AS w FROM ex),
+          h2 AS MATERIALIZED (SELECT q2.qid, q2.w, post.doc_id, post.term,
+              post.tf, post.dl
+            FROM post JOIN q2 USING (term)),
+          dfs2 AS MATERIALIZED (SELECT term, count(DISTINCT doc_id) AS df
+            FROM h2 GROUP BY 1),
+          top2 AS MATERIALIZED (SELECT qid, doc_id, rnk FROM (
+              SELECT qid, doc_id, row_number() OVER (
+                PARTITION BY qid ORDER BY score_q6 DESC, doc_id) AS rnk
+              FROM (SELECT h2.qid, h2.doc_id,
+                  sum(h2.w * cast(floor((((st.n - dfs2.df + 0.5) /
+                    (dfs2.df + 0.5)) * ((h2.tf * 2.2) / (h2.tf + 1.2 *
+                      (0.25 + 0.75 * (h2.dl / st.avgdl))))) * 1000000.0)
+                    as bigint)) AS score_q6
+                FROM h2 JOIN dfs2 USING (term), st
+                GROUP BY 1, 2))
+            WHERE rnk <= 10),
+          m1 AS (SELECT qid, cast(coalesce(min(CASE WHEN doc_id = qid
+                THEN rnk END), 0) as bigint) AS self_rank_1
+            FROM top1 GROUP BY 1),
+          m2 AS (SELECT qid, cast(coalesce(min(CASE WHEN doc_id = qid
+                THEN rnk END), 0) as bigint) AS self_rank_2
+            FROM top2 GROUP BY 1),
+          es AS (SELECT qid, string_agg(term, ',' ORDER BY term)
+              AS exp_terms
+            FROM ex GROUP BY 1)
+          SELECT m1.qid, coalesce(es.exp_terms, '') AS exp_terms,
+            m1.self_rank_1,
+            cast(CASE WHEN m1.self_rank_1 > 0
+              THEN 1000000 // m1.self_rank_1 ELSE 0 END as bigint) AS rr1_q6,
+            m2.self_rank_2,
+            cast(CASE WHEN m2.self_rank_2 > 0
+              THEN 1000000 // m2.self_rank_2 ELSE 0 END as bigint) AS rr2_q6
+          FROM m1 JOIN m2 USING (qid) LEFT JOIN es USING (qid)
+          ORDER BY m1.qid"""))
+  }
+
   /** q195 — per-source n-gram diversity audit, the SYNTHETIC-DATA
     * COLLAPSE detector: a model-generated (or template-stamped) source
     * shows a collapsed 3-gram distribution — low type/token ratio and
@@ -1739,6 +1919,7 @@ object TextAnalysis {
     repetitionFilter, madOutliers, blocklistFilter, phraseBlocklist,
     ngramNovelty, bm25TopK,
     bm25TextbookTopK, adaptiveQualityFilter, markupStrip, gopherRules,
-    gopherRepetition, vocabCoverage, bm25MrrEval, sourceDiversity,
+    gopherRepetition, vocabCoverage, bm25MrrEval, rm3Expansion,
+    sourceDiversity,
     sourceDrift, exactQuantiles, qualityDupMatrix, lengthDrift)
 }

@@ -341,6 +341,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // index persists at build time) and the doc_id<8 pruned
       // query-doc read (the q161 footer+row-group shape)
       "q193_bm25_mrr_eval" -> "documents",
+      // the q193 corpus-vs-query role split, with the postings frame
+      // cached and probed by BOTH retrieval rounds plus the
+      // feedback-term mining (three broadcast-probe consumers of one
+      // cache — never a corpus re-read beyond the two roles)
+      "q224_rm3_expansion" -> "documents",
       // embeds the cached q56 cluster machinery plus ONE canonical
       // feat (qkey) exchange shared by both its consumers
       // (ReuseAudit: reused=1, documents=2 cold)

@@ -510,4 +510,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows(3L) == ((1L, 1L, 0L, 0L, 0L, "en", 0L, 0L, 0.0)),
       s"short doc wrong: ${rows(3L)}")
   }
+
+  test("q224 RM3: round 1 is exactly q193, expansion terms are non-query top-tf feedback terms") {
+    import spark.implicits._
+    val sf = TestSpark.sf0001
+    val rm3 = SparkEntry.queries("q224_rm3_expansion")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // cross-law: with weight 1 and the same query protocol, q224's
+    // first round IS q193 -- self_rank_1/rr1_q6 must match bit-exactly
+    val mrr = SparkEntry.queries("q193_bm25_mrr_eval")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rm3.keySet == mrr.keySet, s"qid sets differ")
+    rm3.foreach { case (qid, (_, sr1, rr1)) =>
+      assert((sr1, rr1) == mrr(qid),
+        s"round-1 != q193 for qid $qid: ($sr1, $rr1) vs ${mrr(qid)}")
+    }
+    // expansion-term laws: <= 3 terms, none of them a query term (the
+    // anti-join contract), every term non-empty
+    val qt = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 8)
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).trim.split(s"[${graft.Dsl.WsChars}]+")
+          .slice(10, 14).toSet).toMap
+    rm3.foreach { case (qid, (exp, _, _)) =>
+      val terms = exp.split(",").filter(_.nonEmpty).toSeq
+      assert(terms.size <= 3, s"qid $qid: too many expansion terms $exp")
+      assert(terms.toSet.intersect(qt(qid)).isEmpty,
+        s"qid $qid: expansion leaked a query term: $exp vs ${qt(qid)}")
+    }
+    assert(rm3.values.exists(_._1.nonEmpty), "expansion must fire somewhere")
+  }
 }
