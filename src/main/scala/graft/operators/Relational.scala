@@ -1631,8 +1631,95 @@ object Relational {
           FROM b GROUP BY user_id ORDER BY user_id"""))
   }
 
+  /** q226 — ordered conversion funnel (signup → first click AFTER the
+    * signup → first purchase AFTER that click) with strict event-time
+    * ordering per user — the sequence-matching upgrade of q65: q65
+    * compares each type's GLOBAL first timestamp, so a stray click
+    * before the signup makes the whole funnel a false negative, and a
+    * purchase between signup and the qualifying click a false
+    * positive; here each stage re-anchors on the previous stage's
+    * time, the textbook funnel semantics.
+    *
+    * Scale shape: ONE shuffle on user_id collecting each user's
+    * (ts, type) pairs, then the whole funnel is a doc-local array
+    * computation inside one projection (filter/array_min chains — the
+    * q188 in-expression discipline; per-user event counts are bounded
+    * by the retention window in any real deployment, ≤ 99 in this
+    * corpus); the final readout is a single global aggregate row of
+    * exact integer counts/gap-sums plus per-stage IEEE ratios. The
+    * min-of-filtered-set formulation is ORDER-INDEPENDENT, so
+    * collect_list's nondeterministic ordering cannot leak into the
+    * result. */
+  val eventFunnel: Q = Q(
+    "q226_event_funnel",
+    (s, d) => {
+      def tsOf(cond: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        (evs: org.apache.spark.sql.Column) => array_min(transform(
+          filter(evs, e => cond(e)), e => e.getField("tus")))
+      val byUser = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("tus"),
+          col("event_type").as("typ"))
+        .groupBy("user_id")
+        .agg(collect_list(struct(col("tus"), col("typ"))).as("evs"))
+      val t1 = tsOf(e => e.getField("typ") === "signup")(col("evs"))
+      val st = byUser.select(col("user_id"), col("evs"), t1.as("t1"))
+        .withColumn("t2", tsOf(e => e.getField("typ") === "click"
+          && e.getField("tus") > col("t1"))(col("evs")))
+        .withColumn("t3", tsOf(e => e.getField("typ") === "purchase"
+          && e.getField("tus") > col("t2"))(col("evs")))
+      st.agg(count(lit(1)).cast("long").as("n_users"),
+          count(col("t1")).cast("long").as("n_signup"),
+          count(col("t2")).cast("long").as("n_click_after"),
+          count(col("t3")).cast("long").as("n_purchase_after"),
+          sum(when(col("t2").isNotNull, col("t2") - col("t1")))
+            .cast("long").as("sum_gap12_us"),
+          sum(when(col("t3").isNotNull, col("t3") - col("t2")))
+            .cast("long").as("sum_gap23_us"))
+        .select(col("n_users"), col("n_signup"), col("n_click_after"),
+          col("n_purchase_after"), col("sum_gap12_us"),
+          col("sum_gap23_us"),
+          when(col("n_users") > 0, col("n_signup").cast("double")
+            / col("n_users")).as("conv_signup"),
+          when(col("n_signup") > 0, col("n_click_after").cast("double")
+            / col("n_signup")).as("conv_click"),
+          when(col("n_click_after") > 0,
+            col("n_purchase_after").cast("double")
+              / col("n_click_after")).as("conv_purchase"))
+    },
+    Some("""WITH b AS (SELECT user_id,
+          list(struct_pack(tus := epoch_us(ts), typ := event_type)) AS evs
+          FROM events GROUP BY 1),
+        s1 AS (SELECT user_id, evs, list_min(list_transform(
+            list_filter(evs, e -> e['typ'] = 'signup'),
+            e -> e['tus'])) AS t1 FROM b),
+        s2 AS (SELECT user_id, evs, t1, list_min(list_transform(
+            list_filter(evs, e -> e['typ'] = 'click' AND e['tus'] > t1),
+            e -> e['tus'])) AS t2 FROM s1),
+        s3 AS (SELECT user_id, t1, t2, list_min(list_transform(
+            list_filter(evs, e -> e['typ'] = 'purchase' AND e['tus'] > t2),
+            e -> e['tus'])) AS t3 FROM s2),
+        m AS (SELECT cast(count(*) as bigint) AS n_users,
+            cast(count(t1) as bigint) AS n_signup,
+            cast(count(t2) as bigint) AS n_click_after,
+            cast(count(t3) as bigint) AS n_purchase_after,
+            cast(sum(CASE WHEN t2 IS NOT NULL THEN t2 - t1 END) as bigint)
+              AS sum_gap12_us,
+            cast(sum(CASE WHEN t3 IS NOT NULL THEN t3 - t2 END) as bigint)
+              AS sum_gap23_us
+          FROM s3)
+        SELECT n_users, n_signup, n_click_after, n_purchase_after,
+          sum_gap12_us, sum_gap23_us,
+          CASE WHEN n_users > 0
+            THEN cast(n_signup as double) / n_users END AS conv_signup,
+          CASE WHEN n_signup > 0
+            THEN cast(n_click_after as double) / n_signup END AS conv_click,
+          CASE WHEN n_click_after > 0
+            THEN cast(n_purchase_after as double) / n_click_after END
+            AS conv_purchase
+        FROM m"""))
+
   val all: Seq[Q] = Seq(
-    rollupMerge, latenessAudit, burstAudit,
+    rollupMerge, latenessAudit, burstAudit, eventFunnel,
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
     groupCount, globalCount, distinctSingle, distinctMulti,

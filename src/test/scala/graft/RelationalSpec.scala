@@ -148,4 +148,33 @@ class RelationalSpec extends AnyFunSuite {
     // 2 minutes apart: no window holds both
     assert(rows(2L) == ((2L, 1L, 0L)), s"user 2: ${rows(2L)}")
   }
+
+  test("q226 strict funnel re-anchors each stage; pre-anchor events neither convert nor block") {
+    import spark.implicits._
+    def t(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    // user 1: click BEFORE signup (must not block or convert), signup,
+    // purchase between signup and the qualifying click (must not
+    // convert), click, purchase -> full conversion, gaps 10 s and 10 s.
+    // user 2: click+purchase but no signup -> nothing. user 3: signup
+    // only. A q65-style global-min funnel would false-negative user 1
+    // (first click < first signup).
+    val events = Seq(
+      (1L, t(0), 1L, "click", 0.0, ""),
+      (2L, t(5), 1L, "signup", 0.0, ""),
+      (3L, t(10), 1L, "purchase", 0.0, ""),
+      (4L, t(15), 1L, "click", 0.0, ""),
+      (5L, t(25), 1L, "purchase", 0.0, ""),
+      (6L, t(2), 2L, "click", 0.0, ""),
+      (7L, t(3), 2L, "purchase", 0.0, ""),
+      (8L, t(4), 3L, "signup", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = TestSpark.makeSfDir("events" -> events)
+    val r = SparkEntry.queries("q226_event_funnel")(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 2L, 1L, 1L)), s"counts wrong: $r")
+    assert(r.getLong(4) == 10000000L && r.getLong(5) == 10000000L,
+      s"gap sums wrong: $r")
+    assert((r.getDouble(6), r.getDouble(7), r.getDouble(8)) ==
+      ((2.0 / 3, 0.5, 1.0)), s"conversions wrong: $r")
+  }
 }
