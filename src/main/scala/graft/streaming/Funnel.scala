@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Stateful streaming funnel — q226's strict ordered conversion
+  * (signup → first click AFTER it → first purchase AFTER that click)
+  * decided AT INGEST TIME, one conversion event emitted per user at
+  * the moment the purchase lands. The batch q226 computes the same
+  * re-anchored minima over the accumulated table; for event-time-
+  * ordered delivery the greedy first-match here IS those minima
+  * (first signup seen = min signup; first qualifying click seen = min
+  * click after t1; …), which the spec pins as a cross-law over
+  * sf0.001. Late events inside the watermark that arrive BEHIND an
+  * already-anchored stage are ignored — emitted conversions are final
+  * (the append-mode contract every stateful op in this repo follows).
+  *
+  * State per user is O(1) — three stage timestamps — and is REMOVED
+  * the moment the user converts (a funnel fires once per user), so
+  * live state is bounded by users currently mid-funnel; a production
+  * deployment adds an event-time timeout for abandoned funnels (the
+  * conversion-window TTL every funnel product defines). Events within
+  * a batch are applied in (ts, event_type) order so executor
+  * interleaving cannot reorder stage anchoring.
+  */
+object Funnel {
+
+  final case class Evt(user_id: Long, ts: Timestamp, event_type: String)
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class Conversion(user_id: Long, signup_us: Long,
+      click_us: Long, purchase_us: Long)
+
+  def conversions(events: Dataset[Evt]): Dataset[Conversion] = {
+    implicit val evtEnc = Encoders.product[Evt]
+    implicit val outEnc = Encoders.product[Conversion]
+    implicit val stateEnc = Encoders.product[FunnelState]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Evt], state: GroupState[FunnelState]) =>
+          // a converted user's state was removed; any further events
+          // must not restart the funnel, so a tombstone (all stages
+          // set) is kept instead of bare removal
+          var st = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+          var out = List.empty[Conversion]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+            .foreach { e =>
+              val us = e.ts.getTime * 1000L
+              if (st.t3 == 0L) {
+                if (st.t1 == 0L && e.event_type == "signup")
+                  st = st.copy(t1 = us)
+                else if (st.t1 != 0L && st.t2 == 0L
+                    && e.event_type == "click" && us > st.t1)
+                  st = st.copy(t2 = us)
+                else if (st.t2 != 0L && e.event_type == "purchase"
+                    && us > st.t2) {
+                  st = st.copy(t3 = us)
+                  out ::= Conversion(uid, st.t1, st.t2, st.t3)
+                }
+              }
+            }
+          state.update(st)
+          out.reverse.iterator
+      }
+  }
+}

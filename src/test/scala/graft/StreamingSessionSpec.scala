@@ -187,4 +187,59 @@ class StreamingSessionSpec extends AnyFunSuite {
     assert(rows(("clean", "2026-01-01 09:01:00.0")) ==
       ((2L, 0L, 0L, 0L, false)))
   }
+
+  test("streaming funnel converts once at the purchase moment; count law vs batch q226 at sf0.001") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Funnel
+    // the q226 fixture wire: pre-anchor click ignored, purchase before
+    // the qualifying click ignored, conversion at t(25); a post-
+    // conversion replay of more purchases must NOT re-fire (tombstone)
+    def t(sec: Int) = new Timestamp(1704067200000L + sec * 1000L)
+    val mem = MemoryStream[Funnel.Evt]
+    val q = Funnel.conversions(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("conv_out").start()
+    try {
+      mem.addData(
+        Funnel.Evt(1L, t(0), "click"), Funnel.Evt(1L, t(5), "signup"),
+        Funnel.Evt(1L, t(10), "purchase"),
+        Funnel.Evt(2L, t(2), "click"), Funnel.Evt(2L, t(3), "purchase"),
+        Funnel.Evt(3L, t(4), "signup"))
+      q.processAllAvailable()
+      assert(spark.table("conv_out").count() == 0, "nobody converted yet")
+      mem.addData(Funnel.Evt(1L, t(15), "click"),
+        Funnel.Evt(1L, t(25), "purchase"))
+      q.processAllAvailable()
+      mem.addData(Funnel.Evt(1L, t(30), "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("conv_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L,
+      1704067205000000L, 1704067215000000L, 1704067225000000L)),
+      s"conversions wrong: ${got.toSeq}")
+
+    // cross-law: event-time-ordered replay of the sf0.001 events table
+    // converts exactly q226's n_purchase_after users
+    val sf = TestSpark.sf0001
+    val evs = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .as[Funnel.Evt].collect().sortBy(_.ts.getTime)
+    val mem2 = MemoryStream[Funnel.Evt]
+    val q2 = Funnel.conversions(mem2.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("conv_sf").start()
+    try {
+      val (a, b) = evs.splitAt(evs.length / 2)
+      mem2.addData(a.toSeq: _*); q2.processAllAvailable()
+      mem2.addData(b.toSeq: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val expected = SparkEntry.queries("q226_event_funnel")(spark, sf)
+      .collect()(0).getLong(3)
+    val streamed = spark.table("conv_sf").count()
+    assert(streamed == expected,
+      s"streamed conversions $streamed != batch n_purchase_after $expected")
+    assert(expected > 0, "law must not be vacuous")
+  }
 }
