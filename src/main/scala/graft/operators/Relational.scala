@@ -1718,8 +1718,100 @@ object Relational {
             AS conv_purchase
         FROM m"""))
 
+  /** q227 — session co-occurrence mining (the A-Priori level-2 support
+    * /lift table, Agrawal & Srikant 1994, over q27's 30-minute
+    * sessions): for every unordered event-type pair, in how many
+    * sessions do both occur, with support = n_ab/N and lift =
+    * n_ab·N / (n_a·n_b) — the association readout behind "users who
+    * error also purchase?" dashboards. Lift is computed by exact
+    * integer cross-multiplication before ONE IEEE division (never
+    * support/support/support — three rounded divides).
+    *
+    * Scale shape: session assignment is q27's one user_id exchange
+    * (lag + running-sum windows); each session then collapses to its
+    * ≤ |types| distinct-type array and the PAIR explode is doc-local
+    * over that bounded array (≤ C(5,2) = 10 rows per session — never
+    * a session×session or event×event join); the pair/single/total
+    * aggregates are ≤ 10/5/1-row rollups off one cached session-types
+    * frame. Output ≤ 10 rows at any corpus size. */
+  val sessionCooccurrence: Q = Q(
+    "q227_session_cooccurrence",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(asc("ts"), asc("event_id"))
+      val running = byUser.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(running))
+        .groupBy("user_id", "session_id")
+        .agg(array_sort(collect_set(col("event_type"))).as("types"))
+      val st = graft.CacheScope.cached(sess.select("types"))
+      val total = st.agg(count(lit(1)).cast("long").as("n_total"))
+      val singles = st.select(explode(col("types")).as("t"))
+        .groupBy("t").agg(count(lit(1)).cast("long").as("n_t"))
+      val pairs = st
+        .select(explode(flatten(transform(col("types"), (x, i) =>
+          transform(slice(col("types"), i + 2, size(col("types"))),
+            y => array(x, y))))).as("pr"))
+        .select(col("pr").getItem(0).as("a"), col("pr").getItem(1).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).cast("long").as("n_ab"))
+      pairs
+        .join(broadcast(singles.select(col("t").as("a"),
+          col("n_t").as("n_a"))), "a")
+        .join(broadcast(singles.select(col("t").as("b"),
+          col("n_t").as("n_b"))), "b")
+        .crossJoin(broadcast(total))
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          col("n_total"),
+          (col("n_ab").cast("double") / col("n_total")).as("support"),
+          ((col("n_ab") * col("n_total")).cast("double") /
+            (col("n_a") * col("n_b"))).as("lift"))
+        .orderBy("a", "b")
+    },
+    Some("""WITH o AS (
+        SELECT user_id, event_id, ts, event_type,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS prev_ts
+        FROM events),
+      m AS (SELECT user_id, event_id, ts, event_type,
+          CASE WHEN prev_ts IS NULL
+            OR date_diff('second', prev_ts, ts) > 1800
+            THEN 1 ELSE 0 END AS new_session
+        FROM o),
+      s AS (SELECT user_id, event_type,
+          cast(sum(new_session) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+            AS session_id
+        FROM m),
+      g AS MATERIALIZED (SELECT user_id, session_id,
+          list_sort(list_distinct(list(event_type))) AS types
+        FROM s GROUP BY 1, 2),
+      tot AS (SELECT cast(count(*) as bigint) AS n_total FROM g),
+      si AS MATERIALIZED (SELECT t, cast(count(*) as bigint) AS n_t
+        FROM (SELECT unnest(types) AS t FROM g) GROUP BY 1),
+      pc AS (SELECT a, b, cast(count(*) as bigint) AS n_ab FROM
+          (SELECT types[i] AS a, types[j] AS b
+           FROM g,
+             unnest(generate_series(1, len(types))) AS u(i),
+             unnest(generate_series(1, len(types))) AS v(j)
+           WHERE j > i)
+        GROUP BY 1, 2)
+      SELECT pc.a, pc.b, pc.n_ab, sa.n_t AS n_a, sb.n_t AS n_b,
+        tot.n_total,
+        cast(pc.n_ab as double) / tot.n_total AS support,
+        cast(pc.n_ab * tot.n_total as double) / (sa.n_t * sb.n_t) AS lift
+      FROM pc JOIN si sa ON pc.a = sa.t JOIN si sb ON pc.b = sb.t, tot
+      ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     rollupMerge, latenessAudit, burstAudit, eventFunnel,
+    sessionCooccurrence,
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
     groupCount, globalCount, distinctSingle, distinctMulti,

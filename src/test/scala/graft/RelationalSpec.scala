@@ -177,4 +177,32 @@ class RelationalSpec extends AnyFunSuite {
     assert((r.getDouble(6), r.getDouble(7), r.getDouble(8)) ==
       ((2.0 / 3, 0.5, 1.0)), s"conversions wrong: $r")
   }
+
+  test("q227 co-occurrence counts sessions (not events) and lift is the exact cross-ratio") {
+    import spark.implicits._
+    def t(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    // user 1 session A: click, click, view (pair once per SESSION even
+    // with repeated clicks); >30 min later session B: click only.
+    // user 2 session C: view, error. Sessions N=3: n(click)=2,
+    // n(view)=2, n(error)=1; pairs: (click,view) 1, (error,view) 1.
+    val events = Seq(
+      (1L, t(0), 1L, "click", 0.0, ""),
+      (2L, t(10), 1L, "click", 0.0, ""),
+      (3L, t(20), 1L, "view", 0.0, ""),
+      (4L, t(4000), 1L, "click", 0.0, ""),
+      (5L, t(0), 2L, "view", 0.0, ""),
+      (6L, t(5), 2L, "error", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = TestSpark.makeSfDir("events" -> events)
+    val rows = SparkEntry.queries("q227_session_cooccurrence")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+    assert(rows.keySet == Set(("click", "view"), ("error", "view")),
+      s"pair set wrong: $rows")
+    assert(rows(("click", "view")) == ((1L, 2L, 2L, 3L, 1.0 / 3, 3.0 / 4)),
+      s"click-view wrong: ${rows(("click", "view"))}")
+    assert(rows(("error", "view")) == ((1L, 1L, 2L, 3L, 1.0 / 3, 3.0 / 2)),
+      s"error-view wrong: ${rows(("error", "view"))}")
+  }
 }
