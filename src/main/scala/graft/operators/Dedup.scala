@@ -2081,7 +2081,8 @@ object Dedup {
             THEN cast(sum(CASE WHEN boiler THEN chars ELSE 0 END) as double)
               / sum(chars) END AS drop_ratio
         FROM fl GROUP BY 1 ORDER BY 1"""
-    })
+    },
+    bench = true)
 
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,

@@ -1257,7 +1257,8 @@ object Similarity {
           cast(n_surv100 as double) / 10.0 AS recall_over100
         FROM m JOIN lc ON m.qlab = lc.label
         ORDER BY qid"""
-    })
+    },
+    bench = true)
 
   // ------------------------------------------------------------------
   // q218 — MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)

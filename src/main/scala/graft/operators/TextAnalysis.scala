@@ -1529,7 +1529,8 @@ object TextAnalysis {
             cast(CASE WHEN m2.self_rank_2 > 0
               THEN 1000000 // m2.self_rank_2 ELSE 0 END as bigint) AS rr2_q6
           FROM m1 JOIN m2 USING (qid) LEFT JOIN es USING (qid)
-          ORDER BY m1.qid"""))
+          ORDER BY m1.qid"""),
+      bench = true)
   }
 
   /** q195 — per-source n-gram diversity audit, the SYNTHETIC-DATA
