@@ -1261,6 +1261,125 @@ object Similarity {
     bench = true)
 
   // ------------------------------------------------------------------
+  // q228 — multi-probe LSH recall harness (Lv et al. 2007): instead of
+  // probing only the query's own hyperplane bucket (q43), ALSO probe
+  // every bucket at Hamming distance 1 in the 4-bit sign code — the
+  // buckets a near neighbor most likely fell into when it landed on
+  // the wrong side of exactly one hyperplane. Recall rises from the
+  // single-bucket baseline toward brute force while touching 5/16 of
+  // the corpus instead of building more tables (the q41 banded
+  // alternative trades the same recall for extra storage); this
+  // harness measures both operating points per query against the
+  // exact top-10, which is the sizing evidence for choosing probe
+  // count vs band count in production.
+  //
+  // Scale shape: the probe set EXPLODES to (qid, probe_bucket) rows —
+  // NQ·5 rows, broadcast — and candidates come from an EQUI-join on
+  // the bucket key (exactly how a multi-probe executes against a
+  // bucket-partitioned table at 100 TB: one partition-pruned lookup
+  // per probe, never a scan); per-qid probe buckets are distinct so
+  // the join itself deduplicates; the exact side is the q216 one-pass
+  // window; everything downstream is ≤ NQ×10-row bookkeeping.
+  // Determinism: cosine is the q41/q42 IEEE argument, ranks tie-break
+  // on vec_id, counts are integers; the plane signs are the pinned
+  // md5-derived ±1 literals shared with q43's oracle.
+  // ------------------------------------------------------------------
+  val multiProbeLshRecall: Q = Q(
+    "q228_multiprobe_lsh_recall",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = graft.CacheScope.cached(
+        normed(s, d).withColumn("bucket", bucketCol("e")))
+      val qs = w.filter(col("vec_id") < PqEvalQueries)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qnrm"), col("bucket").as("qb"))
+      val probes = qs.select(col("qid"), col("qe"), col("qnrm"), col("qb"),
+        explode(array(col("qb"), col("qb").bitwiseXOR(1),
+          col("qb").bitwiseXOR(2), col("qb").bitwiseXOR(4),
+          col("qb").bitwiseXOR(8))).as("pb"))
+      val cand = w.join(broadcast(probes),
+          col("bucket") === col("pb") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (dot("e", "qe") / (col("nrm") * col("qnrm"))).as("cos"),
+          (col("pb") === col("qb")).as("prim"))
+      val candC = graft.CacheScope.cached(cand)
+      def top10(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") <= 10).select("qid", "vec_id")
+      val exact = top10(w.join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (dot("e", "qe") / (col("nrm") * col("qnrm"))).as("cos")))
+      val counts = candC.groupBy("qid")
+        .agg(count(when(col("prim"), 1)).cast("long").as("n_cand_single"),
+          count(lit(1)).cast("long").as("n_cand_multi"))
+      def hits(top: org.apache.spark.sql.DataFrame, nm: String) = top
+        .join(exact, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).cast("long").as(nm))
+      val hs = hits(top10(candC.filter(col("prim"))), "n_hit_single")
+      val hm = hits(top10(candC), "n_hit_multi")
+      qs.select("qid", "qb").join(counts, Seq("qid"), "left")
+        .join(hs, Seq("qid"), "left").join(hm, Seq("qid"), "left")
+        .select(col("qid"), col("qb"),
+          coalesce(col("n_cand_single"), lit(0L)).as("n_cand_single"),
+          coalesce(col("n_cand_multi"), lit(0L)).as("n_cand_multi"),
+          coalesce(col("n_hit_single"), lit(0L)).as("n_hit_single"),
+          (coalesce(col("n_hit_single"), lit(0L)).cast("double") / 10.0)
+            .as("recall_single"),
+          coalesce(col("n_hit_multi"), lit(0L)).as("n_hit_multi"),
+          (coalesce(col("n_hit_multi"), lit(0L)).cast("double") / 10.0)
+            .as("recall_multi"))
+        .orderBy("qid")
+    },
+    Some(s"""WITH $sqlNormed,
+      b AS MATERIALIZED (SELECT vec_id, e, nrm, ${sqlBucket("e")} AS bucket
+        FROM w),
+      q AS MATERIALIZED (SELECT vec_id AS qid, e AS qe, nrm AS qnrm,
+        bucket AS qb FROM b WHERE vec_id < $PqEvalQueries),
+      pr AS MATERIALIZED (SELECT qid, qe, qnrm, qb,
+        unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8)]) AS pb
+        FROM q),
+      cand AS MATERIALIZED (SELECT pr.qid, b.vec_id,
+          ${sqlDot("b.e", "pr.qe")} / (b.nrm * pr.qnrm) AS cos,
+          pr.pb = pr.qb AS prim
+        FROM b JOIN pr ON b.bucket = pr.pb AND b.vec_id <> pr.qid),
+      tm AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+          row_number() OVER (PARTITION BY qid
+            ORDER BY cos DESC, vec_id) AS rn FROM cand) WHERE rn <= 10),
+      tsg AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+          row_number() OVER (PARTITION BY qid
+            ORDER BY cos DESC, vec_id) AS rn FROM cand WHERE prim)
+        WHERE rn <= 10),
+      ex AS MATERIALIZED (SELECT qid, vec_id FROM (SELECT q.qid, b.vec_id,
+          row_number() OVER (PARTITION BY q.qid
+            ORDER BY ${sqlDot("b.e", "q.qe")} / (b.nrm * q.qnrm) DESC,
+              b.vec_id) AS rn
+          FROM b JOIN q ON b.vec_id <> q.qid) WHERE rn <= 10),
+      cnt AS (SELECT qid,
+          cast(count_if(prim) as bigint) AS n_cand_single,
+          cast(count(*) as bigint) AS n_cand_multi
+        FROM cand GROUP BY 1),
+      hs AS (SELECT t.qid, cast(count(*) as bigint) AS n_hit_single
+        FROM tsg t JOIN ex ON t.qid = ex.qid AND t.vec_id = ex.vec_id
+        GROUP BY 1),
+      hm AS (SELECT t.qid, cast(count(*) as bigint) AS n_hit_multi
+        FROM tm t JOIN ex ON t.qid = ex.qid AND t.vec_id = ex.vec_id
+        GROUP BY 1)
+      SELECT q.qid, q.qb,
+        coalesce(cnt.n_cand_single, 0) AS n_cand_single,
+        coalesce(cnt.n_cand_multi, 0) AS n_cand_multi,
+        coalesce(hs.n_hit_single, 0) AS n_hit_single,
+        cast(coalesce(hs.n_hit_single, 0) as double) / 10.0
+          AS recall_single,
+        coalesce(hm.n_hit_multi, 0) AS n_hit_multi,
+        cast(coalesce(hm.n_hit_multi, 0) as double) / 10.0
+          AS recall_multi
+      FROM q LEFT JOIN cnt ON q.qid = cnt.qid
+        LEFT JOIN hs ON q.qid = hs.qid
+        LEFT JOIN hm ON q.qid = hm.qid
+      ORDER BY q.qid"""))
+
+  // ------------------------------------------------------------------
   // q218 — MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
   // diversified re-ranking: from each query's top-C relevance
   // candidates, greedily select K results maximizing
@@ -1934,8 +2053,8 @@ object Similarity {
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
     annIvf, annIvfIncremental, semanticDedup, multimodalMeta, arrayFuncs,
     pqEncode, pqAdcTopK, pqCodeBalance, pqRerankTopK, pqRecallEval,
-    mrlRecallEval, int8RecallEval, filteredAnnRecall, mmrRerank,
-    retrievalMetrics,
+    mrlRecallEval, int8RecallEval, filteredAnnRecall, multiProbeLshRecall,
+    mmrRerank, retrievalMetrics,
     hardNegatives, maxSimScores, attributionProbe, hybridFusion,
     embeddingHealth)
 }

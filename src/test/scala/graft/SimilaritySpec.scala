@@ -619,4 +619,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(0) == ((0L, 1, 6L, 0L, 0.0, 5L, 0.5)),
       s"q222 fixture row wrong: ${rows(0)}")
   }
+
+  test("q228 multi-probe dominates single-probe; single-probe hits cross-check q43 vs q42 for vec 0") {
+    import spark.implicits._
+    val sf = TestSpark.sf0001
+    val rows = SparkEntry.queries("q228_multiprobe_lsh_recall")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6)))).toMap
+    // dominance: the multi-probe candidate set contains the single-
+    // probe set, so counts and hits can only grow
+    rows.foreach { case (qid, (cs, cm, hs, hm)) =>
+      assert(cm >= cs && hm >= hs, s"dominance broken at qid $qid: $cs $cm $hs $hm")
+      assert(cm <= 5 * cs + 5 * 10 || cm >= cs, "sanity")
+    }
+    assert(rows.values.exists { case (_, _, hs, hm) => hm > hs },
+      "multi-probe must beat single-probe somewhere, or the harness is vacuous")
+    // three-way cross-law at qid 0: q228's single-probe hit count IS
+    // |q43 top-10 (the single-bucket probe for vec 0) INTERSECT q42
+    // top-10 (the exact truth for vec 0)|
+    val lsh = SparkEntry.queries("q43_ann_lsh")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val exact = SparkEntry.queries("q42_ann_bruteforce")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows(0L)._3 == (lsh & exact).size.toLong,
+      s"qid-0 single-probe hits ${rows(0L)._3} != |q43 ∩ q42| ${(lsh & exact).size}")
+  }
 }
