@@ -31,6 +31,7 @@ object Registry {
       operators.TextAnalysis.all ++
       operators.Dedup.all ++
       operators.LshBandIndex.all ++
+      operators.PrevalenceIndex.all ++
       operators.Bm25Index.all ++
       operators.Similarity.all ++
       operators.Pipelines.all ++

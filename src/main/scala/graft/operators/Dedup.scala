@@ -1191,7 +1191,7 @@ object Dedup {
   }
 
   /** Registry paragraph-break token — see [[paragraphDedup]]. */
-  private val ParaDelim = " the "
+  private[graft] val ParaDelim = " the "
 
   val paragraphDedupQ: Q = Q(
     "q152_paragraph_dedup",

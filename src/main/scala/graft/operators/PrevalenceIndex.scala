@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft.{Dsl, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted segment-prevalence index — the production shape of
+  * q220's C4/CCNet drop-all boilerplate policy at 100 TB, where global
+  * prevalence cannot be recomputed per ingest: the index keeps the
+  * distinct (segment-hash, doc_id) pairs seen so far (hashes only,
+  * never segment text — the LshBandIndex discipline), nightly batches
+  * probe it, and the post-ingest prevalence rule (index docs + batch
+  * docs ≥ 2) decides which batch segments are boilerplate. This is
+  * the FIFTH index lifecycle next to LshBandIndex / IvfIndex / IvfPq /
+  * Bm25Index, with the same contract: build once, probe/admit many,
+  * append incrementally with a replay guard, right-to-be-forgotten
+  * tombstones applied physically at a crash-safe rename-aside
+  * compact, recover() repairing any torn state.
+  *
+  * Unlike the LSH admit there is NO greedy order dependence: drop-all
+  * flags every copy symmetrically (a batch-internal pair flags BOTH
+  * docs), so admit is a pure join — the property that makes this
+  * policy replay- and shard-order-stable. [[graft.streaming.BoilerplateGate]]
+  * is the same rule at per-event latency; q220 is the full-corpus
+  * batch audit; PrevalenceIndexSpec pins lifecycle == registry (q229).
+  */
+object PrevalenceIndex {
+
+  /** Doc-local DISTINCT (doc_id, segment-hash) pairs under q220's
+    * segment convention ([[Dedup.ParaDelim]]); within-doc repeats are
+    * collapsed before anything is counted — prevalence is distinct
+    * DOCUMENTS, never instances. */
+  private[graft] def segPairs(docs: DataFrame, delim: String): DataFrame =
+    docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          split(col("text"), java.util.regex.Pattern.quote(delim), -1),
+          p => Dsl.md5h61(p)))).as("h"))
+
+  def build(spark: SparkSession, corpus: DataFrame, indexDir: String): Unit = {
+    segPairs(corpus, Dedup.ParaDelim)
+      .repartition(col("h")) // co-locate each segment's postings
+      .write.mode("overwrite").parquet(s"$indexDir/segs")
+    ()
+  }
+
+  /** Right-to-be-forgotten: O(batch) tombstones; [[audit]] anti-joins
+    * them out of the index side so a forgotten doc stops contributing
+    * to prevalence IMMEDIATELY; [[compact]] applies them physically. */
+  def delete(spark: SparkSession, docIds: Seq[Long], indexDir: String): Unit = {
+    import spark.implicits._
+    docIds.toDF("doc_id").repartition(1)
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+  }
+
+  private def tombstonesOf(spark: SparkSession, indexDir: String)
+      : Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  private def minusTombstones(df: DataFrame, ts: Option[DataFrame])
+      : DataFrame =
+    ts.map(t => df.join(broadcast(t.select("doc_id")), Seq("doc_id"),
+      "left_anti")).getOrElse(df)
+
+  /** The admit audit over explicit pair frames — shared verbatim by
+    * the persisted lifecycle ([[probe]]) and the registry twin (q229,
+    * where the corpus slice plays the index). Per batch doc: distinct
+    * segments, segments boilerplate under the POST-ingest prevalence
+    * (live index distinct docs + batch distinct docs ≥ 2), and the
+    * ratio. Shapes: two (h)-keyed count aggregates + one equi-join on
+    * h + one |batch-docs| rollup — the index side is read as its two
+    * narrow columns, never more. */
+  private[graft] def audit(batchPairs: DataFrame, indexPairs: DataFrame)
+      : DataFrame = {
+    val idxCnt = indexPairs.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_idx"))
+    val batchCnt = batchPairs.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_batch"))
+    val flagged = batchCnt.join(idxCnt, Seq("h"), "left")
+      .filter(coalesce(col("n_idx"), lit(0L)) + col("n_batch") >= 2)
+      .select("h")
+    val perDoc = batchPairs.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_segs"))
+    val boilDoc = batchPairs.join(flagged, Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_boiler"))
+    perDoc.join(boilDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        (coalesce(col("n_boiler"), lit(0L)).cast("double") /
+          col("n_segs")).as("boiler_ratio"))
+  }
+
+  /** Probe a (doc_id, text) batch against the live index (tombstones
+    * honored); no writes. */
+  def probe(spark: SparkSession, batch: DataFrame, indexDir: String)
+      : DataFrame = {
+    val idx = minusTombstones(
+      spark.read.parquet(s"$indexDir/segs"), tombstonesOf(spark, indexDir))
+    audit(segPairs(batch, Dedup.ParaDelim), idx)
+  }
+
+  /** Incremental append with a doc-granular replay guard: pairs of
+    * batch docs whose doc_id the index already holds are skipped (a
+    * re-sent shard cannot double-count prevalence), reading ONLY the
+    * index's doc_id column for the guard. */
+  def append(spark: SparkSession, batch: DataFrame, indexDir: String): Unit = {
+    val known = spark.read.parquet(s"$indexDir/segs")
+      .select("doc_id").distinct()
+    segPairs(batch, Dedup.ParaDelim)
+      .join(known, Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(s"$indexDir/segs")
+    ()
+  }
+
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    compactImpl(spark, indexDir, _ => ())
+
+  /** [[compact]] with the injectable crash seam (the LshBandIndex
+    * convention: "segs:written" / "segs:aside" / "segs:swapped" /
+    * "tombstones:applied"). Tombstones are applied physically here and
+    * cleared only after the swap — a crash before the clear reapplies
+    * them harmlessly (idempotent). */
+  private[graft] def compactImpl(spark: SparkSession, indexDir: String,
+      crashPoint: String => Unit): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def P(s: String) = new org.apache.hadoop.fs.Path(s)
+    val ts = tombstonesOf(spark, indexDir)
+    val live = s"$indexDir/segs"
+    val tmp = s"$indexDir/segs_compact_tmp"
+    val old = s"$indexDir/segs_compact_old"
+    minusTombstones(spark.read.parquet(live), ts)
+      .repartition(col("h"))
+      .write.mode("overwrite").parquet(tmp)
+    crashPoint("segs:written")
+    fs.rename(P(live), P(old))
+    crashPoint("segs:aside")
+    fs.rename(P(tmp), P(live))
+    crashPoint("segs:swapped")
+    fs.delete(P(old), true)
+    crashPoint("tombstones:applied")
+    fs.delete(P(s"$indexDir/tombstones"), true)
+    ()
+  }
+
+  /** Repair a crashed [[compact]]; safe to run unconditionally at
+    * index-open time. Same state machine as LshBandIndex.recover, one
+    * table. */
+  def recover(spark: SparkSession, indexDir: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def P(s: String) = new org.apache.hadoop.fs.Path(s)
+    var repaired = false
+    val live = P(s"$indexDir/segs")
+    val tmp = P(s"$indexDir/segs_compact_tmp")
+    val old = P(s"$indexDir/segs_compact_old")
+    if (!fs.exists(live)) {
+      if (fs.exists(tmp)) { fs.rename(tmp, live); repaired = true }
+      else if (fs.exists(old)) { fs.rename(old, live); repaired = true }
+    }
+    if (fs.exists(live)) {
+      if (fs.exists(old)) { fs.delete(old, true); repaired = true }
+      if (fs.exists(tmp)) { fs.delete(tmp, true); repaired = true }
+    }
+    repaired
+  }
+
+  /** q229: the oracle-checked registry twin of [[probe]]/admit —
+    * corpus = doc_id % 10 < 8 plays the persisted index, batch = the
+    * rest (the q127/q159 split convention). The registry form
+    * recomputes the corpus pairs because the oracle needs
+    * self-contained SQL; the lifecycle reads them from parquet, and
+    * PrevalenceIndexSpec pins the two paths equal. */
+  val admitQ: Q = Q(
+    "q229_prevalence_index_admit",
+    (s, d) => {
+      graft.functions.TextFunctions.register(s)
+      val pairs = graft.CacheScope.cached(
+        segPairs(Tables.documents(s, d), Dedup.ParaDelim))
+      audit(pairs.filter(col("doc_id") % 10 >= 8),
+        pairs.filter(col("doc_id") % 10 < 8))
+        .orderBy("doc_id")
+    },
+    Some {
+      val dl = "'" + Dedup.ParaDelim.replace("'", "''") + "'"
+      s"""WITH t AS (SELECT doc_id, string_split(text, $dl) AS paras
+          FROM documents WHERE doc_id IS NOT NULL),
+        px AS MATERIALIZED (SELECT DISTINCT doc_id,
+            ${graft.Dsl.sqlMd5h61("paras[i]")} AS h
+          FROM t, unnest(generate_series(1, len(paras))) AS u(i)),
+        idx AS (SELECT h, count(distinct doc_id) AS n_idx
+          FROM px WHERE doc_id % 10 < 8 GROUP BY 1),
+        bp AS MATERIALIZED (SELECT * FROM px WHERE doc_id % 10 >= 8),
+        bc AS (SELECT h, count(distinct doc_id) AS n_batch
+          FROM bp GROUP BY 1),
+        fl AS (SELECT bc.h FROM bc LEFT JOIN idx USING (h)
+          WHERE coalesce(n_idx, 0) + n_batch >= 2),
+        pd AS (SELECT doc_id, cast(count(*) as bigint) AS n_segs
+          FROM bp GROUP BY 1),
+        bd AS (SELECT doc_id, cast(count(*) as bigint) AS n_boiler
+          FROM bp JOIN fl USING (h) GROUP BY 1)
+        SELECT pd.doc_id, pd.n_segs,
+          coalesce(bd.n_boiler, 0) AS n_boiler,
+          cast(coalesce(bd.n_boiler, 0) as double) / pd.n_segs
+            AS boiler_ratio
+        FROM pd LEFT JOIN bd USING (doc_id) ORDER BY 1"""
+    })
+
+  val all: Seq[Q] = Seq(admitQ)
+}

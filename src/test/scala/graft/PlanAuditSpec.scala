@@ -393,7 +393,15 @@ class PlanAuditSpec extends AnyFunSuite {
       // explode whose build prints its FileScan body at the centroid,
       // join and cnorm InMemoryTableScan sites; cold file reads = 1
       // (ReuseAudit: embeddings=3 textual)
-      "q213_embedding_health" -> Map("embeddings" -> 3))
+      "q213_embedding_health" -> Map("embeddings" -> 3),
+      // TEXTUAL count, same caveat: ONE cached (doc_id, h) pair frame
+      // whose build subtree prints at the audit's four consumer sites
+      // (index count, batch count, per-doc rollup, flagged join-back);
+      // at runtime the cache materializes once — a single documents
+      // scan feeds the whole lifecycle twin (ReuseAudit: documents=4
+      // textual, reused=0 because the sharing is the cache, not an
+      // exchange)
+      "q229_prevalence_index_admit" -> Map("documents" -> 4))
     val multi: Map[String, Map[String, Int]] = cachedFamily ++ Map(
       "q105_scd2" -> Map("part" -> 2),
       "q125_tpch_q21" -> Map("lineitem" -> 3),

@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Persisted segment-prevalence index lifecycle (build / probe /
+  * append / delete / compact / recover), pinned against the
+  * oracle-checked registry twin q229 and against the right-to-be-
+  * forgotten + crash-safety contracts the other four indexes carry. */
+class PrevalenceIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+  import operators.PrevalenceIndex
+
+  private def corpusDocs = Tables.documents(spark, sf)
+    .filter(col("doc_id") % 10 < 8).select("doc_id", "text")
+  private def batchDocs = Tables.documents(spark, sf)
+    .filter(col("doc_id") % 10 >= 8).select("doc_id", "text")
+
+  private def freshIndex(): String = {
+    val dir = Files.createTempDirectory("graft-prev-index").toFile
+    dir.deleteOnExit()
+    PrevalenceIndex.build(spark, corpusDocs, dir.getAbsolutePath)
+    dir.getAbsolutePath
+  }
+
+  private def probeMap(dir: String): Map[Long, (Long, Long)] =
+    PrevalenceIndex.probe(spark, batchDocs, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+  test("persisted-index probe matches the oracle-checked registry twin q229") {
+    val dir = freshIndex()
+    val got = probeMap(dir)
+    val want = SparkEntry.queries("q229_prevalence_index_admit")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == want,
+      s"lifecycle probe diverged from the registry/oracle semantics")
+    assert(want.values.exists(_._2 > 0L), "no boilerplate flagged — vacuous")
+    assert(want.values.exists(_._2 == 0L), "everything flagged — vacuous")
+  }
+
+  test("append has a doc-granular replay guard and makes the batch self-boilerplate") {
+    val dir = freshIndex()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    PrevalenceIndex.append(spark, batchDocs, dir)
+    val n1 = spark.read.parquet(s"$dir/segs").count()
+    PrevalenceIndex.append(spark, batchDocs, dir) // replay
+    val n2 = spark.read.parquet(s"$dir/segs").count()
+    assert(n1 == n2, s"replayed append grew the index: $n1 -> $n2")
+    // after append, every batch segment is its own index hit (n_idx >= 1
+    // from the doc itself) so the probe flags ALL segments
+    val rows = PrevalenceIndex.probe(spark, batchDocs, dir).collect()
+    assert(rows.forall(r => r.getLong(2) == r.getLong(1)),
+      "post-append probe must flag every batch segment")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/segs")))
+  }
+
+  test("delete makes a forgotten doc stop contributing immediately; compact applies physically; crash+recover safe at every point") {
+    import spark.implicits._
+    // tiny planted corpus: segment "dup" lives in index docs 100 and
+    // 101; batch doc 900 carries it -> flagged (prevalence 3). After
+    // deleting BOTH index holders, batch doc 900 is the segment's only
+    // doc -> not flagged.
+    val idxDocs = Seq((100L, "dup the a1"), (101L, "dup the b1"),
+      (102L, "solo the c1")).toDF("doc_id", "text")
+    val batch = Seq((900L, "dup the z9")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-prev-planted").toFile
+    dir.deleteOnExit()
+    val d = dir.getAbsolutePath
+    PrevalenceIndex.build(spark, idxDocs, d)
+    def flagCount(): Long =
+      PrevalenceIndex.probe(spark, batch, d).collect()(0).getLong(2)
+    assert(flagCount() == 1L, "planted dup must be flagged pre-delete")
+    PrevalenceIndex.delete(spark, Seq(100L, 101L), d)
+    assert(flagCount() == 0L, "tombstoned docs must stop contributing")
+    // crash injection at each compact point: recover + rerun converges,
+    // probe identical, tombstones applied idempotently
+    for (crashAt <- Seq("segs:written", "segs:aside", "segs:swapped",
+        "tombstones:applied")) {
+      val dir2 = Files.createTempDirectory(s"graft-prev-crash").toFile
+      dir2.deleteOnExit()
+      val d2 = dir2.getAbsolutePath
+      PrevalenceIndex.build(spark, idxDocs, d2)
+      PrevalenceIndex.delete(spark, Seq(100L, 101L), d2)
+      val boom = intercept[RuntimeException] {
+        PrevalenceIndex.compactImpl(spark, d2,
+          p => if (p == crashAt) throw new RuntimeException(s"crash:$p"))
+      }
+      assert(boom.getMessage == s"crash:$crashAt")
+      PrevalenceIndex.recover(spark, d2)
+      PrevalenceIndex.compact(spark, d2) // rerun to completion
+      val got = PrevalenceIndex.probe(spark, batch, d2)
+        .collect()(0)
+      assert((got.getLong(1), got.getLong(2)) == ((2L, 0L)),
+        s"probe after crash@$crashAt + recover + compact wrong: $got")
+      // physically applied: no tombstones dir, no doc 100/101 rows
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$d2/tombstones")),
+        "tombstones must be cleared after a completed compact")
+      val live = spark.read.parquet(s"$d2/segs")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(live == Set(102L), s"compacted index holds $live")
+    }
+  }
+}
