@@ -609,6 +609,83 @@ object TextAnalysis {
     })
 
   // ------------------------------------------------------------------
+  // q230 — multi-LENGTH phrase blocklist (block-then-verify): the
+  // general form of q217, whose registry instance is all-bigram so
+  // its "longer phrases block on their first bigram and verify the
+  // tail" claim was documented but never exercised on the oracled
+  // path. Here the blocklist mixes 2- and 3-word phrases: every
+  // phrase BLOCKS on its first bigram (one equi-join against the
+  // positional bigram explode — production lists run 10⁴–10⁶ phrases,
+  // so a join, never isin), and the tail is VERIFIED by re-joining
+  // the candidate (doc_id, position) hits back to the token arrays
+  // and comparing slice(t, i, n_toks) against the phrase's token
+  // array — adjacency-exact, the over-blocking-free semantics.
+  //
+  // Scale shape: the bigram explode carries (doc_id, source, i, g) —
+  // positions and 2-token strings, never the token array (exploding
+  // WITH the array would copy it per bigram row); the verify re-join
+  // touches only first-bigram-matched docs (blocklist-selective, the
+  // q202 matched-docs-only precedent), and both consumers of the
+  // tokenized frame hang off one cached build. Aggregate is
+  // map-combinable over (source, phrase).
+  // ------------------------------------------------------------------
+  private val PhraseBlocklistML = Seq("slow query", "hash join",
+    "stream table hash", "slow hash batch", "window fast query")
+
+  val phraseBlocklistML: Q = Q(
+    "q230_phrase_blocklist_ml",
+    (s, d) => {
+      import s.implicits._
+      val phrases = broadcast(
+        PhraseBlocklistML.map { p =>
+          val tk = p.split(" ")
+          (p, tk.toSeq, tk(0) + " " + tk(1), tk.length)
+        }.toDF("phrase", "p_toks", "first_bg", "p_len"))
+      val t = graft.CacheScope.cached(Tables.documents(s, d)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("doc_id"))
+        .select(col("doc_id"), col("source"), toks(col("text")).as("t")))
+      val idx = when(size(col("t")) >= 2, sequence(lit(1), size(col("t")) - 1))
+        .otherwise(array().cast("array<int>"))
+      val bg = t.select(col("doc_id"), col("source"),
+        explode_outer(transform(idx, i => struct(i.as("i"),
+          concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1)).as("g")))).as("b"))
+        .select(col("doc_id"), col("source"),
+          col("b.i").as("i"), col("b.g").as("g"))
+      val cand = bg.join(phrases, col("g") === col("first_bg"))
+      cand.join(t.select(col("doc_id"), col("t")), Seq("doc_id"))
+        .filter(slice(col("t"), col("i"), col("p_len")) === col("p_toks"))
+        .groupBy("source", "phrase")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_hits"))
+        .orderBy("source", "phrase")
+    },
+    Some {
+      val values = PhraseBlocklistML.map { p =>
+        val tk = p.split(" ")
+        val arr = tk.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"('$p', $arr, '${tk(0)} ${tk(1)}', ${tk.length})"
+      }.mkString(", ")
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, source,
+          ${sqlToks("text")} AS tk FROM documents),
+        bg AS (SELECT doc_id, source, i, tk[i] || ' ' || tk[i+1] AS g
+          FROM t, unnest(generate_series(1, len(tk) - 1)) AS u(i)),
+        ph AS (SELECT * FROM (VALUES $values)
+          AS v(phrase, p_toks, first_bg, p_len)),
+        cand AS (SELECT bg.doc_id, bg.source, bg.i,
+            ph.phrase, ph.p_toks, ph.p_len
+          FROM bg JOIN ph ON bg.g = ph.first_bg),
+        hit AS (SELECT c.source, c.phrase, c.doc_id
+          FROM cand c JOIN t ON c.doc_id = t.doc_id
+          WHERE t.tk[c.i : c.i + c.p_len - 1] = c.p_toks)
+        SELECT source, phrase,
+          cast(count(DISTINCT doc_id) as bigint) AS n_docs,
+          cast(count(*) as bigint) AS n_hits
+        FROM hit GROUP BY 1, 2 ORDER BY 1, 2"""
+    })
+
+  // ------------------------------------------------------------------
   // q136 — n-gram novelty score: per doc, the fraction of its distinct
   // word-3-grams that appear in NO other document (corpus document
   // frequency = 1). The memorization-risk / boilerplate dual used in
@@ -1918,6 +1995,7 @@ object TextAnalysis {
     codeSwitchAudit,
     fingerprint, topTerms, pivotEvents, rareTerms, regexTokens,
     repetitionFilter, madOutliers, blocklistFilter, phraseBlocklist,
+    phraseBlocklistML,
     ngramNovelty, bm25TopK,
     bm25TextbookTopK, adaptiveQualityFilter, markupStrip, gopherRules,
     gopherRepetition, vocabCoverage, bm25MrrEval, rm3Expansion,

@@ -542,4 +542,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
     assert(rm3.values.exists(_._1.nonEmpty), "expansion must fire somewhere")
   }
+
+  test("q230 blocks on the first bigram and verifies the tail; near-miss prefixes never count") {
+    import spark.implicits._
+    // doc 1: "stream table fish" blocks on "stream table" but the tail
+    // fails verification -> no hit; then a true "stream table hash".
+    // doc 2: overlapping "slow hash batch" twice ("slow hash batch
+    // slow hash batch") -> 2 hits 1 doc; plus a 2-word "hash join".
+    // doc 3: 1 token (no bigrams at all).
+    val docs = Seq(
+      (1L, "stream table fish then stream table hash", "en", "sA", 40L),
+      (2L, "slow hash batch slow hash batch x hash join", "en", "sB", 43L),
+      (3L, "solo", "en", "sA", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q230_phrase_blocklist_ml")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rows == Map(
+      ("sA", "stream table hash") -> ((1L, 1L)),
+      ("sB", "slow hash batch") -> ((1L, 2L)),
+      ("sB", "hash join") -> ((1L, 1L))),
+      s"q230 fixture wrong: $rows")
+  }
 }
