@@ -498,7 +498,126 @@ object QualityModel {
         cast(sum(lab) as double) / count(*) AS obs_rate
       FROM sc GROUP BY 1 ORDER BY 1"""))
 
+  /** q231 — Jelinek-Mercer interpolation λ-sweep (Chen & Goodman 1999
+    * §2.2's baseline smoother, the other classical answer to unseen
+    * n-grams next to q179's Stupid Backoff): p(w₂|w₁) = λ·c₁₂/c₁ +
+    * (1−λ)·c₂/T, fit on the train split (doc_id % 10 < 8) and scored
+    * on held-out bigrams, for λ ∈ {¼, ½, ¾} — ALL THREE operating
+    * points riding ONE scoring pass (the q205 sweep discipline), so
+    * the output is the tuning table itself: which λ minimizes
+    * held-out NLL. Unlike backoff, interpolation never hits a zero
+    * for a seen target word (c₂ ≥ 1 ⇒ p > 0); bigrams whose w₁ OR w₂
+    * is unseen in train are counted as OOV and excluded (ln 0 is the
+    * alternative — scores are reported over the scorable mass, with
+    * the OOV count printed beside them).
+    *
+    * Determinism: λ is a dyadic literal; each division/multiply/add
+    * is one exactly-rounded IEEE op on identical operands, so the ln
+    * input is bit-identical across engines and each bigram's −ln(p)
+    * quantizes to the same 10⁻⁹ integer (the q150 argument); sums are
+    * exact longs, one final floor-divide.
+    *
+    * Scale shape: q179's exactly — model = two map-combinable type
+    * groupBys over the train explode, scoring = equi-joins of the
+    * eval bigram instances against the count tables on their type
+    * keys (shuffle joins; n-gram tables outgrow broadcast at 100 TB),
+    * T a 1-row broadcast; the λ-sweep adds three integer columns to
+    * the SAME aggregate, and the 3-row unpivot is an explode(map) of
+    * one row (the q176 discipline — never a union of re-aggregations). */
+  val jmInterpolation: Q = Q(
+    "q231_jm_interpolation",
+    (s, d) => {
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), toks(lower(col("text"))).as("t"))
+        .filter(size(col("t")) > 0 && col("t").isNotNull &&
+          col("doc_id").isNotNull)
+        .repartition(col("doc_id"))
+      def bigrams(df: DataFrame) = {
+        val idx = when(size(col("t")) >= 2,
+          sequence(lit(1), size(col("t")) - 1))
+          .otherwise(array().cast("array<int>"))
+        df.select(col("doc_id"), explode(transform(idx, i =>
+          struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("g"))
+          .select(col("g.w1"), col("g.w2"))
+      }
+      val train = tk.filter(col("doc_id") % 10 < 8)
+      val bm = bigrams(train).groupBy("w1", "w2")
+        .agg(count(lit(1)).as("c12"))
+      val uni = train.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val tTot = uni.agg(sum(col("c1")).as("tt"))
+      val ev = bigrams(tk.filter(col("doc_id") % 10 >= 8))
+      def p(lam: Double) =
+        lit(lam) * (coalesce(col("c12"), lit(0L)) / col("cw1")) +
+          lit(1.0 - lam) * (col("cw2") / col("tt"))
+      def s9(lam: Double) =
+        sum(when(!col("oov"), floor(-log(p(lam)) * 1e9).cast("long"))
+          .otherwise(0L))
+      val agg = ev
+        .join(bm, Seq("w1", "w2"), "left")
+        .join(uni.select(col("w").as("w1"), col("c1").as("cw1")),
+          Seq("w1"), "left")
+        .join(uni.select(col("w").as("w2"), col("c1").as("cw2")),
+          Seq("w2"), "left")
+        .crossJoin(broadcast(tTot))
+        .withColumn("oov", col("cw1").isNull || col("cw2").isNull)
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"),
+          s9(0.25).as("s9a"), s9(0.5).as("s9b"), s9(0.75).as("s9c"))
+        .withColumn("n_scored", col("n_total") - col("n_oov"))
+      agg.select(col("n_scored"), col("n_oov"),
+          explode(map(lit(0.25), col("s9a"), lit(0.5), col("s9b"),
+            lit(0.75), col("s9c"))).as(Seq("lam", "s9")))
+        .select(col("lam"), col("n_scored"), col("n_oov"),
+          when(col("n_scored") > 0,
+            floor(col("s9") / (col("n_scored") * 1000.0)).cast("long"))
+            .as("nll_q6"))
+        .orderBy("lam")
+    },
+    Some(s"""WITH tk AS MATERIALIZED (
+        SELECT doc_id, ${sqlToks("lower(text)")} AS t FROM documents
+        WHERE doc_id IS NOT NULL),
+      bm AS MATERIALIZED (SELECT t[i] AS w1, t[i+1] AS w2,
+          count(*) AS c12
+        FROM tk, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+      uni AS MATERIALIZED (SELECT g.w AS w, count(*) AS c1
+        FROM tk, unnest(t) AS g(w)
+        WHERE doc_id % 10 < 8 GROUP BY 1),
+      tt AS (SELECT sum(c1) AS tt FROM uni),
+      ev AS (SELECT t[i] AS w1, t[i+1] AS w2
+        FROM tk, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        WHERE doc_id % 10 >= 8),
+      sc AS (SELECT ev.w1, ev.w2, bm.c12, u1.c1 AS cw1, u2.c1 AS cw2,
+          tt.tt, (u1.c1 IS NULL OR u2.c1 IS NULL) AS oov
+        FROM ev LEFT JOIN bm ON ev.w1 = bm.w1 AND ev.w2 = bm.w2
+          LEFT JOIN uni u1 ON ev.w1 = u1.w
+          LEFT JOIN uni u2 ON ev.w2 = u2.w, tt),
+      m AS MATERIALIZED (SELECT
+          cast(count(*) as bigint) AS n_total,
+          cast(count_if(oov) as bigint) AS n_oov,
+          sum(CASE WHEN NOT oov THEN cast(floor(-ln(
+            0.25 * (coalesce(c12, 0) / cast(cw1 as double)) +
+            0.75 * (cw2 / cast(tt as double))) * 1000000000.0) as bigint)
+            ELSE 0 END) AS s9a,
+          sum(CASE WHEN NOT oov THEN cast(floor(-ln(
+            0.5 * (coalesce(c12, 0) / cast(cw1 as double)) +
+            0.5 * (cw2 / cast(tt as double))) * 1000000000.0) as bigint)
+            ELSE 0 END) AS s9b,
+          sum(CASE WHEN NOT oov THEN cast(floor(-ln(
+            0.75 * (coalesce(c12, 0) / cast(cw1 as double)) +
+            0.25 * (cw2 / cast(tt as double))) * 1000000000.0) as bigint)
+            ELSE 0 END) AS s9c
+        FROM sc)
+      SELECT v.lam, m.n_total - m.n_oov AS n_scored, m.n_oov,
+        CASE WHEN m.n_total - m.n_oov > 0 THEN cast(floor(
+          (CASE v.k WHEN 1 THEN m.s9a WHEN 2 THEN m.s9b ELSE m.s9c END)
+          / ((m.n_total - m.n_oov) * 1000.0)) as bigint) END AS nll_q6
+      FROM m, (VALUES (0.25, 1), (0.5, 2), (0.75, 3)) AS v(lam, k)
+      ORDER BY v.lam"""))
+
   val all: Seq[Q] = Seq(qualityClassifier, fixedWeightScorer,
     bigramPerplexity, perplexityBuckets, compressibility, stupidBackoff,
-    scorerCalibration)
+    jmInterpolation, scorerCalibration)
 }

@@ -441,6 +441,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // branch reduces to (doc_id, source, row-hash) at its own scan
       "q183_snapshot_diff" -> Map("documents" -> 2),
       "q179_stupid_backoff" -> Map("documents" -> 2),
+      // train-vs-eval role split, the q179 shape exactly: the % 10
+      // predicates push into per-branch pruned scans
+      "q231_jm_interpolation" -> Map("documents" -> 2),
       // TEXTUAL count (the q169 caveat): ONE cached narrow base whose
       // build prints its FileScan body at the scalar-agg, total and
       // entropy InMemoryTableScan sites; cold file reads are 1

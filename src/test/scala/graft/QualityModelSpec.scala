@@ -162,4 +162,32 @@ class QualityModelSpec extends AnyFunSuite {
     }.sum
     assert(ece < 0.35, s"ECE $ece — scorer not usably calibrated")
   }
+
+  test("q231 JM interpolation: unseen-bigram-seen-words scores via the unigram term, OOV excluded, sweep exact") {
+    import spark.implicits._
+    // train "a b a b": c(a)=c(b)=2, T=4; c12(a,b)=2, c12(b,a)=1.
+    // eval "b b a z": (b,b) unseen bigram but both words seen -> the
+    // JM point: p = (1-l)*0.5; (b,a) p = l*0.5 + (1-l)*0.5 = 0.5;
+    // (a,z) OOV (z unseen) -> excluded and counted.
+    val docs = Seq(
+      (0L, "a b a b", "en", "s", 7L),
+      (8L, "b b a z", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q231_jm_interpolation")(spark, dir)
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def q9(x: Double) = math.floor(-math.log(x) * 1e9).toLong
+    def want(l: Double) = {
+      val s9 = q9((1 - l) * 0.5) + q9(0.5)
+      (2L, 1L, math.floor(s9 / 2000.0).toLong)
+    }
+    assert(rows.keySet == Set(0.25, 0.5, 0.75), s"lams: ${rows.keySet}")
+    Seq(0.25, 0.5, 0.75).foreach { l =>
+      assert(rows(l) == want(l), s"lam $l wrong: ${rows(l)} vs ${want(l)}")
+    }
+    // the sweep is monotone here: more weight on the (weaker) bigram
+    // term raises held-out NLL
+    assert(rows(0.25)._3 <= rows(0.5)._3 && rows(0.5)._3 <= rows(0.75)._3)
+  }
 }
