@@ -686,6 +686,77 @@ object TextAnalysis {
     })
 
   // ------------------------------------------------------------------
+  // q232 — per-source Gini concentration of token mass: is a source's
+  // token budget spread across its documents or dominated by a few
+  // mega-docs? The inequality readout (Gini + top-doc share) that
+  // decides whether a source needs doc-length capping before it
+  // swamps a training mixture (q173 measures padding waste; this
+  // measures CONTRIBUTION skew). Gini over ascending-ranked doc token
+  // counts: G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) — every numerator an
+  // exact integer, ONE IEEE division per source.
+  //
+  // Scale shape: ranks come from the LENGTH HISTOGRAM, not a per-doc
+  // window — group (source, n_tokens) → (cnt, mass), then a window
+  // over that aggregated frame (bounded by distinct lengths per
+  // source, the q173/q203 discipline) supplies each tied group's
+  // preceding count p, and Σ i·xᵢ for a group of c docs at value v is
+  // v·(c·p + c·(c+1)/2) in closed form — a sort of docs never
+  // happens. The ORACLE is the naive per-doc row_number formula, so
+  // the decomposition is hash-PROVEN equal, tie handling included.
+  // ------------------------------------------------------------------
+  val sourceGini: Q = Q(
+    "q232_source_gini",
+    (s, d) => {
+      val hist = Tables.documents(s, d)
+        .select(col("source"), size(toks(col("text"))).cast("long").as("v"))
+        .groupBy("source", "v")
+        .agg(count(lit(1)).as("c"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("p", sum(col("c")).over(w) - col("c"))
+        // integer div: c·(c+1) is always even, and six must STAY an
+        // exact long (a double here would make the sum order-dependent)
+        .withColumn("six", expr("v * (c * p + (c * (c + 1)) div 2)"))
+        .groupBy("source")
+        .agg(sum(col("c")).cast("long").as("n_docs"),
+          sum(col("v") * col("c")).cast("long").as("tok_total"),
+          max(col("v")).cast("long").as("max_doc"),
+          sum(col("six")).cast("long").as("six"))
+        .select(col("source"), col("n_docs"), col("tok_total"),
+          col("max_doc"),
+          when(col("tok_total") > 0,
+            col("max_doc").cast("double") / col("tok_total"))
+            .as("top_doc_share"),
+          when(col("n_docs") * col("tok_total") > 0,
+            (lit(2) * col("six") - (col("n_docs") + 1) * col("tok_total"))
+              .cast("double") / (col("n_docs") * col("tok_total")))
+            .as("gini"))
+        .orderBy("source")
+    },
+    // the naive formulation: rank every doc, apply the textbook sum —
+    // a hash match PROVES the histogram decomposition (ties included)
+    Some(s"""WITH t AS (SELECT source,
+          cast(len(${sqlToks("text")}) as bigint) AS v
+        FROM documents),
+      r AS (SELECT source, v, row_number() OVER (
+          PARTITION BY source ORDER BY v) AS i
+        FROM t),
+      a AS (SELECT source, cast(count(*) as bigint) AS n_docs,
+          cast(sum(v) as bigint) AS tok_total,
+          cast(max(v) as bigint) AS max_doc,
+          cast(sum(i * v) as bigint) AS six
+        FROM r GROUP BY 1)
+      SELECT source, n_docs, tok_total, max_doc,
+        CASE WHEN tok_total > 0
+          THEN cast(max_doc as double) / tok_total END AS top_doc_share,
+        CASE WHEN n_docs * tok_total > 0
+          THEN cast(2 * six - (n_docs + 1) * tok_total as double)
+            / (n_docs * tok_total) END AS gini
+      FROM a ORDER BY source"""))
+
+  // ------------------------------------------------------------------
   // q136 — n-gram novelty score: per doc, the fraction of its distinct
   // word-3-grams that appear in NO other document (corpus document
   // frequency = 1). The memorization-risk / boilerplate dual used in
@@ -1999,6 +2070,6 @@ object TextAnalysis {
     ngramNovelty, bm25TopK,
     bm25TextbookTopK, adaptiveQualityFilter, markupStrip, gopherRules,
     gopherRepetition, vocabCoverage, bm25MrrEval, rm3Expansion,
-    sourceDiversity,
+    sourceDiversity, sourceGini,
     sourceDrift, exactQuantiles, qualityDupMatrix, lengthDrift)
 }

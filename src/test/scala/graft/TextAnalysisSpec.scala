@@ -565,4 +565,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("sB", "hash join") -> ((1L, 1L))),
       s"q230 fixture wrong: $rows")
   }
+
+  test("q232 Gini: equal docs score 0, dominated source scores high, tie groups exact") {
+    import spark.implicits._
+    def doc(id: Long, n: Int, src: String) =
+      (id, (1 to n).map(i => "w").mkString(" "), "en", src, n.toLong)
+    // sEq: three equal docs (ties!) -> Gini 0. sDom: [1, 1, 98] ->
+    // Gini (2*297 - 4*100)/300 = 0.64666..., top share 0.98.
+    // sRamp: [1,2,3,4] -> (2*30 - 5*10)/40 = 0.25.
+    val docs = Seq(
+      doc(1, 2, "sEq"), doc(2, 2, "sEq"), doc(3, 2, "sEq"),
+      doc(4, 1, "sDom"), doc(5, 1, "sDom"), doc(6, 98, "sDom"),
+      doc(7, 1, "sRamp"), doc(8, 2, "sRamp"), doc(9, 3, "sRamp"),
+      doc(10, 4, "sRamp"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q232_source_gini")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(rows("sEq") == ((3L, 6L, 2L, 2.0 / 6, 0.0)),
+      s"sEq wrong: ${rows("sEq")}")
+    assert(rows("sDom") == ((3L, 100L, 98L, 0.98, 194.0 / 300)),
+      s"sDom wrong: ${rows("sDom")}")
+    assert(rows("sRamp") == ((4L, 10L, 4L, 0.4, 10.0 / 40)),
+      s"sRamp wrong: ${rows("sRamp")}")
+  }
 }
