@@ -210,5 +210,56 @@ object PrevalenceIndex {
         FROM pd LEFT JOIN bd USING (doc_id) ORDER BY 1"""
     })
 
-  val all: Seq[Q] = Seq(admitQ)
+  /** q233 — segment-prevalence HISTOGRAM, the monitoring stats every
+    * persisted index here carries (q160 is the LSH twin): how many
+    * segments live at prevalence 1, 2, 3, … and how much segment mass
+    * each stratum holds. The k=1 row is the healthy tail; mass
+    * migrating into k ≥ 2 is template growth — the alarm a corpus
+    * team watches between compactions, and the denominator behind
+    * q220's drop-ratio forecasts. Count-of-counts discipline (the
+    * q182/q215 shape): one groupBy on h, one |strata|-key rollup —
+    * the histogram never materializes per-segment rows at the driver.
+    * share = one IEEE division of exact integer sums. */
+  val histogramQ: Q = Q(
+    "q233_prevalence_histogram",
+    (s, d) => {
+      graft.functions.TextFunctions.register(s)
+      val prev = segPairs(Tables.documents(s, d), Dedup.ParaDelim)
+        .groupBy("h").agg(countDistinct(col("doc_id")).as("k"))
+      val tot = prev.agg(count(lit(1)).as("n_seg_total"),
+        sum(col("k")).as("n_pair_total"))
+      prev.groupBy("k")
+        .agg(count(lit(1)).cast("long").as("n_segments"))
+        .crossJoin(broadcast(tot))
+        .select(col("k").cast("long").as("prevalence"),
+          col("n_segments"),
+          (col("n_segments") * col("k")).cast("long").as("n_pairs"),
+          (col("n_segments").cast("double") / col("n_seg_total"))
+            .as("seg_share"),
+          ((col("n_segments") * col("k")).cast("double") /
+            col("n_pair_total")).as("pair_share"))
+        .orderBy("prevalence")
+    },
+    Some {
+      val dl = "'" + Dedup.ParaDelim.replace("'", "''") + "'"
+      s"""WITH t AS (SELECT doc_id, string_split(text, $dl) AS paras
+          FROM documents WHERE doc_id IS NOT NULL),
+        px AS (SELECT DISTINCT doc_id, ${graft.Dsl.sqlMd5h61("paras[i]")}
+            AS h
+          FROM t, unnest(generate_series(1, len(paras))) AS u(i)),
+        pv AS MATERIALIZED (SELECT h, count(distinct doc_id) AS k
+          FROM px GROUP BY 1),
+        tot AS (SELECT cast(count(*) as bigint) AS n_seg_total,
+            cast(sum(k) as bigint) AS n_pair_total FROM pv)
+        SELECT cast(k as bigint) AS prevalence,
+          cast(count(*) as bigint) AS n_segments,
+          cast(count(*) * k as bigint) AS n_pairs,
+          cast(count(*) as double) / tot.n_seg_total AS seg_share,
+          cast(count(*) * k as double) / tot.n_pair_total AS pair_share
+        FROM pv, tot
+        GROUP BY k, tot.n_seg_total, tot.n_pair_total
+        ORDER BY 1"""
+    })
+
+  val all: Seq[Q] = Seq(admitQ, histogramQ)
 }

@@ -107,4 +107,26 @@ class PrevalenceIndexSpec extends AnyFunSuite {
       assert(live == Set(102L), s"compacted index holds $live")
     }
   }
+
+  test("q233 histogram strata and shares are exact on a planted-prevalence fixture") {
+    import spark.implicits._
+    // segments: "dup" in 3 docs (k=3), "pair" in 2 (k=2), and 3
+    // singletons -> strata {1: 3 segs, 2: 1, 3: 1}; totals 5 segs,
+    // 3 + 2 + 3 = 8 pairs
+    val docs = Seq(
+      (1L, "dup the pair the u1", "en", "s", 19L),
+      (2L, "dup the pair the u2", "en", "s", 19L),
+      (3L, "dup the u3", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q233_prevalence_histogram")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(rows == Map(
+      1L -> ((3L, 3L, 3.0 / 5, 3.0 / 8)),
+      2L -> ((1L, 2L, 1.0 / 5, 2.0 / 8)),
+      3L -> ((1L, 3L, 1.0 / 5, 3.0 / 8))),
+      s"histogram wrong: $rows")
+  }
 }
