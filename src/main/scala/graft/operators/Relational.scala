@@ -1809,9 +1809,115 @@ object Relational {
       FROM pc JOIN si sa ON pc.a = sa.t JOIN si sb ON pc.b = sb.t, tot
       ORDER BY 1, 2"""))
 
+  /** q234 — one-sided CUSUM changepoint detection (Page 1954) over
+    * each event type's DAILY volume: S_d = max(0, S_{d−1} + (c_d·D −
+    * T)), alarming when the accumulated excess reaches two average
+    * days' mass (S_d ≥ 2T) — the sequential drift detector that
+    * catches a sustained upward shift long before a per-day threshold
+    * does, and the batch twin of the streaming drift monitors
+    * (QualityMonitor compares windows to a baseline; CUSUM integrates
+    * the deviation). ALL integer: deviations are scaled by D (c −
+    * T/D > 0 ⟺ c·D − T > 0), so no mean is ever a rounded double.
+    *
+    * Scale shape: daily counts are ONE map-combinable (type, day)
+    * groupBy; each type then collapses to a D-slot dense series
+    * (missing days ARE zeros — a gap is signal, not absence) and the
+    * sequential recurrence — inherently unparallelizable across days
+    * — runs as a bounded doc-local fold inside one projection (the
+    * q188/q218 discipline; D is the monitoring window, 30 here,
+    * bounded by design). The oracle replays the identical recurrence
+    * as a WITH RECURSIVE over the same dense grid. */
+  val cusumDrift: Q = Q(
+    "q234_cusum_drift",
+    (s, d) => {
+      // cached: |types|·|days| rows at any corpus size, consumed by
+      // both the span aggregate and the series build — one events scan
+      val daily = graft.CacheScope.cached(Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c")))
+      val span = daily.agg(min(col("day")).as("d0"),
+        (max(col("day")) - min(col("day")) + 1).as("nd"))
+      val series = daily.crossJoin(broadcast(span))
+        .groupBy("event_type", "d0", "nd")
+        .agg(map_from_entries(collect_list(
+          struct((col("day") - col("d0")).cast("int"), col("c"))))
+          .as("m"))
+        .select(col("event_type"), col("nd"),
+          transform(sequence(lit(0), col("nd").cast("int") - 1),
+            i => coalesce(element_at(col("m"), i), lit(0L))).as("cs"))
+      val st = series
+        .withColumn("t", aggregate(col("cs"), lit(0L), (a, x) => a + x))
+        .withColumn("f", aggregate(col("cs"),
+          struct(lit(0L).as("s"), lit(0L).as("mx"), lit(0L).as("nal"),
+            lit(-1).as("first"), lit(0).as("i")),
+          (acc, x) => {
+            val s2 = greatest(lit(0L),
+              acc.getField("s") + (x * col("nd") - col("t")))
+            val alarm = s2 >= lit(2L) * col("t") && col("t") > 0
+            struct(s2.as("s"),
+              greatest(acc.getField("mx"), s2).as("mx"),
+              (acc.getField("nal") + when(alarm, 1L).otherwise(0L))
+                .as("nal"),
+              when(acc.getField("first") === -1 && alarm,
+                acc.getField("i")).otherwise(acc.getField("first"))
+                .as("first"),
+              (acc.getField("i") + 1).as("i"))
+          }))
+      st.select(col("event_type"), col("nd").cast("long").as("n_days"),
+          col("t").as("total"),
+          col("f.mx").as("max_cusum_sd"),
+          col("f.nal").as("n_alarm_days"),
+          col("f.first").cast("long").as("first_alarm_day"))
+        .orderBy("event_type")
+    },
+    Some("""WITH RECURSIVE daily AS MATERIALIZED (SELECT event_type,
+          epoch_us(ts) // 86400000000 AS day, cast(count(*) as bigint) AS c
+        FROM events GROUP BY 1, 2),
+      span AS (SELECT min(day) AS d0,
+          cast(max(day) - min(day) + 1 as bigint) AS nd FROM daily),
+      grid0 AS (SELECT t.event_type, g.i AS i, span.d0, span.nd
+        FROM (SELECT DISTINCT event_type FROM daily) t, span,
+          unnest(generate_series(0, cast(span.nd as int) - 1)) AS g(i)),
+      grid AS MATERIALIZED (SELECT g0.event_type, g0.i,
+          coalesce(d.c, 0) AS c, g0.nd
+        FROM grid0 g0 LEFT JOIN daily d ON d.event_type = g0.event_type
+          AND d.day = g0.d0 + g0.i),
+      tot AS MATERIALIZED (SELECT event_type, cast(sum(c) as bigint) AS t
+        FROM grid GROUP BY 1),
+      rec AS (
+        SELECT g.event_type, g.i, tot.t, g.nd,
+          greatest(0, g.c * g.nd - tot.t) AS s,
+          greatest(0, g.c * g.nd - tot.t) AS mx,
+          CASE WHEN greatest(0, g.c * g.nd - tot.t) >= 2 * tot.t
+            AND tot.t > 0 THEN 1 ELSE 0 END AS nal,
+          CASE WHEN greatest(0, g.c * g.nd - tot.t) >= 2 * tot.t
+            AND tot.t > 0 THEN 0 ELSE -1 END AS first
+        FROM grid g JOIN tot ON g.event_type = tot.event_type
+        WHERE g.i = 0
+        UNION ALL
+        SELECT r.event_type, g.i, r.t, r.nd,
+          greatest(0, r.s + (g.c * g.nd - r.t)) AS s,
+          greatest(r.mx, greatest(0, r.s + (g.c * g.nd - r.t))) AS mx,
+          r.nal + CASE WHEN greatest(0, r.s + (g.c * g.nd - r.t))
+            >= 2 * r.t AND r.t > 0 THEN 1 ELSE 0 END AS nal,
+          CASE WHEN r.first = -1 AND greatest(0, r.s +
+              (g.c * g.nd - r.t)) >= 2 * r.t AND r.t > 0
+            THEN g.i ELSE r.first END AS first
+        FROM rec r JOIN grid g ON g.event_type = r.event_type
+          AND g.i = r.i + 1),
+      fin AS (SELECT event_type, max(i) AS mi FROM rec GROUP BY 1)
+      SELECT r.event_type, r.nd AS n_days, r.t AS total,
+        cast(r.mx as bigint) AS max_cusum_sd,
+        cast(r.nal as bigint) AS n_alarm_days,
+        cast(r.first as bigint) AS first_alarm_day
+      FROM rec r JOIN fin ON r.event_type = fin.event_type
+        AND r.i = fin.mi
+      ORDER BY r.event_type"""))
+
   val all: Seq[Q] = Seq(
     rollupMerge, latenessAudit, burstAudit, eventFunnel,
-    sessionCooccurrence,
+    sessionCooccurrence, cusumDrift,
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
     groupCount, globalCount, distinctSingle, distinctMulti,

@@ -380,6 +380,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // caches the (source, length) histogram every grid/window
       // derives from (ReuseAudit: documents=1 cold)
       "q210_length_drift" -> "documents",
+      // caches the |types|·|days| daily-count aggregate consumed by
+      // the span aggregate and the dense-series build
+      "q234_cusum_drift" -> "events",
       // embeds the cached q121 sets/ex machinery plus the cached
       // signature frame and pair sweep (ReuseAudit: documents=1 cold)
       "q211_lsh_calibration" -> "documents"

@@ -205,4 +205,45 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows(("error", "view")) == ((1L, 1L, 2L, 3L, 1.0 / 3, 3.0 / 2)),
       s"error-view wrong: ${rows(("error", "view"))}")
   }
+
+  test("q234 CUSUM alarms on a planted volume shift, stays silent on flat traffic, zero-fills gap days") {
+    import spark.implicits._
+    def ts(day: Int, k: Int) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + k * 1000L)
+    // spike: 1/day for days 0-9 then 20/day for days 10-14;
+    // flat: exactly 2/day (dev == 0 every day); gappy: bursts at the
+    // edges with 13 EMPTY days between (missing days must be zeros)
+    var id = 0L
+    def mk(t: String, day: Int, n: Int) = (0 until n).map { k =>
+      id += 1; (id, ts(day, k), (t.hashCode.abs % 1000).toLong, t, 0.0, "")
+    }
+    val events = (
+      (0 until 10).flatMap(d => mk("spike", d, 1)) ++
+      (10 until 15).flatMap(d => mk("spike", d, 20)) ++
+      (0 until 15).flatMap(d => mk("flat", d, 2)) ++
+      mk("gappy", 0, 3) ++ mk("gappy", 14, 3))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = TestSpark.makeSfDir("events" -> events)
+    val rows = SparkEntry.queries("q234_cusum_drift")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // independent plain-Scala replay of the recurrence
+    def replay(cs: Seq[Long]): (Long, Long, Long, Long, Long) = {
+      val d = cs.length.toLong; val t = cs.sum
+      var s = 0L; var mx = 0L; var nal = 0L; var first = -1L
+      cs.zipWithIndex.foreach { case (c, i) =>
+        s = math.max(0L, s + (c * d - t)); mx = math.max(mx, s)
+        if (t > 0 && s >= 2 * t) { nal += 1; if (first == -1) first = i }
+      }
+      (d, t, mx, nal, first)
+    }
+    val spike = Seq.fill(10)(1L) ++ Seq.fill(5)(20L)
+    val gappy = 3L +: Seq.fill(13)(0L) :+ 3L
+    assert(rows("spike") == replay(spike), s"spike: ${rows("spike")} vs ${replay(spike)}")
+    assert(rows("flat") == ((15L, 30L, 0L, 0L, -1L)), s"flat: ${rows("flat")}")
+    assert(rows("gappy") == replay(gappy), s"gappy: ${rows("gappy")} vs ${replay(gappy)}")
+    assert(rows("spike")._4 > 0 && rows("spike")._5 >= 10,
+      "the planted shift must alarm, at or after the shift day")
+  }
 }
