@@ -2084,6 +2084,170 @@ object Dedup {
     },
     bench = true)
 
+  /** q235 — triangle census of the verified near-dup graph: template
+    * families (mirrored boilerplate, licence pages, scraped nav shells)
+    * form near-CLIQUES, while legitimate revision chains form paths —
+    * the global transitivity ratio 3·T/wedges separates the two regimes
+    * and tells you whether cluster resolution (q56) will produce a few
+    * mega-clusters (clique regime → aggressive dedup pays) or many
+    * shallow chains (path regime → near-dup removal barely shrinks the
+    * corpus). Standard distributed triangle counting over ORIENTED
+    * edges (doc_a < doc_b by construction, so each triangle x<y<z is
+    * counted exactly once as (x,y)+(y,z) closed by (x,z)): one
+    * self-equi-join on the shared vertex + one LEFT SEMI close — never
+    * an all-pairs step, and the edge set is already band-bucket-capped
+    * ([[BandBucketCap]]) so a boilerplate mega-bucket cannot explode
+    * the wedge join. Wedge total ΣC(deg,2) comes from the degree
+    * aggregate in closed form. All counts exact integers; ONE IEEE
+    * division for the transitivity. */
+  /** Triangle census over an ORIENTED edge frame `(doc_a, doc_b)` with
+    * doc_a < doc_b on every row — the q235 math, factored so the spec
+    * can drive it with planted graphs (a clique must read transitivity
+    * 1.0, a path 0.0). One self-equi-join on the shared vertex + one
+    * LEFT SEMI close; wedges in closed form from the degree aggregate. */
+  private[graft] def triangleCensus(pairs: DataFrame): DataFrame = {
+    val deg = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy("doc").agg(count(lit(1)).as("dg"))
+    val nodeAgg = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("dg * (dg - 1) div 2")).cast("long").as("n_wedges"))
+    val edgeAgg = pairs.agg(count(lit(1)).as("n_edges"))
+    val e1 = pairs.as("e1"); val e2 = pairs.as("e2"); val e3 = pairs.as("e3")
+    val triAgg = e1
+      .join(e2, col("e1.doc_b") === col("e2.doc_a"))
+      .join(e3, col("e1.doc_a") === col("e3.doc_a") &&
+        col("e2.doc_b") === col("e3.doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    // scalar-broadcast idiom: three 1-row aggregates
+    nodeAgg.crossJoin(broadcast(edgeAgg)).crossJoin(broadcast(triAgg))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          (lit(3L) * col("n_triangles")).cast("double") / col("n_wedges"))
+          .as("transitivity"))
+  }
+
+  val dupTriangles: Q = Q(
+    "q235_dup_triangles",
+    (s, d) => triangleCensus(graft.CacheScope.cached(
+      verifiedPairs(s, d, Some(BandBucketCap)).select("doc_a", "doc_b"))),
+    Some(s"""WITH ${sqlVerified(Some(BandBucketCap))},
+      pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM verified
+        WHERE jaccard >= 0.8),
+      deg AS (SELECT doc, cast(count(*) as bigint) AS dg
+        FROM (SELECT doc_a AS doc FROM pairs
+              UNION ALL SELECT doc_b FROM pairs)
+        GROUP BY doc),
+      na AS (SELECT cast(count(*) as bigint) AS n_nodes,
+          cast(sum(dg * (dg - 1) // 2) as bigint) AS n_wedges FROM deg),
+      ea AS (SELECT cast(count(*) as bigint) AS n_edges FROM pairs),
+      ta AS (SELECT cast(count(*) as bigint) AS n_triangles
+        FROM pairs e1 JOIN pairs e2 ON e1.doc_b = e2.doc_a
+        WHERE EXISTS (SELECT 1 FROM pairs e3
+          WHERE e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b))
+      SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        CASE WHEN n_wedges > 0
+          THEN cast(3 * n_triangles as double) / n_wedges END
+          AS transitivity
+      FROM na, ea, ta"""),
+    bench = true)
+
+  /** q238 — cluster-colocated shard assignment audit: a shard layout
+    * that scatters a near-dup cluster across shards defeats every
+    * shard-local pass downstream (shard-local dedup re-admits the
+    * scattered copies; shard-local packing pads what a colocated shard
+    * would have deduped). Compares the naive layout (shard =
+    * hash(doc_id) mod N — [[graft.operators.TrainingExport]]'s
+    * content-hash default) against the cluster-aware one (shard =
+    * hash(cluster_root) mod N) over the q56 components: per strategy,
+    * how many clusters fragment across >1 shard and how many EXTRA
+    * shard touches the scatter costs. The cluster-aware row is zero
+    *-fragmentation BY CONSTRUCTION — and the oracle hash-proves it
+    * rather than asserting it.
+    *
+    * Scale shape: the cluster frame is the q56 machinery (bounded
+    * candidate pairs, checkpointed min-label rounds); on top of it this
+    * audit is one union of two narrow projections + two map-combinable
+    * hash aggregates. Shard ids are salted 61-bit content hashes mod 8
+    * (the q77 discipline), bit-identical across engines. */
+  val shardColocation: Q = Q(
+    "q238_shard_colocation",
+    (s, d) => {
+      graft.functions.TextFunctions.register(s)
+      def shardOf(c: Column): Column =
+        md5h61(concat(lit("shard:"), c.cast("string"))) % lit(8L)
+      val cl = graft.CacheScope.cached(clustersDf(s, d))
+      val labeled = cl
+        .select(col("cluster_root"), lit("doc_hash").as("strategy"),
+          shardOf(col("doc_id")).as("shard"))
+        .union(cl.select(col("cluster_root"),
+          lit("cluster_hash").as("strategy"),
+          shardOf(col("cluster_root")).as("shard")))
+      labeled
+        .groupBy("strategy", "cluster_root")
+        .agg(countDistinct(col("shard")).as("ns"), count(lit(1)).as("nd"))
+        .groupBy("strategy")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("nd")).cast("long").as("n_docs"),
+          count(when(col("ns") > 1, 1)).as("n_fragmented"),
+          sum(col("ns") - 1).cast("long").as("extra_shards"),
+          (count(when(col("ns") > 1, 1)).cast("double") / count(lit(1)))
+            .as("frag_rate"))
+        .orderBy("strategy")
+    },
+    Some(s"""WITH RECURSIVE $sqlClustersChain,
+      lab AS (SELECT cluster_root, 'doc_hash' AS strategy,
+          ${sqlMd5h61("concat('shard:', doc_id)")} % 8 AS shard
+        FROM clusters
+        UNION ALL
+        SELECT cluster_root, 'cluster_hash' AS strategy,
+          ${sqlMd5h61("concat('shard:', cluster_root)")} % 8 AS shard
+        FROM clusters),
+      per AS (SELECT strategy, cluster_root,
+          cast(count(DISTINCT shard) as bigint) AS ns,
+          cast(count(*) as bigint) AS nd
+        FROM lab GROUP BY 1, 2)
+      SELECT strategy, cast(count(*) as bigint) AS n_clusters,
+        cast(sum(nd) as bigint) AS n_docs,
+        cast(count_if(ns > 1) as bigint) AS n_fragmented,
+        cast(sum(ns - 1) as bigint) AS extra_shards,
+        cast(count_if(ns > 1) as double) / count(*) AS frag_rate
+      FROM per GROUP BY 1 ORDER BY 1"""))
+
+  /** q240 — MinHash estimator calibration curve: per ESTIMATED-jaccard
+    * decile, how far off is the K=$K signature estimate from exact
+    * shingle jaccard (MAE + signed bias), and what fraction of the
+    * decile's candidates verify at the 0.8 cut? q91 reports ONE global
+    * MAE; this is the curve that places the LSH admission threshold —
+    * if the 0.6–0.7 decile already verifies at 90%, the verify join is
+    * over-paying; if the 0.8–0.9 decile verifies at 60%, estimate-only
+    * admission would poison the dedup (the measured version of q211's
+    * theoretical s-curve). Decile ids are exact: est = matches/16 is a
+    * dyadic rational, ·10 and floor are IEEE-identical across engines
+    * (the q192 bucket discipline); est=1.0 clamps into decile 9.
+    * Same bounded candidate machinery as q37/q91 — one hash aggregate
+    * on top, ≤10 output rows. */
+  val minhashCalibration: Q = Q(
+    "q240_minhash_calibration",
+    (s, d) => scoredPairs(s, d)
+      .groupBy(least(floor(col("est_jaccard") * 10).cast("long"), lit(9L))
+        .as("est_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        davg(abs(col("est_jaccard") - col("jaccard"))).as("mae"),
+        davg(col("est_jaccard") - col("jaccard")).as("bias"),
+        (count(when(col("jaccard") >= 0.8, 1)).cast("double") /
+          count(lit(1))).as("precision_at_08"))
+      .orderBy("est_decile"),
+    Some(s"""WITH $sqlVerifiedChain
+      SELECT least(cast(floor(est_jaccard * 10) as bigint), 9)
+          AS est_decile,
+        count(*) AS n_pairs,
+        ${sqlDavg("abs(est_jaccard - jaccard)")} AS mae,
+        ${sqlDavg("(est_jaccard - jaccard)")} AS bias,
+        cast(count_if(jaccard >= 0.8) as double) / count(*)
+          AS precision_at_08
+      FROM verified GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
     ngramJaccardPairs, ngramJaccardDfCap, containmentPairs,
@@ -2092,5 +2256,6 @@ object Dedup {
     substringRemoval, paragraphDedupQ, incrementalParagraphDedup,
     withinDocDedup, softDedupWeights, lshRecallEval, memorizationAudit,
     dupPagerank, qualityCanonical, leakageSafeSplits, thresholdCurve,
-    sourceMirror, lshCalibration, boilerplatePrevalence)
+    sourceMirror, lshCalibration, boilerplatePrevalence,
+    dupTriangles, shardColocation, minhashCalibration)
 }

@@ -1915,9 +1915,176 @@ object Relational {
         AND r.i = fin.mi
       ORDER BY r.event_type"""))
 
+  /** q236 — k-anonymity audit over the event release projection: if the
+    * events table were published keyed by the quasi-identifiers
+    * (event_type, day, value band), how identifiable is each row? Every
+    * QI equivalence class gets k = its DISTINCT-user population
+    * (k-anonymity counts individuals, not rows — one chatty user in a
+    * class of one is still a re-identification), and the audit reports
+    * the class histogram over the standard release bands (k=1
+    * singletons / k<5 / k<20 / k≥20) plus the row mass at risk. The
+    * governance gate a training-data pipeline runs BEFORE exporting
+    * behavioral tables (the PII-scrub q83 covers free text; this covers
+    * structured joins).
+    *
+    * Scale shape: two map-combinable hash aggregates, no window, no
+    * join — the class frame is |types|·|days|·|bands| rows at any event
+    * volume. The value band is floor(value/10): both engines divide the
+    * same IEEE double by the same short literal and floor, so the band
+    * id is bit-identical (the q192 bucket discipline). */
+  val kAnonymity: Q = Q(
+    "q236_k_anonymity",
+    (s, d) => {
+      val cls = Tables.events(s, d)
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+          floor(col("value") / 10).cast("long").as("vband"), col("user_id"))
+        .groupBy("event_type", "day", "vband")
+        .agg(countDistinct(col("user_id")).as("k"),
+          count(lit(1)).as("rows_in_class"))
+      cls
+        .groupBy(when(col("k") === 1, 0).when(col("k") < 5, 1)
+          .when(col("k") < 20, 2).otherwise(3).as("ord"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("rows_in_class")).cast("long").as("n_rows"),
+          min(col("k")).cast("long").as("min_k"),
+          max(col("k")).cast("long").as("max_k"))
+        .orderBy("ord")
+    },
+    Some("""WITH c AS (SELECT event_type, date_trunc('day', ts) AS day,
+          cast(floor(value / 10) as bigint) AS vband,
+          cast(count(DISTINCT user_id) as bigint) AS k,
+          cast(count(*) as bigint) AS rows_in_class
+        FROM events GROUP BY 1, 2, 3)
+      SELECT CASE WHEN k = 1 THEN 0 WHEN k < 5 THEN 1
+          WHEN k < 20 THEN 2 ELSE 3 END AS ord,
+        cast(count(*) as bigint) AS n_classes,
+        cast(sum(rows_in_class) as bigint) AS n_rows,
+        min(k) AS min_k, max(k) AS max_k
+      FROM c GROUP BY 1 ORDER BY 1"""))
+
+  /** q241 — per-user event-type concentration (Herfindahl–Hirschman
+    * index) + peak daily volume: the bot-likeness battery. A human
+    * account spreads events across types and days (low HHI, modest
+    * peaks); a scripted one hammers one type (HHI → 1) or bursts one
+    * day. HHI = Σ c_t² / n² — every numerator an exact integer, ONE
+    * IEEE division per user (the q232 Gini discipline) — so no
+    * entropy/log() ever crosses engines.
+    *
+    * Scale shape: ONE canonical user_id exchange feeds everything (the
+    * q192 shared-exchange treatment): both readouts derive from the
+    * IDENTICAL (user, type, day) pre-aggregate — identical subtrees
+    * canonicalize, so ReuseExchange collapses them onto one events
+    * scan (two differently-pruned branches would not), and every
+    * regroup above it is exchange-free because hashpartitioning
+    * (user_id) already satisfies each coarser clustering (subset
+    * rule). All aggregates are map-combinable; the pre-aggregate also
+    * shrinks the shuffle to |users|·|types|·|days| rows. */
+  val userTypeHhi: Q = Q(
+    "q241_user_type_hhi",
+    (s, d) => {
+      val g = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .filter(col("user_id").isNotNull)
+        .repartition(col("user_id"))
+        .groupBy("user_id", "event_type", "day")
+        .agg(count(lit(1)).as("c3"))
+      val hhi = g.groupBy("user_id", "event_type")
+        .agg(sum(col("c3")).as("c"))
+        .groupBy("user_id")
+        .agg(sum(col("c")).cast("long").as("n_events"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * col("c")).cast("long").as("ssq"))
+      val daily = g.groupBy("user_id", "day")
+        .agg(sum(col("c3")).as("dc"))
+        .groupBy("user_id")
+        .agg(max(col("dc")).cast("long").as("max_day"))
+      hhi.join(daily, "user_id")
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          (col("ssq").cast("double") /
+            (col("n_events") * col("n_events"))).as("hhi"),
+          col("max_day"))
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS MATERIALIZED (SELECT user_id, event_type,
+          epoch_us(ts) // 86400000000 AS day
+        FROM events WHERE user_id IS NOT NULL),
+      h AS (SELECT user_id, cast(sum(c) as bigint) AS n_events,
+          cast(count(*) as bigint) AS n_types,
+          cast(sum(c * c) as bigint) AS ssq
+        FROM (SELECT user_id, event_type, count(*) AS c
+              FROM e GROUP BY 1, 2)
+        GROUP BY 1),
+      dl AS (SELECT user_id, cast(max(dc) as bigint) AS max_day
+        FROM (SELECT user_id, day, count(*) AS dc FROM e GROUP BY 1, 2)
+        GROUP BY 1)
+      SELECT h.user_id, h.n_events, h.n_types,
+        cast(h.ssq as double) / (h.n_events * h.n_events) AS hhi,
+        dl.max_day
+      FROM h JOIN dl ON h.user_id = dl.user_id
+      ORDER BY h.user_id"""),
+    bench = true)
+
+  /** q242 — same-user inter-arrival time histogram per event type:
+    * machine traffic shows sub-second metronome gaps, human traffic
+    * spreads over minutes-to-hours — the distribution that separates
+    * them (and sizes session timeouts from data, the q192 companion:
+    * that audit sizes the watermark from LATENESS, this sizes the
+    * session gap from CADENCE; q27 assumes 1800 s — this is where the
+    * number comes from). Gap = microseconds since the same user's
+    * previous event of ANY type, attributed to the LATER event's type;
+    * exact integer microseconds throughout (the epoch_us discipline),
+    * bucketed on the q192 grid (<1 s / <10 s / <1 min / <10 min /
+    * <1 h / ≥1 h, with an exact-zero band for same-instant rows).
+    *
+    * Scale shape: the lag window is partitioned by user_id — bounded
+    * partitions by construction (one user's history, the q27
+    * sessionization precedent; never a global ORDER BY) — followed by
+    * one map-combinable hash aggregate over ≤ |types|·7 cells. */
+  val interArrival: Q = Q(
+    "q242_interarrival_hist",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("event_type"),
+          when(col("gap_us") === 0, 0)
+            .when(col("gap_us") < 1000000L, 1)
+            .when(col("gap_us") < 10000000L, 2)
+            .when(col("gap_us") < 60000000L, 3)
+            .when(col("gap_us") < 600000000L, 4)
+            .when(col("gap_us") < 3600000000L, 5).otherwise(6).as("ord"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"))
+        .orderBy("event_type", "ord")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, event_id,
+          epoch_us(ts) AS tus FROM events),
+      g AS (SELECT event_type,
+          tus - lag(tus) OVER (PARTITION BY user_id
+            ORDER BY tus, event_id) AS gap_us
+        FROM e),
+      b AS (SELECT event_type, gap_us,
+          CASE WHEN gap_us = 0 THEN 0
+            WHEN gap_us < 1000000 THEN 1
+            WHEN gap_us < 10000000 THEN 2
+            WHEN gap_us < 60000000 THEN 3
+            WHEN gap_us < 600000000 THEN 4
+            WHEN gap_us < 3600000000 THEN 5 ELSE 6 END AS ord
+        FROM g WHERE gap_us IS NOT NULL)
+      SELECT event_type, ord, count(*) AS n_gaps,
+        min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     rollupMerge, latenessAudit, burstAudit, eventFunnel,
-    sessionCooccurrence, cusumDrift,
+    sessionCooccurrence, cusumDrift, kAnonymity, userTypeHhi,
+    interArrival,
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
     groupCount, globalCount, distinctSingle, distinctMulti,

@@ -2062,6 +2062,67 @@ object TextAnalysis {
       FROM agg
       ORDER BY ks_q9 DESC, source"""))
 
+  /** q239 — readability battery (Flesch reading-ease, fixed-point): the
+    * classic curriculum/quality feature family the heuristic scorers
+    * (q31/q156) don't cover — words per sentence and syllables per word,
+    * folded into the Flesch score 206.835 − 1.015·(w/s) − 84.6·(sy/w).
+    * Syllables use the standard vowel-run heuristic (maximal [aeiouy]+
+    * runs per lowercased token, minimum 1 — the rule every readability
+    * library ships); sentences are [.!?]+ segments with non-blank
+    * content, minimum 1. The score is emitted as floor(·1000) — the two
+    * divisions are exact-long/exact-long (bit-identical IEEE), the
+    * multiply-subtract chain is written in the same order on both
+    * engines, and the short decimal literals convert identically (the
+    * ≤15-digit rule), so the fixed-point value hash-matches.
+    *
+    * Scale shape: a pure per-row projection — the syllable fold is a
+    * doc-local higher-order expression (the q223 discipline), the regex
+    * work is spread by the explicit doc_id repartition (documents
+    * parquet arrives in O(1) partitions), and nothing shuffles except
+    * the output sort. */
+  val readability: Q = Q(
+    "q239_readability",
+    (s, d) => {
+      val t = toks(col("text"))
+      val words = size(t).cast("long")
+      val sents = greatest(lit(1L),
+        size(filter(split(col("text"), "[.!?]+"),
+          x => length(trim(x)) > 0)).cast("long"))
+      val sylls = aggregate(t, lit(0L), (acc, w) =>
+        acc + greatest(lit(1L),
+          size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0)))
+            .cast("long")))
+      Tables.documents(s, d)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("doc_id"))
+        .select(col("doc_id"), words.as("n_words"), sents.as("n_sents"),
+          sylls.as("n_syll"))
+        .withColumn("fk_x1000",
+          floor((lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sents"))
+            - lit(84.6) * (col("n_syll").cast("double") / col("n_words")))
+            * 1000).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, text, ${sqlToks("text")} AS tk
+          FROM documents),
+      m AS (SELECT doc_id,
+          cast(len(tk) as bigint) AS n_words,
+          greatest(1, cast(len(list_filter(
+            string_split_regex(text, '[.!?]+'),
+            x -> len(trim(x)) > 0)) as bigint)) AS n_sents,
+          cast(list_sum(list_transform(tk, w ->
+            greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+')))))
+            as bigint) AS n_syll
+        FROM t)
+      SELECT doc_id, n_words, n_sents, n_syll,
+        cast(floor((206.835
+          - 1.015 * (cast(n_words as double) / n_sents)
+          - 84.6 * (cast(n_syll as double) / n_words)) * 1000) as bigint)
+          AS fk_x1000
+      FROM m ORDER BY doc_id"""),
+    bench = true)
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
     codeSwitchAudit,
     fingerprint, topTerms, pivotEvents, rareTerms, regexTokens,
@@ -2071,5 +2132,6 @@ object TextAnalysis {
     bm25TextbookTopK, adaptiveQualityFilter, markupStrip, gopherRules,
     gopherRepetition, vocabCoverage, bm25MrrEval, rm3Expansion,
     sourceDiversity, sourceGini,
-    sourceDrift, exactQuantiles, qualityDupMatrix, lengthDrift)
+    sourceDrift, exactQuantiles, qualityDupMatrix, lengthDrift,
+    readability)
 }

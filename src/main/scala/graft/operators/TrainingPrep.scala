@@ -2025,6 +2025,60 @@ object TrainingPrep {
           FROM g GROUP BY k ORDER BY k"""))
   }
 
+  /** q237 — SFT chat-template assembly + loss-mask accounting: turn
+    * each document into a (prompt, response) training example under a
+    * pinned chat template and account where the tokens go. The split is
+    * deterministic — prompt = the first ⌈n/3⌉ tokens, response = the
+    * rest — and the template constants are pinned: 10 masked overhead
+    * tokens per example (system preamble + user-turn role markers,
+    * loss-masked like the prompt) and 3 trained overhead tokens
+    * (assistant-turn markers + end-of-turn, which DO take loss). The
+    * audit reports, per 128-token total-length band, how much of the
+    * token budget the loss mask discards — the number that decides
+    * whether short-prompt examples are worth packing (q115) or the
+    * template overhead is eating the batch (fixed overhead dominates
+    * short examples: mask_frac → 1 as n → 2).
+    *
+    * Scale shape: a pure per-row projection (token count + integer
+    * arithmetic, no text is ever re-assembled — counting the template
+    * costs nothing) into one map-combinable hash aggregate over
+    * length bands. Per-row mask fraction is ONE IEEE division of exact
+    * longs; band-level mask_frac is a ratio of exact sums (the q219
+    * fertility discipline). */
+  val sftMaskAccounting: Q = Q(
+    "q237_sft_mask_accounting",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(size(toks(col("text"))).cast("long").as("n"))
+        .filter(col("n") >= 2)
+        .select(col("n"), (expr("(n + 2) div 3") + lit(10L)).as("masked"),
+          (col("n") + lit(13L)).as("total"))
+        .withColumn("frac", col("masked").cast("double") / col("total"))
+        .groupBy(expr("total div 128").as("len_bucket"))
+        .agg(count(lit(1)).as("n_examples"),
+          sum(col("total")).cast("long").as("tok_total"),
+          sum(col("masked")).cast("long").as("tok_masked"),
+          max(col("frac")).as("max_frac"))
+        .select(col("len_bucket"), col("n_examples"), col("tok_total"),
+          col("tok_masked"),
+          (col("tok_masked").cast("double") / col("tok_total"))
+            .as("mask_frac"),
+          col("max_frac"))
+        .orderBy("len_bucket")
+    },
+    Some(s"""WITH t AS (SELECT cast(len(${sqlToks("text")}) as bigint) AS n
+          FROM documents),
+      e AS (SELECT n, (n + 2) // 3 + 10 AS masked, n + 13 AS total
+        FROM t WHERE n >= 2),
+      f AS (SELECT *, cast(masked as double) / total AS frac FROM e)
+      SELECT total // 128 AS len_bucket, count(*) AS n_examples,
+        cast(sum(total) as bigint) AS tok_total,
+        cast(sum(masked) as bigint) AS tok_masked,
+        cast(sum(masked) as double) / cast(sum(total) as bigint)
+          AS mask_frac,
+        max(frac) AS max_frac
+      FROM f GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
     bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf,
     approxPercentiles, bloomContamination, fuzzyPairs, heavyHitters,
@@ -2032,5 +2086,5 @@ object TrainingPrep {
     winnowFingerprints, bpeMerges, bpeEncode, tokenizerEconomics,
     bpeVocabUtil, lengthBatchManifest,
     cdcChunks, decontaminateSpans, spanCorruption, wordpieceEncode,
-    unigramViterbi, prefixCacheAudit)
+    unigramViterbi, prefixCacheAudit, sftMaskAccounting)
 }

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Stateful per-user bot alarm — the streaming twin of the q241
+  * event-type-concentration battery: on the live event stream, maintain
+  * each user's per-type counts and raise ONE alert the moment the
+  * account crosses the bot profile (enough events AND event-type
+  * concentration above the cut). This is the ingest-time gate that
+  * keeps scripted traffic out of a behavioral training table while the
+  * batch audit (q241) is still hours away.
+  *
+  * Semantics (all exact integers — the q241 HHI in ppm):
+  *  - per user: counts c_t per event type, n = Σc_t;
+  *  - hhi_ppm = (Σ c_t²) · 10⁶ / n², integer division;
+  *  - alert ⇔ n ≥ [[BotMonitor.MinEvents]] and hhi_ppm ≥
+  *    [[BotMonitor.HhiAlertPpm]], evaluated after every event;
+  *  - exactly ONE alert per user, ever: the state carries a tombstone
+  *    once fired (the Funnel discipline), so replayed batches and
+  *    post-alert traffic can't re-fire it. A user who diversifies
+  *    later was still correctly flagged at the time — alerts are
+  *    observations, not retractable labels.
+  *
+  * State per user is O(|event types|) — bounded by the type vocabulary,
+  * not the event count (the Sessionize/burst discipline). No timeout:
+  * a bot that goes quiet keeps its counters; at 100 TB you'd bound the
+  * key space by routing only ACTIVE users into the query with the
+  * upstream watermark filter, which this operator composes with (it
+  * reads any Dataset[UserEvt], batch or stream).
+  */
+object BotMonitor {
+
+  final case class UserEvt(user_id: Long, ts: Timestamp, event_type: String)
+  final case class BotState(counts: Map[String, Long], n: Long,
+      alerted: Boolean)
+  final case class BotAlert(user_id: Long, n_events: Long, n_types: Long,
+      hhi_ppm: Long)
+
+  /** Don't score an account before it has a sample. */
+  val MinEvents = 20L
+
+  /** HHI ≥ 0.6 (one type ≥ ~77% of traffic at 2 types) reads as bot. */
+  val HhiAlertPpm = 600000L
+
+  def botAlerts(evts: Dataset[UserEvt]): Dataset[BotAlert] = {
+    implicit val evtEnc = Encoders.product[UserEvt]
+    implicit val outEnc = Encoders.product[BotAlert]
+    implicit val stateEnc = Encoders.product[BotState]
+    implicit val longEnc = Encoders.scalaLong
+    // locals only: referencing object members from the state function
+    // would capture the (non-serializable) enclosing object
+    val minN = MinEvents
+    val cut = HhiAlertPpm
+
+    evts
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvt], state: GroupState[BotState]) =>
+          var st = state.getOption.getOrElse(BotState(Map.empty, 0L, false))
+          val out = scala.collection.mutable.ListBuffer.empty[BotAlert]
+          // deterministic fold order under replay: event time, then type
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+            val c = st.counts.getOrElse(e.event_type, 0L) + 1L
+            st = BotState(st.counts.updated(e.event_type, c), st.n + 1L,
+              st.alerted)
+            if (!st.alerted && st.n >= minN) {
+              val ssq = st.counts.valuesIterator.map(x => x * x).sum
+              val hhiPpm = ssq * 1000000L / (st.n * st.n)
+              if (hhiPpm >= cut) {
+                st = st.copy(alerted = true)
+                out += BotAlert(uid, st.n, st.counts.size.toLong, hhiPpm)
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

@@ -648,4 +648,26 @@ class DedupSpec extends AnyFunSuite {
     assert(rows("srcB") == ((1L, 2L, 1L, 1L, 8L, 3L, 3.0 / 8)),
       s"srcB wrong: ${rows("srcB")}")
   }
+
+  test("q235 triangle census: a planted clique reads transitivity 1, a path 0, disjoint union sums") {
+    import spark.implicits._
+    // K4 on nodes 1..4 (oriented a<b: 6 edges, 4 triangles, every node
+    // degree 3 -> wedges 4*C(3,2)=12, transitivity 3*4/12 = 1.0) plus a
+    // disjoint path 10-11-12 (2 edges, 1 wedge at node 11, 0 triangles)
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val path = Seq((10L, 11L), (11L, 12L))
+    val pairs = (k4 ++ path).toDF("doc_a", "doc_b")
+    val r = operators.Dedup.triangleCensus(pairs).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((7L, 8L, 13L, 4L)), s"census wrong: $r")
+    assert(r.getDouble(4) == 12.0 / 13, s"transitivity wrong: $r")
+    // clique alone is fully transitive; path alone has no closure
+    val rK = operators.Dedup.triangleCensus(k4.toDF("doc_a", "doc_b"))
+      .collect()(0)
+    assert(rK.getDouble(4) == 1.0, s"K4 transitivity: $rK")
+    val rP = operators.Dedup.triangleCensus(path.toDF("doc_a", "doc_b"))
+      .collect()(0)
+    assert(rP.getLong(3) == 0L && rP.getDouble(4) == 0.0,
+      s"path census: $rP")
+  }
 }

@@ -385,7 +385,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "q234_cusum_drift" -> "events",
       // embeds the cached q121 sets/ex machinery plus the cached
       // signature frame and pair sweep (ReuseAudit: documents=1 cold)
-      "q211_lsh_calibration" -> "documents"
+      "q211_lsh_calibration" -> "documents",
+      // embeds the cached q37 pair machinery (capped); the census on
+      // top touches only the cached pair frame
+      "q235_dup_triangles" -> "documents",
+      // embeds the cached q56 cluster machinery (clustersDf caches its
+      // pair + edge frames); the audit reads only the cluster frame
+      "q238_shard_colocation" -> "documents",
+      // the q37/q91 cached signed-sets machinery, one agg on top
+      "q240_minhash_calibration" -> "documents"
     ).map { case (q, t) => q -> Map(t -> 2) } ++ Map(
       // embeds BOTH cached machineries: the q209 postings frame over
       // documents (corpus + query-role scans, the q193/q209 split) and

@@ -242,4 +242,46 @@ class StreamingSessionSpec extends AnyFunSuite {
       s"streamed conversions $streamed != batch n_purchase_after $expected")
     assert(expected > 0, "law must not be vacuous")
   }
+
+  test("bot monitor alerts once at the crossing point, never re-fires, and skips diverse users") {
+    import spark.implicits._
+    import graft.streaming.BotMonitor
+    import graft.streaming.BotMonitor.UserEvt
+    implicit val sqlCtx = spark.sqlContext
+    def at(i: Int) = ts(f"2026-03-01 10:00:${i % 60}%02d")
+    // user 1: pure single-type bot — crosses at exactly MinEvents (20
+    // events, HHI = 1.0 -> 1000000 ppm). user 2: 24 events over 4 types
+    // evenly (HHI = 0.25 -> 250000 ppm, under the 600000 cut). user 3:
+    // 19 events single-type — under MinEvents, must stay silent.
+    val bot = (0 until 20).map(i => UserEvt(1L, at(i), "click"))
+    val human = (0 until 24).map(i => UserEvt(2L, at(i), s"t${i % 4}"))
+    val quiet = (0 until 19).map(i => UserEvt(3L, at(i), "click"))
+    val mem = MemoryStream[UserEvt]
+    val q = BotMonitor.botAlerts(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("bot_out").start()
+    try {
+      val all = bot ++ human ++ quiet
+      mem.addData(all: _*); q.processAllAvailable()
+      // replay + post-alert traffic: the tombstone must hold
+      mem.addData((20 until 40).map(i => UserEvt(1L, at(i), "click")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bot_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 20L, 1L, 1000000L)),
+      s"alerts wrong: ${got.toSeq}")
+
+    // cross-law vs the batch battery: the alert's HHI formula is q241's
+    // (ssq*1e6/n^2 over the same 20-event prefix)
+    val hhi = SparkEntry.queries("q241_user_type_hhi")(spark,
+      TestSpark.makeSfDir("events" -> bot.toDF()
+        .select($"user_id", $"ts", $"event_type")
+        .withColumn("event_id",
+          org.apache.spark.sql.functions.monotonically_increasing_id())
+        .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+        .withColumn("props", org.apache.spark.sql.functions.lit("{}"))))
+      .collect()(0)
+    assert(hhi.getDouble(3) == 1.0 && hhi.getLong(1) == 20L,
+      s"batch twin disagrees: $hhi")
+  }
 }
