@@ -33,6 +33,7 @@ object Registry {
       operators.LshBandIndex.all ++
       operators.PrevalenceIndex.all ++
       operators.Bm25Index.all ++
+      operators.RollupStore.all ++
       operators.Similarity.all ++
       operators.Pipelines.all ++
       operators.Sampling.all ++

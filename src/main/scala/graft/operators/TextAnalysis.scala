@@ -2123,6 +2123,113 @@ object TextAnalysis {
       FROM m ORDER BY doc_id"""),
     bench = true)
 
+  /** q244 — retrieval snippet extraction (keyword-in-context): for each
+    * known-item query (q193's protocol — doc_id < 8, distinct tokens
+    * 11–14), find candidate docs matching ≥ 2 distinct query terms and
+    * extract each one's best 20-token window by query-term occupancy
+    * (ties → earliest window), keeping the top-3 candidates per query
+    * (hits desc, doc_id). The serving-side complement of the BM25
+    * rankers: the ranker says WHICH doc, this says WHAT to show.
+    *
+    * Determinism: occupancy counting, window sums, argmax and the
+    * first-position tie rule are all exact integers; the snippet is
+    * re-assembled verbatim from the token slice on both engines.
+    *
+    * Scale shape: candidates come from the posting equi-join against
+    * the ≤ 32-row broadcast query-term list (never corpus × queries),
+    * with the ≥ 2-distinct-terms cut applied BEFORE any token array is
+    * re-read; the window scan is a doc-local higher-order projection —
+    * per-window sums over a length-bounded slice (O(n·20) per matched
+    * doc), argmax by array_max + first array_position — and the token
+    * re-join touches only the ≥ 2-term survivors (the q202/q230
+    * matched-docs-only precedent); top-3 per query compiles to the
+    * TopKPerGroup bounded heap. */
+  val snippetExtraction: Q = {
+    val NQ = 8
+    Q(
+      "q244_snippet_extraction",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tk = Tables.documents(s, d)
+          .filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), toks(col("text")).as("t"))
+          .repartition(col("doc_id"))
+        // cached: ≤ NQ rows; read by the term explode AND the final
+        // qt join — one pruned scan instead of two
+        val qarr = graft.CacheScope.cached(Tables.documents(s, d)
+          .filter(col("doc_id") < NQ)
+          .select(col("doc_id").as("qid"),
+            array_distinct(slice(toks(col("text")), 11, 4)).as("qt")))
+        val qterms = qarr.select(col("qid"), explode(col("qt")).as("term"))
+        // explode_outer: a bare explode infers size(t) > 0 into THIS
+        // branch's scan only, de-canonicalizing the shared tk exchange
+        // (the q133/q152 trap); null terms drop at the equi-join
+        val cand = tk
+          .select(col("doc_id"), explode_outer(col("t")).as("term")).distinct()
+          .join(broadcast(qterms), "term")
+          .groupBy("qid", "doc_id")
+          .agg(countDistinct(col("term")).as("n_terms"))
+          .filter(col("n_terms") >= 2)
+        val scored = cand
+          .join(tk, "doc_id").join(broadcast(qarr), "qid")
+          // occupancy array bound as a LAMBDA variable (hv): a plain
+          // alias is single-referenced here, so CollapseProject would
+          // inline the transform into every window slice — O(n²) per
+          // doc (the q153 lesson)
+          .withColumn("ws", element_at(transform(
+            array(transform(col("t"),
+              x => when(array_contains(col("qt"), x), 1).otherwise(0))),
+            hv => transform(
+              sequence(lit(1), greatest(lit(1), size(col("t")) - 19)),
+              i => aggregate(slice(hv, i, lit(20)), lit(0), (a, x) => a + x))),
+            1))
+          .withColumn("n_hits", array_max(col("ws")).cast("long"))
+          .withColumn("start", array_position(col("ws"), array_max(col("ws"))))
+          .withColumn("snippet",
+            concat_ws(" ", slice(col("t"), col("start").cast("int"), lit(20))))
+        scored
+          .withColumn("rnk", row_number().over(Window.partitionBy("qid")
+            .orderBy(col("n_hits").desc, col("doc_id"))))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("rnk"), col("doc_id"), col("n_terms"),
+            col("n_hits"), col("start"), col("snippet"))
+          .orderBy("qid", "rnk")
+      },
+      Some(s"""WITH tk AS MATERIALIZED (SELECT doc_id, ${sqlToks("text")} AS t
+            FROM documents),
+          q AS MATERIALIZED (SELECT doc_id AS qid,
+              list_distinct(t[11:14]) AS qt
+            FROM tk WHERE doc_id < $NQ),
+          qs AS (SELECT qid, g.term FROM q, unnest(qt) AS g(term)),
+          posts AS (SELECT DISTINCT doc_id, g.term
+            FROM tk, unnest(t) AS g(term)),
+          cand AS (SELECT qs.qid, posts.doc_id,
+              cast(count(DISTINCT posts.term) as bigint) AS n_terms
+            FROM posts JOIN qs ON posts.term = qs.term
+            GROUP BY 1, 2 HAVING count(DISTINCT posts.term) >= 2),
+          sc AS (SELECT c.qid, c.doc_id, c.n_terms, tk.t, q.qt
+            FROM cand c JOIN tk ON tk.doc_id = c.doc_id
+                        JOIN q ON q.qid = c.qid),
+          win AS (SELECT qid, doc_id, n_terms, t,
+              list_transform(generate_series(1, greatest(1, len(t) - 19)),
+                i -> list_sum(list_transform(t[i:i+19],
+                  x -> CASE WHEN list_contains(qt, x)
+                    THEN 1 ELSE 0 END))) AS ws
+            FROM sc),
+          best AS (SELECT qid, doc_id, n_terms,
+              cast(list_max(ws) as bigint) AS n_hits,
+              cast(list_position(ws, list_max(ws)) as bigint) AS start, t
+            FROM win),
+          ranked AS (SELECT qid, doc_id, n_terms, n_hits, start,
+              array_to_string(t[start:start+19], ' ') AS snippet,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY n_hits DESC, doc_id) AS rnk
+            FROM best)
+          SELECT qid, cast(rnk as bigint) AS rnk, doc_id, n_terms,
+            n_hits, start, snippet
+          FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk"""))
+  }
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
     codeSwitchAudit,
     fingerprint, topTerms, pivotEvents, rareTerms, regexTokens,
@@ -2133,5 +2240,5 @@ object TextAnalysis {
     gopherRepetition, vocabCoverage, bm25MrrEval, rm3Expansion,
     sourceDiversity, sourceGini,
     sourceDrift, exactQuantiles, qualityDupMatrix, lengthDrift,
-    readability)
+    readability, snippetExtraction)
 }

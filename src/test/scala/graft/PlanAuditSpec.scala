@@ -393,8 +393,25 @@ class PlanAuditSpec extends AnyFunSuite {
       // pair + edge frames); the audit reads only the cluster frame
       "q238_shard_colocation" -> "documents",
       // the q37/q91 cached signed-sets machinery, one agg on top
-      "q240_minhash_calibration" -> "documents"
+      "q240_minhash_calibration" -> "documents",
+      // two SEMANTIC roles by design (the q189/q68 precedent): the
+      // maintained-rollup scan and the affected-group survivor repair
+      // read; the forget-slice partials are cached (|days|·|types|
+      // rows), so the delete scan is absorbed (ReuseAudit: events=2)
+      "q243_rollup_retraction" -> "events"
     ).map { case (q, t) => q -> Map(t -> 2) } ++ Map(
+      // corpus-vs-query role split (the q193 precedent): the tk
+      // exchange is shared by postings and the token re-join
+      // (reused=1; explode_outer blocks the q133 inference), the
+      // ≤8-row query frame is cached — its build prints at both the
+      // term-explode and qt-join InMemoryTableScan sites when cold
+      // (ReuseAudit: documents=3 textual)
+      "q244_snippet_extraction" -> Map("documents" -> 3),
+      // the q189 ⊕ q243 ⊖ composition: two role-split half scans
+      // (event_id parity, the q189 precedent) + the affected-group
+      // survivor repair read; forget-slice partials cached
+      // (ReuseAudit: events=3)
+      "q245_rollup_lifecycle" -> Map("events" -> 3),
       // embeds BOTH cached machineries: the q209 postings frame over
       // documents (corpus + query-role scans, the q193/q209 split) and
       // the cached normed frame over embeddings (ReuseAudit: cold

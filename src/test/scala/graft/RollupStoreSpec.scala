@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.RollupStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted maintained-rollup lifecycle: build → append → delete on
+  * disk (rename-aside swaps), pinned bit-equal to the declarative q245
+  * twin and surviving an injected crash at every swap point. */
+class RollupStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-rollup").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def facts = Tables.events(spark, sf)
+
+  private def forget = facts
+    .filter(coalesce(col("user_id") % 37 === 0, lit(false)))
+    .select("user_id").distinct()
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSeq
+
+  test("build + append + delete equals the declarative q245 twin and the recompute") {
+    val dir = freshDir()
+    RollupStore.build(spark,
+      facts.filter(pmod(col("event_id"), lit(2)) === 0), dir)
+    RollupStore.append(spark,
+      facts.filter(pmod(col("event_id"), lit(2)) === 1), dir)
+    RollupStore.delete(spark, facts, forget, dir)
+    val store = rows(RollupStore.query(spark, dir))
+    val twin = rows(SparkEntry.queries("q245_rollup_lifecycle")(spark, sf))
+    assert(store == twin, "persisted lifecycle != declarative twin")
+    // and the twin is the recompute (oracle-checked too; belt-and-braces)
+    val recompute = rows(RollupStore.query(spark, {
+      val d2 = freshDir()
+      RollupStore.build(spark, facts.join(broadcast(forget),
+        Seq("user_id"), "left_anti"), d2)
+      d2
+    }))
+    assert(store == recompute, "lifecycle != from-scratch recompute")
+    assert(store.nonEmpty, "law must not be vacuous")
+  }
+
+  test("append merges partial state; a group deleted to n=0 leaves the store") {
+    import spark.implicits._
+    val dir = freshDir()
+    val mk = (id: Long, u: Long, t: String, day: String, v: Double) =>
+      (id, java.sql.Timestamp.valueOf(s"$day 10:00:00"), u, t, v, "{}")
+    val base = Seq(
+      mk(1L, 1L, "click", "2026-04-01", 5.0),
+      mk(2L, 2L, "click", "2026-04-01", 9.0),
+      mk(3L, 1L, "view", "2026-04-02", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batch = Seq(mk(4L, 2L, "click", "2026-04-01", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    RollupStore.build(spark, base, dir)
+    RollupStore.append(spark, batch, dir)
+    val merged = rows(RollupStore.query(spark, dir))
+    // click day1: n=3 sum=16 min=2 max=9; view day2: n=1
+    assert(merged.map(r => (r(1), r(2), r(3), r(4), r(5))) == Seq(
+      ("click", 3L, 16.0, 2.0, 9.0), ("view", 1L, 1.0, 1.0, 1.0)),
+      s"merged wrong: $merged")
+    // forget user 1: click day1 loses the 5.0 row (min repairs to 2),
+    // view day2 loses its only row -> group gone
+    RollupStore.delete(spark, base.union(batch),
+      Seq(1L).toDF("user_id"), dir)
+    val after = rows(RollupStore.query(spark, dir))
+    assert(after.map(r => (r(1), r(2), r(3), r(4), r(5))) == Seq(
+      ("click", 2L, 11.0, 2.0, 9.0)), s"after delete wrong: $after")
+  }
+
+  test("a crash at every swap point recovers to a complete, correct store") {
+    for (crashAt <- Seq("written", "aside", "swapped")) {
+      val dir = freshDir()
+      RollupStore.build(spark,
+        facts.filter(pmod(col("event_id"), lit(2)) === 0), dir)
+      intercept[RuntimeException] {
+        RollupStore.appendImpl(spark,
+          facts.filter(pmod(col("event_id"), lit(2)) === 1), dir,
+          p => if (p == crashAt) throw new RuntimeException(s"boom:$p"))
+      }
+      RollupStore.recover(spark, dir)
+      // post-recover the store is COMPLETE (either pre- or post-append
+      // state — both are valid tables; rerunning the append must land
+      // on the post-append state either way)
+      val n = RollupStore.query(spark, dir).count()
+      assert(n > 0, s"store empty after recover($crashAt)")
+      // idempotent completion: recompute what the final state must be
+      if (crashAt == "written") {
+        // live untouched — rerun the append
+        RollupStore.append(spark,
+          facts.filter(pmod(col("event_id"), lit(2)) === 1), dir)
+      }
+      val expected = rows(RollupStore.query(spark, {
+        val d2 = freshDir()
+        RollupStore.build(spark, facts, d2)
+        d2
+      }))
+      assert(rows(RollupStore.query(spark, dir)) == expected,
+        s"crash at $crashAt: store diverged after recover")
+    }
+  }
+}
