@@ -63,6 +63,16 @@ object RollupStore {
     ()
   }
 
+  /** [[build]] through the same atomic swap as the mutating ops, so
+    * the op marker lands WITH the initial table — the first streaming
+    * batch needs this (a crash between a plain build and a separate
+    * marker stamp would double-apply that batch on replay). With no
+    * live table the aside rename is a no-op and the swap degrades to
+    * "install tmp". */
+  def buildAtomic(spark: SparkSession, facts: DataFrame, dir: String,
+      opId: Option[Long] = None): Unit =
+    writeSwap(spark, partials(facts), dir, _ => (), opId)
+
   /** The maintained table, in its presentation form (exact decimal sum
     * surfaced as the bit-stable split double — the q189 convention). */
   def query(spark: SparkSession, dir: String): DataFrame =
@@ -72,23 +82,63 @@ object RollupStore {
         col("mn").as("min_value"), col("mx").as("max_value"))
       .orderBy("day", "event_type")
 
+  // ------------------------------------------------------------------
+  // Exactly-once maintenance: every mutating op may carry a MONOTONIC
+  // op id (a streaming batchId, an ingest-manifest sequence number).
+  // The id is written as `_applied_op` INSIDE the tmp table before the
+  // swap — underscore-prefixed, so parquet readers ignore it (the
+  // _SUCCESS convention) — and therefore travels ATOMICALLY with the
+  // data: a crash before the aside rename loses tmp+marker together
+  // (replay re-applies), a crash after it installs data+marker
+  // together under recover() (replay is skipped). A blind re-run with
+  // the same op id is thus always correct — the replay caveat a bare
+  // rename-aside swap cannot close (RollupStoreSpec pins both crash
+  // sides and a double-apply).
+  // ------------------------------------------------------------------
+
+  /** Last applied maintenance op id, or None for a fresh store. */
+  def appliedOp(spark: SparkSession, dir: String): Option[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/rollup/_applied_op")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def writeMarker(spark: SparkSession, tableDir: String,
+      opId: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$tableDir/_applied_op"), true)
+    try out.write(opId.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Merge an ingest batch into the store (q189 partial-state merge:
     * counts and exact sums add; min/max take least/greatest — valid
     * because append never removes rows). Cost: one pass over the BATCH
     * plus a store-sized merge — the fact history is never re-read.
     *
-    * Replay caveat: an append that crashed BETWEEN the two swap renames
-    * completes under [[recover]] (the finished tmp is installed); one
-    * that crashed before them left the store untouched. The two states
-    * are indistinguishable from the table alone, so blind re-runs can
-    * double-apply a batch — production pairs this with a batch-id
-    * manifest or an upstream dedup gate (the [[graft.streaming
-    * .IngestPipeline]] convention); the spec exercises both sides. */
-  def append(spark: SparkSession, batch: DataFrame, dir: String): Unit =
-    appendImpl(spark, batch, dir, _ => ())
+    * With `opId` set, the append is EXACTLY-ONCE under replay: ids at
+    * or below the store's `_applied_op` marker are skipped (returns
+    * false), and the marker swaps atomically with the table (see the
+    * marker note above). Without an id the caller owns replay safety
+    * (an upstream dedup gate — the [[graft.streaming.IngestPipeline]]
+    * convention). */
+  def append(spark: SparkSession, batch: DataFrame, dir: String,
+      opId: Option[Long] = None): Boolean =
+    appendImpl(spark, batch, dir, _ => (), opId)
 
   private[graft] def appendImpl(spark: SparkSession, batch: DataFrame,
-      dir: String, crashPoint: String => Unit): Unit = {
+      dir: String, crashPoint: String => Unit,
+      opId: Option[Long] = None): Boolean = {
+    if (opId.exists(id => appliedOp(spark, dir).exists(_ >= id)))
+      return false
     val store = spark.read.parquet(s"$dir/rollup")
     val b = partials(batch)
       .withColumnRenamed("n", "bn").withColumnRenamed("s", "bs")
@@ -101,7 +151,8 @@ object RollupStore {
           .cast(SumT).as("s"),
         least(col("mn"), col("bmn")).as("mn"),
         greatest(col("mx"), col("bmx")).as("mx"))
-    writeSwap(spark, merged, dir, crashPoint)
+    writeSwap(spark, merged, dir, crashPoint, opId)
+    true
   }
 
   /** Right-to-be-forgotten: retract every fact row of `forgetUsers`
@@ -110,14 +161,20 @@ object RollupStore {
     * groups only (semi-join-pruned — untouched groups keep their
     * stored extrema and cost nothing). `facts` is the full fact table
     * the store was built+appended from; only the forget slice and the
-    * affected groups' survivors are ever aggregated. */
+    * affected groups' survivors are ever aggregated.
+    *
+    * Retraction is NOT naturally idempotent (the forget rows are still
+    * in `facts`, so a replay would subtract them again) — pass `opId`
+    * to make it exactly-once via the same atomic marker as [[append]]. */
   def delete(spark: SparkSession, facts: DataFrame, forgetUsers: DataFrame,
-      dir: String): Unit =
-    deleteImpl(spark, facts, forgetUsers, dir, _ => ())
+      dir: String, opId: Option[Long] = None): Boolean =
+    deleteImpl(spark, facts, forgetUsers, dir, _ => (), opId)
 
   private[graft] def deleteImpl(spark: SparkSession, facts: DataFrame,
       forgetUsers: DataFrame, dir: String,
-      crashPoint: String => Unit): Unit = {
+      crashPoint: String => Unit, opId: Option[Long] = None): Boolean = {
+    if (opId.exists(id => appliedOp(spark, dir).exists(_ >= id)))
+      return false
     val store = spark.read.parquet(s"$dir/rollup")
     val slice = facts.join(broadcast(forgetUsers), Seq("user_id"))
     // cached and owned HERE (writeSwap materializes synchronously, so
@@ -148,8 +205,9 @@ object RollupStore {
         .select(col("day"), col("event_type"), col("n"), col("s"),
           when(col("affected"), col("rmn")).otherwise(col("mn")).as("mn"),
           when(col("affected"), col("rmx")).otherwise(col("mx")).as("mx"))
-      writeSwap(spark, next, dir, crashPoint)
+      writeSwap(spark, next, dir, crashPoint, opId)
     } finally { deltas.unpersist(); () }
+    true
   }
 
   /** Rename-aside swap of the single `rollup` table (the
@@ -160,7 +218,7 @@ object RollupStore {
     * must be MATERIALIZED to tmp before any rename — it reads the live
     * dir it is about to replace. */
   private def writeSwap(spark: SparkSession, next: DataFrame, dir: String,
-      crashPoint: String => Unit): Unit = {
+      crashPoint: String => Unit, opId: Option[Long] = None): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     def P(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -168,8 +226,12 @@ object RollupStore {
     val tmp = s"$dir/rollup_tmp"
     val old = s"$dir/rollup_old"
     next.repartition(col("day")).write.mode("overwrite").parquet(tmp)
+    // the op marker lands INSIDE tmp, so data + marker swap atomically
+    opId.foreach(writeMarker(spark, tmp, _))
     crashPoint("written")
-    fs.rename(P(live), P(old))
+    // no live table on a first buildAtomic — the swap degrades to
+    // "install tmp" (local-FS rename THROWS on a missing source)
+    if (fs.exists(P(live))) fs.rename(P(live), P(old))
     crashPoint("aside")
     fs.rename(P(tmp), P(live))
     crashPoint("swapped")
@@ -182,8 +244,13 @@ object RollupStore {
     * missing → swap in the completed tmp (complete by construction
     * once the aside rename happened), else restore the aside copy;
     * stale tmp/old dirs (including a partial tmp from a crash
-    * mid-write while live is intact) are deleted. Safe to run
-    * unconditionally at open; returns true when it changed anything. */
+    * mid-write while live is intact) are deleted. Unlike
+    * [[LshBandIndex.recover]], tmp completeness is WITNESSED (Spark's
+    * `_SUCCESS` commit marker), not inferred from live's absence —
+    * [[buildAtomic]] legitimately runs with no live table, so a crash
+    * mid-first-write leaves a partial tmp and nothing else; installing
+    * it would resurrect a torn table. Safe to run unconditionally at
+    * open; returns true when it changed anything. */
   def recover(spark: SparkSession, dir: String): Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -191,10 +258,13 @@ object RollupStore {
     val live = P(s"$dir/rollup")
     val tmp = P(s"$dir/rollup_tmp")
     val old = P(s"$dir/rollup_old")
+    val tmpComplete = fs.exists(P(s"$dir/rollup_tmp/_SUCCESS"))
     var repaired = false
     if (!fs.exists(live)) {
-      if (fs.exists(tmp)) { fs.rename(tmp, live); repaired = true }
-      else if (fs.exists(old)) { fs.rename(old, live); repaired = true }
+      if (fs.exists(tmp) && tmpComplete) {
+        fs.rename(tmp, live); repaired = true
+      } else if (fs.exists(old)) { fs.rename(old, live); repaired = true }
+      else if (fs.exists(tmp)) { fs.delete(tmp, true); repaired = true }
     }
     if (fs.exists(live)) {
       if (fs.exists(old)) { fs.delete(old, true); repaired = true }

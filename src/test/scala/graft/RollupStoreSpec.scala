@@ -106,4 +106,56 @@ class RollupStoreSpec extends AnyFunSuite {
         s"crash at $crashAt: store diverged after recover")
     }
   }
+
+  test("op-id markers make append and delete exactly-once under blind replay") {
+    val dir = freshDir()
+    val even = facts.filter(pmod(col("event_id"), lit(2)) === 0)
+    val odd = facts.filter(pmod(col("event_id"), lit(2)) === 1)
+    RollupStore.buildAtomic(spark, even, dir, Some(0L))
+    assert(RollupStore.appliedOp(spark, dir).contains(0L))
+    assert(RollupStore.append(spark, odd, dir, Some(1L)), "fresh id applies")
+    val after = rows(RollupStore.query(spark, dir))
+    // blind replays: same id, and a stale id, must change nothing
+    assert(!RollupStore.append(spark, odd, dir, Some(1L)), "replay skipped")
+    assert(!RollupStore.append(spark, odd, dir, Some(0L)), "stale skipped")
+    assert(rows(RollupStore.query(spark, dir)) == after, "replay mutated")
+    assert(RollupStore.delete(spark, facts, forget, dir, Some(2L)))
+    val deleted = rows(RollupStore.query(spark, dir))
+    assert(!RollupStore.delete(spark, facts, forget, dir, Some(2L)),
+      "delete replay skipped — retraction would double-subtract")
+    assert(rows(RollupStore.query(spark, dir)) == deleted)
+    assert(RollupStore.appliedOp(spark, dir).contains(2L))
+  }
+
+  test("streaming maintenance: first batch builds, later batches merge, final store equals one-shot build") {
+    import spark.implicits._
+    import graft.streaming.RollupMaintenance
+    import graft.streaming.RollupMaintenance.FactEvt
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = freshDir()
+    val ckpt = freshDir()
+    val wire = facts
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[FactEvt].collect().sortBy(_.event_id)
+    val (a, b) = wire.splitAt(wire.length / 2)
+    val mem = MemoryStream[FactEvt]
+    val q = RollupMaintenance.start(mem.toDS(), dir, ckpt)
+    try {
+      mem.addData(a.toSeq: _*); q.processAllAvailable()
+      mem.addData(b.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = rows(RollupStore.query(spark, dir))
+    val oneShot = rows(RollupStore.query(spark, {
+      val d2 = freshDir(); RollupStore.build(spark, facts, d2); d2
+    }))
+    assert(streamed == oneShot, "streamed store != one-shot build")
+    // the restart-replay contract: re-applying the LAST batch id (what
+    // Structured Streaming does after an uncommitted-batch restart) is
+    // a no-op because its marker already swapped in with the table
+    val lastId = RollupStore.appliedOp(spark, dir).get
+    assert(!graft.streaming.RollupMaintenance.applyBatch(spark,
+      b.toSeq.toDS(), dir, lastId), "batch replay must be skipped")
+    assert(rows(RollupStore.query(spark, dir)) == streamed)
+  }
 }
