@@ -198,5 +198,115 @@ object Layout {
         ORDER BY tbl"""
     })
 
-  val all: Seq[Q] = Seq(zorderAudit, joinSkewAudit)
+  /** q246 — compaction planner (first-fit-decreasing bin packing): a
+    * year of per-batch appends leaves each source's data as many
+    * small files whose open/footer cost dominates the scan (the
+    * small-files decay [[LshBandIndex.compact]] fights physically —
+    * this is the PLANNING half: which files merge into which output
+    * bin). Files = the source's 16 content-hash shards with their
+    * token masses; capacity = ⌈source total / 4⌉ (target ~4 merged
+    * files); FFD — place each file, heaviest first (ties by shard id),
+    * into the first bin with room, else open a new bin — the classic
+    * 11/9·OPT+1 guarantee, deterministic by construction. An oversized
+    * file opens its own (over-capacity) bin via the no-fit path.
+    *
+    * The packing recurrence is inherently sequential IN ONE SOURCE'S
+    * FILE LIST — so it runs as a doc-local fold over the collected
+    * per-source array (bounded: 16 entries, the q234 discipline),
+    * never a cross-row window; sources pack in parallel. The ORACLE
+    * replays the identical recurrence as a WITH RECURSIVE over the
+    * ranked file list, so the fold is hash-proven, first-fit ties
+    * included. Per-file masses are one map-combinable aggregate.
+    *
+    * Output per source: file count, total mass, capacity, bins used,
+    * heaviest bin, and fill = total/(bins·cap) — ONE IEEE division of
+    * exact longs (never ×10⁶ first: a 100 TB source's token total
+    * would overflow int64 under the ppm scaling). */
+  val compactionPlan: Q = Q(
+    "q246_compaction_plan",
+    (s, d) => {
+      graft.functions.TextFunctions.register(s)
+      val files = Tables.documents(s, d)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("doc_id"))
+        .select(col("source"),
+          pmod(md5h61(concat(lit("shard:"), col("doc_id").cast("string"))),
+            lit(16L)).as("shard"),
+          size(toks(col("text"))).cast("long").as("mass"))
+        .groupBy("source", "shard")
+        .agg(sum(col("mass")).as("mass"))
+      val packed = files.groupBy("source")
+        .agg(collect_list(struct(col("mass"), col("shard"))).as("fl"),
+          sum(col("mass")).cast("long").as("total_mass"),
+          count(lit(1)).as("n_files"))
+        .withColumn("cap", expr("(total_mass + 3) div 4"))
+        .withColumn("sorted", array_sort(col("fl"), (a, b) =>
+          when(a.getField("mass") > b.getField("mass"), -1)
+            .when(a.getField("mass") < b.getField("mass"), 1)
+            .when(a.getField("shard") < b.getField("shard"), -1)
+            .when(a.getField("shard") > b.getField("shard"), 1)
+            .otherwise(0)))
+        .withColumn("bins", aggregate(col("sorted"),
+          array().cast("array<long>"),
+          (bins, f) => {
+            val m = f.getField("mass")
+            // sequence(1, 0) counts DOWN — guard the empty-bins case
+            val idxs = when(size(bins) >= 1, sequence(lit(1), size(bins)))
+              .otherwise(array().cast("array<int>"))
+            // first bin with room; get() is null out-of-bounds (ANSI-
+            // safe where element_at would throw)
+            val fit = get(filter(idxs,
+              i => element_at(bins, i) + m <= col("cap")), lit(0))
+            when(fit.isNull, concat(bins, array(m)))
+              .otherwise(zip_with(bins, idxs,
+                (b, i) => when(i === fit, b + m).otherwise(b)))
+          }))
+      packed.select(col("source"), col("n_files"), col("total_mass"),
+          col("cap"),
+          size(col("bins")).cast("long").as("n_bins"),
+          array_max(col("bins")).as("max_bin"),
+          (col("total_mass").cast("double") /
+            (size(col("bins")) * col("cap"))).as("fill"))
+        .orderBy("source")
+    },
+    Some(s"""WITH RECURSIVE pd AS (SELECT source,
+          ${sqlMd5h61("concat('shard:', doc_id)")} % 16 AS shard,
+          cast(len(${sqlToks("text")}) as bigint) AS mass
+        FROM documents),
+      files AS MATERIALIZED (SELECT source, shard,
+          cast(sum(mass) as bigint) AS mass
+        FROM pd GROUP BY 1, 2),
+      caps AS MATERIALIZED (SELECT source,
+          cast(count(*) as bigint) AS n_files,
+          cast(sum(mass) as bigint) AS total_mass,
+          (cast(sum(mass) as bigint) + 3) // 4 AS cap
+        FROM files GROUP BY 1),
+      rk AS MATERIALIZED (SELECT source, mass, row_number() OVER (
+          PARTITION BY source ORDER BY mass DESC, shard) AS i
+        FROM files),
+      rec AS (
+        SELECT r.source, r.i, [r.mass] AS bins, c.cap
+        FROM rk r JOIN caps c USING (source) WHERE r.i = 1
+        UNION ALL
+        SELECT r.source, r.i,
+          CASE WHEN list_filter(generate_series(1, len(rec.bins)),
+              j -> rec.bins[j] + r.mass <= rec.cap)[1] IS NULL
+            THEN rec.bins || [r.mass]
+            ELSE list_transform(generate_series(1, len(rec.bins)),
+              j -> CASE WHEN j = list_filter(
+                  generate_series(1, len(rec.bins)),
+                  k -> rec.bins[k] + r.mass <= rec.cap)[1]
+                THEN rec.bins[j] + r.mass ELSE rec.bins[j] END)
+          END AS bins, rec.cap
+        FROM rec JOIN rk r ON r.source = rec.source AND r.i = rec.i + 1),
+      fin AS (SELECT source, max(i) AS mi FROM rec GROUP BY 1),
+      last AS (SELECT rec.source, rec.bins FROM rec
+        JOIN fin ON rec.source = fin.source AND rec.i = fin.mi)
+      SELECT c.source, c.n_files, c.total_mass, c.cap,
+        cast(len(l.bins) as bigint) AS n_bins,
+        cast(list_max(l.bins) as bigint) AS max_bin,
+        cast(c.total_mass as double) / (len(l.bins) * c.cap) AS fill
+      FROM caps c JOIN last l USING (source) ORDER BY c.source"""))
+
+  val all: Seq[Q] = Seq(zorderAudit, joinSkewAudit, compactionPlan)
 }

@@ -2079,6 +2079,77 @@ object TrainingPrep {
         max(frac) AS max_frac
       FROM f GROUP BY 1 ORDER BY 1"""))
 
+  /** q247 — DECLARATIVE Count-Min sketch, oracle-verified: the q103
+    * companion that closes its documented gap ("CMS internals aren't
+    * SQL-replicable" — true of Spark's opaque built-in, so q103's
+    * estimates are spec-pinned only; a CMS built from salted 61-bit
+    * hashes is just two aggregates, and then BOTH engines replay the
+    * whole sketch and the estimates themselves hash-match). Depth 4 ×
+    * width 256: counter(r, b) = token instances whose salted hash
+    * md5h61("cms:r:" ⧺ term) lands in bucket b; estimate(term) =
+    * min over rows of its 4 counters. Output: the exact top-20 terms
+    * (q103's list) with exact count, CMS estimate, and the
+    * overestimate — which the CMS construction guarantees ≥ 0 (min of
+    * counters that each count a SUPERSET of the term's instances), a
+    * law the oracle hash proves on this corpus rather than asserts.
+    *
+    * Scale shape: the sketch build is ONE map-combinable aggregate
+    * over (row, bucket) — 1024 cells total at ANY corpus size (the
+    * fixed-memory property that makes CMS the 100 TB heavy-hitter
+    * tool); the probe joins the top-k terms' recomputed (row, bucket)
+    * keys against the broadcast cell table. */
+  val countMinAudit: Q = {
+    val Depth = 4
+    val Width = 256
+    Q(
+      "q247_countmin_audit",
+      (s, d) => {
+        graft.functions.TextFunctions.register(s)
+        val terms = Tables.documents(s, d)
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("doc_id"))
+          .select(explode(toks(lower(col("text")))).as("term"))
+        def bucket(r: Int, t: org.apache.spark.sql.Column)
+            : org.apache.spark.sql.Column =
+          pmod(md5h61(concat(lit(s"cms:$r:"), t)), lit(Width.toLong))
+        val cells = terms
+          .select(posexplode(array((0 until Depth).map(r =>
+            bucket(r, col("term"))): _*)).as(Seq("r", "b")))
+          .groupBy("r", "b").agg(count(lit(1)).as("c"))
+        val top = terms.groupBy("term").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("term")).limit(20)
+        val probes = top.select(col("term"), col("exact_n"),
+          posexplode(array((0 until Depth).map(r =>
+            bucket(r, col("term"))): _*)).as(Seq("r", "b")))
+        probes.join(broadcast(cells), Seq("r", "b"))
+          .groupBy("term", "exact_n")
+          .agg(min(col("c")).as("cms_est"))
+          .select(col("term"), col("exact_n"), col("cms_est"),
+            (col("cms_est") - col("exact_n")).as("overestimate"))
+          .orderBy(col("exact_n").desc, col("term"))
+      },
+      Some {
+        val rows = (0 until Depth).map(r =>
+          s"SELECT term, $r AS r, ${sqlMd5h61(s"concat('cms:$r:', term)")} % $Width AS b FROM tok")
+          .mkString(" UNION ALL ")
+        s"""WITH tok AS MATERIALIZED (SELECT unnest(${sqlToks("lower(text)")})
+              AS term FROM documents),
+          keys AS MATERIALIZED ($rows),
+          cells AS (SELECT r, b, cast(count(*) as bigint) AS c
+            FROM keys GROUP BY 1, 2),
+          top AS (SELECT term, cast(count(*) as bigint) AS exact_n
+            FROM tok GROUP BY 1 ORDER BY exact_n DESC, term LIMIT 20),
+          pk AS (SELECT DISTINCT k.term, k.r, k.b FROM keys k
+            JOIN top ON k.term = top.term),
+          est AS (SELECT pk.term, min(cells.c) AS cms_est
+            FROM pk JOIN cells USING (r, b) GROUP BY 1)
+          SELECT top.term, top.exact_n, est.cms_est,
+            est.cms_est - top.exact_n AS overestimate
+          FROM top JOIN est ON top.term = est.term
+          ORDER BY top.exact_n DESC, top.term"""
+      })
+  }
+
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
     bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf,
     approxPercentiles, bloomContamination, fuzzyPairs, heavyHitters,
@@ -2086,5 +2157,5 @@ object TrainingPrep {
     winnowFingerprints, bpeMerges, bpeEncode, tokenizerEconomics,
     bpeVocabUtil, lengthBatchManifest,
     cdcChunks, decontaminateSpans, spanCorruption, wordpieceEncode,
-    unigramViterbi, prefixCacheAudit, sftMaskAccounting)
+    unigramViterbi, prefixCacheAudit, sftMaskAccounting, countMinAudit)
 }
