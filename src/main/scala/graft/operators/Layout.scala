@@ -308,5 +308,71 @@ object Layout {
         cast(c.total_mass as double) / (len(l.bins) * c.cap) AS fill
       FROM caps c JOIN last l USING (source) ORDER BY c.source"""))
 
-  val all: Seq[Q] = Seq(zorderAudit, joinSkewAudit, compactionPlan)
+  /** q248 — join-size forecaster: |A ⋈ B on k| = Σ_k c_A(k)·c_B(k),
+    * computed from the two per-key HISTOGRAMS before the join ever
+    * runs — the planner input that decides broadcast vs shuffle vs
+    * salt (q215 measures one table's skew; this prices the JOIN:
+    * total output rows, the single hottest key's contribution, and
+    * its share). Histograms are map-combinable aggregates orders of
+    * magnitude smaller than the tables; the histogram-level equi-join
+    * touches |matched keys| rows. Products and their sum run in
+    * decimal(38,0)/HUGEINT (count × count, then a corpus-sized sum —
+    * both overflow int64 at the design point; the q215 discipline),
+    * surfaced as bigint at testdata scale. Audits the two TPC-H
+    * one-to-many edges: customer→orders (custkey) and orders→lineitem
+    * (orderkey). orders is read twice — once per audited edge, in two
+    * different key roles (semantic, the q130 nation precedent). */
+  val joinSizeForecast: Q = Q(
+    "q248_join_size_forecast",
+    (s, d) => {
+      def forecast(name: String, left: org.apache.spark.sql.DataFrame,
+          lk: String, right: org.apache.spark.sql.DataFrame, rk: String)
+          : org.apache.spark.sql.DataFrame = {
+        val h1 = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("c1"))
+        val h2 = right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("c2"))
+        h1.join(h2, "k")
+          .select((col("c1") * col("c2")).cast(DecimalType38).as("p"))
+          .agg(count(lit(1)).as("n_join_keys"),
+            sum(col("p")).as("fc"), max(col("p")).as("mx"))
+          .select(lit(name).as("edge"),
+            col("n_join_keys"),
+            col("fc").cast("long").as("forecast_rows"),
+            col("mx").cast("long").as("max_key_rows"),
+            // `div`, not `/`: decimal `/` ROUNDS at the result scale
+            // while DuckDB `//` floors (the q215 discipline)
+            when(col("fc") > 0, expr("(mx * 1000000) div fc").cast("long"))
+              .as("top_share_ppm"))
+      }
+      forecast("customer-orders", Tables.customer(s, d), "c_custkey",
+          Tables.orders(s, d), "o_custkey")
+        .unionAll(forecast("orders-lineitem", Tables.orders(s, d),
+          "o_orderkey", Tables.lineitem(s, d), "l_orderkey"))
+        .orderBy("edge")
+    },
+    Some {
+      def sqlForecast(name: String, lt: String, lk: String, rt: String,
+          rk: String): String =
+        s"""SELECT '$name' AS edge,
+          cast(count(*) as bigint) AS n_join_keys,
+          cast(sum(p) as bigint) AS forecast_rows,
+          cast(max(p) as bigint) AS max_key_rows,
+          CASE WHEN sum(p) > 0 THEN
+            cast(max(p) * 1000000 // sum(p) as bigint) END
+            AS top_share_ppm
+        FROM (SELECT h1.c1::hugeint * h2.c2::hugeint AS p
+          FROM (SELECT $lk AS k, count(*) AS c1 FROM $lt GROUP BY 1) h1
+          JOIN (SELECT $rk AS k, count(*) AS c2 FROM $rt GROUP BY 1) h2
+            USING (k))"""
+      s"""${sqlForecast("customer-orders", "customer", "c_custkey",
+          "orders", "o_custkey")}
+        UNION ALL
+        ${sqlForecast("orders-lineitem", "orders", "o_orderkey",
+          "lineitem", "l_orderkey")}
+        ORDER BY edge"""
+    })
+
+  private val DecimalType38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  val all: Seq[Q] = Seq(zorderAudit, joinSkewAudit, compactionPlan,
+    joinSizeForecast)
 }

@@ -2230,6 +2230,104 @@ object TextAnalysis {
           FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk"""))
   }
 
+  /** q249 — curriculum tier assignment: quartile the corpus by the
+    * q239 Flesch fixed-point score (tier 0 = easiest quartile, the
+    * classic easy-first curriculum order; composes with the q166
+    * deterministic epoch shuffle, which orders WITHIN what this
+    * stratifies) and account each tier's document and token mass. VALUE
+    * cutoffs, all-ties-one-tier (the q171 convention — a doc's tier is
+    * derivable from its own score + three broadcast scalars, so the
+    * assignment is reproducible shard-locally at 100 TB with no global
+    * rank).
+    *
+    * Scale shape: the q113/q171 histogram discipline end to end — ONE
+    * readability scan into a (score → n_docs, token mass) histogram,
+    * cutoff selection and the tier rollup both run over THE HISTOGRAM
+    * (bounded by distinct scores), never a per-doc window or a second
+    * corpus pass; mean score per tier is a ratio of exact sums. */
+  val curriculumTiers: Q = Q(
+    "q249_curriculum_tiers",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = toks(col("text"))
+      val words = size(t).cast("long")
+      val sents = greatest(lit(1L),
+        size(filter(split(col("text"), "[.!?]+"),
+          x => length(trim(x)) > 0)).cast("long"))
+      val sylls = aggregate(t, lit(0L), (acc, w) =>
+        acc + greatest(lit(1L),
+          size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0)))
+            .cast("long")))
+      val fk = floor((lit(206.835)
+        - lit(1.015) * (words.cast("double") / sents)
+        - lit(84.6) * (sylls.cast("double") / words)) * 1000).cast("long")
+      val hist = Tables.documents(s, d)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("doc_id"))
+        .select(fk.as("fk"), words.as("ntok"))
+        .groupBy("fk")
+        .agg(count(lit(1)).as("nd"), sum(col("ntok")).as("tok"))
+      val w = Window.orderBy(col("fk").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("nd")).over(w))
+      // min cum-from-the-top score reaching each quartile rank: the
+      // EASIEST quartile is the highest scores, so cutoffs descend;
+      // cum·4 ≥ N is the integer form of cum ≥ N/4 (no division)
+      val n = hist.agg(sum(col("nd")).cast("long").as("n"))
+      val withN = cum.crossJoin(broadcast(n))
+      // the crossing row is the LARGEST qualifying score (cum grows as
+      // fk descends — min() here would select the corpus minimum and
+      // collapse every doc into tier 0)
+      val cuts3 = withN.agg(
+        max(when(col("cum") * 4 >= col("n"), col("fk"))).as("c1"),
+        max(when(col("cum") * 2 >= col("n"), col("fk"))).as("c2"),
+        max(when(col("cum") * 4 >= col("n") * 3, col("fk"))).as("c3"))
+      hist.crossJoin(broadcast(cuts3))
+        .groupBy(when(col("fk") >= col("c1"), 0)
+          .when(col("fk") >= col("c2"), 1)
+          .when(col("fk") >= col("c3"), 2).otherwise(3).as("tier"))
+        .agg(sum(col("nd")).cast("long").as("n_docs"),
+          sum(col("tok")).cast("long").as("tok_mass"),
+          min(col("fk")).as("min_fk"), max(col("fk")).as("max_fk"),
+          (splitDbl(sum((col("fk") * col("nd")).cast(Dec))) /
+            sum(col("nd"))).as("mean_fk_x1000"))
+        .orderBy("tier")
+    },
+    Some(s"""WITH m AS (SELECT
+          cast(len(tk) as bigint) AS w,
+          greatest(1, cast(len(list_filter(
+            string_split_regex(text, '[.!?]+'),
+            x -> len(trim(x)) > 0)) as bigint)) AS sc,
+          cast(list_sum(list_transform(tk, x ->
+            greatest(1, len(regexp_extract_all(lower(x), '[aeiouy]+')))))
+            as bigint) AS sy
+        FROM (SELECT text, ${sqlToks("text")} AS tk FROM documents)),
+      f AS (SELECT cast(floor((206.835
+            - 1.015 * (cast(w as double) / sc)
+            - 84.6 * (cast(sy as double) / w)) * 1000) as bigint) AS fk,
+          w AS ntok
+        FROM m),
+      hist AS MATERIALIZED (SELECT fk, cast(count(*) as bigint) AS nd,
+          cast(sum(ntok) as bigint) AS tok
+        FROM f GROUP BY 1),
+      cum AS (SELECT fk, nd, tok,
+          sum(nd) OVER (ORDER BY fk DESC ROWS UNBOUNDED PRECEDING) AS cum,
+          sum(nd) OVER () AS n
+        FROM hist),
+      cuts AS (SELECT
+          max(CASE WHEN cum * 4 >= n THEN fk END) AS c1,
+          max(CASE WHEN cum * 2 >= n THEN fk END) AS c2,
+          max(CASE WHEN cum * 4 >= n * 3 THEN fk END) AS c3
+        FROM cum)
+      SELECT CASE WHEN fk >= c1 THEN 0 WHEN fk >= c2 THEN 1
+          WHEN fk >= c3 THEN 2 ELSE 3 END AS tier,
+        cast(sum(nd) as bigint) AS n_docs,
+        cast(sum(tok) as bigint) AS tok_mass,
+        min(fk) AS min_fk, max(fk) AS max_fk,
+        ${sqlSplitDbl("sum(cast(fk * nd as decimal(18,4)))")} / sum(nd)
+          AS mean_fk_x1000
+      FROM hist, cuts GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
     codeSwitchAudit,
     fingerprint, topTerms, pivotEvents, rareTerms, regexTokens,
@@ -2240,5 +2338,5 @@ object TextAnalysis {
     gopherRepetition, vocabCoverage, bm25MrrEval, rm3Expansion,
     sourceDiversity, sourceGini,
     sourceDrift, exactQuantiles, qualityDupMatrix, lengthDrift,
-    readability, snippetExtraction)
+    readability, snippetExtraction, curriculumTiers)
 }

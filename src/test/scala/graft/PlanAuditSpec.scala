@@ -412,6 +412,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // survivor repair read; forget-slice partials cached
       // (ReuseAudit: events=3)
       "q245_rollup_lifecycle" -> Map("events" -> 3),
+      // orders audited in two different KEY roles (custkey histogram
+      // for the customer edge, orderkey histogram for the lineitem
+      // edge) — the q130 nation precedent
+      "q248_join_size_forecast" -> Map("orders" -> 2),
       // embeds BOTH cached machineries: the q209 postings frame over
       // documents (corpus + query-role scans, the q193/q209 split) and
       // the cached normed frame over embeddings (ReuseAudit: cold
