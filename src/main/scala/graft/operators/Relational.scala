@@ -1984,6 +1984,69 @@ object Relational {
         min(value) AS min_value, max(value) AS max_value
       FROM sv GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** q251 — last-touch attribution: each purchase credited to the same
+    * user's most recent preceding click/view, expiring after a 7-day
+    * lookback — the classic marketing-attribution join, done WITHOUT a
+    * range self-join (which would revisit each user's history per
+    * purchase): one running `max` over the user's packed touch stream.
+    * The touch is packed as tus·10⁷ + event_id in decimal(38,0)/HUGEINT
+    * — max over the pack IS "latest touch, ties by highest event_id",
+    * and both timestamp and id unpack exactly (div/mod). The 10⁷ pack
+    * factor bounds event_id; a deployment with wider ids widens the
+    * factor (the pack stays exact in 38-digit decimal up to 10²¹).
+    *
+    * Scale shape: ONE window over bounded per-user partitions (the
+    * q27/q242 argument), no join anywhere; the 7-day expiry is a
+    * per-row comparison in exact integer microseconds AFTER the window
+    * (an expired touch yields NULL attribution, same as no touch). */
+  val lastTouchAttribution: Q = {
+    val SevenDaysUs = 604800000000L
+    Q(
+      "q251_last_touch",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pk = (col("tus").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * lit(10000000L) +
+          col("event_id"))
+        val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("tus"))
+          .withColumn("attr_pk",
+            max(when(col("event_type").isin("click", "view"), pk)).over(w))
+          .filter(col("event_type") === "purchase")
+          .withColumn("attr_tus",
+            expr("attr_pk div 10000000").cast("long"))
+          .withColumn("live",
+            col("attr_pk").isNotNull &&
+              col("tus") - col("attr_tus") <= SevenDaysUs)
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            when(col("live"), (col("attr_pk") % 10000000L).cast("long"))
+              .as("attr_event_id"),
+            when(col("live"), col("tus") - col("attr_tus")).as("gap_us"))
+          .orderBy("purchase_id")
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_type, event_id,
+            epoch_us(ts) AS tus FROM events),
+        m AS (SELECT *, max(CASE WHEN event_type IN ('click', 'view')
+              THEN tus::hugeint * 10000000 + event_id END)
+            OVER (PARTITION BY user_id ORDER BY tus, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_pk
+          FROM e),
+        p AS (SELECT event_id AS purchase_id, user_id, tus,
+            cast(attr_pk // 10000000 as bigint) AS attr_tus,
+            cast(attr_pk % 10000000 as bigint) AS attr_eid
+          FROM m WHERE event_type = 'purchase')
+        SELECT purchase_id, user_id,
+          CASE WHEN attr_tus IS NOT NULL
+              AND tus - attr_tus <= $SevenDaysUs THEN attr_eid END
+            AS attr_event_id,
+          CASE WHEN attr_tus IS NOT NULL
+              AND tus - attr_tus <= $SevenDaysUs THEN tus - attr_tus END
+            AS gap_us
+        FROM p ORDER BY purchase_id"""))
+  }
+
   /** q236 — k-anonymity audit over the event release projection: if the
     * events table were published keyed by the quasi-identifiers
     * (event_type, day, value band), how identifiable is each row? Every
@@ -2153,7 +2216,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     rollupMerge, latenessAudit, burstAudit, eventFunnel,
     sessionCooccurrence, cusumDrift, kAnonymity, userTypeHhi,
-    interArrival, rollupRetraction,
+    interArrival, rollupRetraction, lastTouchAttribution,
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
     groupCount, globalCount, distinctSingle, distinctMulti,

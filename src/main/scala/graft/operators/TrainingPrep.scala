@@ -2150,6 +2150,82 @@ object TrainingPrep {
       })
   }
 
+  /** q250 — tokenizer migration audit: the corpus encoded under the
+    * CURRENT vocab (the pinned 16-merge table) and under the previous
+    * release (its 8-merge PREFIX — a real migration is always
+    * merge-list extension: BPE learning only ever appends), per
+    * source. The readout every tokenizer upgrade needs BEFORE
+    * re-tokenizing 100 TB: how many tokens the new vocab saves, where
+    * (per source), and the sequence-length inflation you'd keep paying
+    * by NOT migrating. extra_tokens ≥ 0 row-by-row is the BPE
+    * monotonicity law (applying more merges never increases the symbol
+    * count) — proven by hash here, not asserted.
+    *
+    * Scale shape: both merge chains run per piece inside whole-stage
+    * codegen in ONE projection over ONE scan (the q148/q219 shape —
+    * the old and new encoders share the pre-tokenize and char-split
+    * work); the rollup is one map-combinable groupBy over |sources|
+    * keys; inflation is a single IEEE division of exact sums. */
+  val tokenizerMigration: Q = {
+    import org.apache.spark.sql.Column
+    def nNew(c: Column): Column = bpeSymCount(bpeApply(c, BpeMerges16))
+    def nOld(c: Column): Column = bpeSymCount(bpeApply(c, BpeMerges16.take(8)))
+    Q(
+      "q250_tokenizer_migration",
+      (s, d) => Tables.documents(s, d)
+        .select(col("source"),
+          expr(s"regexp_extract_all(lower($StripSep), '$BpePat', 0)").as("pieces"))
+        .select(col("source"), size(col("pieces")).as("n_pieces"),
+          aggregate(transform(col("pieces"), p => nNew(p)),
+            lit(0), (a, x) => a + x).as("tok_new"),
+          aggregate(transform(col("pieces"), p => nOld(p)),
+            lit(0), (a, x) => a + x).as("tok_old"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_pieces")).cast("long").as("n_pieces"),
+          sum(col("tok_new")).cast("long").as("tok_new"),
+          sum(col("tok_old")).cast("long").as("tok_old"))
+        .select(col("source"), col("n_docs"), col("n_pieces"),
+          col("tok_new"), col("tok_old"),
+          (col("tok_old") - col("tok_new")).as("extra_tokens"),
+          when(col("tok_new") > 0,
+            col("tok_old").cast("double") / col("tok_new"))
+            .as("inflation"))
+        .orderBy("source"),
+      Some {
+        val sep2 = "chr(1)||chr(1)"
+        def lit1(x: String) = "'" + x.replace("'", "''") + "'"
+        val wrapped = s"$sep2 || regexp_replace(w, '(.)', '\\1'||$sep2, 'gs')"
+        def chain(ms: Seq[(String, String)]): String =
+          ms.foldLeft(wrapped) { case (acc, (a, b)) =>
+            s"replace($acc, chr(1)||${lit1(a)}||$sep2||${lit1(b)}||chr(1), " +
+              s"chr(1)||${lit1(a + b)}||chr(1))"
+          }
+        def nSql(ms: Seq[(String, String)]): String =
+          s"cast(coalesce(list_sum(list_transform(pieces, w -> " +
+            s"len(list_filter(string_split(${chain(ms)}, $sep2), " +
+            s"x -> x <> '')))), 0) as int)"
+        s"""WITH p AS (SELECT source,
+            regexp_extract_all(lower(replace(text, chr(1), '')), '$BpePat')
+              AS pieces
+          FROM documents),
+        e AS (SELECT source, cast(len(pieces) as int) AS n_pieces,
+            ${nSql(BpeMerges16)} AS tok_new,
+            ${nSql(BpeMerges16.take(8))} AS tok_old
+          FROM p),
+        g AS (SELECT source, cast(count(*) as bigint) AS n_docs,
+            cast(sum(n_pieces) as bigint) AS n_pieces,
+            cast(sum(tok_new) as bigint) AS tok_new,
+            cast(sum(tok_old) as bigint) AS tok_old
+          FROM e GROUP BY 1)
+        SELECT source, n_docs, n_pieces, tok_new, tok_old,
+          tok_old - tok_new AS extra_tokens,
+          CASE WHEN tok_new > 0
+            THEN cast(tok_old as double) / tok_new END AS inflation
+        FROM g ORDER BY source"""
+      })
+  }
+
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
     bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf,
     approxPercentiles, bloomContamination, fuzzyPairs, heavyHitters,
@@ -2157,5 +2233,6 @@ object TrainingPrep {
     winnowFingerprints, bpeMerges, bpeEncode, tokenizerEconomics,
     bpeVocabUtil, lengthBatchManifest,
     cdcChunks, decontaminateSpans, spanCorruption, wordpieceEncode,
-    unigramViterbi, prefixCacheAudit, sftMaskAccounting, countMinAudit)
+    unigramViterbi, prefixCacheAudit, sftMaskAccounting, countMinAudit,
+    tokenizerMigration)
 }

@@ -44,6 +44,64 @@ object BotMonitor {
   /** HHI ≥ 0.6 (one type ≥ ~77% of traffic at 2 types) reads as bot. */
   val HhiAlertPpm = 600000L
 
+  final case class CadenceState(lastUs: Long, nGaps: Long, minGap: Long,
+      maxGap: Long, alerted: Boolean)
+  final case class CadenceAlert(user_id: Long, n_gaps: Long,
+      min_gap_us: Long, max_gap_us: Long)
+
+  /** Score a cadence only after this many inter-arrival gaps. */
+  val MinGaps = 10L
+
+  /** Metronome tolerance: a human's gaps spread over seconds-to-hours;
+    * a timer's land within a millisecond of each other. */
+  val JitterUs = 1000L
+
+  /** The TIMING half of the bot battery (q242's streaming twin —
+    * [[botAlerts]] watches WHAT an account does, this watches WHEN):
+    * per user, track the inter-arrival min/max in exact integer
+    * microseconds; once [[MinGaps]] gaps have accumulated with
+    * max − min ≤ [[JitterUs]], the cadence is a timer, not a human —
+    * alert ONCE (the same tombstone discipline). State per user is
+    * five longs — O(1) regardless of rate or lifetime. Events inside
+    * a micro-batch fold in (event-time, type) order, so replays of
+    * the same wire produce the same gaps. */
+  def cadenceAlerts(evts: Dataset[UserEvt]): Dataset[CadenceAlert] = {
+    implicit val evtEnc = Encoders.product[UserEvt]
+    implicit val outEnc = Encoders.product[CadenceAlert]
+    implicit val stateEnc = Encoders.product[CadenceState]
+    implicit val longEnc = Encoders.scalaLong
+    val minGaps = MinGaps
+    val jitter = JitterUs
+
+    evts
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvt],
+            state: GroupState[CadenceState]) =>
+          var st = state.getOption.getOrElse(
+            CadenceState(Long.MinValue, 0L, Long.MaxValue, Long.MinValue,
+              alerted = false))
+          val out = scala.collection.mutable.ListBuffer.empty[CadenceAlert]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+            val tus = e.ts.getTime * 1000L
+            if (st.lastUs != Long.MinValue) {
+              val gap = tus - st.lastUs
+              st = CadenceState(tus, st.nGaps + 1L,
+                math.min(st.minGap, gap), math.max(st.maxGap, gap),
+                st.alerted)
+              if (!st.alerted && st.nGaps >= minGaps &&
+                  st.maxGap - st.minGap <= jitter) {
+                st = st.copy(alerted = true)
+                out += CadenceAlert(uid, st.nGaps, st.minGap, st.maxGap)
+              }
+            } else st = st.copy(lastUs = tus)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def botAlerts(evts: Dataset[UserEvt]): Dataset[BotAlert] = {
     implicit val evtEnc = Encoders.product[UserEvt]
     implicit val outEnc = Encoders.product[BotAlert]

@@ -284,4 +284,35 @@ class StreamingSessionSpec extends AnyFunSuite {
     assert(hhi.getDouble(3) == 1.0 && hhi.getLong(1) == 20L,
       s"batch twin disagrees: $hhi")
   }
+
+  test("cadence monitor flags a metronome once; jittered humans stay silent") {
+    import spark.implicits._
+    import graft.streaming.BotMonitor
+    import graft.streaming.BotMonitor.UserEvt
+    implicit val sqlCtx = spark.sqlContext
+    // bot: exactly 1.000000 s between events; human: gaps drift by
+    // seconds (i² spread); short: metronome but only 9 gaps
+    val bot = (0 until 11).map(i =>
+      UserEvt(1L, new java.sql.Timestamp(1767225600000L + i * 1000L), "c"))
+    val human = (0 until 12).map(i =>
+      UserEvt(2L, new java.sql.Timestamp(1767225600000L + i * 1000L +
+        i.toLong * i * 137L), "c"))
+    val short = (0 until 10).map(i =>
+      UserEvt(3L, new java.sql.Timestamp(1767225600000L + i * 1000L), "c"))
+    val mem = MemoryStream[UserEvt]
+    val q = BotMonitor.cadenceAlerts(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("cad_out").start()
+    try {
+      mem.addData((bot ++ human ++ short): _*); q.processAllAvailable()
+      // post-alert traffic: tombstone holds
+      mem.addData((11 until 20).map(i =>
+        UserEvt(1L, new java.sql.Timestamp(1767225600000L + i * 1000L),
+          "c")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cad_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 10L, 1000000L, 1000000L)),
+      s"cadence alerts wrong: ${got.toSeq}")
+  }
 }
