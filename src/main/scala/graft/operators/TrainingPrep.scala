@@ -2226,6 +2226,50 @@ object TrainingPrep {
       })
   }
 
+  /** q253 — context-length truncation loss curve: at each candidate
+    * max_seq_len (128 / 512 / 2048 tokens), how many documents would be
+    * cut and how much token mass falls off the end — the measurement
+    * behind choosing a training context length (too short throws away
+    * the document tails that long-context models exist to learn; the
+    * alternative costs quadratic attention). The complement of q173
+    * (which prices PADDING under a chosen length; this prices
+    * TRUNCATION) and of q115/q82 packing (which avoid the choice by
+    * splitting — at the cost of severed context).
+    *
+    * Scale shape: one token-count scan, a 3-literal cap explode, one
+    * map-combinable aggregate — the whole curve rides a single pass
+    * (the q205 sweep discipline); lost-share is one IEEE division of
+    * exact sums. */
+  val truncationCurve: Q = Q(
+    "q253_truncation_curve",
+    (s, d) => Tables.documents(s, d)
+      .select(size(toks(col("text"))).cast("long").as("n"))
+      .select(col("n"), explode(typedLit(Seq(128L, 512L, 2048L))).as("cap"))
+      .groupBy("cap")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("n") > col("cap"), 1)).as("n_truncated"),
+        sum(col("n")).cast("long").as("tok_total"),
+        sum(when(col("n") > col("cap"), col("n") - col("cap"))
+          .otherwise(0L)).cast("long").as("tok_lost"))
+      .select(col("cap"), col("n_docs"), col("n_truncated"),
+        col("tok_total"), col("tok_lost"),
+        (col("tok_lost").cast("double") / col("tok_total"))
+          .as("lost_share"))
+      .orderBy("cap"),
+    Some(s"""WITH t AS (SELECT cast(len(${sqlToks("text")}) as bigint) AS n
+          FROM documents),
+      e AS (SELECT n, cap FROM t,
+        (VALUES (128), (512), (2048)) AS c(cap))
+      SELECT cast(cap as bigint) AS cap,
+        cast(count(*) as bigint) AS n_docs,
+        cast(count_if(n > cap) as bigint) AS n_truncated,
+        cast(sum(n) as bigint) AS tok_total,
+        cast(sum(CASE WHEN n > cap THEN n - cap ELSE 0 END) as bigint)
+          AS tok_lost,
+        cast(sum(CASE WHEN n > cap THEN n - cap ELSE 0 END) as double)
+          / cast(sum(n) as bigint) AS lost_share
+      FROM e GROUP BY cap ORDER BY cap"""))
+
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
     bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf,
     approxPercentiles, bloomContamination, fuzzyPairs, heavyHitters,
@@ -2234,5 +2278,5 @@ object TrainingPrep {
     bpeVocabUtil, lengthBatchManifest,
     cdcChunks, decontaminateSpans, spanCorruption, wordpieceEncode,
     unigramViterbi, prefixCacheAudit, sftMaskAccounting, countMinAudit,
-    tokenizerMigration)
+    tokenizerMigration, truncationCurve)
 }
