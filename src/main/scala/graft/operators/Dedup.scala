@@ -2248,6 +2248,92 @@ object Dedup {
           AS precision_at_08
       FROM verified GROUP BY 1 ORDER BY 1"""))
 
+  /** q254 — b-bit minwise compression audit (Li & König 2010): storing
+    * only the LOW b = 4 bits of each of the K = $K minhash components
+    * shrinks the signature 16× — but low-bit collisions happen by
+    * chance at rate 1/2ᵇ even between unrelated sets, so the raw
+    * collision fraction needs the debias (c/K − 1/2ᵇ)/(1 − 1/2ᵇ),
+    * which for b = 4, K = 16 reduces to the EXACT RATIONAL (c − 1)/15
+    * — one IEEE division of exact integers, no estimator constant ever
+    * rounded. The audit puts the full estimator, the debiased b-bit
+    * estimator and exact jaccard side by side per estimated-jaccard
+    * decile (the q240 curve for the compressed signature): the
+    * measurement behind "can the signature store drop to 4 bits per
+    * component at 100 TB". Same bounded candidate machinery as
+    * q37/q91/q240; one hash aggregate on top, ≤ 10 rows. Negative
+    * debiased estimates (c < 1) are real estimator output and kept —
+    * clamping would bias the MAE the audit exists to measure. */
+  val bbitMinhashAudit: Q = {
+    val bMask = 15L // low 4 bits
+    Q(
+      "q254_bbit_minhash",
+      (s, d) => {
+        val enriched = graft.CacheScope.cached(signedSets(s, d))
+        val bandsAll = enriched.select(col("doc_id"),
+          posexplode(array((0 until Bands).map(bandCol): _*))
+            .as(Seq("band_id", "bh")))
+        val a = bandsAll.as("a"); val b = bandsAll.as("b")
+        val cand = a.join(b,
+          col("a.band_id") === col("b.band_id") &&
+            col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val x = enriched.as("x"); val y = enriched.as("y")
+        val fullMatches = mhNames.map(m =>
+          when(col(s"x.$m") === col(s"y.$m"), 1).otherwise(0)).reduce(_ + _)
+        val bbitMatches = mhNames.map(m =>
+          when(col(s"x.$m").bitwiseAND(lit(bMask)) ===
+            col(s"y.$m").bitwiseAND(lit(bMask)), 1).otherwise(0))
+          .reduce(_ + _)
+        val inter = size(array_intersect(col("x.sh"), col("y.sh")))
+        cand
+          .join(x, col("doc_a") === col("x.doc_id"))
+          .join(y, col("doc_b") === col("y.doc_id"))
+          .select(
+            (fullMatches.cast("double") / K).as("est_full"),
+            ((bbitMatches - 1).cast("double") / 15).as("est_b4"),
+            (inter.cast("double") /
+              (size(col("x.sh")) + size(col("y.sh")) - inter)).as("jaccard"))
+          .groupBy(least(floor(col("est_full") * 10).cast("long"), lit(9L))
+            .as("est_decile"))
+          .agg(count(lit(1)).as("n_pairs"),
+            davg(abs(col("est_full") - col("jaccard"))).as("mae_full"),
+            davg(abs(col("est_b4") - col("jaccard"))).as("mae_b4"))
+          .orderBy("est_decile")
+      },
+      Some {
+        val fullSum = mhNames.map(m =>
+          s"CASE WHEN x.$m = y.$m THEN 1 ELSE 0 END").mkString(" + ")
+        val bbitSum = mhNames.map(m =>
+          s"CASE WHEN (x.$m & $bMask) = (y.$m & $bMask) THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH $sqlShingleSets, $sqlSignatures,
+          bands_all AS ($sqlBandsAll),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands_all a JOIN bands_all b
+              ON a.band_id = b.band_id AND a.bh = b.bh
+                AND a.doc_id < b.doc_id),
+          sc AS (SELECT
+              cast($fullSum as double) / $K AS est_full,
+              cast(($bbitSum) - 1 as double) / 15 AS est_b4,
+              cast(len(list_intersect(p.sh, q.sh)) as double) /
+                (len(p.sh) + len(q.sh) - len(list_intersect(p.sh, q.sh)))
+                AS jaccard
+            FROM cand c
+            JOIN sig x ON x.doc_id = c.doc_a
+            JOIN sig y ON y.doc_id = c.doc_b
+            JOIN sets p ON p.doc_id = c.doc_a
+            JOIN sets q ON q.doc_id = c.doc_b)
+          SELECT least(cast(floor(est_full * 10) as bigint), 9)
+              AS est_decile,
+            count(*) AS n_pairs,
+            ${sqlDavg("abs(est_full - jaccard)")} AS mae_full,
+            ${sqlDavg("abs(est_b4 - jaccard)")} AS mae_b4
+          FROM sc GROUP BY 1 ORDER BY 1"""
+      })
+  }
+
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
     ngramJaccardPairs, ngramJaccardDfCap, containmentPairs,
@@ -2257,5 +2343,6 @@ object Dedup {
     withinDocDedup, softDedupWeights, lshRecallEval, memorizationAudit,
     dupPagerank, qualityCanonical, leakageSafeSplits, thresholdCurve,
     sourceMirror, lshCalibration, boilerplatePrevalence,
-    dupTriangles, shardColocation, minhashCalibration)
+    dupTriangles, shardColocation, minhashCalibration,
+    bbitMinhashAudit)
 }

@@ -394,6 +394,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q238_shard_colocation" -> "documents",
       // the q37/q91 cached signed-sets machinery, one agg on top
       "q240_minhash_calibration" -> "documents",
+      // same cached signed-sets machinery (ReuseAudit: documents=1)
+      "q254_bbit_minhash" -> "documents",
       // two SEMANTIC roles by design (the q189/q68 precedent): the
       // maintained-rollup scan and the affected-group survivor repair
       // read; the forget-slice partials are cached (|days|·|types|
