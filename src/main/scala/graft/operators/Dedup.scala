@@ -2334,6 +2334,49 @@ object Dedup {
       })
   }
 
+  /** q255 — cross-sketch calibration: SimHash Hamming distance vs exact
+    * shingle jaccard, measured ON the MinHash-verified near-dup pairs
+    * (q37's jaccard ≥ 0.8 set). q39 admits pairs at Hamming ≤ 3 by
+    * convention — this is the data that places that threshold: per
+    * Hamming distance, how many true near-dup pairs land there and
+    * their mean exact jaccard. A fat tail at distance > 3 means the
+    * SimHash gate is dropping real duplicates the MinHash gate catches
+    * (the two sketches disagree exactly where token-frequency voting
+    * and set overlap diverge). popcount of the XOR is `bit_count` on
+    * both engines — exact integers throughout.
+    *
+    * Scale shape: the bounded q37 candidate machinery + the linear q38
+    * signature scan, joined pair→signature twice on doc_id; one hash
+    * aggregate over ≤ 33 Hamming cells. */
+  val simhashVsJaccard: Q = Q(
+    "q255_simhash_vs_jaccard",
+    (s, d) => {
+      val sims = simhashDf(s, d)
+      verifiedPairs(s, d, Some(BandBucketCap))
+        .select("doc_a", "doc_b", "jaccard")
+        .join(sims.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("simhash", "sim_a"), "doc_a")
+        .join(sims.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("simhash", "sim_b"), "doc_b")
+        .select(bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+          .cast("long").as("hamming"), col("jaccard"))
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"),
+          davg(col("jaccard")).as("mean_jaccard"))
+        .orderBy("hamming")
+    },
+    Some(s"""WITH ${sqlVerified(Some(BandBucketCap))},
+      vp AS (SELECT doc_a, doc_b, jaccard FROM verified
+        WHERE jaccard >= 0.8),
+      $sqlSimhash,
+      j AS (SELECT cast(bit_count(xor(sa.simhash, sb.simhash)) as bigint)
+            AS hamming, vp.jaccard
+        FROM vp JOIN sim sa ON sa.doc_id = vp.doc_a
+                JOIN sim sb ON sb.doc_id = vp.doc_b)
+      SELECT hamming, count(*) AS n_pairs,
+        ${sqlDavg("jaccard")} AS mean_jaccard
+      FROM j GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
     ngramJaccardPairs, ngramJaccardDfCap, containmentPairs,
@@ -2344,5 +2387,5 @@ object Dedup {
     dupPagerank, qualityCanonical, leakageSafeSplits, thresholdCurve,
     sourceMirror, lshCalibration, boilerplatePrevalence,
     dupTriangles, shardColocation, minhashCalibration,
-    bbitMinhashAudit)
+    bbitMinhashAudit, simhashVsJaccard)
 }

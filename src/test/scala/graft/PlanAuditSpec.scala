@@ -396,6 +396,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q240_minhash_calibration" -> "documents",
       // same cached signed-sets machinery (ReuseAudit: documents=1)
       "q254_bbit_minhash" -> "documents",
+      // cached q37 pair machinery + the q38 simhash scan — two sketch
+      // roles over one corpus (ReuseAudit: documents=1 cold)
+      "q255_simhash_vs_jaccard" -> "documents",
       // two SEMANTIC roles by design (the q189/q68 precedent): the
       // maintained-rollup scan and the affected-group survivor repair
       // read; the forget-slice partials are cached (|days|·|types|
