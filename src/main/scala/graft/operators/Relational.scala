@@ -2047,6 +2047,69 @@ object Relational {
         FROM p ORDER BY purchase_id"""))
   }
 
+  /** q257 — time-to-convert histogram: per converting user, the exact
+    * integer-microsecond gap from FIRST view to the first purchase
+    * STRICTLY AFTER it, bucketed on the q192 grid — the duration
+    * readout q65 (ordered firsts) and q226 (strict ordered funnel)
+    * both stop short of, and the number that sizes attribution
+    * lookbacks (q251's 7-day window) and re-marketing timers from
+    * data instead of folklore.
+    *
+    * Scale shape: ONE user_id aggregation pass — fv and the user's
+    * purchase-time list ride the SAME groupBy (a separate purchase
+    * branch gets its own pushed-down filter and a second scan, caught
+    * live by ReuseAudit), and "first purchase after fv" is an
+    * order-independent array_min over the post-agg filtered list
+    * (per-user lists are bounded, the q27 argument); output is a
+    * ≤ 6-cell histogram. */
+  val timeToConvert: Q = Q(
+    "q257_time_to_convert",
+    (s, d) => {
+      val gap = Tables.events(s, d)
+        .filter(col("user_id").isNotNull &&
+          col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("tus"))).as("fv"),
+          collect_list(when(col("event_type") === "purchase", col("tus")))
+            .as("ps"))
+        .filter(col("fv").isNotNull)
+        .withColumn("fp", array_min(filter(col("ps"), x => x > col("fv"))))
+        .filter(col("fp").isNotNull)
+        .select(col("user_id"), (col("fp") - col("fv")).as("gap_us"))
+      gap
+        .groupBy(when(col("gap_us") < 1000000L, 1)
+          .when(col("gap_us") < 10000000L, 2)
+          .when(col("gap_us") < 60000000L, 3)
+          .when(col("gap_us") < 600000000L, 4)
+          .when(col("gap_us") < 3600000000L, 5).otherwise(6).as("ord"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"))
+        .orderBy("ord")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+          epoch_us(ts) AS tus FROM events
+        WHERE user_id IS NOT NULL
+          AND event_type IN ('view', 'purchase')),
+      a AS (SELECT user_id,
+          min(CASE WHEN event_type = 'view' THEN tus END) AS fv,
+          list(tus) FILTER (WHERE event_type = 'purchase') AS ps
+        FROM e GROUP BY 1 HAVING fv IS NOT NULL),
+      g AS (SELECT user_id,
+          list_min(list_filter(ps, x -> x > fv)) - fv AS gap_us
+        FROM a
+        WHERE list_min(list_filter(ps, x -> x > fv)) IS NOT NULL)
+      SELECT CASE WHEN gap_us < 1000000 THEN 1
+          WHEN gap_us < 10000000 THEN 2
+          WHEN gap_us < 60000000 THEN 3
+          WHEN gap_us < 600000000 THEN 4
+          WHEN gap_us < 3600000000 THEN 5 ELSE 6 END AS ord,
+        count(*) AS n_users,
+        min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
+      FROM g GROUP BY 1 ORDER BY 1"""))
+
   /** q236 — k-anonymity audit over the event release projection: if the
     * events table were published keyed by the quasi-identifiers
     * (event_type, day, value band), how identifiable is each row? Every
@@ -2217,6 +2280,7 @@ object Relational {
     rollupMerge, latenessAudit, burstAudit, eventFunnel,
     sessionCooccurrence, cusumDrift, kAnonymity, userTypeHhi,
     interArrival, rollupRetraction, lastTouchAttribution,
+    timeToConvert,
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,
     joinLeftOuter, joinMultiwayAgg, joinSemi, joinAnti,
     groupCount, globalCount, distinctSingle, distinctMulti,

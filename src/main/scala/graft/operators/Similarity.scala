@@ -1959,6 +1959,90 @@ object Similarity {
     bench = true)
 
   // ------------------------------------------------------------------
+  // q256 — ranker agreement audit: per query, how much the LEXICAL
+  // top-10 (BM25) and the SEMANTIC top-10 (cosine ANN) agree —
+  // overlap, Jaccard@10 and the mean rank displacement of shared docs.
+  // The q212 fusion assumes the rankers disagree productively; this is
+  // the measurement (near-total agreement → fusion buys nothing, run
+  // one ranker; near-zero overlap → the embedding and the lexical
+  // index are seeing different corpora — usually a pipeline bug, the
+  // doc_id ↔ vec_id identification drifting). Same machinery as q212
+  // minus the fusion: two bounded top-10 frames, one full-outer join
+  // of ≤ 8·10-row sides, exact-integer ranks throughout; Jaccard@10
+  // and mean displacement are single IEEE divisions of exact longs.
+  // ------------------------------------------------------------------
+  val rankerAgreement: Q = Q(
+    "q256_ranker_agreement",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bm = Bm25Index.bm25TopKFrame(s, d)
+        .select(col("qid"), col("doc_id"), col("rank").as("bm25_rank"))
+      val w = graft.CacheScope.cached(normed(s, d))
+      val qv = w.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qnrm"))
+      val ann = w.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          (dot("e", "qe") / (col("nrm") * col("qnrm"))).as("cosine"))
+        .withColumn("ann_rank", row_number().over(
+            Window.partitionBy("qid")
+              .orderBy(col("cosine").desc, col("doc_id")))
+          .cast("long"))
+        .filter(col("ann_rank") <= 10)
+        .select("qid", "doc_id", "ann_rank")
+      val both = col("bm25_rank").isNotNull && col("ann_rank").isNotNull
+      bm.join(ann, Seq("qid", "doc_id"), "full_outer")
+        .groupBy("qid")
+        .agg(count(when(both, 1)).as("overlap"),
+          count(lit(1)).as("union_n"),
+          sum(when(both, abs(col("bm25_rank") - col("ann_rank")))
+            .otherwise(0L)).cast("long").as("displacement"))
+        .select(col("qid"), col("overlap"), col("union_n"),
+          (col("overlap").cast("double") / col("union_n")).as("jaccard10"),
+          col("displacement"),
+          when(col("overlap") > 0,
+            col("displacement").cast("double") / col("overlap"))
+            .as("mean_displacement"))
+        .orderBy("qid")
+    },
+    Some(s"""WITH ${Bm25Index.sqlBm25Chain},
+      $sqlNormed,
+      qv AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM w
+        WHERE vec_id < 8),
+      annall AS (SELECT qv.qid, w.vec_id AS doc_id,
+          ${sqlDot("w.e", "qv.qe")} / (w.nrm * qv.qnrm) AS cosine
+        FROM w, qv WHERE w.vec_id <> qv.qid),
+      anntop AS (SELECT qid, doc_id, rnk AS ann_rank FROM (
+          SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+            ORDER BY cosine DESC, doc_id) AS rnk
+          FROM annall)
+        WHERE rnk <= 10),
+      bm AS (SELECT qid, doc_id, rnk AS bm25_rank FROM bmtop
+        WHERE rnk <= 10),
+      j AS (SELECT coalesce(bm.qid, a.qid) AS qid,
+          bm.bm25_rank, a.ann_rank
+        FROM bm FULL OUTER JOIN anntop a
+          ON bm.qid = a.qid AND bm.doc_id = a.doc_id)
+      SELECT qid,
+        cast(count_if(bm25_rank IS NOT NULL AND ann_rank IS NOT NULL)
+          as bigint) AS overlap,
+        cast(count(*) as bigint) AS union_n,
+        cast(count_if(bm25_rank IS NOT NULL AND ann_rank IS NOT NULL)
+          as double) / count(*) AS jaccard10,
+        cast(sum(CASE WHEN bm25_rank IS NOT NULL AND ann_rank IS NOT NULL
+          THEN abs(bm25_rank - ann_rank) ELSE 0 END) as bigint)
+          AS displacement,
+        CASE WHEN count_if(bm25_rank IS NOT NULL AND ann_rank IS NOT NULL)
+            > 0
+          THEN cast(sum(CASE WHEN bm25_rank IS NOT NULL
+              AND ann_rank IS NOT NULL
+              THEN abs(bm25_rank - ann_rank) ELSE 0 END) as double)
+            / count_if(bm25_rank IS NOT NULL AND ann_rank IS NOT NULL)
+          END AS mean_displacement
+      FROM j GROUP BY qid ORDER BY qid"""))
+
+  // ------------------------------------------------------------------
   // q213 — EMBEDDING-SPACE HEALTH per label: cosine dispersion of each
   // label's members around its own centroid — the collapse/anisotropy
   // audit (cf. Ethayarajh 2019) run before trusting an embedding
@@ -2056,5 +2140,5 @@ object Similarity {
     mrlRecallEval, int8RecallEval, filteredAnnRecall, multiProbeLshRecall,
     mmrRerank, retrievalMetrics,
     hardNegatives, maxSimScores, attributionProbe, hybridFusion,
-    embeddingHealth)
+    embeddingHealth, rankerAgreement)
 }

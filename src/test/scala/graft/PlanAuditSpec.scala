@@ -426,6 +426,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // the cached normed frame over embeddings (ReuseAudit: cold
       // documents=1; the 2s are textual cache-state headroom)
       "q212_hybrid_rrf" -> Map("documents" -> 2, "embeddings" -> 2),
+      // q212's exact machinery minus the fusion (same cached postings
+      // + cached normed frame; same textual cache-state headroom)
+      "q256_ranker_agreement" -> Map("documents" -> 2, "embeddings" -> 2),
       // TEXTUAL count (the q169/q176 caveat): ONE cached component
       // explode whose build prints its FileScan body at the centroid,
       // join and cnorm InMemoryTableScan sites; cold file reads = 1
