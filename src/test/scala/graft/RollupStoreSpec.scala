@@ -127,6 +127,35 @@ class RollupStoreSpec extends AnyFunSuite {
     assert(RollupStore.appliedOp(spark, dir).contains(2L))
   }
 
+  test("delete crash + recover + blind op-id replay lands on exactly-once state") {
+    // the dangerous half: a REPLAYED delete double-subtracts unless the
+    // marker blocks it — and the marker must travel with the swap
+    for (crashAt <- Seq("written", "aside", "swapped")) {
+      val dir = freshDir()
+      RollupStore.buildAtomic(spark, facts, dir, Some(0L))
+      intercept[RuntimeException] {
+        RollupStore.deleteImpl(spark, facts, forget, dir,
+          p => if (p == crashAt) throw new RuntimeException(s"boom:$p"),
+          Some(1L))
+      }
+      RollupStore.recover(spark, dir)
+      // blind replay with the SAME op id: if the crash happened before
+      // the aside rename the delete never landed (marker still 0) and
+      // the replay must APPLY; after it, the marker is 1 and the
+      // replay must SKIP — either way the final state is one delete
+      RollupStore.delete(spark, facts, forget, dir, Some(1L))
+      val expected = rows(RollupStore.query(spark, {
+        val d2 = freshDir()
+        RollupStore.build(spark,
+          facts.join(broadcast(forget), Seq("user_id"), "left_anti"), d2)
+        d2
+      }))
+      assert(rows(RollupStore.query(spark, dir)) == expected,
+        s"crash at $crashAt: delete not exactly-once after recover+replay")
+      assert(RollupStore.appliedOp(spark, dir).contains(1L))
+    }
+  }
+
   test("streaming maintenance: first batch builds, later batches merge, final store equals one-shot build") {
     import spark.implicits._
     import graft.streaming.RollupMaintenance
