@@ -24,10 +24,12 @@ import org.apache.spark.sql.functions._
   *     bit-equal to a fresh build (the append law in Bm25IndexSpec).
   *     Zero-token docs carry no postings and no stats mass — they are
   *     unscorable by construction, documented index semantics.
-  *   - `tombstones/` — (doc_id) pending deletes; [[probe]] anti-joins
-  *     them out BEFORE df/scoring (a delete immediately stops
-  *     contributing df — probe-after-delete equals
-  *     probe-after-compact, spec-pinned), [[compact]] applies them
+  *   - `tombstones/` — (doc_id, n, dl) pending deletes; [[probe]]
+  *     anti-joins them out BEFORE df/scoring AND subtracts their
+  *     recorded (n_docs, total_dl) mass from stats, so a deleted doc
+  *     stops contributing df, idf AND avgdl immediately —
+  *     probe-after-delete equals probe-after-compact EXACTLY
+  *     (spec-pinned, the strong law). [[compact]] applies them
   *     physically and clears last.
   *
   * Scoring is q193's exact discipline: unlogged idf
@@ -144,59 +146,137 @@ object Bm25Index {
       df.join(broadcast(t.select(col("doc_id").as("__ts_id"))),
         col("doc_id") === col("__ts_id"), "left_anti"))
 
-  /** Top-k per query against the PERSISTED index. The query workload's
-    * distinct terms are collected (query-bounded, the codebook-collect
-    * class) and pushed into the postings scan as an `isin` filter so
-    * only the probed terms' files/row-groups are read; tombstoned docs
-    * are anti-joined out BEFORE df computation and scoring. */
-  def probe(spark: SparkSession, queries: DataFrame, indexDir: String,
-      k: Int = TopK): DataFrame = {
-    val terms = queries.select("term").distinct()
-      .collect().map(_.getString(0)).toSeq
-    val post = minusTombstones(
-      spark.read.parquet(s"$indexDir/postings")
-        .filter(col("term").isin(terms: _*)),
-      tombstonesOf(spark, indexDir))
+  /** Stats with pending tombstones' mass subtracted: [[delete]]
+    * records each victim's (n=1, dl) at delete time, so the probe-side
+    * correction is one broadcast-scale aggregate — n_docs and avgdl
+    * see the delete immediately, making probe-after-delete ≡
+    * probe-after-compact EXACT (Bm25IndexSpec pins it bit-equal). */
+  private def statsMinusTombstones(spark: SparkSession, indexDir: String,
+      ts: Option[DataFrame]): DataFrame = {
     val stats = spark.read.parquet(s"$indexDir/stats")
-    scoreTopK(post, stats, queries, k)
+    ts match {
+      case Some(t) if t.columns.contains("dl") =>
+        val d = t.agg(
+          coalesce(sum(col("n")), lit(0L)).as("tn"),
+          coalesce(sum(col("dl")), lit(0L)).as("tdl"))
+        stats.crossJoin(broadcast(d))
+          .select((col("n_docs") - col("tn")).as("n_docs"),
+            (col("total_dl") - col("tdl")).as("total_dl"))
+      case _ => stats
+    }
+  }
+
+  /** Distinct query terms under this count are collected and pushed
+    * into the postings scan as an `isin` literal list (file/row-group
+    * pruning); above it the driver collect and the literal list become
+    * the funnel, so the probe switches to a broadcast semi-join (the
+    * learnBpeAuto workload-gating pattern). */
+  val TermPushdownBudget = 512L
+
+  /** Top-k per query against the PERSISTED index. Under
+    * [[TermPushdownBudget]] distinct terms the workload is collected
+    * (query-bounded, the codebook-collect class) and pushed into the
+    * postings scan as an `isin` filter so only the probed terms'
+    * files/row-groups are read; a larger workload is instead pruned by
+    * a broadcast left-semi join — no driver collect, no mega-literal
+    * plan. Both paths are bit-equal (spec-pinned). Tombstoned docs are
+    * anti-joined out BEFORE df computation and scoring, and their
+    * stats mass is subtracted (see [[statsMinusTombstones]]). */
+  def probe(spark: SparkSession, queries: DataFrame, indexDir: String,
+      k: Int = TopK, termBudget: Long = TermPushdownBudget): DataFrame = {
+    val qTerms = queries.select("term").distinct()
+    val nTerms = qTerms.count()
+    val scan = spark.read.parquet(s"$indexDir/postings")
+    val pruned =
+      if (nTerms <= termBudget) {
+        val terms = qTerms.collect().map(_.getString(0)).toSeq
+        scan.filter(col("term").isin(terms: _*))
+      } else scan.join(broadcast(qTerms), Seq("term"), "left_semi")
+    val ts = tombstonesOf(spark, indexDir)
+    scoreTopK(minusTombstones(pruned, ts),
+      statsMinusTombstones(spark, indexDir, ts), queries, k)
+  }
+
+  /** Last applied maintenance op id, or None — the [[RollupStore]]
+    * exactly-once discipline: the marker is written INSIDE the staged
+    * stats dir before the swap, so it travels ATOMICALLY with the
+    * stats update that ends every [[append]]. A crash between the
+    * postings append and the stats swap leaves the marker at its old
+    * value — DETECTABLE staleness (the caller replays the batch and
+    * [[refreshStats]] repairs; [[graft.streaming.IngestPipeline]] does
+    * exactly this). */
+  def appliedOp(spark: SparkSession, indexDir: String): Option[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/stats/_applied_op")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
+      finally in.close()
+    }
   }
 
   /** Append a (doc_id, text) batch: postings rows append; the one-row
     * stats table is replaced with the EXACT integer sum of old + new
     * (additive, so append ≡ fresh build bit-for-bit — spec law). The
     * caller must not append doc_ids already in the index (the admit
-    * gates — q127/q159 — own that decision). A crash between the two
-    * writes leaves stats stale; [[refreshStats]] repairs by
+    * gates — q127/q159 — own that decision). With `opId` set, ids at
+    * or below the stored `_applied_op` are skipped (returns false) and
+    * the marker swaps atomically with the stats table. A crash between
+    * the two writes leaves stats stale WITH the old marker, so the
+    * staleness is detectable on replay; [[refreshStats]] repairs by
     * recomputing from postings, and the spec pins recompute ≡
     * additive. */
-  def append(spark: SparkSession, batch: DataFrame, indexDir: String): Unit = {
+  def append(spark: SparkSession, batch: DataFrame, indexDir: String,
+      opId: Option[Long] = None): Boolean =
+    appendImpl(spark, batch, indexDir, _ => (), opId)
+
+  /** [[append]] with an injectable crash point (spec-only seam —
+    * called with "postings:appended" / "stats:swapped"). */
+  private[graft] def appendImpl(spark: SparkSession, batch: DataFrame,
+      indexDir: String, crashPoint: String => Unit,
+      opId: Option[Long] = None): Boolean = {
+    if (opId.exists(id => appliedOp(spark, indexDir).exists(_ >= id)))
+      return false
     val p = postingsOf(spark, batch).cache()
     try {
       p.repartition(col("term"))
         .write.mode("append").parquet(s"$indexDir/postings")
+      crashPoint("postings:appended")
       val merged = statsFrom(p).unionAll(
           spark.read.parquet(s"$indexDir/stats"))
         .agg(sum(col("n_docs")).as("n_docs"),
           sum(col("total_dl")).as("total_dl"))
-      writeStatsAside(spark, merged, indexDir)
+      writeStatsAside(spark, merged, indexDir, opId)
+      crashPoint("stats:swapped")
       refreshIndex(spark, indexDir)
     } finally { p.unpersist(); () }
+    true
   }
 
   /** Recompute `stats/` from the live postings — the idempotent repair
     * for a crashed [[append]] (and the ground truth the additive merge
-    * must equal). */
-  def refreshStats(spark: SparkSession, indexDir: String): Unit = {
+    * must equal). `opId` stamps the repaired stats as that op;
+    * without it the existing marker (if any) is preserved, so a
+    * maintenance recompute ([[compact]]) never loses the exactly-once
+    * high-water mark. */
+  def refreshStats(spark: SparkSession, indexDir: String,
+      opId: Option[Long] = None): Unit = {
+    val keep = opId.orElse(appliedOp(spark, indexDir))
     writeStatsAside(spark,
-      statsFrom(spark.read.parquet(s"$indexDir/postings")), indexDir)
+      statsFrom(spark.read.parquet(s"$indexDir/postings")), indexDir, keep)
     refreshIndex(spark, indexDir)
   }
 
   /** The 1-row stats table cannot be overwritten in place (a crash
     * mid-write corrupts it): stage, swap aside, delete — the
-    * [[LshBandIndex]] rename-aside discipline. */
+    * [[LshBandIndex]] rename-aside discipline. The op marker is
+    * written into the staged dir BEFORE the swap ([[RollupStore]]'s
+    * atomicity trick). */
   private def writeStatsAside(spark: SparkSession, stats: DataFrame,
-      indexDir: String): Unit = {
+      indexDir: String, opId: Option[Long]): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     def P(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -204,18 +284,37 @@ object Bm25Index {
     val tmp = s"$indexDir/stats_compact_tmp"
     val old = s"$indexDir/stats_compact_old"
     stats.coalesce(1).write.mode("overwrite").parquet(tmp)
+    opId.foreach { id =>
+      val out = fs.create(P(s"$tmp/_applied_op"), true)
+      try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    }
     if (fs.exists(P(live))) fs.rename(P(live), P(old))
     fs.rename(P(tmp), P(live))
     fs.delete(P(old), true)
     ()
   }
 
-  /** Logical delete: record tombstones. [[probe]] hides them
-    * immediately; [[compact]] applies them physically. */
+  /** Logical delete: record tombstones carrying each victim's stats
+    * mass (n=1 and its dl, looked up from postings ONCE at delete
+    * time — deletes are rare, the scan is the price of the strong
+    * probe law; ids not in the index contribute no mass). Already-
+    * tombstoned ids are anti-joined out so a re-delete can never
+    * double-subtract. [[probe]] hides tombstones AND subtracts their
+    * mass immediately; [[compact]] applies them physically. */
   def delete(spark: SparkSession, docIds: Seq[Long], indexDir: String): Unit = {
     import spark.implicits._
-    docIds.toDF("doc_id")
-      .write.mode("append").parquet(s"$indexDir/tombstones")
+    val ids = docIds.toDF("doc_id")
+    // inner join: only docs PRESENT in the index carry mass (n=1, dl).
+    // An absent id needs no tombstone at all — it cannot be served and
+    // never contributed to stats.
+    val rows = spark.read.parquet(s"$indexDir/postings")
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(min(col("dl")).as("dl"))
+      .select(col("doc_id"), lit(1L).as("n"), col("dl"))
+    val pruned = tombstonesOf(spark, indexDir).fold(rows)(t =>
+      rows.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
+      .localCheckpoint()
+    pruned.write.mode("append").parquet(s"$indexDir/tombstones")
     refreshIndex(spark, indexDir)
   }
 

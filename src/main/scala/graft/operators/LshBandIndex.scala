@@ -192,8 +192,31 @@ object LshBandIndex {
     * rejected-at-jaccard-1.0 on re-evaluation). At cluster scale pass
     * `bucketCap = Some(Dedup.BandBucketCap)` — see the cap comment in
     * [[audit]]; the default None keeps q159's exact published
-    * semantics. */
+    * semantics.
+    *
+    * Crash discipline (the IngestPipeline seam): `sets` is written
+    * BEFORE `bands`. A doc with sets-but-no-bands is invisible to the
+    * probe (candidates form on band collisions only) and is simply
+    * re-admitted on replay — its bands then land and its sets append
+    * is skipped by the anti-join guard below. The REVERSE order would
+    * leave bands whose exact-jaccard verification row is missing, so a
+    * future duplicate collides, fails verification, and is wrongly
+    * ADMITTED (a dup leak). The guard also makes replay of any torn
+    * state converge with no duplicate rows: each table is appended
+    * only for survivors it does not already hold. (A crash INSIDE one
+    * parquet append job can still leave a doc with a subset of its 8
+    * band rows — that degrades that one doc's future-dup recall, never
+    * an admit bit; a cluster deployment closes it with a manifest
+    * commit layer.) */
   def admit(spark: SparkSession, batch: DataFrame, indexDir: String,
+      appendSurvivors: Boolean = true,
+      bucketCap: Option[Long] = None): DataFrame =
+    admitImpl(spark, batch, indexDir, _ => (), appendSurvivors, bucketCap)
+
+  /** [[admit]] with an injectable crash point (spec-only seam —
+    * called with "audited" / "sets:appended" / "bands:appended"). */
+  private[graft] def admitImpl(spark: SparkSession, batch: DataFrame,
+      indexDir: String, crashPoint: String => Unit,
       appendSurvivors: Boolean = true,
       bucketCap: Option[Long] = None): DataFrame = {
     val signed = Dedup.signedSetsOf(spark, batch).cache()
@@ -206,13 +229,29 @@ object LshBandIndex {
       val iSets = spark.read.parquet(s"$indexDir/sets")
       val a = audit(signed, iBands, iSets, bucketCap)
         .orderBy("doc_id").localCheckpoint()
+      crashPoint("audited")
       if (appendSurvivors) {
         val surv = signed.join(
           a.filter(col("admitted") === 1L).select("doc_id"), "doc_id")
+        // idempotence guard: a replay of a torn admit re-admits a doc
+        // whose sets row already landed (it has no bands yet, so the
+        // audit cannot self-reject it) — appending its sets again
+        // would double its verification rows. Batch-bounded id list,
+        // materialized so the write job never reads the dir it writes.
+        val newSetIds = surv.select("doc_id")
+          .join(spark.read.parquet(s"$indexDir/sets").select("doc_id"),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        surv.join(newSetIds, "doc_id").select("doc_id", "sh")
+          .write.mode("append").parquet(s"$indexDir/sets")
+        crashPoint("sets:appended")
+        // every survivor lacks bands (bands+sets ⇒ rejected at 1.0;
+        // bands-without-sets is unreachable under this write order),
+        // so the bands append needs no guard
         bandsOf(surv)
           .repartition(col("bh")) // keep build()'s co-location invariant across appends
           .write.mode("append").parquet(s"$indexDir/bands")
-        surv.select("doc_id", "sh").write.mode("append").parquet(s"$indexDir/sets")
+        crashPoint("bands:appended")
       }
       a
     } finally { signed.unpersist(); () }

@@ -12,17 +12,37 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   quality gate (q31 poor rule, stateless scan filter)
   *     → near-dup admit against the persisted LSH band index
   *       ([[LshBandIndex.admit]] — probes, verifies exact jaccard,
-  *       appends survivors' bands/sets)
+  *       appends survivors' sets-then-bands)
   *     → BM25 inverted-index append of the admitted docs
   *       ([[Bm25Index.append]] — postings + additive stats)
   *
-  * Replay safety comes from the DEDUP GATE, not the sink: re-feeding
-  * an already-ingested wire finds every doc at jaccard 1.0 in the LSH
-  * index and admits nothing, so the BM25 append is skipped and both
-  * indexes are byte-stable — exactly-once EFFECT without idempotent
-  * writes (IngestPipelineSpec replays the wire and pins both tables
-  * unchanged). This is the q159 admit-replay property promoted to the
-  * whole pipeline.
+  * Replay safety is layered (exactly-once EFFECT under any crash
+  * point, IngestPipelineSpec crash-injects every seam):
+  *
+  *  1. Whole-batch skip: the streaming batchId is stamped as a
+  *     [[Bm25Index.appliedOp]] marker that lands ATOMICALLY with the
+  *     batch's final write (the stats swap ending the BM25 append —
+  *     the [[graft.operators.RollupStore]] op-id discipline). A batch
+  *     whose marker landed is skipped in full before any index read.
+  *  2. Clean replay (crash before any append): the dedup gate —
+  *     re-feeding an unappended wire just re-runs it.
+  *  3. Torn replay (crash BETWEEN the LSH append and the BM25 append,
+  *     or inside the LSH append itself): the batch's admitted set is
+  *     recovered from LSH `sets` MEMBERSHIP, not from the re-run audit
+  *     alone — a doc this batch already appended to the LSH index is
+  *     rejected by the audit at jaccard 1.0 (it finds itself), which
+  *     without the membership union would permanently drop it from the
+  *     BM25 index (the round-12 defect). The repair path then appends
+  *     only the docs missing from BM25 postings and recomputes stats
+  *     from ground truth ([[Bm25Index.refreshStats]] — covers a crash
+  *     between the postings append and the stats swap too), stamping
+  *     the marker last.
+  *
+  * The membership union is exact because doc ids are append-only
+  * across batches (the persisted-index lifecycle convention): a clean
+  * batch's docs are never pre-listed in `sets`, so the repair semi-join
+  * fires only on genuine replays — and the extra postings doc_id scan
+  * it needs runs only then (nAll > nNow), never on the hot path.
   */
 object IngestPipeline {
 
@@ -33,32 +53,75 @@ object IngestPipeline {
   val MinTokens = 20
 
   /** One batch through the full pipeline. Returns the number of docs
-    * admitted (and therefore appended to both indexes). */
+    * admitted (and therefore present in both indexes). With `opId` set
+    * (the streaming path passes the micro-batch id) the batch is
+    * exactly-once under replay at EVERY crash point. */
   def ingestBatch(spark: SparkSession, batch: DataFrame,
-      lshDir: String, bm25Dir: String): Long = {
+      lshDir: String, bm25Dir: String, opId: Option[Long] = None): Long =
+    ingestBatchImpl(spark, batch, lshDir, bm25Dir, _ => (), opId)
+
+  /** [[ingestBatch]] with an injectable crash point (spec-only seam —
+    * called with "lsh:appended" before the BM25 side starts, plus the
+    * seams [[LshBandIndex.admitImpl]] exposes via composition). */
+  private[graft] def ingestBatchImpl(spark: SparkSession, batch: DataFrame,
+      lshDir: String, bm25Dir: String, crashPoint: String => Unit,
+      opId: Option[Long] = None): Long = {
+    // layer 1: the whole batch already landed (marker swapped in with
+    // its final write) — skip before touching either index
+    if (opId.exists(id => Bm25Index.appliedOp(spark, bm25Dir).exists(_ >= id)))
+      return 0L
     graft.functions.TextFunctions.register(spark)
     val clean = batch.select(col("doc_id"), col("text"))
       .filter(size(graft.Dsl.toks(col("text"))) >= MinTokens)
     if (clean.isEmpty) return 0L
-    val audit = LshBandIndex.admit(spark, clean, lshDir)
-    val admitted = clean.join(
+    val audit = LshBandIndex.admitImpl(spark, clean, lshDir, crashPoint)
+    crashPoint("lsh:appended")
+    val admittedNow = clean.join(
       audit.filter(col("admitted") === 1L).select("doc_id"), "doc_id")
-    val n = admitted.count()
-    if (n > 0) Bm25Index.append(spark, admitted, bm25Dir)
-    n
+    // layer 3: the batch's FULL admitted set is its post-append `sets`
+    // membership — survivors this run admitted plus survivors a crashed
+    // earlier run of the same batch already appended (which the audit
+    // re-rejects at jaccard 1.0 against themselves)
+    val admitted = clean.join(
+      spark.read.parquet(s"$lshDir/sets").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val nNow = admittedNow.count()
+    val nAll = admitted.count()
+    if (nAll == 0L) return 0L
+    if (nAll == nNow) {
+      // hot path: no replay evidence — plain additive append, marker
+      // swaps in with the stats write
+      Bm25Index.appendImpl(spark, admittedNow, bm25Dir, crashPoint, opId)
+      ()
+    } else {
+      // replay repair: append only the docs BM25 does not hold yet,
+      // then recompute stats from postings (ground truth — also heals
+      // a crash that landed postings but not stats) and stamp the op
+      // materialized (batch-bounded) so the append job never reads the
+      // postings dir it is writing to
+      val missing = admitted.join(
+        spark.read.parquet(s"$bm25Dir/postings").select("doc_id"),
+        Seq("doc_id"), "left_anti").localCheckpoint()
+      crashPoint("bm25:repair")
+      if (!missing.isEmpty)
+        Bm25Index.append(spark, missing, bm25Dir)
+      Bm25Index.refreshStats(spark, bm25Dir, opId)
+    }
+    nAll
   }
 
   /** Start the streaming form: every micro-batch runs [[ingestBatch]]
     * via foreachBatch (the per-batch work is index maintenance —
-    * multi-table writes no streaming sink expresses directly). */
+    * multi-table writes no streaming sink expresses directly), with
+    * the micro-batch id as the exactly-once op id. */
   def start(docs: Dataset[Doc], lshDir: String, bm25Dir: String,
       checkpointDir: String): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("1 second"))
-      .foreachBatch { (b: Dataset[Doc], _: Long) =>
-        ingestBatch(b.sparkSession, b.toDF(), lshDir, bm25Dir)
+      .foreachBatch { (b: Dataset[Doc], batchId: Long) =>
+        ingestBatch(b.sparkSession, b.toDF(), lshDir, bm25Dir, Some(batchId))
         ()
       }
       .start()

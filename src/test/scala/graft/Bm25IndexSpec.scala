@@ -79,15 +79,23 @@ class Bm25IndexSpec extends AnyFunSuite {
     Bm25Index.delete(spark, Seq(victim), probeDir)
     val hidden = rowsOf(Bm25Index.probe(spark, queries, probeDir))
     assert(!hidden.exists(_._3 == victim), "tombstoned doc still served")
-    // logical hide == fresh build over the survivors (df AND stats
-    // shift — the strong law; stats here come from the pre-delete
-    // snapshot, so equality requires compact first)
-    Bm25Index.compact(spark, probeDir)
-    val applied = rowsOf(Bm25Index.probe(spark, queries, probeDir))
     val survivorDir = tmpDir()
     Bm25Index.build(spark, corpus.filter(col("doc_id") =!= victim),
       survivorDir)
-    assert(applied == rowsOf(Bm25Index.probe(spark, queries, survivorDir)),
+    val survProbe = rowsOf(Bm25Index.probe(spark, queries, survivorDir))
+    // the STRONG law: the tombstone carries the victim's (n, dl) mass,
+    // so df, idf AND avgdl all see the delete immediately —
+    // probe-after-delete ≡ fresh build over the survivors, pre-compact
+    assert(hidden == survProbe,
+      "probe-after-delete diverges from a fresh survivors build")
+    // re-delete is idempotent: the tombstone guard must not subtract
+    // the victim's stats mass twice
+    Bm25Index.delete(spark, Seq(victim), probeDir)
+    assert(rowsOf(Bm25Index.probe(spark, queries, probeDir)) == survProbe,
+      "double delete double-subtracted the victim's stats mass")
+    Bm25Index.compact(spark, probeDir)
+    val applied = rowsOf(Bm25Index.probe(spark, queries, probeDir))
+    assert(applied == survProbe,
       "compacted index diverges from a fresh build over the survivors")
     // crash injection: every compact step is repaired by recover + rerun
     for (crashAt <- Seq("postings:written", "postings:aside",
@@ -104,6 +112,53 @@ class Bm25IndexSpec extends AnyFunSuite {
       assert(rowsOf(Bm25Index.probe(spark, queries, dir)) == applied,
         s"crash at $crashAt not repaired")
     }
+  }
+
+  test("workload gate: over-budget probe (semi-join path) is bit-equal to the isin pushdown") {
+    val dir = tmpDir()
+    Bm25Index.build(spark, corpus, dir)
+    val pushed = rowsOf(Bm25Index.probe(spark, queries, dir))
+    // termBudget = 0 forces every workload over budget → the broadcast
+    // left-semi path, no driver term collect
+    val semi = rowsOf(Bm25Index.probe(spark, queries, dir, termBudget = 0L))
+    assert(pushed == semi, "semi-join probe diverges from the isin probe")
+    assert(pushed.nonEmpty, "vacuous")
+  }
+
+  test("append op marker: replayed op id is skipped; stale stats are detectable and repairable") {
+    val a = corpus.filter(col("doc_id") % 10 < 8)
+    val b = corpus.filter(col("doc_id") % 10 >= 8)
+    val dir = tmpDir()
+    Bm25Index.build(spark, a, dir)
+    assert(Bm25Index.appliedOp(spark, dir).isEmpty, "fresh index has no marker")
+    assert(Bm25Index.append(spark, b, dir, opId = Some(7L)), "first apply runs")
+    assert(Bm25Index.appliedOp(spark, dir).contains(7L), "marker landed with stats")
+    val after = rowsOf(Bm25Index.probe(spark, queries, dir))
+    assert(!Bm25Index.append(spark, b, dir, opId = Some(7L)),
+      "replayed op id must be skipped")
+    assert(rowsOf(Bm25Index.probe(spark, queries, dir)) == after,
+      "skipped replay still changed the index")
+    // maintenance recompute must not lose the high-water mark
+    Bm25Index.refreshStats(spark, dir)
+    assert(Bm25Index.appliedOp(spark, dir).contains(7L),
+      "refreshStats dropped the op marker")
+
+    // crash between the postings append and the stats swap: the marker
+    // stays at its old value, so the staleness is DETECTABLE; the
+    // repair (refreshStats with the op id) restores the append law
+    val dir2 = tmpDir()
+    Bm25Index.build(spark, a, dir2)
+    intercept[RuntimeException] {
+      Bm25Index.appendImpl(spark, b, dir2, p =>
+        if (p == "postings:appended") throw new RuntimeException("boom"),
+        opId = Some(3L))
+    }
+    assert(Bm25Index.appliedOp(spark, dir2).isEmpty,
+      "torn append must not claim its op id")
+    Bm25Index.refreshStats(spark, dir2, opId = Some(3L))
+    assert(Bm25Index.appliedOp(spark, dir2).contains(3L))
+    assert(rowsOf(Bm25Index.probe(spark, queries, dir2)) == after,
+      "repaired torn append diverges from the clean append")
   }
 
   test("probe plan reads only index parquet and prunes to the probed terms") {

@@ -83,4 +83,91 @@ class IngestPipelineSpec extends AnyFunSuite {
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(lshDocs2 == Set(1L, 2L, 12L), "replay must not grow the LSH index")
   }
+
+  // ------------------------------------------------------------------
+  // Crash injection at every pipeline seam: a crash followed by a
+  // replay of the SAME batch id must converge both indexes to the
+  // clean-run state — in particular the round-12 defect seam (crash
+  // between the LSH append and the BM25 append), where the replayed
+  // audit rejects the batch at jaccard 1.0 and, without the membership
+  // repair, the docs would permanently never enter the BM25 index.
+  // ------------------------------------------------------------------
+
+  private def wire() = {
+    import spark.implicits._
+    val seedText = (1 to 40).map(i => s"seed$i alpha$i").mkString(" ")
+    Seq(
+      Doc(10L, "too short to index"),                 // poor: gated
+      Doc(11L, seedText.replace("alpha7", "alphaX")), // near-dup of 1
+      Doc(12L, (1 to 40).map(i => s"fresh$i gamma$i").mkString(" "))).toDF()
+  }
+
+  /** Full observable state of both indexes, order-normalized. */
+  private def indexState(lsh: String, bm: String) = (
+    spark.read.parquet(s"$lsh/sets").collect().map(_.toString).sorted.toSeq,
+    spark.read.parquet(s"$lsh/bands").collect().map(_.toString).sorted.toSeq,
+    spark.read.parquet(s"$bm/postings").collect().map(_.toString).sorted.toSeq,
+    spark.read.parquet(s"$bm/stats").collect().map(_.toString).toSeq,
+    operators.Bm25Index.appliedOp(spark, bm))
+
+  test("crash at every seam + replay converges to the clean-run state; done batches skip in full") {
+    // the clean run is the target state
+    val (lshC, bmC) = freshIndexes()
+    assert(IngestPipeline.ingestBatch(spark, wire(), lshC, bmC,
+      opId = Some(1L)) == 1L)
+    val want = indexState(lshC, bmC)
+    assert(want._5.contains(1L), "clean run must stamp the op marker")
+
+    val seams = Seq("audited", "sets:appended", "bands:appended",
+      "lsh:appended", "postings:appended")
+    for (seam <- seams) {
+      val (lsh, bm) = freshIndexes()
+      intercept[RuntimeException] {
+        IngestPipeline.ingestBatchImpl(spark, wire(), lsh, bm,
+          p => if (p == seam) throw new RuntimeException(s"boom at $p"),
+          opId = Some(1L))
+      }
+      // replay of the same batch id repairs whatever the crash tore
+      val n = IngestPipeline.ingestBatch(spark, wire(), lsh, bm,
+        opId = Some(1L))
+      assert(n == 1L, s"replay after crash at $seam admitted $n")
+      assert(indexState(lsh, bm) == want,
+        s"crash at $seam + replay diverges from the clean run")
+      // a further replay is skipped in full by the op marker
+      assert(IngestPipeline.ingestBatch(spark, wire(), lsh, bm,
+        opId = Some(1L)) == 0L, s"completed batch not skipped after $seam")
+      assert(indexState(lsh, bm) == want,
+        s"skipped replay still changed state after $seam")
+    }
+
+    // stats:swapped fires after the marker landed with the final write:
+    // the replay must SKIP in full, not re-run
+    val (lsh2, bm2) = freshIndexes()
+    intercept[RuntimeException] {
+      IngestPipeline.ingestBatchImpl(spark, wire(), lsh2, bm2,
+        p => if (p == "stats:swapped") throw new RuntimeException("boom"),
+        opId = Some(1L))
+    }
+    assert(IngestPipeline.ingestBatch(spark, wire(), lsh2, bm2,
+      opId = Some(1L)) == 0L, "marker landed — replay must skip in full")
+    assert(indexState(lsh2, bm2) == want)
+
+    // double crash: the headline seam, then a crash inside the REPAIR
+    // path itself; the third replay still converges
+    val (lsh3, bm3) = freshIndexes()
+    intercept[RuntimeException] {
+      IngestPipeline.ingestBatchImpl(spark, wire(), lsh3, bm3,
+        p => if (p == "lsh:appended") throw new RuntimeException("boom"),
+        opId = Some(1L))
+    }
+    intercept[RuntimeException] {
+      IngestPipeline.ingestBatchImpl(spark, wire(), lsh3, bm3,
+        p => if (p == "bm25:repair") throw new RuntimeException("boom"),
+        opId = Some(1L))
+    }
+    assert(IngestPipeline.ingestBatch(spark, wire(), lsh3, bm3,
+      opId = Some(1L)) == 1L)
+    assert(indexState(lsh3, bm3) == want,
+      "double crash + replay diverges from the clean run")
+  }
 }
