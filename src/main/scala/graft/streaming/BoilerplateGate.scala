@@ -26,7 +26,13 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * production deployment bounds retention by re-keying epochs (global
   * prevalence has no event-time horizon, so NoTimeout is the honest
   * semantics here — the same unbounded-lifetime contract as exact
-  * streaming dedup).
+  * streaming dedup). The event-time TTL the user-keyed monitors carry
+  * ([[BotMonitor]]/[[Funnel]]) deliberately does NOT apply: SegEvt has
+  * no event-time attribute because prevalence is a corpus-lifetime
+  * property — a template seen once per month is exactly as boilerplate
+  * as one seen twice a second, and any idle-based expiry would silently
+  * re-admit it. Epoch re-keying bounds state WITHOUT breaking that law
+  * (each epoch is its own exact gate).
   */
 object BoilerplateGate {
 

@@ -24,11 +24,21 @@ import java.sql.Timestamp
   *    observations, not retractable labels.
   *
   * State per user is O(|event types|) — bounded by the type vocabulary,
-  * not the event count (the Sessionize/burst discipline). No timeout:
-  * a bot that goes quiet keeps its counters; at 100 TB you'd bound the
-  * key space by routing only ACTIVE users into the query with the
-  * upstream watermark filter, which this operator composes with (it
-  * reads any Dataset[UserEvt], batch or stream).
+  * not the event count (the Sessionize/burst discipline). The KEY
+  * space is bounded by the event-time TTL: pass `idleTtlSeconds`
+  * (sized from the q192 lateness profile, like the StreamingSpec
+  * watermark) and a user idle past it is dropped from the state store
+  * — on an unbounded user population the store then holds only users
+  * active within the TTL horizon, not every user ever seen. The TTL
+  * also expires alert TOMBSTONES: a user returning after the horizon
+  * is scored fresh and can alert again (an idle-then-return bot is a
+  * new observation window — the once-only law holds within a horizon,
+  * spec-pinned both ways). `None` keeps the unbounded semantics for
+  * batch twins and bounded-key fixtures (it reads any
+  * Dataset[UserEvt], batch or stream); the TTL path adds a
+  * `withWatermark(ts, ttl)`, so events later than the TTL are dropped
+  * upstream — the same lateness contract every watermarked op here
+  * has.
   */
 object BotMonitor {
 
@@ -65,44 +75,71 @@ object BotMonitor {
     * five longs — O(1) regardless of rate or lifetime. Events inside
     * a micro-batch fold in (event-time, type) order, so replays of
     * the same wire produce the same gaps. */
-  def cadenceAlerts(evts: Dataset[UserEvt]): Dataset[CadenceAlert] = {
+  // TTL plumbing note: both alarms arm the event-time timeout at
+  // (key's max event time + TTL), clamped above the current watermark
+  // (a key whose events are already older than watermark − TTL would
+  // otherwise arm an un-armable past timestamp). Inlined in each state
+  // function — the locals-only closure rule of this file.
+
+  private def timeoutConf(ttl: Option[Long]): GroupStateTimeout =
+    if (ttl.isDefined) GroupStateTimeout.EventTimeTimeout
+    else GroupStateTimeout.NoTimeout
+
+  def cadenceAlerts(evts: Dataset[UserEvt],
+      idleTtlSeconds: Option[Long] = None): Dataset[CadenceAlert] = {
     implicit val evtEnc = Encoders.product[UserEvt]
     implicit val outEnc = Encoders.product[CadenceAlert]
     implicit val stateEnc = Encoders.product[CadenceState]
     implicit val longEnc = Encoders.scalaLong
     val minGaps = MinGaps
     val jitter = JitterUs
+    val ttlMs = idleTtlSeconds.map(_ * 1000L)
+    val src = idleTtlSeconds.fold(evts)(s =>
+      evts.withWatermark("ts", s"$s seconds"))
 
-    evts
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
+        timeoutConf(idleTtlSeconds)) {
         (uid: Long, batch: Iterator[UserEvt],
             state: GroupState[CadenceState]) =>
-          var st = state.getOption.getOrElse(
-            CadenceState(Long.MinValue, 0L, Long.MaxValue, Long.MinValue,
-              alerted = false))
-          val out = scala.collection.mutable.ListBuffer.empty[CadenceAlert]
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
-            val tus = e.ts.getTime * 1000L
-            if (st.lastUs != Long.MinValue) {
-              val gap = tus - st.lastUs
-              st = CadenceState(tus, st.nGaps + 1L,
-                math.min(st.minGap, gap), math.max(st.maxGap, gap),
-                st.alerted)
-              if (!st.alerted && st.nGaps >= minGaps &&
-                  st.maxGap - st.minGap <= jitter) {
-                st = st.copy(alerted = true)
-                out += CadenceAlert(uid, st.nGaps, st.minGap, st.maxGap)
-              }
-            } else st = st.copy(lastUs = tus)
+          if (state.hasTimedOut) {
+            // idle past the TTL: drop counters AND the alert tombstone
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              CadenceState(Long.MinValue, 0L, Long.MaxValue, Long.MinValue,
+                alerted = false))
+            val out = scala.collection.mutable.ListBuffer.empty[CadenceAlert]
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+            sorted.foreach { e =>
+              val tus = e.ts.getTime * 1000L
+              if (st.lastUs != Long.MinValue) {
+                val gap = tus - st.lastUs
+                st = CadenceState(tus, st.nGaps + 1L,
+                  math.min(st.minGap, gap), math.max(st.maxGap, gap),
+                  st.alerted)
+                if (!st.alerted && st.nGaps >= minGaps &&
+                    st.maxGap - st.minGap <= jitter) {
+                  st = st.copy(alerted = true)
+                  out += CadenceAlert(uid, st.nGaps, st.minGap, st.maxGap)
+                }
+              } else st = st.copy(lastUs = tus)
+            }
+            state.update(st)
+            ttlMs.foreach { t =>
+              state.setTimeoutTimestamp(math.max(
+                sorted.last.ts.getTime + t,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 
-  def botAlerts(evts: Dataset[UserEvt]): Dataset[BotAlert] = {
+  def botAlerts(evts: Dataset[UserEvt],
+      idleTtlSeconds: Option[Long] = None): Dataset[BotAlert] = {
     implicit val evtEnc = Encoders.product[UserEvt]
     implicit val outEnc = Encoders.product[BotAlert]
     implicit val stateEnc = Encoders.product[BotState]
@@ -111,30 +148,45 @@ object BotMonitor {
     // would capture the (non-serializable) enclosing object
     val minN = MinEvents
     val cut = HhiAlertPpm
+    val ttlMs = idleTtlSeconds.map(_ * 1000L)
+    val src = idleTtlSeconds.fold(evts)(s =>
+      evts.withWatermark("ts", s"$s seconds"))
 
-    evts
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
+        timeoutConf(idleTtlSeconds)) {
         (uid: Long, batch: Iterator[UserEvt], state: GroupState[BotState]) =>
-          var st = state.getOption.getOrElse(BotState(Map.empty, 0L, false))
-          val out = scala.collection.mutable.ListBuffer.empty[BotAlert]
-          // deterministic fold order under replay: event time, then type
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
-            val c = st.counts.getOrElse(e.event_type, 0L) + 1L
-            st = BotState(st.counts.updated(e.event_type, c), st.n + 1L,
-              st.alerted)
-            if (!st.alerted && st.n >= minN) {
-              val ssq = st.counts.valuesIterator.map(x => x * x).sum
-              val hhiPpm = ssq * 1000000L / (st.n * st.n)
-              if (hhiPpm >= cut) {
-                st = st.copy(alerted = true)
-                out += BotAlert(uid, st.n, st.counts.size.toLong, hhiPpm)
+          if (state.hasTimedOut) {
+            // idle past the TTL: drop counters AND the alert tombstone
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(BotState(Map.empty, 0L, false))
+            val out = scala.collection.mutable.ListBuffer.empty[BotAlert]
+            // deterministic fold order under replay: event time, then type
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+            sorted.foreach { e =>
+              val c = st.counts.getOrElse(e.event_type, 0L) + 1L
+              st = BotState(st.counts.updated(e.event_type, c), st.n + 1L,
+                st.alerted)
+              if (!st.alerted && st.n >= minN) {
+                val ssq = st.counts.valuesIterator.map(x => x * x).sum
+                val hhiPpm = ssq * 1000000L / (st.n * st.n)
+                if (hhiPpm >= cut) {
+                  st = st.copy(alerted = true)
+                  out += BotAlert(uid, st.n, st.counts.size.toLong, hhiPpm)
+                }
               }
             }
+            state.update(st)
+            ttlMs.foreach { t =>
+              state.setTimeoutTimestamp(math.max(
+                sorted.last.ts.getTime + t,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 }

@@ -16,13 +16,19 @@ import java.sql.Timestamp
   * already-anchored stage are ignored — emitted conversions are final
   * (the append-mode contract every stateful op in this repo follows).
   *
-  * State per user is O(1) — three stage timestamps — and is REMOVED
-  * the moment the user converts (a funnel fires once per user), so
-  * live state is bounded by users currently mid-funnel; a production
-  * deployment adds an event-time timeout for abandoned funnels (the
-  * conversion-window TTL every funnel product defines). Events within
-  * a batch are applied in (ts, event_type) order so executor
-  * interleaving cannot reorder stage anchoring.
+  * State per user is O(1) — three stage timestamps. With
+  * `idleTtlSeconds` set (the conversion-window TTL every funnel
+  * product defines, sized like the q192 watermark) a user idle past
+  * the TTL is dropped from the state store: an abandoned mid-funnel
+  * journey expires, and a CONVERTED user's tombstone expires with it —
+  * a user returning after the horizon starts a NEW journey and can
+  * convert again (the re-armable-funnel semantics; within the horizon
+  * the once-only law holds, spec-pinned both ways). `None` keeps the
+  * unbounded semantics for batch twins and bounded fixtures (and the
+  * TTL path adds a `withWatermark(ts, ttl)`, so events later than the
+  * TTL are dropped upstream). Events within a batch are applied in
+  * (ts, event_type) order so executor interleaving cannot reorder
+  * stage anchoring.
   */
 object Funnel {
 
@@ -31,23 +37,34 @@ object Funnel {
   final case class Conversion(user_id: Long, signup_us: Long,
       click_us: Long, purchase_us: Long)
 
-  def conversions(events: Dataset[Evt]): Dataset[Conversion] = {
+  def conversions(events: Dataset[Evt],
+      idleTtlSeconds: Option[Long] = None): Dataset[Conversion] = {
     implicit val evtEnc = Encoders.product[Evt]
     implicit val outEnc = Encoders.product[Conversion]
     implicit val stateEnc = Encoders.product[FunnelState]
     implicit val longEnc = Encoders.scalaLong
-    events
+    val ttlMs = idleTtlSeconds.map(_ * 1000L)
+    val src = idleTtlSeconds.fold(events)(s =>
+      events.withWatermark("ts", s"$s seconds"))
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
+        if (idleTtlSeconds.isDefined) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
         (uid: Long, batch: Iterator[Evt], state: GroupState[FunnelState]) =>
-          // a converted user's state was removed; any further events
-          // must not restart the funnel, so a tombstone (all stages
-          // set) is kept instead of bare removal
-          var st = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
-          var out = List.empty[Conversion]
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
-            .foreach { e =>
+          if (state.hasTimedOut) {
+            // idle past the conversion window: the abandoned journey —
+            // or the converted tombstone — expires (re-armable funnel)
+            state.remove()
+            Iterator.empty
+          } else {
+            // a converted user must not restart the funnel within the
+            // horizon, so a tombstone (all stages set) is kept instead
+            // of bare removal
+            var st = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+            var out = List.empty[Conversion]
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+            sorted.foreach { e =>
               val us = e.ts.getTime * 1000L
               if (st.t3 == 0L) {
                 if (st.t1 == 0L && e.event_type == "signup")
@@ -62,8 +79,14 @@ object Funnel {
                 }
               }
             }
-          state.update(st)
-          out.reverse.iterator
+            state.update(st)
+            ttlMs.foreach { t =>
+              state.setTimeoutTimestamp(math.max(
+                sorted.last.ts.getTime + t,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.reverse.iterator
+          }
       }
   }
 }

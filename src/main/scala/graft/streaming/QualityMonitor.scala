@@ -31,6 +31,16 @@ import java.sql.Timestamp
   * baseline (the row it missed is final — alerts are never retracted;
   * the baseline self-corrects for future windows), the same
   * emitted-is-final gap every append-mode streaming aggregate has.
+  *
+  * A timeout-closed window is FOLDED into the baseline and the state
+  * is KEPT (not removed): an intermittent source that goes idle for a
+  * gap and returns still drifts against its own history — "against
+  * that source's OWN history" holds across gaps, spec-pinned. The
+  * kept, event-free state re-arms a LONGER timeout
+  * ([[QualityMonitor.BaselineKeepWindows]] window lengths); only a
+  * source idle past THAT horizon is dropped entirely, which bounds
+  * the key space for vanished sources (a returning one then restarts
+  * baseline-less, like a first window).
   */
 object QualityMonitor {
 
@@ -43,6 +53,11 @@ object QualityMonitor {
 
   /** Alert when a window's poor rate exceeds baseline + 10 points. */
   val AlertMarginPpm = 100000L
+
+  /** How many window lengths an idle source's baseline survives after
+    * its last window was timeout-closed; past it the source's state is
+    * dropped entirely. */
+  val BaselineKeepWindows = 16L
 
   /** The q31/q208 "poor" tier rule on the streaming side. */
   def isPoor(nTokens: Long): Boolean = nTokens < 20
@@ -57,6 +72,7 @@ object QualityMonitor {
     // would capture the (non-serializable) enclosing object
     val margin = AlertMarginPpm
     val poorCut = 20L
+    val keepWindows = BaselineKeepWindows
 
     def flush(src: String, st: WinState): WinQuality = {
       val ppm = if (st.n > 0) st.nPoor * 1000000L / st.n else 0L
@@ -74,10 +90,26 @@ object QualityMonitor {
         (src: String, batch: Iterator[DocEvt],
             state: GroupState[WinState]) =>
           if (state.hasTimedOut) {
-            val out = state.getOption.filter(_.n > 0)
-              .map(flush(src, _)).toList
-            state.remove()
-            out.iterator
+            state.getOption match {
+              case Some(st) if st.n > 0 =>
+                // flush the open window, fold it into the baseline and
+                // KEEP the state — the source's history must survive an
+                // idle gap (the "own history" contract); re-arm a longer
+                // final-expiry timeout for the keep horizon
+                val out = flush(src, st)
+                state.update(WinState(Long.MinValue, 0L, 0L,
+                  st.baseN + st.n, st.basePoor + st.nPoor))
+                state.setTimeoutTimestamp(math.max(
+                  (st.winStart + windowSeconds * (1 + keepWindows))
+                    * 1000 + 1,
+                  state.getCurrentWatermarkMs() + 1))
+                Iterator(out)
+              case _ =>
+                // baseline-only state idle past the keep horizon, or an
+                // empty shell: the source is gone — drop it
+                state.remove()
+                Iterator.empty
+            }
           } else {
             val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.n_tokens))
             var closed = List.empty[WinQuality]
@@ -87,6 +119,10 @@ object QualityMonitor {
               val ws = sec - sec % windowSeconds
               val p = if (e.n_tokens < poorCut) 1L else 0L
               cur match {
+                case Some(st) if st.n == 0L =>
+                  // returning source within the keep horizon: open a new
+                  // window over the preserved baseline
+                  cur = Some(WinState(ws, 1L, p, st.baseN, st.basePoor))
                 case Some(st) if ws == st.winStart =>
                   cur = Some(st.copy(n = st.n + 1, nPoor = st.nPoor + p))
                 case Some(st) if ws > st.winStart =>

@@ -315,4 +315,140 @@ class StreamingSessionSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 10L, 1000000L, 1000000L)),
       s"cadence alerts wrong: ${got.toSeq}")
   }
+
+  test("bot monitor TTL: idle state (and its tombstone) expires; a returning user is scored fresh") {
+    import spark.implicits._
+    import graft.streaming.BotMonitor
+    import graft.streaming.BotMonitor.UserEvt
+    implicit val sqlCtx = spark.sqlContext
+    def at(h: Int, i: Int) = ts(f"2026-03-02 $h%02d:00:${i % 60}%02d")
+    val mem = MemoryStream[UserEvt]
+    // 1 h TTL: user 1's timeout arms at last-event + 1 h
+    val q = BotMonitor.botAlerts(mem.toDS(), idleTtlSeconds = Some(3600L))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bot_ttl_out").start()
+    try {
+      // bot burst at 10:00 → first alert at the 20th event
+      mem.addData((0 until 20).map(i => UserEvt(1L, at(10, i), "click")): _*)
+      q.processAllAvailable()
+      // watermark pushers to 13:00 (wm = 12:00 > 11:00:19 timeout):
+      // user 1's state — including the alert tombstone — must drop
+      mem.addData(UserEvt(99L, at(13, 0), "view")); q.processAllAvailable()
+      mem.addData(UserEvt(99L, at(13, 1), "view")); q.processAllAvailable()
+      // the SAME user returns with a fresh bot burst after the horizon:
+      // fresh state → a second alert (NoTimeout semantics would have
+      // kept the tombstone forever — the existing once-only test)
+      mem.addData((0 until 20).map(i =>
+        UserEvt(1L, ts(f"2026-03-02 13:30:${i % 60}%02d"), "click")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bot_ttl_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 == 1L)
+    assert(got.toSeq == Seq((1L, 20L, 1L, 1000000L),
+      (1L, 20L, 1L, 1000000L)),
+      s"expected two fresh-horizon alerts, got: ${got.toSeq}")
+  }
+
+  test("funnel TTL: abandoned journeys and conversion tombstones expire; a returning user re-arms") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Funnel
+    val mem = MemoryStream[Funnel.Evt]
+    val q = Funnel.conversions(mem.toDS(), idleTtlSeconds = Some(3600L))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_ttl_out").start()
+    def us(s: String) = ts(s).getTime * 1000L
+    try {
+      // user 1 converts at 10:10; user 2 abandons after signup
+      mem.addData(
+        Funnel.Evt(1L, ts("2026-03-03 10:00:00"), "signup"),
+        Funnel.Evt(1L, ts("2026-03-03 10:05:00"), "click"),
+        Funnel.Evt(1L, ts("2026-03-03 10:10:00"), "purchase"),
+        Funnel.Evt(2L, ts("2026-03-03 10:00:00"), "signup"))
+      q.processAllAvailable()
+      // advance the watermark past both users' TTL horizons
+      mem.addData(Funnel.Evt(99L, ts("2026-03-03 13:00:00"), "view"))
+      q.processAllAvailable()
+      mem.addData(Funnel.Evt(99L, ts("2026-03-03 13:00:01"), "view"))
+      q.processAllAvailable()
+      // user 2's signup anchor expired: click+purchase alone must NOT
+      // convert; user 1's tombstone expired: a full new journey
+      // converts AGAIN (the re-armable-funnel law)
+      mem.addData(
+        Funnel.Evt(2L, ts("2026-03-03 13:31:00"), "click"),
+        Funnel.Evt(2L, ts("2026-03-03 13:32:00"), "purchase"),
+        Funnel.Evt(1L, ts("2026-03-03 13:30:00"), "signup"),
+        Funnel.Evt(1L, ts("2026-03-03 13:35:00"), "click"),
+        Funnel.Evt(1L, ts("2026-03-03 13:40:00"), "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnel_ttl_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq.sorted == Seq(
+      (1L, us("2026-03-03 10:00:00"), us("2026-03-03 10:05:00"),
+        us("2026-03-03 10:10:00")),
+      (1L, us("2026-03-03 13:30:00"), us("2026-03-03 13:35:00"),
+        us("2026-03-03 13:40:00"))).sorted,
+      s"conversions wrong: ${got.toSeq}")
+  }
+
+  test("quality-drift baseline survives an idle gap (folded, kept), and drops past the keep horizon") {
+    import spark.implicits._
+    import graft.streaming.QualityMonitor
+    import graft.streaming.QualityMonitor.DocEvt
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocEvt]
+    val out = QualityMonitor.qualityDrift(mem.toDS(), windowSeconds = 60)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("qdrift_ttl_out").start()
+    def d(src: String, t: String, n: Long) = DocEvt(src, ts(t), n)
+    def push(t1: String, t2: String): Unit = {
+      mem.addData(d("zz", t1, 100)); q.processAllAvailable()
+      mem.addData(d("zz", t2, 100)); q.processAllAvailable()
+    }
+    try {
+      // window 1 (09:00): 4 docs 1 poor → 250000 ppm baseline-to-be
+      mem.addData(
+        d("web", "2026-01-02 09:00:01", 100),
+        d("web", "2026-01-02 09:00:10", 5),
+        d("web", "2026-01-02 09:00:20", 100),
+        d("web", "2026-01-02 09:00:30", 100))
+      q.processAllAvailable()
+      // idle gap: the window closes via TIMEOUT (the round-12 path that
+      // used to discard the baseline)
+      push("2026-01-02 09:05:00", "2026-01-02 09:05:01")
+      // the source RETURNS within the keep horizon with a poor spike:
+      // it must alert against its own preserved history
+      mem.addData(
+        d("web", "2026-01-02 09:05:30", 5),
+        d("web", "2026-01-02 09:05:31", 5),
+        d("web", "2026-01-02 09:05:32", 5),
+        d("web", "2026-01-02 09:05:33", 5))
+      q.processAllAvailable()
+      push("2026-01-02 09:08:00", "2026-01-02 09:08:01")
+      // idle PAST the keep horizon (16 windows): the kept baseline-only
+      // state must drop entirely
+      push("2026-01-02 10:30:00", "2026-01-02 10:30:01")
+      // the source returns after the horizon: first window again — own
+      // rate as baseline, no alert
+      mem.addData(d("web", "2026-01-02 10:35:00", 5))
+      q.processAllAvailable()
+      push("2026-01-02 11:30:00", "2026-01-02 11:30:01")
+    } finally q.stop()
+    val rows = spark.table("qdrift_ttl_out").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    assert(rows(("web", "2026-01-02 09:00:00.0")) ==
+      ((4L, 1L, 250000L, 250000L, false)), s"got $rows")
+    // the gap-straddling spike alerts against the FOLDED baseline
+    assert(rows(("web", "2026-01-02 09:05:00.0")) ==
+      ((4L, 4L, 1000000L, 250000L, true)),
+      s"baseline lost across the idle gap: $rows")
+    // past the keep horizon the source restarts baseline-less
+    assert(rows(("web", "2026-01-02 10:35:00.0")) ==
+      ((1L, 1L, 1000000L, 1000000L, false)),
+      s"state not dropped past the keep horizon: $rows")
+  }
 }
