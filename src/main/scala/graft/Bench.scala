@@ -59,6 +59,44 @@ object Bench {
       name -> times
     }
 
+  /** Self-HEALING, not just self-flagging (round 12's archived record
+    * was load-polluted even though the flags caught it — the official
+    * number should recover when the load is transient): when the
+    * headline pass leaves floor suspects, wait for the calibration
+    * probe to confirm the machine is idle again (up to `maxCooldowns`
+    * cooldown+probe rounds), then re-measure ONLY the flagged queries
+    * (min-of-3 again) and merge the retry samples into each query's
+    * spread — min over the merged times stamps the better of the two
+    * runs, the full spread keeps both visible, and a query still over
+    * 2× its floor after an idle-confirmed retry keeps its flag (it is
+    * genuinely owned, not load). If the machine never goes idle the
+    * results are returned untouched — the flags then honestly record
+    * an unmeasurable round. Injectable measure/probe/cooldown seams
+    * for BenchSpec. */
+  private[graft] def healSuspects(
+      results: Seq[(String, Seq[Double])],
+      floors: Map[String, Double],
+      measure: String => Double,
+      probeIdle: () => Boolean,
+      cooldown: () => Unit,
+      maxCooldowns: Int = 4): Seq[(String, Seq[Double])] = {
+    def minsOf(rs: Seq[(String, Seq[Double])]) =
+      rs.map { case (k, ts) => k -> ts.min }.toMap
+    val suspects = floorSuspects(minsOf(results), floors).toSet
+    if (suspects.isEmpty) return results
+    var attempts = 0
+    var idle = probeIdle()
+    while (!idle && attempts < maxCooldowns) {
+      cooldown(); attempts += 1; idle = probeIdle()
+    }
+    if (!idle) results
+    else results.map {
+      case (k, ts) if suspects.contains(k) =>
+        k -> (ts ++ Seq.fill(3)(measure(k)))
+      case other => other
+    }
+  }
+
   private def median(ts: Seq[Double]): Double = {
     val s = ts.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -98,7 +136,7 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = robustTimes(Registry.benchSet.map(_.name), measure)
+    val firstPass = robustTimes(Registry.benchSet.map(_.name), measure)
 
     // Validity stamping, two layers (each has caught a real polluted
     // record the other could miss):
@@ -109,15 +147,24 @@ object Bench {
     //    runs (catches a machine that is STILL loaded, and still works
     //    if the floors file ever goes missing).
     val CalibQ = "q128_tpch_q6"
+    val floorsTxt = Seq("bench_floor.json", "target/bench_floor.json").view
+      .map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.exists(_))
+      .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    val floors = floorsTxt.map(parseFloors).getOrElse(Map.empty)
+    // heal transient-load suspects: confirm idle via the calibration
+    // probe (min-of-3 under 2x its floor), then re-measure only the
+    // flagged queries and merge into the spread (see healSuspects)
+    val probeIdle = () => (for (f <- floors.get(CalibQ)
+        if byName.contains(CalibQ))
+      yield Seq.fill(3)(measure(CalibQ)).min <= SuspectFactor * f)
+      .getOrElse(false)
+    val results = healSuspects(firstPass, floors, measure, probeIdle,
+      () => Thread.sleep(15000L))
     // min-of-3 like the headline runs: a single probe sample can eat a
     // GC pause or scheduler hiccup and stamp load_suspect=true on a
     // genuinely valid record (transient noise only ever ADDS time).
     val calib = Registry.benchSet.find(_.name == CalibQ)
       .map(q => Seq.fill(3)(measure(q.name)).min)
-    val floorsTxt = Seq("bench_floor.json", "target/bench_floor.json").view
-      .map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.exists(_))
-      .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-    val floors = floorsTxt.map(parseFloors).getOrElse(Map.empty)
     val suspects = floorSuspects(
       results.map { case (k, ts) => k -> ts.min }.toMap, floors)
     val probeSuspect = (for (c <- calib; f <- floors.get(CalibQ))

@@ -208,7 +208,8 @@ object PrevalenceIndex {
           cast(coalesce(bd.n_boiler, 0) as double) / pd.n_segs
             AS boiler_ratio
         FROM pd LEFT JOIN bd USING (doc_id) ORDER BY 1"""
-    })
+    },
+    bench = true)
 
   /** q233 — segment-prevalence HISTOGRAM, the monitoring stats every
     * persisted index here carries (q160 is the LSH twin): how many

@@ -1982,7 +1982,8 @@ object Relational {
       SELECT day, event_type, cast(count(*) as bigint) AS n_events,
         ${sqlDsum("value")} AS sum_value,
         min(value) AS min_value, max(value) AS max_value
-      FROM sv GROUP BY 1, 2 ORDER BY 1, 2"""))
+      FROM sv GROUP BY 1, 2 ORDER BY 1, 2"""),
+    bench = true)
 
   /** q251 — last-touch attribution: each purchase credited to the same
     * user's most recent preceding click/view, expiring after a 7-day
@@ -2276,7 +2277,126 @@ object Relational {
         min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
       FROM b GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** q258 — forget-list blast radius: BEFORE running a retraction
+    * (q243 / [[RollupStore.delete]]), quantify per (day, event_type)
+    * group what the forget list will do to the maintained rollup —
+    * rows retracted, their share of the group's mass (exact integer
+    * ppm), whether the group's stored MIN or MAX is held by the forget
+    * slice (exactly the groups whose extrema are non-retractable from
+    * partials, i.e. the semi-join fan-out of the repair re-read), and
+    * groups erased outright (every row forgotten — they leave the
+    * store). At 100 TB an ops team reads this before the delete:
+    * Σ extremum_hit IS the repair cost and the erased list is the
+    * dashboard diff to announce.
+    *
+    * Scale shape: ONE events scan, one map-combinable aggregate with
+    * conditional branches — never a second filtered scan (the
+    * q241/q257 single-pre-aggregate discipline); output is bounded by
+    * |days|·|types|. Booleans surface as bigint 0/1 (oracle-hash
+    * convention). */
+  val forgetBlastRadius: Q = Q(
+    "q258_forget_blast_radius",
+    (s, d) => {
+      val isDel = coalesce(col("user_id") % 37 === 0, lit(false))
+      Tables.events(s, d)
+        .select(date_trunc("day", col("ts")).as("day"), col("event_type"),
+          col("value"), isDel.as("del"))
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"),
+          sum(when(col("del"), 1L).otherwise(0L)).as("n_forget"),
+          min(when(col("del"), col("value"))).as("dmn"),
+          max(when(col("del"), col("value"))).as("dmx"))
+        .filter(col("n_forget") > 0)
+        .select(col("day"), col("event_type"), col("n_rows"),
+          col("n_forget"),
+          expr("n_forget * 1000000 div n_rows").as("share_ppm"),
+          ((col("dmn").isNotNull && col("dmn") <=> col("mn")) ||
+            (col("dmx").isNotNull && col("dmx") <=> col("mx")))
+            .cast("long").as("extremum_hit"),
+          (col("n_rows") === col("n_forget")).cast("long").as("erased"))
+        .orderBy("day", "event_type")
+    },
+    Some("""WITH a AS (SELECT date_trunc('day', ts) AS day, event_type,
+          cast(count(*) as bigint) AS n_rows,
+          min(value) AS mn, max(value) AS mx,
+          cast(sum(CASE WHEN coalesce(user_id % 37 = 0, false)
+            THEN 1 ELSE 0 END) as bigint) AS n_forget,
+          min(CASE WHEN coalesce(user_id % 37 = 0, false)
+            THEN value END) AS dmn,
+          max(CASE WHEN coalesce(user_id % 37 = 0, false)
+            THEN value END) AS dmx
+        FROM events GROUP BY 1, 2)
+      SELECT day, event_type, n_rows, n_forget,
+        n_forget * 1000000 // n_rows AS share_ppm,
+        cast(CASE WHEN (dmn IS NOT NULL AND dmn IS NOT DISTINCT FROM mn)
+          OR (dmx IS NOT NULL AND dmx IS NOT DISTINCT FROM mx)
+          THEN 1 ELSE 0 END as bigint) AS extremum_hit,
+        cast(CASE WHEN n_rows = n_forget THEN 1 ELSE 0 END as bigint)
+          AS erased
+      FROM a WHERE n_forget > 0 ORDER BY 1, 2"""))
+
+  /** q259 — state-TTL eviction-risk curve: the stateful monitors
+    * ([[graft.streaming.BotMonitor]]/[[graft.streaming.Funnel]])
+    * expire per-user state after `idleTtlSeconds`, and the TTL is a
+    * data question — too short and an ACTIVE user's state is evicted
+    * at their longest internal idle gap (a bot re-alerts, a funnel
+    * re-arms mid-journey), too long and the store holds ghosts. For
+    * each candidate TTL: how many multi-event users have at least one
+    * internal gap above it (would be evicted mid-history) and the
+    * share in exact ppm. The q192 companion closed one loop further:
+    * q192 sized the WATERMARK from lateness, q242 the session gap from
+    * cadence, this sizes the state TTL from per-user idleness.
+    * Single-event users carry no internal gap (their state is purely
+    * idle after the one event) and are excluded from the denominator.
+    *
+    * Scale shape: the q242 lag window (user-partitioned — bounded
+    * partitions, never a global sort), ONE per-user max-gap aggregate,
+    * then the candidate grid is a 4-literal explode over the
+    * |users|-row frame — the whole curve costs no more than one
+    * candidate (the q205 sweep discipline). */
+  val ttlEvictionRisk: Q = Q(
+    "q259_ttl_eviction_risk",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val umax = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
+        .groupBy("user_id").agg(max(col("gap_us")).as("max_gap_us"))
+        .filter(col("max_gap_us").isNotNull)
+      umax
+        .select(explode(typedlit(Seq(60L, 600L, 3600L, 86400L)))
+          .as("ttl_s"), col("max_gap_us"))
+        .groupBy("ttl_s")
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("max_gap_us") > col("ttl_s") * 1000000L, 1L)
+            .otherwise(0L)).as("n_evicted"))
+        .select(col("ttl_s"), col("n_users"), col("n_evicted"),
+          expr("n_evicted * 1000000 div n_users").as("evict_ppm"))
+        .orderBy("ttl_s")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+          FROM events WHERE user_id IS NOT NULL),
+      g AS (SELECT user_id, tus - lag(tus) OVER (PARTITION BY user_id
+            ORDER BY tus, event_id) AS gap_us FROM e),
+      u AS (SELECT user_id, max(gap_us) AS max_gap_us
+        FROM g WHERE gap_us IS NOT NULL GROUP BY 1),
+      c AS (SELECT cast(t.ttl_s as bigint) AS ttl_s, u.max_gap_us
+        FROM u CROSS JOIN (VALUES (60), (600), (3600), (86400))
+          AS t(ttl_s))
+      SELECT ttl_s, cast(count(*) as bigint) AS n_users,
+        cast(sum(CASE WHEN max_gap_us > ttl_s * 1000000
+          THEN 1 ELSE 0 END) as bigint) AS n_evicted,
+        cast(sum(CASE WHEN max_gap_us > ttl_s * 1000000
+          THEN 1 ELSE 0 END) as bigint) * 1000000 // count(*)
+          AS evict_ppm
+      FROM c GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
+    forgetBlastRadius, ttlEvictionRisk,
     rollupMerge, latenessAudit, burstAudit, eventFunnel,
     sessionCooccurrence, cusumDrift, kAnonymity, userTypeHhi,
     interArrival, rollupRetraction, lastTouchAttribution,

@@ -338,7 +338,8 @@ object RollupStore {
       SELECT day, event_type, cast(count(*) as bigint) AS n_events,
         ${sqlDsum("value")} AS sum_value,
         min(value) AS min_value, max(value) AS max_value
-      FROM sv GROUP BY 1, 2 ORDER BY 1, 2"""))
+      FROM sv GROUP BY 1, 2 ORDER BY 1, 2"""),
+    bench = true)
 
   val all: Seq[Q] = Seq(lifecycleTwin)
 }

@@ -50,6 +50,54 @@ class BenchSpec extends AnyFunSuite {
       "a query with no committed floor must not be flagged")
   }
 
+  test("healSuspects: flagged first pass + clean idle retry stamps the better min and unflags") {
+    val floors = Map("q_a" -> 0.10, "q_b" -> 0.50, "q_calib" -> 0.10)
+    // first pass: q_b polluted to 5x floor; q_a clean
+    val first = Seq("q_a" -> Seq(0.11, 0.12, 0.11), "q_b" -> Seq(2.5, 2.6, 2.5))
+    var measured = List.empty[String]
+    def retryMeasure(name: String): Double = { measured ::= name; 0.55 }
+    val healed = Bench.healSuspects(first, floors, retryMeasure,
+      probeIdle = () => true, cooldown = () => fail("idle probe passed — no cooldown needed"))
+    // ONLY the flagged query was re-measured, min-of-3
+    assert(measured == List("q_b", "q_b", "q_b"), s"re-measured: $measured")
+    val mins = healed.map { case (k, ts) => k -> ts.min }.toMap
+    assert(mins("q_b") == 0.55, "better of the two mins must be stamped")
+    assert(healed.find(_._1 == "q_b").get._2.size == 6,
+      "both runs must stay visible in the spread")
+    assert(Bench.floorSuspects(mins, floors).isEmpty, "healed record still flagged")
+  }
+
+  test("healSuspects: a genuinely-owned slow query keeps its flag after an idle-confirmed retry") {
+    val floors = Map("q_b" -> 0.50)
+    val first = Seq("q_b" -> Seq(2.5, 2.6, 2.5))
+    val healed = Bench.healSuspects(first, floors, _ => 2.4,
+      probeIdle = () => true, cooldown = () => ())
+    val mins = healed.map { case (k, ts) => k -> ts.min }.toMap
+    assert(Bench.floorSuspects(mins, floors) == Seq("q_b"),
+      "an idle-confirmed slow query is owned, not load — flag must survive")
+    assert(mins("q_b") == 2.4, "the retry min still improves the record")
+  }
+
+  test("healSuspects: a machine that never goes idle leaves the record untouched (flags stand)") {
+    val floors = Map("q_b" -> 0.50)
+    val first = Seq("q_b" -> Seq(2.5, 2.6, 2.5))
+    var cooldowns = 0
+    val healed = Bench.healSuspects(first, floors,
+      _ => fail("must not re-measure on a loaded machine"),
+      probeIdle = () => false, cooldown = () => cooldowns += 1,
+      maxCooldowns = 4)
+    assert(healed == first, "loaded machine: results must be untouched")
+    assert(cooldowns == 4, s"expected 4 cooldown rounds, got $cooldowns")
+  }
+
+  test("healSuspects: clean first pass does nothing (no probe, no cooldown, no re-measure)") {
+    val floors = Map("q_a" -> 0.10)
+    val first = Seq("q_a" -> Seq(0.11, 0.12, 0.11))
+    val healed = Bench.healSuspects(first, floors,
+      _ => fail("no re-measure"), () => fail("no probe"), () => fail("no cooldown"))
+    assert(healed == first)
+  }
+
   test("robustTimes retries an outlier run and keeps the honest min") {
     // one GC-hit sample among fast ones: retry fires (max > 2x min),
     // at most 2 extra runs, min survives
