@@ -2395,8 +2395,79 @@ object Relational {
           AS evict_ppm
       FROM c GROUP BY 1 ORDER BY 1"""))
 
+  /** q260 — funnel conversion loss under a state TTL: q259 measures
+    * which USERS a TTL would evict; this measures what that costs the
+    * FUNNEL specifically. A conversion whose longest stage-to-stage
+    * wait (signup→click or click→purchase, the q226 re-anchored
+    * minima) exceeds the TTL would have had its mid-funnel state
+    * evicted before completing — the purchase then finds no anchored
+    * journey and the conversion is LOST. Per candidate TTL: total
+    * conversions, conversions lost, loss in exact ppm — the
+    * business-cost column an ops team weighs against q259's
+    * state-size savings when choosing
+    * [[graft.streaming.Funnel.conversions]]'s idleTtlSeconds.
+    *
+    * Scale shape: exactly q226's one user_id shuffle + doc-local array
+    * folds (the stage anchors never leave the user's own event list),
+    * filtered to converting users (a tiny frame), then the 4-literal
+    * TTL grid explode — the q205/q259 sweep discipline. */
+  val funnelTtlLoss: Q = Q(
+    "q260_funnel_ttl_loss",
+    (s, d) => {
+      def tsOf(cond: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        (evs: org.apache.spark.sql.Column) => array_min(transform(
+          filter(evs, e => cond(e)), e => e.getField("tus")))
+      val byUser = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("tus"),
+          col("event_type").as("typ"))
+        .groupBy("user_id")
+        .agg(collect_list(struct(col("tus"), col("typ"))).as("evs"))
+      val t1 = tsOf(e => e.getField("typ") === "signup")(col("evs"))
+      val conv = byUser.select(col("user_id"), col("evs"), t1.as("t1"))
+        .withColumn("t2", tsOf(e => e.getField("typ") === "click"
+          && e.getField("tus") > col("t1"))(col("evs")))
+        .withColumn("t3", tsOf(e => e.getField("typ") === "purchase"
+          && e.getField("tus") > col("t2"))(col("evs")))
+        .filter(col("t3").isNotNull)
+        .select(greatest(col("t2") - col("t1"), col("t3") - col("t2"))
+          .as("maxgap"))
+      conv
+        .select(explode(typedlit(Seq(60L, 600L, 3600L, 86400L)))
+          .as("ttl_s"), col("maxgap"))
+        .groupBy("ttl_s")
+        .agg(count(lit(1)).as("n_conversions"),
+          sum(when(col("maxgap") > col("ttl_s") * 1000000L, 1L)
+            .otherwise(0L)).as("n_lost"))
+        .select(col("ttl_s"), col("n_conversions"), col("n_lost"),
+          expr("n_lost * 1000000 div n_conversions").as("lost_ppm"))
+        .orderBy("ttl_s")
+    },
+    Some("""WITH b AS (SELECT user_id,
+          list(struct_pack(tus := epoch_us(ts), typ := event_type)) AS evs
+          FROM events GROUP BY 1),
+        s1 AS (SELECT user_id, evs, list_min(list_transform(
+            list_filter(evs, e -> e['typ'] = 'signup'),
+            e -> e['tus'])) AS t1 FROM b),
+        s2 AS (SELECT user_id, evs, t1, list_min(list_transform(
+            list_filter(evs, e -> e['typ'] = 'click' AND e['tus'] > t1),
+            e -> e['tus'])) AS t2 FROM s1),
+        s3 AS (SELECT user_id, t1, t2, list_min(list_transform(
+            list_filter(evs, e -> e['typ'] = 'purchase' AND e['tus'] > t2),
+            e -> e['tus'])) AS t3 FROM s2),
+        conv AS (SELECT greatest(t2 - t1, t3 - t2) AS maxgap
+          FROM s3 WHERE t3 IS NOT NULL),
+        c AS (SELECT cast(t.ttl_s as bigint) AS ttl_s, maxgap
+          FROM conv CROSS JOIN (VALUES (60), (600), (3600), (86400))
+            AS t(ttl_s))
+      SELECT ttl_s, cast(count(*) as bigint) AS n_conversions,
+        cast(sum(CASE WHEN maxgap > ttl_s * 1000000
+          THEN 1 ELSE 0 END) as bigint) AS n_lost,
+        cast(sum(CASE WHEN maxgap > ttl_s * 1000000
+          THEN 1 ELSE 0 END) as bigint) * 1000000 // count(*) AS lost_ppm
+      FROM c GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
-    forgetBlastRadius, ttlEvictionRisk,
+    forgetBlastRadius, ttlEvictionRisk, funnelTtlLoss,
     rollupMerge, latenessAudit, burstAudit, eventFunnel,
     sessionCooccurrence, cusumDrift, kAnonymity, userTypeHhi,
     interArrival, rollupRetraction, lastTouchAttribution,
