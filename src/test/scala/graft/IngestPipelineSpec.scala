@@ -152,6 +152,43 @@ class IngestPipelineSpec extends AnyFunSuite {
       opId = Some(1L)) == 0L, "marker landed — replay must skip in full")
     assert(indexState(lsh2, bm2) == want)
 
+    // ------------------------------------------------------------------
+    // REAL checkpoint recovery, not a simulated replay: run the stream,
+    // then delete the checkpoint's commit record for batch 0 — exactly
+    // the on-disk state a crash leaves after foreachBatch's side
+    // effects ran but before Spark committed the batch. The restarted
+    // query re-runs batch 0 with the SAME batchId; the op marker (which
+    // landed with the BM25 stats swap) must skip it in full.
+    // ------------------------------------------------------------------
+    locally {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val (lshS, bmS) = freshIndexes()
+      val ck = tmp("graft-ingest-restart-ck")
+      val mem = MemoryStream[Doc]
+      val wireDocs = wire().as[Doc].collect().toSeq
+      val q1 = IngestPipeline.start(mem.toDS(), lshS, bmS, ck)
+      try { mem.addData(wireDocs: _*); q1.processAllAvailable() }
+      finally q1.stop()
+      val afterRun = indexState(lshS, bmS)
+      assert(afterRun._1 == want._1 && afterRun._3.nonEmpty,
+        "streamed run must populate both indexes")
+      // simulate the crash window: side effects durable, commit lost
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val commit0 = new org.apache.hadoop.fs.Path(s"$ck/commits/0")
+      assert(fs.exists(commit0), "expected a commit record for batch 0")
+      fs.delete(commit0, false)
+      val q2 = IngestPipeline.start(mem.toDS(), lshS, bmS, ck)
+      try q2.processAllAvailable() finally q2.stop()
+      // non-vacuous: Spark really did re-run batch 0 (the commit record
+      // was rewritten), and the re-run changed nothing
+      assert(fs.exists(commit0),
+        "restarted query never reprocessed batch 0 — test is vacuous")
+      assert(indexState(lshS, bmS) == afterRun,
+        "checkpoint-recovered batch 0 must be skipped by its op marker")
+    }
+
     // double crash: the headline seam, then a crash inside the REPAIR
     // path itself; the third replay still converges
     val (lsh3, bm3) = freshIndexes()
