@@ -67,9 +67,19 @@ object LshBandIndex {
     * verified-match counts and the admit bit. Shared verbatim by the
     * persisted lifecycle ([[admit]]) and the oracle-checked registry
     * instance (q159) — the registry form IS this audit with the corpus
-    * slice standing in for the index tables. */
+    * slice standing in for the index tables.
+    *
+    * With `withSelf` the output adds `n_self_dups`: verified index
+    * matches where the index doc IS the batch doc (same id — possible
+    * only when a crashed earlier run of the SAME batch already appended
+    * it, since ids are append-only across batches). The pipeline's
+    * replay detection reads this column instead of re-scanning the sets
+    * table for membership: the self-match rides the candidate/verify
+    * join the audit already runs, so the HOT path pays nothing extra
+    * (q159 keeps its published 4-column shape via the default false). */
   private def audit(signedBatch: DataFrame, indexBands: DataFrame,
-      indexSets: DataFrame, bucketCap: Option[Long] = None): DataFrame = {
+      indexSets: DataFrame, bucketCap: Option[Long] = None,
+      withSelf: Boolean = false): DataFrame = {
     val bB = bandsOf(signedBatch)
     // Optional probe-side population cap: an index bucket holding df
     // docs hands EVERY batch doc that hits it df candidate rows — a
@@ -100,27 +110,35 @@ object LshBandIndex {
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("prior_id"))
       .distinct()
     val bsh = signedBatch.select(col("doc_id"), col("sh"))
-    def verifiedCount(cand: DataFrame, otherKey: String, otherSets: DataFrame,
-        out: String): DataFrame = {
+    def verifiedPairs(cand: DataFrame, otherKey: String,
+        otherSets: DataFrame): DataFrame = {
       val a = bsh.select(col("doc_id"), col("sh").as("sh_a"))
       val b = otherSets.select(col("doc_id").as(otherKey), col("sh").as("sh_b"))
       val inter = size(array_intersect(col("sh_a"), col("sh_b")))
       cand.join(a, "doc_id").join(b, otherKey)
         .filter((inter.cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - inter)) >= Threshold)
-        .groupBy("doc_id").agg(count(lit(1)).as(out))
+        .select(col("doc_id"), col(otherKey))
     }
-    val vIdx = verifiedCount(candIdx, "index_id", indexSets, "n_index_dups")
-    val vPrior = verifiedCount(candPrior, "prior_id", bsh, "n_prior_dups")
-    signedBatch.select("doc_id")
+    val vIdx = verifiedPairs(candIdx, "index_id", indexSets)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_index_dups"),
+        sum(when(col("index_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_self_dups"))
+    val vPrior = verifiedPairs(candPrior, "prior_id", bsh)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_prior_dups"))
+    val base = signedBatch.select("doc_id")
       .join(vIdx, Seq("doc_id"), "left")
       .join(vPrior, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+      .select(Seq(col("doc_id"),
         coalesce(col("n_index_dups"), lit(0L)).as("n_index_dups"),
-        coalesce(col("n_prior_dups"), lit(0L)).as("n_prior_dups"))
-      .withColumn("admitted",
-        when(col("n_index_dups") === 0L && col("n_prior_dups") === 0L, 1L)
-          .otherwise(0L))
+        coalesce(col("n_prior_dups"), lit(0L)).as("n_prior_dups")) ++
+        (if (withSelf)
+          Seq(coalesce(col("n_self_dups"), lit(0L)).as("n_self_dups"))
+        else Nil): _*)
+    base.withColumn("admitted",
+      when(col("n_index_dups") === 0L && col("n_prior_dups") === 0L, 1L)
+        .otherwise(0L))
   }
 
   /** Right-to-be-forgotten delete — the GDPR path a 100 TB persisted
@@ -214,11 +232,14 @@ object LshBandIndex {
     admitImpl(spark, batch, indexDir, _ => (), appendSurvivors, bucketCap)
 
   /** [[admit]] with an injectable crash point (spec-only seam —
-    * called with "audited" / "sets:appended" / "bands:appended"). */
+    * called with "audited" / "sets:appended" / "bands:appended") and
+    * the optional `n_self_dups` replay-evidence column (`withSelf` —
+    * the [[graft.streaming.IngestPipeline]] repair input). */
   private[graft] def admitImpl(spark: SparkSession, batch: DataFrame,
       indexDir: String, crashPoint: String => Unit,
       appendSurvivors: Boolean = true,
-      bucketCap: Option[Long] = None): DataFrame = {
+      bucketCap: Option[Long] = None,
+      withSelf: Boolean = false): DataFrame = {
     val signed = Dedup.signedSetsOf(spark, batch).cache()
     try {
       // tombstoned docs leave the BAND side; candidates then never name
@@ -227,7 +248,7 @@ object LshBandIndex {
         spark.read.parquet(s"$indexDir/bands"),
         tombstonesOf(spark, indexDir))
       val iSets = spark.read.parquet(s"$indexDir/sets")
-      val a = audit(signed, iBands, iSets, bucketCap)
+      val a = audit(signed, iBands, iSets, bucketCap, withSelf)
         .orderBy("doc_id").localCheckpoint()
       crashPoint("audited")
       if (appendSurvivors) {

@@ -28,21 +28,25 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     re-feeding an unappended wire just re-runs it.
   *  3. Torn replay (crash BETWEEN the LSH append and the BM25 append,
   *     or inside the LSH append itself): the batch's admitted set is
-  *     recovered from LSH `sets` MEMBERSHIP, not from the re-run audit
-  *     alone — a doc this batch already appended to the LSH index is
-  *     rejected by the audit at jaccard 1.0 (it finds itself), which
-  *     without the membership union would permanently drop it from the
-  *     BM25 index (the round-12 defect). The repair path then appends
-  *     only the docs missing from BM25 postings and recomputes stats
-  *     from ground truth ([[Bm25Index.refreshStats]] — covers a crash
-  *     between the postings append and the stats swap too), stamping
-  *     the marker last.
+  *     recovered from the audit's SELF-MATCH evidence (`n_self_dups` —
+  *     a verified index match whose index doc IS the batch doc, at
+  *     jaccard 1.0), not from the admit bits alone — a doc this batch
+  *     already appended to the LSH index is rejected by the re-run
+  *     audit because it finds itself, which without the self-match
+  *     union would permanently drop it from the BM25 index (the
+  *     round-12 defect). The repair path then appends only the docs
+  *     missing from BM25 postings and recomputes stats from ground
+  *     truth ([[Bm25Index.refreshStats]] — covers a crash between the
+  *     postings append and the stats swap too), stamping the marker
+  *     last.
   *
-  * The membership union is exact because doc ids are append-only
+  * Self-match is exact replay evidence because doc ids are append-only
   * across batches (the persisted-index lifecycle convention): a clean
-  * batch's docs are never pre-listed in `sets`, so the repair semi-join
-  * fires only on genuine replays — and the extra postings doc_id scan
-  * it needs runs only then (nAll > nNow), never on the hot path.
+  * batch's docs can never find their own id in the index. It rides the
+  * candidate/verify join the admit audit ALREADY runs, so the hot path
+  * pays no extra index scan for replay detection; the postings doc_id
+  * anti-join runs only when self-matches exist (a genuine replay),
+  * never on the hot path.
   */
 object IngestPipeline {
 
@@ -74,21 +78,21 @@ object IngestPipeline {
     val clean = batch.select(col("doc_id"), col("text"))
       .filter(size(graft.Dsl.toks(col("text"))) >= MinTokens)
     if (clean.isEmpty) return 0L
-    val audit = LshBandIndex.admitImpl(spark, clean, lshDir, crashPoint)
+    val audit = LshBandIndex.admitImpl(spark, clean, lshDir, crashPoint,
+      withSelf = true)
     crashPoint("lsh:appended")
     val admittedNow = clean.join(
       audit.filter(col("admitted") === 1L).select("doc_id"), "doc_id")
-    // layer 3: the batch's FULL admitted set is its post-append `sets`
-    // membership — survivors this run admitted plus survivors a crashed
-    // earlier run of the same batch already appended (which the audit
-    // re-rejects at jaccard 1.0 against themselves)
-    val admitted = clean.join(
-      spark.read.parquet(s"$lshDir/sets").select("doc_id"),
-      Seq("doc_id"), "left_semi")
+    // layer 3: the batch's FULL admitted set = survivors this run
+    // admitted ∪ docs whose SELF-MATCH proves a crashed earlier run of
+    // the same batch already appended them (the audit re-rejects those
+    // at jaccard 1.0 against themselves). The audit is localCheckpointed,
+    // so both counts are in-memory passes — no index re-scan here.
     val nNow = admittedNow.count()
-    val nAll = admitted.count()
+    val nReplayed = audit.filter(col("n_self_dups") > 0L).count()
+    val nAll = nNow + nReplayed
     if (nAll == 0L) return 0L
-    if (nAll == nNow) {
+    if (nReplayed == 0L) {
       // hot path: no replay evidence — plain additive append, marker
       // swaps in with the stats write
       Bm25Index.appendImpl(spark, admittedNow, bm25Dir, crashPoint, opId)
@@ -99,6 +103,9 @@ object IngestPipeline {
       // a crash that landed postings but not stats) and stamp the op
       // materialized (batch-bounded) so the append job never reads the
       // postings dir it is writing to
+      val admitted = clean.join(
+        audit.filter(col("admitted") === 1L || col("n_self_dups") > 0L)
+          .select("doc_id"), "doc_id")
       val missing = admitted.join(
         spark.read.parquet(s"$bm25Dir/postings").select("doc_id"),
         Seq("doc_id"), "left_anti").localCheckpoint()
