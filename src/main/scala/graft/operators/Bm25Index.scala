@@ -300,7 +300,14 @@ object Bm25Index {
     * probe law; ids not in the index contribute no mass). Already-
     * tombstoned ids are anti-joined out so a re-delete can never
     * double-subtract. [[probe]] hides tombstones AND subtracts their
-    * mass immediately; [[compact]] applies them physically. */
+    * mass immediately; [[compact]] applies them physically.
+    *
+    * Migration note: tombstones written before the stats-mass upgrade
+    * carried only (doc_id); a dir mixing both layouts would read with
+    * one file's schema. An index holding legacy tombstones must
+    * [[compact]] once (which applies and CLEARS them) before the first
+    * post-upgrade delete — [[statsMinusTombstones]] degrades safely to
+    * no adjustment when the dl column is absent. */
   def delete(spark: SparkSession, docIds: Seq[Long], indexDir: String): Unit = {
     import spark.implicits._
     val ids = docIds.toDF("doc_id")
