@@ -168,12 +168,20 @@ object IvfIndex {
   /** Append NEW vectors to a persisted index: broadcast-free argmin
     * assignment against the stored centroids, then an append write
     * under the cell partitions — the existing vectors are never read or
-    * rewritten (q127's incremental-dedup shape, applied to ANN). */
+    * rewritten (q127's incremental-dedup shape, applied to ANN).
+    *
+    * Replay guard ([[PrevalenceIndex.append]]'s doc-granular
+    * convention): vectors whose vec_id the index already holds are
+    * anti-joined out first, so a re-sent batch (streaming replay, a
+    * retried ingest job) cannot double-serve a vector in every later
+    * top-k. The guard reads ONLY the index's vec_id column. */
   def appendVectors(spark: SparkSession, indexDir: String,
       newVecs: DataFrame): Unit = {
     graft.functions.VectorFunctions.register(spark)
     val centroids = spark.read.parquet(s"$indexDir/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+    val known = spark.read.parquet(s"$indexDir/vectors")
+      .select("vec_id").distinct()
     // align to the STORED schema before writing: parquet append with a
     // mismatched column type (e.g. string label into an int index)
     // corrupts the table for every later reader — ANSI cast fails loudly
@@ -181,7 +189,8 @@ object IvfIndex {
     val stored = spark.read.parquet(s"$indexDir/vectors").schema
     val aligned = stored.fields.filterNot(_.name == "cell")
       .map(f => col(f.name).cast(f.dataType).as(f.name))
-    assignToCentroids(newVecs, centroids)
+    assignToCentroids(
+        newVecs.join(known, Seq("vec_id"), "left_anti"), centroids)
       .select(aligned :+ col("cell"): _*)
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/vectors")
   }

@@ -78,15 +78,21 @@ object IvfPq {
     * [[IvfIndex.driftAudit]]'s domain; codebook staleness shows up in
     * q163's balance histogram). Batch columns are cast to the STORED
     * schema before the write so a drifting input type fails loudly at
-    * append time, not in every later reader. */
+    * append time, not in every later reader. Replay guard
+    * ([[PrevalenceIndex.append]]'s convention): already-indexed vec_ids
+    * are anti-joined out, so a re-sent batch cannot double-serve a
+    * vector; the guard reads only the codes table's vec_id column. */
   def append(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
     graft.functions.VectorFunctions.register(spark)
     val cbs = loadCodebooks(spark, indexDir)
     val centroids = spark.read.parquet(s"$indexDir/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
     val stored = spark.read.parquet(s"$indexDir/codes").schema
+    val known = spark.read.parquet(s"$indexDir/codes")
+      .select("vec_id").distinct()
     val cbLit = typedlit(cbs.map(_.map(_.toSeq).toSeq).toSeq)
-    val enc = IvfIndex.assignToCentroids(batch, centroids)
+    val enc = IvfIndex.assignToCentroids(
+      batch.join(known, Seq("vec_id"), "left_anti"), centroids)
       .withColumn("r", call_function("pq_encode", col("e"), cbLit))
     val withCodes = (0 until PqM).foldLeft(enc) { (acc, m) =>
       acc.withColumn(s"code_$m",

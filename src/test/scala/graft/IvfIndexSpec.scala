@@ -105,6 +105,17 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(planted.isDefined, s"appended vector missing from top-3: ${got.toSeq}")
     assert(math.abs(planted.get.getDouble(3) - 1.0) < 1e-9,
       "planted clone must score cosine ~ 1.0")
+    // replay law: re-appending the same batch is a no-op (the vec_id
+    // guard) — the clone is stored once and the top-k is unchanged
+    operators.IvfIndex.appendVectors(spark, dir2.getAbsolutePath, clone)
+    val stored = spark.read.parquet(s"${dir2.getAbsolutePath}/vectors")
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 999999L)
+      .count()
+    assert(stored == 1L, s"replayed append duplicated the vector: $stored rows")
+    val got2 = operators.IvfIndex.query(spark, dir2.getAbsolutePath, q,
+      topK = 3, nprobe = 16).collect().map(_.toString).toSeq
+    assert(got2 == got.map(_.toString).toSeq,
+      "replayed append changed query results")
   }
 
   test("drift audit flags a skewed append; rebalance splits it and recall holds") {

@@ -153,6 +153,11 @@ class IvfPqSpec extends AnyFunSuite {
     assert(ranks.contains(100L) && ranks.contains(10100L),
       s"clone must be queryable immediately: $ranks")
     assert(ranks(100L) == ranks(10100L), "identical vectors, identical codes, identical ADC")
+    // replay law: re-appending the same batch is a no-op (the vec_id
+    // guard) — the codes table is row-identical
+    operators.IvfPq.append(spark, path, batch)
+    val replayed = spark.read.parquet(s"$path/codes").collect().map(key).toSet
+    assert(replayed == after, "replayed append changed the codes table")
   }
 
   test("drift audit flags a clone burst; rebalance splits it and is a pure repartitioning (full-probe ADC bit-identical)") {
