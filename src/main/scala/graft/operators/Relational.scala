@@ -2342,9 +2342,12 @@ object Relational {
     * data question — too short and an ACTIVE user's state is evicted
     * at their longest internal idle gap (a bot re-alerts, a funnel
     * re-arms mid-journey), too long and the store holds ghosts. For
-    * each candidate TTL: how many multi-event users have at least one
-    * internal gap above it (would be evicted mid-history) and the
-    * share in exact ppm. The q192 companion closed one loop further:
+    * each candidate TTL (1 h / 1 day / 7 days / 30 days — sized to the
+    * corpus's multi-hour mean inter-arrival so the curve actually
+    * bends; sub-hour candidates evict everyone here): how many
+    * multi-event users have at least one internal gap above it (would
+    * be evicted mid-history) and the share in exact ppm. The q192
+    * companion closed one loop further:
     * q192 sized the WATERMARK from lateness, q242 the session gap from
     * cadence, this sizes the state TTL from per-user idleness.
     * Single-event users carry no internal gap (their state is purely
@@ -2368,7 +2371,7 @@ object Relational {
         .groupBy("user_id").agg(max(col("gap_us")).as("max_gap_us"))
         .filter(col("max_gap_us").isNotNull)
       umax
-        .select(explode(typedlit(Seq(60L, 600L, 3600L, 86400L)))
+        .select(explode(typedlit(Seq(3600L, 86400L, 604800L, 2592000L)))
           .as("ttl_s"), col("max_gap_us"))
         .groupBy("ttl_s")
         .agg(count(lit(1)).as("n_users"),
@@ -2385,7 +2388,7 @@ object Relational {
       u AS (SELECT user_id, max(gap_us) AS max_gap_us
         FROM g WHERE gap_us IS NOT NULL GROUP BY 1),
       c AS (SELECT cast(t.ttl_s as bigint) AS ttl_s, u.max_gap_us
-        FROM u CROSS JOIN (VALUES (60), (600), (3600), (86400))
+        FROM u CROSS JOIN (VALUES (3600), (86400), (604800), (2592000))
           AS t(ttl_s))
       SELECT ttl_s, cast(count(*) as bigint) AS n_users,
         cast(sum(CASE WHEN max_gap_us > ttl_s * 1000000
@@ -2432,7 +2435,7 @@ object Relational {
         .select(greatest(col("t2") - col("t1"), col("t3") - col("t2"))
           .as("maxgap"))
       conv
-        .select(explode(typedlit(Seq(60L, 600L, 3600L, 86400L)))
+        .select(explode(typedlit(Seq(3600L, 86400L, 604800L, 2592000L)))
           .as("ttl_s"), col("maxgap"))
         .groupBy("ttl_s")
         .agg(count(lit(1)).as("n_conversions"),
@@ -2457,7 +2460,7 @@ object Relational {
         conv AS (SELECT greatest(t2 - t1, t3 - t2) AS maxgap
           FROM s3 WHERE t3 IS NOT NULL),
         c AS (SELECT cast(t.ttl_s as bigint) AS ttl_s, maxgap
-          FROM conv CROSS JOIN (VALUES (60), (600), (3600), (86400))
+          FROM conv CROSS JOIN (VALUES (3600), (86400), (604800), (2592000))
             AS t(ttl_s))
       SELECT ttl_s, cast(count(*) as bigint) AS n_conversions,
         cast(sum(CASE WHEN maxgap > ttl_s * 1000000

@@ -393,6 +393,51 @@ class StreamingSessionSpec extends AnyFunSuite {
       s"conversions wrong: ${got.toSeq}")
   }
 
+  test("q259-sized TTL: bot alerts on the sf0.001 wire equal the unbounded-state run (the q192 closure pattern)") {
+    import spark.implicits._
+    import graft.streaming.BotMonitor
+    import graft.streaming.BotMonitor.UserEvt
+    implicit val sqlCtx = spark.sqlContext
+    // size the TTL FROM THE DATA: the smallest q259 grid candidate that
+    // evicts no multi-event user mid-history (and the runtime is even
+    // safer — eviction needs watermark past lastEvt+TTL, ~2x the gap)
+    val curve = SparkEntry.queries("q259_ttl_eviction_risk")(
+      spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    val ttl = curve.collectFirst { case (t, 0L) => t }
+      .getOrElse(fail(s"no zero-eviction TTL on the grid: ${curve.toSeq}"))
+    // the real event wire, event-time ordered, plus ONE planted bot so
+    // the law cannot pass vacuously (natural traffic is too diverse to
+    // cross the HHI cut)
+    val real = Tables.events(spark, TestSpark.sf0001)
+      .filter(org.apache.spark.sql.functions.col("user_id").isNotNull)
+      .select("user_id", "ts", "event_type")
+      .collect()
+      .map(r => UserEvt(r.getLong(0), r.getTimestamp(1), r.getString(2)))
+    val t0 = real.map(_.ts.getTime).min
+    val planted = (0 until 25).map(i =>
+      UserEvt(999999L, new java.sql.Timestamp(t0 + i * 1000L), "click"))
+    val wire = (real ++ planted).sortBy(e => (e.ts.getTime, e.user_id))
+    def run(ttlOpt: Option[Long], name: String): Set[(Long, Long, Long, Long)] = {
+      val mem = MemoryStream[UserEvt]
+      val q = BotMonitor.botAlerts(mem.toDS(), ttlOpt).writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      try {
+        wire.grouped(wire.length / 4 + 1).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    }
+    val withTtl = run(Some(ttl), "bot_q259_ttl")
+    val unbounded = run(None, "bot_q259_unbounded")
+    assert(withTtl.exists(_._1 == 999999L), "planted bot must alert — vacuous otherwise")
+    assert(withTtl == unbounded,
+      s"a q259-sized TTL must not change the alert set: $withTtl vs $unbounded")
+  }
+
   test("quality-drift baseline survives an idle gap (folded, kept), and drops past the keep horizon") {
     import spark.implicits._
     import graft.streaming.QualityMonitor
