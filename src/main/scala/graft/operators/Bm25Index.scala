@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * tokenized ONCE into this index and every later probe reads only the
   * postings of the query's terms.
   *
-  * Tables under `indexDir`:
-  *   - `postings/` — (term, doc_id, tf, dl), repartitioned by `term`
+  * Logical tables under `indexDir`, resolved through the
+  * [[IndexManifest]] commit layer (immutable segments, one atomic
+  * manifest rename per mutation, [[MaintenanceLock]] single-writer
+  * lease on all maintenance):
+  *   - `postings` — (term, doc_id, tf, dl), repartitioned by `term`
   *     (bucketed-write stand-in, the [[LshBandIndex]] convention) so a
   *     probe's term filter prunes files; tf/dl stored as exact longs.
-  *   - `stats/` — one row (n_docs, total_dl) as exact longs: the
+  *   - `stats` — one row (n_docs, total_dl) as exact longs: the
   *     corpus constants BM25 needs. avgdl is DERIVED at probe time as
   *     the double division of the two integers — never stored as a
   *     float, so append's integer additivity keeps the index
@@ -110,35 +113,27 @@ object Bm25Index {
   }
 
   /** Build the index over a (doc_id, text) corpus frame: one tokenize
-    * pass, cached so both table writes share it. */
-  def build(spark: SparkSession, corpus: DataFrame, indexDir: String): Unit = {
-    val p = postingsOf(spark, corpus).cache()
-    try {
-      p.repartition(col("term"))
-        .write.mode("overwrite").parquet(s"$indexDir/postings")
-      statsFrom(p).write.mode("overwrite").parquet(s"$indexDir/stats")
-      refreshIndex(spark, indexDir)
-    } finally { p.unpersist(); () }
-  }
-
-  /** Every mutation ends here: drop cached plans/file listings over the
-    * index path, so a probe plan that is canonically identical to a
-    * pre-mutation one (e.g. after compact clears the tombstones) can
-    * never serve stale InMemoryRelation data from the old files. */
-  private def refreshIndex(spark: SparkSession, indexDir: String): Unit = {
-    spark.catalog.refreshByPath(indexDir)
-    ()
-  }
+    * pass, cached so both table writes share it; both segments publish
+    * in ONE manifest commit, replacing any previous state. */
+  def build(spark: SparkSession, corpus: DataFrame, indexDir: String): Unit =
+    MaintenanceLock.withLock(spark, indexDir) {
+      val p = postingsOf(spark, corpus).cache()
+      try {
+        val sp = IndexManifest.newSegment(spark, indexDir, "postings")(d =>
+          p.repartition(col("term")).write.mode("overwrite").parquet(d))
+        val ss = IndexManifest.newSegment(spark, indexDir, "stats")(d =>
+          statsFrom(p).coalesce(1).write.mode("overwrite").parquet(d))
+        IndexManifest.commit(spark, indexDir,
+          Map("postings" -> Seq(sp), "stats" -> Seq(ss),
+            "tombstones" -> Nil))
+        IndexManifest.vacuum(spark, indexDir)
+        ()
+      } finally { p.unpersist(); () }
+    }
 
   private def tombstonesOf(spark: SparkSession, indexDir: String)
-      : Option[DataFrame] = {
-    val path = s"$indexDir/tombstones"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-      Some(spark.read.parquet(path))
-    else None
-  }
+      : Option[DataFrame] =
+    IndexManifest.readOpt(spark, indexDir, "tombstones")
 
   private def minusTombstones(df: DataFrame, ts: Option[DataFrame])
       : DataFrame =
@@ -153,7 +148,7 @@ object Bm25Index {
     * probe-after-compact EXACT (Bm25IndexSpec pins it bit-equal). */
   private def statsMinusTombstones(spark: SparkSession, indexDir: String,
       ts: Option[DataFrame]): DataFrame = {
-    val stats = spark.read.parquet(s"$indexDir/stats")
+    val stats = IndexManifest.read(spark, indexDir, "stats")
     ts match {
       case Some(t) if t.columns.contains("dl") =>
         val d = t.agg(
@@ -186,7 +181,7 @@ object Bm25Index {
       k: Int = TopK, termBudget: Long = TermPushdownBudget): DataFrame = {
     val qTerms = queries.select("term").distinct()
     val nTerms = qTerms.count()
-    val scan = spark.read.parquet(s"$indexDir/postings")
+    val scan = IndexManifest.read(spark, indexDir, "postings")
     val pruned =
       if (nTerms <= termBudget) {
         val terms = qTerms.collect().map(_.getString(0)).toSeq
@@ -198,101 +193,98 @@ object Bm25Index {
   }
 
   /** Last applied maintenance op id, or None — the [[RollupStore]]
-    * exactly-once discipline: the marker is written INSIDE the staged
-    * stats dir before the swap, so it travels ATOMICALLY with the
-    * stats update that ends every [[append]]. A crash between the
-    * postings append and the stats swap leaves the marker at its old
-    * value — DETECTABLE staleness (the caller replays the batch and
-    * [[refreshStats]] repairs; [[graft.streaming.IngestPipeline]] does
-    * exactly this). */
-  def appliedOp(spark: SparkSession, indexDir: String): Option[Long] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/stats/_applied_op")
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
-      finally in.close()
-    }
-  }
+    * exactly-once discipline, carried by the [[IndexManifest]]: the
+    * marker rides the manifest version, so it swaps ATOMICALLY with
+    * the commit that publishes every [[append]]'s postings and stats
+    * together. A crash before the commit leaves the index — and the
+    * marker — at the old state (nothing torn; the replay simply
+    * re-runs). SCOPE: the marker is a single high-water mark, so an
+    * (lsh, bm25) index pair belongs to exactly ONE ingest stream —
+    * two pipelines sharing an index would skip each other's batch
+    * ids. */
+  def appliedOp(spark: SparkSession, indexDir: String): Option[Long] =
+    IndexManifest.appliedOp(spark, indexDir)
 
-  /** Append a (doc_id, text) batch: postings rows append; the one-row
-    * stats table is replaced with the EXACT integer sum of old + new
-    * (additive, so append ≡ fresh build bit-for-bit — spec law). The
-    * caller must not append doc_ids already in the index (the admit
-    * gates — q127/q159 — own that decision). With `opId` set, ids at
-    * or below the stored `_applied_op` are skipped (returns false) and
-    * the marker swaps atomically with the stats table. A crash between
-    * the two writes leaves stats stale WITH the old marker, so the
-    * staleness is detectable on replay; [[refreshStats]] repairs by
-    * recomputing from postings, and the spec pins recompute ≡
-    * additive. */
+  /** Record `opId` as applied WITHOUT changing any table — the cheap
+    * marker stamp for a batch that admitted nothing (every table list
+    * is re-committed unchanged; one manifest rename). */
+  def stampOp(spark: SparkSession, indexDir: String, opId: Long): Unit =
+    MaintenanceLock.withLock(spark, indexDir) {
+      IndexManifest.stampOp(spark, indexDir, opId)
+    }
+
+  /** Append a (doc_id, text) batch: a new postings segment plus a
+    * replacement one-row stats segment holding the EXACT integer sum
+    * of old + new (additive, so append ≡ fresh build bit-for-bit —
+    * spec law), published in ONE manifest commit — the postings, the
+    * stats, and the op marker become visible atomically or not at
+    * all. The caller must not append doc_ids already in the index
+    * (the admit gates — q127/q159 — own that decision). With `opId`
+    * set, ids at or below the stored marker are skipped (returns
+    * false); without it the stored marker is preserved (an opId-less
+    * maintenance append — e.g. the [[graft.streaming.IngestPipeline]]
+    * repair path — must never erase the exactly-once high-water
+    * mark). A crash before the commit leaves the index untouched and
+    * the replay re-runs cleanly. */
   def append(spark: SparkSession, batch: DataFrame, indexDir: String,
       opId: Option[Long] = None): Boolean =
     appendImpl(spark, batch, indexDir, _ => (), opId)
 
   /** [[append]] with an injectable crash point (spec-only seam —
-    * called with "postings:appended" / "stats:swapped"). */
+    * called with "postings:appended" / "stats:staged", both STAGED
+    * and invisible, then "stats:swapped" after the commit). */
   private[graft] def appendImpl(spark: SparkSession, batch: DataFrame,
       indexDir: String, crashPoint: String => Unit,
-      opId: Option[Long] = None): Boolean = {
+      opId: Option[Long] = None): Boolean =
+   MaintenanceLock.withLock(spark, indexDir) {
     if (opId.exists(id => appliedOp(spark, indexDir).exists(_ >= id)))
-      return false
-    val p = postingsOf(spark, batch).cache()
-    try {
-      p.repartition(col("term"))
-        .write.mode("append").parquet(s"$indexDir/postings")
-      crashPoint("postings:appended")
-      val merged = statsFrom(p).unionAll(
-          spark.read.parquet(s"$indexDir/stats"))
-        .agg(sum(col("n_docs")).as("n_docs"),
-          sum(col("total_dl")).as("total_dl"))
-      writeStatsAside(spark, merged, indexDir, opId)
-      crashPoint("stats:swapped")
-      refreshIndex(spark, indexDir)
-    } finally { p.unpersist(); () }
-    true
-  }
-
-  /** Recompute `stats/` from the live postings — the idempotent repair
-    * for a crashed [[append]] (and the ground truth the additive merge
-    * must equal). `opId` stamps the repaired stats as that op;
-    * without it the existing marker (if any) is preserved, so a
-    * maintenance recompute ([[compact]]) never loses the exactly-once
-    * high-water mark. */
-  def refreshStats(spark: SparkSession, indexDir: String,
-      opId: Option[Long] = None): Unit = {
-    val keep = opId.orElse(appliedOp(spark, indexDir))
-    writeStatsAside(spark,
-      statsFrom(spark.read.parquet(s"$indexDir/postings")), indexDir, keep)
-    refreshIndex(spark, indexDir)
-  }
-
-  /** The 1-row stats table cannot be overwritten in place (a crash
-    * mid-write corrupts it): stage, swap aside, delete — the
-    * [[LshBandIndex]] rename-aside discipline. The op marker is
-    * written into the staged dir BEFORE the swap ([[RollupStore]]'s
-    * atomicity trick). */
-  private def writeStatsAside(spark: SparkSession, stats: DataFrame,
-      indexDir: String, opId: Option[Long]): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    def P(s: String) = new org.apache.hadoop.fs.Path(s)
-    val live = s"$indexDir/stats"
-    val tmp = s"$indexDir/stats_compact_tmp"
-    val old = s"$indexDir/stats_compact_old"
-    stats.coalesce(1).write.mode("overwrite").parquet(tmp)
-    opId.foreach { id =>
-      val out = fs.create(P(s"$tmp/_applied_op"), true)
-      try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+      false
+    else {
+      val p = postingsOf(spark, batch).cache()
+      try {
+        val sp = IndexManifest.newSegment(spark, indexDir, "postings")(d =>
+          p.repartition(col("term")).write.mode("overwrite").parquet(d))
+        crashPoint("postings:appended")
+        val merged = statsFrom(p).unionAll(
+            IndexManifest.read(spark, indexDir, "stats"))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("total_dl")).as("total_dl"))
+        val ss = IndexManifest.newSegment(spark, indexDir, "stats")(d =>
+          merged.coalesce(1).write.mode("overwrite").parquet(d))
+        crashPoint("stats:staged")
+        val cur = IndexManifest.load(spark, indexDir).map(_.tables)
+          .getOrElse(Map.empty)
+        IndexManifest.commit(spark, indexDir, cur
+          .updated("postings", cur.getOrElse("postings", Nil) :+ sp)
+          .updated("stats", Seq(ss)), opId)
+        crashPoint("stats:swapped")
+        IndexManifest.vacuum(spark, indexDir)
+        ()
+      } finally { p.unpersist(); () }
+      true
     }
-    if (fs.exists(P(live))) fs.rename(P(live), P(old))
-    fs.rename(P(tmp), P(live))
-    fs.delete(P(old), true)
-    ()
-  }
+   }
+
+  /** Recompute `stats` from the live postings — the idempotent repair
+    * for a torn CROSS-INDEX ingest (postings landed via the repair
+    * append, the batch marker not yet stamped — see
+    * [[graft.streaming.IngestPipeline]]) and the ground truth the
+    * additive merge must equal (spec-pinned). `opId` stamps the
+    * repaired stats as that op; without it the existing marker is
+    * preserved by the commit. */
+  def refreshStats(spark: SparkSession, indexDir: String,
+      opId: Option[Long] = None): Unit =
+    MaintenanceLock.withLock(spark, indexDir) {
+      val ss = IndexManifest.newSegment(spark, indexDir, "stats")(d =>
+        statsFrom(IndexManifest.read(spark, indexDir, "postings"))
+          .coalesce(1).write.mode("overwrite").parquet(d))
+      val cur = IndexManifest.load(spark, indexDir).map(_.tables)
+        .getOrElse(Map.empty)
+      IndexManifest.commit(spark, indexDir,
+        cur.updated("stats", Seq(ss)), opId)
+      IndexManifest.vacuum(spark, indexDir)
+      ()
+    }
 
   /** Logical delete: record tombstones carrying each victim's stats
     * mass (n=1 and its dl, looked up from postings ONCE at delete
@@ -304,85 +296,85 @@ object Bm25Index {
     *
     * Migration note: tombstones written before the stats-mass upgrade
     * carried only (doc_id); a dir mixing both layouts would read with
-    * one file's schema. An index holding legacy tombstones must
-    * [[compact]] once (which applies and CLEARS them) before the first
-    * post-upgrade delete — [[statsMinusTombstones]] degrades safely to
-    * no adjustment when the dl column is absent. */
-  def delete(spark: SparkSession, docIds: Seq[Long], indexDir: String): Unit = {
-    import spark.implicits._
-    val ids = docIds.toDF("doc_id")
-    // inner join: only docs PRESENT in the index carry mass (n=1, dl).
-    // An absent id needs no tombstone at all — it cannot be served and
-    // never contributed to stats.
-    val rows = spark.read.parquet(s"$indexDir/postings")
-      .join(broadcast(ids), Seq("doc_id"), "left_semi")
-      .groupBy("doc_id").agg(min(col("dl")).as("dl"))
-      .select(col("doc_id"), lit(1L).as("n"), col("dl"))
-    val pruned = tombstonesOf(spark, indexDir).fold(rows)(t =>
-      rows.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
-      .localCheckpoint()
-    pruned.write.mode("append").parquet(s"$indexDir/tombstones")
-    refreshIndex(spark, indexDir)
-  }
+    * one file's schema — the stats correction would then silently go
+    * partial (null n/dl rows contribute no mass) and the probe law
+    * would quietly fail for those docs. [[delete]] ENFORCES the
+    * migration: when it finds legacy-layout tombstones it auto-compacts
+    * first (which applies and CLEARS them — [[statsMinusTombstones]]
+    * degrades safely to no adjustment while they exist), then appends
+    * the new-layout rows to the now-empty set. */
+  def delete(spark: SparkSession, docIds: Seq[Long], indexDir: String): Unit =
+    MaintenanceLock.withLock(spark, indexDir) {
+      import spark.implicits._
+      // fail-safe migration gate: never mix tombstone layouts in one dir
+      if (tombstonesOf(spark, indexDir).exists(!_.columns.contains("dl")))
+        compact(spark, indexDir)
+      val ids = docIds.toDF("doc_id")
+      // inner join: only docs PRESENT in the index carry mass (n=1, dl).
+      // An absent id needs no tombstone at all — it cannot be served and
+      // never contributed to stats.
+      val rows = IndexManifest.read(spark, indexDir, "postings")
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .groupBy("doc_id").agg(min(col("dl")).as("dl"))
+        .select(col("doc_id"), lit(1L).as("n"), col("dl"))
+      val pruned = tombstonesOf(spark, indexDir).fold(rows)(t =>
+        rows.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
+        .localCheckpoint()
+      val seg = IndexManifest.newSegment(spark, indexDir, "tombstones")(d =>
+        pruned.write.mode("overwrite").parquet(d))
+      val cur = IndexManifest.load(spark, indexDir).map(_.tables)
+        .getOrElse(Map.empty)
+      IndexManifest.commit(spark, indexDir, cur.updated("tombstones",
+        cur.getOrElse("tombstones", Nil) :+ seg))
+      ()
+    }
 
   /** Apply tombstones physically and refresh stats from the clean
-    * postings (recompute, not subtraction — a rerun after ANY crash
-    * converges: re-anti-joining an already-clean table is a no-op and
-    * the recompute is idempotent). Rename-aside per table; tombstones
-    * cleared last. */
+    * postings (recompute, not subtraction — the ground truth). The
+    * compacted postings, the recomputed stats and the tombstone CLEAR
+    * publish in ONE manifest commit, so no probe can ever observe a
+    * recomputed stats row alongside still-pending tombstones (the
+    * pre-manifest design had exactly that window, where the probe
+    * would subtract the tombstone mass a second time). A crash at any
+    * seam leaves the old state fully live; the rerun converges. */
   def compact(spark: SparkSession, indexDir: String): Unit =
     compactImpl(spark, indexDir, _ => ())
 
-  /** [[compact]] with an injectable crash point (spec-only seam). */
+  /** [[compact]] with an injectable crash point (spec-only seam —
+    * "postings:written" / "stats:written" are staged-invisible,
+    * "committed" is the atomic publish, "vacuumed" ends cleanup). */
   private[graft] def compactImpl(spark: SparkSession, indexDir: String,
-      crashPoint: String => Unit): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    def P(s: String) = new org.apache.hadoop.fs.Path(s)
-    val ts = tombstonesOf(spark, indexDir)
-    val live = s"$indexDir/postings"
-    val tmp = s"$indexDir/postings_compact_tmp"
-    val old = s"$indexDir/postings_compact_old"
-    minusTombstones(spark.read.parquet(live), ts)
-      .repartition(col("term"))
-      .write.mode("overwrite").parquet(tmp)
-    crashPoint("postings:written")
-    fs.rename(P(live), P(old))
-    crashPoint("postings:aside")
-    fs.rename(P(tmp), P(live))
-    crashPoint("postings:swapped")
-    fs.delete(P(old), true)
-    crashPoint("postings:cleaned")
-    refreshStats(spark, indexDir)
-    crashPoint("stats:refreshed")
-    fs.delete(P(s"$indexDir/tombstones"), true)
-    refreshIndex(spark, indexDir)
-    ()
-  }
-
-  /** Repair a crashed [[compact]]/[[append]] to a fully-live index —
-    * the [[LshBandIndex.recover]] state machine over postings + stats.
-    * Safe to run unconditionally at open time. */
-  def recover(spark: SparkSession, indexDir: String): Boolean = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    def P(s: String) = new org.apache.hadoop.fs.Path(s)
-    var repaired = false
-    for (table <- Seq("postings", "stats")) {
-      val live = P(s"$indexDir/$table")
-      val tmp = P(s"$indexDir/${table}_compact_tmp")
-      val old = P(s"$indexDir/${table}_compact_old")
-      if (!fs.exists(live)) {
-        if (fs.exists(tmp)) { fs.rename(tmp, live); repaired = true }
-        else if (fs.exists(old)) { fs.rename(old, live); repaired = true }
-      }
-      if (fs.exists(live)) {
-        if (fs.exists(old)) { fs.delete(old, true); repaired = true }
-        if (fs.exists(tmp)) { fs.delete(tmp, true); repaired = true }
-      }
+      crashPoint: String => Unit): Unit =
+    MaintenanceLock.withLock(spark, indexDir) {
+      val ts = tombstonesOf(spark, indexDir)
+      val clean = minusTombstones(
+        IndexManifest.read(spark, indexDir, "postings"), ts)
+        .repartition(col("term")).cache()
+      try {
+        val sp = IndexManifest.newSegment(spark, indexDir, "postings")(d =>
+          clean.write.mode("overwrite").parquet(d))
+        crashPoint("postings:written")
+        val ss = IndexManifest.newSegment(spark, indexDir, "stats")(d =>
+          statsFrom(clean).coalesce(1).write.mode("overwrite").parquet(d))
+        crashPoint("stats:written")
+        IndexManifest.commit(spark, indexDir,
+          Map("postings" -> Seq(sp), "stats" -> Seq(ss),
+            "tombstones" -> Nil))
+        crashPoint("committed")
+        IndexManifest.vacuum(spark, indexDir)
+        crashPoint("vacuumed")
+        ()
+      } finally { clean.unpersist(); () }
     }
-    repaired
-  }
+
+  /** Open-time repair: with the manifest layer a crash can only leave
+    * orphan segments and superseded manifest versions — the index
+    * itself is always fully live. Delegates to
+    * [[IndexManifest.vacuum]]; safe to run unconditionally. */
+  def recover(spark: SparkSession, indexDir: String): Boolean =
+    MaintenanceLock.withLock(spark, indexDir) {
+      IndexManifest.vacuum(spark, indexDir) > 0
+    }
 
   /** Oracle CTE chain ending in `bmtop(qid, doc_id, score_q6, rnk)` —
     * the q209 semantics, shared with the hybrid-fusion oracle (q212). */

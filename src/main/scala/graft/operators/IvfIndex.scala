@@ -189,10 +189,20 @@ object IvfIndex {
     val stored = spark.read.parquet(s"$indexDir/vectors").schema
     val aligned = stored.fields.filterNot(_.name == "cell")
       .map(f => col(f.name).cast(f.dataType).as(f.name))
-    assignToCentroids(
+    // materialize the guarded batch BEFORE the append write: the anti-
+    // join reads vec_id from the very directory the write appends to,
+    // and a lazy plan re-listing those files mid-write (AQE re-plan,
+    // stage retry) could see its own half-written output — the
+    // admitImpl newSetIds discipline (write jobs never read the dir
+    // they write)
+    val toAdd = assignToCentroids(
         newVecs.join(known, Seq("vec_id"), "left_anti"), centroids)
       .select(aligned :+ col("cell"): _*)
-      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/vectors")
+      .localCheckpoint()
+    toAdd.write.mode("append").partitionBy("cell")
+      .parquet(s"$indexDir/vectors")
+    toAdd.unpersist()
+    ()
   }
 
   /** Shared normalization — Similarity.normed itself, so the index

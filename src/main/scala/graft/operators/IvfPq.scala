@@ -100,8 +100,16 @@ object IvfPq {
     }
     val aligned = stored.fields.filterNot(_.name == "cell")
       .map(f => col(f.name).cast(f.dataType).as(f.name))
-    withCodes.select(aligned :+ col("cell"): _*)
-      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/codes")
+    // materialize before the write — the replay guard's anti-join reads
+    // vec_id from the same codes directory this job appends to; sever
+    // the lineage so no re-listing can observe the in-flight write
+    // (the IvfIndex.appendVectors / admitImpl newSetIds discipline)
+    val toAdd = withCodes.select(aligned :+ col("cell"): _*)
+      .localCheckpoint()
+    toAdd.write.mode("append").partitionBy("cell")
+      .parquet(s"$indexDir/codes")
+    toAdd.unpersist()
+    ()
   }
 
   /** Probe cells + driver-computed ADC table for `query`, shared by

@@ -18,14 +18,17 @@ import org.apache.spark.sql.functions._
   * lifecycle discipline as [[IvfIndex]] (build once / probe many /
   * append survivors), applied to q37's LSH sketch (Dedup.scala).
   *
-  * The index is two parquet tables:
-  *   - `bands/` — (band_id, bh, doc_id): one row per (doc, band); the
+  * The index is two logical parquet tables, resolved through the
+  * [[IndexManifest]] commit layer (immutable segments + one atomic
+  * manifest rename per mutation — all maintenance holds the
+  * [[MaintenanceLock]] single-writer lease):
+  *   - `bands` — (band_id, bh, doc_id): one row per (doc, band); the
   *     probe is an equi-join on (band_id, bh). At cluster scale this
   *     table would be written bucketed by `bh` so nightly probes
   *     shuffle only the (small) batch side; local parquet has no
   *     metastore, so build() approximates with a hash-repartition on
   *     `bh` and the join broadcasts the batch side anyway.
-  *   - `sets/`  — (doc_id, sh): distinct word-3-gram shingle sets,
+  *   - `sets`  — (doc_id, sh): distinct word-3-gram shingle sets,
   *     read ONLY to verify exact jaccard on band-collision candidates
   *     (never the corpus text — the index is self-contained, so admit
   *     never touches the original documents table: LshBandIndexSpec
@@ -51,17 +54,26 @@ object LshBandIndex {
 
   /** Build the index over a (doc_id, text) corpus frame. One linear
     * pass: signatures are a per-row projection (Dedup.signedSetsOf),
-    * cached once so the two table writes share the computation. */
-  def build(spark: SparkSession, corpus: DataFrame, indexDir: String): Unit = {
-    val signed = Dedup.signedSetsOf(spark, corpus).cache()
-    try {
-      bandsOf(signed)
-        .repartition(col("bh")) // co-locate buckets (bucketed-write stand-in)
-        .write.mode("overwrite").parquet(s"$indexDir/bands")
-      signed.select("doc_id", "sh")
-        .write.mode("overwrite").parquet(s"$indexDir/sets")
-    } finally { signed.unpersist(); () }
-  }
+    * cached once so the two table writes share the computation. Both
+    * segments land in ONE manifest commit, replacing any previous
+    * index state; superseded segments are vacuumed. */
+  def build(spark: SparkSession, corpus: DataFrame, indexDir: String): Unit =
+    MaintenanceLock.withLock(spark, indexDir) {
+      val signed = Dedup.signedSetsOf(spark, corpus).cache()
+      try {
+        val b = IndexManifest.newSegment(spark, indexDir, "bands")(p =>
+          bandsOf(signed)
+            .repartition(col("bh")) // co-locate buckets (bucketed-write stand-in)
+            .write.mode("overwrite").parquet(p))
+        val s = IndexManifest.newSegment(spark, indexDir, "sets")(p =>
+          signed.select("doc_id", "sh")
+            .write.mode("overwrite").parquet(p))
+        IndexManifest.commit(spark, indexDir,
+          Map("bands" -> Seq(b), "sets" -> Seq(s), "tombstones" -> Nil))
+        IndexManifest.vacuum(spark, indexDir)
+        ()
+      } finally { signed.unpersist(); () }
+    }
 
   /** Admit audit over explicit index frames: one row per batch doc with
     * verified-match counts and the admit bit. Shared verbatim by the
@@ -153,19 +165,22 @@ object LshBandIndex {
     * document enters through [[admit]] under a NEW id (the lifecycle's
     * existing convention), because a resurrected OLD id would be
     * suppressed by its own tombstone until the next compact. */
-  def delete(spark: SparkSession, docIds: Seq[Long], indexDir: String): Unit = {
-    import spark.implicits._
-    docIds.toDF("doc_id").repartition(1)
-      .write.mode("append").parquet(s"$indexDir/tombstones")
-  }
+  def delete(spark: SparkSession, docIds: Seq[Long], indexDir: String): Unit =
+    MaintenanceLock.withLock(spark, indexDir) {
+      import spark.implicits._
+      val cur = IndexManifest.load(spark, indexDir).map(_.tables)
+        .getOrElse(Map.empty)
+      val seg = IndexManifest.newSegment(spark, indexDir, "tombstones")(p =>
+        docIds.toDF("doc_id").repartition(1)
+          .write.mode("overwrite").parquet(p))
+      IndexManifest.commit(spark, indexDir,
+        cur.updated("tombstones", cur.getOrElse("tombstones", Nil) :+ seg))
+      ()
+    }
 
   private def tombstonesOf(spark: SparkSession, indexDir: String)
-      : Option[DataFrame] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
-  }
+      : Option[DataFrame] =
+    IndexManifest.readOpt(spark, indexDir, "tombstones")
 
   private def minusTombstones(df: DataFrame, ts: Option[DataFrame])
       : DataFrame =
@@ -184,13 +199,13 @@ object LshBandIndex {
     val signed = Dedup.signedSetsOf(spark, batch)
     val ts = tombstonesOf(spark, indexDir)
     val iBands = minusTombstones(
-      spark.read.parquet(s"$indexDir/bands"), ts)
+      IndexManifest.read(spark, indexDir, "bands"), ts)
       .select(col("band_id"), col("bh"), col("doc_id").as("index_id"))
     val cand = bandsOf(signed).as("b")
       .join(iBands,
         col("b.band_id") === iBands("band_id") && col("b.bh") === iBands("bh"))
       .select(col("b.doc_id").as("doc_id"), col("index_id")).distinct()
-    val iSets = spark.read.parquet(s"$indexDir/sets")
+    val iSets = IndexManifest.read(spark, indexDir, "sets")
       .select(col("doc_id").as("index_id"), col("sh").as("sh_b"))
     val a = signed.select(col("doc_id"), col("sh").as("sh_a"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
@@ -212,165 +227,131 @@ object LshBandIndex {
     * [[audit]]; the default None keeps q159's exact published
     * semantics.
     *
-    * Crash discipline (the IngestPipeline seam): `sets` is written
-    * BEFORE `bands`. A doc with sets-but-no-bands is invisible to the
-    * probe (candidates form on band collisions only) and is simply
-    * re-admitted on replay — its bands then land and its sets append
-    * is skipped by the anti-join guard below. The REVERSE order would
-    * leave bands whose exact-jaccard verification row is missing, so a
-    * future duplicate collides, fails verification, and is wrongly
-    * ADMITTED (a dup leak). The guard also makes replay of any torn
-    * state converge with no duplicate rows: each table is appended
-    * only for survivors it does not already hold. (A crash INSIDE one
-    * parquet append job can still leave a doc with a subset of its 8
-    * band rows — that degrades that one doc's future-dup recall, never
-    * an admit bit; a cluster deployment closes it with a manifest
-    * commit layer.) */
+    * Crash discipline (the IngestPipeline seam): both tables' new
+    * segments are STAGED (invisible) and published by ONE
+    * [[IndexManifest.commit]] — a doc's sets and its 8 band rows
+    * become visible atomically, or not at all. A crash at any point
+    * before the commit leaves only orphan segments (vacuumed at the
+    * next maintenance); the replay simply re-audits and re-admits the
+    * same survivors. The pre-manifest design's torn states
+    * (sets-without-bands needing a write-order law and an anti-join
+    * idempotence guard; a partial band-row subset degrading one doc's
+    * future-dup recall) are structurally unreachable now. */
   def admit(spark: SparkSession, batch: DataFrame, indexDir: String,
       appendSurvivors: Boolean = true,
       bucketCap: Option[Long] = None): DataFrame =
     admitImpl(spark, batch, indexDir, _ => (), appendSurvivors, bucketCap)
 
   /** [[admit]] with an injectable crash point (spec-only seam —
-    * called with "audited" / "sets:appended" / "bands:appended") and
-    * the optional `n_self_dups` replay-evidence column (`withSelf` —
-    * the [[graft.streaming.IngestPipeline]] repair input). */
+    * called with "audited" / "sets:appended" / "bands:appended" — the
+    * first two now mark STAGED segments, invisible until — /
+    * "committed") and the optional `n_self_dups` replay-evidence
+    * column (`withSelf` — the [[graft.streaming.IngestPipeline]]
+    * repair input). */
   private[graft] def admitImpl(spark: SparkSession, batch: DataFrame,
       indexDir: String, crashPoint: String => Unit,
       appendSurvivors: Boolean = true,
       bucketCap: Option[Long] = None,
-      withSelf: Boolean = false): DataFrame = {
+      withSelf: Boolean = false): DataFrame =
+   MaintenanceLock.withLock(spark, indexDir) {
     val signed = Dedup.signedSetsOf(spark, batch).cache()
     try {
       // tombstoned docs leave the BAND side; candidates then never name
       // them, so the sets side needs no filter (the verify join drops)
       val iBands = minusTombstones(
-        spark.read.parquet(s"$indexDir/bands"),
+        IndexManifest.read(spark, indexDir, "bands"),
         tombstonesOf(spark, indexDir))
-      val iSets = spark.read.parquet(s"$indexDir/sets")
+      val iSets = IndexManifest.read(spark, indexDir, "sets")
       val a = audit(signed, iBands, iSets, bucketCap, withSelf)
         .orderBy("doc_id").localCheckpoint()
       crashPoint("audited")
       if (appendSurvivors) {
         val surv = signed.join(
           a.filter(col("admitted") === 1L).select("doc_id"), "doc_id")
-        // idempotence guard: a replay of a torn admit re-admits a doc
-        // whose sets row already landed (it has no bands yet, so the
-        // audit cannot self-reject it) — appending its sets again
-        // would double its verification rows. Batch-bounded id list,
-        // materialized so the write job never reads the dir it writes.
-        val newSetIds = surv.select("doc_id")
-          .join(spark.read.parquet(s"$indexDir/sets").select("doc_id"),
-            Seq("doc_id"), "left_anti")
-          .localCheckpoint()
-        surv.join(newSetIds, "doc_id").select("doc_id", "sh")
-          .write.mode("append").parquet(s"$indexDir/sets")
-        crashPoint("sets:appended")
-        // every survivor lacks bands (bands+sets ⇒ rejected at 1.0;
-        // bands-without-sets is unreachable under this write order),
-        // so the bands append needs no guard
-        bandsOf(surv)
-          .repartition(col("bh")) // keep build()'s co-location invariant across appends
-          .write.mode("append").parquet(s"$indexDir/bands")
-        crashPoint("bands:appended")
+        if (!surv.isEmpty) {
+          // stage both tables' segments, publish with ONE commit: a
+          // replayed doc is either fully in the index (self-rejected
+          // by the audit, never re-staged) or fully absent — no
+          // idempotence guard is needed any more
+          val segSets = IndexManifest.newSegment(spark, indexDir, "sets")(
+            p => surv.select("doc_id", "sh")
+              .write.mode("overwrite").parquet(p))
+          crashPoint("sets:appended")
+          val segBands = IndexManifest.newSegment(spark, indexDir, "bands")(
+            p => bandsOf(surv)
+              .repartition(col("bh")) // keep build()'s co-location invariant
+              .write.mode("overwrite").parquet(p))
+          crashPoint("bands:appended")
+          val cur = IndexManifest.load(spark, indexDir).map(_.tables)
+            .getOrElse(Map.empty)
+          IndexManifest.commit(spark, indexDir, cur
+            .updated("sets", cur.getOrElse("sets", Nil) :+ segSets)
+            .updated("bands", cur.getOrElse("bands", Nil) :+ segBands))
+          crashPoint("committed")
+        }
       }
       a
     } finally { signed.unpersist(); () }
-  }
+   }
 
-  /** Physical maintenance: every nightly [[admit]] append adds a file
-    * set sized by that batch, so a year of batches leaves the bands
-    * table as hundreds of small files whose per-file open/footer cost
-    * starts to dominate the probe scan (the classic small-files decay —
-    * the LSH twin of [[IvfIndex.rebalance]]'s logical decay). Rewrites
-    * each table once — bands re-co-located on `bh` (restoring build()'s
-    * layout invariant exactly), sets by doc_id.
+  /** Physical maintenance: every nightly [[admit]] append adds a
+    * segment sized by that batch, so a year of batches leaves the bands
+    * table as hundreds of small segments whose per-file open/footer
+    * cost starts to dominate the probe scan (the classic small-files
+    * decay — the LSH twin of [[IvfIndex.rebalance]]'s logical decay).
+    * Rewrites each table into ONE segment — bands re-co-located on `bh`
+    * (restoring build()'s layout invariant exactly), sets by doc_id —
+    * and applies pending [[delete]] tombstones physically.
     *
-    * Crash-safety: the swap is rename-aside (live → `_compact_old`),
-    * rename-in (tmp → live), delete-aside — so EVERY intermediate state
-    * keeps at least one complete copy of the table on disk, and a crash
-    * at any point is repaired by [[recover]] (which prefers the
-    * completed tmp and otherwise restores the aside copy). A reader
-    * racing the swap itself can still observe a missing-table window of
-    * one rename pair — local FS / HDFS rename is atomic per rename, but
-    * there are two; a snapshot-isolated reader needs a manifest layer
-    * (out of scope here, and object stores' non-atomic rename would
-    * too). Contents are untouched: LshBandIndexSpec pins probe results
-    * bit-identical across a compact AND across a crash+recover at each
-    * injected failure point. */
+    * Crash-safety and reader isolation come from the manifest: both
+    * compacted segments AND the tombstone clear publish in ONE atomic
+    * manifest rename, so every crash point leaves the index readable
+    * at either the old or the new state — never between (the
+    * pre-manifest two-rename missing-table window, and the window
+    * where a recomputed table coexisted with still-pending tombstones,
+    * are both structurally gone). A reader that resolved the OLD
+    * manifest keeps a complete file set until [[vacuum]] (run here
+    * last; a deployment with long-running readers can defer it).
+    * LshBandIndexSpec probes AT every injected crash state and pins
+    * results bit-identical to pre-compact. */
   def compact(spark: SparkSession, indexDir: String): Unit =
     compactImpl(spark, indexDir, _ => ())
 
   /** [[compact]] with an injectable crash point (spec-only seam —
-    * `crashPoint` is called with "table:written" / "table:aside" /
-    * "table:swapped" and may throw to simulate dying there). */
+    * `crashPoint` is called with "bands:written" / "sets:written" /
+    * "committed" / "vacuumed" and may throw to simulate dying there). */
   private[graft] def compactImpl(spark: SparkSession, indexDir: String,
-      crashPoint: String => Unit): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    def P(s: String) = new org.apache.hadoop.fs.Path(s)
-    // compact is also where tombstones ([[delete]]) are applied
-    // PHYSICALLY: each rewrite anti-joins them out, and the set is
-    // cleared only after BOTH tables are swapped. A crash anywhere
-    // before the clear leaves the tombstones in place — reapplying
-    // them to an already-cleaned table is a no-op, so every crash
-    // state is repaired by recover() + rerun (idempotence; the spec
-    // injects a crash between the clears to pin it).
-    val ts = tombstonesOf(spark, indexDir)
-    def rewrite(table: String, partCol: String): Unit = {
-      val live = s"$indexDir/$table"
-      val tmp = s"$indexDir/${table}_compact_tmp"
-      val old = s"$indexDir/${table}_compact_old"
-      minusTombstones(spark.read.parquet(live), ts)
-        .repartition(col(partCol))
-        .write.mode("overwrite").parquet(tmp)
-      crashPoint(s"$table:written")
-      fs.rename(P(live), P(old))
-      crashPoint(s"$table:aside")
-      fs.rename(P(tmp), P(live))
-      crashPoint(s"$table:swapped")
-      fs.delete(P(old), true)
+      crashPoint: String => Unit): Unit =
+    MaintenanceLock.withLock(spark, indexDir) {
+      val ts = tombstonesOf(spark, indexDir)
+      def rewrite(table: String, partCol: String): String =
+        IndexManifest.newSegment(spark, indexDir, table) { p =>
+          minusTombstones(IndexManifest.read(spark, indexDir, table), ts)
+            .repartition(col(partCol))
+            .write.mode("overwrite").parquet(p)
+        }
+      val nb = rewrite("bands", "bh")
+      crashPoint("bands:written")
+      val ns = rewrite("sets", "doc_id")
+      crashPoint("sets:written")
+      // one commit: compacted tables + tombstones cleared, atomically
+      IndexManifest.commit(spark, indexDir,
+        Map("bands" -> Seq(nb), "sets" -> Seq(ns), "tombstones" -> Nil))
+      crashPoint("committed")
+      IndexManifest.vacuum(spark, indexDir)
+      crashPoint("vacuumed")
       ()
     }
-    rewrite("bands", "bh")
-    rewrite("sets", "doc_id")
-    crashPoint("tombstones:applied")
-    fs.delete(P(s"$indexDir/tombstones"), true)
-    ()
-  }
 
-  /** Repair a [[compact]] (or a crashed one) to a fully-live index:
-    * if a table's live dir is missing, the completed compacted copy
-    * (`_compact_tmp` — complete by construction once the aside rename
-    * has happened) is swapped in, else the aside copy (`_compact_old`)
-    * is restored; stale aside/tmp dirs (including a PARTIAL tmp from a
-    * crash mid-write, when live is still intact) are deleted. Safe to
-    * run unconditionally at index-open time; returns true when it
-    * changed anything. */
-  def recover(spark: SparkSession, indexDir: String): Boolean = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    def P(s: String) = new org.apache.hadoop.fs.Path(s)
-    var repaired = false
-    for (table <- Seq("bands", "sets")) {
-      val live = P(s"$indexDir/$table")
-      val tmp = P(s"$indexDir/${table}_compact_tmp")
-      val old = P(s"$indexDir/${table}_compact_old")
-      if (!fs.exists(live)) {
-        // live can only be absent between the two renames — tmp is then
-        // a COMPLETE compacted table (the write finished before the
-        // aside rename); finish the compact. The old-only branch is
-        // defensive: no crash point produces it.
-        if (fs.exists(tmp)) { fs.rename(tmp, live); repaired = true }
-        else if (fs.exists(old)) { fs.rename(old, live); repaired = true }
-      }
-      if (fs.exists(live)) {
-        if (fs.exists(old)) { fs.delete(old, true); repaired = true }
-        if (fs.exists(tmp)) { fs.delete(tmp, true); repaired = true }
-      }
+  /** Open-time repair: with the manifest layer a crash can only leave
+    * ORPHANS (staged segments and superseded manifest versions the
+    * current manifest does not reference) — the index itself is always
+    * fully live. Delegates to [[IndexManifest.vacuum]]; returns true
+    * when anything was cleaned. Safe to run unconditionally. */
+  def recover(spark: SparkSession, indexDir: String): Boolean =
+    MaintenanceLock.withLock(spark, indexDir) {
+      IndexManifest.vacuum(spark, indexDir) > 0
     }
-    repaired
-  }
 
   /** q159: the oracle-checked registry twin of [[admit]] — corpus =
     * doc_id % 10 < 8 plays the persisted index, batch = the rest

@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   * the FIFTH index lifecycle next to LshBandIndex / IvfIndex / IvfPq /
   * Bm25Index, with the same contract: build once, probe/admit many,
   * append incrementally with a replay guard, right-to-be-forgotten
-  * tombstones applied physically at a crash-safe rename-aside
-  * compact, recover() repairing any torn state.
+  * tombstones applied physically at compact. Storage goes through the
+  * [[IndexManifest]] commit layer (immutable segments + one atomic
+  * manifest rename per mutation, [[MaintenanceLock]] lease on all
+  * maintenance), so every crash state is fully live and recover() is
+  * just an orphan vacuum.
   *
   * Unlike the LSH admit there is NO greedy order dependence: drop-all
   * flags every copy symmetrically (a batch-internal pair flags BOTH
@@ -37,29 +40,37 @@ object PrevalenceIndex {
           split(col("text"), java.util.regex.Pattern.quote(delim), -1),
           p => Dsl.md5h61(p)))).as("h"))
 
-  def build(spark: SparkSession, corpus: DataFrame, indexDir: String): Unit = {
-    segPairs(corpus, Dedup.ParaDelim)
-      .repartition(col("h")) // co-locate each segment's postings
-      .write.mode("overwrite").parquet(s"$indexDir/segs")
-    ()
-  }
+  def build(spark: SparkSession, corpus: DataFrame, indexDir: String): Unit =
+    MaintenanceLock.withLock(spark, indexDir) {
+      val seg = IndexManifest.newSegment(spark, indexDir, "segs")(p =>
+        segPairs(corpus, Dedup.ParaDelim)
+          .repartition(col("h")) // co-locate each segment's postings
+          .write.mode("overwrite").parquet(p))
+      IndexManifest.commit(spark, indexDir,
+        Map("segs" -> Seq(seg), "tombstones" -> Nil))
+      IndexManifest.vacuum(spark, indexDir)
+      ()
+    }
 
   /** Right-to-be-forgotten: O(batch) tombstones; [[audit]] anti-joins
     * them out of the index side so a forgotten doc stops contributing
     * to prevalence IMMEDIATELY; [[compact]] applies them physically. */
-  def delete(spark: SparkSession, docIds: Seq[Long], indexDir: String): Unit = {
-    import spark.implicits._
-    docIds.toDF("doc_id").repartition(1)
-      .write.mode("append").parquet(s"$indexDir/tombstones")
-  }
+  def delete(spark: SparkSession, docIds: Seq[Long], indexDir: String): Unit =
+    MaintenanceLock.withLock(spark, indexDir) {
+      import spark.implicits._
+      val seg = IndexManifest.newSegment(spark, indexDir, "tombstones")(p =>
+        docIds.toDF("doc_id").repartition(1)
+          .write.mode("overwrite").parquet(p))
+      val cur = IndexManifest.load(spark, indexDir).map(_.tables)
+        .getOrElse(Map.empty)
+      IndexManifest.commit(spark, indexDir, cur.updated("tombstones",
+        cur.getOrElse("tombstones", Nil) :+ seg))
+      ()
+    }
 
   private def tombstonesOf(spark: SparkSession, indexDir: String)
-      : Option[DataFrame] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
-  }
+      : Option[DataFrame] =
+    IndexManifest.readOpt(spark, indexDir, "tombstones")
 
   private def minusTombstones(df: DataFrame, ts: Option[DataFrame])
       : DataFrame =
@@ -99,75 +110,64 @@ object PrevalenceIndex {
   def probe(spark: SparkSession, batch: DataFrame, indexDir: String)
       : DataFrame = {
     val idx = minusTombstones(
-      spark.read.parquet(s"$indexDir/segs"), tombstonesOf(spark, indexDir))
+      IndexManifest.read(spark, indexDir, "segs"),
+      tombstonesOf(spark, indexDir))
     audit(segPairs(batch, Dedup.ParaDelim), idx)
   }
 
   /** Incremental append with a doc-granular replay guard: pairs of
     * batch docs whose doc_id the index already holds are skipped (a
     * re-sent shard cannot double-count prevalence), reading ONLY the
-    * index's doc_id column for the guard. */
-  def append(spark: SparkSession, batch: DataFrame, indexDir: String): Unit = {
-    val known = spark.read.parquet(s"$indexDir/segs")
-      .select("doc_id").distinct()
-    segPairs(batch, Dedup.ParaDelim)
-      .join(known, Seq("doc_id"), "left_anti")
-      .write.mode("append").parquet(s"$indexDir/segs")
-    ()
-  }
+    * index's doc_id column for the guard. The new segment is staged
+    * and published by one manifest commit — a crashed append leaves
+    * only an invisible orphan, and a batch's pairs become visible
+    * all-or-nothing. */
+  def append(spark: SparkSession, batch: DataFrame, indexDir: String): Unit =
+    MaintenanceLock.withLock(spark, indexDir) {
+      val known = IndexManifest.read(spark, indexDir, "segs")
+        .select("doc_id").distinct()
+      val seg = IndexManifest.newSegment(spark, indexDir, "segs")(p =>
+        segPairs(batch, Dedup.ParaDelim)
+          .join(known, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(p))
+      val cur = IndexManifest.load(spark, indexDir).map(_.tables)
+        .getOrElse(Map.empty)
+      IndexManifest.commit(spark, indexDir,
+        cur.updated("segs", cur.getOrElse("segs", Nil) :+ seg))
+      ()
+    }
 
   def compact(spark: SparkSession, indexDir: String): Unit =
     compactImpl(spark, indexDir, _ => ())
 
-  /** [[compact]] with the injectable crash seam (the LshBandIndex
-    * convention: "segs:written" / "segs:aside" / "segs:swapped" /
-    * "tombstones:applied"). Tombstones are applied physically here and
-    * cleared only after the swap — a crash before the clear reapplies
-    * them harmlessly (idempotent). */
+  /** [[compact]] with the injectable crash seam ("segs:written"
+    * staged-invisible / "committed" / "vacuumed"). The compacted
+    * segment and the tombstone clear publish in ONE atomic manifest
+    * rename; a crash anywhere leaves the old state fully live and the
+    * rerun converges. */
   private[graft] def compactImpl(spark: SparkSession, indexDir: String,
-      crashPoint: String => Unit): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    def P(s: String) = new org.apache.hadoop.fs.Path(s)
-    val ts = tombstonesOf(spark, indexDir)
-    val live = s"$indexDir/segs"
-    val tmp = s"$indexDir/segs_compact_tmp"
-    val old = s"$indexDir/segs_compact_old"
-    minusTombstones(spark.read.parquet(live), ts)
-      .repartition(col("h"))
-      .write.mode("overwrite").parquet(tmp)
-    crashPoint("segs:written")
-    fs.rename(P(live), P(old))
-    crashPoint("segs:aside")
-    fs.rename(P(tmp), P(live))
-    crashPoint("segs:swapped")
-    fs.delete(P(old), true)
-    crashPoint("tombstones:applied")
-    fs.delete(P(s"$indexDir/tombstones"), true)
-    ()
-  }
+      crashPoint: String => Unit): Unit =
+    MaintenanceLock.withLock(spark, indexDir) {
+      val ts = tombstonesOf(spark, indexDir)
+      val seg = IndexManifest.newSegment(spark, indexDir, "segs")(p =>
+        minusTombstones(IndexManifest.read(spark, indexDir, "segs"), ts)
+          .repartition(col("h"))
+          .write.mode("overwrite").parquet(p))
+      crashPoint("segs:written")
+      IndexManifest.commit(spark, indexDir,
+        Map("segs" -> Seq(seg), "tombstones" -> Nil))
+      crashPoint("committed")
+      IndexManifest.vacuum(spark, indexDir)
+      crashPoint("vacuumed")
+      ()
+    }
 
-  /** Repair a crashed [[compact]]; safe to run unconditionally at
-    * index-open time. Same state machine as LshBandIndex.recover, one
-    * table. */
-  def recover(spark: SparkSession, indexDir: String): Boolean = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    def P(s: String) = new org.apache.hadoop.fs.Path(s)
-    var repaired = false
-    val live = P(s"$indexDir/segs")
-    val tmp = P(s"$indexDir/segs_compact_tmp")
-    val old = P(s"$indexDir/segs_compact_old")
-    if (!fs.exists(live)) {
-      if (fs.exists(tmp)) { fs.rename(tmp, live); repaired = true }
-      else if (fs.exists(old)) { fs.rename(old, live); repaired = true }
+  /** Open-time repair: with the manifest layer a crash leaves only
+    * orphans — delegate to [[IndexManifest.vacuum]]. */
+  def recover(spark: SparkSession, indexDir: String): Boolean =
+    MaintenanceLock.withLock(spark, indexDir) {
+      IndexManifest.vacuum(spark, indexDir) > 0
     }
-    if (fs.exists(live)) {
-      if (fs.exists(old)) { fs.delete(old, true); repaired = true }
-      if (fs.exists(tmp)) { fs.delete(tmp, true); repaired = true }
-    }
-    repaired
-  }
 
   /** q229: the oracle-checked registry twin of [[probe]]/admit —
     * corpus = doc_id % 10 < 8 plays the persisted index, batch = the

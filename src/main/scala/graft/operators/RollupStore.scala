@@ -26,16 +26,16 @@ import org.apache.spark.sql.types.DecimalType
   * (delete), never with the accumulated fact history. The store itself
   * is |days|·|types| rows — readable in one task at any event volume.
   *
-  * Crash-safety mirrors [[LshBandIndex.compact]]: every write lands in
-  * a `_tmp` dir first, then rename-aside (live → `_old`), rename-in,
-  * delete-aside — every intermediate state keeps a complete table on
-  * disk, and [[recover]] repairs any crash point (prefers the
-  * completed tmp, else restores the aside copy). After a swap the
-  * spark catalog cache for the path is refreshed (the [[Bm25Index]]
-  * lesson: a canonically equal reader plan would otherwise serve the
-  * PRE-swap files from cache). RollupStoreSpec injects crashes at
-  * every point and pins the full lifecycle bit-equal to the q245
-  * declarative twin and to a from-scratch recompute.
+  * Crash-safety comes from the [[IndexManifest]] commit layer (the
+  * same mechanism as the five index lifecycles): every mutation stages
+  * the next table state as an immutable segment and publishes it with
+  * ONE atomic manifest rename carrying the op marker — a crash at any
+  * point leaves the previous state fully live (no torn table, no
+  * reader-racing rename window), and [[recover]] is just an orphan
+  * vacuum. All maintenance holds the [[MaintenanceLock]] lease.
+  * RollupStoreSpec injects crashes at every point and pins the full
+  * lifecycle bit-equal to the q245 declarative twin and to a
+  * from-scratch recompute.
   *
   * Provenance: generalizes the reference's per-minute aggregation
   * dashboard feed (consumer.py:95-118) into a maintained, deletable
@@ -56,27 +56,25 @@ object RollupStore {
         sum(col("value").cast(Dec)).cast(SumT).as("s"),
         min(col("value")).as("mn"), max(col("value")).as("mx"))
 
-  /** One fact scan → the stored table. */
-  def build(spark: SparkSession, facts: DataFrame, dir: String): Unit = {
-    partials(facts).repartition(col("day"))
-      .write.mode("overwrite").parquet(s"$dir/rollup")
-    ()
-  }
+  /** One fact scan → the stored table (one segment + manifest commit). */
+  def build(spark: SparkSession, facts: DataFrame, dir: String): Unit =
+    buildAtomic(spark, facts, dir)
 
-  /** [[build]] through the same atomic swap as the mutating ops, so
-    * the op marker lands WITH the initial table — the first streaming
-    * batch needs this (a crash between a plain build and a separate
-    * marker stamp would double-apply that batch on replay). With no
-    * live table the aside rename is a no-op and the swap degrades to
-    * "install tmp". */
+  /** [[build]] carrying an op marker, so the marker lands WITH the
+    * initial table — the first streaming batch needs this (a crash
+    * between a plain build and a separate marker stamp would
+    * double-apply that batch on replay). Under the manifest every
+    * build is atomic; this name survives for the callers. */
   def buildAtomic(spark: SparkSession, facts: DataFrame, dir: String,
       opId: Option[Long] = None): Unit =
-    writeSwap(spark, partials(facts), dir, _ => (), opId)
+    MaintenanceLock.withLock(spark, dir) {
+      writeSwap(spark, partials(facts), dir, _ => (), opId)
+    }
 
   /** The maintained table, in its presentation form (exact decimal sum
     * surfaced as the bit-stable split double — the q189 convention). */
   def query(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/rollup")
+    IndexManifest.read(spark, dir, "rollup")
       .select(col("day"), col("event_type"), col("n").as("n_events"),
         splitDbl(col("s")).as("sum_value"),
         col("mn").as("min_value"), col("mx").as("max_value"))
@@ -85,39 +83,17 @@ object RollupStore {
   // ------------------------------------------------------------------
   // Exactly-once maintenance: every mutating op may carry a MONOTONIC
   // op id (a streaming batchId, an ingest-manifest sequence number).
-  // The id is written as `_applied_op` INSIDE the tmp table before the
-  // swap — underscore-prefixed, so parquet readers ignore it (the
-  // _SUCCESS convention) — and therefore travels ATOMICALLY with the
-  // data: a crash before the aside rename loses tmp+marker together
-  // (replay re-applies), a crash after it installs data+marker
-  // together under recover() (replay is skipped). A blind re-run with
-  // the same op id is thus always correct — the replay caveat a bare
-  // rename-aside swap cannot close (RollupStoreSpec pins both crash
-  // sides and a double-apply).
+  // The id rides the manifest version, so it travels ATOMICALLY with
+  // the data: a crash before the commit loses segment+marker together
+  // (replay re-applies), a crash after it publishes data+marker
+  // together (replay is skipped). A blind re-run with the same op id
+  // is thus always correct (RollupStoreSpec pins both crash sides and
+  // a double-apply).
   // ------------------------------------------------------------------
 
   /** Last applied maintenance op id, or None for a fresh store. */
-  def appliedOp(spark: SparkSession, dir: String): Option[Long] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(s"$dir/rollup/_applied_op")
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
-      finally in.close()
-    }
-  }
-
-  private def writeMarker(spark: SparkSession, tableDir: String,
-      opId: Long): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(s"$tableDir/_applied_op"), true)
-    try out.write(opId.toString.getBytes("UTF-8")) finally out.close()
-  }
+  def appliedOp(spark: SparkSession, dir: String): Option[Long] =
+    IndexManifest.appliedOp(spark, dir)
 
   /** Merge an ingest batch into the store (q189 partial-state merge:
     * counts and exact sums add; min/max take least/greatest — valid
@@ -136,10 +112,12 @@ object RollupStore {
 
   private[graft] def appendImpl(spark: SparkSession, batch: DataFrame,
       dir: String, crashPoint: String => Unit,
-      opId: Option[Long] = None): Boolean = {
+      opId: Option[Long] = None): Boolean =
+   MaintenanceLock.withLock(spark, dir) {
     if (opId.exists(id => appliedOp(spark, dir).exists(_ >= id)))
-      return false
-    val store = spark.read.parquet(s"$dir/rollup")
+      false
+    else {
+    val store = IndexManifest.read(spark, dir, "rollup")
     val b = partials(batch)
       .withColumnRenamed("n", "bn").withColumnRenamed("s", "bs")
       .withColumnRenamed("mn", "bmn").withColumnRenamed("mx", "bmx")
@@ -153,7 +131,8 @@ object RollupStore {
         greatest(col("mx"), col("bmx")).as("mx"))
     writeSwap(spark, merged, dir, crashPoint, opId)
     true
-  }
+    }
+   }
 
   /** Right-to-be-forgotten: retract every fact row of `forgetUsers`
     * from the store. Counts and sums subtract exactly (abelian); min/
@@ -172,10 +151,12 @@ object RollupStore {
 
   private[graft] def deleteImpl(spark: SparkSession, facts: DataFrame,
       forgetUsers: DataFrame, dir: String,
-      crashPoint: String => Unit, opId: Option[Long] = None): Boolean = {
+      crashPoint: String => Unit, opId: Option[Long] = None): Boolean =
+   MaintenanceLock.withLock(spark, dir) {
     if (opId.exists(id => appliedOp(spark, dir).exists(_ >= id)))
-      return false
-    val store = spark.read.parquet(s"$dir/rollup")
+      false
+    else {
+    val store = IndexManifest.read(spark, dir, "rollup")
     val slice = facts.join(broadcast(forgetUsers), Seq("user_id"))
     // cached and owned HERE (writeSwap materializes synchronously, so
     // unlike the q245 twin no scope is needed): both the retraction
@@ -208,71 +189,36 @@ object RollupStore {
       writeSwap(spark, next, dir, crashPoint, opId)
     } finally { deltas.unpersist(); () }
     true
-  }
+    }
+   }
 
-  /** Rename-aside swap of the single `rollup` table (the
-    * [[LshBandIndex.compact]] discipline): tmp write → live aside →
-    * tmp in → aside delete, with a spec-injectable crash point after
-    * each step; ends with a path-cache refresh so a pre-existing
-    * reader plan cannot serve the old files. The merged/next frame
-    * must be MATERIALIZED to tmp before any rename — it reads the live
-    * dir it is about to replace. */
+  /** Stage the next table state as one segment, publish with one
+    * manifest commit carrying the op marker, vacuum the superseded
+    * segment. The next frame reads the LIVE segment it replaces —
+    * safe, because the write targets a fresh segment dir (never the
+    * files being read) and the old segment survives until after the
+    * commit. Crash points: "written" (staged, invisible), "committed"
+    * ("swapped" kept as an alias for the spec), "vacuumed". */
   private def writeSwap(spark: SparkSession, next: DataFrame, dir: String,
       crashPoint: String => Unit, opId: Option[Long] = None): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    def P(s: String) = new org.apache.hadoop.fs.Path(s)
-    val live = s"$dir/rollup"
-    val tmp = s"$dir/rollup_tmp"
-    val old = s"$dir/rollup_old"
-    next.repartition(col("day")).write.mode("overwrite").parquet(tmp)
-    // the op marker lands INSIDE tmp, so data + marker swap atomically
-    opId.foreach(writeMarker(spark, tmp, _))
+    val seg = IndexManifest.newSegment(spark, dir, "rollup")(p =>
+      next.repartition(col("day")).write.mode("overwrite").parquet(p))
     crashPoint("written")
-    // no live table on a first buildAtomic — the swap degrades to
-    // "install tmp" (local-FS rename THROWS on a missing source)
-    if (fs.exists(P(live))) fs.rename(P(live), P(old))
-    crashPoint("aside")
-    fs.rename(P(tmp), P(live))
+    IndexManifest.commit(spark, dir, Map("rollup" -> Seq(seg)), opId)
     crashPoint("swapped")
-    fs.delete(P(old), true)
-    spark.catalog.refreshByPath(live)
+    IndexManifest.vacuum(spark, dir)
+    crashPoint("vacuumed")
     ()
   }
 
-  /** Repair a crashed [[writeSwap]] to a fully-live store: live
-    * missing → swap in the completed tmp (complete by construction
-    * once the aside rename happened), else restore the aside copy;
-    * stale tmp/old dirs (including a partial tmp from a crash
-    * mid-write while live is intact) are deleted. Unlike
-    * [[LshBandIndex.recover]], tmp completeness is WITNESSED (Spark's
-    * `_SUCCESS` commit marker), not inferred from live's absence —
-    * [[buildAtomic]] legitimately runs with no live table, so a crash
-    * mid-first-write leaves a partial tmp and nothing else; installing
-    * it would resurrect a torn table. Safe to run unconditionally at
-    * open; returns true when it changed anything. */
-  def recover(spark: SparkSession, dir: String): Boolean = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    def P(s: String) = new org.apache.hadoop.fs.Path(s)
-    val live = P(s"$dir/rollup")
-    val tmp = P(s"$dir/rollup_tmp")
-    val old = P(s"$dir/rollup_old")
-    val tmpComplete = fs.exists(P(s"$dir/rollup_tmp/_SUCCESS"))
-    var repaired = false
-    if (!fs.exists(live)) {
-      if (fs.exists(tmp) && tmpComplete) {
-        fs.rename(tmp, live); repaired = true
-      } else if (fs.exists(old)) { fs.rename(old, live); repaired = true }
-      else if (fs.exists(tmp)) { fs.delete(tmp, true); repaired = true }
+  /** Open-time repair: with the manifest a crash leaves only orphan
+    * segments / superseded versions — the store itself is always fully
+    * live. Delegates to [[IndexManifest.vacuum]]; safe to run
+    * unconditionally; returns true when anything was cleaned. */
+  def recover(spark: SparkSession, dir: String): Boolean =
+    MaintenanceLock.withLock(spark, dir) {
+      IndexManifest.vacuum(spark, dir) > 0
     }
-    if (fs.exists(live)) {
-      if (fs.exists(old)) { fs.delete(old, true); repaired = true }
-      if (fs.exists(tmp)) { fs.delete(tmp, true); repaired = true }
-    }
-    if (repaired) spark.catalog.refreshByPath(s"$dir/rollup")
-    repaired
-  }
 
   /** q245 — the DECLARATIVE lifecycle twin: build on the even-event_id
     * half, merge-append the odd half (q189 ⊕), then retract the

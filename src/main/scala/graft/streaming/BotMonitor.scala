@@ -44,7 +44,7 @@ object BotMonitor {
 
   final case class UserEvt(user_id: Long, ts: Timestamp, event_type: String)
   final case class BotState(counts: Map[String, Long], n: Long,
-      alerted: Boolean)
+      alerted: Boolean, maxTsMs: Long)
   final case class BotAlert(user_id: Long, n_events: Long, n_types: Long,
       hhi_ppm: Long)
 
@@ -55,7 +55,7 @@ object BotMonitor {
   val HhiAlertPpm = 600000L
 
   final case class CadenceState(lastUs: Long, nGaps: Long, minGap: Long,
-      maxGap: Long, alerted: Boolean)
+      maxGap: Long, alerted: Boolean, maxTsMs: Long)
   final case class CadenceAlert(user_id: Long, n_gaps: Long,
       min_gap_us: Long, max_gap_us: Long)
 
@@ -76,10 +76,17 @@ object BotMonitor {
     * a micro-batch fold in (event-time, type) order, so replays of
     * the same wire produce the same gaps. */
   // TTL plumbing note: both alarms arm the event-time timeout at
-  // (key's max event time + TTL), clamped above the current watermark
-  // (a key whose events are already older than watermark − TTL would
-  // otherwise arm an un-armable past timestamp). Inlined in each state
-  // function — the locals-only closure rule of this file.
+  // (key's max event time ACROSS ITS HISTORY + TTL), clamped above the
+  // current watermark (a key whose events are already older than
+  // watermark − TTL would otherwise arm an un-armable past timestamp).
+  // The history max is carried in state (`maxTsMs`) — arming from the
+  // current BATCH's max alone would let a later batch of within-
+  // watermark out-of-order events re-arm the timeout EARLIER than the
+  // previous arm, evicting state (and the alert tombstone) before the
+  // TTL has truly elapsed since the key's last event — a bot could
+  // then re-alert inside the horizon, violating the once-only law.
+  // Inlined in each state function — the locals-only closure rule of
+  // this file.
 
   private def timeoutConf(ttl: Option[Long]): GroupStateTimeout =
     if (ttl.isDefined) GroupStateTimeout.EventTimeTimeout
@@ -110,7 +117,7 @@ object BotMonitor {
           } else {
             var st = state.getOption.getOrElse(
               CadenceState(Long.MinValue, 0L, Long.MaxValue, Long.MinValue,
-                alerted = false))
+                alerted = false, maxTsMs = Long.MinValue))
             val out = scala.collection.mutable.ListBuffer.empty[CadenceAlert]
             val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
             sorted.foreach { e =>
@@ -119,7 +126,7 @@ object BotMonitor {
                 val gap = tus - st.lastUs
                 st = CadenceState(tus, st.nGaps + 1L,
                   math.min(st.minGap, gap), math.max(st.maxGap, gap),
-                  st.alerted)
+                  st.alerted, st.maxTsMs)
                 if (!st.alerted && st.nGaps >= minGaps &&
                     st.maxGap - st.minGap <= jitter) {
                   st = st.copy(alerted = true)
@@ -127,10 +134,12 @@ object BotMonitor {
                 }
               } else st = st.copy(lastUs = tus)
             }
+            st = st.copy(maxTsMs =
+              math.max(st.maxTsMs, sorted.last.ts.getTime))
             state.update(st)
             ttlMs.foreach { t =>
               state.setTimeoutTimestamp(math.max(
-                sorted.last.ts.getTime + t,
+                st.maxTsMs + t,
                 state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
@@ -162,14 +171,15 @@ object BotMonitor {
             state.remove()
             Iterator.empty
           } else {
-            var st = state.getOption.getOrElse(BotState(Map.empty, 0L, false))
+            var st = state.getOption.getOrElse(
+              BotState(Map.empty, 0L, false, Long.MinValue))
             val out = scala.collection.mutable.ListBuffer.empty[BotAlert]
             // deterministic fold order under replay: event time, then type
             val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
             sorted.foreach { e =>
               val c = st.counts.getOrElse(e.event_type, 0L) + 1L
               st = BotState(st.counts.updated(e.event_type, c), st.n + 1L,
-                st.alerted)
+                st.alerted, st.maxTsMs)
               if (!st.alerted && st.n >= minN) {
                 val ssq = st.counts.valuesIterator.map(x => x * x).sum
                 val hhiPpm = ssq * 1000000L / (st.n * st.n)
@@ -179,10 +189,12 @@ object BotMonitor {
                 }
               }
             }
+            st = st.copy(maxTsMs =
+              math.max(st.maxTsMs, sorted.last.ts.getTime))
             state.update(st)
             ttlMs.foreach { t =>
               state.setTimeoutTimestamp(math.max(
-                sorted.last.ts.getTime + t,
+                st.maxTsMs + t,
                 state.getCurrentWatermarkMs() + 1))
             }
             out.iterator

@@ -33,7 +33,7 @@ import java.sql.Timestamp
 object Funnel {
 
   final case class Evt(user_id: Long, ts: Timestamp, event_type: String)
-  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelState(t1: Long, t2: Long, t3: Long, maxTsMs: Long)
   final case class Conversion(user_id: Long, signup_us: Long,
       click_us: Long, purchase_us: Long)
 
@@ -61,7 +61,8 @@ object Funnel {
             // a converted user must not restart the funnel within the
             // horizon, so a tombstone (all stages set) is kept instead
             // of bare removal
-            var st = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+            var st = state.getOption.getOrElse(
+              FunnelState(0L, 0L, 0L, Long.MinValue))
             var out = List.empty[Conversion]
             val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
             sorted.foreach { e =>
@@ -79,10 +80,18 @@ object Funnel {
                 }
               }
             }
+            // the TTL arms from the key's max event time ACROSS history
+            // (carried in state), not the batch max: a later batch of
+            // within-watermark out-of-order events must never re-arm
+            // the timeout EARLIER than the previous arm (which would
+            // evict the journey — or a conversion tombstone — before
+            // idleTtlSeconds truly elapsed; the BotMonitor law)
+            st = st.copy(maxTsMs =
+              math.max(st.maxTsMs, sorted.last.ts.getTime))
             state.update(st)
             ttlMs.foreach { t =>
               state.setTimeoutTimestamp(math.max(
-                sorted.last.ts.getTime + t,
+                st.maxTsMs + t,
                 state.getCurrentWatermarkMs() + 1))
             }
             out.reverse.iterator

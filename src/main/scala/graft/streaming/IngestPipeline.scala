@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{Bm25Index, LshBandIndex}
+import graft.operators.{Bm25Index, IndexManifest, LshBandIndex}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -59,7 +59,10 @@ object IngestPipeline {
   /** One batch through the full pipeline. Returns the number of docs
     * admitted (and therefore present in both indexes). With `opId` set
     * (the streaming path passes the micro-batch id) the batch is
-    * exactly-once under replay at EVERY crash point. */
+    * exactly-once under replay at EVERY crash point. MARKER SCOPE: the
+    * high-water mark is a single value per index, so an (lsh, bm25)
+    * index pair belongs to exactly ONE ingest stream — two pipelines
+    * sharing an index pair would skip each other's batch ids. */
   def ingestBatch(spark: SparkSession, batch: DataFrame,
       lshDir: String, bm25Dir: String, opId: Option[Long] = None): Long =
     ingestBatchImpl(spark, batch, lshDir, bm25Dir, _ => (), opId)
@@ -75,9 +78,14 @@ object IngestPipeline {
     if (opId.exists(id => Bm25Index.appliedOp(spark, bm25Dir).exists(_ >= id)))
       return 0L
     graft.functions.TextFunctions.register(spark)
+    // a batch that changes nothing still records its op id (one cheap
+    // manifest re-commit) — otherwise EVERY replay of an all-rejected
+    // batch re-pays the full audit instead of the marker skip
+    def stampOnly(): Long = { opId.foreach(id =>
+      Bm25Index.stampOp(spark, bm25Dir, id)); 0L }
     val clean = batch.select(col("doc_id"), col("text"))
       .filter(size(graft.Dsl.toks(col("text"))) >= MinTokens)
-    if (clean.isEmpty) return 0L
+    if (clean.isEmpty) return stampOnly()
     val audit = LshBandIndex.admitImpl(spark, clean, lshDir, crashPoint,
       withSelf = true)
     crashPoint("lsh:appended")
@@ -91,7 +99,7 @@ object IngestPipeline {
     val nNow = admittedNow.count()
     val nReplayed = audit.filter(col("n_self_dups") > 0L).count()
     val nAll = nNow + nReplayed
-    if (nAll == 0L) return 0L
+    if (nAll == 0L) return stampOnly()
     if (nReplayed == 0L) {
       // hot path: no replay evidence — plain additive append, marker
       // swaps in with the stats write
@@ -107,7 +115,7 @@ object IngestPipeline {
         audit.filter(col("admitted") === 1L || col("n_self_dups") > 0L)
           .select("doc_id"), "doc_id")
       val missing = admitted.join(
-        spark.read.parquet(s"$bm25Dir/postings").select("doc_id"),
+        IndexManifest.read(spark, bm25Dir, "postings").select("doc_id"),
         Seq("doc_id"), "left_anti").localCheckpoint()
       crashPoint("bm25:repair")
       if (!missing.isEmpty)

@@ -27,11 +27,10 @@ object RollupMaintenance {
   /** Apply one micro-batch; returns true when it changed the store. */
   def applyBatch(spark: SparkSession, batch: Dataset[FactEvt],
       dir: String, batchId: Long): Boolean = {
-    RollupStore.recover(spark, dir) // heal any torn swap first
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(s"$dir/rollup")
-    if (!fs.exists(live)) {
+    RollupStore.recover(spark, dir) // vacuum any crash orphans first
+    val exists = graft.operators.IndexManifest
+      .load(spark, dir).exists(_.segmentsOf("rollup").nonEmpty)
+    if (!exists) {
       // atomic build: the op marker lands WITH the initial table, so a
       // crash anywhere leaves either nothing (replay rebuilds) or the
       // complete marked table (replay skips) — never a double-apply

@@ -21,8 +21,38 @@ import org.apache.spark.sql.functions._
   *    path, priced so the hot path provably pays none of it.
   *
   * Usage: sbt "runMain graft.tools.IngestScale [sfDir] [nBatches]"
+  *
+  * Like the query bench, the measured numbers are checked against a
+  * COMMITTED idle-machine floor file (ingest_floor.json — the
+  * bench_floor.json discipline applied to the pipeline): the output
+  * JSON carries `floor_suspects` + `load_suspect`, so an archived
+  * record flags its own regressions instead of relying on prose.
   */
 object IngestScale {
+
+  /** How far a measurement may drift from its committed floor before
+    * it is flagged. Time metrics flag HIGH (2× — the Bench
+    * SuspectFactor), except the marker skip, whose floor is
+    * millisecond-scale and GC-jittery (5×). The throughput metric
+    * flags LOW (under half the floor). */
+  private[graft] def floorSuspects(metrics: Map[String, Double],
+      floors: Map[String, Double]): Seq[String] = {
+    def over(k: String, factor: Double) =
+      (for (m <- metrics.get(k); f <- floors.get(k)) yield m > factor * f)
+        .getOrElse(false)
+    val under = (for (m <- metrics.get("min_docs_per_sec");
+        f <- floors.get("min_docs_per_sec")) yield m < f / 2.0)
+      .getOrElse(false)
+    (Seq("build_sec" -> 2.0, "repair_replay_sec" -> 2.0,
+      "marker_skip_sec" -> 5.0).collect {
+        case (k, f) if over(k, f) => k
+      }) ++ (if (under) Seq("min_docs_per_sec") else Nil)
+  }
+
+  private[graft] def parseFloors(txt: String): Map[String, Double] =
+    "\"([a-z_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(5)
@@ -65,15 +95,21 @@ object IngestScale {
       val nb = b.count()
       val (admitted, sec) = timed(
         IngestPipeline.ingestBatch(spark, b, lsh, bm, Some(i.toLong)))
-      val indexDocs = spark.read.parquet(s"$lsh/sets").count()
+      val indexDocs = graft.operators.IndexManifest.read(spark, lsh, "sets").count()
       (i, nb, admitted, sec, indexDocs)
     }
-    // replay path 1: marker skip (the whole batch already landed)
+    // replay path 1: marker skip (the whole batch already landed) —
+    // min-of-3: the floor is millisecond-scale, one GC pause would
+    // dominate a single sample
     val lastBatch = docs.filter(
       col("doc_id") >= half + (nBatches - 1) * perBatch && col("doc_id") < n)
-    val (skipN, tSkip) = timed(IngestPipeline.ingestBatch(
-      spark, lastBatch, lsh, bm, Some((nBatches - 1).toLong)))
-    require(skipN == 0L, "marker skip must admit nothing")
+      .localCheckpoint()
+    val skipRuns = (0 until 3).map { _ =>
+      timed(IngestPipeline.ingestBatch(
+        spark, lastBatch, lsh, bm, Some((nBatches - 1).toLong)))
+    }
+    require(skipRuns.forall(_._1 == 0L), "marker skip must admit nothing")
+    val tSkip = skipRuns.map(_._2).min
     // replay path 2: membership repair — crash a FRESH batch between the
     // LSH and BM25 appends, then replay it (the round-13 repair seam).
     // Texts are synthesized per id (40 unique tokens each) so every doc
@@ -102,10 +138,23 @@ object IngestScale {
       s"""{"batch":$i,"docs":$nb,"admitted":$adm,"sec":${f"$sec%.3f"},""" +
         s""""docs_per_sec":${f"${nb / sec}%.1f"},"index_docs":$idx}"""
     }.mkString("[", ",", "]")
+    val minDps = batches.map { case (_, nb, _, sec, _) => nb / sec }.min
+    val metrics = Map("build_sec" -> tBuild, "marker_skip_sec" -> tSkip,
+      "repair_replay_sec" -> tRepair, "min_docs_per_sec" -> minDps)
+    val floors = Seq("ingest_floor.json", "target/ingest_floor.json").view
+      .map(java.nio.file.Paths.get(_))
+      .find(java.nio.file.Files.exists(_))
+      .map(p => parseFloors(
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8")))
+      .getOrElse(Map.empty)
+    val suspects = floorSuspects(metrics, floors)
+    val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"sf":"$sfDir","total_docs":$n,"seed_docs":$half,""" +
       s""""build_sec":${f"$tBuild%.3f"},"batches":$batchJson,""" +
+      s""""min_docs_per_sec":${f"$minDps%.1f"},""" +
       s""""marker_skip_sec":${f"$tSkip%.4f"},""" +
-      s""""repair_replay_docs":$repairN,"repair_replay_sec":${f"$tRepair%.3f"}}""")
+      s""""repair_replay_docs":$repairN,"repair_replay_sec":${f"$tRepair%.3f"},""" +
+      s""""floor_suspects":$suspectsJson,"load_suspect":${suspects.nonEmpty}}""")
     spark.stop()
   }
 }

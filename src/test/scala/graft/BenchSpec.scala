@@ -98,6 +98,42 @@ class BenchSpec extends AnyFunSuite {
     assert(healed == first)
   }
 
+  test("ingest_floor.json parses and carries every IngestScale metric (the pipeline's committed floors)") {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("ingest_floor.json")), "UTF-8")
+    val floors = tools.IngestScale.parseFloors(txt)
+    for (k <- Seq("build_sec", "marker_skip_sec", "repair_replay_sec",
+        "min_docs_per_sec")) {
+      assert(floors.contains(k), s"ingest floor $k missing")
+      assert(floors(k) > 0.0, s"$k floor ${floors(k)} implausible")
+    }
+    // structural sanity of the committed record: the marker skip is the
+    // no-I/O path and must be orders cheaper than the repair replay
+    assert(floors("marker_skip_sec") < floors("repair_replay_sec") / 10,
+      "marker skip floor should be far below the repair floor")
+    assert(!floors.contains("_comment"))
+  }
+
+  test("IngestScale floor flags: time metrics flag high, throughput flags low, unknowns never flag") {
+    val floors = Map("build_sec" -> 10.0, "repair_replay_sec" -> 4.0,
+      "marker_skip_sec" -> 0.001, "min_docs_per_sec" -> 3000.0)
+    // idle-shaped record: nothing flags
+    assert(tools.IngestScale.floorSuspects(Map(
+      "build_sec" -> 12.0, "repair_replay_sec" -> 5.0,
+      "marker_skip_sec" -> 0.004, "min_docs_per_sec" -> 2900.0),
+      floors).isEmpty)
+    // regressions: slow build, slow repair, marker past its 5x band,
+    // throughput under half floor
+    assert(tools.IngestScale.floorSuspects(Map(
+      "build_sec" -> 21.0, "repair_replay_sec" -> 9.0,
+      "marker_skip_sec" -> 0.006, "min_docs_per_sec" -> 1400.0),
+      floors).toSet == Set("build_sec", "repair_replay_sec",
+        "marker_skip_sec", "min_docs_per_sec"))
+    // no committed floors -> nothing ever flags
+    assert(tools.IngestScale.floorSuspects(
+      Map("build_sec" -> 99.0), Map.empty).isEmpty)
+  }
+
   test("robustTimes retries an outlier run and keeps the honest min") {
     // one GC-hit sample among fast ones: retry fires (max > 2x min),
     // at most 2 extra runs, min survives

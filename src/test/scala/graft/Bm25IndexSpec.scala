@@ -49,8 +49,10 @@ class Bm25IndexSpec extends AnyFunSuite {
     Bm25Index.append(spark, b, incDir)
     Bm25Index.build(spark, corpus, fullDir)
     // stats additivity is exact integers
-    val si = spark.read.parquet(s"$incDir/stats").collect().head
-    val sff = spark.read.parquet(s"$fullDir/stats").collect().head
+    val si = operators.IndexManifest.read(spark, incDir, "stats")
+      .collect().head
+    val sff = operators.IndexManifest.read(spark, fullDir, "stats")
+      .collect().head
     assert((si.getLong(0), si.getLong(1)) == ((sff.getLong(0), sff.getLong(1))),
       s"stats diverge: $si vs $sff")
     assert(rowsOf(Bm25Index.probe(spark, queries, incDir)) ==
@@ -62,9 +64,11 @@ class Bm25IndexSpec extends AnyFunSuite {
     val dir = tmpDir()
     Bm25Index.build(spark, corpus.filter(col("doc_id") % 10 < 8), dir)
     Bm25Index.append(spark, corpus.filter(col("doc_id") % 10 >= 8), dir)
-    val additive = spark.read.parquet(s"$dir/stats").collect().head
+    val additive = operators.IndexManifest.read(spark, dir, "stats")
+      .collect().head
     Bm25Index.refreshStats(spark, dir)
-    val recomputed = spark.read.parquet(s"$dir/stats").collect().head
+    val recomputed = operators.IndexManifest.read(spark, dir, "stats")
+      .collect().head
     assert((additive.getLong(0), additive.getLong(1)) ==
       ((recomputed.getLong(0), recomputed.getLong(1))),
       s"additive $additive != recomputed $recomputed")
@@ -97,9 +101,12 @@ class Bm25IndexSpec extends AnyFunSuite {
     val applied = rowsOf(Bm25Index.probe(spark, queries, probeDir))
     assert(applied == survProbe,
       "compacted index diverges from a fresh build over the survivors")
-    // crash injection: every compact step is repaired by recover + rerun
-    for (crashAt <- Seq("postings:written", "postings:aside",
-        "postings:swapped", "postings:cleaned", "stats:refreshed")) {
+    // crash injection: the manifest makes every compact crash state
+    // fully live AND probe-identical (tombstones still pending → the
+    // logical view; committed → the physical view — same rows either
+    // way, the strong law), with recover + rerun converging
+    for (crashAt <- Seq("postings:written", "stats:written",
+        "committed", "vacuumed")) {
       val dir = tmpDir()
       Bm25Index.build(spark, corpus, dir)
       Bm25Index.delete(spark, Seq(victim), dir)
@@ -107,6 +114,8 @@ class Bm25IndexSpec extends AnyFunSuite {
         Bm25Index.compactImpl(spark, dir, p =>
           if (p == crashAt) throw new RuntimeException(s"boom at $p"))
       }
+      assert(rowsOf(Bm25Index.probe(spark, queries, dir)) == applied,
+        s"probe diverged AT the crash state $crashAt")
       Bm25Index.recover(spark, dir)
       Bm25Index.compact(spark, dir)
       assert(rowsOf(Bm25Index.probe(spark, queries, dir)) == applied,
@@ -143,22 +152,54 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(Bm25Index.appliedOp(spark, dir).contains(7L),
       "refreshStats dropped the op marker")
 
-    // crash between the postings append and the stats swap: the marker
-    // stays at its old value, so the staleness is DETECTABLE; the
-    // repair (refreshStats with the op id) restores the append law
+    // an opId-LESS maintenance append must not erase the marker (the
+    // IngestPipeline repair path appends without an op id; losing the
+    // high-water mark would downgrade every later replay to the full
+    // audit) — the manifest commit preserves it
+    import spark.implicits._
+    Bm25Index.append(spark,
+      Seq((990001L, (1 to 30).map(i => s"mk$i").mkString(" ")))
+        .toDF("doc_id", "text"), dir)
+    assert(Bm25Index.appliedOp(spark, dir).contains(7L),
+      "opId-less append erased the high-water mark")
+
+    // crash mid-append: with the manifest, NOTHING lands (postings and
+    // stats publish in one commit) — the index is bit-identical to
+    // pre-append, the marker is unclaimed, and the straight replay of
+    // the same append IS the repair
     val dir2 = tmpDir()
     Bm25Index.build(spark, a, dir2)
-    intercept[RuntimeException] {
-      Bm25Index.appendImpl(spark, b, dir2, p =>
-        if (p == "postings:appended") throw new RuntimeException("boom"),
-        opId = Some(3L))
+    val preAppend = rowsOf(Bm25Index.probe(spark, queries, dir2))
+    for (crashAt <- Seq("postings:appended", "stats:staged")) {
+      intercept[RuntimeException] {
+        Bm25Index.appendImpl(spark, b, dir2, p =>
+          if (p == crashAt) throw new RuntimeException("boom"),
+          opId = Some(3L))
+      }
+      assert(Bm25Index.appliedOp(spark, dir2).isEmpty,
+        s"torn append at $crashAt must not claim its op id")
+      assert(rowsOf(Bm25Index.probe(spark, queries, dir2)) == preAppend,
+        s"torn append at $crashAt left partial state visible")
+      Bm25Index.recover(spark, dir2) // vacuum the orphan segment
     }
-    assert(Bm25Index.appliedOp(spark, dir2).isEmpty,
-      "torn append must not claim its op id")
-    Bm25Index.refreshStats(spark, dir2, opId = Some(3L))
+    assert(Bm25Index.append(spark, b, dir2, opId = Some(3L)),
+      "replay of the torn append must run, not be skipped")
     assert(Bm25Index.appliedOp(spark, dir2).contains(3L))
     assert(rowsOf(Bm25Index.probe(spark, queries, dir2)) == after,
-      "repaired torn append diverges from the clean append")
+      "replayed torn append diverges from the clean append")
+  }
+
+  test("zero-change marker stamp: stampOp records the op id without touching any table") {
+    val dir = tmpDir()
+    Bm25Index.build(spark, corpus, dir)
+    val before = rowsOf(Bm25Index.probe(spark, queries, dir))
+    Bm25Index.stampOp(spark, dir, 11L)
+    assert(Bm25Index.appliedOp(spark, dir).contains(11L))
+    assert(rowsOf(Bm25Index.probe(spark, queries, dir)) == before,
+      "stampOp changed probe results")
+    // the stamped id now short-circuits a replayed append
+    assert(!Bm25Index.append(spark, corpus, dir, opId = Some(11L)),
+      "append at the stamped id must be skipped")
   }
 
   test("probe plan reads only index parquet and prunes to the probed terms") {

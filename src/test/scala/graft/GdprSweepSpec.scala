@@ -142,18 +142,35 @@ class GdprSweepSpec extends AnyFunSuite {
       spark.sparkContext.hadoopConfiguration)
     def gone(path: String): Boolean =
       !fs.exists(new org.apache.hadoop.fs.Path(path))
-    // read the tables DIRECTLY — no probe-layer filtering can hide rows
-    for ((table, idCol, victim) <- Seq(
-        (s"$lsh/bands", "doc_id", docV), (s"$lsh/sets", "doc_id", docV),
-        (s"$bm/postings", "doc_id", docV),
-        (s"$prev/segs", "doc_id", docV),
-        (s"$ivf/vectors", "vec_id", vecW),
-        (s"$pq/codes", "vec_id", vecW))) {
-      assert(spark.read.parquet(table)
+    // read the tables DIRECTLY — no probe-layer filtering can hide
+    // rows. Manifested indexes resolve to their live segment files;
+    // the partition-dir indexes (IVF/PQ) are read at their raw paths.
+    def liveFiles(dir: String, table: String): Seq[String] =
+      operators.IndexManifest.load(spark, dir).get
+        .segmentsOf(table).map(s => s"$dir/segs/$s")
+    for ((paths, idCol, victim) <- Seq(
+        (liveFiles(lsh, "bands"), "doc_id", docV),
+        (liveFiles(lsh, "sets"), "doc_id", docV),
+        (liveFiles(bm, "postings"), "doc_id", docV),
+        (liveFiles(prev, "segs"), "doc_id", docV),
+        (Seq(s"$ivf/vectors"), "vec_id", vecW),
+        (Seq(s"$pq/codes"), "vec_id", vecW))) {
+      assert(spark.read.parquet(paths: _*)
         .filter(col(idCol) === victim).count() == 0L,
-        s"$table still physically holds the victim")
+        s"${paths.mkString(",")} still physically holds the victim")
     }
-    for (dir <- Seq(lsh, bm, prev, ivf, pq))
+    // tombstones cleared: nothing listed in the manifest AND the old
+    // tombstone segment dirs physically vacuumed
+    for (dir <- Seq(lsh, bm, prev)) {
+      assert(operators.IndexManifest.readOpt(spark, dir, "tombstones")
+        .isEmpty, s"$dir tombstones still listed in the manifest")
+      val orphanTs = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/segs")).map(_.getPath.getName)
+        .filter(_.startsWith("tombstones-"))
+      assert(orphanTs.isEmpty,
+        s"$dir tombstone segments not vacuumed: ${orphanTs.toSeq}")
+    }
+    for (dir <- Seq(ivf, pq))
       assert(gone(s"$dir/tombstones"), s"$dir tombstones not cleared")
     // post-compact serving is unchanged (compact applied exactly the
     // already-hidden rows, nothing else)
@@ -161,5 +178,94 @@ class GdprSweepSpec extends AnyFunSuite {
     assert(lshRows(lsh) == lshRows(lshSurv), "LSH diverged across compact")
     assert(prevRows(prev) == prevRows(prevSurv),
       "prevalence diverged across compact")
+  }
+
+  test("the composed sweep crashed mid-flight and replayed IN FULL converges (per-index idempotence composes)") {
+    import spark.implicits._
+    val (lsh, bm, prev, ivf, pq, rs) = (tmp("gdpr2-lsh"), tmp("gdpr2-bm25"),
+      tmp("gdpr2-prev"), tmp("gdpr2-ivf"), tmp("gdpr2-pq"),
+      tmp("gdpr2-rollup"))
+    LshBandIndex.build(spark, corpus, lsh)
+    Bm25Index.build(spark, corpus, bm)
+    PrevalenceIndex.build(spark, corpus, prev)
+    IvfIndex.build(spark, sf, ivf)
+    IvfPq.build(spark, sf, pq)
+    val events = Tables.events(spark, sf)
+    RollupStore.build(spark, events, rs)
+
+    val bmQueries = Tables.documents(spark, sf).filter(col("doc_id") < 8)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(Dsl.toks(col("text")), 11, 4)))
+          .as("term"))
+    def bmRows(dir: String) = Bm25Index.probe(spark, bmQueries, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val docV = bmRows(bm).head._3
+    val vecW = 5L
+    val userU = events.filter(col("user_id").isNotNull)
+      .select("user_id").head().getLong(0)
+    val forget = Seq(userU).toDF("user_id")
+
+    // the full sweep as a replayable unit (exactly the production shape:
+    // a deletion-compliance job that reruns FROM THE TOP after a crash)
+    def sweep(): Unit = {
+      LshBandIndex.delete(spark, Seq(docV), lsh)
+      Bm25Index.delete(spark, Seq(docV), bm)
+      PrevalenceIndex.delete(spark, Seq(docV), prev)
+      IvfIndex.delete(spark, Seq(vecW), ivf)
+      IvfPq.delete(spark, Seq(vecW), pq)
+      RollupStore.delete(spark, events, forget, rs, opId = Some(1L))
+      LshBandIndex.compact(spark, lsh)
+      Bm25Index.compact(spark, bm)
+      PrevalenceIndex.compact(spark, prev)
+      IvfIndex.applyDeletes(spark, ivf)
+      IvfPq.applyDeletes(spark, pq)
+      ()
+    }
+
+    // crash #1: between two indexes' DELETES (lsh+bm tombstoned, the
+    // other four lifecycles never saw the request)
+    LshBandIndex.delete(spark, Seq(docV), lsh)
+    Bm25Index.delete(spark, Seq(docV), bm)
+    // crash #2 (after a partial replay): between delete and compact —
+    // all deletes landed, only the LSH compact ran
+    LshBandIndex.delete(spark, Seq(docV), lsh)
+    Bm25Index.delete(spark, Seq(docV), bm)
+    PrevalenceIndex.delete(spark, Seq(docV), prev)
+    IvfIndex.delete(spark, Seq(vecW), ivf)
+    IvfPq.delete(spark, Seq(vecW), pq)
+    RollupStore.delete(spark, events, forget, rs, opId = Some(1L))
+    LshBandIndex.compact(spark, lsh)
+    // the final replay runs the WHOLE sweep from the top
+    sweep()
+
+    // convergence: the strong survivors law for BM25, victim absent
+    // physically everywhere, tombstones cleared, rollup repaired
+    val bmSurv = tmp("gdpr2-bm25-surv")
+    Bm25Index.build(spark, corpus.filter(col("doc_id") =!= docV), bmSurv)
+    assert(bmRows(bm) == bmRows(bmSurv),
+      "replayed sweep: BM25 diverges from a fresh survivors build")
+    def liveFiles(dir: String, table: String): Seq[String] =
+      operators.IndexManifest.load(spark, dir).get
+        .segmentsOf(table).map(s => s"$dir/segs/$s")
+    for ((paths, idCol, victim) <- Seq(
+        (liveFiles(lsh, "bands"), "doc_id", docV),
+        (liveFiles(lsh, "sets"), "doc_id", docV),
+        (liveFiles(bm, "postings"), "doc_id", docV),
+        (liveFiles(prev, "segs"), "doc_id", docV),
+        (Seq(s"$ivf/vectors"), "vec_id", vecW),
+        (Seq(s"$pq/codes"), "vec_id", vecW)))
+      assert(spark.read.parquet(paths: _*)
+        .filter(col(idCol) === victim).count() == 0L,
+        s"replayed sweep left the victim in ${paths.mkString(",")}")
+    for (dir <- Seq(lsh, bm, prev))
+      assert(operators.IndexManifest.readOpt(spark, dir, "tombstones")
+        .isEmpty, s"replayed sweep left tombstones listed in $dir")
+    val rsSurv = tmp("gdpr2-rollup-surv")
+    RollupStore.build(spark,
+      events.join(broadcast(forget), Seq("user_id"), "left_anti"), rsSurv)
+    assert(RollupStore.query(spark, rs).collect().map(_.toString).toSeq ==
+      RollupStore.query(spark, rsSurv).collect().map(_.toString).toSeq,
+      "replayed sweep: rollup diverges from a survivors build")
   }
 }

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The commit layer itself: manifest visibility/atomicity laws, op-id
+  * preservation, orphan vacuum, snapshot isolation for a reader racing
+  * a compact, and the single-writer maintenance lease. */
+class IndexManifestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import operators.{IndexManifest, MaintenanceLock}
+
+  private def tmp(name: String): String = {
+    val dir = Files.createTempDirectory(name).toFile
+    dir.deleteOnExit()
+    dir.getAbsolutePath
+  }
+
+  private def df(ids: Long*) = {
+    import spark.implicits._
+    ids.toDF("id")
+  }
+
+  test("staged segments are invisible until commit; commit publishes atomically") {
+    val dir = tmp("manifest-vis")
+    val s1 = IndexManifest.newSegment(spark, dir, "t")(p =>
+      df(1L, 2L).write.parquet(p))
+    // staged only: no manifest yet -> the table does not exist
+    assert(IndexManifest.load(spark, dir).isEmpty)
+    assert(IndexManifest.readOpt(spark, dir, "t").isEmpty)
+    IndexManifest.commit(spark, dir, Map("t" -> Seq(s1)))
+    assert(IndexManifest.read(spark, dir, "t").count() == 2L)
+    // a second staged segment stays invisible, then appends atomically
+    val s2 = IndexManifest.newSegment(spark, dir, "t")(p =>
+      df(3L).write.parquet(p))
+    assert(IndexManifest.read(spark, dir, "t").count() == 2L,
+      "uncommitted segment leaked into the read")
+    IndexManifest.commit(spark, dir, Map("t" -> Seq(s1, s2)))
+    assert(IndexManifest.read(spark, dir, "t").count() == 3L)
+  }
+
+  test("op id rides the manifest and survives opId-less commits; stampOp bumps it alone") {
+    val dir = tmp("manifest-op")
+    val s1 = IndexManifest.newSegment(spark, dir, "t")(p =>
+      df(1L).write.parquet(p))
+    IndexManifest.commit(spark, dir, Map("t" -> Seq(s1)), Some(7L))
+    assert(IndexManifest.appliedOp(spark, dir).contains(7L))
+    // an opId-less maintenance commit must preserve the high-water mark
+    val s2 = IndexManifest.newSegment(spark, dir, "t")(p =>
+      df(2L).write.parquet(p))
+    IndexManifest.commit(spark, dir, Map("t" -> Seq(s1, s2)))
+    assert(IndexManifest.appliedOp(spark, dir).contains(7L),
+      "opId-less commit erased the marker")
+    // stampOp records a new op without touching any table
+    IndexManifest.stampOp(spark, dir, 9L)
+    assert(IndexManifest.appliedOp(spark, dir).contains(9L))
+    assert(IndexManifest.read(spark, dir, "t").count() == 2L)
+  }
+
+  test("vacuum removes exactly the unreferenced segments and superseded manifest versions") {
+    val dir = tmp("manifest-vac")
+    val live = IndexManifest.newSegment(spark, dir, "t")(p =>
+      df(1L).write.parquet(p))
+    val orphan = IndexManifest.newSegment(spark, dir, "t")(p =>
+      df(99L).write.parquet(p)) // staged by a "crashed" writer
+    IndexManifest.commit(spark, dir, Map("t" -> Seq(live)))
+    IndexManifest.commit(spark, dir, Map("t" -> Seq(live))) // version bump
+    assert(IndexManifest.vacuum(spark, dir) >= 2,
+      "expected the orphan segment AND the superseded version cleaned")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/segs/$orphan")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/segs/$live")))
+    assert(IndexManifest.read(spark, dir, "t").count() == 1L)
+    assert(IndexManifest.vacuum(spark, dir) == 0, "vacuum must be idempotent")
+  }
+
+  test("snapshot isolation: a reader plan resolved pre-compact keeps serving until vacuum") {
+    val dir = tmp("manifest-iso")
+    val s1 = IndexManifest.newSegment(spark, dir, "t")(p =>
+      df(1L, 2L, 3L).write.parquet(p))
+    IndexManifest.commit(spark, dir, Map("t" -> Seq(s1)))
+    // the racing reader: resolves the CURRENT manifest, then the
+    // compact replaces the table under it
+    val reader = IndexManifest.read(spark, dir, "t")
+    val compacted = IndexManifest.newSegment(spark, dir, "t")(p =>
+      df(1L, 2L, 3L).repartition(1).write.parquet(p))
+    IndexManifest.commit(spark, dir, Map("t" -> Seq(compacted)))
+    // pre-vacuum: the old segment still exists -> the old plan serves
+    assert(reader.count() == 3L,
+      "reader holding the old snapshot failed mid-compact")
+    assert(IndexManifest.read(spark, dir, "t").count() == 3L,
+      "new readers resolve the compacted segment")
+    IndexManifest.vacuum(spark, dir)
+    assert(IndexManifest.read(spark, dir, "t").count() == 3L)
+  }
+
+  test("maintenance lease: a second process fails fast, a stale lease is taken over, re-entry passes through") {
+    val dir = tmp("manifest-lock")
+    // contention: while held by THIS process, another holder fails
+    MaintenanceLock.withLockAs(spark, dir, "proc-A") {
+      val ex = intercept[MaintenanceLock.LockHeldException] {
+        MaintenanceLock.withLockAs(spark, dir, "proc-B") { fail("ran") }
+      }
+      assert(ex.getMessage.contains("proc-A"))
+      // re-entry by the SAME holder is a no-op passthrough...
+      val nested = MaintenanceLock.withLockAs(spark, dir, "proc-A") { 42 }
+      assert(nested == 42)
+      // ...and must NOT release the outer lease on exit
+      intercept[MaintenanceLock.LockHeldException] {
+        MaintenanceLock.withLockAs(spark, dir, "proc-B") { fail("ran") }
+      }
+      ()
+    }
+    // released: another holder acquires freely now
+    assert(MaintenanceLock.withLockAs(spark, dir, "proc-B") { 1 } == 1)
+    // stale takeover: a lease from a dead process (old mtime) is stolen
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/_lock")
+    val out = fs.create(lock, true)
+    out.write("dead-proc".getBytes("UTF-8")); out.close()
+    fs.setTimes(lock, System.currentTimeMillis() - 3600L * 1000L, -1)
+    assert(MaintenanceLock.withLockAs(spark, dir, "proc-C") { 2 } == 2,
+      "stale lease must be taken over")
+  }
+
+  test("concurrent admit-vs-compact is excluded by the lease (the interleave that used to be undefined)") {
+    import spark.implicits._
+    val dir = tmp("manifest-admit-lock")
+    val docs = Seq((1L, (1 to 40).map(i => s"w$i x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    operators.LshBandIndex.build(spark, docs, dir)
+    // a compact is mid-flight in another process (lease held by it):
+    // admit/delete/compact from this side must fail fast, not corrupt
+    MaintenanceLock.withLockAs(spark, dir, "other-process") {
+      val batch = Seq((2L, (1 to 40).map(i => s"y$i z$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      intercept[MaintenanceLock.LockHeldException] {
+        operators.LshBandIndex.admit(spark, batch, dir)
+      }
+      intercept[MaintenanceLock.LockHeldException] {
+        operators.LshBandIndex.compact(spark, dir)
+      }
+      intercept[MaintenanceLock.LockHeldException] {
+        operators.LshBandIndex.delete(spark, Seq(1L), dir)
+      }
+      // reads stay lock-free: the probe works mid-maintenance
+      assert(operators.LshBandIndex.probe(spark, batch, dir)
+        .collect() != null)
+      ()
+    }
+    // lease released: maintenance proceeds
+    operators.LshBandIndex.compact(spark, dir)
+  }
+}

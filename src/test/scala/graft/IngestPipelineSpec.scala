@@ -33,8 +33,8 @@ class IngestPipelineSpec extends AnyFunSuite {
   }
 
   private def postingsState(bm: String): (Long, (Long, Long)) = {
-    val p = spark.read.parquet(s"$bm/postings").count()
-    val st = spark.read.parquet(s"$bm/stats").collect().head
+    val p = operators.IndexManifest.read(spark, bm, "postings").count()
+    val st = operators.IndexManifest.read(spark, bm, "stats").collect().head
     (p, (st.getLong(0), st.getLong(1)))
   }
 
@@ -54,11 +54,11 @@ class IngestPipelineSpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
 
-    val indexedDocs = spark.read.parquet(s"$bm/postings")
+    val indexedDocs = operators.IndexManifest.read(spark, bm, "postings")
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(indexedDocs == Set(1L, 2L, 12L),
       s"only the fresh survivor joins the seeds: $indexedDocs")
-    val lshDocs = spark.read.parquet(s"$lsh/sets")
+    val lshDocs = operators.IndexManifest.read(spark, lsh, "sets")
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(lshDocs == Set(1L, 2L, 12L), s"lsh sets: $lshDocs")
     // the survivor is servable through the BM25 index
@@ -79,7 +79,7 @@ class IngestPipelineSpec extends AnyFunSuite {
       q2.processAllAvailable()
     } finally q2.stop()
     assert(postingsState(bm) == before, "replay must not grow the BM25 index")
-    val lshDocs2 = spark.read.parquet(s"$lsh/sets")
+    val lshDocs2 = operators.IndexManifest.read(spark, lsh, "sets")
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(lshDocs2 == Set(1L, 2L, 12L), "replay must not grow the LSH index")
   }
@@ -104,10 +104,14 @@ class IngestPipelineSpec extends AnyFunSuite {
 
   /** Full observable state of both indexes, order-normalized. */
   private def indexState(lsh: String, bm: String) = (
-    spark.read.parquet(s"$lsh/sets").collect().map(_.toString).sorted.toSeq,
-    spark.read.parquet(s"$lsh/bands").collect().map(_.toString).sorted.toSeq,
-    spark.read.parquet(s"$bm/postings").collect().map(_.toString).sorted.toSeq,
-    spark.read.parquet(s"$bm/stats").collect().map(_.toString).toSeq,
+    operators.IndexManifest.read(spark, lsh, "sets")
+      .collect().map(_.toString).sorted.toSeq,
+    operators.IndexManifest.read(spark, lsh, "bands")
+      .collect().map(_.toString).sorted.toSeq,
+    operators.IndexManifest.read(spark, bm, "postings")
+      .collect().map(_.toString).sorted.toSeq,
+    operators.IndexManifest.read(spark, bm, "stats")
+      .collect().map(_.toString).toSeq,
     operators.Bm25Index.appliedOp(spark, bm))
 
   test("crash at every seam + replay converges to the clean-run state; done batches skip in full") {
@@ -119,7 +123,7 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(want._5.contains(1L), "clean run must stamp the op marker")
 
     val seams = Seq("audited", "sets:appended", "bands:appended",
-      "lsh:appended", "postings:appended")
+      "committed", "lsh:appended", "postings:appended", "stats:staged")
     for (seam <- seams) {
       val (lsh, bm) = freshIndexes()
       intercept[RuntimeException] {
@@ -206,5 +210,34 @@ class IngestPipelineSpec extends AnyFunSuite {
       opId = Some(1L)) == 1L)
     assert(indexState(lsh3, bm3) == want,
       "double crash + replay diverges from the clean run")
+  }
+
+  test("zero-admit batches stamp the op marker: the replay skips before any audit work") {
+    import spark.implicits._
+    val (lsh, bm) = freshIndexes()
+    val seedText = (1 to 40).map(i => s"seed$i alpha$i").mkString(" ")
+    val baseText = (1 to 40).map(i => s"base$i beta$i").mkString(" ")
+    // every doc is gated or a near-dup of a seed: nothing admits (the
+    // edited tokens are single-occurrence — alpha9/beta7 are not
+    // prefixes of any other token with i <= 40)
+    val allDup = Seq(
+      Doc(20L, "way too short"),
+      Doc(21L, seedText.replace("alpha9 ", "alphaZ ")),
+      Doc(22L, baseText.replace("beta7 ", "betaZ "))).toDF()
+    val before = indexState(lsh, bm)
+    assert(IngestPipeline.ingestBatch(spark, allDup, lsh, bm,
+      opId = Some(5L)) == 0L)
+    assert(operators.Bm25Index.appliedOp(spark, bm).contains(5L),
+      "an all-rejected batch must still record its op id")
+    assert(indexState(lsh, bm)._1 == before._1 &&
+      indexState(lsh, bm)._3 == before._3,
+      "the zero-admit stamp must not change any table")
+    // the replay must skip on the marker BEFORE the audit runs: a
+    // crashPoint at 'audited' proves the audit never executes
+    val n = IngestPipeline.ingestBatchImpl(spark, allDup, lsh, bm,
+      p => if (p == "audited")
+        throw new RuntimeException("audit ran — marker skip failed"),
+      opId = Some(5L))
+    assert(n == 0L, "replayed zero-admit batch must skip in full")
   }
 }

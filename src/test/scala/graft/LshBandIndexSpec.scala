@@ -135,9 +135,13 @@ class LshBandIndexSpec extends AnyFunSuite {
       Seq((910001L, (1 to 25).map(i => s"ca$i").mkString(" "))).toDF("doc_id", "text"), dir)
     operators.LshBandIndex.admit(spark,
       Seq((910002L, (1 to 25).map(i => s"cb$i").mkString(" "))).toDF("doc_id", "text"), dir)
-    def parquetFiles(sub: String) = {
-      val d = new java.io.File(s"$dir/$sub")
-      d.listFiles().count(_.getName.endsWith(".parquet"))
+    // count parquet files across the table's LIVE segments (manifest)
+    def parquetFiles(table: String) = {
+      val snap = operators.IndexManifest.load(spark, dir).get
+      snap.segmentsOf(table).map { seg =>
+        new java.io.File(s"$dir/segs/$seg")
+          .listFiles().count(_.getName.endsWith(".parquet"))
+      }.sum
     }
     val probeBatch = (batchDocs.limit(3).collect().map(r => (r.getLong(0), r.getString(1)))
       :+ ((910001L, (1 to 25).map(i => s"ca$i").mkString(" ")))).toSeq
@@ -155,41 +159,37 @@ class LshBandIndexSpec extends AnyFunSuite {
     assert(after.exists(r => r._1 == 910001L && r._2 == 910001L && r._3 == 1.0))
   }
 
-  test("a crash at any compact step is repaired by recover() with probe results intact") {
+  test("probe results are bit-identical AT every injected compact crash state (manifest isolation) and after recover + rerun") {
     import spark.implicits._
     val dir = freshIndex()
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    def exists(sub: String) =
-      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
     val probeBatch = (batchDocs.limit(3).collect()
       .map(r => (r.getLong(0), r.getString(1)))).toSeq.toDF("doc_id", "text")
-    val want = operators.LshBandIndex.probe(spark, probeBatch, dir)
+    def probeNow() = operators.LshBandIndex.probe(spark, probeBatch, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = probeNow()
     assert(want.nonEmpty, "probe found nothing — crash test would be vacuous")
-    // kill the compact at each injection point in turn; after recover()
-    // the index must serve bit-identical probe results every time
-    for (point <- Seq("bands:written", "bands:aside", "bands:swapped",
-        "sets:aside")) {
+    // kill the compact at each injection point in turn. The manifest
+    // law is STRONGER than the old recover() contract: the index is
+    // fully live and probe-identical AT the crash instant (staged
+    // segments are invisible; the commit is one atomic rename; old
+    // segments survive until vacuum) — no repair needed to read.
+    for (point <- Seq("bands:written", "sets:written", "committed",
+        "vacuumed")) {
       val ex = intercept[RuntimeException] {
         operators.LshBandIndex.compactImpl(spark, dir,
           p => if (p == point) throw new RuntimeException(s"boom at $p"))
       }
       assert(ex.getMessage == s"boom at $point")
-      if (point.endsWith(":aside")) {
-        // the real torn state the round-10 delete-then-rename could
-        // strand forever: the live dir is GONE at this instant
-        val table = point.split(":")(0)
-        assert(!exists(table), s"$table still live at $point — test not exercising the window")
-      }
-      assert(operators.LshBandIndex.recover(spark, dir),
-        s"recover() found nothing to repair after crash at $point")
-      assert(exists("bands") && exists("sets"))
-      assert(!exists("bands_compact_old") && !exists("bands_compact_tmp") &&
-        !exists("sets_compact_old") && !exists("sets_compact_tmp"))
-      val got = operators.LshBandIndex.probe(spark, probeBatch, dir)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-      assert(got == want, s"probe diverged after crash at $point + recover")
+      assert(probeNow() == want,
+        s"probe diverged AT the crash state $point — manifest isolation broken")
+      // open-time repair (orphan vacuum) + rerun converge; after a
+      // crash at/after the commit there may be nothing left to clean
+      val cleaned = operators.LshBandIndex.recover(spark, dir)
+      if (point == "bands:written" || point == "sets:written")
+        assert(cleaned, s"recover() must vacuum the orphan staged at $point")
+      assert(probeNow() == want, s"probe diverged after recover at $point")
+      operators.LshBandIndex.compact(spark, dir)
+      assert(probeNow() == want, s"probe diverged after rerun at $point")
     }
     // on a healthy index recover is a no-op
     assert(!operators.LshBandIndex.recover(spark, dir))
@@ -212,7 +212,7 @@ class LshBandIndexSpec extends AnyFunSuite {
       val loc = s.relation.location.rootPaths.map(_.toString).mkString(",")
       assert(loc.contains("graft-lsh-index"),
         s"probe scanned a non-index file: $loc")
-      if (loc.contains("/bands")) {
+      if (loc.contains("/segs/bands-")) {
         val cols = s.requiredSchema.fieldNames.toSet
         assert(cols == Set("band_id", "bh", "doc_id"),
           s"bands scan read unexpected columns: $cols")
@@ -227,10 +227,8 @@ class LshBandIndexSpec extends AnyFunSuite {
   test("right-to-be-forgotten: tombstone hides the doc at once; compact applies it physically, crash-safely") {
     import spark.implicits._
     val dir = freshIndex()
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    def exists(sub: String) =
-      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+    def tombstonesLive() =
+      operators.IndexManifest.readOpt(spark, dir, "tombstones").isDefined
     val donor = corpusDocs.orderBy("doc_id").limit(1).collect().head
     val donorId = donor.getLong(0)
     val repost = Seq((900001L, donor.getString(1) + " extra"))
@@ -255,25 +253,25 @@ class LshBandIndexSpec extends AnyFunSuite {
     }
     // deleting again is a no-op (idempotence)
     operators.LshBandIndex.delete(spark, Seq(donorId), dir)
-    // a compact crashed right before the tombstone clear leaves the
-    // tombstones in place; reapplying them to the already-rewritten
-    // tables is a no-op, so the rerun completes the job
+    // a compact crashed BEFORE its commit leaves the tombstones live
+    // (the rewrite + clear publish atomically); reapplying them on the
+    // rerun is a no-op, so the rerun completes the job
     val ex = intercept[RuntimeException] {
       operators.LshBandIndex.compactImpl(spark, dir,
-        p => if (p == "tombstones:applied") throw new RuntimeException("boom"))
+        p => if (p == "sets:written") throw new RuntimeException("boom"))
     }
     assert(ex.getMessage == "boom")
-    assert(exists("tombstones"),
-      "crash before the clear must keep the tombstones")
+    assert(tombstonesLive(),
+      "crash before the commit must keep the tombstones")
     operators.LshBandIndex.recover(spark, dir)
     assert(operators.LshBandIndex.probe(spark, repost, dir)
       .collect().map(_.getLong(1)).toSet == afterDel)
     operators.LshBandIndex.compact(spark, dir)
-    assert(!exists("tombstones"), "completed compact clears the tombstones")
-    assert(spark.read.parquet(s"$dir/bands")
+    assert(!tombstonesLive(), "completed compact clears the tombstones")
+    assert(operators.IndexManifest.read(spark, dir, "bands")
       .filter(col("doc_id") === donorId).count() == 0,
       "donor band rows must be physically gone after compact")
-    assert(spark.read.parquet(s"$dir/sets")
+    assert(operators.IndexManifest.read(spark, dir, "sets")
       .filter(col("doc_id") === donorId).count() == 0,
       "donor set rows must be physically gone after compact")
     assert(operators.LshBandIndex.probe(spark, repost, dir)

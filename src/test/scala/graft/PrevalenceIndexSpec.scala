@@ -47,9 +47,9 @@ class PrevalenceIndexSpec extends AnyFunSuite {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     PrevalenceIndex.append(spark, batchDocs, dir)
-    val n1 = spark.read.parquet(s"$dir/segs").count()
+    val n1 = operators.IndexManifest.read(spark, dir, "segs").count()
     PrevalenceIndex.append(spark, batchDocs, dir) // replay
-    val n2 = spark.read.parquet(s"$dir/segs").count()
+    val n2 = operators.IndexManifest.read(spark, dir, "segs").count()
     assert(n1 == n2, s"replayed append grew the index: $n1 -> $n2")
     // after append, every batch segment is its own index hit (n_idx >= 1
     // from the doc itself) so the probe flags ALL segments
@@ -77,10 +77,10 @@ class PrevalenceIndexSpec extends AnyFunSuite {
     assert(flagCount() == 1L, "planted dup must be flagged pre-delete")
     PrevalenceIndex.delete(spark, Seq(100L, 101L), d)
     assert(flagCount() == 0L, "tombstoned docs must stop contributing")
-    // crash injection at each compact point: recover + rerun converges,
-    // probe identical, tombstones applied idempotently
-    for (crashAt <- Seq("segs:written", "segs:aside", "segs:swapped",
-        "tombstones:applied")) {
+    // crash injection at each compact point: the manifest keeps the
+    // index fully live and probe-identical AT the crash state; recover
+    // (orphan vacuum) + rerun converges, tombstones applied idempotently
+    for (crashAt <- Seq("segs:written", "committed", "vacuumed")) {
       val dir2 = Files.createTempDirectory(s"graft-prev-crash").toFile
       dir2.deleteOnExit()
       val d2 = dir2.getAbsolutePath
@@ -91,18 +91,20 @@ class PrevalenceIndexSpec extends AnyFunSuite {
           p => if (p == crashAt) throw new RuntimeException(s"crash:$p"))
       }
       assert(boom.getMessage == s"crash:$crashAt")
+      val at = PrevalenceIndex.probe(spark, batch, d2).collect()(0)
+      assert((at.getLong(1), at.getLong(2)) == ((2L, 0L)),
+        s"probe AT the crash state $crashAt wrong: $at")
       PrevalenceIndex.recover(spark, d2)
       PrevalenceIndex.compact(spark, d2) // rerun to completion
       val got = PrevalenceIndex.probe(spark, batch, d2)
         .collect()(0)
       assert((got.getLong(1), got.getLong(2)) == ((2L, 0L)),
         s"probe after crash@$crashAt + recover + compact wrong: $got")
-      // physically applied: no tombstones dir, no doc 100/101 rows
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$d2/tombstones")),
-        "tombstones must be cleared after a completed compact")
-      val live = spark.read.parquet(s"$d2/segs")
+      // physically applied: tombstones gone from the manifest, no doc
+      // 100/101 rows in the live segments
+      assert(operators.IndexManifest.readOpt(spark, d2, "tombstones")
+        .isEmpty, "tombstones must be cleared after a completed compact")
+      val live = operators.IndexManifest.read(spark, d2, "segs")
         .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
       assert(live == Set(102L), s"compacted index holds $live")
     }

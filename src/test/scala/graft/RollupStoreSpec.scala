@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Persisted maintained-rollup lifecycle: build → append → delete on
-  * disk (rename-aside swaps), pinned bit-equal to the declarative q245
-  * twin and surviving an injected crash at every swap point. */
+  * disk (manifest segment commits), pinned bit-equal to the
+  * declarative q245 twin and surviving an injected crash at every
+  * commit point. */
 class RollupStoreSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf0001
@@ -76,7 +77,7 @@ class RollupStoreSpec extends AnyFunSuite {
   }
 
   test("a crash at every swap point recovers to a complete, correct store") {
-    for (crashAt <- Seq("written", "aside", "swapped")) {
+    for (crashAt <- Seq("written", "swapped", "vacuumed")) {
       val dir = freshDir()
       RollupStore.build(spark,
         facts.filter(pmod(col("event_id"), lit(2)) === 0), dir)
@@ -85,15 +86,17 @@ class RollupStoreSpec extends AnyFunSuite {
           facts.filter(pmod(col("event_id"), lit(2)) === 1), dir,
           p => if (p == crashAt) throw new RuntimeException(s"boom:$p"))
       }
+      // the manifest law: the store is COMPLETE and queryable AT the
+      // crash instant (pre-append at "written", post-append after the
+      // commit) — no repair needed to read
+      assert(RollupStore.query(spark, dir).count() > 0,
+        s"store unreadable AT crash state $crashAt")
       RollupStore.recover(spark, dir)
-      // post-recover the store is COMPLETE (either pre- or post-append
-      // state — both are valid tables; rerunning the append must land
-      // on the post-append state either way)
       val n = RollupStore.query(spark, dir).count()
       assert(n > 0, s"store empty after recover($crashAt)")
       // idempotent completion: recompute what the final state must be
       if (crashAt == "written") {
-        // live untouched — rerun the append
+        // nothing published — rerun the append
         RollupStore.append(spark,
           facts.filter(pmod(col("event_id"), lit(2)) === 1), dir)
       }
@@ -129,8 +132,8 @@ class RollupStoreSpec extends AnyFunSuite {
 
   test("delete crash + recover + blind op-id replay lands on exactly-once state") {
     // the dangerous half: a REPLAYED delete double-subtracts unless the
-    // marker blocks it — and the marker must travel with the swap
-    for (crashAt <- Seq("written", "aside", "swapped")) {
+    // marker blocks it — and the marker must travel with the commit
+    for (crashAt <- Seq("written", "swapped", "vacuumed")) {
       val dir = freshDir()
       RollupStore.buildAtomic(spark, facts, dir, Some(0L))
       intercept[RuntimeException] {
@@ -140,8 +143,8 @@ class RollupStoreSpec extends AnyFunSuite {
       }
       RollupStore.recover(spark, dir)
       // blind replay with the SAME op id: if the crash happened before
-      // the aside rename the delete never landed (marker still 0) and
-      // the replay must APPLY; after it, the marker is 1 and the
+      // the manifest commit the delete never landed (marker still 0)
+      // and the replay must APPLY; after it, the marker is 1 and the
       // replay must SKIP — either way the final state is one delete
       RollupStore.delete(spark, facts, forget, dir, Some(1L))
       val expected = rows(RollupStore.query(spark, {

@@ -438,6 +438,128 @@ class StreamingSessionSpec extends AnyFunSuite {
       s"a q259-sized TTL must not change the alert set: $withTtl vs $unbounded")
   }
 
+  test("bot TTL arms from the key's HISTORY max: a late out-of-order batch cannot evict state early") {
+    import spark.implicits._
+    import graft.streaming.BotMonitor
+    import graft.streaming.BotMonitor.UserEvt
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserEvt]
+    val q = BotMonitor.botAlerts(mem.toDS(), idleTtlSeconds = Some(3600L))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bot_ooo_out").start()
+    try {
+      // bot burst 10:00:00–10:00:19 → alert; timeout must arm 11:00:19
+      mem.addData((0 until 20).map(i =>
+        UserEvt(1L, ts(f"2026-03-04 10:00:$i%02d"), "click")): _*)
+      q.processAllAvailable()
+      // a LATE batch holding only an out-of-order event (09:30, within
+      // the 1 h watermark) — arming from the batch max would re-arm the
+      // timeout at 10:30, an HOUR earlier than the key's true horizon
+      mem.addData(UserEvt(1L, ts("2026-03-04 09:30:00"), "click"))
+      q.processAllAvailable()
+      // advance the watermark to 10:45 — between the buggy arm (10:30)
+      // and the correct one (11:00:19)
+      mem.addData(UserEvt(99L, ts("2026-03-04 11:45:00"), "view"))
+      q.processAllAvailable()
+      mem.addData(UserEvt(99L, ts("2026-03-04 11:45:01"), "view"))
+      q.processAllAvailable()
+      // fresh bot burst INSIDE the horizon (10:50 > watermark): the
+      // tombstone must still be alive — no second alert
+      mem.addData((0 until 20).map(i =>
+        UserEvt(1L, ts(f"2026-03-04 10:50:$i%02d"), "click")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val alerts = spark.table("bot_ooo_out").collect()
+      .map(_.getLong(0)).count(_ == 1L)
+    assert(alerts == 1,
+      s"out-of-order late batch evicted state inside the horizon: $alerts alerts")
+  }
+
+  test("funnel TTL arms from the key's HISTORY max: a late out-of-order batch cannot re-convert inside the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Funnel
+    val mem = MemoryStream[Funnel.Evt]
+    val q = Funnel.conversions(mem.toDS(), idleTtlSeconds = Some(3600L))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_ooo_out").start()
+    try {
+      // full conversion ending 10:10 → tombstone horizon ends 11:10
+      mem.addData(
+        Funnel.Evt(1L, ts("2026-03-05 10:00:00"), "signup"),
+        Funnel.Evt(1L, ts("2026-03-05 10:05:00"), "click"),
+        Funnel.Evt(1L, ts("2026-03-05 10:10:00"), "purchase"))
+      q.processAllAvailable()
+      // late out-of-order non-stage event at 09:30 — batch-max arming
+      // would pull the timeout back to 10:30
+      mem.addData(Funnel.Evt(1L, ts("2026-03-05 09:30:00"), "view"))
+      q.processAllAvailable()
+      // watermark to 10:45: between the buggy and the correct arm
+      mem.addData(Funnel.Evt(99L, ts("2026-03-05 11:45:00"), "view"))
+      q.processAllAvailable()
+      mem.addData(Funnel.Evt(99L, ts("2026-03-05 11:45:01"), "view"))
+      q.processAllAvailable()
+      // a full new journey INSIDE the horizon must NOT convert again
+      mem.addData(
+        Funnel.Evt(1L, ts("2026-03-05 10:50:00"), "signup"),
+        Funnel.Evt(1L, ts("2026-03-05 10:52:00"), "click"),
+        Funnel.Evt(1L, ts("2026-03-05 10:54:00"), "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val convs = spark.table("funnel_ooo_out").collect()
+      .map(_.getLong(0)).count(_ == 1L)
+    assert(convs == 1,
+      s"out-of-order late batch re-armed the funnel inside the horizon: $convs conversions")
+  }
+
+  test("q260-sized TTL: funnel conversions on the sf0.001 wire equal the unbounded run (closing the q260 loop)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Funnel
+    // size the TTL FROM THE DATA: the smallest q260 grid candidate with
+    // ZERO lost conversions (the symmetric law to q259→BotMonitor)
+    val curve = SparkEntry.queries("q260_funnel_ttl_loss")(
+      spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    val ttl = curve.collectFirst { case (t, 0L) => t }
+      .getOrElse(fail(s"no zero-loss TTL on the grid: ${curve.toSeq}"))
+    val real = Tables.events(spark, TestSpark.sf0001)
+      .filter(org.apache.spark.sql.functions.col("user_id").isNotNull)
+      .select("user_id", "ts", "event_type")
+      .collect()
+      .map(r => Funnel.Evt(r.getLong(0), r.getTimestamp(1), r.getString(2)))
+    val t0 = real.map(_.ts.getTime).min
+    // ONE planted conversion whose click→purchase wait spans most of
+    // the TTL horizon (0.9×) — the law cannot pass vacuously on fast
+    // natural journeys alone
+    val gapMs = ttl * 900L // 0.9 × ttl in ms
+    val planted = Seq(
+      Funnel.Evt(999999L, new java.sql.Timestamp(t0), "signup"),
+      Funnel.Evt(999999L, new java.sql.Timestamp(t0 + 1000L), "click"),
+      Funnel.Evt(999999L, new java.sql.Timestamp(t0 + 1000L + gapMs),
+        "purchase"))
+    val wire = (real ++ planted).sortBy(e => (e.ts.getTime, e.user_id))
+    def run(ttlOpt: Option[Long], name: String): Set[(Long, Long, Long, Long)] = {
+      val mem = MemoryStream[Funnel.Evt]
+      val q = Funnel.conversions(mem.toDS(), ttlOpt).writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      try {
+        wire.grouped(wire.length / 4 + 1).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    }
+    val withTtl = run(Some(ttl), "funnel_q260_ttl")
+    val unbounded = run(None, "funnel_q260_unbounded")
+    assert(withTtl.exists(_._1 == 999999L),
+      "planted long-gap conversion must convert — vacuous otherwise")
+    assert(withTtl == unbounded,
+      s"a q260-sized TTL must not lose conversions: $withTtl vs $unbounded")
+  }
+
   test("quality-drift baseline survives an idle gap (folded, kept), and drops past the keep horizon") {
     import spark.implicits._
     import graft.streaming.QualityMonitor
