@@ -20,6 +20,21 @@ import org.apache.spark.sql.functions._
   * cells → exact cosine re-rank → top-k. IvfIndexSpec asserts the scan
   * actually prunes (input files ⊂ the probed cell directories) and that
   * recall vs brute force is sane.
+  *
+  * Storage note: unlike the hash/text lifecycles this index does NOT
+  * sit behind the [[IndexManifest]] commit layer — its lookup IS the
+  * cell partition directory, and dynamic partition overwrite
+  * (rebalance/applyDeletes) rewrites exactly the touched dirs, which a
+  * flat segment manifest cannot express without re-inventing
+  * per-partition tracking. The residual is Spark's own file-commit
+  * window: a crash DURING a job commit can surface a subset of an
+  * append's files (never torn rows — parquet files land whole). Every
+  * mutation here is idempotent under replay (the vec_id anti-join
+  * guard re-admits only the missing vectors; applyDeletes re-applies
+  * harmlessly), so the window costs a transient recall dip, never a
+  * wrong served vector; a cluster deployment closes it with a
+  * partition-aware table format (the same public Delta/Iceberg idea
+  * the manifest applies to the flat tables).
   */
 object IvfIndex {
 
