@@ -216,10 +216,16 @@ object IndexManifest {
   * local FS/HDFS) carrying the holder id. A second writer fails fast
   * with [[MaintenanceLock.LockHeldException]]. Stale leases (holder
   * died without release — the lock file's age exceeds `staleMs`) are
-  * taken over. Re-entry by the SAME holder (a lifecycle calling
-  * another on the same index, or a replay after a simulated crash in
-  * the same JVM) is a no-op passthrough: the inner scope neither
-  * re-acquires nor releases, so the outer scope's release wins.
+  * taken over. While the body runs, a HEARTBEAT daemon refreshes the
+  * lock's mtime every `staleMs / 3`, so staleness measures "holder
+  * stopped beating", never "maintenance ran long" — without it a
+  * 100 TB compact outliving the stale window would have its live
+  * lease stolen mid-write, which is exactly the corruption the lock
+  * exists to prevent. Re-entry by the SAME holder (a lifecycle
+  * calling another on the same index, or a replay after a simulated
+  * crash in the same JVM) is a no-op passthrough: the inner scope
+  * neither re-acquires, re-beats, nor releases — the outer scope's
+  * heartbeat and release win.
   */
 object MaintenanceLock {
 
@@ -281,8 +287,28 @@ object MaintenanceLock {
                 s"index $indexDir lock was taken concurrently")
           }
         try out.write(holder.getBytes("UTF-8")) finally out.close()
+        // heartbeat: refresh the lease's mtime while the body runs, so
+        // long maintenance is never mistaken for a dead holder
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val beat = new Thread(() => {
+          while (!stop.get()) {
+            try {
+              Thread.sleep(math.max(staleMs / 3, 25L))
+              if (!stop.get())
+                fs.setTimes(lock, System.currentTimeMillis(), -1)
+            } catch {
+              case _: InterruptedException => // stopping
+              case _: java.io.IOException => // fs hiccup: retry next beat
+            }
+          }
+        }, s"graft-lease-heartbeat-$indexDir")
+        beat.setDaemon(true)
+        beat.start()
         try body
-        finally { fs.delete(lock, false); () }
+        finally {
+          stop.set(true); beat.interrupt()
+          fs.delete(lock, false); ()
+        }
     }
   }
 }

@@ -126,6 +126,25 @@ class IndexManifestSpec extends AnyFunSuite {
       "stale lease must be taken over")
   }
 
+  test("a LIVE holder outliving the stale window keeps its lease (heartbeat beats takeover)") {
+    val dir = tmp("manifest-heartbeat")
+    // stale window 300 ms, body runs 4x longer: without the heartbeat
+    // the second holder would steal the lease mid-body (exactly the
+    // 100 TB-compact-outlives-the-window corruption)
+    MaintenanceLock.withLockAs(spark, dir, "long-runner", staleMs = 300L) {
+      Thread.sleep(1200L)
+      intercept[MaintenanceLock.LockHeldException] {
+        MaintenanceLock.withLockAs(spark, dir, "thief", staleMs = 300L) {
+          fail("stole a live lease")
+        }
+      }
+      ()
+    }
+    // released: the same window now admits the next holder at once
+    assert(MaintenanceLock.withLockAs(spark, dir, "thief",
+      staleMs = 300L) { 7 } == 7)
+  }
+
   test("concurrent admit-vs-compact is excluded by the lease (the interleave that used to be undefined)") {
     import spark.implicits._
     val dir = tmp("manifest-admit-lock")
