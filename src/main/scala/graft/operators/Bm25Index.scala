@@ -211,6 +211,10 @@ object Bm25Index {
   def stampOp(spark: SparkSession, indexDir: String, opId: Long): Unit =
     MaintenanceLock.withLock(spark, indexDir) {
       IndexManifest.stampOp(spark, indexDir, opId)
+      // version-file hygiene: a long run of zero-admit batches must not
+      // accumulate manifest versions (reader-safe: previous retained)
+      IndexManifest.vacuum(spark, indexDir, retainPrevious = true)
+      ()
     }
 
   /** Append a (doc_id, text) batch: a new postings segment plus a
@@ -258,7 +262,9 @@ object Bm25Index {
           .updated("postings", cur.getOrElse("postings", Nil) :+ sp)
           .updated("stats", Seq(ss)), opId)
         crashPoint("stats:swapped")
-        IndexManifest.vacuum(spark, indexDir)
+        // routine append: retain the previous generation so a reader
+        // that resolved the pre-append manifest keeps serving
+        IndexManifest.vacuum(spark, indexDir, retainPrevious = true)
         ()
       } finally { p.unpersist(); () }
       true
@@ -282,7 +288,7 @@ object Bm25Index {
         .getOrElse(Map.empty)
       IndexManifest.commit(spark, indexDir,
         cur.updated("stats", Seq(ss)), opId)
-      IndexManifest.vacuum(spark, indexDir)
+      IndexManifest.vacuum(spark, indexDir, retainPrevious = true)
       ()
     }
 

@@ -172,20 +172,45 @@ object IndexManifest {
     ()
   }
 
-  /** Delete everything the CURRENT manifest does not reference: orphan
-    * segments (from crashed writers) and superseded manifest versions.
-    * The only destructive step in the lifecycle — callers that must
-    * support readers holding older snapshots delay it (compaction
-    * stays invisible to racing readers until here). Returns the number
-    * of paths removed; safe to run unconditionally at index-open time
-    * (the recover() role). */
-  def vacuum(spark: SparkSession, indexDir: String): Int = {
+  /** Delete what no retained manifest references: orphan segments
+    * (from crashed writers) and superseded manifest versions. The only
+    * destructive step in the lifecycle.
+    *
+    * `retainPrevious = true` keeps the PREVIOUS manifest generation's
+    * segments and version file alive — the reader-isolation grace the
+    * append paths use: a reader that resolved the pre-append manifest
+    * keeps a complete file set until the NEXT mutation's vacuum, so
+    * serving is never disturbed by routine appends (a reader lagging
+    * more than one full maintenance generation is the documented
+    * horizon; a deployment sizes it by deferring vacuum). `false` (the
+    * default) retains only the current generation — what compact and
+    * the right-to-be-forgotten paths need, where PHYSICAL removal of
+    * the superseded files is the entire point and wins over reader
+    * grace. Returns the number of paths removed; safe to run
+    * unconditionally at index-open time (the recover() role). */
+  def vacuum(spark: SparkSession, indexDir: String,
+      retainPrevious: Boolean = false): Int = {
     val fs = fsOf(spark)
     load(spark, indexDir) match {
       case None => 0
       case Some(snap) =>
         var removed = 0
-        val live = snap.tables.values.flatten.toSet
+        val md = new Path(manifestDir(indexDir))
+        val prevName = versionName(snap.version - 1)
+        val keepVersions =
+          if (retainPrevious) Set(versionName(snap.version), prevName)
+          else Set(versionName(snap.version))
+        val prevSegs: Set[String] =
+          if (retainPrevious && fs.exists(new Path(md, prevName))) {
+            val in = fs.open(new Path(md, prevName))
+            val txt =
+              try new String(
+                org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+              finally in.close()
+            txt.split("\n").filter(_.contains("\t"))
+              .map(_.split("\t", 2)(1).trim).toSet
+          } else Set.empty
+        val live = snap.tables.values.flatten.toSet ++ prevSegs
         val segRoot = new Path(s"$indexDir/segs")
         if (fs.exists(segRoot)) {
           for (st <- fs.listStatus(segRoot)
@@ -194,10 +219,9 @@ object IndexManifest {
             removed += 1
           }
         }
-        val md = new Path(manifestDir(indexDir))
         for (st <- fs.listStatus(md)) {
           val n = st.getPath.getName
-          if (n != versionName(snap.version)) {
+          if (!keepVersions.contains(n)) {
             fs.delete(st.getPath, true)
             removed += 1
           }

@@ -288,6 +288,9 @@ object LshBandIndex {
             .updated("sets", cur.getOrElse("sets", Nil) :+ segSets)
             .updated("bands", cur.getOrElse("bands", Nil) :+ segBands))
           crashPoint("committed")
+          // version-file hygiene; pure-append, so only superseded
+          // manifest versions (older than previous) are cleaned
+          IndexManifest.vacuum(spark, indexDir, retainPrevious = true)
         }
       }
       a

@@ -134,6 +134,7 @@ object PrevalenceIndex {
         .getOrElse(Map.empty)
       IndexManifest.commit(spark, indexDir,
         cur.updated("segs", cur.getOrElse("segs", Nil) :+ seg))
+      IndexManifest.vacuum(spark, indexDir, retainPrevious = true)
       ()
     }
 

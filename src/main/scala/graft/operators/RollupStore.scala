@@ -186,7 +186,7 @@ object RollupStore {
         .select(col("day"), col("event_type"), col("n"), col("s"),
           when(col("affected"), col("rmn")).otherwise(col("mn")).as("mn"),
           when(col("affected"), col("rmx")).otherwise(col("mx")).as("mx"))
-      writeSwap(spark, next, dir, crashPoint, opId)
+      writeSwap(spark, next, dir, crashPoint, opId, fullVacuum = true)
     } finally { deltas.unpersist(); () }
     true
     }
@@ -200,13 +200,17 @@ object RollupStore {
     * commit. Crash points: "written" (staged, invisible), "committed"
     * ("swapped" kept as an alias for the spec), "vacuumed". */
   private def writeSwap(spark: SparkSession, next: DataFrame, dir: String,
-      crashPoint: String => Unit, opId: Option[Long] = None): Unit = {
+      crashPoint: String => Unit, opId: Option[Long] = None,
+      fullVacuum: Boolean = false): Unit = {
     val seg = IndexManifest.newSegment(spark, dir, "rollup")(p =>
       next.repartition(col("day")).write.mode("overwrite").parquet(p))
     crashPoint("written")
     IndexManifest.commit(spark, dir, Map("rollup" -> Seq(seg)), opId)
     crashPoint("swapped")
-    IndexManifest.vacuum(spark, dir)
+    // append/build retain the previous generation (reader grace);
+    // delete vacuums FULLY — the superseded segment still carries the
+    // forgotten users' contributions, and physical removal is the point
+    IndexManifest.vacuum(spark, dir, retainPrevious = !fullVacuum)
     crashPoint("vacuumed")
     ()
   }

@@ -96,6 +96,43 @@ class IndexManifestSpec extends AnyFunSuite {
     assert(IndexManifest.read(spark, dir, "t").count() == 3L)
   }
 
+  test("one-generation retention: a reader resolved pre-mutation survives a retaining vacuum; a full vacuum reclaims everything") {
+    val dir = tmp("manifest-retain")
+    val s1 = IndexManifest.newSegment(spark, dir, "t")(p =>
+      df(1L, 2L).write.parquet(p))
+    IndexManifest.commit(spark, dir, Map("t" -> Seq(s1)))
+    // the racing reader resolves the CURRENT (v1) manifest...
+    val reader = IndexManifest.read(spark, dir, "t")
+    // ...then a routine mutation replaces the table AND vacuums with
+    // the append paths' one-generation grace
+    val s2 = IndexManifest.newSegment(spark, dir, "t")(p =>
+      df(1L, 2L, 3L).write.parquet(p))
+    IndexManifest.commit(spark, dir, Map("t" -> Seq(s2)))
+    IndexManifest.vacuum(spark, dir, retainPrevious = true)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/segs/$s1")),
+      "retaining vacuum must keep the previous generation's segment")
+    assert(reader.count() == 2L,
+      "pre-mutation reader broke during a retained vacuum")
+    assert(IndexManifest.read(spark, dir, "t").count() == 3L)
+    // retention is ONE generation: the next retaining vacuum (after a
+    // further commit) reclaims s1
+    val s3 = IndexManifest.newSegment(spark, dir, "t")(p =>
+      df(4L).write.parquet(p))
+    IndexManifest.commit(spark, dir, Map("t" -> Seq(s3)))
+    IndexManifest.vacuum(spark, dir, retainPrevious = true)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/segs/$s1")),
+      "a segment two generations back must be reclaimed")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/segs/$s2")))
+    // the destructive form (compact / right-to-be-forgotten) reclaims
+    // everything but the live set at once
+    assert(IndexManifest.vacuum(spark, dir) > 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/segs/$s2")),
+      "full vacuum must reclaim the previous generation")
+    assert(IndexManifest.read(spark, dir, "t").count() == 1L)
+  }
+
   test("maintenance lease: a second process fails fast, a stale lease is taken over, re-entry passes through") {
     val dir = tmp("manifest-lock")
     // contention: while held by THIS process, another holder fails
