@@ -368,6 +368,16 @@ object Dedup {
       bucketCap: Option[Long] = Some(BandBucketCap)): DataFrame = {
       val pairs = graft.CacheScope.cached(
         verifiedPairs(s, d, bucketCap).select("doc_a", "doc_b"))
+      val out = clustersFromPairs(pairs)
+      pairs.unpersist()
+      out
+  }
+
+  /** Min-label propagation over an explicit (doc_a, doc_b) pair frame —
+    * factored out so a caller that already holds (and caches) the
+    * verified pairs (q261's edge-quality join) shares one pair build
+    * with the clustering instead of recomputing the LSH machinery. */
+  private[graft] def clustersFromPairs(pairs: DataFrame): DataFrame = {
       val edges = graft.CacheScope.cached(pairs
         .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .toDF("a", "b"))
@@ -394,7 +404,6 @@ object Dedup {
         rounds += 1
       }
       edges.unpersist()
-      pairs.unpersist()
       labels.select(col("label").as("cluster_root"), col("doc").as("doc_id"))
   }
 
@@ -422,6 +431,69 @@ object Dedup {
     Some(s"""WITH RECURSIVE $sqlClustersChain
       SELECT cluster_root, doc_id FROM clusters
       ORDER BY cluster_root, doc_id"""))
+
+  /** q261 — dup-cluster QUALITY audit: the transitive closure behind
+    * q56 merges any docs connected by a chain of verified pairs, so a
+    * cluster can legitimately contain documents that were never
+    * directly compared — the "overreach" every consumer of cluster
+    * membership (q69 survivor choice, q172 soft-dedup weights, q196
+    * canonical selection, q197 split atomicity) silently trusts. Per
+    * cluster: member count, verified-edge count, edge density vs the
+    * clique bound in exact ppm, a clique bit, and the min / exact-mean
+    * verified jaccard over its edges. A clique at high min-jaccard is
+    * a true duplicate set; a low-density chain with a weak min edge is
+    * template drift glued by hubs — the clusters to re-verify before
+    * deleting all-but-one member at 100 TB.
+    *
+    * Scale shape: ONE cached pair build (the q37 banded machinery)
+    * shared by the clustering iteration AND the edge-quality join —
+    * [[clustersFromPairs]] exists for exactly this; on top, two
+    * cluster-keyed aggregates and one |clusters|-row join. Density and
+    * the clique bit are exact integer arithmetic; the mean jaccard is
+    * the [[graft.Dsl.davg]] exact-decimal mean. */
+  val clusterQuality: Q = Q(
+    "q261_cluster_quality",
+    (s, d) => {
+      val pairs = graft.CacheScope.cached(
+        verifiedPairs(s, d, Some(BandBucketCap))
+          .select("doc_a", "doc_b", "jaccard"))
+      val clusters = clustersFromPairs(pairs.select("doc_a", "doc_b"))
+      val mem = clusters.groupBy("cluster_root")
+        .agg(count(lit(1)).as("n_members"))
+      val edges = pairs
+        .join(clusters.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .groupBy("cluster_root")
+        .agg(count(lit(1)).as("n_edges"),
+          min(col("jaccard")).as("min_jaccard"),
+          davg(col("jaccard")).as("avg_jaccard"))
+      mem.join(edges, "cluster_root")
+        .select(col("cluster_root"), col("n_members"), col("n_edges"),
+          expr("n_edges * 2000000 div (n_members * (n_members - 1))")
+            .as("density_ppm"),
+          when(col("n_edges") * 2 === col("n_members") * (col("n_members") - 1),
+            1L).otherwise(0L).as("is_clique"),
+          col("min_jaccard"), col("avg_jaccard"))
+        .orderBy("cluster_root")
+    },
+    Some(s"""WITH RECURSIVE $sqlClustersChain,
+      edj AS (SELECT c.cluster_root, p.jaccard
+        FROM (SELECT doc_a, doc_b, jaccard FROM verified
+              WHERE jaccard >= 0.8) p
+        JOIN clusters c ON c.doc_id = p.doc_a),
+      mem AS (SELECT cluster_root, cast(count(*) as bigint) AS n_members
+        FROM clusters GROUP BY 1),
+      edg AS (SELECT cluster_root, cast(count(*) as bigint) AS n_edges,
+          min(jaccard) AS min_jaccard,
+          ${graft.Dsl.sqlDavg("jaccard")} AS avg_jaccard
+        FROM edj GROUP BY 1)
+      SELECT m.cluster_root, m.n_members, e.n_edges,
+        e.n_edges * 2000000 // (m.n_members * (m.n_members - 1))
+          AS density_ppm,
+        cast(CASE WHEN e.n_edges * 2 = m.n_members * (m.n_members - 1)
+          THEN 1 ELSE 0 END as bigint) AS is_clique,
+        e.min_jaccard, e.avg_jaccard
+      FROM mem m JOIN edg e USING (cluster_root)
+      ORDER BY m.cluster_root"""))
 
   /** q69: survivor selection — per duplicate cluster keep the doc with
     * the most characters (tie: lowest doc_id). The per-cluster argmax is
@@ -2387,5 +2459,5 @@ object Dedup {
     dupPagerank, qualityCanonical, leakageSafeSplits, thresholdCurve,
     sourceMirror, lshCalibration, boilerplatePrevalence,
     dupTriangles, shardColocation, minhashCalibration,
-    bbitMinhashAudit, simhashVsJaccard)
+    bbitMinhashAudit, simhashVsJaccard, clusterQuality)
 }

@@ -336,4 +336,41 @@ class DedupFixtureSpec extends AnyFunSuite {
     // and a typical batch doc keeps at least something
     assert(q158.values.exists(_._2 > 0), "every batch doc lost everything — fixture degenerate")
   }
+
+  test("q261: a planted clique and a planted chain get exact quality rows (overreach is measurable)") {
+    import spark.implicits._
+    // A–B and B–C are verified near-dups; A–C is NOT (j = 66/90 ≈ 0.73
+    // < 0.8) — yet transitive clustering merges all three. q261 is the
+    // audit that makes that overreach a number: 2 edges over a
+    // 3-member cluster = density 666666 ppm, clique bit 0.
+    val base = (0 until 80).map(i => s"qq$i").mkString(" ")
+    def edit(s: String, from: Int, until: Int, tag: String) = {
+      val t = s.split(" ")
+      (from until until).foreach(i => t(i) = s"$tag$i")
+      t.mkString(" ")
+    }
+    val b = edit(base, 0, 5, "xx")  // vs A: 5 changed shingles, j = 73/83
+    val c = edit(b, 40, 45, "yy")   // vs B: 7 changed, j = 71/85; vs A: 66/90
+    val clone = (0 until 40).map(i => s"cl$i").mkString(" ")
+    val docs = Seq(
+      1L -> base, 2L -> b, 3L -> c,              // the chain
+      10L -> clone, 11L -> clone, 12L -> clone,  // the clique (j = 1.0 × 3)
+      20L -> (0 until 40).map(i => s"zz$i").mkString(" ")) // singleton
+      .toDF("doc_id", "text")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q261_cluster_quality")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(rows.keySet == Set(1L, 10L), s"clusters wrong: ${rows.keySet}")
+    // the clique: 3 members, all 3 edges present, exact clique density
+    assert(rows(10L) == ((3L, 3L, 1000000L, 1L, 1.0)),
+      s"clique row wrong: ${rows(10L)}")
+    // the chain: 3 members via 2 edges — 2/3 of the clique bound
+    val (nm, ne, dp, iq, mj) = rows(1L)
+    assert((nm, ne, dp, iq) == ((3L, 2L, 666666L, 0L)),
+      s"chain row wrong: ${rows(1L)}")
+    assert(mj == 71.0 / 85.0, s"chain min jaccard wrong: $mj")
+  }
 }

@@ -392,6 +392,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // embeds the cached q56 cluster machinery (clustersDf caches its
       // pair + edge frames); the audit reads only the cluster frame
       "q238_shard_colocation" -> "documents",
+      // ONE cached pair build shared by the clustering iteration and
+      // the edge-quality join (clustersFromPairs exists for this)
+      "q261_cluster_quality" -> "documents",
       // the q37/q91 cached signed-sets machinery, one agg on top
       "q240_minhash_calibration" -> "documents",
       // same cached signed-sets machinery (ReuseAudit: documents=1)
