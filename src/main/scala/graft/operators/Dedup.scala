@@ -493,7 +493,8 @@ object Dedup {
           THEN 1 ELSE 0 END as bigint) AS is_clique,
         e.min_jaccard, e.avg_jaccard
       FROM mem m JOIN edg e USING (cluster_root)
-      ORDER BY m.cluster_root"""))
+      ORDER BY m.cluster_root"""),
+    bench = true)
 
   /** q69: survivor selection — per duplicate cluster keep the doc with
     * the most characters (tie: lowest doc_id). The per-cluster argmax is
