@@ -152,7 +152,13 @@ object IndexManifest {
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val dst = new Path(md, versionName(next))
-    if (!fs.rename(tmp, dst)) {
+    // lost-writer detection must not rely on rename-fails-if-dst-exists:
+    // POSIX rename REPLACES an existing destination, and Hadoop's local
+    // FS passes that through — an explicit existence check (plus the
+    // rename result for FSs that do fail) catches a racing commit
+    // either way. Under the MaintenanceLock this is a broken-invariant
+    // assertion, not a synchronization mechanism.
+    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
       fs.delete(tmp, true)
       throw new IllegalStateException(
         s"concurrent manifest commit detected at $dst — " +
