@@ -78,9 +78,13 @@ object IngestPipeline {
     if (opId.exists(id => Bm25Index.appliedOp(spark, bm25Dir).exists(_ >= id)))
       return 0L
     graft.functions.TextFunctions.register(spark)
-    // a batch that changes nothing still records its op id (one cheap
-    // manifest re-commit) — otherwise EVERY replay of an all-rejected
-    // batch re-pays the full audit instead of the marker skip
+    // a truly EMPTY input batch is not worth a marker commit: its
+    // replay costs one isEmpty check, while stamping costs a manifest
+    // version — an idle stream must not version-churn the index
+    if (batch.isEmpty) return 0L
+    // a NON-empty batch that changes nothing still records its op id
+    // (one cheap manifest re-commit) — otherwise EVERY replay of an
+    // all-rejected batch re-pays the full audit instead of the skip
     def stampOnly(): Long = { opId.foreach(id =>
       Bm25Index.stampOp(spark, bm25Dir, id)); 0L }
     val clean = batch.select(col("doc_id"), col("text"))
