@@ -77,8 +77,37 @@ object IndexManifest {
       .filter(n => n.length == 21 && n.startsWith("v") &&
         n.drop(1).forall(_.isDigit))
     if (versions.isEmpty) return None
-    val top = versions.max
-    val in = fs.open(new Path(md, top))
+    parseVersion(spark, indexDir, versions.max)
+  }
+
+  /** A SPECIFIC committed version, or None if that version file is no
+    * longer retained. With the append paths' one-generation vacuum the
+    * PREVIOUS version stays readable until the next mutation — the
+    * time-travel window that lets an operator diff an index against
+    * its pre-append state when a probe regresses (the public
+    * Delta/Iceberg versioned-read idea at retention depth 1; a
+    * deployment that defers vacuum gets a deeper window for free). */
+  def loadAt(spark: SparkSession, indexDir: String, version: Long)
+      : Option[Snapshot] = {
+    val fs = fsOf(spark)
+    val p = new Path(manifestDir(indexDir), versionName(version))
+    if (!fs.exists(p)) None
+    else parseVersion(spark, indexDir, versionName(version))
+  }
+
+  /** Resolve a table through an explicit (possibly historical)
+    * snapshot — None when the snapshot lists no segments for it. */
+  def readSnapshot(spark: SparkSession, indexDir: String, snap: Snapshot,
+      table: String): Option[DataFrame] = {
+    val segs = snap.segmentsOf(table)
+    if (segs.isEmpty) None
+    else Some(spark.read.parquet(segs.map(s => s"$indexDir/segs/$s"): _*))
+  }
+
+  private def parseVersion(spark: SparkSession, indexDir: String,
+      name: String): Option[Snapshot] = {
+    val fs = fsOf(spark)
+    val in = fs.open(new Path(manifestDir(indexDir), name))
     val text =
       try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
       finally in.close()
@@ -88,7 +117,7 @@ object IndexManifest {
     val tables = lines.drop(1).filter(_.contains("\t"))
       .map { l => val Array(t, s) = l.split("\t", 2); (t, s) }
       .groupBy(_._1).map { case (t, rows) => (t, rows.map(_._2).toSeq) }
-    Some(Snapshot(top.drop(1).toLong, op, tables))
+    Some(Snapshot(name.drop(1).toLong, op, tables))
   }
 
   /** Last applied maintenance op id — the exactly-once high-water mark.

@@ -96,6 +96,32 @@ class IndexManifestSpec extends AnyFunSuite {
     assert(IndexManifest.read(spark, dir, "t").count() == 3L)
   }
 
+  test("time travel: the retained previous generation is readable BY VERSION until the next mutation") {
+    val dir = tmp("manifest-travel")
+    val s1 = IndexManifest.newSegment(spark, dir, "t")(p =>
+      df(1L, 2L).write.parquet(p))
+    val v1 = IndexManifest.commit(spark, dir, Map("t" -> Seq(s1)),
+      Some(5L)).version
+    val s2 = IndexManifest.newSegment(spark, dir, "t")(p =>
+      df(1L, 2L, 3L).write.parquet(p))
+    IndexManifest.commit(spark, dir, Map("t" -> Seq(s2)))
+    IndexManifest.vacuum(spark, dir, retainPrevious = true)
+    // the previous generation is pinnable: same rows, same op marker
+    val old = IndexManifest.loadAt(spark, dir, v1)
+      .getOrElse(fail("retained version not loadable"))
+    assert(old.opId.contains(5L), "historical snapshot lost its op id")
+    assert(IndexManifest.readSnapshot(spark, dir, old, "t")
+      .get.count() == 2L, "historical read diverged")
+    assert(IndexManifest.read(spark, dir, "t").count() == 3L)
+    // a version past the retention horizon is gone, loudly None
+    val s3 = IndexManifest.newSegment(spark, dir, "t")(p =>
+      df(4L).write.parquet(p))
+    IndexManifest.commit(spark, dir, Map("t" -> Seq(s3)))
+    IndexManifest.vacuum(spark, dir, retainPrevious = true)
+    assert(IndexManifest.loadAt(spark, dir, v1).isEmpty,
+      "a vacuumed version must not resolve")
+  }
+
   test("one-generation retention: a reader resolved pre-mutation survives a retaining vacuum; a full vacuum reclaims everything") {
     val dir = tmp("manifest-retain")
     val s1 = IndexManifest.newSegment(spark, dir, "t")(p =>
