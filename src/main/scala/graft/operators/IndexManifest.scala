@@ -271,31 +271,59 @@ object IndexManifest {
   * and manifest commits that are only safe serially; the lock turns
   * the standing "single writer assumed" contract into an enforced one.
   *
-  * Mechanics: `_lock` is created with create-no-overwrite (atomic on
-  * local FS/HDFS) carrying the holder id. A second writer fails fast
-  * with [[MaintenanceLock.LockHeldException]]. Stale leases (holder
-  * died without release — the lock file's age exceeds `staleMs`) are
-  * taken over. While the body runs, a HEARTBEAT daemon refreshes the
-  * lock's mtime every `staleMs / 3`, so staleness measures "holder
-  * stopped beating", never "maintenance ran long" — without it a
-  * 100 TB compact outliving the stale window would have its live
-  * lease stolen mid-write, which is exactly the corruption the lock
-  * exists to prevent. Re-entry by the SAME holder (a lifecycle
-  * calling another on the same index, or a replay after a simulated
-  * crash in the same JVM) is a no-op passthrough: the inner scope
-  * neither re-acquires, re-beats, nor releases — the outer scope's
-  * heartbeat and release win.
+  * Mechanics, two layers composed:
+  *
+  *   - CROSS-PROCESS: `_lock` is created with create-no-overwrite
+  *     (atomic on local FS/HDFS) carrying the holder id. A second
+  *     writer fails fast with [[MaintenanceLock.LockHeldException]].
+  *     Stale leases (holder died without release — the lock file's age
+  *     exceeds `staleMs`) are taken over ATOMICALLY: the contender
+  *     renames the stale file to a unique tombstone name first, and
+  *     only the one whose rename succeeds may create the fresh lock —
+  *     a delete+create takeover would let the slower of two observers
+  *     delete the faster one's brand-new lease and acquire a second
+  *     concurrent writer. Release deletes the file only while it still
+  *     carries THIS holder's id, so a holder whose lease was stolen
+  *     (it stopped beating — VM freeze, debugger pause) cannot free
+  *     the thief's live lease on its way out.
+  *   - IN-PROCESS: a JVM-wide per-directory registry pins the lease to
+  *     the acquiring THREAD. Two threads of one Spark application
+  *     mutating the same index share a holder id, so the file lease
+  *     alone would wave both through as "re-entrant"; the registry
+  *     makes the second thread fail fast instead (same semantics as a
+  *     second process). Same-THREAD re-entry by the same holder (a
+  *     lifecycle calling another on the same index, or a replay after
+  *     a simulated crash) stays a no-op passthrough: the inner scope
+  *     neither re-acquires, re-beats, nor releases — the outer scope's
+  *     heartbeat and release win.
+  *
+  * While the body runs, a HEARTBEAT daemon refreshes the lock's mtime
+  * every `staleMs / 3`, so staleness measures "holder stopped
+  * beating", never "maintenance ran long" — without it a 100 TB
+  * compact outliving the stale window would have its live lease stolen
+  * mid-write, which is exactly the corruption the lock exists to
+  * prevent.
   */
 object MaintenanceLock {
 
   final class LockHeldException(msg: String) extends RuntimeException(msg)
 
   /** One id per JVM — maintenance from two processes contends; nested
-    * calls within one process re-enter. */
+    * calls within one process re-enter (same thread only — see the
+    * in-process registry). */
   private[operators] val holderId: String =
     java.lang.management.ManagementFactory.getRuntimeMXBean.getName
 
   val DefaultStaleMs: Long = 10L * 60L * 1000L
+
+  /** The in-process layer: which (thread, holder) currently owns each
+    * index dir in THIS JVM. `depth` counts same-thread re-entries so
+    * only the outermost scope releases the slot. */
+  private final class JvmEntry(val thread: Thread, val holder: String) {
+    var depth: Int = 1
+  }
+  private val jvmHolders =
+    new java.util.concurrent.ConcurrentHashMap[String, JvmEntry]()
 
   def withLock[T](spark: SparkSession, indexDir: String,
       staleMs: Long = DefaultStaleMs)(body: => T): T =
@@ -305,6 +333,39 @@ object MaintenanceLock {
     * simulate a SECOND process contending for the lease). */
   private[graft] def withLockAs[T](spark: SparkSession, indexDir: String,
       holder: String, staleMs: Long = DefaultStaleMs)(body: => T): T = {
+    val cur = jvmHolders.get(indexDir)
+    if (cur != null && (cur.thread eq Thread.currentThread())) {
+      if (cur.holder == holder) {
+        // same thread, same holder: re-entrant passthrough (the outer
+        // scope's file lease, heartbeat, and release stay in charge)
+        cur.depth += 1
+        try body finally cur.depth -= 1
+      } else
+        // same thread posing as a DIFFERENT holder (the spec's
+        // simulated second process): defer to the file lease, which
+        // fails fast on the outer scope's fresh foreign lock
+        fileLease(spark, indexDir, holder, staleMs)(body)
+    } else if (cur != null) {
+      // another THREAD of this JVM holds the index — fail fast exactly
+      // like a second process would (shared holder id made the file
+      // lease alone wave both threads through)
+      throw new LockHeldException(
+        s"index $indexDir is under maintenance by thread " +
+          s"'${cur.thread.getName}' of this process (holder ${cur.holder})")
+    } else {
+      val mine = new JvmEntry(Thread.currentThread(), holder)
+      if (jvmHolders.putIfAbsent(indexDir, mine) != null)
+        throw new LockHeldException(
+          s"index $indexDir lock was taken concurrently by another thread")
+      try fileLease(spark, indexDir, holder, staleMs)(body)
+      finally { jvmHolders.remove(indexDir, mine); () }
+    }
+  }
+
+  /** The cross-process file lease (see the object scaladoc). Assumes
+    * the in-process registry has already admitted this thread. */
+  private def fileLease[T](spark: SparkSession, indexDir: String,
+      holder: String, staleMs: Long)(body: => T): T = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val root = new Path(indexDir)
@@ -333,8 +394,19 @@ object MaintenanceLock {
             throw new LockHeldException(
               s"index $indexDir is under maintenance by $h " +
                 s"(lease age ${age}ms)")
-          // stale lease: the holder died without release — take over
-          fs.delete(lock, false)
+          // stale lease: take over by ATOMIC rename to a unique
+          // tombstone — of two contenders observing the same stale
+          // file, exactly one rename finds the source present, so the
+          // loser can never delete the winner's freshly created lock
+          val tomb = new Path(s"$indexDir/_lock.stale-" +
+            java.util.UUID.randomUUID.toString.take(12))
+          val won =
+            try fs.rename(lock, tomb)
+            catch { case _: java.io.IOException => false }
+          if (!won)
+            throw new LockHeldException(
+              s"index $indexDir stale lease was taken over concurrently")
+          fs.delete(tomb, false)
           ()
         }
         val out =
@@ -366,7 +438,10 @@ object MaintenanceLock {
         try body
         finally {
           stop.set(true); beat.interrupt()
-          fs.delete(lock, false); ()
+          // release only a lease that is still OURS: after a stale
+          // takeover (we stopped beating), the file carries the
+          // thief's id and deleting it would admit a third writer
+          if (readHolder().contains(holder)) { fs.delete(lock, false); () }
         }
     }
   }

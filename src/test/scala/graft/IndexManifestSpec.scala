@@ -187,6 +187,64 @@ class IndexManifestSpec extends AnyFunSuite {
     fs.setTimes(lock, System.currentTimeMillis() - 3600L * 1000L, -1)
     assert(MaintenanceLock.withLockAs(spark, dir, "proc-C") { 2 } == 2,
       "stale lease must be taken over")
+    // the atomic-rename takeover leaves no tombstone behind
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("_lock.stale-"))
+    assert(leftovers.isEmpty, s"takeover tombstones left behind: ${leftovers.mkString(",")}")
+  }
+
+  test("thread granularity: a second THREAD of the same process fails fast; same-thread nesting still re-enters") {
+    val dir = tmp("manifest-thread")
+    @volatile var interleaved = false
+    @volatile var innerEx: Option[Throwable] = None
+    MaintenanceLock.withLock(spark, dir) {
+      // same thread, same holder: re-entrant passthrough (unchanged)
+      assert(MaintenanceLock.withLock(spark, dir) { 42 } == 42)
+      // a second thread shares this JVM's holder id — the file lease
+      // alone would wave it through as "re-entrant"; the in-process
+      // registry must fail it fast instead
+      val t = new Thread(() => {
+        try { MaintenanceLock.withLock(spark, dir) { interleaved = true }; () }
+        catch { case e: Throwable => innerEx = Some(e) }
+      }, "second-maintainer")
+      t.start(); t.join()
+      assert(!interleaved, "a second thread interleaved maintenance on a held index")
+      assert(innerEx.exists(_.isInstanceOf[MaintenanceLock.LockHeldException]),
+        s"expected LockHeldException, got $innerEx")
+      ()
+    }
+    // released: another thread acquires freely now
+    @volatile var ok = false
+    val t2 = new Thread(() => {
+      MaintenanceLock.withLock(spark, dir) { ok = true }; ()
+    })
+    t2.start(); t2.join()
+    assert(ok, "post-release acquisition from another thread failed")
+  }
+
+  test("release leaves a STOLEN lease intact (the lock now carries the thief's id)") {
+    val dir = tmp("manifest-steal")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/_lock")
+    MaintenanceLock.withLockAs(spark, dir, "victim") {
+      // simulate a takeover mid-body (the victim stopped beating long
+      // enough to be declared stale): the thief's lease replaces ours
+      val out = fs.create(lock, true)
+      out.write("thief".getBytes("UTF-8")); out.close()
+      ()
+    }
+    // the victim's release must NOT free the thief's live lease
+    assert(fs.exists(lock), "release deleted a lease it no longer owned")
+    val in = fs.open(lock)
+    val h = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+    finally in.close()
+    assert(h == "thief", s"lock holder after release: $h")
+    // and a third writer still fails fast against the thief's lease
+    intercept[MaintenanceLock.LockHeldException] {
+      MaintenanceLock.withLockAs(spark, dir, "proc-X") { fail("ran") }
+    }
   }
 
   test("a LIVE holder outliving the stale window keeps its lease (heartbeat beats takeover)") {
