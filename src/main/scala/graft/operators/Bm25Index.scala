@@ -131,10 +131,6 @@ object Bm25Index {
       } finally { p.unpersist(); () }
     }
 
-  private def tombstonesOf(spark: SparkSession, indexDir: String)
-      : Option[DataFrame] =
-    IndexManifest.readOpt(spark, indexDir, "tombstones")
-
   private def minusTombstones(df: DataFrame, ts: Option[DataFrame])
       : DataFrame =
     ts.fold(df)(t =>
@@ -145,10 +141,13 @@ object Bm25Index {
     * records each victim's (n=1, dl) at delete time, so the probe-side
     * correction is one broadcast-scale aggregate — n_docs and avgdl
     * see the delete immediately, making probe-after-delete ≡
-    * probe-after-compact EXACT (Bm25IndexSpec pins it bit-equal). */
+    * probe-after-compact EXACT (Bm25IndexSpec pins it bit-equal).
+    * Reads stats through the caller's PINNED snapshot, so the
+    * correction can never pair one version's stats with another
+    * version's tombstones. */
   private def statsMinusTombstones(spark: SparkSession, indexDir: String,
-      ts: Option[DataFrame]): DataFrame = {
-    val stats = IndexManifest.read(spark, indexDir, "stats")
+      snap: IndexManifest.Snapshot, ts: Option[DataFrame]): DataFrame = {
+    val stats = IndexManifest.readRequired(spark, indexDir, snap, "stats")
     ts match {
       case Some(t) if t.columns.contains("dl") =>
         val d = t.agg(
@@ -176,20 +175,40 @@ object Bm25Index {
     * a broadcast left-semi join — no driver collect, no mega-literal
     * plan. Both paths are bit-equal (spec-pinned). Tombstoned docs are
     * anti-joined out BEFORE df computation and scoring, and their
-    * stats mass is subtracted (see [[statsMinusTombstones]]). */
+    * stats mass is subtracted (see [[statsMinusTombstones]]).
+    *
+    * The whole read is PINNED to one manifest snapshot: postings,
+    * tombstones, and stats resolve from the same committed version, so
+    * a mutation landing mid-probe can never hand it a mixed view (e.g.
+    * v1 postings still carrying a victim against v2 stats that already
+    * forgot it). A probe pinned before a compact keeps a complete file
+    * set as long as the compact's `retainGenerations` covers it (the
+    * [[compact]] knob). */
   def probe(spark: SparkSession, queries: DataFrame, indexDir: String,
+      k: Int = TopK, termBudget: Long = TermPushdownBudget): DataFrame =
+    probeImpl(spark, queries, indexDir, _ => (), k, termBudget)
+
+  /** [[probe]] with an injectable post-pin seam (spec-only): called
+    * with the pinned snapshot AFTER the single manifest resolution and
+    * BEFORE any table read, so a spec can commit a delete/compact
+    * right there and assert the probe still serves one consistent
+    * version — never a mix. */
+  private[graft] def probeImpl(spark: SparkSession, queries: DataFrame,
+      indexDir: String, afterPin: IndexManifest.Snapshot => Unit,
       k: Int = TopK, termBudget: Long = TermPushdownBudget): DataFrame = {
     val qTerms = queries.select("term").distinct()
     val nTerms = qTerms.count()
-    val scan = IndexManifest.read(spark, indexDir, "postings")
+    val snap = IndexManifest.snapshot(spark, indexDir)
+    afterPin(snap)
+    val scan = IndexManifest.readRequired(spark, indexDir, snap, "postings")
     val pruned =
       if (nTerms <= termBudget) {
         val terms = qTerms.collect().map(_.getString(0)).toSeq
         scan.filter(col("term").isin(terms: _*))
       } else scan.join(broadcast(qTerms), Seq("term"), "left_semi")
-    val ts = tombstonesOf(spark, indexDir)
+    val ts = IndexManifest.readSnapshot(spark, indexDir, snap, "tombstones")
     scoreTopK(minusTombstones(pruned, ts),
-      statsMinusTombstones(spark, indexDir, ts), queries, k)
+      statsMinusTombstones(spark, indexDir, snap, ts), queries, k)
   }
 
   /** Last applied maintenance op id, or None — the [[RollupStore]]
@@ -207,13 +226,19 @@ object Bm25Index {
 
   /** Record `opId` as applied WITHOUT changing any table — the cheap
     * marker stamp for a batch that admitted nothing (every table list
-    * is re-committed unchanged; one manifest rename). */
-  def stampOp(spark: SparkSession, indexDir: String, opId: Long): Unit =
+    * is re-committed unchanged; one manifest rename).
+    * `retainGenerations` is the deployment's reader-grace depth: a
+    * busy all-rejected stream stamps a manifest version per batch, and
+    * the hygiene vacuum here must not shrink the retained window below
+    * what the deployment configured for its longest-running readers
+    * (default 1 = the routine append grace). */
+  def stampOp(spark: SparkSession, indexDir: String, opId: Long,
+      retainGenerations: Int = 1): Unit =
     MaintenanceLock.withLock(spark, indexDir) {
       IndexManifest.stampOp(spark, indexDir, opId)
       // version-file hygiene: a long run of zero-admit batches must not
-      // accumulate manifest versions (reader-safe: previous retained)
-      IndexManifest.vacuum(spark, indexDir, retainPrevious = true)
+      // accumulate manifest versions (reader-safe: grace depth retained)
+      IndexManifest.vacuum(spark, indexDir, retainGenerations)
       ()
     }
 
@@ -241,30 +266,40 @@ object Bm25Index {
       indexDir: String, crashPoint: String => Unit,
       opId: Option[Long] = None): Boolean =
    MaintenanceLock.withLock(spark, indexDir) {
-    if (opId.exists(id => appliedOp(spark, indexDir).exists(_ >= id)))
+    // ONE pinned snapshot serves the whole read-modify-write: the
+    // marker check, the stats merge, and the commit's base table map
+    // all come from the same version (the lease excludes writers, so
+    // pinning here is belt-and-braces consistency, not a race fix)
+    val snap0 = IndexManifest.load(spark, indexDir)
+    if (opId.exists(id => snap0.flatMap(_.opId).exists(_ >= id))) {
+      // replayed op: the original run may have crashed between its
+      // commit and its vacuum — finish the (cheap, idempotent)
+      // reclamation so a replay leaves no superseded files behind
+      IndexManifest.vacuum(spark, indexDir, retainGenerations = 1)
       false
-    else {
+    } else {
+      val snap = snap0.getOrElse(throw new IllegalStateException(
+        s"no committed manifest under $indexDir — build() first"))
       val p = postingsOf(spark, batch).cache()
       try {
         val sp = IndexManifest.newSegment(spark, indexDir, "postings")(d =>
           p.repartition(col("term")).write.mode("overwrite").parquet(d))
         crashPoint("postings:appended")
         val merged = statsFrom(p).unionAll(
-            IndexManifest.read(spark, indexDir, "stats"))
+            IndexManifest.readRequired(spark, indexDir, snap, "stats"))
           .agg(sum(col("n_docs")).as("n_docs"),
             sum(col("total_dl")).as("total_dl"))
         val ss = IndexManifest.newSegment(spark, indexDir, "stats")(d =>
           merged.coalesce(1).write.mode("overwrite").parquet(d))
         crashPoint("stats:staged")
-        val cur = IndexManifest.load(spark, indexDir).map(_.tables)
-          .getOrElse(Map.empty)
+        val cur = snap.tables
         IndexManifest.commit(spark, indexDir, cur
           .updated("postings", cur.getOrElse("postings", Nil) :+ sp)
           .updated("stats", Seq(ss)), opId)
         crashPoint("stats:swapped")
         // routine append: retain the previous generation so a reader
         // that resolved the pre-append manifest keeps serving
-        IndexManifest.vacuum(spark, indexDir, retainPrevious = true)
+        IndexManifest.vacuum(spark, indexDir, retainGenerations = 1)
         ()
       } finally { p.unpersist(); () }
       true
@@ -281,14 +316,14 @@ object Bm25Index {
   def refreshStats(spark: SparkSession, indexDir: String,
       opId: Option[Long] = None): Unit =
     MaintenanceLock.withLock(spark, indexDir) {
+      val snap = IndexManifest.snapshot(spark, indexDir)
       val ss = IndexManifest.newSegment(spark, indexDir, "stats")(d =>
-        statsFrom(IndexManifest.read(spark, indexDir, "postings"))
+        statsFrom(IndexManifest.readRequired(spark, indexDir, snap,
+            "postings"))
           .coalesce(1).write.mode("overwrite").parquet(d))
-      val cur = IndexManifest.load(spark, indexDir).map(_.tables)
-        .getOrElse(Map.empty)
       IndexManifest.commit(spark, indexDir,
-        cur.updated("stats", Seq(ss)), opId)
-      IndexManifest.vacuum(spark, indexDir, retainPrevious = true)
+        snap.tables.updated("stats", Seq(ss)), opId)
+      IndexManifest.vacuum(spark, indexDir, retainGenerations = 1)
       ()
     }
 
@@ -312,26 +347,30 @@ object Bm25Index {
   def delete(spark: SparkSession, docIds: Seq[Long], indexDir: String): Unit =
     MaintenanceLock.withLock(spark, indexDir) {
       import spark.implicits._
-      // fail-safe migration gate: never mix tombstone layouts in one dir
-      if (tombstonesOf(spark, indexDir).exists(!_.columns.contains("dl")))
+      // fail-safe migration gate: never mix tombstone layouts in one
+      // dir (the gate reads the CURRENT manifest; a triggered compact
+      // commits a new version, so the pin below happens AFTER it)
+      val pre = IndexManifest.snapshot(spark, indexDir)
+      if (IndexManifest.readSnapshot(spark, indexDir, pre, "tombstones")
+          .exists(!_.columns.contains("dl")))
         compact(spark, indexDir)
+      val snap = IndexManifest.snapshot(spark, indexDir)
+      val ts = IndexManifest.readSnapshot(spark, indexDir, snap, "tombstones")
       val ids = docIds.toDF("doc_id")
       // inner join: only docs PRESENT in the index carry mass (n=1, dl).
       // An absent id needs no tombstone at all — it cannot be served and
       // never contributed to stats.
-      val rows = IndexManifest.read(spark, indexDir, "postings")
+      val rows = IndexManifest.readRequired(spark, indexDir, snap, "postings")
         .join(broadcast(ids), Seq("doc_id"), "left_semi")
         .groupBy("doc_id").agg(min(col("dl")).as("dl"))
         .select(col("doc_id"), lit(1L).as("n"), col("dl"))
-      val pruned = tombstonesOf(spark, indexDir).fold(rows)(t =>
+      val pruned = ts.fold(rows)(t =>
         rows.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
         .localCheckpoint()
       val seg = IndexManifest.newSegment(spark, indexDir, "tombstones")(d =>
         pruned.write.mode("overwrite").parquet(d))
-      val cur = IndexManifest.load(spark, indexDir).map(_.tables)
-        .getOrElse(Map.empty)
-      IndexManifest.commit(spark, indexDir, cur.updated("tombstones",
-        cur.getOrElse("tombstones", Nil) :+ seg))
+      IndexManifest.commit(spark, indexDir, snap.tables.updated("tombstones",
+        snap.segmentsOf("tombstones") :+ seg))
       ()
     }
 
@@ -342,19 +381,29 @@ object Bm25Index {
     * recomputed stats row alongside still-pending tombstones (the
     * pre-manifest design had exactly that window, where the probe
     * would subtract the tombstone mass a second time). A crash at any
-    * seam leaves the old state fully live; the rerun converges. */
-  def compact(spark: SparkSession, indexDir: String): Unit =
-    compactImpl(spark, indexDir, _ => ())
+    * seam leaves the old state fully live; the rerun converges.
+    *
+    * `retainGenerations` defers the destructive step: the default 0
+    * reclaims the superseded files immediately (physical removal of
+    * tombstoned docs is usually the point of compacting), while a
+    * deployment with long-running readers passes ≥ 1 so a reader that
+    * pinned the pre-compact snapshot keeps a complete file set for
+    * that many further mutations (the reader-isolation story the
+    * [[IndexManifest]] header describes, now actually selectable). */
+  def compact(spark: SparkSession, indexDir: String,
+      retainGenerations: Int = 0): Unit =
+    compactImpl(spark, indexDir, _ => (), retainGenerations)
 
   /** [[compact]] with an injectable crash point (spec-only seam —
     * "postings:written" / "stats:written" are staged-invisible,
     * "committed" is the atomic publish, "vacuumed" ends cleanup). */
   private[graft] def compactImpl(spark: SparkSession, indexDir: String,
-      crashPoint: String => Unit): Unit =
+      crashPoint: String => Unit, retainGenerations: Int = 0): Unit =
     MaintenanceLock.withLock(spark, indexDir) {
-      val ts = tombstonesOf(spark, indexDir)
+      val snap = IndexManifest.snapshot(spark, indexDir)
+      val ts = IndexManifest.readSnapshot(spark, indexDir, snap, "tombstones")
       val clean = minusTombstones(
-        IndexManifest.read(spark, indexDir, "postings"), ts)
+        IndexManifest.readRequired(spark, indexDir, snap, "postings"), ts)
         .repartition(col("term")).cache()
       try {
         val sp = IndexManifest.newSegment(spark, indexDir, "postings")(d =>
@@ -367,7 +416,7 @@ object Bm25Index {
           Map("postings" -> Seq(sp), "stats" -> Seq(ss),
             "tombstones" -> Nil))
         crashPoint("committed")
-        IndexManifest.vacuum(spark, indexDir)
+        IndexManifest.vacuum(spark, indexDir, retainGenerations)
         crashPoint("vacuumed")
         ()
       } finally { clean.unpersist(); () }
@@ -376,10 +425,13 @@ object Bm25Index {
   /** Open-time repair: with the manifest layer a crash can only leave
     * orphan segments and superseded manifest versions — the index
     * itself is always fully live. Delegates to
-    * [[IndexManifest.vacuum]]; safe to run unconditionally. */
-  def recover(spark: SparkSession, indexDir: String): Boolean =
+    * [[IndexManifest.vacuum]]; safe to run unconditionally.
+    * `retainGenerations` > 0 keeps that many older generations for
+    * still-running readers (the compact knob). */
+  def recover(spark: SparkSession, indexDir: String,
+      retainGenerations: Int = 0): Boolean =
     MaintenanceLock.withLock(spark, indexDir) {
-      IndexManifest.vacuum(spark, indexDir) > 0
+      IndexManifest.vacuum(spark, indexDir, retainGenerations) > 0
     }
 
   /** Oracle CTE chain ending in `bmtop(qid, doc_id, score_q6, rnk)` —

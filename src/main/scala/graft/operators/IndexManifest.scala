@@ -104,6 +104,27 @@ object IndexManifest {
     else Some(spark.read.parquet(segs.map(s => s"$indexDir/segs/$s"): _*))
   }
 
+  /** The current snapshot, failing loudly when the index has no
+    * committed manifest. THE reader entry point for every multi-table
+    * operation: resolve ONE snapshot here, then read each table
+    * through [[readSnapshot]]/[[readRequired]] — per-table [[load]]
+    * calls would let a mutation commit BETWEEN two resolutions and
+    * hand the reader a mixed-version view the writer-side atomicity
+    * does not cover (the concrete BM25 case: postings resolved at v1
+    * still carry a victim row, a compact commits v2 clearing the
+    * tombstones and rewriting stats, and a per-table reader then
+    * serves the victim un-anti-joined against v2 stats). */
+  def snapshot(spark: SparkSession, indexDir: String): Snapshot =
+    load(spark, indexDir).getOrElse(throw new IllegalStateException(
+      s"no committed manifest under $indexDir"))
+
+  /** [[readSnapshot]] failing loudly for an always-present table. */
+  def readRequired(spark: SparkSession, indexDir: String, snap: Snapshot,
+      table: String): DataFrame =
+    readSnapshot(spark, indexDir, snap, table).getOrElse(
+      throw new IllegalStateException(s"index table '$table' has no " +
+        s"segments in manifest v${snap.version} under $indexDir"))
+
   private def parseVersion(spark: SparkSession, indexDir: String,
       name: String): Option[Snapshot] = {
     val fs = fsOf(spark)
@@ -211,41 +232,36 @@ object IndexManifest {
     * (from crashed writers) and superseded manifest versions. The only
     * destructive step in the lifecycle.
     *
-    * `retainPrevious = true` keeps the PREVIOUS manifest generation's
-    * segments and version file alive — the reader-isolation grace the
-    * append paths use: a reader that resolved the pre-append manifest
-    * keeps a complete file set until the NEXT mutation's vacuum, so
-    * serving is never disturbed by routine appends (a reader lagging
-    * more than one full maintenance generation is the documented
-    * horizon; a deployment sizes it by deferring vacuum). `false` (the
-    * default) retains only the current generation — what compact and
-    * the right-to-be-forgotten paths need, where PHYSICAL removal of
-    * the superseded files is the entire point and wins over reader
-    * grace. Returns the number of paths removed; safe to run
-    * unconditionally at index-open time (the recover() role). */
+    * `retainGenerations` sizes the reader-grace window: the newest N
+    * generations BELOW the current one keep their version files and
+    * segments alive, so a reader that resolved a manifest up to N
+    * mutations ago still holds a complete file set (and [[loadAt]]
+    * time-travels that deep). The append paths pass 1 — routine
+    * appends never disturb a reader one generation back; a deployment
+    * with longer-running readers raises it. The default 0 retains only
+    * the current generation — what compact and the
+    * right-to-be-forgotten paths need, where PHYSICAL removal of the
+    * superseded files is the entire point and wins over reader grace.
+    * Returns the number of paths removed; safe to run unconditionally
+    * at index-open time (the recover() role). */
   def vacuum(spark: SparkSession, indexDir: String,
-      retainPrevious: Boolean = false): Int = {
+      retainGenerations: Int = 0): Int = {
     val fs = fsOf(spark)
     load(spark, indexDir) match {
       case None => 0
       case Some(snap) =>
         var removed = 0
         val md = new Path(manifestDir(indexDir))
-        val prevName = versionName(snap.version - 1)
+        val older =
+          (math.max(1L, snap.version - retainGenerations) until snap.version)
+            .filter(v => fs.exists(new Path(md, versionName(v))))
         val keepVersions =
-          if (retainPrevious) Set(versionName(snap.version), prevName)
-          else Set(versionName(snap.version))
-        val prevSegs: Set[String] =
-          if (retainPrevious && fs.exists(new Path(md, prevName))) {
-            val in = fs.open(new Path(md, prevName))
-            val txt =
-              try new String(
-                org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-              finally in.close()
-            txt.split("\n").filter(_.contains("\t"))
-              .map(_.split("\t", 2)(1).trim).toSet
-          } else Set.empty
-        val live = snap.tables.values.flatten.toSet ++ prevSegs
+          (older.map(versionName) :+ versionName(snap.version)).toSet
+        val retainedSegs: Set[String] = older
+          .flatMap(v => parseVersion(spark, indexDir, versionName(v)).toSeq
+            .flatMap(_.tables.values.flatten))
+          .toSet
+        val live = snap.tables.values.flatten.toSet ++ retainedSegs
         val segRoot = new Path(s"$indexDir/segs")
         if (fs.exists(segRoot)) {
           for (st <- fs.listStatus(segRoot)
@@ -262,6 +278,54 @@ object IndexManifest {
           }
         }
         removed
+    }
+  }
+
+  /** One-shot migration of a PRE-manifest index layout (rounds before
+    * the commit layer stored each logical table as a plain parquet
+    * directory `<indexDir>/<table>`, with an optional `_applied_op`
+    * text file as the exactly-once marker): each listed table dir that
+    * exists is MOVED (renamed — no data copy) into the segment store
+    * and committed as that table's initial segment, the legacy marker
+    * is carried into the commit and removed. Returns the initial
+    * snapshot; None when the dir already has a manifest (already
+    * migrated — never overwrites) or none of the listed tables exists
+    * (nothing to migrate). Without this, [[load]] returns None for a
+    * legacy layout and [[read]] fails with "no committed segments" —
+    * every pre-manifest index would silently require a full rebuild. */
+  def migrate(spark: SparkSession, indexDir: String, tables: Seq[String])
+      : Option[Snapshot] = MaintenanceLock.withLock(spark, indexDir) {
+    val fs = fsOf(spark)
+    if (load(spark, indexDir).nonEmpty) None
+    else {
+      val present = tables.filter(t =>
+        fs.exists(new Path(s"$indexDir/$t")))
+      if (present.isEmpty) None
+      else {
+        val segRoot = new Path(s"$indexDir/segs")
+        if (!fs.exists(segRoot)) { fs.mkdirs(segRoot); () }
+        val moved = present.map { t =>
+          val seg = s"$t-legacy"
+          if (!fs.rename(new Path(s"$indexDir/$t"),
+              new Path(s"$indexDir/segs/$seg")))
+            throw new IllegalStateException(
+              s"migrate: could not move $indexDir/$t into the segment store")
+          t -> Seq(seg)
+        }.toMap
+        val opP = new Path(s"$indexDir/_applied_op")
+        val legacyOp =
+          if (!fs.exists(opP)) None
+          else {
+            val in = fs.open(opP)
+            val txt = try new String(
+              org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+            finally in.close()
+            scala.util.Try(txt.toLong).toOption
+          }
+        val snap = commit(spark, indexDir, moved, legacyOp)
+        if (fs.exists(opP)) { fs.delete(opP, false); () }
+        Some(snap)
+      }
     }
   }
 }

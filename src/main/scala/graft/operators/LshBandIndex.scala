@@ -168,19 +168,15 @@ object LshBandIndex {
   def delete(spark: SparkSession, docIds: Seq[Long], indexDir: String): Unit =
     MaintenanceLock.withLock(spark, indexDir) {
       import spark.implicits._
-      val cur = IndexManifest.load(spark, indexDir).map(_.tables)
-        .getOrElse(Map.empty)
+      val snap = IndexManifest.snapshot(spark, indexDir)
       val seg = IndexManifest.newSegment(spark, indexDir, "tombstones")(p =>
         docIds.toDF("doc_id").repartition(1)
           .write.mode("overwrite").parquet(p))
       IndexManifest.commit(spark, indexDir,
-        cur.updated("tombstones", cur.getOrElse("tombstones", Nil) :+ seg))
+        snap.tables.updated("tombstones",
+          snap.segmentsOf("tombstones") :+ seg))
       ()
     }
-
-  private def tombstonesOf(spark: SparkSession, indexDir: String)
-      : Option[DataFrame] =
-    IndexManifest.readOpt(spark, indexDir, "tombstones")
 
   private def minusTombstones(df: DataFrame, ts: Option[DataFrame])
       : DataFrame =
@@ -193,19 +189,34 @@ object LshBandIndex {
     * equi-join and shingle sets to the verification; the corpus text is
     * never touched. Tombstoned (deleted) docs are anti-joined out of
     * the band side before candidates form, so a forgotten doc can
-    * never match — even before the compact that physically drops it. */
+    * never match — even before the compact that physically drops it.
+    *
+    * Bands, sets, and tombstones resolve through ONE pinned manifest
+    * snapshot: a mutation committing mid-probe can never hand it one
+    * table at v1 and another at v2 (e.g. v2 bands already carrying a
+    * new doc whose sets the v1 read cannot verify). */
   def probe(spark: SparkSession, batch: DataFrame, indexDir: String)
+      : DataFrame =
+    probeImpl(spark, batch, indexDir, _ => ())
+
+  /** [[probe]] with an injectable post-pin seam (spec-only — the
+    * [[Bm25Index.probeImpl]] convention): a spec commits a mutation
+    * there and asserts the probe serves one consistent version. */
+  private[graft] def probeImpl(spark: SparkSession, batch: DataFrame,
+      indexDir: String, afterPin: IndexManifest.Snapshot => Unit)
       : DataFrame = {
     val signed = Dedup.signedSetsOf(spark, batch)
-    val ts = tombstonesOf(spark, indexDir)
+    val snap = IndexManifest.snapshot(spark, indexDir)
+    afterPin(snap)
+    val ts = IndexManifest.readSnapshot(spark, indexDir, snap, "tombstones")
     val iBands = minusTombstones(
-      IndexManifest.read(spark, indexDir, "bands"), ts)
+      IndexManifest.readRequired(spark, indexDir, snap, "bands"), ts)
       .select(col("band_id"), col("bh"), col("doc_id").as("index_id"))
     val cand = bandsOf(signed).as("b")
       .join(iBands,
         col("b.band_id") === iBands("band_id") && col("b.bh") === iBands("bh"))
       .select(col("b.doc_id").as("doc_id"), col("index_id")).distinct()
-    val iSets = IndexManifest.read(spark, indexDir, "sets")
+    val iSets = IndexManifest.readRequired(spark, indexDir, snap, "sets")
       .select(col("doc_id").as("index_id"), col("sh").as("sh_b"))
     val a = signed.select(col("doc_id"), col("sh").as("sh_a"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
@@ -256,12 +267,16 @@ object LshBandIndex {
    MaintenanceLock.withLock(spark, indexDir) {
     val signed = Dedup.signedSetsOf(spark, batch).cache()
     try {
+      // one pinned snapshot for the whole read-modify-write (the lease
+      // excludes other writers; the pin keeps the audit's three table
+      // reads and the commit base structurally same-version)
+      val snap = IndexManifest.snapshot(spark, indexDir)
       // tombstoned docs leave the BAND side; candidates then never name
       // them, so the sets side needs no filter (the verify join drops)
       val iBands = minusTombstones(
-        IndexManifest.read(spark, indexDir, "bands"),
-        tombstonesOf(spark, indexDir))
-      val iSets = IndexManifest.read(spark, indexDir, "sets")
+        IndexManifest.readRequired(spark, indexDir, snap, "bands"),
+        IndexManifest.readSnapshot(spark, indexDir, snap, "tombstones"))
+      val iSets = IndexManifest.readRequired(spark, indexDir, snap, "sets")
       val a = audit(signed, iBands, iSets, bucketCap, withSelf)
         .orderBy("doc_id").localCheckpoint()
       crashPoint("audited")
@@ -282,15 +297,14 @@ object LshBandIndex {
               .repartition(col("bh")) // keep build()'s co-location invariant
               .write.mode("overwrite").parquet(p))
           crashPoint("bands:appended")
-          val cur = IndexManifest.load(spark, indexDir).map(_.tables)
-            .getOrElse(Map.empty)
+          val cur = snap.tables
           IndexManifest.commit(spark, indexDir, cur
             .updated("sets", cur.getOrElse("sets", Nil) :+ segSets)
             .updated("bands", cur.getOrElse("bands", Nil) :+ segBands))
           crashPoint("committed")
           // version-file hygiene; pure-append, so only superseded
           // manifest versions (older than previous) are cleaned
-          IndexManifest.vacuum(spark, indexDir, retainPrevious = true)
+          IndexManifest.vacuum(spark, indexDir, retainGenerations = 1)
         }
       }
       a
@@ -313,23 +327,30 @@ object LshBandIndex {
     * pre-manifest two-rename missing-table window, and the window
     * where a recomputed table coexisted with still-pending tombstones,
     * are both structurally gone). A reader that resolved the OLD
-    * manifest keeps a complete file set until [[vacuum]] (run here
-    * last; a deployment with long-running readers can defer it).
+    * manifest keeps a complete file set until the closing vacuum —
+    * and `retainGenerations` makes that deferral actually selectable:
+    * the default 0 reclaims superseded files immediately (physical
+    * removal of tombstoned docs is usually the point), a deployment
+    * with long-running readers passes ≥ 1 to keep that many older
+    * generations' files alive past the compact.
     * LshBandIndexSpec probes AT every injected crash state and pins
     * results bit-identical to pre-compact. */
-  def compact(spark: SparkSession, indexDir: String): Unit =
-    compactImpl(spark, indexDir, _ => ())
+  def compact(spark: SparkSession, indexDir: String,
+      retainGenerations: Int = 0): Unit =
+    compactImpl(spark, indexDir, _ => (), retainGenerations)
 
   /** [[compact]] with an injectable crash point (spec-only seam —
     * `crashPoint` is called with "bands:written" / "sets:written" /
     * "committed" / "vacuumed" and may throw to simulate dying there). */
   private[graft] def compactImpl(spark: SparkSession, indexDir: String,
-      crashPoint: String => Unit): Unit =
+      crashPoint: String => Unit, retainGenerations: Int = 0): Unit =
     MaintenanceLock.withLock(spark, indexDir) {
-      val ts = tombstonesOf(spark, indexDir)
+      val snap = IndexManifest.snapshot(spark, indexDir)
+      val ts = IndexManifest.readSnapshot(spark, indexDir, snap, "tombstones")
       def rewrite(table: String, partCol: String): String =
         IndexManifest.newSegment(spark, indexDir, table) { p =>
-          minusTombstones(IndexManifest.read(spark, indexDir, table), ts)
+          minusTombstones(
+            IndexManifest.readRequired(spark, indexDir, snap, table), ts)
             .repartition(col(partCol))
             .write.mode("overwrite").parquet(p)
         }
@@ -341,7 +362,7 @@ object LshBandIndex {
       IndexManifest.commit(spark, indexDir,
         Map("bands" -> Seq(nb), "sets" -> Seq(ns), "tombstones" -> Nil))
       crashPoint("committed")
-      IndexManifest.vacuum(spark, indexDir)
+      IndexManifest.vacuum(spark, indexDir, retainGenerations)
       crashPoint("vacuumed")
       ()
     }
@@ -350,10 +371,13 @@ object LshBandIndex {
     * ORPHANS (staged segments and superseded manifest versions the
     * current manifest does not reference) — the index itself is always
     * fully live. Delegates to [[IndexManifest.vacuum]]; returns true
-    * when anything was cleaned. Safe to run unconditionally. */
-  def recover(spark: SparkSession, indexDir: String): Boolean =
+    * when anything was cleaned. Safe to run unconditionally.
+    * `retainGenerations` > 0 keeps that many older generations for
+    * still-running readers (the compact knob). */
+  def recover(spark: SparkSession, indexDir: String,
+      retainGenerations: Int = 0): Boolean =
     MaintenanceLock.withLock(spark, indexDir) {
-      IndexManifest.vacuum(spark, indexDir) > 0
+      IndexManifest.vacuum(spark, indexDir, retainGenerations) > 0
     }
 
   /** q159: the oracle-checked registry twin of [[admit]] — corpus =

@@ -58,19 +58,15 @@ object PrevalenceIndex {
   def delete(spark: SparkSession, docIds: Seq[Long], indexDir: String): Unit =
     MaintenanceLock.withLock(spark, indexDir) {
       import spark.implicits._
+      val snap = IndexManifest.snapshot(spark, indexDir)
       val seg = IndexManifest.newSegment(spark, indexDir, "tombstones")(p =>
         docIds.toDF("doc_id").repartition(1)
           .write.mode("overwrite").parquet(p))
-      val cur = IndexManifest.load(spark, indexDir).map(_.tables)
-        .getOrElse(Map.empty)
-      IndexManifest.commit(spark, indexDir, cur.updated("tombstones",
-        cur.getOrElse("tombstones", Nil) :+ seg))
+      IndexManifest.commit(spark, indexDir,
+        snap.tables.updated("tombstones",
+          snap.segmentsOf("tombstones") :+ seg))
       ()
     }
-
-  private def tombstonesOf(spark: SparkSession, indexDir: String)
-      : Option[DataFrame] =
-    IndexManifest.readOpt(spark, indexDir, "tombstones")
 
   private def minusTombstones(df: DataFrame, ts: Option[DataFrame])
       : DataFrame =
@@ -106,12 +102,14 @@ object PrevalenceIndex {
   }
 
   /** Probe a (doc_id, text) batch against the live index (tombstones
-    * honored); no writes. */
+    * honored); no writes. Pairs and tombstones resolve through ONE
+    * pinned manifest snapshot (the [[Bm25Index.probe]] discipline). */
   def probe(spark: SparkSession, batch: DataFrame, indexDir: String)
       : DataFrame = {
+    val snap = IndexManifest.snapshot(spark, indexDir)
     val idx = minusTombstones(
-      IndexManifest.read(spark, indexDir, "segs"),
-      tombstonesOf(spark, indexDir))
+      IndexManifest.readRequired(spark, indexDir, snap, "segs"),
+      IndexManifest.readSnapshot(spark, indexDir, snap, "tombstones"))
     audit(segPairs(batch, Dedup.ParaDelim), idx)
   }
 
@@ -124,22 +122,24 @@ object PrevalenceIndex {
     * all-or-nothing. */
   def append(spark: SparkSession, batch: DataFrame, indexDir: String): Unit =
     MaintenanceLock.withLock(spark, indexDir) {
-      val known = IndexManifest.read(spark, indexDir, "segs")
+      val snap = IndexManifest.snapshot(spark, indexDir)
+      val known = IndexManifest.readRequired(spark, indexDir, snap, "segs")
         .select("doc_id").distinct()
       val seg = IndexManifest.newSegment(spark, indexDir, "segs")(p =>
         segPairs(batch, Dedup.ParaDelim)
           .join(known, Seq("doc_id"), "left_anti")
           .write.mode("overwrite").parquet(p))
-      val cur = IndexManifest.load(spark, indexDir).map(_.tables)
-        .getOrElse(Map.empty)
       IndexManifest.commit(spark, indexDir,
-        cur.updated("segs", cur.getOrElse("segs", Nil) :+ seg))
-      IndexManifest.vacuum(spark, indexDir, retainPrevious = true)
+        snap.tables.updated("segs", snap.segmentsOf("segs") :+ seg))
+      IndexManifest.vacuum(spark, indexDir, retainGenerations = 1)
       ()
     }
 
-  def compact(spark: SparkSession, indexDir: String): Unit =
-    compactImpl(spark, indexDir, _ => ())
+  /** `retainGenerations` defers the closing vacuum's destructive step
+    * for long-running readers — the [[LshBandIndex.compact]] knob. */
+  def compact(spark: SparkSession, indexDir: String,
+      retainGenerations: Int = 0): Unit =
+    compactImpl(spark, indexDir, _ => (), retainGenerations)
 
   /** [[compact]] with the injectable crash seam ("segs:written"
     * staged-invisible / "committed" / "vacuumed"). The compacted
@@ -147,27 +147,32 @@ object PrevalenceIndex {
     * rename; a crash anywhere leaves the old state fully live and the
     * rerun converges. */
   private[graft] def compactImpl(spark: SparkSession, indexDir: String,
-      crashPoint: String => Unit): Unit =
+      crashPoint: String => Unit, retainGenerations: Int = 0): Unit =
     MaintenanceLock.withLock(spark, indexDir) {
-      val ts = tombstonesOf(spark, indexDir)
+      val snap = IndexManifest.snapshot(spark, indexDir)
+      val ts = IndexManifest.readSnapshot(spark, indexDir, snap, "tombstones")
       val seg = IndexManifest.newSegment(spark, indexDir, "segs")(p =>
-        minusTombstones(IndexManifest.read(spark, indexDir, "segs"), ts)
+        minusTombstones(
+          IndexManifest.readRequired(spark, indexDir, snap, "segs"), ts)
           .repartition(col("h"))
           .write.mode("overwrite").parquet(p))
       crashPoint("segs:written")
       IndexManifest.commit(spark, indexDir,
         Map("segs" -> Seq(seg), "tombstones" -> Nil))
       crashPoint("committed")
-      IndexManifest.vacuum(spark, indexDir)
+      IndexManifest.vacuum(spark, indexDir, retainGenerations)
       crashPoint("vacuumed")
       ()
     }
 
   /** Open-time repair: with the manifest layer a crash leaves only
-    * orphans — delegate to [[IndexManifest.vacuum]]. */
-  def recover(spark: SparkSession, indexDir: String): Boolean =
+    * orphans — delegate to [[IndexManifest.vacuum]].
+    * `retainGenerations` > 0 keeps that many older generations for
+    * still-running readers (the compact knob). */
+  def recover(spark: SparkSession, indexDir: String,
+      retainGenerations: Int = 0): Boolean =
     MaintenanceLock.withLock(spark, indexDir) {
-      IndexManifest.vacuum(spark, indexDir) > 0
+      IndexManifest.vacuum(spark, indexDir, retainGenerations) > 0
     }
 
   /** q229: the oracle-checked registry twin of [[probe]]/admit —

@@ -72,9 +72,13 @@ object RollupStore {
     }
 
   /** The maintained table, in its presentation form (exact decimal sum
-    * surfaced as the bit-stable split double — the q189 convention). */
+    * surfaced as the bit-stable split double — the q189 convention).
+    * Single-table, so one pinned snapshot is trivially consistent —
+    * kept on the same [[IndexManifest.snapshot]] entry point as the
+    * multi-table lifecycles for uniformity. */
   def query(spark: SparkSession, dir: String): DataFrame =
-    IndexManifest.read(spark, dir, "rollup")
+    IndexManifest.readRequired(spark, dir,
+        IndexManifest.snapshot(spark, dir), "rollup")
       .select(col("day"), col("event_type"), col("n").as("n_events"),
         splitDbl(col("s")).as("sum_value"),
         col("mn").as("min_value"), col("mx").as("max_value"))
@@ -114,10 +118,18 @@ object RollupStore {
       dir: String, crashPoint: String => Unit,
       opId: Option[Long] = None): Boolean =
    MaintenanceLock.withLock(spark, dir) {
-    if (opId.exists(id => appliedOp(spark, dir).exists(_ >= id)))
+    // one pinned snapshot: the marker check and the store read resolve
+    // the same committed version (the lease already excludes writers)
+    val snap = IndexManifest.load(spark, dir)
+    if (opId.exists(id => snap.flatMap(_.opId).exists(_ >= id))) {
+      // replayed op: the original run may have crashed between the
+      // commit and its vacuum — finish the idempotent reclamation
+      IndexManifest.vacuum(spark, dir, retainGenerations = 1)
       false
-    else {
-    val store = IndexManifest.read(spark, dir, "rollup")
+    } else {
+    val store = IndexManifest.readRequired(spark, dir,
+      snap.getOrElse(throw new IllegalStateException(
+        s"no committed manifest under $dir — build() first")), "rollup")
     val b = partials(batch)
       .withColumnRenamed("n", "bn").withColumnRenamed("s", "bs")
       .withColumnRenamed("mn", "bmn").withColumnRenamed("mx", "bmx")
@@ -153,10 +165,22 @@ object RollupStore {
       forgetUsers: DataFrame, dir: String,
       crashPoint: String => Unit, opId: Option[Long] = None): Boolean =
    MaintenanceLock.withLock(spark, dir) {
-    if (opId.exists(id => appliedOp(spark, dir).exists(_ >= id)))
+    val snap = IndexManifest.load(spark, dir)
+    if (opId.exists(id => snap.flatMap(_.opId).exists(_ >= id))) {
+      // replayed GDPR delete: the original run may have crashed between
+      // its commit and its FULL vacuum, leaving the superseded rollup
+      // segment — still carrying the forgotten users' aggregates — on
+      // disk. The marker skip must not skip the physical reclamation,
+      // or a replayed forget request only guarantees LOGICAL absence
+      // until some unrelated later mutation happens to vacuum. Cheap
+      // and idempotent; full depth because physical removal is the
+      // entire point of this path.
+      IndexManifest.vacuum(spark, dir)
       false
-    else {
-    val store = IndexManifest.read(spark, dir, "rollup")
+    } else {
+    val store = IndexManifest.readRequired(spark, dir,
+      snap.getOrElse(throw new IllegalStateException(
+        s"no committed manifest under $dir — build() first")), "rollup")
     val slice = facts.join(broadcast(forgetUsers), Seq("user_id"))
     // cached and owned HERE (writeSwap materializes synchronously, so
     // unlike the q245 twin no scope is needed): both the retraction
@@ -210,7 +234,7 @@ object RollupStore {
     // append/build retain the previous generation (reader grace);
     // delete vacuums FULLY — the superseded segment still carries the
     // forgotten users' contributions, and physical removal is the point
-    IndexManifest.vacuum(spark, dir, retainPrevious = !fullVacuum)
+    IndexManifest.vacuum(spark, dir, if (fullVacuum) 0 else 1)
     crashPoint("vacuumed")
     ()
   }
@@ -218,10 +242,13 @@ object RollupStore {
   /** Open-time repair: with the manifest a crash leaves only orphan
     * segments / superseded versions — the store itself is always fully
     * live. Delegates to [[IndexManifest.vacuum]]; safe to run
-    * unconditionally; returns true when anything was cleaned. */
-  def recover(spark: SparkSession, dir: String): Boolean =
+    * unconditionally; returns true when anything was cleaned.
+    * `retainGenerations` > 0 keeps that many older generations for
+    * still-running readers. */
+  def recover(spark: SparkSession, dir: String,
+      retainGenerations: Int = 0): Boolean =
     MaintenanceLock.withLock(spark, dir) {
-      IndexManifest.vacuum(spark, dir) > 0
+      IndexManifest.vacuum(spark, dir, retainGenerations) > 0
     }
 
   /** q245 — the DECLARATIVE lifecycle twin: build on the even-event_id

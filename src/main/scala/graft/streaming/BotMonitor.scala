@@ -39,6 +39,16 @@ import java.sql.Timestamp
   * `withWatermark(ts, ttl)`, so events later than the TTL are dropped
   * upstream — the same lateness contract every watermarked op here
   * has.
+  *
+  * CHECKPOINT COMPATIBILITY: the round-14 `maxTsMs` field changed the
+  * flatMapGroupsWithState STATE ENCODER SCHEMA of [[BotState]],
+  * [[CadenceState]] and [[graft.streaming.Funnel.FunnelState]].
+  * Structured Streaming does not evolve state schemas — a query
+  * restarted from a checkpoint written BEFORE that change will fail
+  * (or misread its state rows). Restarting these monitors across the
+  * upgrade requires a FRESH checkpoint directory; the state they
+  * rebuild is bounded by the TTL horizon, so the cost is one horizon
+  * of re-observation, not history.
   */
 object BotMonitor {
 

@@ -29,6 +29,12 @@ import java.sql.Timestamp
   * TTL are dropped upstream). Events within a batch are applied in
   * (ts, event_type) order so executor interleaving cannot reorder
   * stage anchoring.
+  *
+  * CHECKPOINT COMPATIBILITY: the round-14 `maxTsMs` field changed
+  * [[FunnelState]]'s state encoder schema; a query restarted from a
+  * pre-change checkpoint fails — use a fresh checkpoint directory
+  * across that upgrade (see the [[BotMonitor]] note; state rebuilds
+  * within one TTL horizon).
   */
 object Funnel {
 

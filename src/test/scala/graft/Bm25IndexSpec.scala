@@ -202,6 +202,99 @@ class Bm25IndexSpec extends AnyFunSuite {
       "append at the stamped id must be skipped")
   }
 
+  test("stampOp honors the configured retention depth (a busy all-rejected stream must not shrink the reader grace)") {
+    import operators.IndexManifest
+    val dir = tmpDir()
+    Bm25Index.build(spark, corpus, dir)
+    val v0 = IndexManifest.load(spark, dir).get.version
+    // two zero-change stamps under depth 2: BOTH prior generations
+    // stay pinnable — the stamp cadence no longer erodes the window
+    Bm25Index.stampOp(spark, dir, 1L, retainGenerations = 2)
+    Bm25Index.stampOp(spark, dir, 2L, retainGenerations = 2)
+    assert(IndexManifest.loadAt(spark, dir, v0).isDefined,
+      "depth 2: the build generation must survive two stamps")
+    assert(IndexManifest.loadAt(spark, dir, v0 + 1).isDefined)
+    // a default (depth 1) stamp reclaims past one generation back
+    Bm25Index.stampOp(spark, dir, 3L)
+    assert(IndexManifest.loadAt(spark, dir, v0 + 2).isDefined,
+      "depth 1 keeps exactly one generation back")
+    assert(IndexManifest.loadAt(spark, dir, v0).isEmpty,
+      "depth 1 must reclaim deeper generations")
+  }
+
+  test("pinned probe: a delete committing mid-probe is invisible — one consistent version, never a mix") {
+    val dir = tmpDir()
+    Bm25Index.build(spark, corpus, dir)
+    val before = rowsOf(Bm25Index.probe(spark, queries, dir))
+    val victim = before.head._3
+    // the mutation lands BETWEEN the probe's manifest resolution and
+    // its table reads — the exact window the per-table loads left open
+    val during = rowsOf(Bm25Index.probeImpl(spark, queries, dir,
+      _ => Bm25Index.delete(spark, Seq(victim), dir)))
+    assert(during == before,
+      "a probe pinned before the delete must serve the full pre-delete view")
+    // a freshly pinned probe honors the delete (victim gone, stats mass
+    // subtracted — scores shift, not just the victim's row)
+    val after = rowsOf(Bm25Index.probe(spark, queries, dir))
+    assert(!after.exists(_._3 == victim), "victim still served after delete")
+    assert(after != before)
+  }
+
+  test("pinned probe survives a mid-probe compact under retention; without it the lagging reader fails loudly") {
+    val dir = tmpDir()
+    Bm25Index.build(spark, corpus, dir)
+    val full = rowsOf(Bm25Index.probe(spark, queries, dir))
+    val victim = full.head._3
+    Bm25Index.delete(spark, Seq(victim), dir)
+    val hidden = rowsOf(Bm25Index.probe(spark, queries, dir))
+    // the round-14 torn-view scenario: probe pins the
+    // tombstones-pending version, a compact commits (victim physically
+    // gone, stats recomputed, tombstones cleared). Per-table loads
+    // would resolve v1 postings (victim present) against v2 tombstones
+    // (empty) and v2 stats — serving the forgotten doc with inflated
+    // df. The pinned probe must instead serve the v1 view bit-equal,
+    // and the compact's retention knob keeps its files alive.
+    val during = rowsOf(Bm25Index.probeImpl(spark, queries, dir,
+      _ => Bm25Index.compact(spark, dir, retainGenerations = 1)))
+    assert(during == hidden,
+      "pinned probe mixed manifest versions across a mid-probe compact")
+    assert(!during.exists(_._3 == victim),
+      "the forgotten doc transiently re-entered top-k mid-compact")
+    assert(rowsOf(Bm25Index.probe(spark, queries, dir)) == hidden,
+      "post-compact probe diverged from the tombstone view")
+    // without retention, the compact reclaims the pinned generation:
+    // the lagging reader fails LOUDLY — it never serves a partial set
+    Bm25Index.delete(spark, Seq(full(1)._3), dir)
+    intercept[Exception] {
+      rowsOf(Bm25Index.probeImpl(spark, queries, dir,
+        _ => Bm25Index.compact(spark, dir)))
+    }
+  }
+
+  test("a pre-manifest legacy layout migrates in place and probes identical to the manifest-built twin") {
+    import operators.IndexManifest
+    val dirA = tmpDir()
+    Bm25Index.build(spark, corpus, dirA)
+    // reconstruct the legacy (plain-table-dirs) layout from the twin
+    val dirB = tmpDir()
+    for (t <- Seq("postings", "stats"))
+      IndexManifest.read(spark, dirA, t).write.parquet(s"$dirB/$t")
+    assert(IndexManifest.migrate(spark, dirB,
+      Seq("postings", "stats", "tombstones")).isDefined)
+    assert(rowsOf(Bm25Index.probe(spark, queries, dirB)) ==
+      rowsOf(Bm25Index.probe(spark, queries, dirA)),
+      "migrated index probe diverged from the manifest-built twin")
+    // the migrated index is fully maintainable: the delete + compact
+    // lifecycle holds the same laws as a natively built one
+    Bm25Index.delete(spark, Seq(3L), dirB)
+    Bm25Index.compact(spark, dirB)
+    Bm25Index.delete(spark, Seq(3L), dirA)
+    Bm25Index.compact(spark, dirA)
+    assert(rowsOf(Bm25Index.probe(spark, queries, dirB)) ==
+      rowsOf(Bm25Index.probe(spark, queries, dirA)),
+      "post-migration maintenance diverged")
+  }
+
   test("probe plan reads only index parquet and prunes to the probed terms") {
     import spark.implicits._
     val dir = tmpDir()

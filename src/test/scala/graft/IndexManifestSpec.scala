@@ -105,7 +105,7 @@ class IndexManifestSpec extends AnyFunSuite {
     val s2 = IndexManifest.newSegment(spark, dir, "t")(p =>
       df(1L, 2L, 3L).write.parquet(p))
     IndexManifest.commit(spark, dir, Map("t" -> Seq(s2)))
-    IndexManifest.vacuum(spark, dir, retainPrevious = true)
+    IndexManifest.vacuum(spark, dir, retainGenerations = 1)
     // the previous generation is pinnable: same rows, same op marker
     val old = IndexManifest.loadAt(spark, dir, v1)
       .getOrElse(fail("retained version not loadable"))
@@ -117,7 +117,7 @@ class IndexManifestSpec extends AnyFunSuite {
     val s3 = IndexManifest.newSegment(spark, dir, "t")(p =>
       df(4L).write.parquet(p))
     IndexManifest.commit(spark, dir, Map("t" -> Seq(s3)))
-    IndexManifest.vacuum(spark, dir, retainPrevious = true)
+    IndexManifest.vacuum(spark, dir, retainGenerations = 1)
     assert(IndexManifest.loadAt(spark, dir, v1).isEmpty,
       "a vacuumed version must not resolve")
   }
@@ -134,7 +134,7 @@ class IndexManifestSpec extends AnyFunSuite {
     val s2 = IndexManifest.newSegment(spark, dir, "t")(p =>
       df(1L, 2L, 3L).write.parquet(p))
     IndexManifest.commit(spark, dir, Map("t" -> Seq(s2)))
-    IndexManifest.vacuum(spark, dir, retainPrevious = true)
+    IndexManifest.vacuum(spark, dir, retainGenerations = 1)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/segs/$s1")),
@@ -147,7 +147,7 @@ class IndexManifestSpec extends AnyFunSuite {
     val s3 = IndexManifest.newSegment(spark, dir, "t")(p =>
       df(4L).write.parquet(p))
     IndexManifest.commit(spark, dir, Map("t" -> Seq(s3)))
-    IndexManifest.vacuum(spark, dir, retainPrevious = true)
+    IndexManifest.vacuum(spark, dir, retainGenerations = 1)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/segs/$s1")),
       "a segment two generations back must be reclaimed")
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/segs/$s2")))
@@ -157,6 +157,68 @@ class IndexManifestSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/segs/$s2")),
       "full vacuum must reclaim the previous generation")
     assert(IndexManifest.read(spark, dir, "t").count() == 1L)
+  }
+
+  test("configurable retention depth: a reader two generations back survives depth 2 and fails loudly under depth 1") {
+    val dir = tmp("manifest-depth")
+    val s1 = IndexManifest.newSegment(spark, dir, "t")(p =>
+      df(1L, 2L).write.parquet(p))
+    val v1 = IndexManifest.commit(spark, dir, Map("t" -> Seq(s1))).version
+    // the long-running reader pins v1, then TWO mutations land
+    val pinned = IndexManifest.loadAt(spark, dir, v1)
+      .getOrElse(fail("fresh version not loadable"))
+    val s2 = IndexManifest.newSegment(spark, dir, "t")(p =>
+      df(1L, 2L, 3L).write.parquet(p))
+    IndexManifest.commit(spark, dir, Map("t" -> Seq(s2)))
+    val s3 = IndexManifest.newSegment(spark, dir, "t")(p =>
+      df(4L).write.parquet(p))
+    IndexManifest.commit(spark, dir, Map("t" -> Seq(s3)))
+    // depth 2 sizes the grace window to cover the two-back reader
+    IndexManifest.vacuum(spark, dir, retainGenerations = 2)
+    assert(IndexManifest.loadAt(spark, dir, v1).isDefined,
+      "depth 2 must retain the version two generations back")
+    assert(IndexManifest.readSnapshot(spark, dir, pinned, "t")
+      .get.count() == 2L,
+      "a reader two generations back must survive under depth 2")
+    // depth 1 reclaims v1 — and the lagging reader fails LOUDLY, never
+    // serves a partial file set
+    IndexManifest.vacuum(spark, dir, retainGenerations = 1)
+    assert(IndexManifest.loadAt(spark, dir, v1).isEmpty,
+      "depth 1 must reclaim the two-back version")
+    intercept[Exception] {
+      IndexManifest.readSnapshot(spark, dir, pinned, "t").get.count()
+    }
+    assert(IndexManifest.read(spark, dir, "t").count() == 1L)
+  }
+
+  test("migrate commits a pre-manifest legacy layout as initial segments and carries the legacy op marker") {
+    val dir = tmp("manifest-migrate")
+    // a legacy (pre-commit-layer) index: plain table dirs + the old
+    // `_applied_op` marker file
+    df(1L, 2L).write.parquet(s"$dir/postings")
+    df(10L).write.parquet(s"$dir/stats")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val opP = new org.apache.hadoop.fs.Path(s"$dir/_applied_op")
+    val out = fs.create(opP, true)
+    out.write("41".getBytes("UTF-8")); out.close()
+    // load() sees nothing — exactly the silent-rebuild trap migrate closes
+    assert(IndexManifest.load(spark, dir).isEmpty)
+    val snap = IndexManifest.migrate(spark, dir,
+      Seq("postings", "stats", "tombstones"))
+    assert(snap.isDefined, "migrate found nothing to commit")
+    assert(IndexManifest.read(spark, dir, "postings").count() == 2L)
+    assert(IndexManifest.read(spark, dir, "stats").count() == 1L)
+    assert(IndexManifest.readOpt(spark, dir, "tombstones").isEmpty,
+      "a table with no legacy dir must not appear")
+    assert(IndexManifest.appliedOp(spark, dir).contains(41L),
+      "the legacy exactly-once marker must ride into the initial commit")
+    assert(!fs.exists(opP), "the legacy marker file must be retired")
+    // re-running is a no-op: migrate never overwrites a live manifest
+    assert(IndexManifest.migrate(spark, dir, Seq("postings")).isEmpty)
+    assert(IndexManifest.read(spark, dir, "postings").count() == 2L)
+    // the moved segments are live — vacuum has nothing to reclaim
+    assert(IndexManifest.vacuum(spark, dir) == 0)
   }
 
   test("maintenance lease: a second process fails fast, a stale lease is taken over, re-entry passes through") {

@@ -57,6 +57,27 @@ class LshBandIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("pinned probe: a delete committing mid-probe stays invisible; a fresh probe honors it") {
+    val dir = freshIndex()
+    val batch = corpusDocs.filter(col("doc_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val before = rows(operators.LshBandIndex.probe(spark, batch, dir))
+    assert(before.nonEmpty, "probe found no matches — vacuous")
+    val victim = before.head._2
+    // the delete commits BETWEEN the probe's single manifest pin and
+    // its three table reads (bands, sets, tombstones) — per-table
+    // resolution would let v2 tombstones hide the victim from v1 bands
+    // mid-read; the pinned probe serves the v1 view in full
+    val during = rows(operators.LshBandIndex.probeImpl(spark, batch, dir,
+      _ => operators.LshBandIndex.delete(spark, Seq(victim), dir)))
+    assert(during == before,
+      "pinned probe must serve the complete pre-delete view")
+    val after = rows(operators.LshBandIndex.probe(spark, batch, dir))
+    assert(!after.exists(_._2 == victim),
+      "freshly pinned probe still matched the forgotten doc")
+  }
+
   test("planted near-dup is rejected by the index; fresh text is admitted") {
     import spark.implicits._
     val dir = freshIndex()

@@ -159,6 +159,39 @@ class RollupStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("a replayed GDPR delete finishes the physical reclamation (the marker skip still vacuums)") {
+    import graft.operators.IndexManifest
+    val dir = freshDir()
+    RollupStore.buildAtomic(spark, facts, dir, Some(0L))
+    // crash AFTER the commit, BEFORE the vacuum: the delete landed
+    // logically, but the superseded rollup segment — still carrying
+    // the forgotten users' aggregates — survives on disk
+    intercept[RuntimeException] {
+      RollupStore.deleteImpl(spark, facts, forget, dir,
+        p => if (p == "swapped") throw new RuntimeException("boom"),
+        Some(1L))
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def segDirs() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/segs"))
+      .map(_.getPath.getName).toSet
+    val live = IndexManifest.load(spark, dir).get.tables("rollup").toSet
+    assert(segDirs().size > live.size,
+      "expected the superseded pre-delete segment on disk at the crash state")
+    // blind replay with the SAME op id: must SKIP the retraction (a
+    // second subtraction would corrupt the store) but must still
+    // guarantee the forgotten bytes leave the disk — without the
+    // skip-path vacuum, physical removal would wait for an unrelated
+    // later mutation
+    val before = rows(RollupStore.query(spark, dir))
+    assert(!RollupStore.delete(spark, facts, forget, dir, Some(1L)),
+      "replay must skip the retraction")
+    assert(rows(RollupStore.query(spark, dir)) == before,
+      "replay mutated the store")
+    assert(segDirs() == live,
+      "replayed delete left the forgotten users' superseded segment on disk")
+  }
+
   test("streaming maintenance: first batch builds, later batches merge, final store equals one-shot build") {
     import spark.implicits._
     import graft.streaming.RollupMaintenance
