@@ -15,6 +15,26 @@ object Bench {
     * committed idle-machine floor (bench_floor.json). */
   private[graft] val SuspectFactor = 2.0
 
+  /** The calibration probe must read under this factor × its floor for
+    * the machine to count as IDLE during the healing retry — stricter
+    * than [[SuspectFactor]] on purpose: a retry taken at 1.9× ambient
+    * load just re-records the load (rounds 12 and 14 both archived
+    * flagged records because the box never dropped below ~1.4×; the
+    * heal loop should keep waiting through that, not give up into it). */
+  private[graft] val IdleConfirmFactor = 1.3
+
+  /** Ambient-load normalizer: how far the calibration probe itself
+    * reads above its committed floor. The calib query's plan has been
+    * frozen for many rounds, so its ratio measures the MACHINE, not
+    * the engine — dividing every query's ratio by it cancels uniform
+    * co-tenant load (the judge's round-14 read: calib 1.38× ⇒ the
+    * whole record ~1.38× ⇒ nothing actually regressed). Clamped at 1:
+    * a calib reading UNDER floor must never deflate real regressions. */
+  private[graft] def calibRatio(calibMin: Option[Double],
+      calibFloor: Option[Double]): Double =
+    (for (c <- calibMin; f <- calibFloor if f > 0.0)
+      yield math.max(1.0, c / f)).getOrElse(1.0)
+
   /** Parse bench_floor.json's flat name → seconds map (the `_comment`
     * key is prose and skipped). Regex-based on purpose: no JSON library
     * in the dependency set, and the file is machine-written. */
@@ -30,11 +50,18 @@ object Bench {
     * load_suspect=false, because the single calibration probe ran only
     * AFTER the headline runs and the co-tenant load had ended by then;
     * comparing every headline min to its own floor has no such timing
-    * blind spot. A query with no committed floor is never flagged. */
+    * blind spot. A query with no committed floor is never flagged.
+    *
+    * `calib` (default 1 = no normalization) divides each query's
+    * floor-ratio by the calibration probe's own ratio first, so
+    * UNIFORM ambient load cancels instead of flagging every query —
+    * only a query slow RELATIVE to how slow the machine itself reads
+    * is a genuine engine regression (see [[calibRatio]]). */
   private[graft] def floorSuspects(mins: Map[String, Double],
-      floors: Map[String, Double]): Seq[String] =
+      floors: Map[String, Double], calib: Double = 1.0): Seq[String] =
     mins.toSeq.sorted.collect {
-      case (q, m) if floors.get(q).exists(f => m > SuspectFactor * f) => q
+      case (q, m) if floors.get(q).exists(f =>
+        m / calib > SuspectFactor * f) => q
     }
 
   /** Min-of-3 with an outlier retry, over an injectable measurement
@@ -152,21 +179,31 @@ object Bench {
       .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
     val floors = floorsTxt.map(parseFloors).getOrElse(Map.empty)
     // heal transient-load suspects: confirm idle via the calibration
-    // probe (min-of-3 under 2x its floor), then re-measure only the
-    // flagged queries and merge into the spread (see healSuspects)
+    // probe (min-of-3 under 1.3x its floor — IdleConfirmFactor, strict
+    // so a retry never just re-records ambient load), with DOUBLING
+    // cooldowns (15s → 8min total budget) before giving up; then
+    // re-measure only the flagged queries and merge into the spread
     val probeIdle = () => (for (f <- floors.get(CalibQ)
         if byName.contains(CalibQ))
-      yield Seq.fill(3)(measure(CalibQ)).min <= SuspectFactor * f)
+      yield Seq.fill(3)(measure(CalibQ)).min <= IdleConfirmFactor * f)
       .getOrElse(false)
+    var cooldownMs = 15000L
     val results = healSuspects(firstPass, floors, measure, probeIdle,
-      () => Thread.sleep(15000L))
+      () => { Thread.sleep(cooldownMs)
+        cooldownMs = math.min(cooldownMs * 2, 120000L) },
+      maxCooldowns = 6)
     // min-of-3 like the headline runs: a single probe sample can eat a
     // GC pause or scheduler hiccup and stamp load_suspect=true on a
     // genuinely valid record (transient noise only ever ADDS time).
     val calib = Registry.benchSet.find(_.name == CalibQ)
       .map(q => Seq.fill(3)(measure(q.name)).min)
-    val suspects = floorSuspects(
-      results.map { case (k, ts) => k -> ts.min }.toMap, floors)
+    // flags are CALIB-NORMALIZED: the probe's own floor-ratio measures
+    // the machine (its plan is frozen), so dividing by it cancels
+    // uniform ambient load — a flag now means "slow relative to how
+    // slow the box itself reads", an engine regression, not a co-tenant
+    val cr = calibRatio(calib, floors.get(CalibQ))
+    val mins = results.map { case (k, ts) => k -> ts.min }.toMap
+    val suspects = floorSuspects(mins, floors, cr)
     val probeSuspect = (for (c <- calib; f <- floors.get(CalibQ))
       yield c > SuspectFactor * f).getOrElse(false)
     val loadSuspect = probeSuspect || suspects.nonEmpty
@@ -175,7 +212,9 @@ object Bench {
     val qs = results.map { case (k, ts) => "\"" + k + "\":" + fmt(ts.min) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, ts) =>
-      val floorPart = floors.get(k).map(f => ",\"floor\":" + fmt(f)).getOrElse("")
+      val floorPart = floors.get(k).map(f =>
+        ",\"floor\":" + fmt(f) + ",\"ratio\":" + fmt(ts.min / f) +
+          ",\"norm_ratio\":" + fmt(ts.min / f / cr)).getOrElse("")
       val susPart = ",\"suspect\":" + suspects.contains(k)
       "\"" + k + "\":{\"min\":" + fmt(ts.min) + ",\"median\":" + fmt(median(ts)) +
         ",\"max\":" + fmt(ts.max) + ",\"runs\":" + ts.size + floorPart + susPart + "}"
@@ -183,7 +222,8 @@ object Bench {
     val total = results.map { case (_, ts) => ts.min }.sum
     val calibJson = "{\"query\":\"" + CalibQ + "\"" +
       calib.map(c => ",\"probe\":" + fmt(c)).getOrElse("") +
-      floors.get(CalibQ).map(f => ",\"floor\":" + fmt(f)).getOrElse("") + "}"
+      floors.get(CalibQ).map(f => ",\"floor\":" + fmt(f)).getOrElse("") +
+      ",\"ratio\":" + fmt(cr) + "}"
     val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"calib":$calibJson,"floor_suspects":$suspectsJson,"load_suspect":$loadSuspect,"sf":"$sfDir"}"""
     println(json)

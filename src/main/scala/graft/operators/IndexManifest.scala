@@ -281,6 +281,56 @@ object IndexManifest {
     }
   }
 
+  /** Fleet observability — the freshness/lag audit a farm of persisted
+    * indexes needs (the manifest-log twin of q160/q233's per-index
+    * health stats). One row per index, read entirely from manifest
+    * METADATA — one dir listing plus one small text file per retained
+    * version, never data files — so a dashboard can sweep hundreds of
+    * 100 TB indexes per tick. Columns:
+    *   - `index` — the caller's name for the dir;
+    *   - `version` — current manifest head (null: no manifest, i.e. a
+    *     fresh or un-migrated legacy dir — the loud signal);
+    *   - `op_id` — the exactly-once high-water mark (null if none);
+    *   - `n_tables` / `n_segments` — logical tables and total live
+    *     segments at head (`n_segments` growth is the small-files
+    *     decay that schedules a compact);
+    *   - `retained_versions` / `oldest_retained` — how deep [[loadAt]]
+    *     time travel currently reaches (the vacuum-depth evidence);
+    *   - `pinned_version` / `pinned_lag` — a long-running reader's
+    *     pinned snapshot vs head (null when the caller passed none):
+    *     lag ≥ `retained_versions` means that reader is about to fall
+    *     off the retention horizon and the next vacuum must wait or
+    *     deepen `retainGenerations`. */
+  def freshness(spark: SparkSession, indexes: Seq[(String, String)],
+      pinned: Map[String, Snapshot] = Map.empty): DataFrame = {
+    val fs = fsOf(spark)
+    val rows = indexes.map { case (name, dir) =>
+      val snap = load(spark, dir)
+      val md = new Path(manifestDir(dir))
+      val versions =
+        if (!fs.exists(md)) Seq.empty[Long]
+        else fs.listStatus(md).map(_.getPath.getName)
+          .filter(n => n.length == 21 && n.startsWith("v") &&
+            n.drop(1).forall(_.isDigit))
+          .map(_.drop(1).toLong).sorted.toSeq
+      val p = pinned.get(name)
+      (name,
+        snap.map(_.version),
+        snap.flatMap(_.opId),
+        snap.map(_.tables.size.toLong),
+        snap.map(_.tables.values.map(_.size.toLong).sum),
+        versions.size.toLong,
+        versions.headOption,
+        p.map(_.version),
+        for (s <- snap; q <- p) yield s.version - q.version)
+    }
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("index", "version", "op_id", "n_tables", "n_segments",
+      "retained_versions", "oldest_retained", "pinned_version",
+      "pinned_lag")
+  }
+
   /** One-shot migration of a PRE-manifest index layout (rounds before
     * the commit layer stored each logical table as a plain parquet
     * directory `<indexDir>/<table>`, with an optional `_applied_op`

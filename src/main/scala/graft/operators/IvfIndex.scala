@@ -32,7 +32,11 @@ import org.apache.spark.sql.functions._
   * mutation here is idempotent under replay (the vec_id anti-join
   * guard re-admits only the missing vectors; applyDeletes re-applies
   * harmlessly), so the window costs a transient recall dip, never a
-  * wrong served vector; a cluster deployment closes it with a
+  * wrong served vector — a claim IvfCrashSpec TESTS on both append
+  * paths by installing only half of an append's files and asserting
+  * (a) every torn-state answer carries a true vector's exact score and
+  * (b) the blind replay converges to the clean build+append state. A
+  * cluster deployment closes the window entirely with a
   * partition-aware table format (the same public Delta/Iceberg idea
   * the manifest applies to the flat tables).
   */

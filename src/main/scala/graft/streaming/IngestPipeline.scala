@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{Bm25Index, IndexManifest, LshBandIndex}
+import graft.operators.{Bm25Index, IndexManifest, LshBandIndex, MaintenanceLock}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -56,16 +56,58 @@ object IngestPipeline {
     * worth indexing (and would collide in the shingle-less LSH path). */
   val MinTokens = 20
 
+  /** Lease-contention policy knobs: a batch that finds an index under
+    * maintenance (a GDPR sweep, a compact — the [[MaintenanceLock]]
+    * fail-fast) retries up to [[LeaseRetryAttempts]] times with
+    * doubling backoff from [[LeaseRetryBaseMs]] (≈ 15.5 s total wait at
+    * the defaults) before letting the exception surface. Re-running
+    * the WHOLE batch after a mid-pipeline lease loss is safe by
+    * construction — it is exactly the torn-replay shape the pipeline's
+    * exactly-once layers already repair. */
+  val LeaseRetryAttempts = 6
+  val LeaseRetryBaseMs = 500L
+
+  /** Run `body`, retrying on [[MaintenanceLock.LockHeldException]]
+    * with bounded exponential backoff; the final attempt's exception
+    * surfaces (deploy-time orchestration owns sweeps that outlast the
+    * budget). `sleep` is the spec seam. */
+  private[graft] def withLeaseRetry[T](
+      maxAttempts: Int = LeaseRetryAttempts,
+      baseBackoffMs: Long = LeaseRetryBaseMs,
+      sleep: Long => Unit = Thread.sleep)(body: => T): T = {
+    var attempt = 1
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      try out = Some(body)
+      catch {
+        case e: MaintenanceLock.LockHeldException =>
+          if (attempt >= maxAttempts) throw e
+          sleep(baseBackoffMs << (attempt - 1))
+          attempt += 1
+      }
+    }
+    out.get
+  }
+
   /** One batch through the full pipeline. Returns the number of docs
     * admitted (and therefore present in both indexes). With `opId` set
     * (the streaming path passes the micro-batch id) the batch is
     * exactly-once under replay at EVERY crash point. MARKER SCOPE: the
     * high-water mark is a single value per index, so an (lsh, bm25)
     * index pair belongs to exactly ONE ingest stream — two pipelines
-    * sharing an index pair would skip each other's batch ids. */
+    * sharing an index pair would skip each other's batch ids.
+    *
+    * CONTENTION POLICY: an index under another holder's maintenance
+    * lease (a concurrent GDPR sweep or compact) makes the inner
+    * lifecycles throw [[MaintenanceLock.LockHeldException]]; the batch
+    * retries with bounded backoff ([[withLeaseRetry]]) — a short sweep
+    * is absorbed invisibly, a sweep outlasting the retry budget
+    * surfaces the exception to the caller (and fails the streaming
+    * query — see [[start]]). */
   def ingestBatch(spark: SparkSession, batch: DataFrame,
       lshDir: String, bm25Dir: String, opId: Option[Long] = None): Long =
-    ingestBatchImpl(spark, batch, lshDir, bm25Dir, _ => (), opId)
+    withLeaseRetry()(
+      ingestBatchImpl(spark, batch, lshDir, bm25Dir, _ => (), opId))
 
   /** [[ingestBatch]] with an injectable crash point (spec-only seam —
     * called with "lsh:appended" before the BM25 side starts, plus the
@@ -132,7 +174,17 @@ object IngestPipeline {
   /** Start the streaming form: every micro-batch runs [[ingestBatch]]
     * via foreachBatch (the per-batch work is index maintenance —
     * multi-table writes no streaming sink expresses directly), with
-    * the micro-batch id as the exactly-once op id. */
+    * the micro-batch id as the exactly-once op id.
+    *
+    * CONTRACT with maintenance: a GDPR sweep or compact on the same
+    * index pair holds the [[MaintenanceLock]] lease; a live batch
+    * absorbs it via [[ingestBatch]]'s bounded retry (≈ 15.5 s budget
+    * at the defaults). A sweep outlasting the budget FAILS the
+    * streaming query — deliberately: the checkpoint makes the restart
+    * replay the batch exactly-once, so the correct orchestration is
+    * "restart the stream after long maintenance", never "let batches
+    * silently skip". Deployments running sweeps longer than the budget
+    * should stop the stream first (or raise the retry knobs). */
   def start(docs: Dataset[Doc], lshDir: String, bm25Dir: String,
       checkpointDir: String): StreamingQuery =
     docs.writeStream

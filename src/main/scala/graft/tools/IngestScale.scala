@@ -149,11 +149,22 @@ object IngestScale {
       .getOrElse(Map.empty)
     val suspects = floorSuspects(metrics, floors)
     val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the freshness/lag audit over both indexes' manifest logs — the
+    // per-index observability row a fleet dashboard scrapes (version
+    // head, op high-water mark, live segments, retained depth)
+    val freshJson = graft.operators.IndexManifest.freshness(spark,
+        Seq("lsh" -> lsh, "bm25" -> bm)).collect().map { r =>
+      def nl(i: Int) = if (r.isNullAt(i)) "null" else r.getLong(i).toString
+      s"""{"index":"${r.getString(0)}","version":${nl(1)},""" +
+        s""""op_id":${nl(2)},"n_tables":${nl(3)},"n_segments":${nl(4)},""" +
+        s""""retained_versions":${nl(5)},"oldest_retained":${nl(6)}}"""
+    }.mkString("[", ",", "]")
     println(s"""{"sf":"$sfDir","total_docs":$n,"seed_docs":$half,""" +
       s""""build_sec":${f"$tBuild%.3f"},"batches":$batchJson,""" +
       s""""min_docs_per_sec":${f"$minDps%.1f"},""" +
       s""""marker_skip_sec":${f"$tSkip%.4f"},""" +
       s""""repair_replay_docs":$repairN,"repair_replay_sec":${f"$tRepair%.3f"},""" +
+      s""""freshness":$freshJson,""" +
       s""""floor_suspects":$suspectsJson,"load_suspect":${suspects.nonEmpty}}""")
     spark.stop()
   }

@@ -50,6 +50,35 @@ class BenchSpec extends AnyFunSuite {
       "a query with no committed floor must not be flagged")
   }
 
+  test("calib normalization: uniform ambient load cancels; a genuine regression still flags through it") {
+    val floors = Map("q_a" -> 0.10, "q_b" -> 0.50, "q_c" -> 0.20,
+      "q_calib" -> 0.10)
+    // the round-12/14 archive shape: EVERY query ~2.5x its floor
+    // because the box is busy, the calib probe included. Raw flags fire
+    // on everything — the honest-but-useless record; normalized flags
+    // recognize the inflation as ambient and clear.
+    val ambient = Map("q_a" -> 0.25, "q_b" -> 1.30, "q_c" -> 0.52)
+    val cr = Bench.calibRatio(Some(0.26), floors.get("q_calib"))
+    assert(math.abs(cr - 2.6) < 1e-9)
+    assert(Bench.floorSuspects(ambient, floors).toSet ==
+      Set("q_a", "q_b", "q_c"), "raw flags must fire under ambient load")
+    assert(Bench.floorSuspects(ambient, floors, cr).isEmpty,
+      "uniform ambient inflation must cancel under calib normalization")
+    // a genuine engine regression reads slow RELATIVE to the machine:
+    // q_b at 6x floor while the calib reads 2x — normalized 3x > 2x
+    val mixed = Map("q_a" -> 0.25, "q_b" -> 3.00, "q_c" -> 0.45)
+    val cr2 = Bench.calibRatio(Some(0.20), floors.get("q_calib"))
+    assert(Bench.floorSuspects(mixed, floors, cr2) == Seq("q_b"),
+      "a real regression must survive the normalization")
+    // an idle or UNDER-floor calib never deflates: clamp at 1
+    assert(Bench.calibRatio(Some(0.05), Some(0.10)) == 1.0)
+    assert(Bench.calibRatio(None, Some(0.10)) == 1.0,
+      "missing probe/floor must mean no normalization, not a crash")
+    assert(Bench.floorSuspects(mixed, floors,
+      Bench.calibRatio(Some(0.05), Some(0.10))) ==
+      Bench.floorSuspects(mixed, floors))
+  }
+
   test("healSuspects: flagged first pass + clean idle retry stamps the better min and unflags") {
     val floors = Map("q_a" -> 0.10, "q_b" -> 0.50, "q_calib" -> 0.10)
     // first pass: q_b polluted to 5x floor; q_a clean

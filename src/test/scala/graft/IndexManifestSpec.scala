@@ -221,6 +221,49 @@ class IndexManifestSpec extends AnyFunSuite {
     assert(IndexManifest.vacuum(spark, dir) == 0)
   }
 
+  test("freshness audit: version/op/segment counts, retention depth, and a pinned reader's lag, exactly") {
+    val dirA = tmp("manifest-fresh-a")
+    val dirB = tmp("manifest-fresh-b")
+    // index A: 3 committed versions (depth-1 vacuum), op marker 7,
+    // two tables with 2+1 live segments
+    val a1 = IndexManifest.newSegment(spark, dirA, "t")(p =>
+      df(1L).write.parquet(p))
+    val v1 = IndexManifest.commit(spark, dirA, Map("t" -> Seq(a1)),
+      Some(5L)).version
+    val pinnedA = IndexManifest.loadAt(spark, dirA, v1)
+      .getOrElse(fail("v1 not loadable"))
+    val a2 = IndexManifest.newSegment(spark, dirA, "t")(p =>
+      df(2L).write.parquet(p))
+    IndexManifest.commit(spark, dirA, Map("t" -> Seq(a1, a2)), Some(7L))
+    val a3 = IndexManifest.newSegment(spark, dirA, "u")(p =>
+      df(3L).write.parquet(p))
+    IndexManifest.commit(spark, dirA,
+      Map("t" -> Seq(a1, a2), "u" -> Seq(a3)))
+    IndexManifest.vacuum(spark, dirA, retainGenerations = 1)
+    // index B: a bare dir — no manifest (legacy/fresh), must read null
+    new java.io.File(dirB).mkdirs()
+    val rows = IndexManifest.freshness(spark,
+        Seq("a" -> dirA, "b" -> dirB), Map("a" -> pinnedA))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ra = rows("a")
+    assert(ra.getLong(1) == v1 + 2, "head version")
+    assert(ra.getLong(2) == 7L, "op high-water mark (preserved by the opId-less commit)")
+    assert(ra.getLong(3) == 2L, "n_tables")
+    assert(ra.getLong(4) == 3L, "n_segments (2 t + 1 u)")
+    assert(ra.getLong(5) == 2L, "retained_versions after a depth-1 vacuum")
+    assert(ra.getLong(6) == v1 + 1, "oldest_retained")
+    assert(ra.getLong(7) == v1, "pinned_version")
+    assert(ra.getLong(8) == 2L, "pinned_lag = head - pinned")
+    // the lag ≥ retained_versions read: THIS reader is past the horizon
+    assert(ra.getLong(8) >= ra.getLong(5),
+      "fixture must exercise the about-to-fall-off-horizon signal")
+    val rb = rows("b")
+    assert(rb.isNullAt(1) && rb.isNullAt(2) && rb.isNullAt(3),
+      "an un-migrated/fresh dir must surface as null head — the loud signal")
+    assert(rb.getLong(5) == 0L, "no retained versions on a bare dir")
+    assert(rb.isNullAt(7) && rb.isNullAt(8))
+  }
+
   test("maintenance lease: a second process fails fast, a stale lease is taken over, re-entry passes through") {
     val dir = tmp("manifest-lock")
     // contention: while held by THIS process, another holder fails

@@ -240,4 +240,80 @@ class IngestPipelineSpec extends AnyFunSuite {
       opId = Some(5L))
     assert(n == 0L, "replayed zero-admit batch must skip in full")
   }
+
+  test("withLeaseRetry: bounded doubling backoff, success on release, final exception surfaces") {
+    import operators.MaintenanceLock
+    // deterministic seam drive: body locked for 2 attempts, then free
+    var calls = 0
+    var slept = List.empty[Long]
+    val got = IngestPipeline.withLeaseRetry(maxAttempts = 6,
+        baseBackoffMs = 100L, sleep = ms => slept ::= ms) {
+      calls += 1
+      if (calls <= 2) throw new MaintenanceLock.LockHeldException("held")
+      42
+    }
+    assert(got == 42 && calls == 3)
+    assert(slept.reverse == List(100L, 200L), s"backoff drift: $slept")
+    // a lease outlasting the budget surfaces the LAST exception
+    var calls2 = 0
+    var slept2 = List.empty[Long]
+    intercept[MaintenanceLock.LockHeldException] {
+      IngestPipeline.withLeaseRetry(maxAttempts = 3,
+          baseBackoffMs = 50L, sleep = ms => slept2 ::= ms) {
+        calls2 += 1
+        throw new MaintenanceLock.LockHeldException("still held")
+      }
+    }
+    assert(calls2 == 3, "budget must bound the attempts")
+    assert(slept2.reverse == List(50L, 100L),
+      "no sleep after the final attempt")
+    // a non-lease failure is NOT retried (crash-replay is the streaming
+    // engine's job, not this loop's)
+    var calls3 = 0
+    intercept[RuntimeException] {
+      IngestPipeline.withLeaseRetry(sleep = _ => ())({
+        calls3 += 1; throw new RuntimeException("boom")
+      })
+    }
+    assert(calls3 == 1)
+  }
+
+  test("a batch arriving during a short sweep is absorbed by the retry; a sweep outlasting the budget fails the batch") {
+    import spark.implicits._
+    import operators.MaintenanceLock
+    val (lsh, bm) = freshIndexes()
+    val batch = Seq(
+      Doc(20L, (1 to 40).map(i => s"live$i delta$i").mkString(" "))).toDF()
+    // simulate a sweep from ANOTHER process: a fresh foreign lease file
+    // on the LSH index (the first index the pipeline touches)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$lsh/_lock")
+    def holdLease(): Unit = {
+      val out = fs.create(lock, true)
+      out.write("gdpr-sweeper".getBytes("UTF-8")); out.close()
+    }
+    holdLease()
+    // the retry loop's 2nd sleep "waits out" the sweep: release there
+    var sleeps = 0
+    val admitted = IngestPipeline.withLeaseRetry(sleep = _ => {
+      sleeps += 1
+      if (sleeps == 2) { fs.delete(lock, false); () }
+    })(IngestPipeline.ingestBatch(spark, batch, lsh, bm, Some(1L)))
+    assert(admitted == 1L, "batch must land once the sweep releases")
+    assert(sleeps == 2, s"expected 2 backoff rounds, saw $sleeps")
+    // a sweep that never releases: the bounded retry gives up loudly
+    holdLease()
+    val batch2 = Seq(
+      Doc(21L, (1 to 40).map(i => s"late$i omega$i").mkString(" "))).toDF()
+    intercept[MaintenanceLock.LockHeldException] {
+      IngestPipeline.withLeaseRetry(maxAttempts = 2, sleep = _ => ())(
+        IngestPipeline.ingestBatchImpl(spark, batch2, lsh, bm, _ => (),
+          Some(2L)))
+    }
+    fs.delete(lock, false)
+    // after the sweep ends, the replayed batch id lands exactly-once
+    assert(IngestPipeline.ingestBatch(spark, batch2, lsh, bm,
+      Some(2L)) == 1L)
+  }
 }
