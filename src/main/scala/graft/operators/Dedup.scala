@@ -2450,6 +2450,72 @@ object Dedup {
         ${sqlDavg("jaccard")} AS mean_jaccard
       FROM j GROUP BY 1 ORDER BY 1"""))
 
+  /** q262 — corpus NOVELTY curve over arrival batches: per decile of
+    * the doc_id space (batch = doc_id·10 div (max_id+1), exact integer
+    * arithmetic both engines), the distinct word-3-gram shingle hashes
+    * the batch contributes, how many are FIRST SEEN there, the novelty
+    * rate in exact ppm, and the cumulative distinct-hash count. This is
+    * the diminishing-returns readout a corpus team consults before
+    * paying for the next crawl tranche: a flattening cum_distinct and a
+    * falling novelty_ppm say new batches re-tread known text — the
+    * data-constrained-regime signal q204 prices on the TOKEN side,
+    * measured here on content identity (and the batch-grain twin of
+    * q127's per-doc incremental admit).
+    *
+    * Shapes: ONE shingle pass (the batch-keyed sets are cached and feed
+    * both the per-batch doc count and the hash explode), one
+    * (batch, h) distinct (also cached — it feeds the per-batch count
+    * AND the first-seen min-aggregate), then a |batches|-row join and
+    * running sum. Every aggregate is map-combinable; output cardinality
+    * is the batch count, never the corpus. At 100 TB the (batch, h)
+    * distinct is the one real shuffle — the same cardinality class as
+    * every shingle-keyed dedup op here. */
+  val noveltyCurve: Q = Q(
+    "q262_novelty_curve",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = Tables.documents(s, d)
+        .agg((max(col("doc_id")) + lit(1L)).as("m"))
+      val sb = graft.CacheScope.cached(
+        shingleSets(s, d).crossJoin(broadcast(m))
+          .select(col("doc_id"), expr("(doc_id * 10) div m").as("batch"),
+            col("sh")))
+      val nd = sb.groupBy("batch").agg(count(lit(1)).as("n_docs"))
+      val px = graft.CacheScope.cached(
+        sb.select(col("batch"), explode(col("sh")).as("h")).distinct())
+      val pb = px.groupBy("batch").agg(count(lit(1)).as("n_hashes"))
+      val fb = px.groupBy("h").agg(min(col("batch")).as("batch"))
+        .groupBy("batch").agg(count(lit(1)).as("n_new"))
+      nd.join(pb, "batch").join(fb, Seq("batch"), "left")
+        .select(col("batch"), col("n_docs"), col("n_hashes"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("novelty_ppm", expr("(n_new * 1000000) div n_hashes"))
+        .withColumn("cum_distinct",
+          sum(col("n_new")).over(Window.orderBy("batch")))
+        .orderBy("batch")
+    },
+    Some(s"""WITH $sqlShingleSets,
+        mm AS (SELECT max(doc_id) + 1 AS m FROM documents),
+        sb AS MATERIALIZED (SELECT doc_id,
+            doc_id * 10 // (SELECT m FROM mm) AS batch, sh FROM sets),
+        px AS MATERIALIZED (SELECT DISTINCT batch, u.h AS h
+          FROM sb, unnest(sh) AS u(h)),
+        nd AS (SELECT batch, cast(count(*) as bigint) AS n_docs
+          FROM sb GROUP BY 1),
+        pb AS (SELECT batch, cast(count(*) as bigint) AS n_hashes
+          FROM px GROUP BY 1),
+        fb AS (SELECT batch, cast(count(*) as bigint) AS n_new
+          FROM (SELECT h, min(batch) AS batch FROM px GROUP BY 1)
+          GROUP BY 1)
+        SELECT nd.batch, nd.n_docs, pb.n_hashes,
+          coalesce(fb.n_new, 0) AS n_new,
+          cast(coalesce(fb.n_new, 0) * 1000000 // pb.n_hashes as bigint)
+            AS novelty_ppm,
+          cast(sum(coalesce(fb.n_new, 0)) OVER (ORDER BY nd.batch)
+            as bigint) AS cum_distinct
+        FROM nd JOIN pb USING (batch) LEFT JOIN fb USING (batch)
+        ORDER BY batch"""))
+
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
     ngramJaccardPairs, ngramJaccardDfCap, containmentPairs,
@@ -2460,5 +2526,5 @@ object Dedup {
     dupPagerank, qualityCanonical, leakageSafeSplits, thresholdCurve,
     sourceMirror, lshCalibration, boilerplatePrevalence,
     dupTriangles, shardColocation, minhashCalibration,
-    bbitMinhashAudit, simhashVsJaccard, clusterQuality)
+    bbitMinhashAudit, simhashVsJaccard, clusterQuality, noveltyCurve)
 }

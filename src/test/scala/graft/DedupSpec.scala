@@ -23,6 +23,35 @@ class DedupSpec extends AnyFunSuite {
 
   lazy val sfDir: String = TestSpark.makeSfDir("documents" -> docsDf)
 
+  test("q262 novelty law: fresh batches are 100% novel, a verbatim re-crawl contributes zero, cum flatlines") {
+    import spark.implicits._
+    // ids 0..9 with max_id+1 = 10 → each doc IS its own batch; the
+    // second half is a byte-identical re-crawl of the first
+    val texts = (0 until 5).map(b =>
+      (1 to 30).map(i => s"b${b}w$i u${b}x$i").mkString(" "))
+    val docs = ((0 until 5).map(i => (i.toLong, texts(i))) ++
+      (0 until 5).map(i => (5L + i, texts(i))))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = TestSpark.makeSfDir("documents" -> docs)
+    val rows = SparkEntry.queries("q262_novelty_curve")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length == 10)
+    rows.take(5).foreach { case (b, _, ppm, _) =>
+      assert(ppm == 1000000L, s"fresh batch $b must be fully novel")
+    }
+    rows.drop(5).foreach { case (b, nNew, ppm, _) =>
+      assert(nNew == 0L && ppm == 0L,
+        s"re-crawled batch $b must contribute zero novelty")
+    }
+    val cumAtFresh = rows(4)._4
+    rows.drop(5).foreach { case (_, _, _, cum) =>
+      assert(cum == cumAtFresh,
+        "cum_distinct must flatline across the re-crawl")
+    }
+  }
+
   test("exact dedup groups identical texts under the min doc_id") {
     val rows = SparkEntry.queries("q35_dedup_exact")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -180,6 +180,58 @@ class GdprSweepSpec extends AnyFunSuite {
       "prevalence diverged across compact")
   }
 
+  test("a reader pinned before the sweep keeps serving the pre-sweep view under retention; a fresh reader sees absence") {
+    import spark.implicits._
+    // the stated 100 TB motivation for the manifest layer: long-running
+    // readers DURING a deletion-compliance sweep. The reader pins its
+    // snapshot, the whole delete+compact runs under retention depth 1,
+    // and the reader finishes on the complete pre-sweep view — bit-equal,
+    // never mixed, never FileNotFound. A reader arriving after sees
+    // absence at once.
+    val lsh = tmp("gdpr3-lsh"); val bm = tmp("gdpr3-bm25")
+    LshBandIndex.build(spark, corpus, lsh)
+    Bm25Index.build(spark, corpus, bm)
+    val bmQueries = Tables.documents(spark, sf).filter(col("doc_id") < 8)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(Dsl.toks(col("text")), 11, 4)))
+          .as("term"))
+    def bmRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val bmBefore = bmRows(Bm25Index.probe(spark, bmQueries, bm))
+    val docV = bmBefore.head._3
+    val probeBatch = corpus.filter(col("doc_id") === docV)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    def lshRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val lshBefore = lshRows(LshBandIndex.probe(spark, probeBatch, lsh))
+    assert(lshBefore.exists(_._2 == docV), "fixture: victim must match")
+    // BM25 reader pinned, then the victim's delete AND compact land
+    val bmPinned = bmRows(Bm25Index.probeImpl(spark, bmQueries, bm, _ => {
+      Bm25Index.delete(spark, Seq(docV), bm)
+      Bm25Index.compact(spark, bm, retainGenerations = 1)
+    }))
+    assert(bmPinned == bmBefore,
+      "pinned BM25 reader lost the pre-sweep view mid-sweep")
+    // LSH reader pinned across its half of the sweep
+    val lshPinned = lshRows(LshBandIndex.probeImpl(spark, probeBatch, lsh,
+      _ => {
+        LshBandIndex.delete(spark, Seq(docV), lsh)
+        LshBandIndex.compact(spark, lsh, retainGenerations = 1)
+      }))
+    assert(lshPinned == lshBefore,
+      "pinned LSH reader lost the pre-sweep view mid-sweep")
+    // fresh readers: the victim is gone, results equal survivor builds
+    val bmSurv = tmp("gdpr3-bm25-surv")
+    Bm25Index.build(spark, corpus.filter(col("doc_id") =!= docV), bmSurv)
+    assert(bmRows(Bm25Index.probe(spark, bmQueries, bm)) ==
+      bmRows(Bm25Index.probe(spark, bmQueries, bmSurv)),
+      "post-sweep BM25 diverged from a survivors build")
+    assert(!lshRows(LshBandIndex.probe(spark, probeBatch, lsh))
+      .exists(_._2 == docV), "post-sweep LSH still matches the victim")
+  }
+
   test("the composed sweep crashed mid-flight and replayed IN FULL converges (per-index idempotence composes)") {
     import spark.implicits._
     val (lsh, bm, prev, ivf, pq, rs) = (tmp("gdpr2-lsh"), tmp("gdpr2-bm25"),

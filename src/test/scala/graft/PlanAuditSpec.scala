@@ -312,6 +312,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q38_simhash_signatures" -> "documents",
       "q39_simhash_pairs" -> "documents",
       "q56_dedup_clusters" -> "documents",
+      // caches the batch-keyed shingle sets AND the (batch,h) distinct;
+      // the max-id broadcast is a narrow doc_id-only second read
+      "q262_novelty_curve" -> "documents",
       "q69_dedup_survivors" -> "documents",
       "q76_ngram_jaccard_pairs" -> "documents",
       "q121_ngram_jaccard_dfcap" -> "documents",
