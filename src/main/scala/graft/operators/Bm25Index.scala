@@ -196,10 +196,21 @@ object Bm25Index {
   private[graft] def probeImpl(spark: SparkSession, queries: DataFrame,
       indexDir: String, afterPin: IndexManifest.Snapshot => Unit,
       k: Int = TopK, termBudget: Long = TermPushdownBudget): DataFrame = {
-    val qTerms = queries.select("term").distinct()
-    val nTerms = qTerms.count()
     val snap = IndexManifest.snapshot(spark, indexDir)
     afterPin(snap)
+    probeSnapshot(spark, queries, indexDir, snap, k, termBudget)
+  }
+
+  /** [[probe]] against an explicitly PINNED (possibly historical)
+    * snapshot — the versioned-read story on the full scoring path: a
+    * probe that regressed after an append is diffed against the index
+    * as it stood BEFORE it (see [[probeAt]]), and a caller holding one
+    * snapshot across several probes gets repeatable reads for free. */
+  def probeSnapshot(spark: SparkSession, queries: DataFrame,
+      indexDir: String, snap: IndexManifest.Snapshot,
+      k: Int = TopK, termBudget: Long = TermPushdownBudget): DataFrame = {
+    val qTerms = queries.select("term").distinct()
+    val nTerms = qTerms.count()
     val scan = IndexManifest.readRequired(spark, indexDir, snap, "postings")
     val pruned =
       if (nTerms <= termBudget) {
@@ -210,6 +221,20 @@ object Bm25Index {
     scoreTopK(minusTombstones(pruned, ts),
       statsMinusTombstones(spark, indexDir, snap, ts), queries, k)
   }
+
+  /** Time-travel probe: serve the workload from the index as it stood
+    * at manifest `version` — None once the version is vacuumed past
+    * the retention horizon (loud, never a partial file set). The
+    * operational use: an append lands, a canary query regresses, and
+    * the on-call diffs [[probe]] (head) against [[probeAt]] (the
+    * pre-append version the routine vacuum retains) WITHOUT rebuilding
+    * anything; deployments size the window via `retainGenerations`. */
+  def probeAt(spark: SparkSession, queries: DataFrame, indexDir: String,
+      version: Long, k: Int = TopK,
+      termBudget: Long = TermPushdownBudget): Option[DataFrame] =
+    IndexManifest.loadAt(spark, indexDir, version)
+      .map(snap => probeSnapshot(spark, queries, indexDir, snap, k,
+        termBudget))
 
   /** Last applied maintenance op id, or None — the [[RollupStore]]
     * exactly-once discipline, carried by the [[IndexManifest]]: the

@@ -271,6 +271,31 @@ class Bm25IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("probeAt: the pre-append version serves the old ranking; a vacuumed version resolves None") {
+    import operators.IndexManifest
+    val dir = tmpDir()
+    val half = corpus.filter(col("doc_id") % 2 === 0)
+    Bm25Index.build(spark, half, dir)
+    val v0 = IndexManifest.load(spark, dir).get.version
+    val before = rowsOf(Bm25Index.probe(spark, queries, dir))
+    // an append lands; head serving changes, the retained pre-append
+    // version still serves the OLD ranking bit-equal — the canary-diff
+    // tool (no rebuild, no second index)
+    Bm25Index.append(spark, corpus.filter(col("doc_id") % 2 === 1), dir)
+    val head = rowsOf(Bm25Index.probe(spark, queries, dir))
+    assert(head != before, "fixture: the append must change the ranking")
+    val at = Bm25Index.probeAt(spark, queries, dir, v0)
+      .getOrElse(fail("retained pre-append version must be probeable"))
+    assert(rowsOf(at) == before,
+      "time-travel probe diverged from the pre-append ranking")
+    // one more mutation + routine depth-1 hygiene pushes v0 past the
+    // horizon: loud None, never a partial file set
+    Bm25Index.stampOp(spark, dir, 1L)
+    Bm25Index.stampOp(spark, dir, 2L)
+    assert(Bm25Index.probeAt(spark, queries, dir, v0).isEmpty,
+      "a vacuumed version must resolve None")
+  }
+
   test("a pre-manifest legacy layout migrates in place and probes identical to the manifest-built twin") {
     import operators.IndexManifest
     val dirA = tmpDir()
