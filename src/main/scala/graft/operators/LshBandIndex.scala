@@ -205,9 +205,15 @@ object LshBandIndex {
   private[graft] def probeImpl(spark: SparkSession, batch: DataFrame,
       indexDir: String, afterPin: IndexManifest.Snapshot => Unit)
       : DataFrame = {
-    val signed = Dedup.signedSetsOf(spark, batch)
     val snap = IndexManifest.snapshot(spark, indexDir)
     afterPin(snap)
+    probeSnapshot(spark, batch, indexDir, snap)
+  }
+
+  /** [[probe]] against an explicitly pinned snapshot. */
+  def probeSnapshot(spark: SparkSession, batch: DataFrame,
+      indexDir: String, snap: IndexManifest.Snapshot): DataFrame = {
+    val signed = Dedup.signedSetsOf(spark, batch)
     val ts = IndexManifest.readSnapshot(spark, indexDir, snap, "tombstones")
     val iBands = minusTombstones(
       IndexManifest.readRequired(spark, indexDir, snap, "bands"), ts)
@@ -227,6 +233,14 @@ object LshBandIndex {
       .filter(col("jaccard") >= Threshold)
       .orderBy("doc_id", "index_id")
   }
+
+  /** Time-travel probe: verified matches against the index as it stood
+    * at manifest `version` — None once vacuumed past the retention
+    * horizon (the [[Bm25Index.probeAt]] convention). */
+  def probeAt(spark: SparkSession, batch: DataFrame, indexDir: String,
+      version: Long): Option[DataFrame] =
+    IndexManifest.loadAt(spark, indexDir, version)
+      .map(probeSnapshot(spark, batch, indexDir, _))
 
   /** Nightly admit against a persisted index: audits the batch, then
     * (by default) appends the survivors' band/set rows. EAGER — the

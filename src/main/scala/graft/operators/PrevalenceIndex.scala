@@ -105,13 +105,25 @@ object PrevalenceIndex {
     * honored); no writes. Pairs and tombstones resolve through ONE
     * pinned manifest snapshot (the [[Bm25Index.probe]] discipline). */
   def probe(spark: SparkSession, batch: DataFrame, indexDir: String)
-      : DataFrame = {
-    val snap = IndexManifest.snapshot(spark, indexDir)
+      : DataFrame =
+    probeSnapshot(spark, batch, indexDir,
+      IndexManifest.snapshot(spark, indexDir))
+
+  /** [[probe]] against an explicitly pinned snapshot. */
+  def probeSnapshot(spark: SparkSession, batch: DataFrame,
+      indexDir: String, snap: IndexManifest.Snapshot): DataFrame = {
     val idx = minusTombstones(
       IndexManifest.readRequired(spark, indexDir, snap, "segs"),
       IndexManifest.readSnapshot(spark, indexDir, snap, "tombstones"))
     audit(segPairs(batch, Dedup.ParaDelim), idx)
   }
+
+  /** Time-travel probe at manifest `version` — None once vacuumed past
+    * the retention horizon (the [[Bm25Index.probeAt]] convention). */
+  def probeAt(spark: SparkSession, batch: DataFrame, indexDir: String,
+      version: Long): Option[DataFrame] =
+    IndexManifest.loadAt(spark, indexDir, version)
+      .map(probeSnapshot(spark, batch, indexDir, _))
 
   /** Incremental append with a doc-granular replay guard: pairs of
     * batch docs whose doc_id the index already holds are skipped (a

@@ -77,12 +77,27 @@ object RollupStore {
     * kept on the same [[IndexManifest.snapshot]] entry point as the
     * multi-table lifecycles for uniformity. */
   def query(spark: SparkSession, dir: String): DataFrame =
-    IndexManifest.readRequired(spark, dir,
-        IndexManifest.snapshot(spark, dir), "rollup")
+    querySnapshot(spark, dir, IndexManifest.snapshot(spark, dir))
+
+  /** [[query]] against an explicitly pinned snapshot. */
+  def querySnapshot(spark: SparkSession, dir: String,
+      snap: IndexManifest.Snapshot): DataFrame =
+    IndexManifest.readRequired(spark, dir, snap, "rollup")
       .select(col("day"), col("event_type"), col("n").as("n_events"),
         splitDbl(col("s")).as("sum_value"),
         col("mn").as("min_value"), col("mx").as("max_value"))
       .orderBy("day", "event_type")
+
+  /** Time-travel query: the rollup as it stood at manifest `version` —
+    * the diff-a-dashboard-against-yesterday's-state tool (a bad append
+    * shows up as the delta between head and the retained pre-append
+    * version, no recompute); None once the version is vacuumed past
+    * the retention horizon ([[graft.operators.Bm25Index.probeAt]]'s
+    * convention across the lifecycles). */
+  def queryAt(spark: SparkSession, dir: String, version: Long)
+      : Option[DataFrame] =
+    IndexManifest.loadAt(spark, dir, version)
+      .map(querySnapshot(spark, dir, _))
 
   // ------------------------------------------------------------------
   // Exactly-once maintenance: every mutating op may carry a MONOTONIC

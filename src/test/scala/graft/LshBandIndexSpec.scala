@@ -78,6 +78,26 @@ class LshBandIndexSpec extends AnyFunSuite {
       "freshly pinned probe still matched the forgotten doc")
   }
 
+  test("probeAt: the pre-admit version serves the old match set; a compact's full vacuum retires it to None") {
+    val dir = freshIndex()
+    val v0 = operators.IndexManifest.load(spark, dir).get.version
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val before = rows(operators.LshBandIndex.probe(spark, batchDocs, dir))
+    operators.LshBandIndex.admit(spark, batchDocs, dir)
+    // head probe now self-matches the admitted batch; the retained
+    // pre-admit version still serves the corpus-only match set
+    val head = rows(operators.LshBandIndex.probe(spark, batchDocs, dir))
+    assert(head != before, "fixture: the admit must change the match set")
+    val at = operators.LshBandIndex.probeAt(spark, batchDocs, dir, v0)
+      .getOrElse(fail("retained pre-admit version must be probeable"))
+    assert(rows(at) == before, "time-travel probe diverged")
+    // compact vacuums fully by default: the old version retires, loudly
+    operators.LshBandIndex.compact(spark, dir)
+    assert(operators.LshBandIndex.probeAt(spark, batchDocs, dir, v0)
+      .isEmpty, "a fully vacuumed version must resolve None")
+  }
+
   test("planted near-dup is rejected by the index; fresh text is admitted") {
     import spark.implicits._
     val dir = freshIndex()

@@ -11,7 +11,7 @@ import java.nio.file.Files
 class PrevalenceIndexSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf0001
-  import operators.PrevalenceIndex
+  import operators.{IndexManifest, PrevalenceIndex}
 
   private def corpusDocs = Tables.documents(spark, sf)
     .filter(col("doc_id") % 10 < 8).select("doc_id", "text")
@@ -40,6 +40,23 @@ class PrevalenceIndexSpec extends AnyFunSuite {
       s"lifecycle probe diverged from the registry/oracle semantics")
     assert(want.values.exists(_._2 > 0L), "no boilerplate flagged — vacuous")
     assert(want.values.exists(_._2 == 0L), "everything flagged — vacuous")
+  }
+
+  test("probeAt: the pre-append version serves the old prevalence; a compact's full vacuum retires it to None") {
+    val dir = freshIndex()
+    val v0 = IndexManifest.load(spark, dir).get.version
+    val before = probeMap(dir)
+    PrevalenceIndex.append(spark, batchDocs, dir)
+    assert(probeMap(dir) != before,
+      "fixture: the append must change the prevalence audit")
+    val at = PrevalenceIndex.probeAt(spark, batchDocs, dir, v0)
+      .getOrElse(fail("retained pre-append version must be probeable"))
+    assert(at.collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap == before,
+      "time-travel probe diverged")
+    PrevalenceIndex.compact(spark, dir)
+    assert(PrevalenceIndex.probeAt(spark, batchDocs, dir, v0).isEmpty,
+      "a fully vacuumed version must resolve None")
   }
 
   test("append has a doc-granular replay guard and makes the batch self-boilerplate") {

@@ -159,6 +159,27 @@ class RollupStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("queryAt: the retained pre-append state stays queryable; a full-vacuum delete retires it to None") {
+    import graft.operators.IndexManifest
+    val dir = freshDir()
+    val even = facts.filter(pmod(col("event_id"), lit(2)) === 0)
+    val odd = facts.filter(pmod(col("event_id"), lit(2)) === 1)
+    RollupStore.buildAtomic(spark, even, dir, Some(0L))
+    val v0 = IndexManifest.load(spark, dir).get.version
+    val before = rows(RollupStore.query(spark, dir))
+    RollupStore.append(spark, odd, dir, Some(1L))
+    assert(rows(RollupStore.query(spark, dir)) != before,
+      "fixture: the append must change the rollup")
+    // the canary-diff read: yesterday's dashboard state without recompute
+    val at = RollupStore.queryAt(spark, dir, v0)
+      .getOrElse(fail("retained pre-append version must be queryable"))
+    assert(rows(at) == before, "time-travel query diverged")
+    // a GDPR delete vacuums FULLY — the old state must be GONE, loudly
+    RollupStore.delete(spark, facts, forget, dir, Some(2L))
+    assert(RollupStore.queryAt(spark, dir, v0).isEmpty,
+      "a fully vacuumed version must resolve None")
+  }
+
   test("a replayed GDPR delete finishes the physical reclamation (the marker skip still vacuums)") {
     import graft.operators.IndexManifest
     val dir = freshDir()
