@@ -342,27 +342,65 @@ object IndexManifest {
     * migrated — never overwrites) or none of the listed tables exists
     * (nothing to migrate). Without this, [[load]] returns None for a
     * legacy layout and [[read]] fails with "no committed segments" —
-    * every pre-manifest index would silently require a full rebuild. */
+    * every pre-manifest index would silently require a full rebuild.
+    *
+    * Crash-safe under replay: each table is renamed (atomic) and the
+    * manifest commit is the single visible transition, so a crash can
+    * only leave (a) some tables moved into `segs/` but uncommitted, or
+    * (b) a committed manifest with the legacy `_applied_op` file not
+    * yet retired. The replay ADOPTS already-moved `<table>-legacy`
+    * segments — a replay that only looked at top-level dirs would
+    * commit a manifest WITHOUT the moved table and the next vacuum
+    * would reclaim it as an orphan (data loss) — and finishes the
+    * marker retirement on the already-migrated path. */
   def migrate(spark: SparkSession, indexDir: String, tables: Seq[String])
+      : Option[Snapshot] = migrateImpl(spark, indexDir, tables, _ => ())
+
+  /** [[migrate]] with an injectable crash point (spec-only seam —
+    * fires `moved:<table>` after each rename and `committed` after the
+    * manifest publish, before the legacy marker is retired). */
+  private[graft] def migrateImpl(spark: SparkSession, indexDir: String,
+      tables: Seq[String], crashPoint: String => Unit)
       : Option[Snapshot] = MaintenanceLock.withLock(spark, indexDir) {
     val fs = fsOf(spark)
-    if (load(spark, indexDir).nonEmpty) None
-    else {
+    val opP = new Path(s"$indexDir/_applied_op")
+    if (load(spark, indexDir).nonEmpty) {
+      // Replay of a migrate that crashed between its commit and the
+      // marker delete: the commit already carries the op (and is the
+      // only writer that could leave this pairing behind) — finish the
+      // retirement so the dead legacy file cannot shadow the manifest.
+      if (fs.exists(opP)) { fs.delete(opP, false); () }
+      None
+    } else {
+      // Migratable = legacy dir still at the top level, OR a prior
+      // migrate crashed after renaming it into the segment store but
+      // before committing — such a segment must be adopted, not
+      // skipped: committing without it would orphan the moved data.
       val present = tables.filter(t =>
-        fs.exists(new Path(s"$indexDir/$t")))
+        fs.exists(new Path(s"$indexDir/$t")) ||
+          fs.exists(new Path(s"$indexDir/segs/$t-legacy")))
       if (present.isEmpty) None
       else {
         val segRoot = new Path(s"$indexDir/segs")
         if (!fs.exists(segRoot)) { fs.mkdirs(segRoot); () }
         val moved = present.map { t =>
           val seg = s"$t-legacy"
-          if (!fs.rename(new Path(s"$indexDir/$t"),
-              new Path(s"$indexDir/segs/$seg")))
+          val src = new Path(s"$indexDir/$t")
+          val dst = new Path(s"$indexDir/segs/$seg")
+          if (fs.exists(dst)) {
+            // rename is atomic, so src and dst both existing is not a
+            // crash state — refuse rather than guess which is live
+            // (Hadoop's local rename would nest src INSIDE dst).
+            if (fs.exists(src))
+              throw new IllegalStateException(
+                s"migrate: both $indexDir/$t and segs/$seg exist — " +
+                  "not a crashed migrate; refusing to pick one")
+          } else if (!fs.rename(src, dst))
             throw new IllegalStateException(
               s"migrate: could not move $indexDir/$t into the segment store")
+          crashPoint(s"moved:$t")
           t -> Seq(seg)
         }.toMap
-        val opP = new Path(s"$indexDir/_applied_op")
         val legacyOp =
           if (!fs.exists(opP)) None
           else {
@@ -373,6 +411,7 @@ object IndexManifest {
             scala.util.Try(txt.toLong).toOption
           }
         val snap = commit(spark, indexDir, moved, legacyOp)
+        crashPoint("committed")
         if (fs.exists(opP)) { fs.delete(opP, false); () }
         Some(snap)
       }

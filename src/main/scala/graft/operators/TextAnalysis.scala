@@ -2328,6 +2328,82 @@ object TextAnalysis {
           AS mean_fk_x1000
       FROM hist, cuts GROUP BY 1 ORDER BY 1"""))
 
+  /** q263 — Zipf rank-frequency fit per source: the OLS slope (and
+    * r²) of log-frequency on log-rank over each source's top-100
+    * terms. A healthy natural-language feed sits near the classic
+    * slope −1 (Zipf's law); a scraped/boilerplate or machine-generated
+    * feed reads visibly flatter or steeper, and a slope that MOVES
+    * between crawls is the cheap first alarm that a source changed
+    * under you — the corpus-statistics companion to q262's novelty
+    * curve (Heaps-side) and q45's integer-only term ranking.
+    *
+    * Bit-equality discipline (the q150 convention): the only libm
+    * calls are per-row ln() of small integers, immediately quantized
+    * to ×1e6 longs; every cross-row OLS sum is then EXACT integer
+    * arithmetic (order-free), and the slope/r² divisions convert the
+    * same integers to doubles once on both engines. Long-range check
+    * at 100 TB scale: ly ≤ ln(1e7)·1e6 ≈ 1.6e7, so Σly² over 100
+    * terms ×n stays < 2.7e18 — inside int64.
+    *
+    * Scale shape: one map-combinable (source, term) count, then the
+    * rank filter compiles to the TopKPerGroup bounded heap (the q45
+    * idiom — no full per-source sort), then a 100-row-per-source
+    * integer aggregate. */
+  val zipfSlope: Q = Q(
+    "q263_zipf_slope",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(col("source"), explode(toks(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(desc("cnt"), asc("term"))
+      val q = tf.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 100)
+        .select(col("source"),
+          floor(log(col("rn").cast("double")) * 1e6).as("lx"),
+          floor(log(col("cnt").cast("double")) * 1e6).as("ly"))
+      val num = col("n_terms") * col("sxy") - col("sx") * col("sy")
+      val denX = col("n_terms") * col("sxx") - col("sx") * col("sx")
+      val denY = col("n_terms") * col("syy") - col("sy") * col("sy")
+      q.groupBy("source").agg(
+          count(lit(1)).as("n_terms"),
+          sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+          sum(col("lx") * col("ly")).as("sxy"),
+          sum(col("lx") * col("lx")).as("sxx"),
+          sum(col("ly") * col("ly")).as("syy"))
+        .select(col("source"), col("n_terms"),
+          (num.cast("double") / denX.cast("double")).as("zipf_slope"),
+          ((num.cast("double") * num.cast("double")) /
+            (denX.cast("double") * denY.cast("double"))).as("r2"))
+        .orderBy("source")
+    },
+    Some(s"""WITH tf AS (
+        SELECT source, unnest(${sqlToks("text")}) AS term FROM documents),
+      cnt AS (SELECT source, term, count(*) AS cnt FROM tf GROUP BY 1, 2),
+      ranked AS (SELECT source, cnt,
+          row_number() OVER (PARTITION BY source
+            ORDER BY cnt DESC, term) AS rn
+        FROM cnt),
+      q AS (SELECT source,
+          cast(floor(ln(cast(rn as double)) * 1000000.0) as bigint) AS lx,
+          cast(floor(ln(cast(cnt as double)) * 1000000.0) as bigint) AS ly
+        FROM ranked WHERE rn <= 100),
+      ols AS (SELECT source, cast(count(*) as bigint) AS n_terms,
+          cast(sum(lx) as bigint) AS sx, cast(sum(ly) as bigint) AS sy,
+          cast(sum(lx * ly) as bigint) AS sxy,
+          cast(sum(lx * lx) as bigint) AS sxx,
+          cast(sum(ly * ly) as bigint) AS syy
+        FROM q GROUP BY source)
+      SELECT source, n_terms,
+        cast(n_terms * sxy - sx * sy as double) /
+          cast(n_terms * sxx - sx * sx as double) AS zipf_slope,
+        (cast(n_terms * sxy - sx * sy as double) *
+          cast(n_terms * sxy - sx * sy as double)) /
+        (cast(n_terms * sxx - sx * sx as double) *
+          cast(n_terms * syy - sy * sy as double)) AS r2
+      FROM ols ORDER BY source"""))
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langGuess, langConfusion,
     codeSwitchAudit,
     fingerprint, topTerms, pivotEvents, rareTerms, regexTokens,
@@ -2338,5 +2414,5 @@ object TextAnalysis {
     gopherRepetition, vocabCoverage, bm25MrrEval, rm3Expansion,
     sourceDiversity, sourceGini,
     sourceDrift, exactQuantiles, qualityDupMatrix, lengthDrift,
-    readability, snippetExtraction, curriculumTiers)
+    readability, snippetExtraction, curriculumTiers, zipfSlope)
 }

@@ -221,6 +221,63 @@ class IndexManifestSpec extends AnyFunSuite {
     assert(IndexManifest.vacuum(spark, dir) == 0)
   }
 
+  test("a migrate crashed mid-move replays without stranding the moved table") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = tmp("manifest-migrate-crash")
+    df(1L, 2L).write.parquet(s"$dir/postings")
+    df(10L).write.parquet(s"$dir/stats")
+    val opP = new org.apache.hadoop.fs.Path(s"$dir/_applied_op")
+    val out = fs.create(opP, true)
+    out.write("41".getBytes("UTF-8")); out.close()
+    // crash AFTER postings was renamed into segs/ but BEFORE the
+    // commit: the torn state has postings only in the segment store
+    intercept[RuntimeException] {
+      IndexManifest.migrateImpl(spark, dir, Seq("postings", "stats"),
+        p => if (p == "moved:postings") throw new RuntimeException(p))
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/postings")))
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/segs/postings-legacy")))
+    assert(IndexManifest.load(spark, dir).isEmpty,
+      "nothing may be committed at the crash state")
+    // the replay must ADOPT the moved segment — a top-level-only scan
+    // would commit stats alone and the vacuum below would then delete
+    // postings-legacy as an orphan (data loss)
+    val snap = IndexManifest.migrate(spark, dir, Seq("postings", "stats"))
+    assert(snap.isDefined)
+    assert(IndexManifest.read(spark, dir, "postings").count() == 2L,
+      "replayed migrate stranded the already-moved table")
+    assert(IndexManifest.read(spark, dir, "stats").count() == 1L)
+    assert(IndexManifest.appliedOp(spark, dir).contains(41L))
+    assert(IndexManifest.vacuum(spark, dir) == 0,
+      "every migrated segment must be live, not orphaned")
+    assert(IndexManifest.read(spark, dir, "postings").count() == 2L)
+  }
+
+  test("a migrate crashed between commit and marker retirement finishes it on replay") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = tmp("manifest-migrate-crash2")
+    df(1L).write.parquet(s"$dir/postings")
+    val opP = new org.apache.hadoop.fs.Path(s"$dir/_applied_op")
+    val out = fs.create(opP, true)
+    out.write("7".getBytes("UTF-8")); out.close()
+    intercept[RuntimeException] {
+      IndexManifest.migrateImpl(spark, dir, Seq("postings"),
+        p => if (p == "committed") throw new RuntimeException(p))
+    }
+    // committed but the dead legacy file survived the crash
+    assert(IndexManifest.appliedOp(spark, dir).contains(7L))
+    assert(fs.exists(opP))
+    // replay: no second commit (never overwrites), but the retirement
+    // completes — the stale marker cannot shadow the manifest forever
+    assert(IndexManifest.migrate(spark, dir, Seq("postings")).isEmpty)
+    assert(!fs.exists(opP), "replay must retire the legacy marker")
+    assert(IndexManifest.appliedOp(spark, dir).contains(7L))
+    assert(IndexManifest.read(spark, dir, "postings").count() == 1L)
+  }
+
   test("freshness audit: version/op/segment counts, retention depth, and a pinned reader's lag, exactly") {
     val dirA = tmp("manifest-fresh-a")
     val dirB = tmp("manifest-fresh-b")

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Model-based composition fuzz over the IVF ANN lifecycle (the
+  * [[Bm25FuzzSpec]] harness applied to the partition-dir vector
+  * index): a SEEDED random sequence of append / replayed-append /
+  * tombstone-delete / applyDeletes / rebalance steps, checked after
+  * EVERY step against the exact model — a FULL-probe query (nprobe =
+  * every cell) must rank bit-equal to a brute-force cosine top-k over
+  * the logical live vector set, built from SOURCE data the index never
+  * touches. Full probe removes the approximation, so any divergence is
+  * a lifecycle bug (a lost vector, a resurrected tombstone, a
+  * rebalance dropping or duplicating rows), never a recall artifact.
+  * Deterministic: fixed seed, shifted-id clones, no wall-clock. */
+class IvfFuzzSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+  import operators.{IvfIndex, Similarity}
+
+  private def tmpDir(): String = {
+    val d = Files.createTempDirectory("graft-ivf-fuzz").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  /** A batch of clones of original vectors under fresh shifted ids —
+    * the same construction appendVectors receives in production (and
+    * deliberately collision-rich: a clone ties its original's cosine
+    * exactly, so the vec_id tiebreak is exercised, not dodged). */
+  private def batchOf(shift: Long, origIds: Seq[Long]) =
+    Similarity.normed(spark, sf)
+      .filter(col("vec_id").isin(origIds: _*))
+      .withColumn("vec_id", col("vec_id") + shift)
+
+  private def queryVecs: Seq[Array[Double]] =
+    Similarity.normed(spark, sf)
+      .filter(col("vec_id").isin(100L, 250L))
+      .orderBy("vec_id").select("e").collect()
+      .map(_.getSeq[Double](0).toArray).toSeq
+
+  /** Brute-force exact top-k over an explicit live frame, with the
+    * index query's own expression and tiebreak — same doubles, same
+    * order, or the comparison is about floats instead of lifecycles. */
+  private def bruteTopK(live: org.apache.spark.sql.DataFrame,
+      q: Array[Double], topK: Int) = {
+    graft.functions.VectorFunctions.register(spark)
+    val qnrm = math.sqrt(q.map(x => x * x).sum)
+    live.withColumn("qe", array(q.map(lit): _*))
+      .withColumn("cosine",
+        expr("dot_product(e, qe)") / (col("nrm") * lit(qnrm)))
+      .select("vec_id", "label", "cosine")
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(topK)
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.select("vec_id", "label", "cosine").collect()
+      .map(r => (r.getLong(0), r.get(1), r.getDouble(2))).toSeq
+
+  test("seeded op-sequence fuzz: full-probe query equals brute force over the live set after EVERY step") {
+    val rnd = new scala.util.Random(20260816L)
+    val dir = tmpDir()
+    IvfIndex.build(spark, sf, dir) // k = 16 cells over the sf0.001 set
+    val allOrig = (0L until 500L).toSeq
+    // logical live set, maintained from SOURCE data only
+    var liveOrig: Set[Long] = allOrig.toSet
+    var batches = Vector.empty[(Long, Seq[Long])] // (shift, origIds)
+    var deleted = Set.empty[Long]
+    var shift = 10000L
+    val trace = new StringBuilder
+    def liveFrame() = {
+      val base = Similarity.normed(spark, sf)
+        .filter(col("vec_id").isin(liveOrig.toSeq: _*))
+      batches.map { case (sh, ids) => batchOf(sh, ids) }
+        .foldLeft(base)(_ unionByName _)
+        .filter(!col("vec_id").isin(deleted.toSeq: _*))
+    }
+    // every op kind fires at least once, then the seeded random walk
+    val kinds = (0 until 5) ++ Seq.fill(5)(rnd.nextInt(5))
+    for ((kind, step) <- kinds.zipWithIndex) {
+      kind match {
+        case 0 =>
+          val ids = Seq.fill(3 + rnd.nextInt(3))(rnd.nextInt(500).toLong)
+            .distinct
+          trace ++= s"append(shift=$shift,$ids) "
+          IvfIndex.appendVectors(spark, dir, batchOf(shift, ids))
+          batches :+= ((shift, ids))
+          shift += 10000L
+        case 1 if batches.nonEmpty =>
+          // at-least-once delivery: a whole prior batch re-sent — the
+          // vec_id anti-join guard must admit nothing twice
+          val (sh, ids) = batches(rnd.nextInt(batches.size))
+          trace ++= s"replay(shift=$sh) "
+          IvfIndex.appendVectors(spark, dir, batchOf(sh, ids))
+        case 2 =>
+          val liveIds = liveOrig.filter(_ => rnd.nextInt(40) == 0) ++
+            batches.flatMap { case (sh, ids) => ids.map(_ + sh) }
+              .filterNot(deleted).filter(_ => rnd.nextInt(4) == 0)
+          trace ++= s"delete($liveIds) "
+          if (liveIds.nonEmpty) {
+            IvfIndex.delete(spark, liveIds.toSeq.sorted, dir)
+            deleted ++= liveIds
+            liveOrig --= liveIds
+          }
+        case 3 =>
+          trace ++= "applyDeletes "
+          IvfIndex.applyDeletes(spark, dir)
+        case _ =>
+          trace ++= "rebalance "
+          IvfIndex.rebalance(spark, dir, factor = 1.2)
+      }
+      val live = liveFrame()
+      for ((q, qi) <- queryVecs.zipWithIndex) {
+        val got = rowsOf(IvfIndex.query(spark, dir, q,
+          topK = 20, nprobe = 1000))
+        val want = rowsOf(bruteTopK(live, q, 20))
+        assert(got == want,
+          s"step $step query $qi diverged from brute force; trace: $trace")
+      }
+    }
+    for (tag <- Seq("append(", "replay(", "delete(", "applyDeletes",
+        "rebalance"))
+      assert(trace.toString.contains(tag),
+        s"seed degenerated: no '$tag' in trace: $trace")
+  }
+}
