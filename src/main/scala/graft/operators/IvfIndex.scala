@@ -39,12 +39,21 @@ import org.apache.spark.sql.functions._
   * cluster deployment closes the window entirely with a
   * partition-aware table format (the same public Delta/Iceberg idea
   * the manifest applies to the flat tables).
+  *
+  * Single-writer is ENFORCED, not assumed: every mutating entry point
+  * (build/appendVectors/delete/applyDeletes/rebalance) holds the
+  * [[MaintenanceLock]] lease, same as the manifest lifecycles —
+  * without it, two replays of one append racing each other both pass
+  * the vec_id anti-join guard and double-admit the batch (the
+  * partition-dir layout has no manifest commit to detect the lost
+  * race). Reads stay lock-free.
   */
 object IvfIndex {
 
   /** Fit the coarse quantizer and write the two index tables. */
   def build(spark: SparkSession, sfDir: String, indexDir: String,
-      k: Int = 16, seed: Long = 1L): Unit = {
+      k: Int = 16, seed: Long = 1L): Unit =
+   MaintenanceLock.withLock(spark, indexDir) {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     graft.functions.VectorFunctions.register(spark)
@@ -97,7 +106,8 @@ object IvfIndex {
     * unchanged), and [[applyDeletes]] removes them physically. A
     * forgotten vector can never be served, even before the physical
     * apply. Same id-append-only constraint as the LSH twin. */
-  def delete(spark: SparkSession, vecIds: Seq[Long], indexDir: String): Unit = {
+  def delete(spark: SparkSession, vecIds: Seq[Long], indexDir: String): Unit =
+   MaintenanceLock.withLock(spark, indexDir) {
     import spark.implicits._
     vecIds.toDF("vec_id").repartition(1)
       .write.mode("append").parquet(s"$indexDir/tombstones")
@@ -127,7 +137,8 @@ object IvfIndex {
     * rewrites; a crash anywhere earlier leaves it in place and the
     * rerun reapplies harmlessly (idempotent — the spec pins it).
     * Returns the number of cells rewritten or removed. */
-  def applyDeletes(spark: SparkSession, indexDir: String): Int = {
+  def applyDeletes(spark: SparkSession, indexDir: String): Int =
+   MaintenanceLock.withLock(spark, indexDir) {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     tombstonesOf(spark, indexDir) match {
@@ -195,7 +206,8 @@ object IvfIndex {
     * retried ingest job) cannot double-serve a vector in every later
     * top-k. The guard reads ONLY the index's vec_id column. */
   def appendVectors(spark: SparkSession, indexDir: String,
-      newVecs: DataFrame): Unit = {
+      newVecs: DataFrame): Unit =
+   MaintenanceLock.withLock(spark, indexDir) {
     graft.functions.VectorFunctions.register(spark)
     val centroids = spark.read.parquet(s"$indexDir/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
@@ -284,7 +296,8 @@ object IvfIndex {
     * from max over BOTH tables, so a re-run can never hand an orphan's
     * id to an unrelated split and silently merge two vector sets. */
   def rebalance(spark: SparkSession, indexDir: String,
-      factor: Double = 2.0, seed: Long = 1L): Int = {
+      factor: Double = 2.0, seed: Long = 1L): Int =
+   MaintenanceLock.withLock(spark, indexDir) {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     graft.functions.VectorFunctions.register(spark)
@@ -382,7 +395,8 @@ object IvfIndex {
     * forever) or `maxRounds` caps runaway pathologies. Returns the
     * total number of splits performed. */
   def rebalanceToConvergence(spark: SparkSession, indexDir: String,
-      factor: Double = 2.0, seed: Long = 1L, maxRounds: Int = 8): Int = {
+      factor: Double = 2.0, seed: Long = 1L, maxRounds: Int = 8): Int =
+   MaintenanceLock.withLock(spark, indexDir) {
     var total = 0
     var rounds = 0
     var again = true

@@ -31,12 +31,19 @@ import org.apache.spark.sql.functions._
   * ADC lookup table computed DRIVER-side (M×K doubles, same left-fold
   * arithmetic as the engines) and inlined as literal arrays →
   * partition-pruned scan of the probed cells' codes with M element_at
-  * lookups per row. No broadcast join, no float math on vectors. */
+  * lookups per row. No broadcast join, no float math on vectors.
+  *
+  * Single-writer is ENFORCED ([[MaintenanceLock]] on every mutating
+  * entry point — build/append/delete/applyDeletes/rebalance), for the
+  * reason documented on [[IvfIndex]]: the partition-dir layout has no
+  * manifest commit to detect a lost race, so two racing replays of
+  * one append would both pass the vec_id guard. Reads stay lock-free. */
 object IvfPq {
   import Similarity.{PqM, PqD, PqK}
 
   def build(spark: SparkSession, sfDir: String, indexDir: String,
-      k: Int = 16, seed: Long = 1L): Unit = {
+      k: Int = 16, seed: Long = 1L): Unit =
+   MaintenanceLock.withLock(spark, indexDir) {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark2 = spark
@@ -82,7 +89,8 @@ object IvfPq {
     * ([[PrevalenceIndex.append]]'s convention): already-indexed vec_ids
     * are anti-joined out, so a re-sent batch cannot double-serve a
     * vector; the guard reads only the codes table's vec_id column. */
-  def append(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+  def append(spark: SparkSession, indexDir: String, batch: DataFrame): Unit =
+   MaintenanceLock.withLock(spark, indexDir) {
     graft.functions.VectorFunctions.register(spark)
     val cbs = loadCodebooks(spark, indexDir)
     val centroids = spark.read.parquet(s"$indexDir/centroids")
@@ -152,7 +160,8 @@ object IvfPq {
     * Maintenance ([[driftAudit]]/[[rebalance]]) reads the live table —
     * run [[applyDeletes]] first; until then audits conservatively
     * include the to-be-deleted rows. */
-  def delete(spark: SparkSession, vecIds: Seq[Long], indexDir: String): Unit = {
+  def delete(spark: SparkSession, vecIds: Seq[Long], indexDir: String): Unit =
+   MaintenanceLock.withLock(spark, indexDir) {
     import spark.implicits._
     vecIds.toDF("vec_id").repartition(1)
       .write.mode("append").parquet(s"$indexDir/tombstones")
@@ -178,7 +187,8 @@ object IvfPq {
     * lesson); tombstones are cleared last, so a crash anywhere earlier
     * reruns idempotently. Returns the number of cells rewritten or
     * removed. */
-  def applyDeletes(spark: SparkSession, indexDir: String): Int = {
+  def applyDeletes(spark: SparkSession, indexDir: String): Int =
+   MaintenanceLock.withLock(spark, indexDir) {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     tombstonesOf(spark, indexDir) match {
@@ -292,7 +302,8 @@ object IvfPq {
     * (all-identical) hot cells are kept whole for the same
     * dynamic-overwrite reason documented there. Returns cells split. */
   def rebalance(spark: SparkSession, indexDir: String,
-      factor: Double = 2.0, seed: Long = 1L): Int = {
+      factor: Double = 2.0, seed: Long = 1L): Int =
+   MaintenanceLock.withLock(spark, indexDir) {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val cbs = loadCodebooks(spark, indexDir)
@@ -368,7 +379,8 @@ object IvfPq {
   /** [[rebalance]] to a fixpoint — the [[IvfIndex.rebalanceToConvergence]]
     * loop at PQ granularity. */
   def rebalanceToConvergence(spark: SparkSession, indexDir: String,
-      factor: Double = 2.0, seed: Long = 1L, maxRounds: Int = 8): Int = {
+      factor: Double = 2.0, seed: Long = 1L, maxRounds: Int = 8): Int =
+   MaintenanceLock.withLock(spark, indexDir) {
     var total = 0
     var rounds = 0
     var again = true

@@ -338,4 +338,41 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$idx/vectors")
       .filter(col("cell") === someCell).count() == 0)
   }
+
+  test("mutations hold the maintenance lease: a second holder fails fast, reads stay lock-free") {
+    import operators.{IvfIndex, MaintenanceLock}
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-ivf-lock").toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath
+    IvfIndex.build(spark, sf, idx)
+    val batch = operators.Similarity.normed(spark, sf)
+      .filter(col("vec_id") < 3)
+      .withColumn("vec_id", col("vec_id") + 50000L)
+    MaintenanceLock.withLockAs(spark, idx, "sweeper@elsewhere") {
+      // every mutating entry point contends like a second process
+      intercept[MaintenanceLock.LockHeldException] {
+        IvfIndex.appendVectors(spark, idx, batch)
+      }
+      intercept[MaintenanceLock.LockHeldException] {
+        IvfIndex.delete(spark, Seq(0L), idx)
+      }
+      intercept[MaintenanceLock.LockHeldException] {
+        IvfIndex.applyDeletes(spark, idx)
+      }
+      intercept[MaintenanceLock.LockHeldException] {
+        IvfIndex.rebalance(spark, idx)
+      }
+      // reads are lock-free BY DESIGN: a probe during maintenance works
+      assert(IvfIndex.query(spark, idx, queryVec, topK = 5,
+        nprobe = 16).count() == 5L)
+      ()
+    }
+    // released: the same mutations proceed (and nest: rebalance inside
+    // rebalanceToConvergence re-enters the same-thread lease)
+    IvfIndex.appendVectors(spark, idx, batch)
+    assert(spark.read.parquet(s"$idx/vectors")
+      .filter(col("vec_id") >= 50000L).count() == 3L)
+    IvfIndex.rebalanceToConvergence(spark, idx, maxRounds = 1)
+  }
 }

@@ -249,4 +249,37 @@ class IvfPqSpec extends AnyFunSuite {
     assert(after == hidden.map(_.getLong(0)).toSeq,
       "served results must be identical before and after the physical apply")
   }
+
+  test("mutations hold the maintenance lease: a second holder fails fast, reads stay lock-free") {
+    import operators.{IvfPq, MaintenanceLock}
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-lock")
+      .toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath
+    IvfPq.build(spark, sf, idx, k = CoarseK)
+    val batch = operators.Similarity.normed(spark, sf)
+      .filter(col("vec_id") < 3)
+      .withColumn("vec_id", col("vec_id") + 50000L)
+    MaintenanceLock.withLockAs(spark, idx, "sweeper@elsewhere") {
+      intercept[MaintenanceLock.LockHeldException] {
+        IvfPq.append(spark, idx, batch)
+      }
+      intercept[MaintenanceLock.LockHeldException] {
+        IvfPq.delete(spark, Seq(0L), idx)
+      }
+      intercept[MaintenanceLock.LockHeldException] {
+        IvfPq.applyDeletes(spark, idx)
+      }
+      intercept[MaintenanceLock.LockHeldException] {
+        IvfPq.rebalance(spark, idx)
+      }
+      assert(IvfPq.query(spark, idx, queryVec, topK = 5,
+        nprobe = CoarseK).count() == 5L)
+      ()
+    }
+    IvfPq.append(spark, idx, batch)
+    assert(spark.read.parquet(s"$idx/codes")
+      .filter(col("vec_id") >= 50000L).count() == 3L)
+    IvfPq.rebalanceToConvergence(spark, idx, maxRounds = 1)
+  }
 }
