@@ -2516,6 +2516,97 @@ object Dedup {
         FROM nd JOIN pb USING (batch) LEFT JOIN fb USING (batch)
         ORDER BY batch"""))
 
+  /** q264 — LSH band-budget ablation: what each ADDITIONAL band buys.
+    * Every candidate pair is tagged with the FIRST band index on which
+    * it collides, so one candidate join + one verification pass yields
+    * the whole curve: for a budget of b bands, the pairs found are
+    * exactly those with first_band < b (a b-band deployment sees a
+    * prefix of the 8-band candidate set — bands are independent hash
+    * functions, so prefixes are what an ablation means). Output per
+    * budget 1..8: cumulative candidate pairs (the COST — each pair is
+    * one verification), cumulative verified dups, and recall vs the
+    * full 8-band verified set in exact ppm. This is the tuning-economics
+    * readout q211 predicts from theory and q180 measures at one
+    * operating point: at 100 TB you pay per band in index size, shuffle
+    * volume and verify joins, and this curve is the evidence for
+    * dropping bands a corpus doesn't need (all-integer outputs — no
+    * float drift; the ppm is an exact integer division).
+    *
+    * Scale shape: the same banded equi-join as q37 (content-blocked,
+    * never O(n²)) with min(band_id) folded into the pair groupBy that
+    * q37 already pays (distinct ≡ groupBy), one verify join, then an
+    * 8-row grid aggregate — the ablation is FREE relative to q37. */
+  val lshBandAblation: Q = Q(
+    "q264_lsh_band_ablation",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val enriched = graft.CacheScope.cached(signedSets(s, d))
+      val bands = enriched.select(col("doc_id"),
+        posexplode(array(bandColumns: _*)).as(Seq("band_id", "bh")))
+      val a = bands.as("a"); val b = bands.as("b")
+      val cand = a.join(b,
+          col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.band_id").as("band_id"))
+        .groupBy("doc_a", "doc_b").agg(min(col("band_id")).as("first_band"))
+      val x = enriched.as("x"); val y = enriched.as("y")
+      val inter = size(array_intersect(col("x.sh"), col("y.sh")))
+      val ver = cand
+        .join(x, col("doc_a") === col("x.doc_id"))
+        .join(y, col("doc_b") === col("y.doc_id"))
+        .select(col("first_band"),
+          when((inter.cast("double") /
+            (size(col("x.sh")) + size(col("y.sh")) - inter)) >= 0.8, 1L)
+            .otherwise(0L).as("is_dup"))
+      val per = ver.groupBy("first_band")
+        .agg(count(lit(1)).as("n_cand"), sum(col("is_dup")).as("n_ver"))
+      val w = Window.orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = s.range(Bands).select(col("id").as("band"))
+        .join(per, col("band") === col("first_band"), "left")
+        .select(col("band"),
+          sum(coalesce(col("n_cand"), lit(0L))).over(w)
+            .as("n_candidate_pairs"),
+          sum(coalesce(col("n_ver"), lit(0L))).over(w).as("n_verified"))
+      val tot = cum.agg(max(col("n_verified")).as("tv"))
+      cum.crossJoin(broadcast(tot))
+        .select((col("band") + 1).as("n_bands"),
+          col("n_candidate_pairs"), col("n_verified"),
+          expr("n_verified * 1000000 div tv").as("recall_ppm"))
+        .orderBy("n_bands")
+    },
+    Some(s"""WITH $sqlShingleSets, $sqlSignatures,
+      bands AS MATERIALIZED ($sqlBandsAll),
+      cand AS MATERIALIZED (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          min(a.band_id) AS first_band
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bh = b.bh
+            AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      ver AS MATERIALIZED (
+        SELECT c.first_band,
+          CASE WHEN cast(len(list_intersect(p.sh, q.sh)) as double) /
+              (len(p.sh) + len(q.sh) - len(list_intersect(p.sh, q.sh)))
+              >= 0.8 THEN 1 ELSE 0 END AS is_dup
+        FROM cand c JOIN sets p ON p.doc_id = c.doc_a
+                    JOIN sets q ON q.doc_id = c.doc_b),
+      per AS (SELECT first_band, count(*) AS n_cand,
+          cast(sum(is_dup) as bigint) AS n_ver
+        FROM ver GROUP BY 1),
+      grid AS (SELECT g AS band FROM unnest(generate_series(0, 7)) AS s(g)),
+      cum AS (SELECT band + 1 AS n_bands,
+          cast(sum(coalesce(n_cand, 0)) OVER (ORDER BY band)
+            as bigint) AS n_candidate_pairs,
+          cast(sum(coalesce(n_ver, 0)) OVER (ORDER BY band)
+            as bigint) AS n_verified
+        FROM grid LEFT JOIN per ON per.first_band = grid.band),
+      tot AS (SELECT max(n_verified) AS tv FROM cum)
+      SELECT n_bands, n_candidate_pairs, n_verified,
+        n_verified * 1000000 // tv AS recall_ppm
+      FROM cum, tot ORDER BY n_bands"""))
+
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,
     simhashSignatures, simhashPairs, dupClusters, dedupSurvivors,
     ngramJaccardPairs, ngramJaccardDfCap, containmentPairs,
@@ -2526,5 +2617,6 @@ object Dedup {
     dupPagerank, qualityCanonical, leakageSafeSplits, thresholdCurve,
     sourceMirror, lshCalibration, boilerplatePrevalence,
     dupTriangles, shardColocation, minhashCalibration,
-    bbitMinhashAudit, simhashVsJaccard, clusterQuality, noveltyCurve)
+    bbitMinhashAudit, simhashVsJaccard, clusterQuality, noveltyCurve,
+    lshBandAblation)
 }

@@ -315,6 +315,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // caches the batch-keyed shingle sets AND the (batch,h) distinct;
       // the max-id broadcast is a narrow doc_id-only second read
       "q262_novelty_curve" -> "documents",
+      // caches the signed-sets frame (q37's machinery); candidate join
+      // + verify join-back both read the cache
+      "q264_lsh_band_ablation" -> "documents",
       "q69_dedup_survivors" -> "documents",
       "q76_ngram_jaccard_pairs" -> "documents",
       "q121_ngram_jaccard_dfcap" -> "documents",
