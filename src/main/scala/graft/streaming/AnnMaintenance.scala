@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.operators.{IvfIndex, Similarity}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming ANN index maintenance — the [[RollupMaintenance]] shape
+  * for the vector side: an embedding stream drives [[IvfIndex]]
+  * through foreachBatch, so the serving index is always current
+  * without any consumer ever re-encoding the corpus. Completes the
+  * maintainer set: [[IngestPipeline]] (text → LSH gate + BM25),
+  * [[RollupMaintenance]] (facts → rollup), this (embeddings → ANN).
+  *
+  * Exactly-once EFFECT without a marker: Structured Streaming replays
+  * the last uncommitted batch on restart (at-least-once delivery), and
+  * [[IvfIndex.appendVectors]]' vec_id anti-join guard makes the replay
+  * admit nothing — the [[IngestPipeline]] dedup-gate philosophy
+  * (vectors, like documents, carry their own identity; rollup rows
+  * don't, which is why that maintainer needs the op marker instead).
+  * A crash DURING the append job commit leaves the documented IVF
+  * partial-file window (IvfIndex scaladoc; IvfCrashSpec) — a transient
+  * recall dip, never a wrong served vector — and the checkpoint replay
+  * converges it.
+  *
+  * CONTENTION: appends and rebalances hold the MaintenanceLock lease,
+  * so a concurrent GDPR applyDeletes or an operator-driven rebalance
+  * makes a batch throw LockHeldException; the batch retries with the
+  * [[IngestPipeline.withLeaseRetry]] bounded backoff — a short sweep
+  * is absorbed invisibly, one outlasting the budget fails the query BY
+  * DESIGN (checkpoint replay keeps the restart exactly-once).
+  *
+  * DRIFT: frozen-quantizer appends let hot cells grow forever
+  * ([[IvfIndex.driftAudit]]'s motivation), so every `rebalanceEvery`-th
+  * batch runs [[IvfIndex.rebalanceToConvergence]] — cost bounded by
+  * the hot cells, a no-op when nothing is hot, and a replayed trigger
+  * batch re-runs it harmlessly (nothing is hot the second time).
+  *
+  * BOOTSTRAP CONTRACT: the coarse quantizer is fitted OFFLINE
+  * ([[IvfIndex.build]] over a representative corpus) before the stream
+  * starts — a quantizer fitted on one micro-batch would freeze its
+  * skew into every later assignment. [[start]] fails loudly on a
+  * dir with no centroids table. */
+object AnnMaintenance {
+
+  /** Wire row: the embeddings-table shape (float vector on the wire,
+    * the parquet physical type). */
+  final case class EmbeddingEvt(vec_id: Long, label: Int,
+      embedding: Seq[Float])
+
+  /** Align a wire batch to the index's stored row shape — the
+    * [[Similarity.normed]] discipline over an arbitrary frame: loud
+    * raise_error on a dimension mismatch (a silent filter would drop
+    * corrupt vectors with no error anywhere), doubles + L2 norm. */
+  private[graft] def normalize(batch: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(batch.sparkSession)
+    batch.select(col("vec_id"), col("label"),
+      when(size(col("embedding")) === Similarity.EmbeddingDim,
+        transform(col("embedding"), x => x.cast("double")))
+        .otherwise(raise_error(concat(
+          lit(s"embedding dim != ${Similarity.EmbeddingDim} for vec_id="),
+          col("vec_id").cast("string"))))
+        .as("e"))
+      .withColumn("nrm", sqrt(expr("dot_product(e, e)")))
+  }
+
+  /** One micro-batch: append under the lease (bounded retry), then on
+    * every `rebalanceEvery`-th batch re-split whatever drifted hot.
+    * Returns the number of cells the trigger split (0 on non-trigger
+    * batches — the observability hook a deployment graphs). */
+  def applyBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
+      batchId: Long, rebalanceEvery: Int = 8,
+      rebalanceFactor: Double = 2.0): Int =
+    IngestPipeline.withLeaseRetry() {
+      if (!batch.isEmpty)
+        IvfIndex.appendVectors(spark, indexDir, normalize(batch))
+      if (rebalanceEvery > 0 && batchId % rebalanceEvery == rebalanceEvery - 1)
+        IvfIndex.rebalanceToConvergence(spark, indexDir, rebalanceFactor)
+      else 0
+    }
+
+  def start(evts: Dataset[EmbeddingEvt], indexDir: String,
+      checkpointDir: String, rebalanceEvery: Int = 8,
+      rebalanceFactor: Double = 2.0): StreamingQuery = {
+    val spark = evts.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/centroids")),
+      s"AnnMaintenance.start: no coarse quantizer under $indexDir — " +
+        "fit it offline with IvfIndex.build before streaming appends")
+    evts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (b: Dataset[EmbeddingEvt], id: Long) =>
+        applyBatch(b.sparkSession, b.toDF(), indexDir, id,
+          rebalanceEvery, rebalanceFactor)
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The streaming ANN maintainer: exactly-once appends without a
+  * marker (vec_id identity + the anti-join guard), lease contention
+  * absorbed by bounded retry, drift-triggered rebalance on the
+  * configured cadence, and the offline-quantizer bootstrap contract. */
+class AnnMaintenanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+  import streaming.AnnMaintenance
+  import streaming.AnnMaintenance.EmbeddingEvt
+  import operators.{IvfIndex, MaintenanceLock}
+
+  private def tmpDir(name: String): String = {
+    val d = Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  /** Wire rows cloned from the embeddings table under shifted ids. */
+  private def evtsOf(shift: Long, origIds: Seq[Long]): Seq[EmbeddingEvt] =
+    Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(origIds: _*)).orderBy("vec_id")
+      .collect().map(r => EmbeddingEvt(r.getLong(0) + shift,
+        r.getInt(2), r.getSeq[Float](1))).toSeq
+
+  private def batchDf(evts: Seq[EmbeddingEvt]) = {
+    import spark.implicits._
+    evts.toDF("vec_id", "label", "embedding")
+  }
+
+  private def storedIds(idx: String, from: Long): Seq[Long] =
+    spark.read.parquet(s"$idx/vectors").filter(col("vec_id") >= from)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("a replayed micro-batch admits nothing (vec_id identity = the exactly-once guard)") {
+    val idx = tmpDir("graft-annm-replay")
+    IvfIndex.build(spark, sf, idx)
+    val batch = batchDf(evtsOf(20000L, Seq(0L, 1L, 2L, 3L)))
+    assert(AnnMaintenance.applyBatch(spark, batch, idx, batchId = 0L) == 0)
+    // the at-least-once replay: same batch, same id — nothing lands twice
+    AnnMaintenance.applyBatch(spark, batch, idx, batchId = 0L)
+    spark.catalog.refreshByPath(s"$idx/vectors")
+    assert(storedIds(idx, 20000L) == Seq(20000L, 20001L, 20002L, 20003L))
+    assert(spark.read.parquet(s"$idx/vectors").groupBy("vec_id")
+      .count().filter(col("count") > 1).isEmpty,
+      "no vec_id may be stored twice")
+  }
+
+  test("the stream wires through foreachBatch and a live probe sees appended vectors") {
+    val idx = tmpDir("graft-annm-stream")
+    IvfIndex.build(spark, sf, idx)
+    val mem = { import spark.implicits._; implicit val sq = spark.sqlContext; MemoryStream[EmbeddingEvt] }
+    val q = AnnMaintenance.start(mem.toDS(), idx,
+      tmpDir("graft-annm-ckpt"), rebalanceEvery = 0)
+    try {
+      mem.addData(evtsOf(30000L, Seq(5L, 6L)): _*)
+      q.processAllAvailable()
+      mem.addData(evtsOf(30000L, Seq(7L)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.refreshByPath(s"$idx/vectors")
+    assert(storedIds(idx, 30000L) == Seq(30005L, 30006L, 30007L))
+    // the appended clone of vec 5 is now served for vec 5's own query
+    val qv = operators.Similarity.normed(spark, sf)
+      .filter(col("vec_id") === 5L).select("e")
+      .collect()(0).getSeq[Double](0).toArray
+    val top = IvfIndex.query(spark, idx, qv, topK = 2, nprobe = 1000)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == Set(5L, 30005L),
+      s"expected the original and its streamed clone at the top, got $top")
+  }
+
+  test("a short maintenance sweep is absorbed by the lease retry") {
+    val idx = tmpDir("graft-annm-lease")
+    IvfIndex.build(spark, sf, idx)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val held = new java.util.concurrent.CountDownLatch(1)
+    val sweeper = new Thread(() =>
+      MaintenanceLock.withLockAs(spark, idx, "sweeper@elsewhere") {
+        held.countDown()
+        release.await()
+      })
+    sweeper.start()
+    held.await()
+    // release the sweep ~1s in — inside the retry budget (6 x 500 ms
+    // doubling), so the batch must land without surfacing the exception
+    new Thread(() => { Thread.sleep(1000); release.countDown() }).start()
+    AnnMaintenance.applyBatch(spark,
+      batchDf(evtsOf(40000L, Seq(9L))), idx, batchId = 1L)
+    sweeper.join()
+    spark.catalog.refreshByPath(s"$idx/vectors")
+    assert(storedIds(idx, 40000L) == Seq(40009L))
+  }
+
+  test("the trigger batch rebalances drift away and does not change served results") {
+    val idx = tmpDir("graft-annm-drift")
+    IvfIndex.build(spark, sf, idx)
+    // skew: clone ten DISTINCT members of one coarse cell twelve times
+    // each — every clone assigns back to that same cell (same nearest
+    // centroid), piling ~120 rows into it; distinct points matter
+    // because an all-identical hot cell is deliberately unsplittable
+    val biggest = spark.read.parquet(s"$idx/vectors")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("cell")).collect()(0).getInt(0)
+    val memberIds = spark.read.parquet(s"$idx/vectors")
+      .filter(col("cell") === biggest).select("vec_id")
+      .orderBy("vec_id").collect().map(_.getLong(0)).take(10).toSeq
+    val skew = (0 until 12).flatMap(i =>
+      evtsOf(50000L + i * 1000L, memberIds))
+    for ((g, i) <- skew.grouped(30).zipWithIndex)
+      AnnMaintenance.applyBatch(spark, batchDf(g.toSeq), idx,
+        batchId = i.toLong, rebalanceEvery = 0)
+    val qv = operators.Similarity.normed(spark, sf)
+      .filter(col("vec_id") === memberIds.head).select("e")
+      .collect()(0).getSeq[Double](0).toArray
+    val before = IvfIndex.query(spark, idx, qv, topK = 10, nprobe = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    // the trigger batch (empty payload): batchId hits the cadence
+    val splits = AnnMaintenance.applyBatch(spark,
+      batchDf(Seq.empty[EmbeddingEvt]), idx, batchId = 7L,
+      rebalanceEvery = 8, rebalanceFactor = 2.0)
+    assert(splits > 0, "the planted skew must trigger at least one split")
+    spark.catalog.refreshByPath(s"$idx/vectors")
+    // converged: no cell beyond the factor (the rebalance postcondition)
+    val counts = spark.read.parquet(s"$idx/vectors")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    val mean = counts.sum.toDouble / counts.length
+    assert(counts.max <= 2.0 * mean,
+      s"hot cell survived the convergence loop: max ${counts.max}, mean $mean")
+    // rebalance is a pure repartitioning: full-probe results unchanged
+    val after = IvfIndex.query(spark, idx, qv, topK = 10, nprobe = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(after == before, "rebalance changed served results")
+  }
+
+  test("bootstrap contract: starting on a dir with no quantizer fails loudly") {
+    val mem = { import spark.implicits._; implicit val sq = spark.sqlContext; MemoryStream[EmbeddingEvt] }
+    intercept[IllegalArgumentException] {
+      AnnMaintenance.start(mem.toDS(), tmpDir("graft-annm-empty"),
+        tmpDir("graft-annm-ckpt2"))
+    }
+  }
+}
