@@ -2270,6 +2270,81 @@ object TrainingPrep {
           / cast(sum(n) as bigint) AS lost_share
       FROM e GROUP BY cap ORDER BY cap"""))
 
+  // ------------------------------------------------------------------
+  // q265 — contamination threshold curve: the decontamination cost
+  // sweep over q84's measure. For cutoffs T ∈ {1,2,4,8,16}, a train doc
+  // is dropped when it shares ≥ T distinct word-3-gram hashes with the
+  // eval slice; per cutoff: docs dropped, token mass dropped, and that
+  // mass as exact ppm of ALL train tokens — the removal-cost readout
+  // that decides where to set T (T=1 is GPT-3's drop-any-collision; a
+  // curve that flattens by T=4 says the strictness is nearly free, one
+  // that keeps falling says T=1 is burning real training mass on
+  // incidental n-gram collisions). The q205 threshold-sweep pattern
+  // applied to the contamination family (q84 exact, q96 bloom, q168
+  // fuzzy, q175 spans).
+  //
+  // Scale shape: ONE q84-shaped broadcast join builds the per-doc
+  // n_shared, the 5-cutoff sweep is a doc-local literal explode +
+  // filter (map-combinable — never a grid × corpus join), and only the
+  // 5-row result left-joins the grid so zero-drop cutoffs still report.
+  // All-integer outputs.
+  // ------------------------------------------------------------------
+  val contaminationCurve: Q = Q(
+    "q265_contamination_curve",
+    (s, d) => {
+      val cuts = Seq(1L, 2L, 4L, 8L, 16L)
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .select(col("doc_id"), explode(shingles3(col("t"))).as("sh"))
+        .select(col("doc_id"), md5h61(col("sh")).as("h"))
+        .distinct()
+      val eval_ = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("h")).distinct()
+      val nShared = sh.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(eval_), "h")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      val trainToks = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tok"))
+      val tot = trainToks.agg(sum(col("n_tok")).as("tot_tok"))
+      val per = nShared.join(trainToks, "doc_id")
+        .select(col("n_shared"), col("n_tok"),
+          explode(typedlit(cuts)).as("cutoff"))
+        .filter(col("n_shared") >= col("cutoff"))
+        .groupBy("cutoff")
+        .agg(count(lit(1)).as("nf"), sum(col("n_tok")).as("ft"))
+      val grid = s.range(1).select(explode(typedlit(cuts)).as("cutoff"))
+      grid.join(per, Seq("cutoff"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("cutoff"),
+          coalesce(col("nf"), lit(0L)).as("n_flagged"),
+          coalesce(col("ft"), lit(0L)).as("flagged_tokens"),
+          expr("coalesce(ft, 0L) * 1000000 div tot_tok").as("flagged_ppm"))
+        .orderBy("cutoff")
+    },
+    Some(s"""WITH sh AS (
+        SELECT DISTINCT doc_id, ${sqlMd5h61("g.s")} AS h
+        FROM (SELECT doc_id, ${sqlShingles3(sqlToks("text"))} AS gs
+              FROM documents), unnest(gs) AS g(s)),
+      ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 0),
+      ns AS (SELECT doc_id, count(*) AS n_shared
+        FROM sh JOIN ev USING (h) WHERE doc_id % 10 <> 0 GROUP BY doc_id),
+      tk AS MATERIALIZED (SELECT doc_id,
+          cast(len(${sqlToks("text")}) as bigint) AS n_tok
+        FROM documents WHERE doc_id % 10 <> 0),
+      tot AS (SELECT cast(sum(n_tok) as bigint) AS tot_tok FROM tk),
+      grid AS (SELECT unnest([1, 2, 4, 8, 16]) AS cutoff),
+      per AS (SELECT cutoff,
+          cast(count(n.doc_id) as bigint) AS n_flagged,
+          cast(coalesce(sum(t.n_tok), 0) as bigint) AS flagged_tokens
+        FROM grid g
+        LEFT JOIN ns n ON n.n_shared >= g.cutoff
+        LEFT JOIN tk t ON t.doc_id = n.doc_id
+        GROUP BY cutoff)
+      SELECT cutoff, n_flagged, flagged_tokens,
+        flagged_tokens * 1000000 // tot_tok AS flagged_ppm
+      FROM per, tot ORDER BY cutoff"""))
+
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
     bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf,
     approxPercentiles, bloomContamination, fuzzyPairs, heavyHitters,
@@ -2278,5 +2353,5 @@ object TrainingPrep {
     bpeVocabUtil, lengthBatchManifest,
     cdcChunks, decontaminateSpans, spanCorruption, wordpieceEncode,
     unigramViterbi, prefixCacheAudit, sftMaskAccounting, countMinAudit,
-    tokenizerMigration, truncationCurve)
+    tokenizerMigration, truncationCurve, contaminationCurve)
 }

@@ -483,6 +483,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // reads are 2 (base + signatures) — ReuseAudit-measured
       "q169_pipeline_funnel" -> Map("documents" -> 5),
       "q84_contamination" -> Map("documents" -> 2),
+      // q84's two shingle branches (eval/train role split, pruned
+      // per-branch scans — the q127 precedent) + the token-mass side
+      // referenced twice (the per-cutoff join AND the corpus total a
+      // ppm needs): both token scans are narrow (doc_id, size(toks))
+      // projections, so 4 textual reads beat shuffling text once
+      "q265_contamination_curve" -> Map("documents" -> 4),
       // eval-vs-train role split (the q127/q158 precedent): the % 10
       // predicates push into per-branch pruned scans
       "q175_decontaminate_spans" -> Map("documents" -> 2),
