@@ -46,7 +46,15 @@ import org.apache.spark.sql.functions._
   * without it, two replays of one append racing each other both pass
   * the vec_id anti-join guard and double-admit the batch (the
   * partition-dir layout has no manifest commit to detect the lost
-  * race). Reads stay lock-free.
+  * race). Reads stay lock-free — which leaves the READER-side twin of
+  * the file-commit window as a named residual: a probe racing an
+  * applyDeletes/rebalance partition overwrite can transiently hit a
+  * missing file (retryable; never a wrong vector — the same bound as
+  * the crash window, for the same reason: parquet files land whole
+  * and every row is a true stored vector). Deployments schedule those
+  * two maintenance ops off-peak or adopt the partition-aware table
+  * format; the manifest lifecycles' snapshot-pinned reads are the
+  * in-repo demonstration of what that format buys.
   */
 object IvfIndex {
 

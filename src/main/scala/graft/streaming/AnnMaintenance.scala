@@ -81,20 +81,50 @@ object AnnMaintenance {
 
   def start(evts: Dataset[EmbeddingEvt], indexDir: String,
       checkpointDir: String, rebalanceEvery: Int = 8,
-      rebalanceFactor: Double = 2.0): StreamingQuery = {
+      rebalanceFactor: Double = 2.0): StreamingQuery =
+    startWith(evts, indexDir, checkpointDir)(
+      applyBatch(_, _, indexDir, _, rebalanceEvery, rebalanceFactor))
+
+  /** The IVF-PQ twin of [[applyBatch]] — at 100 TB the SERVING index
+    * is the PQ-compressed one ([[IvfPq]]'s header), and its append
+    * path carries the same vec_id guard and lease, so the maintainer
+    * semantics transfer verbatim; encode cost rides the batch. */
+  def applyBatchPq(spark: SparkSession, batch: DataFrame, indexDir: String,
+      batchId: Long, rebalanceEvery: Int = 8,
+      rebalanceFactor: Double = 2.0): Int =
+    IngestPipeline.withLeaseRetry() {
+      if (!batch.isEmpty)
+        graft.operators.IvfPq.append(spark, indexDir, normalize(batch))
+      if (rebalanceEvery > 0 && batchId % rebalanceEvery == rebalanceEvery - 1)
+        graft.operators.IvfPq.rebalanceToConvergence(spark, indexDir,
+          rebalanceFactor)
+      else 0
+    }
+
+  /** [[start]] against an [[IvfPq]] index (bootstrap contract: the
+    * coarse quantizer AND the PQ codebooks are fitted offline by
+    * [[IvfPq.build]]). */
+  def startPq(evts: Dataset[EmbeddingEvt], indexDir: String,
+      checkpointDir: String, rebalanceEvery: Int = 8,
+      rebalanceFactor: Double = 2.0): StreamingQuery =
+    startWith(evts, indexDir, checkpointDir)(
+      applyBatchPq(_, _, indexDir, _, rebalanceEvery, rebalanceFactor))
+
+  private def startWith(evts: Dataset[EmbeddingEvt], indexDir: String,
+      checkpointDir: String)(
+      apply: (SparkSession, DataFrame, Long) => Int): StreamingQuery = {
     val spark = evts.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/centroids")),
       s"AnnMaintenance.start: no coarse quantizer under $indexDir — " +
-        "fit it offline with IvfIndex.build before streaming appends")
+        "fit it offline (IvfIndex.build / IvfPq.build) before streaming appends")
     evts.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (b: Dataset[EmbeddingEvt], id: Long) =>
-        applyBatch(b.sparkSession, b.toDF(), indexDir, id,
-          rebalanceEvery, rebalanceFactor)
+        apply(b.sparkSession, b.toDF(), id)
         ()
       }
       .start()

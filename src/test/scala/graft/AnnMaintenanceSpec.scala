@@ -140,6 +140,32 @@ class AnnMaintenanceSpec extends AnyFunSuite {
     assert(after == before, "rebalance changed served results")
   }
 
+  test("the IVF-PQ path shares the guard and lease semantics: a replayed batch admits nothing") {
+    val idx = tmpDir("graft-annm-pq")
+    operators.IvfPq.build(spark, sf, idx)
+    val batch = batchDf(evtsOf(70000L, Seq(0L, 1L, 2L)))
+    AnnMaintenance.applyBatchPq(spark, batch, idx, batchId = 0L)
+    AnnMaintenance.applyBatchPq(spark, batch, idx, batchId = 0L)
+    spark.catalog.refreshByPath(s"$idx/codes")
+    val ids = spark.read.parquet(s"$idx/codes")
+      .filter(col("vec_id") >= 70000L)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(70000L, 70001L, 70002L))
+    assert(spark.read.parquet(s"$idx/codes").groupBy("vec_id")
+      .count().filter(col("count") > 1).isEmpty,
+      "no vec_id may be coded twice")
+    // the streamed clone carries its original's exact ADC distance —
+    // same codes in, same lookup-table sum out
+    val qv = operators.Similarity.normed(spark, sf)
+      .filter(col("vec_id") === 0L).select("e")
+      .collect()(0).getSeq[Double](0).toArray
+    val adc = operators.IvfPq.query(spark, idx, qv,
+        topK = Int.MaxValue, nprobe = 1000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(adc(70000L) == adc(0L),
+      "the streamed clone must decode to its original's exact ADC")
+  }
+
   test("bootstrap contract: starting on a dir with no quantizer fails loudly") {
     val mem = { import spark.implicits._; implicit val sq = spark.sqlContext; MemoryStream[EmbeddingEvt] }
     intercept[IllegalArgumentException] {
