@@ -2345,6 +2345,75 @@ object TrainingPrep {
         flagged_tokens * 1000000 // tot_tok AS flagged_ppm
       FROM per, tot ORDER BY cutoff"""))
 
+  // ------------------------------------------------------------------
+  // q266 — contamination attribution by source: the ACTIONABLE cut of
+  // q84/q265. Per train source: docs sharing any 3-gram with the eval
+  // slice, the shared-hash mass, the flagged token mass, and the
+  // flagged fraction of that source's own tokens in exact ppm. At
+  // 100 TB the per-doc report (q84) is millions of rows nobody reads;
+  // a 5-row per-feed table is the form the decision takes — a source
+  // at 900k ppm is scraping the eval set's upstream and gets DROPPED,
+  // one at 2k ppm gets per-doc decontamination (q175). Same join
+  // economics as q84 (broadcast eval-hash side), one extra broadcast
+  // join to the doc metadata, grid-completed so clean sources report
+  // zero instead of vanishing.
+  // ------------------------------------------------------------------
+  val contaminationBySource: Q = Q(
+    "q266_contamination_by_source",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = docs
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .select(col("doc_id"), explode(shingles3(col("t"))).as("sh"))
+        .select(col("doc_id"), md5h61(col("sh")).as("h"))
+        .distinct()
+      val eval_ = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("h")).distinct()
+      val flagged = sh.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(eval_), "h")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      val meta = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("source"),
+          size(toks(col("text"))).cast("long").as("n_tok"))
+      val perSource = meta.join(flagged, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_shared").isNotNull, 1L).otherwise(0L))
+            .as("n_flagged"),
+          coalesce(sum(col("n_shared")), lit(0L)).as("shared_hashes"),
+          sum(col("n_tok")).as("src_tokens"),
+          coalesce(sum(when(col("n_shared").isNotNull, col("n_tok"))),
+            lit(0L)).as("flagged_tokens"))
+      perSource
+        .select(col("source"), col("n_docs"), col("n_flagged"),
+          col("shared_hashes"), col("flagged_tokens"),
+          expr("flagged_tokens * 1000000 div src_tokens")
+            .as("flagged_ppm"))
+        .orderBy("source")
+    },
+    Some(s"""WITH sh AS (
+        SELECT DISTINCT doc_id, ${sqlMd5h61("g.s")} AS h
+        FROM (SELECT doc_id, ${sqlShingles3(sqlToks("text"))} AS gs
+              FROM documents), unnest(gs) AS g(s)),
+      ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 0),
+      ns AS (SELECT doc_id, count(*) AS n_shared
+        FROM sh JOIN ev USING (h) WHERE doc_id % 10 <> 0 GROUP BY doc_id),
+      meta AS (SELECT doc_id, source,
+          cast(len(${sqlToks("text")}) as bigint) AS n_tok
+        FROM documents WHERE doc_id % 10 <> 0),
+      agg AS (SELECT m.source,
+          cast(count(*) as bigint) AS n_docs,
+          cast(count(n.doc_id) as bigint) AS n_flagged,
+          cast(coalesce(sum(n.n_shared), 0) as bigint) AS shared_hashes,
+          cast(sum(m.n_tok) as bigint) AS src_tokens,
+          cast(coalesce(sum(CASE WHEN n.doc_id IS NOT NULL
+            THEN m.n_tok END), 0) as bigint) AS flagged_tokens
+        FROM meta m LEFT JOIN ns n USING (doc_id)
+        GROUP BY m.source)
+      SELECT source, n_docs, n_flagged, shared_hashes, flagged_tokens,
+        flagged_tokens * 1000000 // src_tokens AS flagged_ppm
+      FROM agg ORDER BY source"""))
+
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
     bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf,
     approxPercentiles, bloomContamination, fuzzyPairs, heavyHitters,
@@ -2353,5 +2422,6 @@ object TrainingPrep {
     bpeVocabUtil, lengthBatchManifest,
     cdcChunks, decontaminateSpans, spanCorruption, wordpieceEncode,
     unigramViterbi, prefixCacheAudit, sftMaskAccounting, countMinAudit,
-    tokenizerMigration, truncationCurve, contaminationCurve)
+    tokenizerMigration, truncationCurve, contaminationCurve,
+    contaminationBySource)
 }

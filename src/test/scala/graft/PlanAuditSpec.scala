@@ -489,6 +489,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // ppm needs): both token scans are narrow (doc_id, size(toks))
       // projections, so 4 textual reads beat shuffling text once
       "q265_contamination_curve" -> Map("documents" -> 4),
+      // q84's two shingle branches + ONE narrow metadata/token scan
+      // (source + size(toks), referenced once — the per-source agg and
+      // its own total share the row)
+      "q266_contamination_by_source" -> Map("documents" -> 3),
       // eval-vs-train role split (the q127/q158 precedent): the % 10
       // predicates push into per-branch pruned scans
       "q175_decontaminate_spans" -> Map("documents" -> 2),
