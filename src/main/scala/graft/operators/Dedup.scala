@@ -2573,7 +2573,10 @@ object Dedup {
       cum.crossJoin(broadcast(tot))
         .select((col("band") + 1).as("n_bands"),
           col("n_candidate_pairs"), col("n_verified"),
-          expr("n_verified * 1000000 div tv").as("recall_ppm"))
+          // nullif guards the zero-dup corpus: Spark's div yields NULL
+          // on a 0 denominator while DuckDB's // raises — both engines
+          // must agree on NULL for the degenerate case
+          expr("n_verified * 1000000 div nullif(tv, 0)").as("recall_ppm"))
         .orderBy("n_bands")
     },
     Some(s"""WITH $sqlShingleSets, $sqlSignatures,
@@ -2604,7 +2607,7 @@ object Dedup {
         FROM grid LEFT JOIN per ON per.first_band = grid.band),
       tot AS (SELECT max(n_verified) AS tv FROM cum)
       SELECT n_bands, n_candidate_pairs, n_verified,
-        n_verified * 1000000 // tv AS recall_ppm
+        n_verified * 1000000 // nullif(tv, 0) AS recall_ppm
       FROM cum, tot ORDER BY n_bands"""))
 
   val all: Seq[Q] = Seq(exact, minhashSignatures, minhashLshPairs,

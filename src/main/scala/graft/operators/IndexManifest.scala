@@ -482,10 +482,33 @@ object MaintenanceLock {
       staleMs: Long = DefaultStaleMs)(body: => T): T =
     withLockAs(spark, indexDir, holderId, staleMs)(body)
 
+  /** One canonical spelling per index dir: `/idx`, `/idx/`, `/a/./idx`
+    * and a cwd-relative `idx` must all contend on ONE registry slot and
+    * ONE lease file — keyed on the raw string, two threads spelling the
+    * dir differently would miss each other in the registry and the
+    * second's fileLease would then read the first's lock file, see its
+    * own (shared) holder id, and pass through as "re-entrant": two
+    * threads interleaving mutations on one index. makeQualified
+    * resolves relative paths and adds the scheme; the Path constructor
+    * collapses `//` and strips trailing `/`; URI.normalize folds `.`
+    * and `..` segments; the scheme/authority/path rebuild unifies the
+    * null-vs-empty authority split (a relative path qualifies against
+    * the working dir as `file:/...` while an absolute one qualifies
+    * against the fs URI as `file:///...` — same dir, different URI
+    * strings). */
+  private def canonicalDir(spark: SparkSession, indexDir: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val uri = fs.makeQualified(new Path(indexDir)).toUri.normalize()
+    val auth = Option(uri.getAuthority).getOrElse("")
+    s"${uri.getScheme}://$auth${uri.getPath}"
+  }
+
   /** [[withLock]] with an explicit holder id (spec seam — lets a test
     * simulate a SECOND process contending for the lease). */
-  private[graft] def withLockAs[T](spark: SparkSession, indexDir: String,
+  private[graft] def withLockAs[T](spark: SparkSession, rawIndexDir: String,
       holder: String, staleMs: Long = DefaultStaleMs)(body: => T): T = {
+    val indexDir = canonicalDir(spark, rawIndexDir)
     val cur = jvmHolders.get(indexDir)
     if (cur != null && (cur.thread eq Thread.currentThread())) {
       if (cur.holder == holder) {

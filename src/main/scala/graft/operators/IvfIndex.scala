@@ -46,15 +46,20 @@ import org.apache.spark.sql.functions._
   * without it, two replays of one append racing each other both pass
   * the vec_id anti-join guard and double-admit the batch (the
   * partition-dir layout has no manifest commit to detect the lost
-  * race). Reads stay lock-free — which leaves the READER-side twin of
-  * the file-commit window as a named residual: a probe racing an
-  * applyDeletes/rebalance partition overwrite can transiently hit a
-  * missing file (retryable; never a wrong vector — the same bound as
-  * the crash window, for the same reason: parquet files land whole
-  * and every row is a true stored vector). Deployments schedule those
-  * two maintenance ops off-peak or adopt the partition-aware table
-  * format; the manifest lifecycles' snapshot-pinned reads are the
-  * in-repo demonstration of what that format buys.
+  * race). Reads stay lock-free — and because
+  * [[graft.streaming.AnnMaintenance]] rebalances the serving index
+  * automatically, a probe racing an applyDeletes/rebalance partition
+  * overwrite is the NORMAL case, not an off-peak corner. [[query]]
+  * therefore runs eagerly under a bounded re-resolve-and-retry (see
+  * [[ProbeRetryAttempts]]): a transient missing file or a centroid
+  * view that changed under the scan re-reads the centroids and
+  * re-plans the pruned scan, so routine maintenance costs at most a
+  * re-planned attempt — never a failed serving query, never a wrong
+  * vector (parquet files land whole; every row read is a true stored
+  * vector with its exact score). The manifest lifecycles'
+  * snapshot-pinned reads are the same guarantee bought structurally;
+  * a cluster deployment gets it from a partition-aware table format
+  * (the public Delta/Iceberg idea).
   */
 object IvfIndex {
 
@@ -84,12 +89,83 @@ object IvfIndex {
     } finally w.unpersist()
   }
 
-  /** Top-k by exact cosine among the nprobe nearest cells of `query`. */
-  def query(spark: SparkSession, indexDir: String, query: Array[Double],
-      topK: Int = 10, nprobe: Int = 4): DataFrame = {
-    graft.functions.VectorFunctions.register(spark)
-    val centroids = spark.read.parquet(s"$indexDir/centroids")
+  /** Probe-retry policy: [[AnnMaintenance]] rebalances the SERVING
+    * index automatically every Nth batch and GDPR applyDeletes rewrites
+    * cell partitions in place, so a lock-free probe racing a partition
+    * overwrite is the designed-for NORMAL case, not an off-peak corner
+    * — a serving query that fails with FileNotFoundException during
+    * routine maintenance is an availability hole at 100 TB. [[query]]
+    * therefore executes EAGERLY under a bounded retry: a transient
+    * missing-file failure (or a centroid view that changed under the
+    * probe — the mixed new-centroids/old-vectors window) re-resolves
+    * the centroids and re-plans the pruned scan. Every row read is
+    * still a true stored vector with its exact score (parquet files
+    * land whole), so the bound stays "transient recall dip, never a
+    * wrong vector" — the retry just converts "transient failure" into
+    * "answer from the post-maintenance view". */
+  val ProbeRetryAttempts = 4
+  val ProbeRetryBackoffMs = 50L
+
+  /** Extra rows the eager probe over-fetches before the driver-side
+    * vec_id dedupe: a listing racing a dynamic-overwrite commit can see
+    * a moved row under BOTH its old and new cell dir, and a duplicate
+    * inside a plain `limit(topK)` would push a true neighbor out of the
+    * answer. Headroom + dedupe + take(topK) keeps the quiesced result
+    * bit-identical while making the race window cost nothing. */
+  private[graft] val DupHeadroom = 8
+
+  private[graft] def withHeadroom(topK: Int): Int =
+    if (topK > Int.MaxValue - DupHeadroom) topK else topK + DupHeadroom
+
+  /** A failure a probe should re-plan around: a file deleted between
+    * the scan's listing and its read (partition overwrite mid-commit),
+    * or a table dir momentarily empty under an overwrite. Walks the
+    * cause chain — Spark wraps the task's FileNotFoundException in
+    * SparkException layers. */
+  private[graft] def retryableProbeFailure(t: Throwable): Boolean = {
+    var cur = t
+    var n = 0
+    while (cur != null && n < 16) {
+      cur match {
+        case _: java.io.FileNotFoundException => return true
+        case a: org.apache.spark.sql.AnalysisException
+            if a.getMessage != null &&
+              (a.getMessage.contains("PATH_NOT_FOUND") ||
+                a.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+                a.getMessage.contains("Path does not exist")) => return true
+        case _ =>
+          if (cur.getMessage != null &&
+              cur.getMessage.contains("FileNotFoundException")) return true
+      }
+      cur = cur.getCause
+      n += 1
+    }
+    false
+  }
+
+  /** Internal retry signal: the centroid view changed while the scan
+    * ran, so the answer may have probed a stale cell list. */
+  private[graft] final class StaleProbe extends RuntimeException("stale probe")
+
+  private[graft] def readCentroids(spark: SparkSession,
+      indexDir: String): Array[(Int, Array[Double])] =
+    spark.read.parquet(s"$indexDir/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+
+  private[graft] def sameCentroids(a: Array[(Int, Array[Double])],
+      b: Array[(Int, Array[Double])]): Boolean =
+    a.length == b.length &&
+      a.sortBy(_._1).zip(b.sortBy(_._1)).forall { case ((ca, va), (cb, vb)) =>
+        ca == cb && java.util.Arrays.equals(va, vb)
+      }
+
+  /** The LAZY probe plan from an already-resolved centroid view — the
+    * plan-inspection seam (IvfIndexSpec asserts its partition pruning)
+    * and the single-attempt body [[query]] retries. */
+  private[graft] def queryPlanFrom(spark: SparkSession, indexDir: String,
+      centroids: Array[(Int, Array[Double])], query: Array[Double],
+      topK: Int, nprobe: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     val probes = centroids.map { case (cell, c) =>
       val d2 = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
       (cell, d2)
@@ -105,6 +181,66 @@ object IvfIndex {
       .select("vec_id", "label", "cell", "cosine")
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(topK)
+  }
+
+  /** One-shot lazy plan (current centroid view, no retry) — for plan
+    * audits; serving goes through [[query]]. */
+  private[graft] def queryPlan(spark: SparkSession, indexDir: String,
+      query: Array[Double], topK: Int = 10, nprobe: Int = 4): DataFrame =
+    queryPlanFrom(spark, indexDir, readCentroids(spark, indexDir),
+      query, topK, nprobe)
+
+  /** Top-k by exact cosine among the nprobe nearest cells of `query`,
+    * EAGER under the probe-retry policy (see [[ProbeRetryAttempts]]):
+    * survives a concurrent rebalance/applyDeletes partition overwrite
+    * by re-resolving centroids and re-planning, and validates that the
+    * centroid view did not change under the scan (one stale attempt is
+    * served only when retries exhaust — every row is still a true
+    * vector, the documented bound). Returns a local top-k frame. */
+  def query(spark: SparkSession, indexDir: String, query: Array[Double],
+      topK: Int = 10, nprobe: Int = 4): DataFrame =
+    queryImpl(spark, indexDir, query, topK, nprobe)
+
+  /** [[query]] with the spec seams exposed: `afterPin` fires between
+    * the centroid read and the vectors scan (inject a rebalance or an
+    * applyDeletes there), `sleep` absorbs the backoff. */
+  private[graft] def queryImpl(spark: SparkSession, indexDir: String,
+      query: Array[Double], topK: Int = 10, nprobe: Int = 4,
+      afterPin: Int => Unit = _ => (),
+      maxAttempts: Int = ProbeRetryAttempts,
+      sleep: Long => Unit = Thread.sleep): DataFrame = {
+    var attempt = 1
+    var out: Option[DataFrame] = None
+    while (out.isEmpty) {
+      try {
+        val c1 = readCentroids(spark, indexDir)
+        afterPin(attempt)
+        val plan = queryPlanFrom(spark, indexDir, c1, query,
+          withHeadroom(topK), nprobe)
+        val rows = plan.collect()
+        // the pair-pinning check: if maintenance rewrote the centroids
+        // while the scan ran, the probe list may have been stale —
+        // re-plan from the fresh view (final attempt serves the stale-
+        // but-true-vector answer instead of failing the serving path)
+        if (!sameCentroids(c1, readCentroids(spark, indexDir)) &&
+            attempt < maxAttempts) throw new StaleProbe
+        // dedupe a row a mid-commit listing saw twice (old + new cell
+        // dir — identical vector, identical score; rows arrive sorted,
+        // keep the first), then trim the headroom back to topK
+        val seen = scala.collection.mutable.HashSet.empty[Long]
+        val uniq = rows.filter(r => seen.add(r.getLong(0))).take(topK)
+        out = Some(spark.createDataFrame(
+          java.util.Arrays.asList(uniq: _*), plan.schema))
+      } catch {
+        case t: Throwable
+            if attempt < maxAttempts &&
+              (t.isInstanceOf[StaleProbe] || retryableProbeFailure(t)) =>
+          if (!t.isInstanceOf[StaleProbe])
+            sleep(ProbeRetryBackoffMs << (attempt - 1))
+          attempt += 1
+      }
+    }
+    out.get
   }
 
   /** Right-to-be-forgotten delete — [[LshBandIndex.delete]]'s tombstone
@@ -126,6 +262,23 @@ object IvfIndex {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Ids retired by a completed [[applyDeletes]] — unlike `tombstones/`
+    * this table is never cleared: it is the append-path replay guard's
+    * memory that a vector was FORGOTTEN, not merely absent. Without it
+    * an at-least-once replay of an old append batch AFTER one of its
+    * ids was deleted and physically applied would pass the stored-ids
+    * anti-join (the rows are gone) and resurrect the forgotten vector.
+    * Ids-only (8 bytes a row, bounded by lifetime deletes, never by
+    * corpus size) and append-only, so replays of a crashed apply may
+    * write duplicate rows — harmless, the guard anti-join doesn't care. */
+  private def retiredOf(spark: SparkSession, indexDir: String)
+      : Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/retired")
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
@@ -153,6 +306,13 @@ object IvfIndex {
       case None => 0
       case Some(ts0) =>
         val ts = ts0.select("vec_id")
+        // retire the ids FIRST: once rows are physically gone only this
+        // table stops a replayed append from resurrecting them (ids are
+        // append-only across batches — the lifecycle convention — so
+        // retiring forever is correct, never a false rejection). A
+        // crash below leaves tombstones in place; the rerun re-appends
+        // the same ids (dup rows, fine) and reapplies.
+        ts.repartition(1).write.mode("append").parquet(s"$indexDir/retired")
         val vecs = spark.read.parquet(s"$indexDir/vectors")
         val touched = vecs.join(broadcast(ts), "vec_id")
           .groupBy("cell").agg(count(lit(1)).as("n_del"))
@@ -219,8 +379,14 @@ object IvfIndex {
     graft.functions.VectorFunctions.register(spark)
     val centroids = spark.read.parquet(s"$indexDir/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+    // replay guard = stored ids ∪ RETIRED ids: stored alone re-admits a
+    // batch whose vector was forgotten (delete + applyDeletes) between
+    // the original send and the replay — GDPR's "never served again"
+    // must survive at-least-once delivery
     val known = spark.read.parquet(s"$indexDir/vectors")
       .select("vec_id").distinct()
+    val guard = retiredOf(spark, indexDir)
+      .map(r => known.unionByName(r.select("vec_id"))).getOrElse(known)
     // align to the STORED schema before writing: parquet append with a
     // mismatched column type (e.g. string label into an int index)
     // corrupts the table for every later reader — ANSI cast fails loudly
@@ -235,7 +401,7 @@ object IvfIndex {
     // admitImpl newSetIds discipline (write jobs never read the dir
     // they write)
     val toAdd = assignToCentroids(
-        newVecs.join(known, Seq("vec_id"), "left_anti"), centroids)
+        newVecs.join(guard, Seq("vec_id"), "left_anti"), centroids)
       .select(aligned :+ col("cell"): _*)
       .localCheckpoint()
     toAdd.write.mode("append").partitionBy("cell")
@@ -276,6 +442,65 @@ object IvfIndex {
       .groupBy("cell")
       .agg(count(lit(1)).as("n"), avg("d2").as("mean_disp2"))
       .orderBy("cell")
+  }
+
+  /** ANN serving-health audit — the vector twin of
+    * [[IndexManifest.freshness]]: everything a fleet dashboard (or the
+    * [[graft.streaming.AnnMaintenance]] rebalance decision) needs to
+    * know about a serving index, in ONE metadata-scale row per index.
+    * One k-bounded groupBy-count scan of the vector table plus three
+    * tiny reads (centroids, tombstones, retired) — no float math, no
+    * per-vector output:
+    *
+    *   - `n_cells`/`n_vectors`/`max_cell`/`mean_cell` — population map;
+    *   - `hot_factor` — max/mean cell population, [[driftAudit]]'s
+    *     trigger signal collapsed to the number [[rebalance]]'s
+    *     `factor` is compared against;
+    *   - `n_hot_cells` — cells a `rebalance(factor)` pass would split;
+    *   - `orphan_cells` — vector dirs the centroids table doesn't
+    *     list (a crashed rebalance's torn state; the next rebalance
+    *     adopts them);
+    *   - `tombstone_backlog` — ids logically deleted but not yet
+    *     physically applied (each one rides every probe's anti-join:
+    *     a large backlog says run [[applyDeletes]]);
+    *   - `retired_ids` — lifetime forgotten ids (the append guard's
+    *     permanent anti-join side — monotone, bounded by deletes);
+    *   - `probe_rows_mean` / `probe_rows_worst` — forecast rows
+    *     scanned by an `nprobe`-cell probe: nprobe × mean population,
+    *     and the sum of the nprobe LARGEST cells (the skewed-query
+    *     worst case — when worst ≫ mean the index needs a rebalance
+    *     even if no single cell trips `factor`). */
+  def servingHealth(spark: SparkSession, indexDir: String,
+      nprobe: Int = 4, factor: Double = 2.0): DataFrame =
+    healthOf(spark, indexDir, "vectors", nprobe, factor)
+
+  private[operators] def healthOf(spark: SparkSession, indexDir: String,
+      table: String, nprobe: Int, factor: Double): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def countOf(sub: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
+      if (fs.exists(p)) spark.read.parquet(p.toString).count() else 0L
+    }
+    val counts = spark.read.parquet(s"$indexDir/$table")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val known = readCentroids(spark, indexDir).map(_._1).toSet
+    val nVec = counts.map(_._2).sum
+    val maxCell = if (counts.isEmpty) 0L else counts.map(_._2).max
+    val meanCell = if (counts.isEmpty) 0.0 else nVec.toDouble / counts.length
+    val worst = counts.map(_._2).sorted.reverse.take(nprobe).sum
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((counts.length, nVec, maxCell, meanCell,
+      if (meanCell > 0) maxCell / meanCell else 0.0,
+      counts.count(_._2 > factor * meanCell).toLong,
+      counts.map(_._1).count(c => !known.contains(c)).toLong,
+      countOf("tombstones"), countOf("retired"),
+      nprobe * meanCell, worst))
+      .toDF("n_cells", "n_vectors", "max_cell", "mean_cell", "hot_factor",
+        "n_hot_cells", "orphan_cells", "tombstone_backlog", "retired_ids",
+        "probe_rows_mean", "probe_rows_worst")
   }
 
   /** Maintenance: re-split every cell whose population exceeds

@@ -96,11 +96,16 @@ object IvfPq {
     val centroids = spark.read.parquet(s"$indexDir/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
     val stored = spark.read.parquet(s"$indexDir/codes").schema
+    // replay guard = stored ids ∪ RETIRED ids ([[IvfIndex.appendVectors]]'s
+    // reasoning verbatim: stored alone resurrects a forgotten vector when
+    // an old batch replays after delete + applyDeletes)
     val known = spark.read.parquet(s"$indexDir/codes")
       .select("vec_id").distinct()
+    val guard = retiredOf(spark, indexDir)
+      .map(r => known.unionByName(r.select("vec_id"))).getOrElse(known)
     val cbLit = typedlit(cbs.map(_.map(_.toSeq).toSeq).toSeq)
     val enc = IvfIndex.assignToCentroids(
-      batch.join(known, Seq("vec_id"), "left_anti"), centroids)
+      batch.join(guard, Seq("vec_id"), "left_anti"), centroids)
       .withColumn("r", call_function("pq_encode", col("e"), cbLit))
     val withCodes = (0 until PqM).foldLeft(enc) { (acc, m) =>
       acc.withColumn(s"code_$m",
@@ -121,12 +126,12 @@ object IvfPq {
   }
 
   /** Probe cells + driver-computed ADC table for `query`, shared by
-    * [[query]] and [[queryRerank]]. The fold is the engines' left
-    * fold, so ADC values are bit-equal to q162's. */
-  private def probePlan(spark: SparkSession, indexDir: String,
+    * [[query]] and [[queryRerank]], from an already-resolved centroid
+    * view ([[IvfIndex.queryPlanFrom]]'s seam shape). The fold is the
+    * engines' left fold, so ADC values are bit-equal to q162's. */
+  private def probePlanFrom(spark: SparkSession, indexDir: String,
+      centroids: Array[(Int, Array[Double])],
       q: Array[Double], nprobe: Int): (Seq[Int], DataFrame) = {
-    val centroids = spark.read.parquet(s"$indexDir/centroids")
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     val probes = centroids.map { case (cell, c) =>
       (c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, cell)
     }.sorted.take(nprobe).map(_._2).toSeq
@@ -175,6 +180,18 @@ object IvfPq {
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
+  /** Never-cleared retired-ids table — [[IvfIndex]]'s `retired/`
+    * discipline on the codes lifecycle (see the scaladoc there): the
+    * append guard's memory that an id was FORGOTTEN, so a replayed
+    * batch can't resurrect it after physical removal. */
+  private def retiredOf(spark: SparkSession, indexDir: String)
+      : Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/retired")
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
   private def minusTombstones(df: DataFrame, ts: Option[DataFrame]): DataFrame =
     ts.map(t => df.join(broadcast(t.select("vec_id")), Seq("vec_id"),
       "left_anti")).getOrElse(df)
@@ -195,6 +212,11 @@ object IvfPq {
       case None => 0
       case Some(ts0) =>
         val ts = ts0.select("vec_id")
+        // retire FIRST — once the code rows are gone only this table
+        // stops a replayed append from resurrecting them; a crash below
+        // leaves tombstones in place and the rerun re-appends (dup
+        // rows, harmless) and reapplies ([[IvfIndex.applyDeletes]])
+        ts.repartition(1).write.mode("append").parquet(s"$indexDir/retired")
         val codes = spark.read.parquet(s"$indexDir/codes")
         val storedCols = codes.schema.fields.map(_.name)
         val touched = codes.join(broadcast(ts), "vec_id")
@@ -224,13 +246,78 @@ object IvfPq {
     }
   }
 
-  /** Top-k by ADC over the probed cells' codes. */
-  def query(spark: SparkSession, indexDir: String, q: Array[Double],
-      topK: Int = 10, nprobe: Int = 4): DataFrame = {
-    val (_, scored) = probePlan(spark, indexDir, q, nprobe)
+  /** One-shot LAZY probe plan (current centroid view, no retry) — the
+    * plan-inspection seam; serving goes through [[query]]. */
+  private[graft] def queryPlan(spark: SparkSession, indexDir: String,
+      q: Array[Double], topK: Int = 10, nprobe: Int = 4): DataFrame = {
+    val (_, scored) = probePlanFrom(spark, indexDir,
+      IvfIndex.readCentroids(spark, indexDir), q, nprobe)
     scored.select("vec_id", "label", "cell", "adc_dist")
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(topK)
+  }
+
+  /** Top-k by ADC over the probed cells' codes — EAGER under
+    * [[IvfIndex.ProbeRetryAttempts]]'s probe-retry policy (the serving
+    * index's reader story: [[graft.streaming.AnnMaintenance]] makes
+    * partition overwrites routine, so a missing-file race or a centroid
+    * view changing under the scan re-resolves and re-plans instead of
+    * failing the query). */
+  def query(spark: SparkSession, indexDir: String, q: Array[Double],
+      topK: Int = 10, nprobe: Int = 4): DataFrame =
+    queryImpl(spark, indexDir, q, topK, nprobe)
+
+  /** [[query]] with the spec seams exposed ([[IvfIndex.queryImpl]]'s
+    * shape: `afterPin` fires between the centroid read and the codes
+    * scan). */
+  private[graft] def queryImpl(spark: SparkSession, indexDir: String,
+      q: Array[Double], topK: Int = 10, nprobe: Int = 4,
+      afterPin: Int => Unit = _ => (),
+      maxAttempts: Int = IvfIndex.ProbeRetryAttempts,
+      sleep: Long => Unit = Thread.sleep): DataFrame =
+    eagerProbe(spark, indexDir, afterPin, maxAttempts, sleep, topK) { cents =>
+      val (_, scored) = probePlanFrom(spark, indexDir, cents, q, nprobe)
+      scored.select("vec_id", "label", "cell", "adc_dist")
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(IvfIndex.withHeadroom(topK))
+    }
+
+  /** The shared retry loop for the PQ probe paths — [[IvfIndex.queryImpl]]'s
+    * policy with the plan body injected (ADC top-k or rerank join). */
+  private def eagerProbe(spark: SparkSession, indexDir: String,
+      afterPin: Int => Unit, maxAttempts: Int, sleep: Long => Unit,
+      keep: Int)(
+      plan: Array[(Int, Array[Double])] => DataFrame): DataFrame = {
+    var attempt = 1
+    var out: Option[DataFrame] = None
+    while (out.isEmpty) {
+      try {
+        val c1 = IvfIndex.readCentroids(spark, indexDir)
+        afterPin(attempt)
+        val df = plan(c1)
+        val rows = df.collect()
+        if (!IvfIndex.sameCentroids(c1,
+              IvfIndex.readCentroids(spark, indexDir)) &&
+            attempt < maxAttempts) throw new IvfIndex.StaleProbe
+        // dedupe a row a mid-commit listing saw twice (old + new cell
+        // dir — identical code row, identical distance; rows arrive
+        // sorted, keep the first), then trim the plan's headroom
+        // ([[IvfIndex.DupHeadroom]]) back to the caller's top-k
+        val seen = scala.collection.mutable.HashSet.empty[Long]
+        val uniq = rows.filter(r => seen.add(r.getLong(0))).take(keep)
+        out = Some(spark.createDataFrame(
+          java.util.Arrays.asList(uniq: _*), df.schema))
+      } catch {
+        case t: Throwable
+            if attempt < maxAttempts &&
+              (t.isInstanceOf[IvfIndex.StaleProbe] ||
+                IvfIndex.retryableProbeFailure(t)) =>
+          if (!t.isInstanceOf[IvfIndex.StaleProbe])
+            sleep(IvfIndex.ProbeRetryBackoffMs << (attempt - 1))
+          attempt += 1
+      }
+    }
+    out.get
   }
 
   /** The persisted codebooks as nested Seqs (m → j → subvector). */
@@ -286,6 +373,13 @@ object IvfPq {
       .agg(count(lit(1)).as("n"), avg("d2").as("mean_disp2"))
       .orderBy("cell")
   }
+
+  /** [[IvfIndex.servingHealth]] over the codes table — same columns,
+    * same k-bounded cost (the forecast counts CODE rows, which is the
+    * honest probe cost here: the ADC scan reads codes, never floats). */
+  def servingHealth(spark: SparkSession, indexDir: String,
+      nprobe: Int = 4, factor: Double = 2.0): DataFrame =
+    IvfIndex.healthOf(spark, indexDir, "codes", nprobe, factor)
 
   /** Maintenance — [[IvfIndex.rebalance]]'s touch-only-what-changed
     * discipline over the codes table: re-split every cell whose
@@ -399,19 +493,21 @@ object IvfPq {
     * q164's stage 2). */
   def queryRerank(spark: SparkSession, indexDir: String,
       vectors: DataFrame, q: Array[Double], topK: Int = 10,
-      nprobe: Int = 4, shortlist: Int = 100): DataFrame = {
-    val (_, scored) = probePlan(spark, indexDir, q, nprobe)
-    val short = scored.select("vec_id", "label", "adc_dist")
-      .orderBy(col("adc_dist"), col("vec_id"))
-      .limit(shortlist)
-    val qn = math.sqrt(q.map(x => x * x).sum)
-    val qe = array(q.toSeq.map(lit): _*)
-    graft.functions.VectorFunctions.register(spark)
-    short.join(vectors.select(col("vec_id"), col("e"), col("nrm")), "vec_id")
-      .withColumn("qe", qe)
-      .select(col("vec_id"), col("label"), col("adc_dist"),
-        (expr("dot_product(e, qe)") / (col("nrm") * lit(qn))).as("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-      .limit(topK)
-  }
+      nprobe: Int = 4, shortlist: Int = 100): DataFrame =
+    eagerProbe(spark, indexDir, _ => (), IvfIndex.ProbeRetryAttempts,
+        Thread.sleep, topK) { cents =>
+      val (_, scored) = probePlanFrom(spark, indexDir, cents, q, nprobe)
+      val short = scored.select("vec_id", "label", "adc_dist")
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(shortlist)
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      val qe = array(q.toSeq.map(lit): _*)
+      graft.functions.VectorFunctions.register(spark)
+      short.join(vectors.select(col("vec_id"), col("e"), col("nrm")), "vec_id")
+        .withColumn("qe", qe)
+        .select(col("vec_id"), col("label"), col("adc_dist"),
+          (expr("dot_product(e, qe)") / (col("nrm") * lit(qn))).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(topK)
+    }
 }

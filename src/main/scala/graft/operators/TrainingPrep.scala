@@ -2387,7 +2387,9 @@ object TrainingPrep {
       perSource
         .select(col("source"), col("n_docs"), col("n_flagged"),
           col("shared_hashes"), col("flagged_tokens"),
-          expr("flagged_tokens * 1000000 div src_tokens")
+          // nullif: a source whose docs are all empty (src_tokens = 0)
+          // must read NULL on both engines — DuckDB's // raises on 0
+          expr("flagged_tokens * 1000000 div nullif(src_tokens, 0)")
             .as("flagged_ppm"))
         .orderBy("source")
     },
@@ -2411,7 +2413,7 @@ object TrainingPrep {
         FROM meta m LEFT JOIN ns n USING (doc_id)
         GROUP BY m.source)
       SELECT source, n_docs, n_flagged, shared_hashes, flagged_tokens,
-        flagged_tokens * 1000000 // src_tokens AS flagged_ppm
+        flagged_tokens * 1000000 // nullif(src_tokens, 0) AS flagged_ppm
       FROM agg ORDER BY source"""))
 
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,

@@ -32,9 +32,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * DRIFT: frozen-quantizer appends let hot cells grow forever
   * ([[IvfIndex.driftAudit]]'s motivation), so every `rebalanceEvery`-th
-  * batch runs [[IvfIndex.rebalanceToConvergence]] — cost bounded by
-  * the hot cells, a no-op when nothing is hot, and a replayed trigger
-  * batch re-runs it harmlessly (nothing is hot the second time).
+  * batch reads [[IvfIndex.servingHealth]] (one k-bounded count scan)
+  * and runs [[IvfIndex.rebalanceToConvergence]] only when a cell
+  * exceeded the factor or a crashed rebalance left orphans — cost
+  * bounded by the hot cells, a pure audit when nothing is hot, and a
+  * replayed trigger batch re-runs it harmlessly (nothing is hot the
+  * second time).
   *
   * BOOTSTRAP CONTRACT: the coarse quantizer is fitted OFFLINE
   * ([[IvfIndex.build]] over a representative corpus) before the stream
@@ -65,8 +68,12 @@ object AnnMaintenance {
   }
 
   /** One micro-batch: append under the lease (bounded retry), then on
-    * every `rebalanceEvery`-th batch re-split whatever drifted hot.
-    * Returns the number of cells the trigger split (0 on non-trigger
+    * every `rebalanceEvery`-th batch consult the serving-health audit
+    * ([[IvfIndex.servingHealth]] — the rebalance DECISION input, not
+    * just a dashboard row) and re-split only when a cell actually
+    * drifted past `rebalanceFactor`: a healthy index's trigger batch
+    * costs one k-bounded count scan, no KMeans machinery. Returns the
+    * number of cells the trigger split (0 on non-trigger and healthy
     * batches — the observability hook a deployment graphs). */
   def applyBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
       batchId: Long, rebalanceEvery: Int = 8,
@@ -74,10 +81,19 @@ object AnnMaintenance {
     IngestPipeline.withLeaseRetry() {
       if (!batch.isEmpty)
         IvfIndex.appendVectors(spark, indexDir, normalize(batch))
-      if (rebalanceEvery > 0 && batchId % rebalanceEvery == rebalanceEvery - 1)
+      if (rebalanceEvery > 0 && batchId % rebalanceEvery == rebalanceEvery - 1
+          && isHot(IvfIndex.servingHealth(spark, indexDir,
+               factor = rebalanceFactor)))
         IvfIndex.rebalanceToConvergence(spark, indexDir, rebalanceFactor)
       else 0
     }
+
+  /** The rebalance gate: split when any cell exceeds the factor, or
+    * when a crashed rebalance left orphan cells to adopt. */
+  private def isHot(health: DataFrame): Boolean = {
+    val h = health.collect()(0)
+    h.getAs[Long]("n_hot_cells") > 0L || h.getAs[Long]("orphan_cells") > 0L
+  }
 
   def start(evts: Dataset[EmbeddingEvt], indexDir: String,
       checkpointDir: String, rebalanceEvery: Int = 8,
@@ -95,7 +111,9 @@ object AnnMaintenance {
     IngestPipeline.withLeaseRetry() {
       if (!batch.isEmpty)
         graft.operators.IvfPq.append(spark, indexDir, normalize(batch))
-      if (rebalanceEvery > 0 && batchId % rebalanceEvery == rebalanceEvery - 1)
+      if (rebalanceEvery > 0 && batchId % rebalanceEvery == rebalanceEvery - 1
+          && isHot(graft.operators.IvfPq.servingHealth(spark, indexDir,
+               factor = rebalanceFactor)))
         graft.operators.IvfPq.rebalanceToConvergence(spark, indexDir,
           rebalanceFactor)
       else 0

@@ -1,0 +1,170 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.IvfIndex
+import graft.streaming.AnnMaintenance
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** ANN-maintainer scale probe — the [[IngestScale]] discipline applied
+  * to the third maintainer (embeddings → IVF). Not part of the driver
+  * contract. Measures, against an index that GROWS across the run (a
+  * one-batch demo hides the guard anti-join's real cost):
+  *
+  *  - per-batch append wall time and vecs/sec across a growth curve
+  *    ([[AnnMaintenance.applyBatch]] — normalize, vec_id ∪ retired
+  *    guard, argmin assignment, partitioned append), split into the
+  *    JIT-COLD first batch and the warm curve so each floor flags at
+  *    a meaningful threshold (cold and warm throughput differ ~2× by
+  *    construction — one shared floor dulls the alarm);
+  *  - the trigger batch's health-gated rebalance on a PLANTED hot cell
+  *    (jittered clone burst → servingHealth trips → splits to
+  *    convergence): the maintenance cost a deployment pays every
+  *    `rebalanceEvery` batches when drift is real;
+  *  - the replay skip (the whole last batch re-sent): the vec_id guard
+  *    must admit nothing, priced so "exactly-once costs one anti-join"
+  *    is measured rather than claimed;
+  *  - the [[IvfIndex.servingHealth]] audit row — the q267 readout this
+  *    tool archives per run (population map, hot factor, backlog,
+  *    probe-cost forecast).
+  *
+  * Usage: sbt "runMain graft.tools.AnnScale [sfDir] [nBatches]"
+  *
+  * Output JSON carries `floor_suspects` + `load_suspect` against the
+  * committed idle-machine floors (ann_floor.json — the
+  * bench_floor.json protocol), so an archived record flags its own
+  * regressions: time metrics flag HIGH at 2×, throughput metrics flag
+  * LOW under half floor.
+  */
+object AnnScale {
+
+  private[graft] def floorSuspects(metrics: Map[String, Double],
+      floors: Map[String, Double]): Seq[String] = {
+    def over(k: String, factor: Double) =
+      (for (m <- metrics.get(k); f <- floors.get(k)) yield m > factor * f)
+        .getOrElse(false)
+    def under(k: String) =
+      (for (m <- metrics.get(k); f <- floors.get(k)) yield m < f / 2.0)
+        .getOrElse(false)
+    (Seq("build_sec" -> 2.0, "rebalance_sec" -> 2.0,
+      "replay_skip_sec" -> 2.0).collect { case (k, f) if over(k, f) => k }) ++
+      Seq("cold_vecs_per_sec", "min_warm_vecs_per_sec").filter(under)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(8)
+    require(nBatches >= 2, "need a cold batch AND a warm curve")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-ann-scale")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val base = java.nio.file.Files.createTempDirectory("graft-ann-scale")
+    val idx = s"$base/ivf"
+    // bootstrap contract: the coarse quantizer is fitted offline over
+    // the base corpus; the stream then grows the index around it
+    val (_, tBuild) = timed(IvfIndex.build(spark, sfDir, idx))
+    val wire = Tables.embeddings(spark, sfDir).cache()
+    val nBase = wire.count()
+    // growth curve: one full shifted clone of the corpus per batch —
+    // the index ends the curve at (nBatches + 1) × base size, so the
+    // later batches pay the guard anti-join against a grown index
+    val batches = (0 until nBatches).map { i =>
+      val shift = 1000000L * (i + 1)
+      val b = wire.select((col("vec_id") + shift).as("vec_id"),
+          col("label"), col("embedding"))
+        .localCheckpoint()
+      val nb = b.count()
+      val (_, sec) = timed(AnnMaintenance.applyBatch(spark, b, idx,
+        batchId = i.toLong, rebalanceEvery = 0))
+      val indexVecs = spark.read.parquet(s"$idx/vectors").count()
+      (i, nb, sec, indexVecs)
+    }
+    // replay skip: the whole last batch re-sent (at-least-once
+    // delivery) — the guard must admit nothing, and its price is one
+    // anti-join against the stored+retired ids
+    val lastShift = 1000000L * nBatches
+    val replayBatch = wire.select((col("vec_id") + lastShift).as("vec_id"),
+        col("label"), col("embedding"))
+      .localCheckpoint()
+    val nBefore = spark.read.parquet(s"$idx/vectors").count()
+    val (_, tReplay) = timed(AnnMaintenance.applyBatch(spark, replayBatch,
+      idx, batchId = (nBatches - 1).toLong, rebalanceEvery = 0))
+    require(spark.read.parquet(s"$idx/vectors").count() == nBefore,
+      "replay skip admitted vectors")
+    // rebalance trigger: plant a jittered clone burst (3x the mean
+    // cell) so the health gate trips and the split does real work
+    val mean = nBefore.toDouble / spark.read.parquet(s"$idx/centroids").count()
+    val burstN = (3 * mean).toInt
+    val q0 = graft.operators.Similarity.normed(spark, sfDir)
+      .filter(col("vec_id") === 0L).select("e")
+      .collect()(0).getSeq[Double](0).toArray
+    val spark2 = spark
+    import spark2.implicits._
+    val burst = (0 until burstN).map { i =>
+      val e = q0.toSeq.updated(0, q0(0) + 1e-3 * i)
+      (50000000L + i, 7, e.map(_.toFloat))
+    }.toDF("vec_id", "label", "embedding").localCheckpoint()
+    AnnMaintenance.applyBatch(spark, burst, idx, batchId = 0L,
+      rebalanceEvery = 0)
+    val (splits, tRebalance) = timed(AnnMaintenance.applyBatch(spark,
+      spark.emptyDataFrame, idx, batchId = 0L, rebalanceEvery = 1))
+    require(splits > 0, "the planted burst must trigger at least one split")
+    wire.unpersist()
+
+    val batchJson = batches.map { case (i, nb, sec, iv) =>
+      s"""{"batch":$i,"vecs":$nb,"sec":${f"$sec%.3f"},""" +
+        s""""vecs_per_sec":${f"${nb / sec}%.1f"},"index_vecs":$iv}"""
+    }.mkString("[", ",", "]")
+    val cold = batches.head match { case (_, nb, sec, _) => nb / sec }
+    val warmMin = batches.tail.map { case (_, nb, sec, _) => nb / sec }.min
+    val metrics = Map("build_sec" -> tBuild, "rebalance_sec" -> tRebalance,
+      "replay_skip_sec" -> tReplay, "cold_vecs_per_sec" -> cold,
+      "min_warm_vecs_per_sec" -> warmMin)
+    val floors = Seq("ann_floor.json", "target/ann_floor.json").view
+      .map(java.nio.file.Paths.get(_))
+      .find(java.nio.file.Files.exists(_))
+      .map(p => IngestScale.parseFloors(
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8")))
+      .getOrElse(Map.empty)
+    val suspects = floorSuspects(metrics, floors)
+    val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the q267 serving-health audit row, archived with the run
+    val h = IvfIndex.servingHealth(spark, idx).collect()(0)
+    val healthJson =
+      s"""{"n_cells":${h.getAs[Int]("n_cells")},""" +
+        s""""n_vectors":${h.getAs[Long]("n_vectors")},""" +
+        s""""max_cell":${h.getAs[Long]("max_cell")},""" +
+        s""""mean_cell":${f"${h.getAs[Double]("mean_cell")}%.1f"},""" +
+        s""""hot_factor":${f"${h.getAs[Double]("hot_factor")}%.3f"},""" +
+        s""""n_hot_cells":${h.getAs[Long]("n_hot_cells")},""" +
+        s""""orphan_cells":${h.getAs[Long]("orphan_cells")},""" +
+        s""""tombstone_backlog":${h.getAs[Long]("tombstone_backlog")},""" +
+        s""""retired_ids":${h.getAs[Long]("retired_ids")},""" +
+        s""""probe_rows_mean":${f"${h.getAs[Double]("probe_rows_mean")}%.1f"},""" +
+        s""""probe_rows_worst":${h.getAs[Long]("probe_rows_worst")}}"""
+    println(s"""{"sf":"$sfDir","base_vecs":$nBase,""" +
+      s""""build_sec":${f"$tBuild%.3f"},"batches":$batchJson,""" +
+      s""""cold_vecs_per_sec":${f"$cold%.1f"},""" +
+      s""""min_warm_vecs_per_sec":${f"$warmMin%.1f"},""" +
+      s""""replay_skip_sec":${f"$tReplay%.3f"},""" +
+      s""""rebalance_splits":$splits,"rebalance_sec":${f"$tRebalance%.3f"},""" +
+      s""""health":$healthJson,""" +
+      s""""floor_suspects":$suspectsJson,"load_suspect":${suspects.nonEmpty}}""")
+    spark.stop()
+  }
+}

@@ -166,6 +166,60 @@ class AnnMaintenanceSpec extends AnyFunSuite {
       "the streamed clone must decode to its original's exact ADC")
   }
 
+  test("probes run continuously THROUGH a live rebalance: none throws, every answer is the invariant full-probe top-k") {
+    val idx = tmpDir("graft-annm-live-probe")
+    IvfIndex.build(spark, sf, idx)
+    // plant the drift-test skew so the trigger batch performs real
+    // splits (partition overwrites racing the probe thread)
+    val biggest = spark.read.parquet(s"$idx/vectors")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("cell")).collect()(0).getInt(0)
+    val memberIds = spark.read.parquet(s"$idx/vectors")
+      .filter(col("cell") === biggest).select("vec_id")
+      .orderBy("vec_id").collect().map(_.getLong(0)).take(10).toSeq
+    val skew = (0 until 12).flatMap(i =>
+      evtsOf(80000L + i * 1000L, memberIds))
+    for ((g, i) <- skew.grouped(30).zipWithIndex)
+      AnnMaintenance.applyBatch(spark, batchDf(g.toSeq), idx,
+        batchId = i.toLong, rebalanceEvery = 0)
+    val qv = operators.Similarity.normed(spark, sf)
+      .filter(col("vec_id") === memberIds.head).select("e")
+      .collect()(0).getSeq[Double](0).toArray
+    // quiesced ground truth: rebalance is a pure repartitioning, so
+    // the full-probe answer is invariant through the whole window
+    val want = IvfIndex.query(spark, idx, qv, topK = 10, nprobe = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val probes = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var stop = false
+    val prober = new Thread(() => {
+      while (!stop) {
+        try {
+          val got = IvfIndex.queryImpl(spark, idx, qv, topK = 10,
+            nprobe = 1000, maxAttempts = 6)
+            .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+          probes.incrementAndGet()
+          if (got != want)
+            failures.add(s"divergent probe: $got")
+        } catch {
+          case t: Throwable => failures.add(s"probe threw: $t"); stop = true
+        }
+      }
+    }, "ann-live-prober")
+    prober.start()
+    try {
+      // the maintainer's trigger batch: rebalanceToConvergence splits
+      // the hot cell repeatedly while probes keep flowing
+      val splits = AnnMaintenance.applyBatch(spark,
+        batchDf(Seq.empty[EmbeddingEvt]), idx, batchId = 7L,
+        rebalanceEvery = 8, rebalanceFactor = 2.0)
+      assert(splits > 0, "the planted skew must trigger at least one split")
+    } finally { stop = true; prober.join() }
+    assert(failures.isEmpty, s"probes through live maintenance failed: " +
+      failures.toArray.take(3).mkString(" | "))
+    assert(probes.get() > 0, "the prober never completed a probe")
+  }
+
   test("bootstrap contract: starting on a dir with no quantizer fails loudly") {
     val mem = { import spark.implicits._; implicit val sq = spark.sqlContext; MemoryStream[EmbeddingEvt] }
     intercept[IllegalArgumentException] {

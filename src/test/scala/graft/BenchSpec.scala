@@ -132,7 +132,7 @@ class BenchSpec extends AnyFunSuite {
       java.nio.file.Paths.get("ingest_floor.json")), "UTF-8")
     val floors = tools.IngestScale.parseFloors(txt)
     for (k <- Seq("build_sec", "marker_skip_sec", "repair_replay_sec",
-        "min_docs_per_sec")) {
+        "cold_docs_per_sec", "min_warm_docs_per_sec")) {
       assert(floors.contains(k), s"ingest floor $k missing")
       assert(floors(k) > 0.0, s"$k floor ${floors(k)} implausible")
     }
@@ -140,27 +140,76 @@ class BenchSpec extends AnyFunSuite {
     // no-I/O path and must be orders cheaper than the repair replay
     assert(floors("marker_skip_sec") < floors("repair_replay_sec") / 10,
       "marker skip floor should be far below the repair floor")
+    // the cold/warm split exists BECAUSE the first batch runs well
+    // under the warm curve — a floor pair where cold >= warm would
+    // mean the split measured nothing
+    assert(floors("cold_docs_per_sec") < floors("min_warm_docs_per_sec"),
+      "cold floor must sit below the warm floor")
     assert(!floors.contains("_comment"))
   }
 
-  test("IngestScale floor flags: time metrics flag high, throughput flags low, unknowns never flag") {
+  test("IngestScale floor flags: time metrics flag high, cold/warm throughput each flag low against their OWN floor") {
     val floors = Map("build_sec" -> 10.0, "repair_replay_sec" -> 4.0,
-      "marker_skip_sec" -> 0.001, "min_docs_per_sec" -> 3000.0)
-    // idle-shaped record: nothing flags
+      "marker_skip_sec" -> 0.001, "cold_docs_per_sec" -> 70.0,
+      "min_warm_docs_per_sec" -> 150.0)
+    // idle-shaped record: nothing flags — note the cold batch at 75
+    // would be 'under half' of a SHARED 150 floor (the dulled-alarm
+    // shape); against its own floor it is healthy
     assert(tools.IngestScale.floorSuspects(Map(
       "build_sec" -> 12.0, "repair_replay_sec" -> 5.0,
-      "marker_skip_sec" -> 0.004, "min_docs_per_sec" -> 2900.0),
+      "marker_skip_sec" -> 0.004, "cold_docs_per_sec" -> 75.0,
+      "min_warm_docs_per_sec" -> 145.0),
       floors).isEmpty)
     // regressions: slow build, slow repair, marker past its 5x band,
-    // throughput under half floor
+    // both throughputs under half their own floors
     assert(tools.IngestScale.floorSuspects(Map(
       "build_sec" -> 21.0, "repair_replay_sec" -> 9.0,
-      "marker_skip_sec" -> 0.006, "min_docs_per_sec" -> 1400.0),
+      "marker_skip_sec" -> 0.006, "cold_docs_per_sec" -> 30.0,
+      "min_warm_docs_per_sec" -> 70.0),
       floors).toSet == Set("build_sec", "repair_replay_sec",
-        "marker_skip_sec", "min_docs_per_sec"))
+        "marker_skip_sec", "cold_docs_per_sec", "min_warm_docs_per_sec"))
+    // a warm regression flags even while the cold batch is healthy —
+    // the alarm the shared floor had dulled
+    assert(tools.IngestScale.floorSuspects(Map(
+      "build_sec" -> 11.0, "repair_replay_sec" -> 4.2,
+      "marker_skip_sec" -> 0.002, "cold_docs_per_sec" -> 72.0,
+      "min_warm_docs_per_sec" -> 72.0),
+      floors) == Seq("min_warm_docs_per_sec"))
     // no committed floors -> nothing ever flags
     assert(tools.IngestScale.floorSuspects(
       Map("build_sec" -> 99.0), Map.empty).isEmpty)
+  }
+
+  test("ann_floor.json parses and carries every AnnScale metric (the ANN maintainer's committed floors)") {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("ann_floor.json")), "UTF-8")
+    val floors = tools.IngestScale.parseFloors(txt)
+    for (k <- Seq("build_sec", "rebalance_sec", "replay_skip_sec",
+        "cold_vecs_per_sec", "min_warm_vecs_per_sec")) {
+      assert(floors.contains(k), s"ann floor $k missing")
+      assert(floors(k) > 0.0, s"$k floor ${floors(k)} implausible")
+    }
+    assert(floors("cold_vecs_per_sec") < floors("min_warm_vecs_per_sec"),
+      "cold floor must sit below the warm floor")
+    assert(!floors.contains("_comment"))
+  }
+
+  test("AnnScale floor flags: times flag high at 2x, cold/warm vec throughput flag low at half their own floors") {
+    val floors = Map("build_sec" -> 5.0, "rebalance_sec" -> 8.0,
+      "replay_skip_sec" -> 1.0, "cold_vecs_per_sec" -> 400.0,
+      "min_warm_vecs_per_sec" -> 900.0)
+    assert(tools.AnnScale.floorSuspects(Map(
+      "build_sec" -> 6.0, "rebalance_sec" -> 9.0,
+      "replay_skip_sec" -> 1.4, "cold_vecs_per_sec" -> 420.0,
+      "min_warm_vecs_per_sec" -> 880.0), floors).isEmpty)
+    assert(tools.AnnScale.floorSuspects(Map(
+      "build_sec" -> 11.0, "rebalance_sec" -> 17.0,
+      "replay_skip_sec" -> 2.5, "cold_vecs_per_sec" -> 150.0,
+      "min_warm_vecs_per_sec" -> 400.0), floors).toSet ==
+      Set("build_sec", "rebalance_sec", "replay_skip_sec",
+        "cold_vecs_per_sec", "min_warm_vecs_per_sec"))
+    assert(tools.AnnScale.floorSuspects(
+      Map("rebalance_sec" -> 99.0), Map.empty).isEmpty)
   }
 
   test("robustTimes retries an outlier run and keeps the honest min") {

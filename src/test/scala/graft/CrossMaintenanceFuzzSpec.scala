@@ -1,0 +1,250 @@
+package graft
+
+import graft.streaming.{AnnMaintenance, IngestPipeline}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** CROSS-lifecycle composition fuzz — the six per-lifecycle fuzz
+  * harnesses prove each index's laws hold per-op; a 100 TB deployment
+  * runs the maintainers CONCURRENTLY (text ingest into LSH+BM25, the
+  * ANN maintainer into IVF, rollup maintenance, and GDPR sweeps across
+  * all of them), so this spec fuzzes the COMPOSITION: a seeded op walk
+  * drives a SUBJECT that suffers everything production suffers —
+  * crash-injected ingest batches replayed from the top, at-least-once
+  * ANN batches re-delivered (including batches whose vectors were
+  * since FORGOTTEN — the retired-ids law), duplicate rollup op ids,
+  * lease contention from a concurrent sweeper absorbed by the bounded
+  * retry, and a GDPR sweep that crashes half-done and reruns in full —
+  * while a TWIN applies the same logical ops cleanly, exactly once.
+  * After EVERY step, all four serving surfaces (LSH probe, BM25 probe,
+  * IVF full-probe top-k, rollup query) must be identical on both
+  * sides: crashes, replays and contention in one lifecycle must never
+  * leak into another's served state.
+  *
+  * Deterministic: fixed seed, synthesized doc texts keyed by doc_id,
+  * seeded KMeans builds (identical centroids both sides), every op
+  * kind fires at least once before the seeded random walk — the
+  * [[Bm25FuzzSpec]] discipline (a pure random walk degenerates). */
+class CrossMaintenanceFuzzSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+  import operators.{Bm25Index, IndexManifest, IvfIndex, LshBandIndex,
+    MaintenanceLock, RollupStore}
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  /** 40 unique tokens per doc, keyed by id — novel by construction. */
+  private def textOf(id: Long): String =
+    (0 until 40).map(i => s"d${id}w$i").mkString(" ")
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def vecBatchDf(shift: Long, origIds: Seq[Long]) =
+    Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(origIds: _*))
+      .select((col("vec_id") + shift).as("vec_id"), col("label"),
+        col("embedding"))
+
+  test("seeded cross-maintainer fuzz: subject (crashes, replays, contention, sweeps) serves bit-equal to the clean twin after EVERY step") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    val sLsh = tmp("xf-s-lsh"); val sBm = tmp("xf-s-bm")
+    val sIvf = tmp("xf-s-ivf"); val sRs = tmp("xf-s-rs")
+    val tLsh = tmp("xf-t-lsh"); val tBm = tmp("xf-t-bm")
+    val tIvf = tmp("xf-t-ivf"); val tRs = tmp("xf-t-rs")
+
+    // --- seed all four lifecycles identically on both sides ----------
+    val seedDocs = docsDf((0L until 10L).map(id => (id, textOf(id))))
+      .localCheckpoint()
+    for (d <- Seq(sLsh, tLsh)) LshBandIndex.build(spark, seedDocs, d)
+    for (d <- Seq(sBm, tBm)) Bm25Index.build(spark, seedDocs, d)
+    for (d <- Seq(sIvf, tIvf)) IvfIndex.build(spark, sf, d)
+    val events = Tables.events(spark, sf).localCheckpoint()
+    var eventsHi = 300L
+    val seedFacts = events.filter(col("event_id") < eventsHi)
+    for (d <- Seq(sRs, tRs)) RollupStore.build(spark, seedFacts, d)
+
+    // --- harness state (the logical stream both sides consume) -------
+    var nextDocId = 10L
+    var nextShift = 100000L
+    var vecBatches = Vector.empty[(Long, Seq[Long])]
+    var forgottenDocs = Set.empty[Long]
+    var forgottenVecs = Set.empty[Long]
+    var forgottenUsers = Set.empty[Long]
+    val trace = new StringBuilder
+
+    // --- the four serving surfaces compared after every step ----------
+    val bmQueries = docsDf((0L until 3L).map(id => (id, textOf(id))))
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(Dsl.toks(col("text")), 1, 4)))
+          .as("term"))
+      .localCheckpoint()
+    val lshProbeBatch = docsDf(Seq(
+      (7000001L, textOf(0L)), (7000002L, textOf(999999L))))
+      .localCheckpoint()
+    val qVec = operators.Similarity.normed(spark, sf)
+      .filter(col("vec_id") === 100L).select("e")
+      .collect()(0).getSeq[Double](0).toArray
+    def surfaces(lsh: String, bm: String, ivf: String, rs: String) = (
+      LshBandIndex.probe(spark, lshProbeBatch, lsh)
+        .collect().map(_.toString).toSeq,
+      Bm25Index.probe(spark, bmQueries, bm)
+        .collect().map(_.toString).toSeq,
+      IvfIndex.query(spark, ivf, qVec, topK = 15, nprobe = 1000)
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq,
+      RollupStore.query(spark, rs).collect().map(_.toString).toSeq)
+
+    val crashSeams = Seq("sets:appended", "bands:appended",
+      "lsh:appended", "postings:appended", "stats:swapped")
+
+    def mkIngestBatch(): org.apache.spark.sql.DataFrame = {
+      // 3 novel docs + 1 near-dup of seed doc 0 + 1 poor doc — the
+      // gate and the near-dup audit both fire every ingest op
+      val novel = (0 until 3).map { _ =>
+        val id = nextDocId; nextDocId += 1; (id, textOf(id))
+      }
+      val nd = { val id = nextDocId; nextDocId += 1
+        (id, textOf(0L).replace("d0w7", "edited")) }
+      val poor = { val id = nextDocId; nextDocId += 1
+        (id, "too short to index") }
+      docsDf(novel :+ nd :+ poor).localCheckpoint()
+    }
+
+    // every op kind once (dependencies first; a SECOND ann-append after
+    // the sweep so the prior-batch re-delivery — including the
+    // forgotten vector — deterministically fires), then the seeded walk
+    val kinds = Seq(0, 3, 5, 4, 1, 2, 6, 3) ++ Seq.fill(2)(rnd.nextInt(7))
+    for ((kind, step) <- kinds.zipWithIndex) {
+      val opId = Some(100L + step)
+      kind match {
+        case 0 => // clean ingest batch, both sides
+          trace ++= "ingest "
+          val b = mkIngestBatch()
+          IngestPipeline.ingestBatch(spark, b, sLsh, sBm, opId)
+          IngestPipeline.ingestBatch(spark, b, tLsh, tBm, opId)
+          ()
+        case 1 => // subject ingest crashes at a seam, replays from the top
+          val seam = crashSeams(step % crashSeams.length)
+          trace ++= s"ingest-crash($seam) "
+          val b = mkIngestBatch()
+          val crashed = try {
+            IngestPipeline.ingestBatchImpl(spark, b, sLsh, sBm,
+              p => if (p == seam) throw new RuntimeException("boom"), opId)
+            false
+          } catch { case e: RuntimeException => e.getMessage == "boom" }
+          assert(crashed, s"crash seam $seam never fired")
+          IngestPipeline.ingestBatch(spark, b, sLsh, sBm, opId)
+          IngestPipeline.ingestBatch(spark, b, tLsh, tBm, opId)
+          ()
+        case 2 => // subject ingest races a sweeper's lease: retry absorbs
+          trace ++= "ingest-contended "
+          val b = mkIngestBatch()
+          val held = new java.util.concurrent.CountDownLatch(1)
+          val release = new java.util.concurrent.CountDownLatch(1)
+          val sweeper = new Thread(() =>
+            MaintenanceLock.withLockAs(spark, sLsh, "sweeper@elsewhere") {
+              held.countDown(); release.await()
+            })
+          sweeper.start(); held.await()
+          new Thread(() => { Thread.sleep(600); release.countDown() }).start()
+          IngestPipeline.ingestBatch(spark, b, sLsh, sBm, opId)
+          sweeper.join()
+          IngestPipeline.ingestBatch(spark, b, tLsh, tBm, opId)
+          ()
+        case 3 => // ANN batch; subject re-delivers it AND a random prior
+          // batch (at-least-once) — including batches with since-
+          // forgotten vectors, which must stay retired
+          val ids = Seq.fill(3 + rnd.nextInt(3))(rnd.nextInt(400).toLong)
+            .distinct
+          val shift = nextShift; nextShift += 100000L
+          trace ++= s"ann-append(shift=$shift) "
+          val b = vecBatchDf(shift, ids).localCheckpoint()
+          AnnMaintenance.applyBatch(spark, b, sIvf, step.toLong,
+            rebalanceEvery = 0)
+          AnnMaintenance.applyBatch(spark, b, sIvf, step.toLong,
+            rebalanceEvery = 0) // immediate replay: must admit nothing
+          vecBatches :+= ((shift, ids))
+          if (vecBatches.size > 1) {
+            val (psh, pids) = vecBatches(rnd.nextInt(vecBatches.size - 1))
+            trace ++= s"ann-replay(shift=$psh) "
+            AnnMaintenance.applyBatch(spark,
+              vecBatchDf(psh, pids).localCheckpoint(), sIvf, step.toLong,
+              rebalanceEvery = 0)
+          }
+          AnnMaintenance.applyBatch(spark, b, tIvf, step.toLong,
+            rebalanceEvery = 0)
+          ()
+        case 4 => // seeded rebalance, both sides (same split decisions)
+          trace ++= "ann-rebalance "
+          IvfIndex.rebalance(spark, sIvf, factor = 1.2)
+          IvfIndex.rebalance(spark, tIvf, factor = 1.2)
+          ()
+        case 5 => // rollup batch; subject re-applies the same op id
+          trace ++= "rollup-append "
+          val lo = eventsHi; eventsHi += 50L
+          val b = events.filter(col("event_id") >= lo &&
+            col("event_id") < eventsHi).localCheckpoint()
+          assert(RollupStore.append(spark, b, sRs, opId))
+          assert(!RollupStore.append(spark, b, sRs, opId),
+            "duplicate rollup op id must be skipped")
+          assert(RollupStore.append(spark, b, tRs, opId))
+          ()
+        case _ => // GDPR sweep: subject crashes half-done, reruns in full
+          val docV = IndexManifest.read(spark, tBm, "postings")
+            .select("doc_id").distinct().collect().map(_.getLong(0))
+            .filterNot(forgottenDocs).max
+          val vecV = vecBatches.flatMap { case (sh, ids) =>
+            ids.map(_ + sh) }.filterNot(forgottenVecs)
+            .headOption.getOrElse(5L + forgottenVecs.size)
+          val userU = events.filter(col("user_id").isNotNull)
+            .filter(!col("user_id").isin(forgottenUsers.toSeq: _*))
+            .select("user_id").head().getLong(0)
+          trace ++= s"gdpr(doc=$docV,vec=$vecV,user=$userU) "
+          val factsSoFar = events.filter(col("event_id") < eventsHi)
+            .join(broadcast(forgottenUsers.toSeq.toDF("user_id")),
+              Seq("user_id"), "left_anti")
+          def sweep(lsh: String, bm: String, ivf: String, rs: String)
+              : Unit = {
+            LshBandIndex.delete(spark, Seq(docV), lsh)
+            Bm25Index.delete(spark, Seq(docV), bm)
+            IvfIndex.delete(spark, Seq(vecV), ivf)
+            RollupStore.delete(spark, factsSoFar,
+              Seq(userU).toDF("user_id"), rs, opId)
+            LshBandIndex.compact(spark, lsh)
+            Bm25Index.compact(spark, bm)
+            IvfIndex.applyDeletes(spark, ivf)
+            ()
+          }
+          // the crashed half: two deletes landed, then the job died
+          LshBandIndex.delete(spark, Seq(docV), sLsh)
+          IvfIndex.delete(spark, Seq(vecV), sIvf)
+          // the replay runs the WHOLE sweep from the top
+          sweep(sLsh, sBm, sIvf, sRs)
+          sweep(tLsh, tBm, tIvf, tRs)
+          forgottenDocs += docV
+          forgottenVecs += vecV
+          forgottenUsers += userU
+          ()
+      }
+      val s = surfaces(sLsh, sBm, sIvf, sRs)
+      val t = surfaces(tLsh, tBm, tIvf, tRs)
+      assert(s._1 == t._1, s"step $step LSH diverged; trace: $trace")
+      assert(s._2 == t._2, s"step $step BM25 diverged; trace: $trace")
+      assert(s._3 == t._3, s"step $step IVF diverged; trace: $trace")
+      assert(s._4 == t._4, s"step $step rollup diverged; trace: $trace")
+    }
+    for (tag <- Seq("ingest ", "ingest-crash(", "ingest-contended",
+        "ann-append(", "ann-replay(", "ann-rebalance", "rollup-append",
+        "gdpr("))
+      assert(trace.toString.contains(tag),
+        s"walk degenerated: no '$tag' in trace: $trace")
+  }
+}

@@ -384,6 +384,53 @@ class IndexManifestSpec extends AnyFunSuite {
     assert(ok, "post-release acquisition from another thread failed")
   }
 
+  test("lock key is canonical: aliased spellings of one dir (trailing slash, //, ., relative) contend on one lease") {
+    // keyed on the raw string, /idx and /idx/ would miss each other in
+    // the in-JVM registry AND the second thread's fileLease would read
+    // the first's lock file, see the shared holder id, and pass through
+    // as "re-entrant" — two threads interleaving on one index
+    val dir = tmp("manifest-alias")
+    val parent = new java.io.File(dir).getParent
+    val name = new java.io.File(dir).getName
+    val aliases = Seq(s"$dir/", s"$parent//$name", s"$parent/./$name")
+    MaintenanceLock.withLock(spark, dir) {
+      for (alias <- aliases) {
+        @volatile var interleaved = false
+        @volatile var innerEx: Option[Throwable] = None
+        val t = new Thread(() => {
+          try { MaintenanceLock.withLock(spark, alias) { interleaved = true }; () }
+          catch { case e: Throwable => innerEx = Some(e) }
+        }, s"alias-maintainer")
+        t.start(); t.join()
+        assert(!interleaved, s"alias '$alias' slipped past the lock on $dir")
+        assert(innerEx.exists(_.isInstanceOf[MaintenanceLock.LockHeldException]),
+          s"alias '$alias': expected LockHeldException, got $innerEx")
+      }
+      ()
+    }
+    // cwd-relative spelling: makeQualified resolves it against the
+    // filesystem working directory, so it aliases the absolute form
+    val relName = s"graft-alias-lock-${java.util.UUID.randomUUID.toString.take(8)}"
+    val absOfRel = new java.io.File(
+      System.getProperty("user.dir"), relName).getAbsolutePath
+    try MaintenanceLock.withLock(spark, absOfRel) {
+      @volatile var innerEx: Option[Throwable] = None
+      val t = new Thread(() => {
+        try { MaintenanceLock.withLock(spark, relName) { () }; () }
+        catch { case e: Throwable => innerEx = Some(e) }
+      })
+      t.start(); t.join()
+      assert(innerEx.exists(_.isInstanceOf[MaintenanceLock.LockHeldException]),
+        s"relative spelling '$relName': expected LockHeldException, got $innerEx")
+      ()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(absOfRel))
+      ()
+    }
+    // all spellings released together: an alias acquires freely now
+    assert(MaintenanceLock.withLock(spark, s"$dir/") { 7 } == 7)
+  }
+
   test("release leaves a STOLEN lease intact (the lock now carries the thief's id)") {
     val dir = tmp("manifest-steal")
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -24,7 +24,9 @@ class IvfIndexSpec extends AnyFunSuite {
       .collect()(0).getSeq[Double](0).toArray
 
   test("query reads only the probed cell partitions (pruning = the lookup)") {
-    val df = operators.IvfIndex.query(spark, indexDir, queryVec,
+    // queryPlan = the lazy single-attempt plan (query itself is eager
+    // under the probe-retry policy and returns a local frame)
+    val df = operators.IvfIndex.queryPlan(spark, indexDir, queryVec,
       topK = 10, nprobe = 4)
     df.collect() // materialize so the adaptive plan finalizes
     // inputFiles reports the pre-pruning FileIndex; the real evidence is
@@ -374,5 +376,168 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$idx/vectors")
       .filter(col("vec_id") >= 50000L).count() == 3L)
     IvfIndex.rebalanceToConvergence(spark, idx, maxRounds = 1)
+  }
+
+  test("a forgotten vector is NOT resurrected by an at-least-once replay after delete + applyDeletes") {
+    import operators.IvfIndex
+    val dir = Files.createTempDirectory("graft-ivf-retired").toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath
+    IvfIndex.build(spark, sf, idx)
+    val batch = operators.Similarity.normed(spark, sf)
+      .filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 900000L)
+    IvfIndex.appendVectors(spark, idx, batch)
+    val victim = 900002L
+    IvfIndex.delete(spark, Seq(victim), idx)
+    assert(IvfIndex.applyDeletes(spark, idx) >= 1)
+    // at-least-once delivery: the WHOLE original batch replays AFTER
+    // its victim was forgotten and physically removed — the stored-ids
+    // guard alone would re-admit it (the rows are gone); the retired
+    // table must keep it out forever
+    IvfIndex.appendVectors(spark, idx, batch)
+    assert(spark.read.parquet(s"$idx/vectors")
+      .filter(col("vec_id") === victim).count() == 0L,
+      "replayed append resurrected a forgotten vector")
+    // the batch's SURVIVORS replay as a no-op (still exactly-once)
+    assert(spark.read.parquet(s"$idx/vectors")
+      .filter(col("vec_id") >= 900000L).count() == 4L,
+      "replay double-admitted or dropped the batch's survivors")
+    // and the victim is absent from a full probe
+    val qv = batch.filter(col("vec_id") === victim)
+      .select("e").collect()(0).getSeq[Double](0).toArray
+    val served = IvfIndex.query(spark, idx, qv, topK = 10, nprobe = 1000)
+      .collect().map(_.getLong(0)).toSet
+    assert(!served.contains(victim), "forgotten vector served after replay")
+    // a later delete/apply cycle APPENDS to retired (never clears it):
+    // the first victim stays retired through the second cycle's replay
+    val victim2 = 900000L
+    IvfIndex.delete(spark, Seq(victim2), idx)
+    IvfIndex.applyDeletes(spark, idx)
+    IvfIndex.appendVectors(spark, idx, batch)
+    assert(spark.read.parquet(s"$idx/vectors")
+      .filter(col("vec_id").isin(victim, victim2)).count() == 0L,
+      "a second retire cycle forgot the first cycle's retirement")
+  }
+
+  test("probe survives a rebalance landing between its centroid read and its vectors scan (stale view re-planned)") {
+    import spark.implicits._
+    import operators.IvfIndex
+    val dir = Files.createTempDirectory("graft-ivf-probe-race").toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath
+    IvfIndex.build(spark, sf, idx)
+    // skew one cell so the injected rebalance actually splits (moving
+    // rows into a NEW cell id the stale centroid view cannot probe)
+    val q = queryVec
+    val total = spark.read.parquet(s"$idx/vectors").count()
+    val clones = (0L until total).map { i =>
+      val e = q.toSeq.updated(0, q(0) + 1e-3 * i)
+      (3000000L + i, 7, e, math.sqrt(e.map(x => x * x).sum))
+    }.toDF("vec_id", "label", "e", "nrm")
+    IvfIndex.appendVectors(spark, idx, clones)
+    // ground truth from the quiesced index: a rebalance is a pure
+    // repartitioning, so the full-probe answer is invariant under it
+    var splits = -1
+    val got = IvfIndex.queryImpl(spark, idx, q, topK = 10, nprobe = 10000,
+      afterPin = attempt => {
+        if (attempt == 1) { splits = IvfIndex.rebalance(spark, idx, 2.0); () }
+      }, sleep = _ => ())
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(splits >= 1, "fixture: the injected rebalance must split a cell")
+    val want = IvfIndex.query(spark, idx, q, topK = 10, nprobe = 10000)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(got == want,
+      "probe racing a rebalance must re-plan to the correct top-k")
+    // applyDeletes overwrite injected at the same seam: the victim is
+    // never served and the probe never throws
+    val victim = got.head._1
+    IvfIndex.delete(spark, Seq(victim), idx)
+    val got2 = IvfIndex.queryImpl(spark, idx, q, topK = 10, nprobe = 10000,
+      afterPin = attempt => {
+        if (attempt == 1) { IvfIndex.applyDeletes(spark, idx); () }
+      }, sleep = _ => ())
+      .collect().map(_.getLong(0)).toSeq
+    assert(!got2.contains(victim),
+      "probe racing applyDeletes served the deleted vector")
+    assert(got2.take(9) == want.map(_._1).filterNot(_ == victim),
+      "probe racing applyDeletes must serve the survivors in order")
+  }
+
+  test("servingHealth pins the audit exactly: populations, hot factor, orphans, tombstone backlog, retirement, probe forecast") {
+    import spark.implicits._
+    import operators.IvfIndex
+    val dir = Files.createTempDirectory("graft-ivf-health").toFile
+    dir.deleteOnExit()
+    val d = dir.getAbsolutePath
+    val e0 = Seq(1.0, 0.0, 0.0); val e1 = Seq(0.0, 1.0, 0.0)
+    // cell 0: 6 rows, cell 1: 2 rows, cell 2: 4 rows ORPHANED (not in
+    // the centroids table — a crashed rebalance's torn state)
+    val vecs = ((0 until 6).map(i => (i.toLong, 0, e0, 1.0, 0)) ++
+      Seq((100L, 1, e1, 1.0, 1), (101L, 1, e1, 1.0, 1)) ++
+      (0 until 4).map(i => (200L + i, 2, e1, 1.0, 2)))
+      .toDF("vec_id", "label", "e", "nrm", "cell")
+    vecs.write.partitionBy("cell").parquet(s"$d/vectors")
+    Seq((0, e0), (1, e1)).toDF("cell", "centroid")
+      .coalesce(1).write.parquet(s"$d/centroids")
+    IvfIndex.delete(spark, Seq(100L), d)
+    val h = IvfIndex.servingHealth(spark, d, nprobe = 2, factor = 1.4)
+      .collect()(0)
+    // 12 vectors over 3 cells: mean 4.0, max 6, hot 6/4 = 1.5; only
+    // cell 0 exceeds 1.4 x 4 = 5.6; cell 2 is the orphan; one pending
+    // tombstone; forecast = 2 x 4 mean / 6+4 worst-two-cells
+    assert(h.getAs[Int]("n_cells") == 3)
+    assert(h.getAs[Long]("n_vectors") == 12L)
+    assert(h.getAs[Long]("max_cell") == 6L)
+    assert(h.getAs[Double]("mean_cell") == 4.0)
+    assert(h.getAs[Double]("hot_factor") == 1.5)
+    assert(h.getAs[Long]("n_hot_cells") == 1L)
+    assert(h.getAs[Long]("orphan_cells") == 1L)
+    assert(h.getAs[Long]("tombstone_backlog") == 1L)
+    assert(h.getAs[Long]("retired_ids") == 0L)
+    assert(h.getAs[Double]("probe_rows_mean") == 8.0)
+    assert(h.getAs[Long]("probe_rows_worst") == 10L)
+    // after the physical apply: backlog drains into retirement, the
+    // population map reflects the removal
+    IvfIndex.applyDeletes(spark, d)
+    val h2 = IvfIndex.servingHealth(spark, d, nprobe = 2, factor = 1.4)
+      .collect()(0)
+    assert(h2.getAs[Long]("n_vectors") == 11L)
+    assert(h2.getAs[Long]("tombstone_backlog") == 0L)
+    assert(h2.getAs[Long]("retired_ids") == 1L)
+  }
+
+  test("probe retry absorbs a transient FileNotFoundException (bounded attempts; classifier walks the cause chain)") {
+    import operators.IvfIndex
+    // the real scan-time failure shape: a file deleted between the
+    // scan's listing and its read surfaces as SparkException layers
+    // with an FNF cause — simulate it at the seam where it lands
+    var calls = 0
+    val rows = IvfIndex.queryImpl(spark, indexDir, queryVec,
+      topK = 5, nprobe = 16,
+      afterPin = attempt => {
+        calls += 1
+        if (attempt <= 2)
+          throw new org.apache.spark.SparkException("stage failed",
+            new java.io.FileNotFoundException("cell=3/part-0000.parquet"))
+      }, sleep = _ => ())
+      .collect()
+    assert(calls == 3, s"expected 2 retries then success, saw $calls attempts")
+    assert(rows.length == 5)
+    // attempts are BOUNDED: a persistent failure surfaces
+    intercept[org.apache.spark.SparkException] {
+      IvfIndex.queryImpl(spark, indexDir, queryVec, topK = 5, nprobe = 16,
+        afterPin = _ => throw new org.apache.spark.SparkException("down",
+          new java.io.FileNotFoundException("gone")),
+        maxAttempts = 3, sleep = _ => ())
+    }
+    // classifier: FNF anywhere in the chain or a vanished-path analysis
+    // error retries; an unrelated failure does not
+    assert(IvfIndex.retryableProbeFailure(
+      new RuntimeException(new java.io.FileNotFoundException("x"))))
+    assert(IvfIndex.retryableProbeFailure(
+      new RuntimeException("...java.io.FileNotFoundException: x...")))
+    assert(!IvfIndex.retryableProbeFailure(
+      new IllegalStateException("unrelated")))
   }
 }

@@ -29,7 +29,9 @@ class IvfPqSpec extends AnyFunSuite {
       .collect()(0).getSeq[Double](0).toArray
 
   test("query scans only the probed cells' code partitions, never the vectors") {
-    val df = operators.IvfPq.query(spark, indexDir, queryVec,
+    // queryPlan = the lazy single-attempt plan (query itself is eager
+    // under the probe-retry policy and returns a local frame)
+    val df = operators.IvfPq.queryPlan(spark, indexDir, queryVec,
       topK = 10, nprobe = 4)
     df.collect()
     val scans = df.queryExecution.executedPlan.collect {
@@ -281,5 +283,73 @@ class IvfPqSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$idx/codes")
       .filter(col("vec_id") >= 50000L).count() == 3L)
     IvfPq.rebalanceToConvergence(spark, idx, maxRounds = 1)
+  }
+
+  test("a forgotten code row is NOT resurrected by an at-least-once replay after delete + applyDeletes") {
+    import operators.IvfPq
+    val dir = Files.createTempDirectory("graft-ivfpq-retired").toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath
+    IvfPq.build(spark, sf, idx, k = CoarseK)
+    val batch = operators.Similarity.normed(spark, sf)
+      .filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 900000L)
+    IvfPq.append(spark, idx, batch)
+    val victim = 900002L
+    IvfPq.delete(spark, Seq(victim), idx)
+    assert(IvfPq.applyDeletes(spark, idx) >= 1)
+    // the whole original batch replays AFTER its victim was forgotten
+    // and physically removed — the retired table must keep it out
+    IvfPq.append(spark, idx, batch)
+    assert(spark.read.parquet(s"$idx/codes")
+      .filter(col("vec_id") === victim).count() == 0L,
+      "replayed append resurrected a forgotten code row")
+    assert(spark.read.parquet(s"$idx/codes")
+      .filter(col("vec_id") >= 900000L).count() == 4L,
+      "replay double-admitted or dropped the batch's survivors")
+    val served = IvfPq.query(spark, idx, queryVec,
+      topK = 1000, nprobe = 1000).collect().map(_.getLong(0)).toSet
+    assert(!served.contains(victim), "forgotten vector served after replay")
+  }
+
+  test("servingHealth over the codes table counts code rows and shares the audit columns") {
+    val h = operators.IvfPq.servingHealth(spark, indexDir).collect()(0)
+    val nCodes = spark.read.parquet(s"$indexDir/codes").count()
+    assert(h.getAs[Long]("n_vectors") == nCodes)
+    assert(h.getAs[Int]("n_cells") > 1)
+    assert(h.getAs[Double]("hot_factor") >= 1.0)
+    assert(h.getAs[Long]("orphan_cells") == 0L)
+    assert(h.getAs[Long]("probe_rows_worst") >= h.getAs[Double]("probe_rows_mean").toLong)
+  }
+
+  test("PQ probe survives a rebalance landing between its centroid read and its codes scan") {
+    import spark.implicits._
+    import operators.IvfPq
+    val dir = Files.createTempDirectory("graft-ivfpq-probe-race").toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath
+    IvfPq.build(spark, sf, idx, k = CoarseK)
+    // skew one cell (jittered clones of the query vector) so the
+    // injected rebalance performs a real split
+    val q = queryVec
+    val total = spark.read.parquet(s"$idx/codes").count()
+    val clones = (0L until total).map { i =>
+      val e = q.toSeq.updated(0, q(0) + 1e-3 * i)
+      (3000000L + i, 7, e, math.sqrt(e.map(x => x * x).sum))
+    }.toDF("vec_id", "label", "e", "nrm")
+    IvfPq.append(spark, idx, clones)
+    var splits = -1
+    val got = IvfPq.queryImpl(spark, idx, q, topK = 10, nprobe = 10000,
+      afterPin = attempt => {
+        if (attempt == 1) { splits = IvfPq.rebalance(spark, idx, 2.0); () }
+      }, sleep = _ => ())
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(splits >= 1, "fixture: the injected rebalance must split a cell")
+    // rebalance never re-encodes: at nprobe = all cells the ADC answer
+    // is invariant, so the raced probe must equal the quiesced probe
+    val want = IvfPq.query(spark, idx, q, topK = 10, nprobe = 10000)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(got == want,
+      "PQ probe racing a rebalance must re-plan to the correct top-k")
   }
 }
