@@ -273,7 +273,15 @@ object IvfIndex {
     * anti-join (the rows are gone) and resurrect the forgotten vector.
     * Ids-only (8 bytes a row, bounded by lifetime deletes, never by
     * corpus size) and append-only, so replays of a crashed apply may
-    * write duplicate rows — harmless, the guard anti-join doesn't care. */
+    * write duplicate rows — harmless, the guard anti-join doesn't care.
+    * DELIBERATELY never compacted: without a manifest commit, any
+    * rewrite (distinct + overwrite) opens a window where a crash
+    * leaves the table partial or absent — and a hole in the
+    * retirement memory is a resurrection path, the exact defect this
+    * table exists to close. Dup rows cost bytes; a lost row costs a
+    * forgotten vector's reappearance. A deployment that outgrows the
+    * append-only form moves the id set behind the [[IndexManifest]]
+    * layer (atomic swap) rather than compacting in place. */
   private def retiredOf(spark: SparkSession, indexDir: String)
       : Option[DataFrame] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -2134,11 +2134,218 @@ object Similarity {
       ORDER BY label"""),
     bench = true)
 
+  // ------------------------------------------------------------------
+  // q267 — ANN probe-cost curve: the DuckDB-oracled declarative twin of
+  // IvfIndex.servingHealth's probe forecast. Vectors are assigned to a
+  // PINNED centroid set (Pipelines.lloydCentroids — the q50b
+  // discipline that makes clustering math hash-checkable), and the
+  // per-cell population map is unrolled into the nprobe tuning curve:
+  // rank cells by population (ties to the lower id), and for each
+  // budget nprobe = 1..k report the WORST-case rows an nprobe-cell
+  // probe scans (the cumulative sum of the nprobe largest cells — a
+  // skewed query hits exactly those) next to the MEAN-case forecast
+  // (nprobe × total/k). The gap between the two columns is the drift
+  // readout: on a balanced index worst ≈ mean and nprobe budgets
+  // translate directly to latency; when worst ≫ mean the hot cells
+  // dominate every unlucky probe and the index needs a rebalance even
+  // if no single cell trips the rebalance factor. This is the readout
+  // AnnMaintenance's health gate consumes, here as an oracle-checked
+  // query over the corpus (all-integer: exact ppm shares and integer
+  // division on both engines).
+  //
+  // Scale shape: ONE embeddings scan (the argmin is k literal score
+  // expressions — zero shuffles, the assignToCentroids discipline), a
+  // map-combinable k-key groupBy, then window arithmetic over k rows.
+  // Corpus size never reaches the window.
+  // ------------------------------------------------------------------
+  val annProbeCostCurve: Q = Q(
+    "q267_ann_probe_cost_curve",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorFunctions.register(s)
+      val w = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+      val counts = IvfIndex.assignToCentroids(w, Pipelines.lloydCentroids)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      val ord = Window.orderBy(col("n_vecs").desc, col("cell"))
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      counts.select(col("cell"), col("n_vecs"),
+          row_number().over(ord).as("nprobe"),
+          sum(col("n_vecs")).over(ord).as("worst_rows"),
+          sum(col("n_vecs")).over(wAll).as("total"),
+          count(lit(1)).over(wAll).as("n_cells"))
+        .select(col("nprobe"), col("cell"), col("n_vecs"),
+          expr("n_vecs * 1000000 div total").as("share_ppm"),
+          col("worst_rows"),
+          expr("nprobe * total div n_cells").as("mean_rows"))
+        .orderBy("nprobe")
+    },
+    Some {
+      val dim = EmbeddingDim
+      val scores = Pipelines.lloydCentroids.map { case (_, c) =>
+        val c2 = c.map(v => v * v).sum
+        val arr = c.map(v => s"$v").mkString("[", ", ", "]")
+        s"($c2 - 2.0 * list_reduce(list_transform(generate_series(1, $dim), i -> ($arr::double[])[i] * e[i]), (x, y) -> x + y))"
+      }.mkString(", ")
+      s"""WITH ed AS (SELECT vec_id,
+          list_transform(embedding, x -> cast(x as double)) AS e
+          FROM embeddings),
+        sc AS (SELECT vec_id, [$scores] AS scores FROM ed),
+        cells AS (SELECT vec_id,
+          cast(list_position(scores, list_min(scores)) - 1 as int) AS cell
+          FROM sc),
+        counts AS (SELECT cell, cast(count(*) as bigint) AS n_vecs
+          FROM cells GROUP BY 1),
+        ranked AS (SELECT cell, n_vecs,
+            cast(row_number() OVER (ORDER BY n_vecs DESC, cell) as int)
+              AS nprobe,
+            cast(sum(n_vecs) OVER (ORDER BY n_vecs DESC, cell) as bigint)
+              AS worst_rows,
+            cast(sum(n_vecs) OVER () as bigint) AS total,
+            cast(count(*) OVER () as bigint) AS n_cells
+          FROM counts)
+        SELECT nprobe, cell, n_vecs,
+          n_vecs * 1000000 // total AS share_ppm,
+          worst_rows,
+          nprobe * total // n_cells AS mean_rows
+        FROM ranked ORDER BY nprobe"""
+    })
+
+  // ------------------------------------------------------------------
+  // q268 — IVF nprobe→recall curve: q267's missing half. q267 prices
+  // each nprobe budget (rows scanned, worst and mean case); this query
+  // measures what each budget BUYS — for the same pinned centroid set,
+  // the exact-cosine top-10 of each of 10 query vectors is tagged with
+  // the PROBE RANK of its cell in that query's centroid ordering (rank
+  // r = the r-th-nearest centroid to the query), so recall at
+  // nprobe = r is simply the fraction of true neighbors whose cell
+  // rank ≤ r — the whole curve rides ONE exact-top-k computation (the
+  // q264 first-band trick applied to probe order: a budget's hit set
+  // is a prefix of the ranked hits). Together the two queries are the
+  // complete nprobe tuning economics: cost(nprobe) from q267 against
+  // recall(nprobe) from here, both DuckDB-oracled in exact integers.
+  //
+  // Scale shape: corpus-vs-query role split (the q42/q58 precedent) —
+  // the 10 query rows broadcast against one cached corpus pass, top-10
+  // per query via row_number ≤ k (the TopKPerGroup bounded heap), cell
+  // assignment as the k-literal argmin scan, then all arithmetic on
+  // ≤ 100 (qid, rank) rows. The centroid-rank table is 10 queries ×
+  // k cells, driver-bounded.
+  // ------------------------------------------------------------------
+  val annNprobeRecallCurve: Q = Q(
+    "q268_ivf_nprobe_recall",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorFunctions.register(s)
+      val k = Pipelines.lloydCentroids.length
+      val w = graft.CacheScope.cached(Tables.embeddings(s, d)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("vec_id"))
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+        .withColumn("nrm", sqrt(expr("dot_product(e, e)"))))
+      val queries = w.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("nrm").as("qnrm"))
+      // exact ground truth: top-10 cosine neighbors per query
+      val win = Window.partitionBy(col("query_id"))
+        .orderBy(desc("cosine"), asc("vec_id"))
+      val top = w.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          expr("dot_product(e, qe)") / (col("nrm") * col("qnrm")))
+        .withColumn("rn", row_number().over(win))
+        .filter(col("rn") <= 10)
+        .select("query_id", "vec_id")
+      // each vector's cell under the pinned quantizer
+      val cells = IvfIndex
+        .assignToCentroids(w, Pipelines.lloydCentroids)
+        .select("vec_id", "cell")
+      // each query's centroid ordering: probe rank r = r-th nearest
+      // cell, same (score, cell) tie discipline as the argmin
+      val scored = Pipelines.lloydCentroids.sortBy(_._1).map {
+        case (cell, c) =>
+          val c2 = c.map(x => x * x).sum
+          struct(
+            (lit(c2) - lit(2.0) * call_function("dot_product",
+              col("qe"), array(c.toSeq.map(lit): _*))).as("score"),
+            lit(cell).as("cell"))
+      }
+      val qrank = queries
+        .select(col("query_id"), explode(array(scored: _*)).as("sc"))
+        .select(col("query_id"), col("sc.score").as("score"),
+          col("sc.cell").as("cell"))
+        .withColumn("proberank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score"), col("cell"))))
+        .select("query_id", "cell", "proberank")
+      val hits = top.join(cells, "vec_id")
+        .join(qrank, Seq("query_id", "cell"))
+      val per = hits.groupBy("proberank").agg(count(lit(1)).as("n"))
+      val cum = Window.orderBy("nprobe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      s.range(1, k + 1).select(col("id").cast("int").as("nprobe"))
+        .join(per, col("nprobe") === col("proberank"), "left")
+        .select(col("nprobe"),
+          sum(coalesce(col("n"), lit(0L))).over(cum).as("n_hits"))
+        .select(col("nprobe"), col("n_hits"),
+          expr("n_hits * 1000000 div 100").as("recall_ppm"))
+        .orderBy("nprobe")
+    },
+    Some {
+      val dim = EmbeddingDim
+      val k = Pipelines.lloydCentroids.length
+      val scores = Pipelines.lloydCentroids.map { case (_, c) =>
+        val c2 = c.map(v => v * v).sum
+        val arr = c.map(v => s"$v").mkString("[", ", ", "]")
+        s"($c2 - 2.0 * list_reduce(list_transform(generate_series(1, $dim), i -> ($arr::double[])[i] * e[i]), (x, y) -> x + y))"
+      }.mkString(", ")
+      s"""WITH n AS (SELECT vec_id,
+          list_transform(embedding, x -> cast(x as double)) AS e
+          FROM embeddings),
+        w AS (SELECT vec_id, e,
+          sqrt(list_reduce(list_transform(generate_series(1, len(e)), i -> e[i] * e[i]), (x, y) -> x + y)) AS nrm
+          FROM n),
+        q AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe, nrm AS qnrm
+          FROM w WHERE vec_id < 10),
+        topn AS (SELECT query_id, vec_id FROM (
+          SELECT q.query_id, w.vec_id,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY
+              list_reduce(list_transform(generate_series(1, len(w.e)), i -> w.e[i] * q.qe[i]), (x, y) -> x + y) / (w.nrm * q.qnrm) DESC,
+              w.vec_id) AS rn
+          FROM w, q WHERE w.vec_id <> q.query_id) WHERE rn <= 10),
+        sc AS (SELECT vec_id, [$scores] AS scores FROM n),
+        cells AS (SELECT vec_id,
+          cast(list_position(scores, list_min(scores)) - 1 as int) AS cell
+          FROM sc),
+        qsc AS (SELECT query_id, [${scores.replace("e[i]", "qe[i]")}] AS qscores FROM q),
+        qrank AS (SELECT query_id, cell, proberank FROM (
+          SELECT query_id, cast(i - 1 as int) AS cell,
+            cast(row_number() OVER (PARTITION BY query_id
+              ORDER BY qscores[i], i) as int) AS proberank
+          FROM qsc, unnest(generate_series(1, $k)) AS u(i))),
+        hits AS (SELECT t.query_id, r.proberank
+          FROM topn t JOIN cells v ON t.vec_id = v.vec_id
+          JOIN qrank r ON r.query_id = t.query_id AND r.cell = v.cell),
+        per AS (SELECT proberank, cast(count(*) as bigint) AS hn
+          FROM hits GROUP BY 1),
+        grid AS (SELECT cast(g as int) AS nprobe
+          FROM unnest(generate_series(1, $k)) AS s(g)),
+        cum AS (SELECT nprobe,
+            cast(sum(coalesce(hn, 0)) OVER (ORDER BY nprobe) as bigint)
+              AS n_hits
+          FROM grid LEFT JOIN per ON per.proberank = grid.nprobe)
+        SELECT nprobe, n_hits, n_hits * 1000000 // 100 AS recall_ppm
+        FROM cum ORDER BY nprobe"""
+    })
+
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
     annIvf, annIvfIncremental, semanticDedup, multimodalMeta, arrayFuncs,
     pqEncode, pqAdcTopK, pqCodeBalance, pqRerankTopK, pqRecallEval,
     mrlRecallEval, int8RecallEval, filteredAnnRecall, multiProbeLshRecall,
     mmrRerank, retrievalMetrics,
     hardNegatives, maxSimScores, attributionProbe, hybridFusion,
-    embeddingHealth, rankerAgreement)
+    embeddingHealth, rankerAgreement, annProbeCostCurve,
+    annNprobeRecallCurve)
 }

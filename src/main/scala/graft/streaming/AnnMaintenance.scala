@@ -72,7 +72,9 @@ object AnnMaintenance {
     * ([[IvfIndex.servingHealth]] — the rebalance DECISION input, not
     * just a dashboard row) and re-split only when a cell actually
     * drifted past `rebalanceFactor`: a healthy index's trigger batch
-    * costs one k-bounded count scan, no KMeans machinery. Returns the
+    * costs one map-combinable count scan of the index (k rows out —
+    * the same scan a no-op rebalance pass would have paid for its own
+    * counts), no KMeans machinery. Returns the
     * number of cells the trigger split (0 on non-trigger and healthy
     * batches — the observability hook a deployment graphs). */
   def applyBatch(spark: SparkSession, batch: DataFrame, indexDir: String,

@@ -8,8 +8,9 @@ import java.nio.file.Files
 /** CROSS-lifecycle composition fuzz — the six per-lifecycle fuzz
   * harnesses prove each index's laws hold per-op; a 100 TB deployment
   * runs the maintainers CONCURRENTLY (text ingest into LSH+BM25, the
-  * ANN maintainer into IVF, rollup maintenance, and GDPR sweeps across
-  * all of them), so this spec fuzzes the COMPOSITION: a seeded op walk
+  * ANN maintainer into BOTH serving indexes — IVF and IVF-PQ — rollup
+  * maintenance, and GDPR sweeps across all of them), so this spec
+  * fuzzes the COMPOSITION: a seeded op walk
   * drives a SUBJECT that suffers everything production suffers —
   * crash-injected ingest batches replayed from the top, at-least-once
   * ANN batches re-delivered (including batches whose vectors were
@@ -17,10 +18,10 @@ import java.nio.file.Files
   * lease contention from a concurrent sweeper absorbed by the bounded
   * retry, and a GDPR sweep that crashes half-done and reruns in full —
   * while a TWIN applies the same logical ops cleanly, exactly once.
-  * After EVERY step, all four serving surfaces (LSH probe, BM25 probe,
-  * IVF full-probe top-k, rollup query) must be identical on both
-  * sides: crashes, replays and contention in one lifecycle must never
-  * leak into another's served state.
+  * After EVERY step, all five serving surfaces (LSH probe, BM25 probe,
+  * IVF full-probe top-k, IVF-PQ full-probe ADC top-k, rollup query)
+  * must be identical on both sides: crashes, replays and contention in
+  * one lifecycle must never leak into another's served state.
   *
   * Deterministic: fixed seed, synthesized doc texts keyed by doc_id,
   * seeded KMeans builds (identical centroids both sides), every op
@@ -57,16 +58,19 @@ class CrossMaintenanceFuzzSpec extends AnyFunSuite {
     import spark.implicits._
     val rnd = new scala.util.Random(20260816L)
     val sLsh = tmp("xf-s-lsh"); val sBm = tmp("xf-s-bm")
-    val sIvf = tmp("xf-s-ivf"); val sRs = tmp("xf-s-rs")
+    val sIvf = tmp("xf-s-ivf"); val sPq = tmp("xf-s-pq")
+    val sRs = tmp("xf-s-rs")
     val tLsh = tmp("xf-t-lsh"); val tBm = tmp("xf-t-bm")
-    val tIvf = tmp("xf-t-ivf"); val tRs = tmp("xf-t-rs")
+    val tIvf = tmp("xf-t-ivf"); val tPq = tmp("xf-t-pq")
+    val tRs = tmp("xf-t-rs")
 
-    // --- seed all four lifecycles identically on both sides ----------
+    // --- seed all five lifecycles identically on both sides ----------
     val seedDocs = docsDf((0L until 10L).map(id => (id, textOf(id))))
       .localCheckpoint()
     for (d <- Seq(sLsh, tLsh)) LshBandIndex.build(spark, seedDocs, d)
     for (d <- Seq(sBm, tBm)) Bm25Index.build(spark, seedDocs, d)
     for (d <- Seq(sIvf, tIvf)) IvfIndex.build(spark, sf, d)
+    for (d <- Seq(sPq, tPq)) operators.IvfPq.build(spark, sf, d)
     val events = Tables.events(spark, sf).localCheckpoint()
     var eventsHi = 300L
     val seedFacts = events.filter(col("event_id") < eventsHi)
@@ -81,7 +85,7 @@ class CrossMaintenanceFuzzSpec extends AnyFunSuite {
     var forgottenUsers = Set.empty[Long]
     val trace = new StringBuilder
 
-    // --- the four serving surfaces compared after every step ----------
+    // --- the five serving surfaces compared after every step ----------
     val bmQueries = docsDf((0L until 3L).map(id => (id, textOf(id))))
       .select(col("doc_id").as("qid"),
         explode(array_distinct(slice(Dsl.toks(col("text")), 1, 4)))
@@ -93,12 +97,15 @@ class CrossMaintenanceFuzzSpec extends AnyFunSuite {
     val qVec = operators.Similarity.normed(spark, sf)
       .filter(col("vec_id") === 100L).select("e")
       .collect()(0).getSeq[Double](0).toArray
-    def surfaces(lsh: String, bm: String, ivf: String, rs: String) = (
+    def surfaces(lsh: String, bm: String, ivf: String, pq: String,
+        rs: String) = (
       LshBandIndex.probe(spark, lshProbeBatch, lsh)
         .collect().map(_.toString).toSeq,
       Bm25Index.probe(spark, bmQueries, bm)
         .collect().map(_.toString).toSeq,
       IvfIndex.query(spark, ivf, qVec, topK = 15, nprobe = 1000)
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq,
+      operators.IvfPq.query(spark, pq, qVec, topK = 15, nprobe = 1000)
         .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq,
       RollupStore.query(spark, rs).collect().map(_.toString).toSeq)
 
@@ -169,23 +176,34 @@ class CrossMaintenanceFuzzSpec extends AnyFunSuite {
           val b = vecBatchDf(shift, ids).localCheckpoint()
           AnnMaintenance.applyBatch(spark, b, sIvf, step.toLong,
             rebalanceEvery = 0)
+          AnnMaintenance.applyBatchPq(spark, b, sPq, step.toLong,
+            rebalanceEvery = 0)
+          // immediate replay on BOTH maintainers: must admit nothing
           AnnMaintenance.applyBatch(spark, b, sIvf, step.toLong,
-            rebalanceEvery = 0) // immediate replay: must admit nothing
+            rebalanceEvery = 0)
+          AnnMaintenance.applyBatchPq(spark, b, sPq, step.toLong,
+            rebalanceEvery = 0)
           vecBatches :+= ((shift, ids))
           if (vecBatches.size > 1) {
             val (psh, pids) = vecBatches(rnd.nextInt(vecBatches.size - 1))
             trace ++= s"ann-replay(shift=$psh) "
-            AnnMaintenance.applyBatch(spark,
-              vecBatchDf(psh, pids).localCheckpoint(), sIvf, step.toLong,
+            val pb = vecBatchDf(psh, pids).localCheckpoint()
+            AnnMaintenance.applyBatch(spark, pb, sIvf, step.toLong,
+              rebalanceEvery = 0)
+            AnnMaintenance.applyBatchPq(spark, pb, sPq, step.toLong,
               rebalanceEvery = 0)
           }
           AnnMaintenance.applyBatch(spark, b, tIvf, step.toLong,
+            rebalanceEvery = 0)
+          AnnMaintenance.applyBatchPq(spark, b, tPq, step.toLong,
             rebalanceEvery = 0)
           ()
         case 4 => // seeded rebalance, both sides (same split decisions)
           trace ++= "ann-rebalance "
           IvfIndex.rebalance(spark, sIvf, factor = 1.2)
           IvfIndex.rebalance(spark, tIvf, factor = 1.2)
+          operators.IvfPq.rebalance(spark, sPq, factor = 1.2)
+          operators.IvfPq.rebalance(spark, tPq, factor = 1.2)
           ()
         case 5 => // rollup batch; subject re-applies the same op id
           trace ++= "rollup-append "
@@ -211,35 +229,38 @@ class CrossMaintenanceFuzzSpec extends AnyFunSuite {
           val factsSoFar = events.filter(col("event_id") < eventsHi)
             .join(broadcast(forgottenUsers.toSeq.toDF("user_id")),
               Seq("user_id"), "left_anti")
-          def sweep(lsh: String, bm: String, ivf: String, rs: String)
-              : Unit = {
+          def sweep(lsh: String, bm: String, ivf: String, pq: String,
+              rs: String): Unit = {
             LshBandIndex.delete(spark, Seq(docV), lsh)
             Bm25Index.delete(spark, Seq(docV), bm)
             IvfIndex.delete(spark, Seq(vecV), ivf)
+            operators.IvfPq.delete(spark, Seq(vecV), pq)
             RollupStore.delete(spark, factsSoFar,
               Seq(userU).toDF("user_id"), rs, opId)
             LshBandIndex.compact(spark, lsh)
             Bm25Index.compact(spark, bm)
             IvfIndex.applyDeletes(spark, ivf)
+            operators.IvfPq.applyDeletes(spark, pq)
             ()
           }
           // the crashed half: two deletes landed, then the job died
           LshBandIndex.delete(spark, Seq(docV), sLsh)
           IvfIndex.delete(spark, Seq(vecV), sIvf)
           // the replay runs the WHOLE sweep from the top
-          sweep(sLsh, sBm, sIvf, sRs)
-          sweep(tLsh, tBm, tIvf, tRs)
+          sweep(sLsh, sBm, sIvf, sPq, sRs)
+          sweep(tLsh, tBm, tIvf, tPq, tRs)
           forgottenDocs += docV
           forgottenVecs += vecV
           forgottenUsers += userU
           ()
       }
-      val s = surfaces(sLsh, sBm, sIvf, sRs)
-      val t = surfaces(tLsh, tBm, tIvf, tRs)
+      val s = surfaces(sLsh, sBm, sIvf, sPq, sRs)
+      val t = surfaces(tLsh, tBm, tIvf, tPq, tRs)
       assert(s._1 == t._1, s"step $step LSH diverged; trace: $trace")
       assert(s._2 == t._2, s"step $step BM25 diverged; trace: $trace")
       assert(s._3 == t._3, s"step $step IVF diverged; trace: $trace")
-      assert(s._4 == t._4, s"step $step rollup diverged; trace: $trace")
+      assert(s._4 == t._4, s"step $step IVF-PQ diverged; trace: $trace")
+      assert(s._5 == t._5, s"step $step rollup diverged; trace: $trace")
     }
     for (tag <- Seq("ingest ", "ingest-crash(", "ingest-contended",
         "ann-append(", "ann-replay(", "ann-rebalance", "rollup-append",

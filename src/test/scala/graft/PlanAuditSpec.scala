@@ -452,6 +452,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // exchange)
       "q229_prevalence_index_admit" -> Map("documents" -> 4))
     val multi: Map[String, Map[String, Int]] = cachedFamily ++ Map(
+      // TEXTUAL count (the q169 caveat): ONE cached normed frame whose
+      // build prints at its three consumer sites — the 10-row query
+      // slice, the exact-top-k corpus side, and the cell-assign scan
+      // (corpus-vs-query role split, the q42/q58 precedent); cold file
+      // reads = 1 (all three read the same cache)
+      "q268_ivf_nprobe_recall" -> Map("embeddings" -> 3),
       "q105_scd2" -> Map("part" -> 2),
       "q125_tpch_q21" -> Map("lineitem" -> 3),
       "q126_temperature_sample" -> Map("documents" -> 2),
