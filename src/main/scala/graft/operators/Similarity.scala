@@ -2340,6 +2340,79 @@ object Similarity {
         FROM cum ORDER BY nprobe"""
     })
 
+  // ------------------------------------------------------------------
+  // q269 — SEMANTIC train-vs-eval contamination curve: the embedding-
+  // modality member of the contamination family. The lexical checks
+  // (q84 exact 3-grams, q96, q168 fuzzy MinHash, q175 eval spans,
+  // q265 threshold curve) all miss a paraphrased or translated eval
+  // item — zero shared n-grams, same meaning; embedding-space
+  // max-cosine is the detector that survives rewording. Per train
+  // vector: the maximum cosine to ANY eval-split vector (vec_id % 10,
+  // the q84 split convention), then the q265 threshold-sweep readout
+  // at 5 operating points (0.80..0.99, carried as integer ppk so the
+  // curve is hash-exact): how many train vectors a drop-at-τ policy
+  // removes, in exact ppm of the train split. The curve is the
+  // evidence for picking τ — at a too-eager threshold semantic dedup
+  // collapses the corpus (the q265 lesson, embedding layer).
+  //
+  // Scale shape: bipartite brute force with the EVAL side broadcast
+  // (10% split, and at 100 TB the eval panel is fixed-size while the
+  // corpus grows — the q84 broadcast argument); per-train max is a
+  // map-combinable groupBy on the corpus key; the 5-threshold sweep
+  // is a doc-local literal explode on the |train|-row max frame,
+  // never a grid × corpus join. Cosines are exact cross-engine (the
+  // q58 same-order fold), so the threshold compares agree bit-wise.
+  // ------------------------------------------------------------------
+  val semanticContaminationCurve: Q = Q(
+    "q269_semantic_contamination_curve",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val w = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+        .withColumn("nrm", sqrt(expr("dot_product(e, e)")))
+      val ev = w.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("eid"), col("e").as("ee"),
+          col("nrm").as("enrm"))
+      val maxCos = w.filter(col("vec_id") % 10 =!= 0)
+        .crossJoin(broadcast(ev))
+        .withColumn("cosine",
+          expr("dot_product(e, ee)") / (col("nrm") * col("enrm")))
+        .groupBy("vec_id").agg(max(col("cosine")).as("max_cos"))
+      maxCos
+        .select(col("max_cos"),
+          explode(typedlit(Seq(800, 850, 900, 950, 990)))
+            .as("threshold_ppk"))
+        .groupBy("threshold_ppk")
+        .agg(count(lit(1)).as("n_train"),
+          sum(when(col("max_cos") >= col("threshold_ppk") / lit(1000.0),
+            1L).otherwise(0L)).as("n_flagged"))
+        .select(col("threshold_ppk"), col("n_flagged"),
+          expr("n_flagged * 1000000 div n_train").as("flagged_ppm"))
+        .orderBy("threshold_ppk")
+    },
+    Some("""WITH n AS (SELECT vec_id,
+        list_transform(embedding, x -> cast(x as double)) AS e
+        FROM embeddings),
+      w AS (SELECT vec_id, e,
+        sqrt(list_reduce(list_transform(generate_series(1, len(e)), i -> e[i] * e[i]), (x, y) -> x + y)) AS nrm
+        FROM n),
+      ev AS MATERIALIZED (SELECT vec_id AS eid, e AS ee, nrm AS enrm
+        FROM w WHERE vec_id % 10 = 0),
+      mx AS (SELECT t.vec_id,
+          max(list_reduce(list_transform(generate_series(1, len(t.e)), i -> t.e[i] * v.ee[i]), (x, y) -> x + y) / (t.nrm * v.enrm)) AS max_cos
+        FROM w t, ev v WHERE t.vec_id % 10 <> 0
+        GROUP BY t.vec_id),
+      x AS (SELECT max_cos, u.th AS threshold_ppk
+        FROM mx, unnest([800, 850, 900, 950, 990]) AS u(th))
+      SELECT threshold_ppk,
+        cast(sum(CASE WHEN max_cos >= threshold_ppk / 1000.0
+          THEN 1 ELSE 0 END) as bigint) AS n_flagged,
+        cast(sum(CASE WHEN max_cos >= threshold_ppk / 1000.0
+          THEN 1 ELSE 0 END) as bigint) * 1000000
+          // cast(count(*) as bigint) AS flagged_ppm
+      FROM x GROUP BY threshold_ppk ORDER BY threshold_ppk"""))
+
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
     annIvf, annIvfIncremental, semanticDedup, multimodalMeta, arrayFuncs,
     pqEncode, pqAdcTopK, pqCodeBalance, pqRerankTopK, pqRecallEval,
@@ -2347,5 +2420,5 @@ object Similarity {
     mmrRerank, retrievalMetrics,
     hardNegatives, maxSimScores, attributionProbe, hybridFusion,
     embeddingHealth, rankerAgreement, annProbeCostCurve,
-    annNprobeRecallCurve)
+    annNprobeRecallCurve, semanticContaminationCurve)
 }

@@ -220,6 +220,54 @@ class AnnMaintenanceSpec extends AnyFunSuite {
     assert(probes.get() > 0, "the prober never completed a probe")
   }
 
+  test("PQ probes run continuously THROUGH a live rebalance: none throws, every answer is the invariant full-probe ADC top-k") {
+    import spark.implicits._
+    val idx = tmpDir("graft-annm-pq-live-probe")
+    operators.IvfPq.build(spark, sf, idx)
+    // skew one coarse cell with jittered clones of a stored vector so
+    // the trigger batch performs real splits (a rebalance never
+    // re-encodes, so the full-probe ADC answer is invariant under it)
+    val qv = operators.Similarity.normed(spark, sf)
+      .filter(col("vec_id") === 0L).select("e")
+      .collect()(0).getSeq[Double](0).toArray
+    val total = spark.read.parquet(s"$idx/codes").count()
+    val clones = (0L until 2 * total).map { i =>
+      val e = qv.toSeq.updated(0, qv(0) + 1e-3 * i)
+      (5000000L + i, 7, e.map(_.toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    AnnMaintenance.applyBatchPq(spark, clones, idx, batchId = 0L,
+      rebalanceEvery = 0)
+    val want = operators.IvfPq.query(spark, idx, qv, topK = 10,
+      nprobe = 1000).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val probes = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var stop = false
+    val prober = new Thread(() => {
+      while (!stop) {
+        try {
+          val got = operators.IvfPq.queryImpl(spark, idx, qv, topK = 10,
+            nprobe = 1000, maxAttempts = 6)
+            .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+          probes.incrementAndGet()
+          if (got != want) failures.add(s"divergent probe: $got")
+        } catch {
+          case t: Throwable => failures.add(s"probe threw: $t"); stop = true
+        }
+      }
+    }, "pq-live-prober")
+    prober.start()
+    try {
+      val splits = AnnMaintenance.applyBatchPq(spark,
+        batchDf(Seq.empty[EmbeddingEvt]), idx, batchId = 7L,
+        rebalanceEvery = 8, rebalanceFactor = 2.0)
+      assert(splits > 0, "the planted skew must trigger at least one split")
+    } finally { stop = true; prober.join() }
+    assert(failures.isEmpty, s"PQ probes through live maintenance failed: " +
+      failures.toArray.take(3).mkString(" | "))
+    assert(probes.get() > 0, "the prober never completed a probe")
+  }
+
   test("bootstrap contract: starting on a dir with no quantizer fails loudly") {
     val mem = { import spark.implicits._; implicit val sq = spark.sqlContext; MemoryStream[EmbeddingEvt] }
     intercept[IllegalArgumentException] {

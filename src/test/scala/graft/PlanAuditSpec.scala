@@ -458,6 +458,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // (corpus-vs-query role split, the q42/q58 precedent); cold file
       // reads = 1 (all three read the same cache)
       "q268_ivf_nprobe_recall" -> Map("embeddings" -> 3),
+      // eval-vs-train role split (the q127/q84 precedent): the %10
+      // eval panel is a pruned broadcast-side read; the train side is
+      // the one full scan
+      "q269_semantic_contamination_curve" -> Map("embeddings" -> 2),
       "q105_scd2" -> Map("part" -> 2),
       "q125_tpch_q21" -> Map("lineitem" -> 3),
       "q126_temperature_sample" -> Map("documents" -> 2),
