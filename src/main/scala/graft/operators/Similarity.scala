@@ -2413,6 +2413,79 @@ object Similarity {
           // cast(count(*) as bigint) AS flagged_ppm
       FROM x GROUP BY threshold_ppk ORDER BY threshold_ppk"""))
 
+  // ------------------------------------------------------------------
+  // q270 — 1-NN label agreement: the intrinsic embedding-quality
+  // readout (does the space place same-label items near each other?)
+  // that needs no trained probe — each eval-split vector (vec_id % 10,
+  // the held-out convention) is classified by its single nearest
+  // train-split neighbor under exact cosine (ties to the lower
+  // vec_id), and agreement is reported per label with exact-ppm rates.
+  // q213 audits the embedding GEOMETRY (norms, centroid drift); this
+  // audits its SEMANTICS — a space can be numerically healthy and
+  // still shuffle labels, which is what kills retrieval quality
+  // downstream. Per-label rows expose WHICH classes bleed into each
+  // other (a low-agreement label is where hard negatives and label
+  // noise live — q194's mining target, quantified).
+  //
+  // Scale shape: the q269 bipartite with the roles flipped — the eval
+  // panel is fixed-size, so at 100 TB the broadcast side is the eval
+  // split and the scan side is the corpus; per-eval argmax is the
+  // row_number ≤ 1 idiom (TopKPerGroup bounded heap, |eval| keys of
+  // state); the label agg is |labels| rows. All-integer output.
+  // ------------------------------------------------------------------
+  val oneNnLabelAgreement: Q = Q(
+    "q270_embedding_1nn_agreement",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorFunctions.register(s)
+      val w = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+        .withColumn("nrm", sqrt(expr("dot_product(e, e)")))
+      val ev = w.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("eid"), col("label").as("elabel"),
+          col("e").as("ee"), col("nrm").as("enrm"))
+      val win = Window.partitionBy(col("eid"))
+        .orderBy(desc("cosine"), asc("vec_id"))
+      w.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id"), col("label").as("tlabel"), col("e"),
+          col("nrm")) // distinct name: the train label must never
+                      // shadow the eval label through the agg
+        .crossJoin(broadcast(ev))
+        .withColumn("cosine",
+          expr("dot_product(e, ee)") / (col("nrm") * col("enrm")))
+        .withColumn("rn", row_number().over(win))
+        .filter(col("rn") === 1)
+        .groupBy(col("elabel"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("tlabel") === col("elabel"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .select(col("elabel").as("label"), col("n_eval"), col("n_agree"),
+          expr("n_agree * 1000000 div n_eval").as("agree_ppm"))
+        .orderBy("label")
+    },
+    Some("""WITH n AS (SELECT vec_id, label,
+        list_transform(embedding, x -> cast(x as double)) AS e
+        FROM embeddings),
+      w AS (SELECT vec_id, label, e,
+        sqrt(list_reduce(list_transform(generate_series(1, len(e)), i -> e[i] * e[i]), (x, y) -> x + y)) AS nrm
+        FROM n),
+      ev AS MATERIALIZED (SELECT vec_id AS eid, label AS elabel,
+        e AS ee, nrm AS enrm FROM w WHERE vec_id % 10 = 0),
+      nn AS (SELECT eid, elabel, label FROM (
+        SELECT v.eid, v.elabel, t.label,
+          row_number() OVER (PARTITION BY v.eid ORDER BY
+            list_reduce(list_transform(generate_series(1, len(t.e)), i -> t.e[i] * v.ee[i]), (x, y) -> x + y) / (t.nrm * v.enrm) DESC,
+            t.vec_id) AS rn
+        FROM w t, ev v WHERE t.vec_id % 10 <> 0) WHERE rn = 1)
+      SELECT elabel AS label,
+        cast(count(*) as bigint) AS n_eval,
+        cast(sum(CASE WHEN label = elabel THEN 1 ELSE 0 END) as bigint)
+          AS n_agree,
+        cast(sum(CASE WHEN label = elabel THEN 1 ELSE 0 END) as bigint)
+          * 1000000 // cast(count(*) as bigint) AS agree_ppm
+      FROM nn GROUP BY elabel ORDER BY elabel"""))
+
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
     annIvf, annIvfIncremental, semanticDedup, multimodalMeta, arrayFuncs,
     pqEncode, pqAdcTopK, pqCodeBalance, pqRerankTopK, pqRecallEval,
@@ -2420,5 +2493,6 @@ object Similarity {
     mmrRerank, retrievalMetrics,
     hardNegatives, maxSimScores, attributionProbe, hybridFusion,
     embeddingHealth, rankerAgreement, annProbeCostCurve,
-    annNprobeRecallCurve, semanticContaminationCurve)
+    annNprobeRecallCurve, semanticContaminationCurve,
+    oneNnLabelAgreement)
 }

@@ -462,6 +462,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // eval panel is a pruned broadcast-side read; the train side is
       // the one full scan
       "q269_semantic_contamination_curve" -> Map("embeddings" -> 2),
+      // same eval-vs-train role split, argmax direction (per-eval 1-NN)
+      "q270_embedding_1nn_agreement" -> Map("embeddings" -> 2),
       "q105_scd2" -> Map("part" -> 2),
       "q125_tpch_q21" -> Map("lineitem" -> 3),
       "q126_temperature_sample" -> Map("documents" -> 2),
