@@ -106,16 +106,21 @@ object IvfIndex {
   val ProbeRetryAttempts = 4
   val ProbeRetryBackoffMs = 50L
 
-  /** Extra rows the eager probe over-fetches before the driver-side
-    * vec_id dedupe: a listing racing a dynamic-overwrite commit can see
-    * a moved row under BOTH its old and new cell dir, and a duplicate
-    * inside a plain `limit(topK)` would push a true neighbor out of the
-    * answer. Headroom + dedupe + take(topK) keeps the quiesced result
-    * bit-identical while making the race window cost nothing. */
+  /** Over-fetch for the eager probe's driver-side vec_id dedupe: a
+    * listing racing a dynamic-overwrite commit can see a moved row
+    * under BOTH its old and new cell dir, and duplicates inside a
+    * plain `limit(topK)` would push true neighbors out of the answer.
+    * The window is sized for the WORST case — every row in the limit
+    * window double-listed: fetching 2·topK + slack guarantees ≥ topK
+    * unique survivors after dedupe, so a mid-commit read can shrink
+    * nothing (quiesced results stay bit-identical: dedupe no-ops and
+    * take(topK) trims the slack; the top-k heap cost of the larger
+    * limit is negligible). */
   private[graft] val DupHeadroom = 8
 
   private[graft] def withHeadroom(topK: Int): Int =
-    if (topK > Int.MaxValue - DupHeadroom) topK else topK + DupHeadroom
+    if (topK > (Int.MaxValue - DupHeadroom) / 2) topK
+    else 2 * topK + DupHeadroom
 
   /** A failure a probe should re-plan around: a file deleted between
     * the scan's listing and its read (partition overwrite mid-commit),
@@ -159,17 +164,92 @@ object IvfIndex {
         ca == cb && java.util.Arrays.equals(va, vb)
       }
 
+  /** The cell-partition layout witness: the sorted dir names under the
+    * vector (or codes) table. A rebalance moves rows BEFORE it rewrites
+    * the centroids — and every split CREATES a partition dir, every
+    * emptied-cell delete REMOVES one — so comparing this listing before
+    * and after the scan catches a rebalance IN FLIGHT that the centroid
+    * compare alone would miss (the window where a probe would silently
+    * serve a top-k without the moved rows). Metadata-only, one listing
+    * call. Appends don't change dir NAMES — correct: a probe racing an
+    * append legitimately serves the pre-append view. */
+  private[graft] def cellDirs(spark: SparkSession, indexDir: String,
+      table: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).sorted.toSeq
+  }
+
+  /** The shared eager-probe retry loop (serving entry for BOTH ANN
+    * lifecycles — IvfPq injects its ADC plan): pin the centroid view
+    * AND the cell-dir layout, run the injected plan, and re-plan when
+    * either witness changed under the scan or the scan hit a
+    * mid-overwrite missing file; dedupe mid-commit double-listed rows
+    * and trim the [[withHeadroom]] slack back to `keep`. The final
+    * attempt serves the possibly-stale answer instead of failing the
+    * serving path — every row is still a true stored vector with its
+    * exact score, the documented bound. */
+  private[operators] def eagerProbe(spark: SparkSession, indexDir: String,
+      table: String, keep: Int, afterPin: Int => Unit, maxAttempts: Int,
+      sleep: Long => Unit)(
+      plan: (Array[(Int, Array[Double])], Seq[Int]) => DataFrame)
+      : DataFrame = {
+    var attempt = 1
+    var out: Option[DataFrame] = None
+    while (out.isEmpty) {
+      try {
+        val c1 = readCentroids(spark, indexDir)
+        val d1 = cellDirs(spark, indexDir, table)
+        afterPin(attempt)
+        // orphan dirs (cells the centroid view doesn't list — a
+        // rebalance in flight or a crashed one) are ALWAYS scanned:
+        // the moved rows live there until the centroid rewrite lands
+        val df = plan(c1, orphanCells(d1, c1))
+        val rows = df.collect()
+        // witness pair: the centroid compare catches a FINISHED
+        // rebalance; the dir listing catches one in flight (rows move
+        // before the centroid rewrite lands). Either changing under
+        // the scan means the probe list may have missed moved rows.
+        val moved = !sameCentroids(c1, readCentroids(spark, indexDir)) ||
+          d1 != cellDirs(spark, indexDir, table)
+        if (moved && attempt < maxAttempts) throw new StaleProbe
+        val seen = scala.collection.mutable.HashSet.empty[Long]
+        val uniq = rows.filter(r => seen.add(r.getLong(0))).take(keep)
+        out = Some(spark.createDataFrame(
+          java.util.Arrays.asList(uniq: _*), df.schema))
+      } catch {
+        case t: Throwable
+            if attempt < maxAttempts &&
+              (t.isInstanceOf[StaleProbe] || retryableProbeFailure(t)) =>
+          if (!t.isInstanceOf[StaleProbe])
+            sleep(ProbeRetryBackoffMs << (attempt - 1))
+          attempt += 1
+      }
+    }
+    out.get
+  }
+
   /** The LAZY probe plan from an already-resolved centroid view — the
     * plan-inspection seam (IvfIndexSpec asserts its partition pruning)
-    * and the single-attempt body [[query]] retries. */
+    * and the single-attempt body [[query]] retries. `orphans` = cell
+    * dirs the centroid view does NOT list (a rebalance in flight or a
+    * crashed one's torn state): they are ALWAYS scanned — the rows a
+    * mid-rebalance already moved out of their ranked parent cell live
+    * there, and skipping them would silently serve a top-k without
+    * them for the whole (possibly seconds-long) window until the
+    * centroid rewrite lands. Bounded by in-flight/crashed splits, so
+    * the pruning claim stands: ranked cells stay ≤ nprobe. */
   private[graft] def queryPlanFrom(spark: SparkSession, indexDir: String,
       centroids: Array[(Int, Array[Double])], query: Array[Double],
-      topK: Int, nprobe: Int): DataFrame = {
+      topK: Int, nprobe: Int, orphans: Seq[Int] = Seq.empty): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val probes = centroids.map { case (cell, c) =>
+    val probes = (centroids.map { case (cell, c) =>
       val d2 = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
       (cell, d2)
-    }.sortBy(_._2).take(nprobe).map(_._1).toSeq
+    }.sortBy(_._2).take(nprobe).map(_._1).toSeq ++ orphans).distinct
     val qnrm = math.sqrt(query.map(x => x * x).sum)
     val qe = array(query.map(lit): _*)
     minusTombstones(spark.read.parquet(s"$indexDir/vectors")
@@ -183,19 +263,34 @@ object IvfIndex {
       .limit(topK)
   }
 
-  /** One-shot lazy plan (current centroid view, no retry) — for plan
-    * audits; serving goes through [[query]]. */
+  /** Parse cell ids out of a [[cellDirs]] listing and return the ones
+    * the centroid view does not know — the always-scanned orphan set. */
+  private[graft] def orphanCells(dirs: Seq[String],
+      centroids: Array[(Int, Array[Double])]): Seq[Int] = {
+    val known = centroids.map(_._1).toSet
+    dirs.collect {
+      case d if d.startsWith("cell=") &&
+        d.stripPrefix("cell=").forall(_.isDigit) =>
+        d.stripPrefix("cell=").toInt
+    }.filterNot(known).sorted
+  }
+
+  /** One-shot lazy plan (current centroid view + orphan dirs, no
+    * retry) — for plan audits; serving goes through [[query]]. */
   private[graft] def queryPlan(spark: SparkSession, indexDir: String,
-      query: Array[Double], topK: Int = 10, nprobe: Int = 4): DataFrame =
-    queryPlanFrom(spark, indexDir, readCentroids(spark, indexDir),
-      query, topK, nprobe)
+      query: Array[Double], topK: Int = 10, nprobe: Int = 4): DataFrame = {
+    val cents = readCentroids(spark, indexDir)
+    queryPlanFrom(spark, indexDir, cents, query, topK, nprobe,
+      orphanCells(cellDirs(spark, indexDir, "vectors"), cents))
+  }
 
   /** Top-k by exact cosine among the nprobe nearest cells of `query`,
     * EAGER under the probe-retry policy (see [[ProbeRetryAttempts]]):
     * survives a concurrent rebalance/applyDeletes partition overwrite
-    * by re-resolving centroids and re-planning, and validates that the
-    * centroid view did not change under the scan (one stale attempt is
-    * served only when retries exhaust — every row is still a true
+    * by re-resolving centroids and re-planning, and validates that
+    * NEITHER the centroid view NOR the cell-partition layout changed
+    * under the scan ([[eagerProbe]]'s witness pair — a stale attempt
+    * is served only when retries exhaust; every row is still a true
     * vector, the documented bound). Returns a local top-k frame. */
   def query(spark: SparkSession, indexDir: String, query: Array[Double],
       topK: Int = 10, nprobe: Int = 4): DataFrame =
@@ -208,40 +303,11 @@ object IvfIndex {
       query: Array[Double], topK: Int = 10, nprobe: Int = 4,
       afterPin: Int => Unit = _ => (),
       maxAttempts: Int = ProbeRetryAttempts,
-      sleep: Long => Unit = Thread.sleep): DataFrame = {
-    var attempt = 1
-    var out: Option[DataFrame] = None
-    while (out.isEmpty) {
-      try {
-        val c1 = readCentroids(spark, indexDir)
-        afterPin(attempt)
-        val plan = queryPlanFrom(spark, indexDir, c1, query,
-          withHeadroom(topK), nprobe)
-        val rows = plan.collect()
-        // the pair-pinning check: if maintenance rewrote the centroids
-        // while the scan ran, the probe list may have been stale —
-        // re-plan from the fresh view (final attempt serves the stale-
-        // but-true-vector answer instead of failing the serving path)
-        if (!sameCentroids(c1, readCentroids(spark, indexDir)) &&
-            attempt < maxAttempts) throw new StaleProbe
-        // dedupe a row a mid-commit listing saw twice (old + new cell
-        // dir — identical vector, identical score; rows arrive sorted,
-        // keep the first), then trim the headroom back to topK
-        val seen = scala.collection.mutable.HashSet.empty[Long]
-        val uniq = rows.filter(r => seen.add(r.getLong(0))).take(topK)
-        out = Some(spark.createDataFrame(
-          java.util.Arrays.asList(uniq: _*), plan.schema))
-      } catch {
-        case t: Throwable
-            if attempt < maxAttempts &&
-              (t.isInstanceOf[StaleProbe] || retryableProbeFailure(t)) =>
-          if (!t.isInstanceOf[StaleProbe])
-            sleep(ProbeRetryBackoffMs << (attempt - 1))
-          attempt += 1
-      }
-    }
-    out.get
-  }
+      sleep: Long => Unit = Thread.sleep): DataFrame =
+    eagerProbe(spark, indexDir, "vectors", topK, afterPin, maxAttempts,
+      sleep)((c1, orphans) =>
+      queryPlanFrom(spark, indexDir, c1, query, withHeadroom(topK),
+        nprobe, orphans))
 
   /** Right-to-be-forgotten delete — [[LshBandIndex.delete]]'s tombstone
     * discipline applied to the vector index: O(batch) append of the ids
@@ -528,10 +594,15 @@ object IvfIndex {
     * Torn-state semantics and recovery: a crash between a split's
     * vector-partition write and the final centroid rewrite leaves
     * ORPHAN cells — directories under vectors/ whose ids the stale
-    * centroids table does not list. [[query]] never probes them (a
-    * recall dip, NOT an error — IvfIndexSpec pins the interleaved
-    * state), and [[driftAudit]] surfaces them as rows with a null
-    * mean_disp2. The next rebalance run self-heals: it ADOPTS every
+    * centroids table does not list. [[query]] scans them
+    * UNCONDITIONALLY alongside its ranked probes ([[orphanCells]] —
+    * the moved rows live there, and for the whole window until the
+    * centroid rewrite or the next rebalance's adoption they are
+    * reachable no other way; serving therefore stays COMPLETE through
+    * a mid-flight or crashed rebalance, which the live-prober and
+    * seam-injection specs pin), and [[driftAudit]] surfaces them as
+    * rows with a null mean_disp2. The next rebalance run self-heals:
+    * it ADOPTS every
     * orphan cell first (centroid := the member mean — what the lost
     * k=2 sub-center was approximating), and it allocates fresh ids
     * from max over BOTH tables, so a re-run can never hand an orphan's

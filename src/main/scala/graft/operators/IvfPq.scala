@@ -131,10 +131,11 @@ object IvfPq {
     * engines' left fold, so ADC values are bit-equal to q162's. */
   private def probePlanFrom(spark: SparkSession, indexDir: String,
       centroids: Array[(Int, Array[Double])],
-      q: Array[Double], nprobe: Int): (Seq[Int], DataFrame) = {
-    val probes = centroids.map { case (cell, c) =>
+      q: Array[Double], nprobe: Int,
+      orphans: Seq[Int] = Seq.empty): (Seq[Int], DataFrame) = {
+    val probes = (centroids.map { case (cell, c) =>
       (c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, cell)
-    }.sorted.take(nprobe).map(_._2).toSeq
+    }.sorted.take(nprobe).map(_._2).toSeq ++ orphans).distinct
     val cbs = spark.read.parquet(s"$indexDir/codebooks")
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
       .toMap
@@ -250,8 +251,10 @@ object IvfPq {
     * plan-inspection seam; serving goes through [[query]]. */
   private[graft] def queryPlan(spark: SparkSession, indexDir: String,
       q: Array[Double], topK: Int = 10, nprobe: Int = 4): DataFrame = {
-    val (_, scored) = probePlanFrom(spark, indexDir,
-      IvfIndex.readCentroids(spark, indexDir), q, nprobe)
+    val cents = IvfIndex.readCentroids(spark, indexDir)
+    val (_, scored) = probePlanFrom(spark, indexDir, cents, q, nprobe,
+      IvfIndex.orphanCells(
+        IvfIndex.cellDirs(spark, indexDir, "codes"), cents))
     scored.select("vec_id", "label", "cell", "adc_dist")
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(topK)
@@ -269,56 +272,23 @@ object IvfPq {
 
   /** [[query]] with the spec seams exposed ([[IvfIndex.queryImpl]]'s
     * shape: `afterPin` fires between the centroid read and the codes
-    * scan). */
+    * scan). Delegates to the SHARED [[IvfIndex.eagerProbe]] retry loop
+    * (one copy of the concurrency logic — witness pair, dedupe,
+    * headroom trim) with the ADC plan injected and the codes table as
+    * the layout witness. */
   private[graft] def queryImpl(spark: SparkSession, indexDir: String,
       q: Array[Double], topK: Int = 10, nprobe: Int = 4,
       afterPin: Int => Unit = _ => (),
       maxAttempts: Int = IvfIndex.ProbeRetryAttempts,
       sleep: Long => Unit = Thread.sleep): DataFrame =
-    eagerProbe(spark, indexDir, afterPin, maxAttempts, sleep, topK) { cents =>
-      val (_, scored) = probePlanFrom(spark, indexDir, cents, q, nprobe)
+    IvfIndex.eagerProbe(spark, indexDir, "codes", topK, afterPin,
+        maxAttempts, sleep) { (cents, orphans) =>
+      val (_, scored) = probePlanFrom(spark, indexDir, cents, q, nprobe,
+        orphans)
       scored.select("vec_id", "label", "cell", "adc_dist")
         .orderBy(col("adc_dist"), col("vec_id"))
         .limit(IvfIndex.withHeadroom(topK))
     }
-
-  /** The shared retry loop for the PQ probe paths — [[IvfIndex.queryImpl]]'s
-    * policy with the plan body injected (ADC top-k or rerank join). */
-  private def eagerProbe(spark: SparkSession, indexDir: String,
-      afterPin: Int => Unit, maxAttempts: Int, sleep: Long => Unit,
-      keep: Int)(
-      plan: Array[(Int, Array[Double])] => DataFrame): DataFrame = {
-    var attempt = 1
-    var out: Option[DataFrame] = None
-    while (out.isEmpty) {
-      try {
-        val c1 = IvfIndex.readCentroids(spark, indexDir)
-        afterPin(attempt)
-        val df = plan(c1)
-        val rows = df.collect()
-        if (!IvfIndex.sameCentroids(c1,
-              IvfIndex.readCentroids(spark, indexDir)) &&
-            attempt < maxAttempts) throw new IvfIndex.StaleProbe
-        // dedupe a row a mid-commit listing saw twice (old + new cell
-        // dir — identical code row, identical distance; rows arrive
-        // sorted, keep the first), then trim the plan's headroom
-        // ([[IvfIndex.DupHeadroom]]) back to the caller's top-k
-        val seen = scala.collection.mutable.HashSet.empty[Long]
-        val uniq = rows.filter(r => seen.add(r.getLong(0))).take(keep)
-        out = Some(spark.createDataFrame(
-          java.util.Arrays.asList(uniq: _*), df.schema))
-      } catch {
-        case t: Throwable
-            if attempt < maxAttempts &&
-              (t.isInstanceOf[IvfIndex.StaleProbe] ||
-                IvfIndex.retryableProbeFailure(t)) =>
-          if (!t.isInstanceOf[IvfIndex.StaleProbe])
-            sleep(IvfIndex.ProbeRetryBackoffMs << (attempt - 1))
-          attempt += 1
-      }
-    }
-    out.get
-  }
 
   /** The persisted codebooks as nested Seqs (m → j → subvector). */
   private def loadCodebooks(spark: SparkSession,
@@ -494,9 +464,16 @@ object IvfPq {
   def queryRerank(spark: SparkSession, indexDir: String,
       vectors: DataFrame, q: Array[Double], topK: Int = 10,
       nprobe: Int = 4, shortlist: Int = 100): DataFrame =
-    eagerProbe(spark, indexDir, _ => (), IvfIndex.ProbeRetryAttempts,
-        Thread.sleep, topK) { cents =>
-      val (_, scored) = probePlanFrom(spark, indexDir, cents, q, nprobe)
+    IvfIndex.eagerProbe(spark, indexDir, "codes", topK, _ => (),
+        IvfIndex.ProbeRetryAttempts, Thread.sleep) { (cents, orphans) =>
+      val (_, scored) = probePlanFrom(spark, indexDir, cents, q, nprobe,
+        orphans)
+      // the shortlist stays EXACTLY `shortlist` slots — it is the
+      // spec'd candidate budget (IvfPqSpec's q164 cross-law pins the
+      // 100-candidate semantics); a mid-commit double-listed code row
+      // eating a slot is a transient recall artifact inside the
+      // documented bound. The FINAL stage gets dedupe headroom so a
+      // duplicate can never shrink the served top-k below topK.
       val short = scored.select("vec_id", "label", "adc_dist")
         .orderBy(col("adc_dist"), col("vec_id"))
         .limit(shortlist)
@@ -508,6 +485,6 @@ object IvfPq {
         .select(col("vec_id"), col("label"), col("adc_dist"),
           (expr("dot_product(e, qe)") / (col("nrm") * lit(qn))).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
-        .limit(topK)
+        .limit(IvfIndex.withHeadroom(topK))
     }
 }

@@ -39,17 +39,11 @@ import org.apache.spark.sql.functions._
 object AnnScale {
 
   private[graft] def floorSuspects(metrics: Map[String, Double],
-      floors: Map[String, Double]): Seq[String] = {
-    def over(k: String, factor: Double) =
-      (for (m <- metrics.get(k); f <- floors.get(k)) yield m > factor * f)
-        .getOrElse(false)
-    def under(k: String) =
-      (for (m <- metrics.get(k); f <- floors.get(k)) yield m < f / 2.0)
-        .getOrElse(false)
-    (Seq("build_sec" -> 2.0, "rebalance_sec" -> 2.0,
-      "replay_skip_sec" -> 2.0).collect { case (k, f) if over(k, f) => k }) ++
-      Seq("cold_vecs_per_sec", "min_warm_vecs_per_sec").filter(under)
-  }
+      floors: Map[String, Double]): Seq[String] =
+    IngestScale.flagAgainstFloors(metrics, floors,
+      Seq("build_sec" -> 2.0, "rebalance_sec" -> 2.0,
+        "replay_skip_sec" -> 2.0),
+      Seq("cold_vecs_per_sec", "min_warm_vecs_per_sec"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

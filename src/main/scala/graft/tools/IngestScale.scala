@@ -39,19 +39,30 @@ object IngestScale {
     * construction and runs ~30% under the warm curve, so a single
     * shared floor either dulls the warm alarm or cries wolf on every
     * cold start (the round-15 verdict's dulled-alarm finding). */
-  private[graft] def floorSuspects(metrics: Map[String, Double],
-      floors: Map[String, Double]): Seq[String] = {
+  /** The shared flag logic both scale tools use (this and [[AnnScale]]
+    * — one copy, or a threshold tweak silently diverges them): time
+    * metrics flag HIGH past their per-key factor × floor, throughput
+    * metrics flag LOW under half their own floor, unknown keys never
+    * flag. */
+  private[graft] def flagAgainstFloors(metrics: Map[String, Double],
+      floors: Map[String, Double], timeKeys: Seq[(String, Double)],
+      throughputKeys: Seq[String]): Seq[String] = {
     def over(k: String, factor: Double) =
       (for (m <- metrics.get(k); f <- floors.get(k)) yield m > factor * f)
         .getOrElse(false)
     def under(k: String) =
       (for (m <- metrics.get(k); f <- floors.get(k)) yield m < f / 2.0)
         .getOrElse(false)
-    (Seq("build_sec" -> 2.0, "repair_replay_sec" -> 2.0,
-      "marker_skip_sec" -> 5.0).collect {
-        case (k, f) if over(k, f) => k
-      }) ++ Seq("cold_docs_per_sec", "min_warm_docs_per_sec").filter(under)
+    timeKeys.collect { case (k, f) if over(k, f) => k } ++
+      throughputKeys.filter(under)
   }
+
+  private[graft] def floorSuspects(metrics: Map[String, Double],
+      floors: Map[String, Double]): Seq[String] =
+    flagAgainstFloors(metrics, floors,
+      Seq("build_sec" -> 2.0, "repair_replay_sec" -> 2.0,
+        "marker_skip_sec" -> 5.0),
+      Seq("cold_docs_per_sec", "min_warm_docs_per_sec"))
 
   private[graft] def parseFloors(txt: String): Map[String, Double] =
     "\"([a-z_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)

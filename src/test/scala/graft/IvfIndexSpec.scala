@@ -217,14 +217,13 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$d3/centroids").count() == 2)
   }
 
-  test("reader racing a rebalance (stale centroids + orphan cell dirs) degrades gracefully; the next rebalance adopts the orphans") {
+  test("reader racing a rebalance (stale centroids + orphan cell dirs) serves the COMPLETE live set; the next rebalance adopts the orphans") {
     import spark.implicits._
     val dir5 = Files.createTempDirectory("graft-ivf-torn").toFile
     dir5.deleteOnExit()
     val d5 = dir5.getAbsolutePath
     operators.IvfIndex.build(spark, sf, d5)
     val q = queryVec
-    val qn = math.sqrt(q.map(x => x * x).sum)
     val knownCells = spark.read.parquet(s"$d5/centroids")
       .collect().map(_.getInt(0))
     // the torn state rebalance can crash into: vector rows landed under
@@ -233,20 +232,25 @@ class IvfIndexSpec extends AnyFunSuite {
     val before = operators.IvfIndex.query(spark, d5, q,
       topK = 10, nprobe = knownCells.length)
       .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(before.head._1 == 0L, "fixture: the query vector is vec 0 itself")
     (0 until 25).map { i =>
       val e = q.toSeq.updated(0, q(0) + 1e-3 * i)
       (2000000L + i, 7, e, math.sqrt(e.map(x => x * x).sum), orphanId)
     }.toDF("vec_id", "label", "e", "nrm", "cell")
       .write.mode("append").partitionBy("cell").parquet(s"$d5/vectors")
-    // 1) the racing reader: no exception, full top-k, and results
-    //    EXACTLY what the stale centroids describe — the orphan dir is
-    //    simply not probed (recall dip, not an error)
+    // 1) the racing reader: no exception, full top-k, and the orphan
+    //    dir IS scanned — a mid-flight rebalance's moved rows are
+    //    reachable no other way until the centroid rewrite lands, so
+    //    serving must stay complete (id 2000000 is an exact clone of q
+    //    and ties vec 0 at cosine 1.0; the jittered clones rank next,
+    //    jitter ascending = cosine descending)
     val during = operators.IvfIndex.query(spark, d5, q,
       topK = 10, nprobe = knownCells.length)
       .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
-    assert(during == before,
-      "reader in the torn state must see exactly the pre-rebalance index")
-    assert(!during.exists(_._1 >= 2000000L), "orphan rows leaked into a stale-centroid probe")
+    assert(during.map(_._1) == (0L +: (2000000L to 2000008L)),
+      s"torn-state probe must serve the complete live set: $during")
+    assert(math.abs(during(1)._2 - 1.0) < 1e-12,
+      "the orphan-planted exact clone must score cosine 1.0")
     // 2) driftAudit surfaces the orphan cell (population visible, no
     //    stored centroid -> null displacement)
     val audit = operators.IvfIndex.driftAudit(spark, d5).collect()
