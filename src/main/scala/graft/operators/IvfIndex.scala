@@ -172,7 +172,11 @@ object IvfIndex {
     * compare alone would miss (the window where a probe would silently
     * serve a top-k without the moved rows). Metadata-only, one listing
     * call. Appends don't change dir NAMES — correct: a probe racing an
-    * append legitimately serves the pre-append view. */
+    * append legitimately serves the pre-append view. Only `cell=N`
+    * dirs count: Spark's transient job-staging dirs (`_temporary`,
+    * `.spark-staging-*`) appear and vanish during every routine
+    * append/overwrite commit, and including them would make probes
+    * spin StaleProbe retries through every append window. */
   private[graft] def cellDirs(spark: SparkSession, indexDir: String,
       table: String): Seq[String] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -180,7 +184,17 @@ object IvfIndex {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).filter(_.isDirectory)
-      .map(_.getPath.getName).sorted.toSeq
+      .map(_.getPath.getName)
+      .filter(n => isCellDir(n)).sorted.toSeq
+  }
+
+  /** `cell=<int>` and nothing else — empty or over-Int suffixes (a
+    * stray junk dir) are ignored rather than crashing the serving
+    * path with a NumberFormatException. */
+  private def isCellDir(name: String): Boolean = {
+    val suffix = name.stripPrefix("cell=")
+    name.startsWith("cell=") && suffix.nonEmpty && suffix.length <= 9 &&
+      suffix.forall(_.isDigit)
   }
 
   /** The shared eager-probe retry loop (serving entry for BOTH ANN
@@ -195,7 +209,7 @@ object IvfIndex {
   private[operators] def eagerProbe(spark: SparkSession, indexDir: String,
       table: String, keep: Int, afterPin: Int => Unit, maxAttempts: Int,
       sleep: Long => Unit)(
-      plan: (Array[(Int, Array[Double])], Seq[Int]) => DataFrame)
+      plan: (Array[(Int, Array[Double])], Seq[Int], Int) => DataFrame)
       : DataFrame = {
     var attempt = 1
     var out: Option[DataFrame] = None
@@ -206,16 +220,22 @@ object IvfIndex {
         afterPin(attempt)
         // orphan dirs (cells the centroid view doesn't list — a
         // rebalance in flight or a crashed one) are ALWAYS scanned:
-        // the moved rows live there until the centroid rewrite lands
-        val df = plan(c1, orphanCells(d1, c1))
+        // the moved rows live there until the centroid rewrite lands.
+        // The loop OWNS the over-fetch: the closure limits to the
+        // `fetch` it is handed, so no caller can forget the headroom
+        // that makes the dedupe shrink-proof.
+        val df = plan(c1, orphanCells(d1, c1), withHeadroom(keep))
         val rows = df.collect()
         // witness pair: the centroid compare catches a FINISHED
         // rebalance; the dir listing catches one in flight (rows move
         // before the centroid rewrite lands). Either changing under
         // the scan means the probe list may have missed moved rows.
-        val moved = !sameCentroids(c1, readCentroids(spark, indexDir)) ||
-          d1 != cellDirs(spark, indexDir, table)
-        if (moved && attempt < maxAttempts) throw new StaleProbe
+        // Short-circuit order matters: the final attempt must serve —
+        // skip both witness re-reads when no retry is possible.
+        if (attempt < maxAttempts &&
+            (!sameCentroids(c1, readCentroids(spark, indexDir)) ||
+              d1 != cellDirs(spark, indexDir, table)))
+          throw new StaleProbe
         val seen = scala.collection.mutable.HashSet.empty[Long]
         val uniq = rows.filter(r => seen.add(r.getLong(0))).take(keep)
         out = Some(spark.createDataFrame(
@@ -263,16 +283,13 @@ object IvfIndex {
       .limit(topK)
   }
 
-  /** Parse cell ids out of a [[cellDirs]] listing and return the ones
-    * the centroid view does not know — the always-scanned orphan set. */
+  /** Parse cell ids out of a [[cellDirs]] listing (already filtered to
+    * well-formed `cell=<int>` names) and return the ones the centroid
+    * view does not know — the always-scanned orphan set. */
   private[graft] def orphanCells(dirs: Seq[String],
       centroids: Array[(Int, Array[Double])]): Seq[Int] = {
     val known = centroids.map(_._1).toSet
-    dirs.collect {
-      case d if d.startsWith("cell=") &&
-        d.stripPrefix("cell=").forall(_.isDigit) =>
-        d.stripPrefix("cell=").toInt
-    }.filterNot(known).sorted
+    dirs.map(_.stripPrefix("cell=").toInt).filterNot(known).sorted
   }
 
   /** One-shot lazy plan (current centroid view + orphan dirs, no
@@ -305,9 +322,8 @@ object IvfIndex {
       maxAttempts: Int = ProbeRetryAttempts,
       sleep: Long => Unit = Thread.sleep): DataFrame =
     eagerProbe(spark, indexDir, "vectors", topK, afterPin, maxAttempts,
-      sleep)((c1, orphans) =>
-      queryPlanFrom(spark, indexDir, c1, query, withHeadroom(topK),
-        nprobe, orphans))
+      sleep)((c1, orphans, fetch) =>
+      queryPlanFrom(spark, indexDir, c1, query, fetch, nprobe, orphans))
 
   /** Right-to-be-forgotten delete — [[LshBandIndex.delete]]'s tombstone
     * discipline applied to the vector index: O(batch) append of the ids

@@ -282,12 +282,12 @@ object IvfPq {
       maxAttempts: Int = IvfIndex.ProbeRetryAttempts,
       sleep: Long => Unit = Thread.sleep): DataFrame =
     IvfIndex.eagerProbe(spark, indexDir, "codes", topK, afterPin,
-        maxAttempts, sleep) { (cents, orphans) =>
+        maxAttempts, sleep) { (cents, orphans, fetch) =>
       val (_, scored) = probePlanFrom(spark, indexDir, cents, q, nprobe,
         orphans)
       scored.select("vec_id", "label", "cell", "adc_dist")
         .orderBy(col("adc_dist"), col("vec_id"))
-        .limit(IvfIndex.withHeadroom(topK))
+        .limit(fetch)
     }
 
   /** The persisted codebooks as nested Seqs (m → j → subvector). */
@@ -465,7 +465,8 @@ object IvfPq {
       vectors: DataFrame, q: Array[Double], topK: Int = 10,
       nprobe: Int = 4, shortlist: Int = 100): DataFrame =
     IvfIndex.eagerProbe(spark, indexDir, "codes", topK, _ => (),
-        IvfIndex.ProbeRetryAttempts, Thread.sleep) { (cents, orphans) =>
+        IvfIndex.ProbeRetryAttempts, Thread.sleep) { (cents, orphans,
+        fetch) =>
       val (_, scored) = probePlanFrom(spark, indexDir, cents, q, nprobe,
         orphans)
       // the shortlist stays EXACTLY `shortlist` slots — it is the
@@ -485,6 +486,6 @@ object IvfPq {
         .select(col("vec_id"), col("label"), col("adc_dist"),
           (expr("dot_product(e, qe)") / (col("nrm") * lit(qn))).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
-        .limit(IvfIndex.withHeadroom(topK))
+        .limit(fetch)
     }
 }

@@ -30,15 +30,6 @@ import org.apache.spark.sql.functions._
   */
 object IngestScale {
 
-  /** How far a measurement may drift from its committed floor before
-    * it is flagged. Time metrics flag HIGH (2× — the Bench
-    * SuspectFactor), except the marker skip, whose floor is
-    * millisecond-scale and GC-jittery (5×). Throughput metrics flag
-    * LOW (under half the floor) — and cold and warm throughput each
-    * flag against their OWN floor: the first batch is JIT-cold by
-    * construction and runs ~30% under the warm curve, so a single
-    * shared floor either dulls the warm alarm or cries wolf on every
-    * cold start (the round-15 verdict's dulled-alarm finding). */
   /** The shared flag logic both scale tools use (this and [[AnnScale]]
     * — one copy, or a threshold tweak silently diverges them): time
     * metrics flag HIGH past their per-key factor × floor, throughput
@@ -57,6 +48,13 @@ object IngestScale {
       throughputKeys.filter(under)
   }
 
+  /** This tool's key set and factors: time metrics flag at 2× (the
+    * Bench SuspectFactor), except the marker skip, whose floor is
+    * millisecond-scale and GC-jittery (5×); cold and warm throughput
+    * each flag against their OWN floor — the first batch is JIT-cold
+    * by construction and runs ~30% under the warm curve, so a single
+    * shared floor either dulls the warm alarm or cries wolf on every
+    * cold start (the round-15 verdict's dulled-alarm finding). */
   private[graft] def floorSuspects(metrics: Map[String, Double],
       floors: Map[String, Double]): Seq[String] =
     flagAgainstFloors(metrics, floors,
