@@ -495,20 +495,27 @@ object MaintenanceLock {
     * null-vs-empty authority split (a relative path qualifies against
     * the working dir as `file:/...` while an absolute one qualifies
     * against the fs URI as `file:///...` — same dir, different URI
-    * strings). */
-  private def canonicalDir(spark: SparkSession, indexDir: String): String = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val uri = fs.makeQualified(new Path(indexDir)).toUri.normalize()
+    * strings). The path component is taken RAW (getRawPath): getPath
+    * percent-DECODES, so a directory whose literal name contains a URI
+    * escape (`/tmp/a%20b`) would canonicalize to `/tmp/a b` — colliding
+    * two distinct dirs on one lock key. The raw form round-trips
+    * without decoding; the lease file itself is addressed through the
+    * qualified Path OBJECT ([[withLockAs]]), never re-parsed from this
+    * string. */
+  private def canonicalDir(qualified: Path): String = {
+    val uri = qualified.toUri.normalize()
     val auth = Option(uri.getAuthority).getOrElse("")
-    s"${uri.getScheme}://$auth${uri.getPath}"
+    s"${uri.getScheme}://$auth${uri.getRawPath}"
   }
 
   /** [[withLock]] with an explicit holder id (spec seam — lets a test
     * simulate a SECOND process contending for the lease). */
   private[graft] def withLockAs[T](spark: SparkSession, rawIndexDir: String,
       holder: String, staleMs: Long = DefaultStaleMs)(body: => T): T = {
-    val indexDir = canonicalDir(spark, rawIndexDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(new Path(rawIndexDir))
+    val indexDir = canonicalDir(qualified)
     val cur = jvmHolders.get(indexDir)
     if (cur != null && (cur.thread eq Thread.currentThread())) {
       if (cur.holder == holder) {
@@ -520,7 +527,7 @@ object MaintenanceLock {
         // same thread posing as a DIFFERENT holder (the spec's
         // simulated second process): defer to the file lease, which
         // fails fast on the outer scope's fresh foreign lock
-        fileLease(spark, indexDir, holder, staleMs)(body)
+        fileLease(spark, qualified, indexDir, holder, staleMs)(body)
     } else if (cur != null) {
       // another THREAD of this JVM holds the index — fail fast exactly
       // like a second process would (shared holder id made the file
@@ -533,20 +540,22 @@ object MaintenanceLock {
       if (jvmHolders.putIfAbsent(indexDir, mine) != null)
         throw new LockHeldException(
           s"index $indexDir lock was taken concurrently by another thread")
-      try fileLease(spark, indexDir, holder, staleMs)(body)
+      try fileLease(spark, qualified, indexDir, holder, staleMs)(body)
       finally { jvmHolders.remove(indexDir, mine); () }
     }
   }
 
   /** The cross-process file lease (see the object scaladoc). Assumes
-    * the in-process registry has already admitted this thread. */
-  private def fileLease[T](spark: SparkSession, indexDir: String,
-      holder: String, staleMs: Long)(body: => T): T = {
+    * the in-process registry has already admitted this thread. `root`
+    * is the qualified Path OBJECT (never a re-parsed canonical string —
+    * a literal `%XX` in the dir name must not decode); `indexDir` is
+    * the canonical spelling, used for messages only. */
+  private def fileLease[T](spark: SparkSession, root: Path,
+      indexDir: String, holder: String, staleMs: Long)(body: => T): T = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val root = new Path(indexDir)
     if (!fs.exists(root)) { fs.mkdirs(root); () }
-    val lock = new Path(s"$indexDir/_lock")
+    val lock = new Path(root, "_lock")
 
     def readHolder(): Option[String] =
       if (!fs.exists(lock)) None
@@ -574,7 +583,7 @@ object MaintenanceLock {
           // tombstone — of two contenders observing the same stale
           // file, exactly one rename finds the source present, so the
           // loser can never delete the winner's freshly created lock
-          val tomb = new Path(s"$indexDir/_lock.stale-" +
+          val tomb = new Path(root, "_lock.stale-" +
             java.util.UUID.randomUUID.toString.take(12))
           val won =
             try fs.rename(lock, tomb)

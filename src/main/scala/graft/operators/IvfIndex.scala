@@ -110,12 +110,16 @@ object IvfIndex {
     * listing racing a dynamic-overwrite commit can see a moved row
     * under BOTH its old and new cell dir, and duplicates inside a
     * plain `limit(topK)` would push true neighbors out of the answer.
-    * The window is sized for the WORST case — every row in the limit
-    * window double-listed: fetching 2·topK + slack guarantees ≥ topK
-    * unique survivors after dedupe, so a mid-commit read can shrink
-    * nothing (quiesced results stay bit-identical: dedupe no-ops and
-    * take(topK) trims the slack; the top-k heap cost of the larger
-    * limit is negligible). */
+    * Sized for one full double-listing — every row in the limit window
+    * seen under old+new dir at once (fetching 2·topK + slack then
+    * still yields ≥ topK uniques; quiesced results stay bit-identical:
+    * dedupe no-ops and take(topK) trims the slack; the top-k heap cost
+    * of the larger limit is negligible). Deeper multiplicity is
+    * possible — a row can move TWICE across rebalance rounds, tripling
+    * its listings — so the headroom is a fast path, not the guarantee:
+    * [[eagerProbe]] treats an under-filled deduped answer out of a
+    * saturated fetch as a retry signal, and only a retry-exhausted
+    * final attempt may serve fewer than topK unique rows. */
   private[graft] val DupHeadroom = 8
 
   private[graft] def withHeadroom(topK: Int): Int =
@@ -126,20 +130,29 @@ object IvfIndex {
     * the scan's listing and its read (partition overwrite mid-commit),
     * or a table dir momentarily empty under an overwrite. Walks the
     * cause chain — Spark wraps the task's FileNotFoundException in
-    * SparkException layers. */
+    * SparkException layers. Classification prefers the structured
+    * error CONDITION (SparkThrowable.getCondition) over message
+    * substrings — a query whose data happens to mention
+    * "FileNotFoundException" must not look transient; the message
+    * fallback survives only for non-SparkThrowable wrapper layers
+    * whose cause chain was truncated. */
   private[graft] def retryableProbeFailure(t: Throwable): Boolean = {
     var cur = t
     var n = 0
     while (cur != null && n < 16) {
       cur match {
         case _: java.io.FileNotFoundException => return true
+        case st: org.apache.spark.SparkThrowable
+            if st.getCondition != null &&
+              (st.getCondition == "PATH_NOT_FOUND" ||
+                st.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
+                st.getCondition == "FAILED_READ_FILE.FILE_NOT_EXIST") =>
+          return true
         case a: org.apache.spark.sql.AnalysisException
             if a.getMessage != null &&
-              (a.getMessage.contains("PATH_NOT_FOUND") ||
-                a.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
-                a.getMessage.contains("Path does not exist")) => return true
+              a.getMessage.contains("Path does not exist") => return true
         case _ =>
-          if (cur.getMessage != null &&
+          if (cur.getCause == null && cur.getMessage != null &&
               cur.getMessage.contains("FileNotFoundException")) return true
       }
       cur = cur.getCause
@@ -171,8 +184,12 @@ object IvfIndex {
     * and after the scan catches a rebalance IN FLIGHT that the centroid
     * compare alone would miss (the window where a probe would silently
     * serve a top-k without the moved rows). Metadata-only, one listing
-    * call. Appends don't change dir NAMES — correct: a probe racing an
-    * append legitimately serves the pre-append view. Only `cell=N`
+    * call. The compare itself ([[eagerProbe]]) is ASYMMETRIC: a REMOVED
+    * dir or a new dir under an id the pinned centroid view doesn't list
+    * (a fresh orphan — rows moved mid-scan) re-plans; a new dir under a
+    * KNOWN centroid id is just an append's first write into an empty
+    * cell, and a probe racing an append legitimately serves the
+    * pre-append view (appends never move existing rows). Only `cell=N`
     * dirs count: Spark's transient job-staging dirs (`_temporary`,
     * `.spark-staging-*`) appear and vanish during every routine
     * append/overwrite commit, and including them would make probes
@@ -200,13 +217,25 @@ object IvfIndex {
   /** The shared eager-probe retry loop (serving entry for BOTH ANN
     * lifecycles — IvfPq injects its ADC plan): pin the centroid view
     * AND the cell-dir layout, run the injected plan, and re-plan when
-    * either witness changed under the scan or the scan hit a
-    * mid-overwrite missing file; dedupe mid-commit double-listed rows
-    * and trim the [[withHeadroom]] slack back to `keep`. The final
-    * attempt serves the possibly-stale answer instead of failing the
-    * serving path — every row is still a true stored vector with its
-    * exact score, the documented bound. */
-  private[operators] def eagerProbe(spark: SparkSession, indexDir: String,
+    * either witness changed under the scan (asymmetric dir compare —
+    * see [[cellDirs]]: removals and fresh ORPHAN dirs re-plan, a
+    * first-write append dir under a known centroid id does not), when
+    * the scan hit a mid-overwrite missing file, or when dedupe left
+    * FEWER than `keep` unique rows out of a saturated fetch (duplicate
+    * listings or a mid-commit overwrite window ate slots true
+    * neighbors should hold); dedupe mid-commit double-listed rows by
+    * `vec_id` and trim the [[withHeadroom]] slack back to `keep`.
+    * Serving is complete UNLESS RETRIES EXHAUST: the final attempt
+    * serves the possibly-stale (and possibly under-filled) answer
+    * instead of failing the serving path — every row served is still a
+    * true stored vector with its exact score, the hard bound.
+    *
+    * Fail-fast guard (first attempt only): a retryable-looking failure
+    * against an index whose centroids AND data table have never
+    * existed is a permanent user error (wrong `indexDir`), not a
+    * maintenance window — it surfaces immediately instead of burning
+    * the backoff budget. */
+  private[graft] def eagerProbe(spark: SparkSession, indexDir: String,
       table: String, keep: Int, afterPin: Int => Unit, maxAttempts: Int,
       sleep: Long => Unit)(
       plan: (Array[(Int, Array[Double])], Seq[Int], Int) => DataFrame)
@@ -224,32 +253,71 @@ object IvfIndex {
         // The loop OWNS the over-fetch: the closure limits to the
         // `fetch` it is handed, so no caller can forget the headroom
         // that makes the dedupe shrink-proof.
-        val df = plan(c1, orphanCells(d1, c1), withHeadroom(keep))
+        val fetch = withHeadroom(keep)
+        val df = plan(c1, orphanCells(d1, c1), fetch)
         val rows = df.collect()
         // witness pair: the centroid compare catches a FINISHED
         // rebalance; the dir listing catches one in flight (rows move
-        // before the centroid rewrite lands). Either changing under
-        // the scan means the probe list may have missed moved rows.
-        // Short-circuit order matters: the final attempt must serve —
-        // skip both witness re-reads when no retry is possible.
-        if (attempt < maxAttempts &&
-            (!sameCentroids(c1, readCentroids(spark, indexDir)) ||
-              d1 != cellDirs(spark, indexDir, table)))
-          throw new StaleProbe
+        // before the centroid rewrite lands). A removed dir or a NEW
+        // dir the pinned centroids don't list means the probe may have
+        // missed moved rows; a new dir under a known centroid id is an
+        // append's first write into an empty cell — the pre-append
+        // view is legitimate, no retry. Short-circuit order matters:
+        // the final attempt must serve — skip both witness re-reads
+        // when no retry is possible.
+        if (attempt < maxAttempts) {
+          val stale = !sameCentroids(c1, readCentroids(spark, indexDir)) || {
+            val d2 = cellDirs(spark, indexDir, table)
+            val removed = d1.exists(!d2.contains(_))
+            val known = c1.map(_._1).toSet
+            val freshOrphan = d2.exists(n => !d1.contains(n) &&
+              !known.contains(n.stripPrefix("cell=").toInt))
+            removed || freshOrphan
+          }
+          if (stale) throw new StaleProbe
+        }
         val seen = scala.collection.mutable.HashSet.empty[Long]
-        val uniq = rows.filter(r => seen.add(r.getLong(0))).take(keep)
+        val idPos = df.schema.fieldIndex("vec_id")
+        val uniq = rows.filter(r => seen.add(r.getLong(idPos))).take(keep)
+        // under-fill = a retry signal, not an answer: duplicates can
+        // only shrink the unique set below `keep` when the fetch limit
+        // SATURATED (rows.length == fetch — more uniques may exist past
+        // the limit) or when a mid-commit overwrite hid survivors the
+        // witness can't see (file-level, same dir names). A short scan
+        // of a genuinely small corpus returns rows < fetch and serves.
+        if (attempt < maxAttempts && uniq.length < keep &&
+            rows.length >= fetch)
+          throw new StaleProbe
         out = Some(spark.createDataFrame(
           java.util.Arrays.asList(uniq: _*), df.schema))
       } catch {
         case t: Throwable
             if attempt < maxAttempts &&
               (t.isInstanceOf[StaleProbe] || retryableProbeFailure(t)) =>
+          if (attempt == 1 && !t.isInstanceOf[StaleProbe] &&
+              !indexEverExisted(spark, indexDir, table))
+            throw t
           if (!t.isInstanceOf[StaleProbe])
             sleep(ProbeRetryBackoffMs << (attempt - 1))
           attempt += 1
       }
     }
     out.get
+  }
+
+  /** True when the index dir plausibly IS an index: either the
+    * centroids table or the data table directory exists. A routine
+    * maintenance window can hide ONE of them transiently (centroid
+    * overwrite deletes-then-writes; an applyDeletes can drop the last
+    * cell dir) but never both — so both absent on a probe's FIRST
+    * failure means a wrong path, which must fail fast rather than
+    * burn the retry backoff budget. */
+  private def indexEverExisted(spark: SparkSession, indexDir: String,
+      table: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/centroids")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$table"))
   }
 
   /** The LAZY probe plan from an already-resolved centroid view — the

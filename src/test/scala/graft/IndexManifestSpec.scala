@@ -431,6 +431,40 @@ class IndexManifestSpec extends AnyFunSuite {
     assert(MaintenanceLock.withLock(spark, s"$dir/") { 7 } == 7)
   }
 
+  test("lock key does NOT percent-decode: a dir literally named with a URI escape stays distinct from its decoded twin, lease lands in the right dir") {
+    // canonicalDir builds the key from the RAW uri path: getPath would
+    // decode a literal '%20' in the dir NAME to a space, colliding two
+    // distinct dirs on one key and (re-parsed) pointing the lease file
+    // at the wrong directory
+    val root = tmp("manifest-pct")
+    val escDir = s"$root/a%20b"
+    val spaceDir = s"$root/a b"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(escDir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(spaceDir))
+    MaintenanceLock.withLock(spark, escDir) {
+      // the lease file lives INSIDE the literal a%20b dir (a decoding
+      // canonicalizer re-parsed through Hadoop Path would drop it
+      // elsewhere) and never in the decoded twin
+      assert(new java.io.File(escDir, "_lock").exists,
+        "lease file missing from the literal 'a%20b' dir")
+      assert(!new java.io.File(spaceDir, "_lock").exists,
+        "lease leaked into the decoded twin dir")
+      // the decoded twin is a DIFFERENT dir: another thread locks it
+      // freely while a%20b is held — no key collision
+      @volatile var ok = false
+      val t = new Thread(() => {
+        MaintenanceLock.withLock(spark, spaceDir) {
+          ok = new java.io.File(spaceDir, "_lock").exists
+        }
+        ()
+      })
+      t.start(); t.join()
+      assert(ok, "distinct dir 'a b' was blocked or mis-leased by the " +
+        "lock on 'a%20b' — percent-decoding key collision")
+      ()
+    }
+  }
+
   test("release leaves a STOLEN lease intact (the lock now carries the thief's id)") {
     val dir = tmp("manifest-steal")
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -544,4 +544,108 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(!IvfIndex.retryableProbeFailure(
       new IllegalStateException("unrelated")))
   }
+
+  test("a probe against a dir that was never an index fails FAST (no retry backoff burned on a permanent path error)") {
+    import operators.IvfIndex
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    intercept[org.apache.spark.sql.AnalysisException] {
+      IvfIndex.queryImpl(spark,
+        s"/tmp/graft-no-such-index-${java.util.UUID.randomUUID}",
+        queryVec, topK = 5, nprobe = 4, sleep = sleeps += _)
+    }
+    assert(sleeps.isEmpty,
+      s"a wrong indexDir must surface on attempt 1, not back off: $sleeps")
+  }
+
+  test("eager-probe dedupe keys on the vec_id COLUMN, not position 0 (a reordered plan cannot dedupe on the wrong field)") {
+    import spark.implicits._
+    import operators.IvfIndex
+    // plan whose FIRST column is label: rows (label, vec_id) =
+    // (0,1),(0,2),(1,1) — a position-0 dedupe keeps (0,1),(1,1) and
+    // serves vec_id 1 twice; the fieldIndex dedupe keeps (0,1),(0,2)
+    val rows = IvfIndex.eagerProbe(spark, indexDir, "vectors", keep = 2,
+      _ => (), maxAttempts = 1, _ => ())((_, _, _) =>
+      Seq((0, 1L), (0, 2L), (1, 1L)).toDF("label", "vec_id"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(rows == Seq(1L, 2L),
+      s"dedupe must key on the vec_id column: served $rows")
+  }
+
+  test("an under-filled dedupe out of a SATURATED fetch is a retry signal; only the exhausted final attempt serves short") {
+    import spark.implicits._
+    import operators.IvfIndex
+    val fetch = IvfIndex.withHeadroom(3)
+    var calls = 0
+    def dupPlan = (1 to fetch).map(i => (9L, i)).toDF("vec_id", "i")
+    def okPlan = Seq((1L, 0), (2L, 0), (3L, 0)).toDF("vec_id", "i")
+    // attempt 1 returns `fetch` rows that dedupe to ONE id (the >=3x
+    // multiplicity window DupHeadroom cannot cover); the retry re-plans
+    // and attempt 2 serves the full unique top-k
+    val got = IvfIndex.eagerProbe(spark, indexDir, "vectors", keep = 3,
+      _ => (), maxAttempts = 4, _ => ()) { (_, _, _) =>
+      calls += 1
+      if (calls == 1) dupPlan else okPlan
+    }.collect().map(_.getLong(0)).toSeq
+    assert(calls == 2, s"expected one under-fill retry, saw $calls attempts")
+    assert(got == Seq(1L, 2L, 3L))
+    // retries exhausted: the final attempt serves the short answer
+    // rather than failing the serving path (the documented bound)
+    val short = IvfIndex.eagerProbe(spark, indexDir, "vectors", keep = 3,
+      _ => (), maxAttempts = 1, _ => ())((_, _, _) => dupPlan)
+      .collect().map(_.getLong(0)).toSeq
+    assert(short == Seq(9L), s"exhausted attempt must serve what it has: $short")
+    // a genuinely small corpus (rows < fetch, all unique) is NOT a
+    // retry signal: one attempt, short answer served
+    var smallCalls = 0
+    val small = IvfIndex.eagerProbe(spark, indexDir, "vectors", keep = 3,
+      _ => (), maxAttempts = 4, _ => ()) { (_, _, _) =>
+      smallCalls += 1
+      Seq((5L, 0)).toDF("vec_id", "i")
+    }.collect().map(_.getLong(0)).toSeq
+    assert(smallCalls == 1 && small == Seq(5L),
+      s"a short scan of a small corpus must serve in one attempt: " +
+        s"$smallCalls attempts, $small")
+  }
+
+  test("an append's FIRST write into an empty cell does not trip the layout witness: one attempt, pre-append view served") {
+    import operators.IvfIndex
+    val dir = Files.createTempDirectory("graft-ivf-first-write").toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath
+    IvfIndex.build(spark, sf, idx)
+    // empty the smallest cell: its dir is removed, its centroid stays —
+    // exactly the state where a later append CREATES the dir afresh
+    val smallest = spark.read.parquet(s"$idx/vectors")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .orderBy(asc("n"), asc("cell")).collect()(0).getInt(0)
+    val members = operators.Similarity.normed(spark, sf)
+      .join(spark.read.parquet(s"$idx/vectors")
+        .filter(col("cell") === smallest).select("vec_id"), "vec_id")
+      .localCheckpoint()
+    val memberIds = members.select("vec_id").collect().map(_.getLong(0)).toSeq
+    IvfIndex.delete(spark, memberIds, idx)
+    IvfIndex.applyDeletes(spark, idx)
+    assert(!new java.io.File(s"$idx/vectors/cell=$smallest").exists,
+      "fixture: the emptied cell dir must be gone")
+    // probe racing the append: afterPin recreates cell=<smallest> by
+    // appending a clone of an original member (same nearest centroid).
+    // The new dir belongs to a KNOWN centroid id — a first-write
+    // append, not a rebalance — so the witness must NOT re-plan.
+    var attempts = 0
+    val got = IvfIndex.queryImpl(spark, idx, queryVec, topK = 5,
+      nprobe = 1000,
+      afterPin = a => {
+        attempts = a
+        if (a == 1) {
+          IvfIndex.appendVectors(spark, idx,
+            members.withColumn("vec_id", col("vec_id") + 8000000L))
+          assert(new java.io.File(s"$idx/vectors/cell=$smallest").exists,
+            "fixture: the append must recreate the emptied cell dir")
+          ()
+        }
+      }, sleep = _ => ())
+    assert(attempts == 1,
+      s"a first-write append dir must not trip the witness: $attempts attempts")
+    assert(got.count() == 5L)
+  }
 }
