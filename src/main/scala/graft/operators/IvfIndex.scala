@@ -21,12 +21,14 @@ import org.apache.spark.sql.functions._
   * actually prunes (input files ⊂ the probed cell directories) and that
   * recall vs brute force is sane.
   *
-  * Storage note: unlike the hash/text lifecycles this index does NOT
-  * sit behind the [[IndexManifest]] commit layer — its lookup IS the
-  * cell partition directory, and dynamic partition overwrite
+  * Storage note: unlike the hash/text lifecycles the VECTOR tables do
+  * NOT sit behind the [[IndexManifest]] commit layer — their lookup IS
+  * the cell partition directory, and dynamic partition overwrite
   * (rebalance/applyDeletes) rewrites exactly the touched dirs, which a
   * flat segment manifest cannot express without re-inventing
-  * per-partition tracking. The residual is Spark's own file-commit
+  * per-partition tracking. The flat RETIRED-ID set is the exception:
+  * it lives behind the manifest ([[RetiredIds]]) so its compaction is
+  * an atomic swap with no resurrection window. The residual is Spark's own file-commit
   * window: a crash DURING a job commit can surface a subset of an
   * append's files (never torn rows — parquet files land whole). Every
   * mutation here is idempotent under replay (the vec_id anti-join
@@ -415,31 +417,6 @@ object IvfIndex {
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
-  /** Ids retired by a completed [[applyDeletes]] — unlike `tombstones/`
-    * this table is never cleared: it is the append-path replay guard's
-    * memory that a vector was FORGOTTEN, not merely absent. Without it
-    * an at-least-once replay of an old append batch AFTER one of its
-    * ids was deleted and physically applied would pass the stored-ids
-    * anti-join (the rows are gone) and resurrect the forgotten vector.
-    * Ids-only (8 bytes a row, bounded by lifetime deletes, never by
-    * corpus size) and append-only, so replays of a crashed apply may
-    * write duplicate rows — harmless, the guard anti-join doesn't care.
-    * DELIBERATELY never compacted: without a manifest commit, any
-    * rewrite (distinct + overwrite) opens a window where a crash
-    * leaves the table partial or absent — and a hole in the
-    * retirement memory is a resurrection path, the exact defect this
-    * table exists to close. Dup rows cost bytes; a lost row costs a
-    * forgotten vector's reappearance. A deployment that outgrows the
-    * append-only form moves the id set behind the [[IndexManifest]]
-    * layer (atomic swap) rather than compacting in place. */
-  private def retiredOf(spark: SparkSession, indexDir: String)
-      : Option[DataFrame] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/retired")
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
-  }
-
   private def minusTombstones(df: DataFrame, ts: Option[DataFrame]): DataFrame =
     ts.map(t => df.join(broadcast(t.select("vec_id")), Seq("vec_id"),
       "left_anti")).getOrElse(df)
@@ -457,6 +434,15 @@ object IvfIndex {
     * rerun reapplies harmlessly (idempotent — the spec pins it).
     * Returns the number of cells rewritten or removed. */
   def applyDeletes(spark: SparkSession, indexDir: String): Int =
+    applyDeletesImpl(spark, indexDir, _ => ())
+
+  /** [[applyDeletes]] with [[RetiredIds.retireImpl]]'s spec seams
+    * exposed (crash injection inside the retirement commit; a forced
+    * compaction threshold) — the fuzz suites prove no torn retirement
+    * state lets a replayed pre-delete batch resurrect a vector. */
+  private[graft] def applyDeletesImpl(spark: SparkSession, indexDir: String,
+      crashPoint: String => Unit,
+      compactThreshold: Int = RetiredIds.CompactThreshold): Int =
    MaintenanceLock.withLock(spark, indexDir) {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -464,13 +450,17 @@ object IvfIndex {
       case None => 0
       case Some(ts0) =>
         val ts = ts0.select("vec_id")
-        // retire the ids FIRST: once rows are physically gone only this
-        // table stops a replayed append from resurrecting them (ids are
-        // append-only across batches — the lifecycle convention — so
-        // retiring forever is correct, never a false rejection). A
-        // crash below leaves tombstones in place; the rerun re-appends
-        // the same ids (dup rows, fine) and reapplies.
-        ts.repartition(1).write.mode("append").parquet(s"$indexDir/retired")
+        // retire the ids FIRST: once rows are physically gone only the
+        // retirement memory stops a replayed append from resurrecting
+        // them (ids are append-only across batches — the lifecycle
+        // convention — so retiring forever is correct, never a false
+        // rejection). A crash below leaves tombstones in place; the
+        // rerun re-retires the same ids (dup rows, collapsed at the
+        // next compaction) and reapplies. The set lives behind the
+        // manifest commit layer ([[RetiredIds]]): atomic at every
+        // instant, compacted-on-append past the segment threshold.
+        RetiredIds.retireImpl(spark, indexDir, ts, crashPoint,
+          compactThreshold)
         val vecs = spark.read.parquet(s"$indexDir/vectors")
         val touched = vecs.join(broadcast(ts), "vec_id")
           .groupBy("cell").agg(count(lit(1)).as("n_del"))
@@ -543,7 +533,7 @@ object IvfIndex {
     // must survive at-least-once delivery
     val known = spark.read.parquet(s"$indexDir/vectors")
       .select("vec_id").distinct()
-    val guard = retiredOf(spark, indexDir)
+    val guard = RetiredIds.read(spark, indexDir)
       .map(r => known.unionByName(r.select("vec_id"))).getOrElse(known)
     // align to the STORED schema before writing: parquet append with a
     // mismatched column type (e.g. string label into an int index)
@@ -621,8 +611,9 @@ object IvfIndex {
     *   - `tombstone_backlog` — ids logically deleted but not yet
     *     physically applied (each one rides every probe's anti-join:
     *     a large backlog says run [[applyDeletes]]);
-    *   - `retired_ids` — lifetime forgotten ids (the append guard's
-    *     permanent anti-join side — monotone, bounded by deletes);
+    *   - `retired_ids` — DISTINCT lifetime forgotten ids (the append
+    *     guard's permanent anti-join side — monotone, bounded by
+    *     deletes, stable across [[RetiredIds]] compactions);
     *   - `probe_rows_mean` / `probe_rows_worst` — forecast rows
     *     scanned by an `nprobe`-cell probe: nprobe × mean population,
     *     and the sum of the nprobe LARGEST cells (the skewed-query
@@ -654,7 +645,7 @@ object IvfIndex {
       if (meanCell > 0) maxCell / meanCell else 0.0,
       counts.count(_._2 > factor * meanCell).toLong,
       counts.map(_._1).count(c => !known.contains(c)).toLong,
-      countOf("tombstones"), countOf("retired"),
+      countOf("tombstones"), RetiredIds.count(spark, indexDir),
       nprobe * meanCell, worst))
       .toDF("n_cells", "n_vectors", "max_cell", "mean_cell", "hot_factor",
         "n_hot_cells", "orphan_cells", "tombstone_backlog", "retired_ids",
@@ -662,7 +653,11 @@ object IvfIndex {
   }
 
   /** Maintenance: re-split every cell whose population exceeds
-    * `factor` × the mean cell population. Each hot cell is re-fit
+    * `factor` × the mean cell population — plus, with `topN` > 0, the
+    * N most populous cells regardless of factor (the diffuse-drift
+    * mode [[graft.streaming.AnnMaintenance]]'s health gate uses when
+    * `probe_rows_worst ≫ probe_rows_mean` but no single cell trips the
+    * factor). Each hot cell is re-fit
     * LOCALLY (k=2 KMeans over just its members — work bounded by the
     * hot cell, not the index), its rows rewritten under the original
     * id + one freshly allocated id via DYNAMIC partition overwrite (the
@@ -692,7 +687,7 @@ object IvfIndex {
     * from max over BOTH tables, so a re-run can never hand an orphan's
     * id to an unrelated split and silently merge two vector sets. */
   def rebalance(spark: SparkSession, indexDir: String,
-      factor: Double = 2.0, seed: Long = 1L): Int =
+      factor: Double = 2.0, seed: Long = 1L, topN: Int = 0): Int =
    MaintenanceLock.withLock(spark, indexDir) {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -702,7 +697,19 @@ object IvfIndex {
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     if (counts.length < 2) return 0
     val meanN = counts.map(_._2).sum.toDouble / counts.length
-    val hot = counts.filter(_._2 > factor * meanN).map(_._1).sorted
+    // topN > 0 = the DIFFUSE-drift split mode: also split the N most
+    // populous cells (ties to the lower id) even though none trips the
+    // factor — the state where every nprobe-worst cell sits just under
+    // factor × mean and the probe-cost worst case stays ~factor× the
+    // mean forever because nothing ever fires. One bounded pass from
+    // the health gate (never the convergence loop: the N largest
+    // always exist, a fixpoint loop would split forever).
+    val largest: Seq[Int] =
+      if (topN <= 0) Seq.empty
+      else counts.sortBy { case (c, n) => (-n, c) }.take(topN)
+        .map(_._1).toSeq
+    val hot = (counts.filter(_._2 > factor * meanN).map(_._1) ++ largest)
+      .distinct.sorted.toSeq
     val stored = spark.read.parquet(s"$indexDir/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     // adopt orphan cells from a previously crashed rebalance (vector

@@ -101,7 +101,7 @@ object IvfPq {
     // an old batch replays after delete + applyDeletes)
     val known = spark.read.parquet(s"$indexDir/codes")
       .select("vec_id").distinct()
-    val guard = retiredOf(spark, indexDir)
+    val guard = RetiredIds.read(spark, indexDir)
       .map(r => known.unionByName(r.select("vec_id"))).getOrElse(known)
     val cbLit = typedlit(cbs.map(_.map(_.toSeq).toSeq).toSeq)
     val enc = IvfIndex.assignToCentroids(
@@ -181,18 +181,6 @@ object IvfPq {
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
-  /** Never-cleared retired-ids table — [[IvfIndex]]'s `retired/`
-    * discipline on the codes lifecycle (see the scaladoc there): the
-    * append guard's memory that an id was FORGOTTEN, so a replayed
-    * batch can't resurrect it after physical removal. */
-  private def retiredOf(spark: SparkSession, indexDir: String)
-      : Option[DataFrame] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/retired")
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
-  }
-
   private def minusTombstones(df: DataFrame, ts: Option[DataFrame]): DataFrame =
     ts.map(t => df.join(broadcast(t.select("vec_id")), Seq("vec_id"),
       "left_anti")).getOrElse(df)
@@ -206,6 +194,13 @@ object IvfPq {
     * reruns idempotently. Returns the number of cells rewritten or
     * removed. */
   def applyDeletes(spark: SparkSession, indexDir: String): Int =
+    applyDeletesImpl(spark, indexDir, _ => ())
+
+  /** [[applyDeletes]] with [[RetiredIds.retireImpl]]'s spec seams —
+    * [[IvfIndex.applyDeletesImpl]]'s shape on the codes lifecycle. */
+  private[graft] def applyDeletesImpl(spark: SparkSession, indexDir: String,
+      crashPoint: String => Unit,
+      compactThreshold: Int = RetiredIds.CompactThreshold): Int =
    MaintenanceLock.withLock(spark, indexDir) {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -213,11 +208,13 @@ object IvfPq {
       case None => 0
       case Some(ts0) =>
         val ts = ts0.select("vec_id")
-        // retire FIRST — once the code rows are gone only this table
-        // stops a replayed append from resurrecting them; a crash below
-        // leaves tombstones in place and the rerun re-appends (dup
-        // rows, harmless) and reapplies ([[IvfIndex.applyDeletes]])
-        ts.repartition(1).write.mode("append").parquet(s"$indexDir/retired")
+        // retire FIRST — once the code rows are gone only the
+        // manifest-committed retirement memory ([[RetiredIds]]) stops
+        // a replayed append from resurrecting them; a crash below
+        // leaves tombstones in place and the rerun re-retires (dup
+        // rows, compaction collapses them) and reapplies
+        RetiredIds.retireImpl(spark, indexDir, ts, crashPoint,
+          compactThreshold)
         val codes = spark.read.parquet(s"$indexDir/codes")
         val storedCols = codes.schema.fields.map(_.name)
         val touched = codes.join(broadcast(ts), "vec_id")
@@ -364,9 +361,11 @@ object IvfPq {
     * adoption + fresh-id allocation from max over BOTH tables mirror
     * [[IvfIndex.rebalance]]'s torn-state recovery; degenerate
     * (all-identical) hot cells are kept whole for the same
-    * dynamic-overwrite reason documented there. Returns cells split. */
+    * dynamic-overwrite reason documented there. `topN` > 0 adds the
+    * N most populous cells to the split set regardless of factor —
+    * [[IvfIndex.rebalance]]'s diffuse-drift mode. Returns cells split. */
   def rebalance(spark: SparkSession, indexDir: String,
-      factor: Double = 2.0, seed: Long = 1L): Int =
+      factor: Double = 2.0, seed: Long = 1L, topN: Int = 0): Int =
    MaintenanceLock.withLock(spark, indexDir) {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -376,7 +375,12 @@ object IvfPq {
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     if (counts.length < 2) return 0
     val meanN = counts.map(_._2).sum.toDouble / counts.length
-    val hot = counts.filter(_._2 > factor * meanN).map(_._1).sorted
+    val largest: Seq[Int] =
+      if (topN <= 0) Seq.empty
+      else counts.sortBy { case (c, n) => (-n, c) }.take(topN)
+        .map(_._1).toSeq
+    val hot = (counts.filter(_._2 > factor * meanN).map(_._1) ++ largest)
+      .distinct.sorted.toSeq
     val stored = spark.read.parquet(s"$indexDir/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     val known = stored.map(_._1).toSet

@@ -2486,6 +2486,114 @@ object Similarity {
           * 1000000 // cast(count(*) as bigint) AS agree_ppm
       FROM nn GROUP BY elabel ORDER BY elabel"""))
 
+  // ------------------------------------------------------------------
+  // q271 — ANN deletion economics: the GDPR twin of q267's probe-cost
+  // curve. A tombstone backlog taxes EVERY probe (the ids ride the
+  // probe's anti-join, and the tombstoned rows still living in probed
+  // cells are scanned then discarded) while the physical applyDeletes
+  // pays a ONE-time rewrite of exactly the touched cell partitions.
+  // This query prices both sides of that trade, per backlog size, in
+  // exact integers: victims are the deterministic nested grid
+  // vec_id % m = 0 for m ∈ {32,16,8,4,2} (each grid point ⊂ the next —
+  // a growing backlog, sf-scaling with the corpus, no absolute
+  // constants), cells are the pinned Pipelines.lloydCentroids
+  // assignment (the q50b/q267 discipline), and per grid point:
+  //   - backlog           tombstoned ids outstanding;
+  //   - touched_cells /   the applyDeletes blast radius: cells holding
+  //     touched_rows      ≥1 victim, and ALL their resident rows;
+  //   - rewrite_rows      survivors the apply must rewrite
+  //                       (touched_rows − backlog — the actual cost);
+  //   - probe_tax_urows   expected tombstoned rows scanned per
+  //                       nprobe=4 probe, in micro-rows: backlog ×
+  //                       nprobe × 10⁶ div n_cells;
+  //   - breakeven_probes  probes whose cumulative tax covers the
+  //                       rewrite: ceil(rewrite_rows × n_cells /
+  //                       (backlog × nprobe)) — run applyDeletes when
+  //                       the probes since the last apply exceed it.
+  // AnnMaintenance.backlogDue consumes the same inequality off the
+  // servingHealth row (with min(backlog, n_cells) × mean_cell as the
+  // rewrite FORECAST — the audit doesn't know which cells are hit;
+  // this query computes the exact blast radius the forecast bounds).
+  //
+  // Scale shape: ONE embeddings scan (k-literal argmin — zero
+  // shuffles), a map-combinable k-key groupBy carrying 5 conditional
+  // counts, a 5-way explode over the k cell rows, and a 5-key final
+  // aggregate. Corpus size never reaches the explode.
+  // ------------------------------------------------------------------
+  val annDeletionEconomics: Q = Q(
+    "q271_ann_deletion_economics",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val grid = Seq(32, 16, 8, 4, 2)
+      val w = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+      val vicCols = grid.map(m =>
+        count(when(col("vec_id") % m === 0, 1)).as(s"v$m"))
+      val cellAgg = IvfIndex.assignToCentroids(w, Pipelines.lloydCentroids)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"), vicCols: _*)
+      val unpivot = cellAgg.select(col("cell"), col("n_vecs"),
+          explode(array(grid.map(m =>
+            struct(lit(m).as("grid_mod"), col(s"v$m").as("vics"))): _*))
+            .as("g"))
+        .select(col("g.grid_mod").as("grid_mod"), col("n_vecs"),
+          col("g.vics").as("vics"))
+      unpivot.groupBy("grid_mod")
+        .agg(sum("vics").as("backlog"),
+          count(when(col("vics") > 0, 1)).as("touched_cells"),
+          sum(when(col("vics") > 0, col("n_vecs")).otherwise(0L))
+            .as("touched_rows"),
+          count(lit(1)).as("n_cells"))
+        .select(col("grid_mod"), col("backlog"), col("touched_cells"),
+          col("touched_rows"),
+          (col("touched_rows") - col("backlog")).as("rewrite_rows"),
+          expr("backlog * 4 * 1000000 div n_cells").as("probe_tax_urows"),
+          expr("((touched_rows - backlog) * n_cells + backlog * 4 - 1) " +
+            "div (backlog * 4)").as("breakeven_probes"))
+        .orderBy(desc("grid_mod"))
+    },
+    Some {
+      val dim = EmbeddingDim
+      val scores = Pipelines.lloydCentroids.map { case (_, c) =>
+        val c2 = c.map(v => v * v).sum
+        val arr = c.map(v => s"$v").mkString("[", ", ", "]")
+        s"($c2 - 2.0 * list_reduce(list_transform(generate_series(1, $dim), i -> ($arr::double[])[i] * e[i]), (x, y) -> x + y))"
+      }.mkString(", ")
+      s"""WITH ed AS (SELECT vec_id,
+          list_transform(embedding, x -> cast(x as double)) AS e
+          FROM embeddings),
+        sc AS (SELECT vec_id, [$scores] AS scores FROM ed),
+        cells AS (SELECT vec_id,
+          cast(list_position(scores, list_min(scores)) - 1 as int) AS cell
+          FROM sc),
+        cellagg AS (SELECT cell, cast(count(*) as bigint) AS n_vecs,
+            cast(count(*) FILTER (WHERE vec_id % 32 = 0) as bigint) AS v32,
+            cast(count(*) FILTER (WHERE vec_id % 16 = 0) as bigint) AS v16,
+            cast(count(*) FILTER (WHERE vec_id % 8 = 0) as bigint) AS v8,
+            cast(count(*) FILTER (WHERE vec_id % 4 = 0) as bigint) AS v4,
+            cast(count(*) FILTER (WHERE vec_id % 2 = 0) as bigint) AS v2
+          FROM cells GROUP BY 1),
+        grid AS (SELECT g.m AS grid_mod, n_vecs,
+            CASE g.m WHEN 32 THEN v32 WHEN 16 THEN v16 WHEN 8 THEN v8
+              WHEN 4 THEN v4 ELSE v2 END AS vics
+          FROM cellagg, unnest([32, 16, 8, 4, 2]) AS g(m)),
+        agg AS (SELECT grid_mod,
+            cast(sum(vics) as bigint) AS backlog,
+            cast(count(*) FILTER (WHERE vics > 0) as bigint)
+              AS touched_cells,
+            cast(sum(CASE WHEN vics > 0 THEN n_vecs ELSE 0 END) as bigint)
+              AS touched_rows,
+            cast(count(*) as bigint) AS n_cells
+          FROM grid GROUP BY 1)
+        SELECT grid_mod, backlog, touched_cells, touched_rows,
+          touched_rows - backlog AS rewrite_rows,
+          backlog * 4 * 1000000 // n_cells AS probe_tax_urows,
+          ((touched_rows - backlog) * n_cells + backlog * 4 - 1)
+            // (backlog * 4) AS breakeven_probes
+        FROM agg ORDER BY grid_mod DESC"""
+    })
+
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
     annIvf, annIvfIncremental, semanticDedup, multimodalMeta, arrayFuncs,
     pqEncode, pqAdcTopK, pqCodeBalance, pqRerankTopK, pqRecallEval,
@@ -2494,5 +2602,5 @@ object Similarity {
     hardNegatives, maxSimScores, attributionProbe, hybridFusion,
     embeddingHealth, rankerAgreement, annProbeCostCurve,
     annNprobeRecallCurve, semanticContaminationCurve,
-    oneNnLabelAgreement)
+    oneNnLabelAgreement, annDeletionEconomics)
 }

@@ -33,10 +33,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * DRIFT: frozen-quantizer appends let hot cells grow forever
   * ([[IvfIndex.driftAudit]]'s motivation), so every `rebalanceEvery`-th
   * batch reads [[IvfIndex.servingHealth]] (one k-bounded count scan)
-  * and runs [[IvfIndex.rebalanceToConvergence]] only when a cell
-  * exceeded the factor or a crashed rebalance left orphans — cost
-  * bounded by the hot cells, a pure audit when nothing is hot, and a
-  * replayed trigger batch re-runs it harmlessly (nothing is hot the
+  * and acts on all three of its signals: a due tombstone backlog
+  * drains ([[backlogDue]] — the q271 deletion economics), a cell past
+  * the factor or a crashed rebalance's orphans split to convergence,
+  * and DIFFUSE drift (worst-case probe forecast ≫ mean with zero
+  * factor-hot cells) gets one bounded top-N-largest split pass —
+  * cost bounded by the acted-on cells, a pure audit when healthy, and
+  * a replayed trigger batch re-runs harmlessly (nothing is due the
   * second time).
   *
   * BOOTSTRAP CONTRACT: the coarse quantizer is fitted OFFLINE
@@ -69,32 +72,87 @@ object AnnMaintenance {
 
   /** One micro-batch: append under the lease (bounded retry), then on
     * every `rebalanceEvery`-th batch consult the serving-health audit
-    * ([[IvfIndex.servingHealth]] — the rebalance DECISION input, not
-    * just a dashboard row) and re-split only when a cell actually
-    * drifted past `rebalanceFactor`: a healthy index's trigger batch
-    * costs one map-combinable count scan of the index (k rows out —
-    * the same scan a no-op rebalance pass would have paid for its own
-    * counts), no KMeans machinery. Returns the
+    * ([[IvfIndex.servingHealth]] — the maintenance DECISION input, not
+    * just a dashboard row) and act on what it actually shows:
+    *
+    *   - a tombstone backlog whose cumulative probe tax has outgrown
+    *     its rewrite cost drains first ([[backlogDue]] — the deletion
+    *     economics q271 oracles, read off the same audit row);
+    *   - a cell past `rebalanceFactor` (or a crashed rebalance's
+    *     orphans) splits to convergence — the acute-skew path;
+    *   - otherwise DIFFUSE drift — `probe_rows_worst` beyond
+    *     `worstFactor` × `probe_rows_mean` with zero factor-hot cells,
+    *     the state where every nprobe-worst cell sits just under the
+    *     factor and nothing would ever fire — gets ONE bounded
+    *     top-`nprobe`-largest split pass ([[IvfIndex.rebalance]]'s
+    *     `topN` mode), directly attacking the worst-case probe cost
+    *     the audit measured.
+    *
+    * A healthy index's trigger batch costs one map-combinable count
+    * scan of the index (k rows out), no KMeans machinery. Returns the
     * number of cells the trigger split (0 on non-trigger and healthy
     * batches — the observability hook a deployment graphs). */
   def applyBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
       batchId: Long, rebalanceEvery: Int = 8,
-      rebalanceFactor: Double = 2.0): Int =
+      rebalanceFactor: Double = 2.0, worstFactor: Double = 1.5,
+      nprobe: Int = 4, probeBudget: Long = DefaultProbeBudget): Int =
     IngestPipeline.withLeaseRetry() {
       if (!batch.isEmpty)
         IvfIndex.appendVectors(spark, indexDir, normalize(batch))
-      if (rebalanceEvery > 0 && batchId % rebalanceEvery == rebalanceEvery - 1
-          && isHot(IvfIndex.servingHealth(spark, indexDir,
-               factor = rebalanceFactor)))
-        IvfIndex.rebalanceToConvergence(spark, indexDir, rebalanceFactor)
-      else 0
+      if (rebalanceEvery > 0 && batchId % rebalanceEvery == rebalanceEvery - 1) {
+        val h = IvfIndex.servingHealth(spark, indexDir, nprobe,
+          rebalanceFactor).collect()(0)
+        // drain the backlog BEFORE any split: rebalance counts live
+        // rows, and tombstoned rows inflating a cell would trigger
+        // splits the post-apply population can't justify
+        if (backlogDue(h, nprobe, probeBudget))
+          IvfIndex.applyDeletes(spark, indexDir)
+        if (hotOrOrphaned(h))
+          IvfIndex.rebalanceToConvergence(spark, indexDir, rebalanceFactor)
+        else if (diffuseDrift(h, worstFactor))
+          IvfIndex.rebalance(spark, indexDir, rebalanceFactor, topN = nprobe)
+        else 0
+      } else 0
     }
 
-  /** The rebalance gate: split when any cell exceeds the factor, or
-    * when a crashed rebalance left orphan cells to adopt. */
-  private def isHot(health: DataFrame): Boolean = {
-    val h = health.collect()(0)
+  /** Probes a deployment expects between maintenance triggers — the
+    * budget [[backlogDue]] amortizes a physical delete against. */
+  val DefaultProbeBudget: Long = 100000L
+
+  /** The acute gate: split when any cell exceeds the factor, or when a
+    * crashed rebalance left orphan cells to adopt. */
+  private def hotOrOrphaned(h: org.apache.spark.sql.Row): Boolean =
     h.getAs[Long]("n_hot_cells") > 0L || h.getAs[Long]("orphan_cells") > 0L
+
+  /** The diffuse-drift gate: the audit's own worst/mean forecast says
+    * an unlucky probe pays `worstFactor`× the mean, yet no single cell
+    * trips the rebalance factor — without this check the index pays
+    * that tax forever (the state `servingHealth`'s scaladoc warns
+    * about, previously measured but never acted on). */
+  private[graft] def diffuseDrift(h: org.apache.spark.sql.Row,
+      worstFactor: Double): Boolean = {
+    val mean = h.getAs[Double]("probe_rows_mean")
+    mean > 0.0 && h.getAs[Long]("probe_rows_worst") > worstFactor * mean
+  }
+
+  /** The deletion-economics gate (the arithmetic q271 oracles, read
+    * off the audit row): the tombstone backlog rides EVERY probe's
+    * anti-join — expected wasted rows per probe ≈ backlog × nprobe /
+    * n_cells — while an applyDeletes pays one rewrite of the touched
+    * cells, worst case min(backlog, n_cells) × mean_cell surviving
+    * rows. Run the apply when the budgeted probes' cumulative tax
+    * covers the rewrite: backlog × nprobe × probeBudget ≥ rewrite ×
+    * n_cells (integer cross-multiplication, no division). */
+  private[graft] def backlogDue(h: org.apache.spark.sql.Row, nprobe: Int,
+      probeBudget: Long): Boolean = {
+    val backlog = h.getAs[Long]("tombstone_backlog")
+    if (backlog <= 0L || probeBudget <= 0L) false
+    else {
+      val nCells = h.getAs[Int]("n_cells").toLong
+      val rewrite =
+        (math.min(backlog, nCells) * h.getAs[Double]("mean_cell")).toLong
+      backlog * nprobe * probeBudget >= rewrite * nCells
+    }
   }
 
   def start(evts: Dataset[EmbeddingEvt], indexDir: String,
@@ -106,19 +164,27 @@ object AnnMaintenance {
   /** The IVF-PQ twin of [[applyBatch]] — at 100 TB the SERVING index
     * is the PQ-compressed one ([[IvfPq]]'s header), and its append
     * path carries the same vec_id guard and lease, so the maintainer
-    * semantics transfer verbatim; encode cost rides the batch. */
+    * semantics (backlog drain, acute and diffuse gates) transfer
+    * verbatim; encode cost rides the batch. */
   def applyBatchPq(spark: SparkSession, batch: DataFrame, indexDir: String,
       batchId: Long, rebalanceEvery: Int = 8,
-      rebalanceFactor: Double = 2.0): Int =
+      rebalanceFactor: Double = 2.0, worstFactor: Double = 1.5,
+      nprobe: Int = 4, probeBudget: Long = DefaultProbeBudget): Int =
     IngestPipeline.withLeaseRetry() {
+      import graft.operators.IvfPq
       if (!batch.isEmpty)
-        graft.operators.IvfPq.append(spark, indexDir, normalize(batch))
-      if (rebalanceEvery > 0 && batchId % rebalanceEvery == rebalanceEvery - 1
-          && isHot(graft.operators.IvfPq.servingHealth(spark, indexDir,
-               factor = rebalanceFactor)))
-        graft.operators.IvfPq.rebalanceToConvergence(spark, indexDir,
-          rebalanceFactor)
-      else 0
+        IvfPq.append(spark, indexDir, normalize(batch))
+      if (rebalanceEvery > 0 && batchId % rebalanceEvery == rebalanceEvery - 1) {
+        val h = IvfPq.servingHealth(spark, indexDir, nprobe,
+          rebalanceFactor).collect()(0)
+        if (backlogDue(h, nprobe, probeBudget))
+          IvfPq.applyDeletes(spark, indexDir)
+        if (hotOrOrphaned(h))
+          IvfPq.rebalanceToConvergence(spark, indexDir, rebalanceFactor)
+        else if (diffuseDrift(h, worstFactor))
+          IvfPq.rebalance(spark, indexDir, rebalanceFactor, topN = nprobe)
+        else 0
+      } else 0
     }
 
   /** [[start]] against an [[IvfPq]] index (bootstrap contract: the

@@ -275,6 +275,102 @@ class AnnMaintenanceSpec extends AnyFunSuite {
     assert(probes.get() > 0, "the prober never completed a probe")
   }
 
+  test("DIFFUSE drift — zero factor-hot cells, worst ≫ mean — triggers ONE bounded top-N split that reduces the worst-case probe forecast; served results unchanged") {
+    import spark.implicits._
+    val idx = tmpDir("graft-annm-diffuse")
+    IvfIndex.build(spark, sf, idx)
+    val counts0 = spark.read.parquet(s"$idx/vectors")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val cells4 = counts0.toSeq.sortBy { case (c, n) => (-n, c) }
+      .take(4).map(_._1)
+    val nTotal0 = counts0.values.sum
+    val k = counts0.size
+    // plant the blind-spot state: grow the nprobe(=4) largest cells to
+    // ~1.9× the FINAL mean — each under the 2.0 rebalance factor, so
+    // the acute gate never fires, while an unlucky 4-cell probe pays
+    // ~1.9× the mean forecast forever. The target solves the fixpoint
+    // T = 1.9 × (N + Σ(T − n_c)) / k (adding rows raises the mean).
+    var t = 1.9 * nTotal0 / k
+    for (_ <- 0 until 30)
+      t = 1.9 * (nTotal0 + cells4.map(c =>
+        math.max(0.0, t - counts0(c))).sum) / k
+    val target = t.toLong
+    val cloneMap = cells4.flatMap { c =>
+      val memberIds = spark.read.parquet(s"$idx/vectors")
+        .filter(col("cell") === c).select("vec_id")
+        .orderBy("vec_id").collect().map(_.getLong(0)).take(10).toSeq
+      val need = (target - counts0(c)).toInt
+      // DISTINCT source points round-robin (an all-identical cell is
+      // deliberately unsplittable — the degenerate-cell rule)
+      (0 until need).map(i =>
+        (memberIds(i % memberIds.size), 600000L + c * 10000L + i))
+    }.toDF("orig_id", "new_id")
+    val batch = Tables.embeddings(spark, sf)
+      .join(cloneMap, col("vec_id") === col("orig_id"))
+      .select(col("new_id").as("vec_id"), col("label"), col("embedding"))
+    AnnMaintenance.applyBatch(spark, batch, idx, batchId = 0L,
+      rebalanceEvery = 0)
+    val h1 = IvfIndex.servingHealth(spark, idx, nprobe = 4, factor = 2.0)
+      .collect()(0)
+    assert(h1.getAs[Long]("n_hot_cells") == 0L,
+      s"fixture: no cell may trip the factor (max ${h1.getAs[Long]("max_cell")}, mean ${h1.getAs[Double]("mean_cell")})")
+    assert(h1.getAs[Long]("orphan_cells") == 0L)
+    assert(AnnMaintenance.diffuseDrift(h1, 1.5),
+      s"fixture: worst ${h1.getAs[Long]("probe_rows_worst")} must exceed 1.5× mean ${h1.getAs[Double]("probe_rows_mean")}")
+    val worstBefore = h1.getAs[Long]("probe_rows_worst")
+    val qv = operators.Similarity.normed(spark, sf)
+      .filter(col("vec_id") === 0L).select("e")
+      .collect()(0).getSeq[Double](0).toArray
+    val before = IvfIndex.query(spark, idx, qv, topK = 10, nprobe = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    // the trigger batch: acute gate silent, diffuse gate fires ONE
+    // bounded top-4 split pass
+    val splits = AnnMaintenance.applyBatch(spark,
+      batchDf(Seq.empty[EmbeddingEvt]), idx, batchId = 7L,
+      rebalanceEvery = 8, rebalanceFactor = 2.0)
+    assert(splits > 0, "diffuse drift must trigger at least one split")
+    spark.catalog.refreshByPath(s"$idx/vectors")
+    val h2 = IvfIndex.servingHealth(spark, idx, nprobe = 4, factor = 2.0)
+      .collect()(0)
+    assert(h2.getAs[Long]("probe_rows_worst") < worstBefore,
+      s"the split must reduce the worst-case probe forecast: " +
+        s"$worstBefore -> ${h2.getAs[Long]("probe_rows_worst")}")
+    // a rebalance is a pure repartitioning: full-probe results unchanged
+    val after = IvfIndex.query(spark, idx, qv, topK = 10, nprobe = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(after == before, "diffuse split changed served results")
+  }
+
+  test("the backlog gate drains tombstones when the budgeted probe tax covers the rewrite — and leaves a cheap backlog alone") {
+    val idx = tmpDir("graft-annm-backlog")
+    IvfIndex.build(spark, sf, idx)
+    val batch = batchDf(evtsOf(90000L, Seq(0L, 1L, 2L)))
+    AnnMaintenance.applyBatch(spark, batch, idx, batchId = 0L,
+      rebalanceEvery = 0)
+    IvfIndex.delete(spark, Seq(90000L, 90001L, 90002L), idx)
+    def backlog(): Long =
+      IvfIndex.servingHealth(spark, idx).collect()(0)
+        .getAs[Long]("tombstone_backlog")
+    assert(backlog() == 3L)
+    // budget 1: 3 ids × nprobe 4 × 1 probe ≪ the touched-cell rewrite —
+    // the trigger batch must NOT pay a physical apply for it
+    AnnMaintenance.applyBatch(spark, batchDf(Seq.empty[EmbeddingEvt]), idx,
+      batchId = 7L, rebalanceEvery = 8, probeBudget = 1L)
+    assert(backlog() == 3L, "a cheap backlog must not trigger applyDeletes")
+    // a serving-scale budget: the cumulative anti-join tax dwarfs the
+    // rewrite, the trigger drains the backlog into retirement
+    AnnMaintenance.applyBatch(spark, batchDf(Seq.empty[EmbeddingEvt]), idx,
+      batchId = 15L, rebalanceEvery = 8, probeBudget = 1000000L)
+    assert(backlog() == 0L, "a due backlog must drain on the trigger batch")
+    spark.catalog.refreshByPath(s"$idx/vectors")
+    assert(spark.read.parquet(s"$idx/vectors")
+      .filter(col("vec_id") >= 90000L).count() == 0L,
+      "the drained vectors must be physically gone")
+    assert(IvfIndex.servingHealth(spark, idx).collect()(0)
+      .getAs[Long]("retired_ids") == 3L)
+  }
+
   test("bootstrap contract: starting on a dir with no quantizer fails loudly") {
     val mem = { import spark.implicits._; implicit val sq = spark.sqlContext; MemoryStream[EmbeddingEvt] }
     intercept[IllegalArgumentException] {

@@ -267,5 +267,260 @@ class CrossMaintenanceFuzzSpec extends AnyFunSuite {
         "gdpr("))
       assert(trace.toString.contains(tag),
         s"walk degenerated: no '$tag' in trace: $trace")
+    // the composed walk drove the MANIFEST-committed retirement path on
+    // both ANN lifecycles: every sweep's applyDeletes published its
+    // retired segment through a commit, the segment fan-in stays under
+    // the compaction threshold, and the distinct set is exactly the
+    // forgotten vectors
+    for (d <- Seq(sIvf, sPq)) {
+      val snap = IndexManifest.snapshot(spark, d)
+      val segs = snap.segmentsOf(operators.RetiredIds.Table)
+      assert(segs.nonEmpty &&
+        segs.size <= operators.RetiredIds.CompactThreshold,
+        s"$d: retired segments out of bounds: $segs")
+      assert(operators.RetiredIds.count(spark, d) == forgottenVecs.size.toLong,
+        s"$d: retired set diverged from the forgotten vectors")
+    }
+  }
+
+  /** The sequential walk above interleaves ops on ONE thread; the
+    * 100 TB deployment runs the maintainers on RACING threads. This
+    * round puts text ingest, the ANN maintainer, rollup maintenance
+    * and a GDPR sweep on four real threads — the per-dir lease
+    * serializes mutations (contention absorbed by bounded retry, the
+    * production policy) — while probers flow LOCK-FREE the whole time,
+    * and requires (a) no probe ever throws, (b) at least one probe
+    * BEGINS inside every maintainer's critical section and completes
+    * (maintainers re-run their idempotent last op until observed — a
+    * skip path still takes the lease, so the section is real), and
+    * (c) the final serving state of all five surfaces is bit-equal to
+    * a clean twin that applied the same logical ops sequentially.
+    * The op set is chosen to COMMUTE (novel-doc ingests, disjoint
+    * shifted ANN ids, GDPR victims from the never-re-sent seed corpus,
+    * rollup batches excluding the retracted user), so every lease
+    * interleaving must converge to the same served state — any
+    * divergence is a cross-thread isolation bug, not op-order noise.
+    * BM25/LSH probes carry a small bounded FNF retry: a GDPR compact
+    * vacuums FULLY by design (physical removal wins over reader
+    * grace — the standing round-14 ruling), so a reader pinned one
+    * commit back can lose its files mid-read and must re-resolve. */
+  test("TRUE-concurrency round: four maintainers race on real threads, probers flow lock-free through every critical section, final state equals the clean twin") {
+    import spark.implicits._
+    val sLsh = tmp("xc-s-lsh"); val sBm = tmp("xc-s-bm")
+    val sIvf = tmp("xc-s-ivf"); val sPq = tmp("xc-s-pq")
+    val sRs = tmp("xc-s-rs")
+    val tLsh = tmp("xc-t-lsh"); val tBm = tmp("xc-t-bm")
+    val tIvf = tmp("xc-t-ivf"); val tPq = tmp("xc-t-pq")
+    val tRs = tmp("xc-t-rs")
+    val seedDocs = docsDf((0L until 10L).map(id => (id, textOf(id))))
+      .localCheckpoint()
+    for (d <- Seq(sLsh, tLsh)) LshBandIndex.build(spark, seedDocs, d)
+    for (d <- Seq(sBm, tBm)) Bm25Index.build(spark, seedDocs, d)
+    for (d <- Seq(sIvf, tIvf)) IvfIndex.build(spark, sf, d)
+    for (d <- Seq(sPq, tPq)) operators.IvfPq.build(spark, sf, d)
+    val events = Tables.events(spark, sf).localCheckpoint()
+    val victimUser = events.filter(col("user_id").isNotNull)
+      .select("user_id").head().getLong(0)
+    val seedFacts = events.filter(col("event_id") < 300L).localCheckpoint()
+    for (d <- Seq(sRs, tRs)) RollupStore.build(spark, seedFacts, d)
+
+    // --- the commuting logical op set, fixed up front ----------------
+    val ingestBatches = (0 until 3).map { i =>
+      val base = 5000L + i * 10L
+      docsDf((0 until 3).map(j => (base + j, textOf(base + j))) :+
+        ((base + 3, textOf(0L).replace("d0w7", "edited"))) :+
+        ((base + 4, "too short to index"))).localCheckpoint()
+    }
+    val annBatches = (0 until 3).map { i =>
+      vecBatchDf(1000000L * (i + 1), Seq(10L + i, 50L + i, 90L + i))
+        .localCheckpoint()
+    }
+    // rollup batches EXCLUDE the retracted user so retraction commutes
+    val rollupBatches = (0 until 3).map { i =>
+      events.filter(col("event_id") >= 300L + i * 200L &&
+          col("event_id") < 500L + i * 200L &&
+          col("user_id") =!= victimUser)
+        .localCheckpoint()
+    }
+    val docVictim = 3L   // seed doc, never re-ingested
+    val vecVictim = 7L   // seed vector, never re-sent
+
+    // --- critical-section instrumentation ----------------------------
+    import java.util.concurrent.atomic.AtomicLong
+    val names = Seq("ingest", "ann", "rollup", "gdpr")
+    val enters = names.map(n => n -> new AtomicLong(0)).toMap
+    val exits = names.map(n => n -> new AtomicLong(0)).toMap
+    val covered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def marked[T](name: String)(body: => T): T = {
+      enters(name).incrementAndGet()
+      try body finally { exits(name).incrementAndGet(); () }
+    }
+    def withPatience[T](body: => T): T = {
+      var out: Option[T] = None
+      var attempts = 0
+      while (out.isEmpty) {
+        try out = Some(body)
+        catch {
+          case _: MaintenanceLock.LockHeldException if attempts < 600 =>
+            attempts += 1; Thread.sleep(100)
+        }
+      }
+      out.get
+    }
+    @volatile var probersStop = false
+    def maintainer(name: String, ops: Seq[() => Unit],
+        idempotentLast: () => Unit): Thread = new Thread(() => {
+      try {
+        for (op <- ops) marked(name) { withPatience(op()) }
+        // re-run the idempotent last op until a probe lands inside
+        // this maintainer's critical section (a skip path still takes
+        // the lease — the section is real); bounded so a dead prober
+        // can't hang the suite
+        var extra = 0
+        while (!covered.contains(name) && extra < 200) {
+          marked(name) { withPatience(idempotentLast()) }
+          extra += 1
+        }
+      } catch {
+        case t: Throwable => failures.add(s"$name maintainer died: $t")
+      }
+    }, s"xc-$name")
+
+    val ingestT = maintainer("ingest",
+      ingestBatches.zipWithIndex.map { case (b, i) => () =>
+        { IngestPipeline.ingestBatch(spark, b, sLsh, sBm, Some(500L + i)); () } },
+      () => { IngestPipeline.ingestBatch(spark, ingestBatches.last, sLsh,
+        sBm, Some(502L)); () })
+    val annT = maintainer("ann",
+      annBatches.zipWithIndex.map { case (b, i) => () => {
+        streaming.AnnMaintenance.applyBatch(spark, b, sIvf, i.toLong,
+          rebalanceEvery = 0)
+        streaming.AnnMaintenance.applyBatchPq(spark, b, sPq, i.toLong,
+          rebalanceEvery = 0)
+        () } },
+      () => { streaming.AnnMaintenance.applyBatch(spark, annBatches.last,
+        sIvf, 2L, rebalanceEvery = 0); () })
+    val rollupT = maintainer("rollup",
+      rollupBatches.zipWithIndex.map { case (b, i) => () =>
+        { RollupStore.append(spark, b, sRs, Some(600L + i)); () } },
+      () => { RollupStore.append(spark, rollupBatches.last, sRs,
+        Some(602L)); () })
+    val gdprT = maintainer("gdpr",
+      Seq(() => {
+        LshBandIndex.delete(spark, Seq(docVictim), sLsh)
+        Bm25Index.delete(spark, Seq(docVictim), sBm)
+        IvfIndex.delete(spark, Seq(vecVictim), sIvf)
+        operators.IvfPq.delete(spark, Seq(vecVictim), sPq)
+        RollupStore.delete(spark, seedFacts,
+          Seq(victimUser).toDF("user_id"), sRs, Some(700L))
+        LshBandIndex.compact(spark, sLsh)
+        Bm25Index.compact(spark, sBm)
+        IvfIndex.applyDeletes(spark, sIvf)
+        operators.IvfPq.applyDeletes(spark, sPq)
+        () }),
+      // the whole sweep re-runs idempotently (the walk test's law)
+      () => {
+        IvfIndex.delete(spark, Seq(vecVictim), sIvf)
+        IvfIndex.applyDeletes(spark, sIvf)
+        () })
+
+    // --- lock-free probers on the main thread ------------------------
+    val qVec = operators.Similarity.normed(spark, sf)
+      .filter(col("vec_id") === 100L).select("e")
+      .collect()(0).getSeq[Double](0).toArray
+    val bmQueries = docsDf((0L until 2L).map(id => (id, textOf(id))))
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(Dsl.toks(col("text")), 1, 3)))
+          .as("term")).localCheckpoint()
+    val lshProbeBatch = docsDf(Seq((7000001L, textOf(0L))))
+      .localCheckpoint()
+    // each probe is timed individually: coverage = the probe BEGAN
+    // while the maintainer's op was in flight and COMPLETED without
+    // error — serving never waits on maintenance. (Strict whole-probe
+    // containment would flake on fast ops like a rollup marker skip.)
+    def timedProbe(body: => Unit): Unit = {
+      val pre = names.map(n =>
+        n -> (enters(n).get() > exits(n).get())).toMap
+      body
+      for (n <- names; if pre(n)) { covered.add(n); () }
+    }
+    // manifest probes: bounded re-resolve absorbs a full vacuum
+    // landing mid-read (GDPR compact — the documented policy)
+    def retried(body: => Unit): Unit = {
+      var tries = 0
+      var done = false
+      while (!done) {
+        try { body; done = true }
+        catch {
+          case t: Throwable
+              if tries < 20 && IvfIndex.retryableProbeFailure(t) =>
+            tries += 1
+        }
+      }
+    }
+    def probeOnce(): Unit = {
+      // IVF/PQ: the eager probe's own retry is the availability story
+      timedProbe { IvfIndex.queryImpl(spark, sIvf, qVec, topK = 10,
+        nprobe = 1000, maxAttempts = 64).collect(); () }
+      timedProbe { operators.IvfPq.queryImpl(spark, sPq, qVec, topK = 10,
+        nprobe = 1000, maxAttempts = 64).collect(); () }
+      timedProbe { retried { Bm25Index.probe(spark, bmQueries, sBm)
+        .collect(); () } }
+      timedProbe { retried { LshBandIndex.probe(spark, lshProbeBatch, sLsh)
+        .collect(); () } }
+      timedProbe { retried { RollupStore.query(spark, sRs).collect(); () } }
+    }
+    val threads = Seq(ingestT, annT, rollupT, gdprT)
+    threads.foreach(_.start())
+    try {
+      while (threads.exists(_.isAlive)) probeOnce()
+    } finally threads.foreach(_.join())
+    assert(failures.isEmpty,
+      s"maintainer threads failed: ${failures.toArray.mkString(" | ")}")
+    for (n <- names)
+      assert(covered.contains(n),
+        s"no probe completed inside the '$n' critical section")
+
+    // --- the clean twin applies the same logical ops sequentially ----
+    for ((b, i) <- ingestBatches.zipWithIndex)
+      IngestPipeline.ingestBatch(spark, b, tLsh, tBm, Some(500L + i))
+    for ((b, i) <- annBatches.zipWithIndex) {
+      streaming.AnnMaintenance.applyBatch(spark, b, tIvf, i.toLong,
+        rebalanceEvery = 0)
+      streaming.AnnMaintenance.applyBatchPq(spark, b, tPq, i.toLong,
+        rebalanceEvery = 0)
+    }
+    for ((b, i) <- rollupBatches.zipWithIndex)
+      RollupStore.append(spark, b, tRs, Some(600L + i))
+    LshBandIndex.delete(spark, Seq(docVictim), tLsh)
+    Bm25Index.delete(spark, Seq(docVictim), tBm)
+    IvfIndex.delete(spark, Seq(vecVictim), tIvf)
+    operators.IvfPq.delete(spark, Seq(vecVictim), tPq)
+    RollupStore.delete(spark, seedFacts,
+      Seq(victimUser).toDF("user_id"), tRs, Some(700L))
+    LshBandIndex.compact(spark, tLsh)
+    Bm25Index.compact(spark, tBm)
+    IvfIndex.applyDeletes(spark, tIvf)
+    operators.IvfPq.applyDeletes(spark, tPq)
+
+    def surfacesOf(lsh: String, bm: String, ivf: String, pq: String,
+        rs: String) = (
+      LshBandIndex.probe(spark, lshProbeBatch, lsh)
+        .collect().map(_.toString).toSeq,
+      Bm25Index.probe(spark, bmQueries, bm)
+        .collect().map(_.toString).toSeq,
+      IvfIndex.query(spark, ivf, qVec, topK = 15, nprobe = 1000)
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq,
+      operators.IvfPq.query(spark, pq, qVec, topK = 15, nprobe = 1000)
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq,
+      RollupStore.query(spark, rs).collect().map(_.toString).toSeq)
+    val s = surfacesOf(sLsh, sBm, sIvf, sPq, sRs)
+    val t = surfacesOf(tLsh, tBm, tIvf, tPq, tRs)
+    assert(s._1 == t._1, "LSH diverged after the concurrent round")
+    assert(s._2 == t._2, "BM25 diverged after the concurrent round")
+    assert(s._3 == t._3, "IVF diverged after the concurrent round")
+    assert(s._4 == t._4, "IVF-PQ diverged after the concurrent round")
+    assert(s._5 == t._5, "rollup diverged after the concurrent round")
   }
 }

@@ -126,4 +126,69 @@ class IvfFuzzSpec extends AnyFunSuite {
       assert(trace.toString.contains(tag),
         s"seed degenerated: no '$tag' in trace: $trace")
   }
+
+  test("crash-injected retirement COMPACTION: a replayed pre-delete batch admits nothing from any torn state, and the rerun converges") {
+    import operators.RetiredIds
+    for (seam <- Seq("retired:staged", "retired:committed")) {
+      val dir = tmpDir()
+      IvfIndex.build(spark, sf, dir)
+      val b1 = batchOf(1000000L, Seq(1L, 2L, 3L)); val v1 = 1000001L
+      val b2 = batchOf(2000000L, Seq(4L, 5L, 6L)); val v2 = 2000004L
+      IvfIndex.appendVectors(spark, dir, b1)
+      IvfIndex.appendVectors(spark, dir, b2)
+      // cycle 1 commits the first retired segment cleanly
+      IvfIndex.delete(spark, Seq(v1), dir)
+      assert(IvfIndex.applyDeletes(spark, dir) >= 1)
+      // cycle 2 forces the COMPACTION path (threshold 1: old segment +
+      // the new batch merge into one) and crashes at the seam
+      IvfIndex.delete(spark, Seq(v2), dir)
+      val crashed = try {
+        IvfIndex.applyDeletesImpl(spark, dir,
+          p => if (p == seam) throw new RuntimeException("boom"),
+          compactThreshold = 1)
+        false
+      } catch { case e: RuntimeException => e.getMessage == "boom" }
+      assert(crashed, s"crash seam $seam never fired")
+      // TORN STATE replay of both original batches: whichever manifest
+      // version is live lists a COMPLETE retired set, so v1 can never
+      // come back; v2's rows are still stored (its physical apply never
+      // ran) so the stored-ids guard rejects its batch
+      IvfIndex.appendVectors(spark, dir, b1)
+      IvfIndex.appendVectors(spark, dir, b2)
+      val stored = spark.read.parquet(s"$dir/vectors")
+      assert(stored.filter(col("vec_id") === v1).count() == 0L,
+        s"$seam: torn compaction resurrected the retired vector")
+      assert(stored.filter(col("vec_id") === v2).count() == 1L,
+        s"$seam: torn-state replay double-admitted or dropped v2")
+      // the rerun completes retire + physical removal + compaction
+      assert(IvfIndex.applyDeletesImpl(spark, dir, _ => (),
+        compactThreshold = 1) >= 1)
+      // replay once more AFTER the completed compaction
+      IvfIndex.appendVectors(spark, dir, b1)
+      IvfIndex.appendVectors(spark, dir, b2)
+      // full-probe equals brute force over the logical live set
+      val live = Similarity.normed(spark, sf)
+        .unionByName(batchOf(1000000L, Seq(1L, 2L, 3L)))
+        .unionByName(batchOf(2000000L, Seq(4L, 5L, 6L)))
+        .filter(!col("vec_id").isin(v1, v2))
+      for (q <- queryVecs) {
+        val got = rowsOf(IvfIndex.query(spark, dir, q,
+          topK = 20, nprobe = 1000))
+        assert(got == rowsOf(bruteTopK(live, q, 20)),
+          s"$seam: post-convergence probe diverged from brute force")
+      }
+      // compaction collapsed the set to ONE live segment with both ids
+      // exactly once (dup rows from the crashed retire are gone), and
+      // vacuum physically reclaimed the superseded files
+      val snap = operators.IndexManifest.snapshot(spark, dir)
+      assert(snap.segmentsOf("retired").size == 1,
+        s"$seam: expected one compacted segment, got ${snap.segmentsOf("retired")}")
+      val segsOnDisk = new java.io.File(s"$dir/segs").listFiles()
+        .map(_.getName).filter(_.startsWith("retired-")).toSeq
+      assert(segsOnDisk == snap.segmentsOf("retired"),
+        s"$seam: vacuum left superseded segments on disk: $segsOnDisk")
+      assert(RetiredIds.count(spark, dir) == 2L,
+        s"$seam: retired set must hold exactly the two forgotten ids")
+    }
+  }
 }

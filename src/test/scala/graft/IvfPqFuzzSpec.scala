@@ -101,4 +101,51 @@ class IvfPqFuzzSpec extends AnyFunSuite {
       assert(trace.toString.contains(tag),
         s"seed degenerated: no '$tag' in trace: $trace")
   }
+
+  test("crash-injected retirement compaction on the CODES lifecycle: no torn state resurrects a forgotten vector; the rerun converges") {
+    import operators.RetiredIds
+    for (seam <- Seq("retired:staged", "retired:committed")) {
+      val dir = tmpDir()
+      IvfPq.build(spark, sf, dir)
+      val b1 = batchOf(1000000L, Seq(1L, 2L, 3L)); val v1 = 1000001L
+      val b2 = batchOf(2000000L, Seq(4L, 5L, 6L)); val v2 = 2000004L
+      IvfPq.append(spark, dir, b1)
+      IvfPq.append(spark, dir, b2)
+      IvfPq.delete(spark, Seq(v1), dir)
+      assert(IvfPq.applyDeletes(spark, dir) >= 1)
+      IvfPq.delete(spark, Seq(v2), dir)
+      val crashed = try {
+        IvfPq.applyDeletesImpl(spark, dir,
+          p => if (p == seam) throw new RuntimeException("boom"),
+          compactThreshold = 1)
+        false
+      } catch { case e: RuntimeException => e.getMessage == "boom" }
+      assert(crashed, s"crash seam $seam never fired")
+      // torn-state replay: the manifest's live version (old or new)
+      // lists a complete retired set — v1 stays out; v2's code rows
+      // are still stored, so its batch is rejected by the stored guard
+      IvfPq.append(spark, dir, b1)
+      IvfPq.append(spark, dir, b2)
+      val codes = spark.read.parquet(s"$dir/codes")
+      assert(codes.filter(col("vec_id") === v1).count() == 0L,
+        s"$seam: torn compaction resurrected the retired code row")
+      assert(codes.filter(col("vec_id") === v2).count() == 1L,
+        s"$seam: torn-state replay double-admitted or dropped v2")
+      assert(IvfPq.applyDeletesImpl(spark, dir, _ => (),
+        compactThreshold = 1) >= 1)
+      IvfPq.append(spark, dir, b1)
+      IvfPq.append(spark, dir, b2)
+      // neither forgotten vector is served at full probe; survivors are
+      assert(RetiredIds.count(spark, dir) == 2L)
+      val served = rowsOf(IvfPq.query(spark, dir, queryVecs.head,
+        topK = Int.MaxValue, nprobe = 1000)).map(_._1).toSet
+      assert(!served.contains(v1) && !served.contains(v2),
+        s"$seam: a forgotten vector was served after convergence")
+      assert(served.contains(1000002L) && served.contains(2000005L),
+        s"$seam: a surviving appended vector went missing")
+      val snap = operators.IndexManifest.snapshot(spark, dir)
+      assert(snap.segmentsOf("retired").size == 1,
+        s"$seam: expected one compacted segment")
+    }
+  }
 }
