@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   *  - the replay skip (the whole last batch re-sent): the vec_id guard
   *    must admit nothing, priced so "exactly-once costs one anti-join"
   *    is measured rather than claimed;
+  *  - serving latency UNDER maintenance: a prober thread races the
+  *    rebalance and records p50/p99 probe wall time against the
+  *    quiesced baseline — the availability claim ("no probe fails
+  *    through a live rebalance") is spec'd in AnnMaintenanceSpec; this
+  *    prices what the eager retry's re-planned attempts cost;
   *  - the [[IvfIndex.servingHealth]] audit row — the q267 readout this
   *    tool archives per run (population map, hot factor, backlog,
   *    probe-cost forecast).
@@ -42,8 +47,20 @@ object AnnScale {
       floors: Map[String, Double]): Seq[String] =
     IngestScale.flagAgainstFloors(metrics, floors,
       Seq("build_sec" -> 2.0, "rebalance_sec" -> 2.0,
-        "replay_skip_sec" -> 2.0),
+        "replay_skip_sec" -> 2.0,
+        "probe_p50_sec" -> 2.0, "probe_p99_sec" -> 2.0,
+        "probe_p50_under_rebalance_sec" -> 2.0,
+        "probe_p99_under_rebalance_sec" -> 2.0),
       Seq("cold_vecs_per_sec", "min_warm_vecs_per_sec"))
+
+  /** Exact order-statistic percentile (nearest-rank): with the probe
+    * sample sizes here (~40 quiesced, one per ~100 ms under a ~6 s
+    * rebalance) an interpolated percentile would manufacture precision
+    * the sample doesn't have. */
+  private[graft] def pct(xs: Seq[Double], p: Double): Double = {
+    val s = xs.sorted
+    s(math.max(0, math.min(s.size - 1, math.ceil(p * s.size).toInt - 1)))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -115,9 +132,33 @@ object AnnScale {
     }.toDF("vec_id", "label", "embedding").localCheckpoint()
     AnnMaintenance.applyBatch(spark, burst, idx, batchId = 0L,
       rebalanceEvery = 0)
+    // serving latency, QUIESCED baseline: the default serving shape
+    // (topK 10, nprobe 4) against the fully grown index, one JIT
+    // warmup discarded, nearest-rank percentiles over 40 samples
+    def probeLat(): Double =
+      timed(IvfIndex.queryImpl(spark, idx, q0, topK = 10, nprobe = 4,
+        maxAttempts = 32).collect())._2
+    probeLat()
+    val quiesced = (0 until 40).map(_ => probeLat())
+    // serving latency UNDER the rebalance: the availability claim is
+    // spec'd (no probe fails through a live rebalance — the eager
+    // retry); this PRICES it — a prober thread races the trigger
+    // batch's rebalanceToConvergence and every completed probe's wall
+    // time lands in the sample, re-planned retries included
+    val underQ = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+    @volatile var stopProbe = false
+    val prober = new Thread(() => {
+      while (!stopProbe) underQ.add(probeLat())
+    }, "ann-scale-prober")
+    prober.start()
     val (splits, tRebalance) = timed(AnnMaintenance.applyBatch(spark,
       spark.emptyDataFrame, idx, batchId = 0L, rebalanceEvery = 1))
+    stopProbe = true
+    prober.join()
     require(splits > 0, "the planted burst must trigger at least one split")
+    val under = underQ.toArray(Array.empty[java.lang.Double])
+      .map(_.doubleValue).toSeq
+    require(under.nonEmpty, "the prober completed no probe during the rebalance")
     wire.unpersist()
 
     val batchJson = batches.map { case (i, nb, sec, iv) =>
@@ -128,7 +169,11 @@ object AnnScale {
     val warmMin = batches.tail.map { case (_, nb, sec, _) => nb / sec }.min
     val metrics = Map("build_sec" -> tBuild, "rebalance_sec" -> tRebalance,
       "replay_skip_sec" -> tReplay, "cold_vecs_per_sec" -> cold,
-      "min_warm_vecs_per_sec" -> warmMin)
+      "min_warm_vecs_per_sec" -> warmMin,
+      "probe_p50_sec" -> pct(quiesced, 0.50),
+      "probe_p99_sec" -> pct(quiesced, 0.99),
+      "probe_p50_under_rebalance_sec" -> pct(under, 0.50),
+      "probe_p99_under_rebalance_sec" -> pct(under, 0.99))
     val floors = Seq("ann_floor.json", "target/ann_floor.json").view
       .map(java.nio.file.Paths.get(_))
       .find(java.nio.file.Files.exists(_))
@@ -157,6 +202,11 @@ object AnnScale {
       s""""min_warm_vecs_per_sec":${f"$warmMin%.1f"},""" +
       s""""replay_skip_sec":${f"$tReplay%.3f"},""" +
       s""""rebalance_splits":$splits,"rebalance_sec":${f"$tRebalance%.3f"},""" +
+      s""""probe_p50_sec":${f"${metrics("probe_p50_sec")}%.4f"},""" +
+      s""""probe_p99_sec":${f"${metrics("probe_p99_sec")}%.4f"},""" +
+      s""""probe_p50_under_rebalance_sec":${f"${metrics("probe_p50_under_rebalance_sec")}%.4f"},""" +
+      s""""probe_p99_under_rebalance_sec":${f"${metrics("probe_p99_under_rebalance_sec")}%.4f"},""" +
+      s""""probes_under_rebalance":${under.size},""" +
       s""""health":$healthJson,""" +
       s""""floor_suspects":$suspectsJson,"load_suspect":${suspects.nonEmpty}}""")
     spark.stop()

@@ -63,7 +63,7 @@ object IngestScale {
       Seq("cold_docs_per_sec", "min_warm_docs_per_sec"))
 
   private[graft] def parseFloors(txt: String): Map[String, Double] =
-    "\"([a-z_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+    "\"([a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
   def main(args: Array[String]): Unit = {

@@ -185,31 +185,54 @@ class BenchSpec extends AnyFunSuite {
       java.nio.file.Paths.get("ann_floor.json")), "UTF-8")
     val floors = tools.IngestScale.parseFloors(txt)
     for (k <- Seq("build_sec", "rebalance_sec", "replay_skip_sec",
-        "cold_vecs_per_sec", "min_warm_vecs_per_sec")) {
+        "cold_vecs_per_sec", "min_warm_vecs_per_sec",
+        "probe_p50_sec", "probe_p99_sec",
+        "probe_p50_under_rebalance_sec", "probe_p99_under_rebalance_sec")) {
       assert(floors.contains(k), s"ann floor $k missing")
       assert(floors(k) > 0.0, s"$k floor ${floors(k)} implausible")
     }
     assert(floors("cold_vecs_per_sec") < floors("min_warm_vecs_per_sec"),
       "cold floor must sit below the warm floor")
+    assert(floors("probe_p50_sec") <= floors("probe_p99_sec"),
+      "quiesced p50 must sit at or below p99")
+    assert(floors("probe_p50_under_rebalance_sec") <=
+      floors("probe_p99_under_rebalance_sec"),
+      "under-rebalance p50 must sit at or below p99")
     assert(!floors.contains("_comment"))
   }
 
   test("AnnScale floor flags: times flag high at 2x, cold/warm vec throughput flag low at half their own floors") {
     val floors = Map("build_sec" -> 5.0, "rebalance_sec" -> 8.0,
       "replay_skip_sec" -> 1.0, "cold_vecs_per_sec" -> 400.0,
-      "min_warm_vecs_per_sec" -> 900.0)
+      "min_warm_vecs_per_sec" -> 900.0,
+      "probe_p99_under_rebalance_sec" -> 0.5)
     assert(tools.AnnScale.floorSuspects(Map(
       "build_sec" -> 6.0, "rebalance_sec" -> 9.0,
       "replay_skip_sec" -> 1.4, "cold_vecs_per_sec" -> 420.0,
-      "min_warm_vecs_per_sec" -> 880.0), floors).isEmpty)
+      "min_warm_vecs_per_sec" -> 880.0,
+      "probe_p99_under_rebalance_sec" -> 0.8), floors).isEmpty)
     assert(tools.AnnScale.floorSuspects(Map(
       "build_sec" -> 11.0, "rebalance_sec" -> 17.0,
       "replay_skip_sec" -> 2.5, "cold_vecs_per_sec" -> 150.0,
       "min_warm_vecs_per_sec" -> 400.0), floors).toSet ==
       Set("build_sec", "rebalance_sec", "replay_skip_sec",
         "cold_vecs_per_sec", "min_warm_vecs_per_sec"))
+    // a serving-latency regression UNDER maintenance flags on its own
+    // floor even while every build/append metric is healthy — the
+    // eager retry must not buy availability with unbounded latency
+    assert(tools.AnnScale.floorSuspects(Map(
+      "build_sec" -> 5.2, "rebalance_sec" -> 8.1,
+      "replay_skip_sec" -> 1.0, "cold_vecs_per_sec" -> 410.0,
+      "min_warm_vecs_per_sec" -> 950.0,
+      "probe_p99_under_rebalance_sec" -> 1.2), floors) ==
+      Seq("probe_p99_under_rebalance_sec"))
     assert(tools.AnnScale.floorSuspects(
       Map("rebalance_sec" -> 99.0), Map.empty).isEmpty)
+    // nearest-rank percentiles: exact order statistics, no interpolation
+    assert(tools.AnnScale.pct(Seq(3.0, 1.0, 2.0), 0.5) == 2.0)
+    assert(tools.AnnScale.pct(Seq(3.0, 1.0, 2.0), 0.99) == 3.0)
+    assert(tools.AnnScale.pct(Seq(5.0), 0.5) == 5.0)
+    assert(tools.AnnScale.pct((1 to 100).map(_.toDouble), 0.99) == 99.0)
   }
 
   test("robustTimes retries an outlier run and keeps the honest min") {
