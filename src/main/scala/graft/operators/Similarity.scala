@@ -2594,6 +2594,105 @@ object Similarity {
         FROM agg ORDER BY grid_mod DESC"""
     })
 
+  // ------------------------------------------------------------------
+  // q272 — filtered-probe selectivity forecast: sizes q222's ANN
+  // over-fetch FROM data (the q192/q259 discipline — a knob priced by
+  // a query instead of guessed). A filtered probe (q222: "top-k among
+  // label = L") scans the ranked cells label-agnostically and
+  // post-filters, so its effective cost multiplies by the label's
+  // 1/selectivity INSIDE the scanned cells — and labels cluster (q270
+  // measures that semantically), so corpus-wide selectivity is the
+  // WRONG forecast when the probed cells are label-skewed. Per label,
+  // over the pinned-centroid assignment: corpus selectivity in exact
+  // ppm, the rows an nprobe=4 worst-case probe scans (q267's top-4
+  // convention), the matching rows among them, the probe-local
+  // selectivity, and overfetch_ppm = scanned × 10⁶ div matching — the
+  // K'/K multiplier q222's over-fetch needs for that label (NULL via
+  // nullif when a label is absent from the probed cells: no over-fetch
+  // rescues it, switch to a partitioned index). The gap between
+  // sel_ppm and probe_sel_ppm is the label-skew readout.
+  //
+  // Scale shape: ONE embeddings scan → (cell, label) groupBy (k×L
+  // keys, map-combinable); every window/rank/aggregate after it runs
+  // on ≤ k×L rows (≤ 160 here), driver-scale at any corpus size.
+  // ------------------------------------------------------------------
+  val filteredProbeSelectivity: Q = Q(
+    "q272_filtered_probe_selectivity",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorFunctions.register(s)
+      val w = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+      val cl = IvfIndex.assignToCentroids(w, Pipelines.lloydCentroids)
+        .groupBy(col("cell"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val wCell = Window.partitionBy(col("cell"))
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ranked = cl
+        .withColumn("cell_rows", sum(col("n")).over(wCell))
+        .withColumn("total", sum(col("n")).over(wAll))
+        .withColumn("cell_rank", dense_rank().over(
+          Window.orderBy(desc("cell_rows"), asc("cell"))))
+      val perLabel = ranked.groupBy("label")
+        .agg(sum(col("n")).as("label_rows"),
+          sum(when(col("cell_rank") <= 4, col("n")).otherwise(0L))
+            .as("matching_worst4"),
+          max(col("total")).as("total"))
+      perLabel
+        .withColumn("scanned_worst4",
+          sum(col("matching_worst4")).over(wAll))
+        .select(col("label"), col("label_rows"),
+          expr("label_rows * 1000000 div total").as("sel_ppm"),
+          col("scanned_worst4"), col("matching_worst4"),
+          expr("matching_worst4 * 1000000 div scanned_worst4")
+            .as("probe_sel_ppm"),
+          expr("scanned_worst4 * 1000000 div nullif(matching_worst4, 0)")
+            .as("overfetch_ppm"))
+        .orderBy("label")
+    },
+    Some {
+      val dim = EmbeddingDim
+      val scores = Pipelines.lloydCentroids.map { case (_, c) =>
+        val c2 = c.map(v => v * v).sum
+        val arr = c.map(v => s"$v").mkString("[", ", ", "]")
+        s"($c2 - 2.0 * list_reduce(list_transform(generate_series(1, $dim), i -> ($arr::double[])[i] * e[i]), (x, y) -> x + y))"
+      }.mkString(", ")
+      s"""WITH ed AS (SELECT vec_id, label,
+          list_transform(embedding, x -> cast(x as double)) AS e
+          FROM embeddings),
+        sc AS (SELECT vec_id, label, [$scores] AS scores FROM ed),
+        cells AS (SELECT vec_id, label,
+          cast(list_position(scores, list_min(scores)) - 1 as int) AS cell
+          FROM sc),
+        cl AS (SELECT cell, label, cast(count(*) as bigint) AS n
+          FROM cells GROUP BY 1, 2),
+        ranked AS (SELECT cell, label, n,
+            cast(sum(n) OVER (PARTITION BY cell) as bigint) AS cell_rows,
+            cast(sum(n) OVER () as bigint) AS total
+          FROM cl),
+        ranked2 AS (SELECT *, cast(dense_rank() OVER
+            (ORDER BY cell_rows DESC, cell) as bigint) AS cell_rank
+          FROM ranked),
+        per_label AS (SELECT label,
+            cast(sum(n) as bigint) AS label_rows,
+            cast(sum(CASE WHEN cell_rank <= 4 THEN n ELSE 0 END)
+              as bigint) AS matching_worst4,
+            cast(max(total) as bigint) AS total
+          FROM ranked2 GROUP BY 1),
+        final AS (SELECT *, cast(sum(matching_worst4) OVER () as bigint)
+            AS scanned_worst4
+          FROM per_label)
+        SELECT label, label_rows,
+          label_rows * 1000000 // total AS sel_ppm,
+          scanned_worst4, matching_worst4,
+          matching_worst4 * 1000000 // scanned_worst4 AS probe_sel_ppm,
+          scanned_worst4 * 1000000 // nullif(matching_worst4, 0)
+            AS overfetch_ppm
+        FROM final ORDER BY label"""
+    })
+
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
     annIvf, annIvfIncremental, semanticDedup, multimodalMeta, arrayFuncs,
     pqEncode, pqAdcTopK, pqCodeBalance, pqRerankTopK, pqRecallEval,
@@ -2602,5 +2701,5 @@ object Similarity {
     hardNegatives, maxSimScores, attributionProbe, hybridFusion,
     embeddingHealth, rankerAgreement, annProbeCostCurve,
     annNprobeRecallCurve, semanticContaminationCurve,
-    oneNnLabelAgreement, annDeletionEconomics)
+    oneNnLabelAgreement, annDeletionEconomics, filteredProbeSelectivity)
 }

@@ -371,6 +371,48 @@ class AnnMaintenanceSpec extends AnyFunSuite {
       .getAs[Long]("retired_ids") == 3L)
   }
 
+  test("the PQ twin shares both new gates: a due backlog drains on the trigger batch, and rebalance(topN) splits the largest cells without any factor-hot cell") {
+    import operators.IvfPq
+    val idx = tmpDir("graft-annm-pq-gates")
+    IvfPq.build(spark, sf, idx)
+    val batch = batchDf(evtsOf(95000L, Seq(0L, 1L, 2L)))
+    AnnMaintenance.applyBatchPq(spark, batch, idx, batchId = 0L,
+      rebalanceEvery = 0)
+    IvfPq.delete(spark, Seq(95000L, 95001L, 95002L), idx)
+    def backlog(): Long = IvfPq.servingHealth(spark, idx).collect()(0)
+      .getAs[Long]("tombstone_backlog")
+    assert(backlog() == 3L)
+    AnnMaintenance.applyBatchPq(spark, batchDf(Seq.empty[EmbeddingEvt]),
+      idx, batchId = 7L, rebalanceEvery = 8, probeBudget = 1L)
+    assert(backlog() == 3L, "a cheap PQ backlog must not trigger applyDeletes")
+    AnnMaintenance.applyBatchPq(spark, batchDf(Seq.empty[EmbeddingEvt]),
+      idx, batchId = 15L, rebalanceEvery = 8, probeBudget = 1000000L)
+    assert(backlog() == 0L, "a due PQ backlog must drain on the trigger")
+    spark.catalog.refreshByPath(s"$idx/codes")
+    assert(spark.read.parquet(s"$idx/codes")
+      .filter(col("vec_id") >= 95000L).count() == 0L)
+    // the diffuse split mode: factor high enough that NO cell is hot,
+    // topN forces the two largest apart; a rebalance never re-encodes,
+    // so the full-probe ADC answer must be bit-identical
+    val qv = operators.Similarity.normed(spark, sf)
+      .filter(col("vec_id") === 0L).select("e")
+      .collect()(0).getSeq[Double](0).toArray
+    val before = IvfPq.query(spark, idx, qv, topK = 10, nprobe = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val worstBefore = IvfPq.servingHealth(spark, idx, nprobe = 2)
+      .collect()(0).getAs[Long]("probe_rows_worst")
+    val splits = IvfPq.rebalance(spark, idx, factor = 100.0, topN = 2)
+    assert(splits > 0, "topN must split the largest cells with no factor-hot cell")
+    spark.catalog.refreshByPath(s"$idx/codes")
+    val worstAfter = IvfPq.servingHealth(spark, idx, nprobe = 2)
+      .collect()(0).getAs[Long]("probe_rows_worst")
+    assert(worstAfter < worstBefore,
+      s"topN split must reduce the worst-case forecast: $worstBefore -> $worstAfter")
+    val after = IvfPq.query(spark, idx, qv, topK = 10, nprobe = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(after == before, "PQ topN split changed served ADC results")
+  }
+
   test("bootstrap contract: starting on a dir with no quantizer fails loudly") {
     val mem = { import spark.implicits._; implicit val sq = spark.sqlContext; MemoryStream[EmbeddingEvt] }
     intercept[IllegalArgumentException] {
