@@ -2158,6 +2158,61 @@ object Relational {
         min(k) AS min_k, max(k) AS max_k
       FROM c GROUP BY 1 ORDER BY 1"""))
 
+  /** q273 — l-diversity audit: [[kAnonymity]]'s missing half
+    * (Machanavajjhala et al. 2007 §3 — the homogeneity attack).
+    * k-anonymity counts INDIVIDUALS per QI class, but a class can be
+    * 20-anonymous and still leak: if every row in it carries the same
+    * SENSITIVE value, an adversary who places a target in the class
+    * learns the value without identifying any row. Release projection
+    * here: QI = (day, value band), sensitive = event_type. Per QI
+    * class, l = distinct sensitive values and the majority share in
+    * exact ppm (the homogeneity risk), rolled up per l: classes at
+    * l = 1 are outright leaks, low-l/high-majority classes the
+    * near-leaks — the second governance gate next to q236 before a
+    * behavioral table export.
+    *
+    * Scale shape: the q241 one-exchange discipline — ONE
+    * (day, vband, event_type) map-combinable pre-aggregate; the class
+    * regroup and the per-l rollup both run on its
+    * |days|·|bands|·|types| rows, never on event volume. Majority
+    * share = exact integer cross-multiplication (max_sens × 10⁶ div
+    * rows), no float ever crosses engines. */
+  val lDiversity: Q = Q(
+    "q273_l_diversity",
+    (s, d) => {
+      val g = Tables.events(s, d)
+        .select(date_trunc("day", col("ts")).as("day"),
+          floor(col("value") / 10).cast("long").as("vband"),
+          col("event_type"))
+        .groupBy("day", "vband", "event_type")
+        .agg(count(lit(1)).as("c"))
+      val cls = g.groupBy("day", "vband")
+        .agg(count(lit(1)).as("l"),
+          sum(col("c")).cast("long").as("rows_in_class"),
+          max(col("c")).cast("long").as("max_sens"))
+      cls.groupBy("l")
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("rows_in_class")).cast("long").as("n_rows"),
+          min(expr("max_sens * 1000000 div rows_in_class"))
+            .as("min_major_ppm"),
+          max(expr("max_sens * 1000000 div rows_in_class"))
+            .as("max_major_ppm"))
+        .orderBy("l")
+    },
+    Some("""WITH g AS (SELECT date_trunc('day', ts) AS day,
+          cast(floor(value / 10) as bigint) AS vband, event_type,
+          cast(count(*) as bigint) AS c
+        FROM events GROUP BY 1, 2, 3),
+      cls AS (SELECT day, vband, cast(count(*) as bigint) AS l,
+          cast(sum(c) as bigint) AS rows_in_class,
+          cast(max(c) as bigint) AS max_sens
+        FROM g GROUP BY 1, 2)
+      SELECT l, cast(count(*) as bigint) AS n_classes,
+        cast(sum(rows_in_class) as bigint) AS n_rows,
+        min(max_sens * 1000000 // rows_in_class) AS min_major_ppm,
+        max(max_sens * 1000000 // rows_in_class) AS max_major_ppm
+      FROM cls GROUP BY 1 ORDER BY 1"""))
+
   /** q241 — per-user event-type concentration (Herfindahl–Hirschman
     * index) + peak daily volume: the bot-likeness battery. A human
     * account spreads events across types and days (low HHI, modest
@@ -2472,7 +2527,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     forgetBlastRadius, ttlEvictionRisk, funnelTtlLoss,
     rollupMerge, latenessAudit, burstAudit, eventFunnel,
-    sessionCooccurrence, cusumDrift, kAnonymity, userTypeHhi,
+    sessionCooccurrence, cusumDrift, kAnonymity, lDiversity, userTypeHhi,
     interArrival, rollupRetraction, lastTouchAttribution,
     timeToConvert,
     pricingSummary, scanFilterProject, topkOrders, topkMultikey,

@@ -2416,6 +2416,80 @@ object TrainingPrep {
         flagged_tokens * 1000000 // nullif(src_tokens, 0) AS flagged_ppm
       FROM agg ORDER BY source"""))
 
+  /** q274 — RAG chunking economics: the chunk-size × overlap grid
+    * priced FROM the corpus (the q192/q259/q272 discipline — a knob a
+    * deployment usually guesses, here a measured table). Overlapping
+    * chunks buy retrieval recall at token-duplication cost, and the
+    * overhead depends on the corpus LENGTH DISTRIBUTION, not just the
+    * ratio ov/size: short docs emit one chunk regardless (zero
+    * overhead), long docs pay ov extra tokens per boundary — so two
+    * corpora with equal mean length but different tails price the same
+    * grid differently. Per (chunk_tokens, overlap_tokens) over the
+    * whitespace token counts: stride = size − ov, chunks-per-doc =
+    * 1 + ceil(max(0, n − size) / stride) (the q31 sliding-window
+    * family's count, closed-form), emitted = n + (chunks − 1)·ov,
+    * overhead_ppm = Σ emitted × 10⁶ div Σ n − 10⁶ — exact integers end
+    * to end (integer ceil by (x + s − 1) div s).
+    *
+    * Scale shape: ONE documents scan computing n = token count per
+    * doc; the 9-point grid explode multiplies rows 9× INTO a
+    * map-combinable aggregate (never materialized), output 9 rows at
+    * any corpus size. */
+  val chunkOverlapEconomics: Q = Q(
+    "q274_chunk_overlap_economics",
+    (s, d) => {
+      val grid: Seq[(Int, Int)] = for {
+        sz <- Seq(128, 256, 512); den <- Seq(0, 8, 4)
+      } yield (sz, if (den == 0) 0 else sz / den)
+      val n = Tables.documents(s, d)
+        .select(size(Dsl.toks(col("text"))).cast("long").as("n"))
+      n.select(col("n"), explode(array(grid.map { case (sz, ov) =>
+            struct(lit(sz).as("chunk_tokens"), lit(ov).as("overlap_tokens"))
+          }: _*)).as("g"))
+        .select(col("n"), col("g.chunk_tokens").as("chunk_tokens"),
+          col("g.overlap_tokens").as("overlap_tokens"))
+        .withColumn("stride", (col("chunk_tokens") - col("overlap_tokens"))
+          .cast("long"))
+        .withColumn("n_chunks", lit(1L) +
+          expr("(greatest(n - chunk_tokens, 0L) + stride - 1) div stride"))
+        .withColumn("emitted",
+          col("n") + (col("n_chunks") - 1L) * col("overlap_tokens"))
+        .groupBy("chunk_tokens", "overlap_tokens")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).cast("long").as("corpus_tokens"),
+          sum(col("n_chunks")).cast("long").as("total_chunks"),
+          sum(col("emitted")).cast("long").as("emitted_tokens"))
+        .select(col("chunk_tokens"), col("overlap_tokens"), col("n_docs"),
+          col("corpus_tokens"), col("total_chunks"), col("emitted_tokens"),
+          // decimal(38,0) headroom: corpus-level token sums × 10⁶ can
+          // pass 2⁶³ at real scale (the q248 div discipline)
+          expr("cast(cast(emitted_tokens as decimal(38,0)) * 1000000 " +
+            "div corpus_tokens - 1000000 as bigint)").as("overhead_ppm"))
+        .orderBy("chunk_tokens", "overlap_tokens")
+    },
+    Some(s"""WITH n AS (SELECT cast(len(${sqlToks("text")}) as bigint) AS n
+          FROM documents),
+        grid AS (SELECT * FROM (VALUES (128, 0), (128, 16), (128, 32),
+          (256, 0), (256, 32), (256, 64),
+          (512, 0), (512, 64), (512, 128))
+          AS g(chunk_tokens, overlap_tokens)),
+        per AS (SELECT chunk_tokens, overlap_tokens, n,
+            cast(chunk_tokens - overlap_tokens as bigint) AS stride
+          FROM n, grid),
+        ch AS (SELECT chunk_tokens, overlap_tokens, n,
+            1 + (greatest(n - chunk_tokens, 0) + stride - 1) // stride
+              AS n_chunks
+          FROM per)
+        SELECT chunk_tokens, overlap_tokens,
+          cast(count(*) as bigint) AS n_docs,
+          cast(sum(n) as bigint) AS corpus_tokens,
+          cast(sum(n_chunks) as bigint) AS total_chunks,
+          cast(sum(n + (n_chunks - 1) * overlap_tokens) as bigint)
+            AS emitted_tokens,
+          cast(sum(n + (n_chunks - 1) * overlap_tokens)
+            * 1000000 // sum(n) - 1000000 as bigint) AS overhead_ppm
+        FROM ch GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(textChunks, piiScrub, contamination, salientTerms,
     bigramLift, domainMix, lengthBuckets, saltedJoinAgg, varianceUdaf,
     approxPercentiles, bloomContamination, fuzzyPairs, heavyHitters,
@@ -2425,5 +2499,5 @@ object TrainingPrep {
     cdcChunks, decontaminateSpans, spanCorruption, wordpieceEncode,
     unigramViterbi, prefixCacheAudit, sftMaskAccounting, countMinAudit,
     tokenizerMigration, truncationCurve, contaminationCurve,
-    contaminationBySource)
+    contaminationBySource, chunkOverlapEconomics)
 }

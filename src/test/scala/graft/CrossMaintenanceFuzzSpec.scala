@@ -406,23 +406,31 @@ class CrossMaintenanceFuzzSpec extends AnyFunSuite {
         { RollupStore.append(spark, b, sRs, Some(600L + i)); () } },
       () => { RollupStore.append(spark, rollupBatches.last, sRs,
         Some(602L)); () })
+    // each sweep op gets its OWN lease patience: a LockHeldException is
+    // thrown fail-fast BEFORE any mutation, so per-op retry re-runs
+    // only the op that never started — the rollup retraction in
+    // particular must apply exactly once (its op id is None: the
+    // retraction is not part of the maintainer's monotonic op stream,
+    // and a shared high-water mark across two concurrent streams would
+    // skip whichever lands second — appends after the retraction or
+    // the retraction after the appends)
     val gdprT = maintainer("gdpr",
       Seq(() => {
-        LshBandIndex.delete(spark, Seq(docVictim), sLsh)
-        Bm25Index.delete(spark, Seq(docVictim), sBm)
-        IvfIndex.delete(spark, Seq(vecVictim), sIvf)
-        operators.IvfPq.delete(spark, Seq(vecVictim), sPq)
-        RollupStore.delete(spark, seedFacts,
-          Seq(victimUser).toDF("user_id"), sRs, Some(700L))
-        LshBandIndex.compact(spark, sLsh)
-        Bm25Index.compact(spark, sBm)
-        IvfIndex.applyDeletes(spark, sIvf)
-        operators.IvfPq.applyDeletes(spark, sPq)
+        withPatience { LshBandIndex.delete(spark, Seq(docVictim), sLsh) }
+        withPatience { Bm25Index.delete(spark, Seq(docVictim), sBm) }
+        withPatience { IvfIndex.delete(spark, Seq(vecVictim), sIvf) }
+        withPatience { operators.IvfPq.delete(spark, Seq(vecVictim), sPq) }
+        withPatience { RollupStore.delete(spark, seedFacts,
+          Seq(victimUser).toDF("user_id"), sRs, None) }
+        withPatience { LshBandIndex.compact(spark, sLsh) }
+        withPatience { Bm25Index.compact(spark, sBm) }
+        withPatience { IvfIndex.applyDeletes(spark, sIvf) }
+        withPatience { operators.IvfPq.applyDeletes(spark, sPq) }
         () }),
-      // the whole sweep re-runs idempotently (the walk test's law)
+      // the idempotent tail re-runs only replay-safe ANN ops
       () => {
-        IvfIndex.delete(spark, Seq(vecVictim), sIvf)
-        IvfIndex.applyDeletes(spark, sIvf)
+        withPatience { IvfIndex.delete(spark, Seq(vecVictim), sIvf) }
+        withPatience { IvfIndex.applyDeletes(spark, sIvf) }
         () })
 
     // --- lock-free probers on the main thread ------------------------
@@ -498,7 +506,7 @@ class CrossMaintenanceFuzzSpec extends AnyFunSuite {
     IvfIndex.delete(spark, Seq(vecVictim), tIvf)
     operators.IvfPq.delete(spark, Seq(vecVictim), tPq)
     RollupStore.delete(spark, seedFacts,
-      Seq(victimUser).toDF("user_id"), tRs, Some(700L))
+      Seq(victimUser).toDF("user_id"), tRs, None)
     LshBandIndex.compact(spark, tLsh)
     Bm25Index.compact(spark, tBm)
     IvfIndex.applyDeletes(spark, tIvf)
