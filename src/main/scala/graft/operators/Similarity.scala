@@ -2693,6 +2693,123 @@ object Similarity {
         FROM final ORDER BY label"""
     })
 
+  // ------------------------------------------------------------------
+  // q275 — actual probe cost vs forecast: the calibration audit that
+  // closes the nprobe economics family. q267 FORECASTS per-budget cost
+  // from the population map alone (worst = top-nprobe largest cells,
+  // mean = nprobe × total/k) without knowing which cells real queries
+  // probe; q268 measures what a budget buys. This query measures what
+  // real queries actually PAY: for each of the 10 pinned query
+  // vectors, the cells its nprobe=4 centroid ranking selects (rank by
+  // the assignToCentroids score — |c|² − 2e·c, |e|² is rank-invariant
+  // per query) and the rows those cells hold, against both forecasts
+  // in exact ppm. actual/mean spread across queries is the
+  // query-vs-population skew the mean forecast hides; actual touching
+  // worst means hot cells sit exactly where queries land and the
+  // rebalance is overdue regardless of hot_factor.
+  //
+  // Scale shape: the q269 corpus-vs-query role split — the 10-row
+  // query slice is one pruned read, the corpus pass one full scan
+  // into a k-key count aggregate; ranking/joins/ratios all run on
+  // ≤ 10 × k rows.
+  // ------------------------------------------------------------------
+  val annProbeCostActual: Q = Q(
+    "q275_ann_probe_cost_actual",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorFunctions.register(s)
+      val k = Pipelines.lloydCentroids.length
+      val w = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+      // k rows, TWO consumers (the forecast aggregate and the
+      // per-query join) — cache so the corpus pass runs once. The
+      // explicit vec_id prune keeps this subtree distinct from q267's
+      // UNCACHED identical count frame: Spark's cache lookup matches
+      // analyzed plans, and a cached twin here would silently swap an
+      // InMemoryRelation into q267's plan (its window-over-Aggregate
+      // audit shape must stay visible).
+      val counts = graft.CacheScope.cached(
+        IvfIndex.assignToCentroids(w.select(col("e")),
+            Pipelines.lloydCentroids)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs")))
+      // the two q267 forecasts, ONE aggregate row (worst = top-4
+      // populations via a k-element collect_list sorted by struct
+      // order (-n, cell) — no window, the input is k rows)
+      val forecast = counts.agg(
+        expr("aggregate(slice(array_sort(collect_list(" +
+          "struct(-n_vecs as negn, cell, n_vecs))), 1, 4), 0L, " +
+          "(acc, x) -> acc + x.n_vecs)").as("worst_rows"),
+        expr(s"4 * sum(n_vecs) div $k").as("mean_rows"))
+      // per query: rank ALL cells by the centroid score and keep 4
+      val scored = Pipelines.lloydCentroids.sortBy(_._1).map { case (c, arr) =>
+        val c2 = arr.map(v => v * v).sum
+        struct(lit(c).as("cell"),
+          (lit(c2) - lit(2.0) * call_function("dot_product",
+            col("e"), array(arr.toSeq.map(lit): _*))).as("score"))
+      }
+      val qOrd = Window.partitionBy(col("query_id"))
+        .orderBy(asc("score"), asc("cell"))
+      val actual = w.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          explode(array(scored: _*)).as("sc"))
+        .select(col("query_id"), col("sc.cell").as("cell"),
+          col("sc.score").as("score"))
+        .withColumn("pr", row_number().over(qOrd))
+        .filter(col("pr") <= 4)
+        .join(counts, "cell")
+        .groupBy("query_id")
+        .agg(sum(col("n_vecs")).as("actual_rows"))
+      actual.crossJoin(forecast)
+        .select(col("query_id"), col("actual_rows"),
+          col("worst_rows"), col("mean_rows"),
+          expr("actual_rows * 1000000 div mean_rows").as("vs_mean_ppm"),
+          expr("actual_rows * 1000000 div worst_rows").as("vs_worst_ppm"))
+        .orderBy("query_id")
+    },
+    Some {
+      val dim = EmbeddingDim
+      val k = Pipelines.lloydCentroids.length
+      val scores = Pipelines.lloydCentroids.map { case (_, c) =>
+        val c2 = c.map(v => v * v).sum
+        val arr = c.map(v => s"$v").mkString("[", ", ", "]")
+        s"($c2 - 2.0 * list_reduce(list_transform(generate_series(1, $dim), i -> ($arr::double[])[i] * e[i]), (x, y) -> x + y))"
+      }.mkString(", ")
+      s"""WITH ed AS (SELECT vec_id,
+          list_transform(embedding, x -> cast(x as double)) AS e
+          FROM embeddings),
+        sc AS (SELECT vec_id, [$scores] AS scores FROM ed),
+        cells AS (SELECT vec_id,
+          cast(list_position(scores, list_min(scores)) - 1 as int) AS cell
+          FROM sc),
+        counts AS (SELECT cell, cast(count(*) as bigint) AS n_vecs
+          FROM cells GROUP BY 1),
+        fc AS (SELECT
+            cast(sum(CASE WHEN pr <= 4 THEN n_vecs ELSE 0 END) as bigint)
+              AS worst_rows,
+            cast(4 * max(total) // $k as bigint) AS mean_rows
+          FROM (SELECT n_vecs,
+              row_number() OVER (ORDER BY n_vecs DESC, cell) AS pr,
+              sum(n_vecs) OVER () AS total
+            FROM counts)),
+        qs AS (SELECT vec_id AS query_id, g.i - 1 AS cell,
+            scores[g.i] AS score
+          FROM sc, unnest(generate_series(1, $k)) AS g(i)
+          WHERE vec_id < 10),
+        ranked AS (SELECT query_id, cell,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY score, cell) AS pr
+          FROM qs),
+        act AS (SELECT query_id,
+            cast(sum(n_vecs) as bigint) AS actual_rows
+          FROM ranked JOIN counts USING (cell)
+          WHERE pr <= 4 GROUP BY 1)
+        SELECT query_id, actual_rows, worst_rows, mean_rows,
+          actual_rows * 1000000 // mean_rows AS vs_mean_ppm,
+          actual_rows * 1000000 // worst_rows AS vs_worst_ppm
+        FROM act, fc ORDER BY query_id"""
+    })
+
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
     annIvf, annIvfIncremental, semanticDedup, multimodalMeta, arrayFuncs,
     pqEncode, pqAdcTopK, pqCodeBalance, pqRerankTopK, pqRecallEval,
@@ -2701,5 +2818,6 @@ object Similarity {
     hardNegatives, maxSimScores, attributionProbe, hybridFusion,
     embeddingHealth, rankerAgreement, annProbeCostCurve,
     annNprobeRecallCurve, semanticContaminationCurve,
-    oneNnLabelAgreement, annDeletionEconomics, filteredProbeSelectivity)
+    oneNnLabelAgreement, annDeletionEconomics, filteredProbeSelectivity,
+    annProbeCostActual)
 }

@@ -464,6 +464,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "q269_semantic_contamination_curve" -> Map("embeddings" -> 2),
       // same eval-vs-train role split, argmax direction (per-eval 1-NN)
       "q270_embedding_1nn_agreement" -> Map("embeddings" -> 2),
+      // TEXTUAL count (the q268 caveat): the CACHED k-row cell-count
+      // frame prints its build scan at BOTH consumer sites (forecast
+      // windows + per-query join) next to the 10-row query slice;
+      // cold file reads = 2 (one corpus pass builds the cache, one
+      // pruned query read)
+      "q275_ann_probe_cost_actual" -> Map("embeddings" -> 3),
       "q105_scd2" -> Map("part" -> 2),
       "q125_tpch_q21" -> Map("lineitem" -> 3),
       "q126_temperature_sample" -> Map("documents" -> 2),
