@@ -627,9 +627,16 @@ object IvfIndex {
       table: String, nprobe: Int, factor: Double): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    // lock-free dashboard read racing an applyDeletes that clears the
+    // dir between the exists check and the scan: one retry re-resolves
+    // (the RetiredIds.count discipline)
     def countOf(sub: String): Long = {
-      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
-      if (fs.exists(p)) spark.read.parquet(p.toString).count() else 0L
+      def once(): Long = {
+        val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
+        if (fs.exists(p)) spark.read.parquet(p.toString).count() else 0L
+      }
+      try once()
+      catch { case t: Throwable if retryableProbeFailure(t) => once() }
     }
     val counts = spark.read.parquet(s"$indexDir/$table")
       .groupBy("cell").agg(count(lit(1)).as("n"))

@@ -128,7 +128,13 @@ object AnnMaintenance {
     * an unlucky probe pays `worstFactor`× the mean, yet no single cell
     * trips the rebalance factor — without this check the index pays
     * that tax forever (the state `servingHealth`'s scaladoc warns
-    * about, previously measured but never acted on). */
+    * about, previously measured but never acted on). Honest bound: on
+    * a corpus whose largest cells are DEGENERATE (all-identical clones
+    * — kept whole by design, see [[IvfIndex.rebalance]]), the gate
+    * re-fires each trigger and the pass splits nothing; the cost is
+    * the bounded per-largest-cell k=2 probe fit, the same standing
+    * behavior as the acute gate on an unsplittable hot cell — the
+    * worst/mean tax is then a property of the data, not the index. */
   private[graft] def diffuseDrift(h: org.apache.spark.sql.Row,
       worstFactor: Double): Boolean = {
     val mean = h.getAs[Double]("probe_rows_mean")
