@@ -461,6 +461,16 @@ object MaintenanceLock {
 
   final class LockHeldException(msg: String) extends RuntimeException(msg)
 
+  /** Spec-only crash channel: a body throwing this simulates the
+    * holder DYING mid-critical-section — the heartbeat stops but the
+    * lease file is deliberately NOT released (a real dead process
+    * cannot run its finally), leaving exactly the stale-lease state a
+    * contender must take over atomically. Production code never
+    * throws it; the TRUE-concurrency fuzz kills each maintainer type
+    * through it and proves the takeover path converges. */
+  private[graft] final class AbandonedLease
+    extends RuntimeException("abandoned lease (spec crash seam)")
+
   /** One id per JVM — maintenance from two processes contends; nested
     * calls within one process re-enter (same thread only — see the
     * in-process registry). */
@@ -506,6 +516,17 @@ object MaintenanceLock {
     val uri = qualified.toUri.normalize()
     val auth = Option(uri.getAuthority).getOrElse("")
     s"${uri.getScheme}://$auth${uri.getRawPath}"
+  }
+
+  /** The lock's canonical spelling of an index dir, exposed so other
+    * per-index registries (the [[ProbeLedger]]) key exactly the way
+    * the lease does — a probe recorded under `idx/` and a maintainer
+    * reading under `/abs/idx` must meet on ONE slot. */
+  private[graft] def canonicalKey(spark: SparkSession,
+      rawIndexDir: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    canonicalDir(fs.makeQualified(new Path(rawIndexDir)))
   }
 
   /** [[withLock]] with an explicit holder id (spec seam — lets a test
@@ -620,13 +641,23 @@ object MaintenanceLock {
         }, s"graft-lease-heartbeat-$indexDir")
         beat.setDaemon(true)
         beat.start()
+        var abandoned = false
         try body
+        catch {
+          // the spec's process-death seam: stop beating, keep the
+          // lease file — a dead process runs no finally, so the file
+          // must be left exactly as the holder's last heartbeat left
+          // it for the stale-takeover path to exercise
+          case a: AbandonedLease => abandoned = true; throw a
+        }
         finally {
           stop.set(true); beat.interrupt()
           // release only a lease that is still OURS: after a stale
           // takeover (we stopped beating), the file carries the
           // thief's id and deleting it would admit a third writer
-          if (readHolder().contains(holder)) { fs.delete(lock, false); () }
+          if (!abandoned && readHolder().contains(holder)) {
+            fs.delete(lock, false); ()
+          }
         }
     }
   }

@@ -336,10 +336,11 @@ object IvfIndex {
       centroids: Array[(Int, Array[Double])], query: Array[Double],
       topK: Int, nprobe: Int, orphans: Seq[Int] = Seq.empty): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val probes = (centroids.map { case (cell, c) =>
-      val d2 = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
-      (cell, d2)
-    }.sortBy(_._2).take(nprobe).map(_._1).toSeq ++ orphans).distinct
+    val probes = (rankedCells(centroids, query, nprobe) ++ orphans).distinct
+    // ledger: one executed attempt over these cells — the maintenance
+    // gates price the backlog drain and the worst-cell split against
+    // this actual traffic (ProbeLedger's scaladoc has the loss mode)
+    ProbeLedger.record(spark, indexDir, probes)
     val qnrm = math.sqrt(query.map(x => x * x).sum)
     val qe = array(query.map(lit): _*)
     minusTombstones(spark.read.parquet(s"$indexDir/vectors")
@@ -394,6 +395,179 @@ object IvfIndex {
     eagerProbe(spark, indexDir, "vectors", topK, afterPin, maxAttempts,
       sleep)((c1, orphans, fetch) =>
       queryPlanFrom(spark, indexDir, c1, query, fetch, nprobe, orphans))
+
+  /** Persist the per-(cell, label) population map as `label_stats/` —
+    * the forecast [[queryFiltered]] sizes its over-fetch from (q272's
+    * selectivity audit materialized beside the index it audits). One
+    * map-combinable groupBy-count scan, k × |labels| rows out (tiny —
+    * coalesce(1)); refresh it after bulk maintenance the way a
+    * deployment refreshes any stats table. Staleness is bounded-cost
+    * by construction: the stats feed a fetch-size FORECAST, never the
+    * answer — a stale row mis-sizes K′ (shorter or longer post-filter
+    * list), it cannot serve a wrong vector. */
+  def writeLabelStats(spark: SparkSession, indexDir: String): Unit =
+    writeStatsOf(spark, indexDir, "vectors")
+
+  private[operators] def writeStatsOf(spark: SparkSession, indexDir: String,
+      table: String): Unit =
+   MaintenanceLock.withLock(spark, indexDir) {
+    spark.read.parquet(s"$indexDir/$table")
+      .groupBy("cell", "label").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/label_stats")
+  }
+
+  /** Fallback over-fetch multiplier when no `label_stats/` table
+    * exists: K′ = topK × 8 — a documented default for the un-audited
+    * case, NOT a tuned constant (the whole point of
+    * [[writeLabelStats]] is to replace it with the per-predicate
+    * number read from data). */
+  private[graft] val DefaultFilteredOverfetch = 8
+
+  /** Signals that the stats table forecasts ZERO matching rows in the
+    * probed cells — no over-fetch rescues this predicate (q272's NULL
+    * `overfetch_ppm` row): surfacing loudly beats silently returning
+    * an empty/short answer a caller would mistake for "no neighbors
+    * exist". Remedies, in order: widen `nprobe` (the matching rows
+    * live in un-probed cells), or partition the index by the filter
+    * column. */
+  final class NoMatchInProbedCells(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Size a filtered probe's candidate fetch from the stats table:
+    * K′ = ⌈topK × scanned / matching⌉ over the probed cells (the
+    * uniform-mixing expectation — exactly q272's `overfetch_ppm`
+    * applied to topK) plus a two-sigma hypergeometric margin
+    * ⌈2·√K′⌉, clamped to the probed population (a K′ that reaches
+    * every scanned row degrades to the exact filtered answer within
+    * the probed cells — over-forecasting is graceful by
+    * construction). Stats read is lock-free with one retry (a
+    * concurrent [[writeLabelStats]] overwrite mid-read). */
+  private[operators] def filteredFetch(spark: SparkSession,
+      indexDir: String, probes: Seq[Int], topK: Int,
+      predicate: org.apache.spark.sql.Column): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/label_stats")
+    if (!fs.exists(p))
+      return if (topK > Int.MaxValue / DefaultFilteredOverfetch) topK
+      else topK * DefaultFilteredOverfetch
+    def once(): (Long, Long) = {
+      val r = spark.read.parquet(p.toString)
+        .filter(col("cell").isin(probes: _*))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("scanned"),
+          coalesce(sum(when(predicate, col("n")).otherwise(0L)), lit(0L))
+            .as("matching"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val (scanned, matching) =
+      try once()
+      catch { case t: Throwable if retryableProbeFailure(t) => once() }
+    if (matching <= 0L)
+      throw new NoMatchInProbedCells(
+        s"filtered probe over $indexDir: stats forecast zero matching " +
+          s"rows in probed cells $probes — no over-fetch rescues this " +
+          "predicate; widen nprobe or partition the index by the filter " +
+          "column")
+    val mean = (BigInt(topK) * BigInt(scanned) + BigInt(matching) - 1) /
+      BigInt(matching)
+    val sized = mean + BigInt(math.ceil(2.0 * math.sqrt(mean.toDouble)).toLong)
+    sized.min(BigInt(scanned)).max(BigInt(topK))
+      .min(BigInt(Int.MaxValue / 2 - DupHeadroom)).toInt
+  }
+
+  /** Metadata-filtered top-k — the serving operator q222 measures the
+    * absence of: exact cosine top-`topK` among the probed cells'
+    * vectors SATISFYING `predicate`. Architecture: the UNFILTERED
+    * candidate stage runs through the shared [[eagerProbe]] loop
+    * (every maintenance-survival guarantee — witness pair, dedupe,
+    * retry — carries over verbatim), fetching K′ candidates sized
+    * from the `label_stats/` forecast ([[filteredFetch]]; q272's
+    * per-predicate `overfetch_ppm` read from data, with a documented
+    * default when no stats exist), then the predicate post-filters
+    * the ranked candidates and the top `topK` survivors serve. Rank
+    * preservation makes the post-filter EXACT within the candidate
+    * list: filtering cannot reorder cosines, so the survivors are
+    * precisely the best-ranked filtered rows among the K′.
+    *
+    * Why post-filter rather than pushing the predicate into the
+    * pruned scan: the filter column here happens to live in the index
+    * rows, but the production shape filters on metadata the index
+    * does NOT store (license, source, date) — resolved against the
+    * candidate ids at rerank time. The post-filter form is the one
+    * that generalizes; the over-fetch forecast is exactly what makes
+    * it affordable. A predicate must reference only candidate columns
+    * also present in the stats table (`label`) for the forecast to
+    * price it; `matching = 0` in the probed cells fails loudly
+    * ([[NoMatchInProbedCells]]) instead of serving short.
+    *
+    * A K′ that the forecast sizes at (or our clamp caps to) the whole
+    * probed population degrades to the exact filtered answer within
+    * the probed cells. Residual approximation = cell pruning itself,
+    * same as [[query]]: matching rows in un-probed cells (label
+    * clustering — q272's `sel_ppm` vs `probe_sel_ppm` gap) need a
+    * wider `nprobe`. */
+  def queryFiltered(spark: SparkSession, indexDir: String,
+      query: Array[Double], topK: Int,
+      predicate: org.apache.spark.sql.Column, nprobe: Int = 4): DataFrame =
+    queryFilteredImpl(spark, indexDir, query, topK, predicate, nprobe)
+
+  /** [[queryFiltered]] with the spec seams exposed ([[queryImpl]]'s
+    * shape). The forecast is priced ONCE against the entry centroid
+    * view; a retried attempt re-plans the scan under the fresh view
+    * but keeps the K′ budget (the forecast is a snapshot by design —
+    * second-order drift, bounded by one maintenance window).
+    *
+    * ESCALATION: the forecast is an expectation — on a label that
+    * CLUSTERS (the q272 sel-vs-probe_sel gap, measured live: q276
+    * reads 95–100% first-try recall) the matching rows sit deeper in
+    * the unfiltered ranking than uniform mixing predicts and the
+    * post-filter comes up short. The remedy is the production one:
+    * double K′ and re-probe, bounded — the loop ends the moment the
+    * top-`topK` survivors exist OR the candidate fetch comes back
+    * UNDER its own limit (the probed population is exhausted, so the
+    * answer IS the exact filtered truth within the probed cells; only
+    * un-probed cells can hold more — that residual is `nprobe`'s,
+    * same as the unfiltered operator). Worst-case total work ≤ 2× the
+    * final probe ≤ 2× a full scan of the probed cells — exactly what
+    * a pushed-filter scan of those cells would pay. */
+  private[graft] def queryFilteredImpl(spark: SparkSession,
+      indexDir: String, query: Array[Double], topK: Int,
+      predicate: org.apache.spark.sql.Column, nprobe: Int = 4,
+      afterPin: Int => Unit = _ => (),
+      maxAttempts: Int = ProbeRetryAttempts,
+      sleep: Long => Unit = Thread.sleep): DataFrame = {
+    val entryView = readCentroids(spark, indexDir)
+    val probes = rankedCells(entryView, query, nprobe)
+    var k = filteredFetch(spark, indexDir, probes, topK, predicate)
+    var out: Option[DataFrame] = None
+    while (out.isEmpty) {
+      val cand = eagerProbe(spark, indexDir, "vectors", k, afterPin,
+        maxAttempts, sleep)((c1, orphans, fetch) =>
+        queryPlanFrom(spark, indexDir, c1, query, fetch, nprobe, orphans))
+      val kept = cand.filter(predicate)
+        .orderBy(desc("cosine"), asc("vec_id"))
+        .limit(topK)
+      if (kept.count() >= topK || cand.count() < k ||
+          k >= Int.MaxValue / 2 - DupHeadroom)
+        out = Some(kept)
+      else
+        k = math.min(k.toLong * 2L, (Int.MaxValue / 2 - DupHeadroom).toLong)
+          .toInt
+    }
+    out.get
+  }
+
+  /** The nprobe nearest cells to `query` under a centroid view — the
+    * ranking [[queryPlanFrom]] scans and [[filteredFetch]] prices. */
+  private[graft] def rankedCells(centroids: Array[(Int, Array[Double])],
+      query: Array[Double], nprobe: Int): Seq[Int] =
+    centroids.map { case (cell, c) =>
+      val d2 = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+      (cell, d2)
+    }.sortBy(_._2).take(nprobe).map(_._1).toSeq
 
   /** Right-to-be-forgotten delete — [[LshBandIndex.delete]]'s tombstone
     * discipline applied to the vector index: O(batch) append of the ids
@@ -485,6 +659,10 @@ object IvfIndex {
           }
         }
         fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
+        // the backlog gate amortizes against probes SINCE the last
+        // apply — re-arm it here so sweeps outside the maintainer
+        // (a direct GDPR applyDeletes) reset the meter too
+        ProbeLedger.markDrained(spark, indexDir)
         touched.length
     }
   }
@@ -645,7 +823,11 @@ object IvfIndex {
     val nVec = counts.map(_._2).sum
     val maxCell = if (counts.isEmpty) 0L else counts.map(_._2).max
     val meanCell = if (counts.isEmpty) 0.0 else nVec.toDouble / counts.length
-    val worst = counts.map(_._2).sorted.reverse.take(nprobe).sum
+    // the nprobe LARGEST cells — `probe_rows_worst` is their population
+    // sum; the ids themselves feed the traffic gate (actual probe
+    // touches on exactly these cells = the rebalance-overdue signal)
+    val worstCells = counts.sortBy { case (c, n) => (-n, c) }.take(nprobe)
+    val worst = worstCells.map(_._2).sum
     val spark2 = spark
     import spark2.implicits._
     Seq((counts.length, nVec, maxCell, meanCell,
@@ -653,10 +835,10 @@ object IvfIndex {
       counts.count(_._2 > factor * meanCell).toLong,
       counts.map(_._1).count(c => !known.contains(c)).toLong,
       countOf("tombstones"), RetiredIds.count(spark, indexDir),
-      nprobe * meanCell, worst))
+      nprobe * meanCell, worst, worstCells.map(_._1).toSeq))
       .toDF("n_cells", "n_vectors", "max_cell", "mean_cell", "hot_factor",
         "n_hot_cells", "orphan_cells", "tombstone_backlog", "retired_ids",
-        "probe_rows_mean", "probe_rows_worst")
+        "probe_rows_mean", "probe_rows_worst", "worst_cells")
   }
 
   /** Maintenance: re-split every cell whose population exceeds
@@ -788,13 +970,24 @@ object IvfIndex {
         }
       } finally { members.unpersist(); () }
     }
-    val spark2 = spark
-    import spark2.implicits._
-    kept.sortBy(_._1)
-      .map { case (c, arr) => (c, arr.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    // a NO-PROGRESS pass (every hot cell kept whole, nothing adopted)
+    // writes NOTHING: the centroid rewrite would be a logical no-op,
+    // but its physical overwrite would churn files and force every
+    // in-flight probe through a spurious StaleProbe retry — the
+    // degenerate-cell trigger's honest cost must stay one k=2 probe
+    // fit per largest cell, zero writes (AnnMaintenanceSpec pins it)
+    if (splits > 0 || adopted.nonEmpty) {
+      val spark2 = spark
+      import spark2.implicits._
+      kept.sortBy(_._1)
+        .map { case (c, arr) => (c, arr.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    }
+    // a pass ran (split or kept-whole alike): the traffic gate re-arms
+    // from fresh touches rather than re-firing on stale ones forever
+    ProbeLedger.markRebalanced(spark, indexDir)
     splits
   }
 

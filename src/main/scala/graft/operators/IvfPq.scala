@@ -136,6 +136,8 @@ object IvfPq {
     val probes = (centroids.map { case (cell, c) =>
       (c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, cell)
     }.sorted.take(nprobe).map(_._2).toSeq ++ orphans).distinct
+    // ledger: one executed attempt (IvfIndex.queryPlanFrom's record)
+    ProbeLedger.record(spark, indexDir, probes)
     val cbs = spark.read.parquet(s"$indexDir/codebooks")
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
       .toMap
@@ -240,6 +242,8 @@ object IvfPq {
           }
         }
         fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
+        // re-arm the probes-since-apply meter (IvfIndex.applyDeletesImpl)
+        ProbeLedger.markDrained(spark, indexDir)
         touched.length
     }
   }
@@ -286,6 +290,64 @@ object IvfPq {
         .orderBy(col("adc_dist"), col("vec_id"))
         .limit(fetch)
     }
+
+  /** Persist the per-(cell, label) population map over the CODES table
+    * — [[IvfIndex.writeLabelStats]] for the PQ lifecycle (the stats
+    * feed [[queryFiltered]]'s over-fetch forecast). */
+  def writeLabelStats(spark: SparkSession, indexDir: String): Unit =
+    IvfIndex.writeStatsOf(spark, indexDir, "codes")
+
+  /** Metadata-filtered top-k by ADC — [[IvfIndex.queryFiltered]]'s
+    * architecture on the codes lifecycle: unfiltered K′-candidate ADC
+    * ranking through the shared eager probe (maintenance-survival
+    * guarantees carry over), K′ sized from the `label_stats/`
+    * forecast, predicate post-filter, top `topK` survivors. Rank
+    * preservation under filtering holds for ADC order exactly as for
+    * cosine; zero-match forecasts fail loudly
+    * ([[IvfIndex.NoMatchInProbedCells]]). */
+  def queryFiltered(spark: SparkSession, indexDir: String,
+      q: Array[Double], topK: Int,
+      predicate: org.apache.spark.sql.Column, nprobe: Int = 4): DataFrame =
+    queryFilteredImpl(spark, indexDir, q, topK, predicate, nprobe)
+
+  /** [[queryFiltered]] with the spec seams exposed, including
+    * [[IvfIndex.queryFilteredImpl]]'s bounded doubling ESCALATION on a
+    * post-filter shortfall (clustered labels under-fill the forecast
+    * K′; the loop ends at top-`topK` survivors or an exhausted probed
+    * population — the answer is then the exact filtered ADC truth
+    * within the probed cells). */
+  private[graft] def queryFilteredImpl(spark: SparkSession,
+      indexDir: String, q: Array[Double], topK: Int,
+      predicate: org.apache.spark.sql.Column, nprobe: Int = 4,
+      afterPin: Int => Unit = _ => (),
+      maxAttempts: Int = IvfIndex.ProbeRetryAttempts,
+      sleep: Long => Unit = Thread.sleep): DataFrame = {
+    val entryView = IvfIndex.readCentroids(spark, indexDir)
+    val probes = IvfIndex.rankedCells(entryView, q, nprobe)
+    var k = IvfIndex.filteredFetch(spark, indexDir, probes, topK,
+      predicate)
+    var out: Option[DataFrame] = None
+    while (out.isEmpty) {
+      val cand = IvfIndex.eagerProbe(spark, indexDir, "codes", k,
+          afterPin, maxAttempts, sleep) { (cents, orphans, fetch) =>
+        val (_, scored) = probePlanFrom(spark, indexDir, cents, q, nprobe,
+          orphans)
+        scored.select("vec_id", "label", "cell", "adc_dist")
+          .orderBy(col("adc_dist"), col("vec_id"))
+          .limit(fetch)
+      }
+      val kept = cand.filter(predicate)
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(topK)
+      if (kept.count() >= topK || cand.count() < k ||
+          k >= Int.MaxValue / 2 - IvfIndex.DupHeadroom)
+        out = Some(kept)
+      else
+        k = math.min(k.toLong * 2L,
+          (Int.MaxValue / 2 - IvfIndex.DupHeadroom).toLong).toInt
+    }
+    out.get
+  }
 
   /** The persisted codebooks as nested Seqs (m → j → subvector). */
   private def loadCodebooks(spark: SparkSession,
@@ -434,13 +496,19 @@ object IvfPq {
         }
       } finally { members.unpersist(); () }
     }
-    val spark2 = spark
-    import spark2.implicits._
-    kept.sortBy(_._1)
-      .map { case (c, arr) => (c, arr.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    // no-progress pass writes nothing (IvfIndex.rebalance's rationale:
+    // zero churn, no spurious probe retries)
+    if (splits > 0 || adopted.nonEmpty) {
+      val spark2 = spark
+      import spark2.implicits._
+      kept.sortBy(_._1)
+        .map { case (c, arr) => (c, arr.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    }
+    // re-arm the traffic gate's touch map (IvfIndex.rebalance)
+    ProbeLedger.markRebalanced(spark, indexDir)
     splits
   }
 

@@ -62,14 +62,25 @@ private[graft] object RetiredIds {
   val CompactThreshold = 8
 
   /** The retired-id set, or None when nothing was ever retired.
-    * Manifest-first; falls back to the pre-manifest plain `retired/`
-    * dir so read-only callers work on an un-migrated legacy index. */
+    * Manifest-first; falls back to the pre-manifest layouts so
+    * read-only callers (and the append guards) never lose the set on
+    * an un-migrated legacy index — in EITHER of its two on-disk
+    * shapes: the plain `retired/` dir, or `segs/retired-legacy` when
+    * the first retire's migrate crashed AFTER the (atomic) rename but
+    * BEFORE the manifest commit. Without the second fallback that torn
+    * instant would hide the whole retired set from the append guard —
+    * a replayed pre-delete batch could resurrect forgotten vectors, the
+    * exact window the manifest move exists to close. Rename atomicity
+    * means at most one of the two shapes exists; the union is still
+    * taken defensively (an id present in either was truly retired — the
+    * set is append-only, so over-reading is never a false rejection). */
   def read(spark: SparkSession, indexDir: String): Option[DataFrame] =
     IndexManifest.readOpt(spark, indexDir, Table).orElse {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
-      val p = new Path(s"$indexDir/retired")
-      if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+      val dirs = Seq(s"$indexDir/retired", s"$indexDir/segs/$Table-legacy")
+        .filter(d => fs.exists(new Path(d)))
+      if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
     }
 
   /** Distinct retired ids — the [[IvfIndex.servingHealth]] readout.
@@ -99,7 +110,12 @@ private[graft] object RetiredIds {
       ids: DataFrame, crashPoint: String => Unit,
       compactThreshold: Int = CompactThreshold): Unit =
    MaintenanceLock.withLock(spark, indexDir) {
-    IndexManifest.migrate(spark, indexDir, Seq(Table))
+    // the migrate's own seams surface through the retire crash channel
+    // (prefixed) so the fuzz can kill the FIRST retire inside the
+    // legacy adoption — the rename-done/commit-missing instant that
+    // read()'s segs/retired-legacy fallback covers
+    IndexManifest.migrateImpl(spark, indexDir, Seq(Table),
+      p => crashPoint(s"migrate:$p"))
     val cur = IndexManifest.load(spark, indexDir)
     val curSegs = cur.map(_.segmentsOf(Table)).getOrElse(Seq.empty)
     val curTables = cur.map(_.tables).getOrElse(Map.empty[String, Seq[String]])

@@ -75,54 +75,93 @@ object AnnMaintenance {
     * ([[IvfIndex.servingHealth]] — the maintenance DECISION input, not
     * just a dashboard row) and act on what it actually shows:
     *
-    *   - a tombstone backlog whose cumulative probe tax has outgrown
-    *     its rewrite cost drains first ([[backlogDue]] — the deletion
-    *     economics q271 oracles, read off the same audit row);
+    *   - a tombstone backlog whose probe tax ACTUALLY PAID since the
+    *     last apply has outgrown its rewrite cost drains first
+    *     ([[backlogDue]] — q271's deletion economics fed with the
+    *     [[graft.operators.ProbeLedger]]'s real traffic count; the
+    *     round-17 form amortized against a hard-coded expected
+    *     budget). After a drain the health row is RE-READ: the gates
+    *     below must judge the post-apply population, not one inflated
+    *     by the very tombstones the drain removed;
     *   - a cell past `rebalanceFactor` (or a crashed rebalance's
     *     orphans) splits to convergence — the acute-skew path;
     *   - otherwise DIFFUSE drift — `probe_rows_worst` beyond
     *     `worstFactor` × `probe_rows_mean` with zero factor-hot cells,
     *     the state where every nprobe-worst cell sits just under the
-    *     factor and nothing would ever fire — gets ONE bounded
-    *     top-`nprobe`-largest split pass ([[IvfIndex.rebalance]]'s
-    *     `topN` mode), directly attacking the worst-case probe cost
-    *     the audit measured.
+    *     factor and nothing would ever fire — OR due worst-cell
+    *     TRAFFIC ([[trafficDue]]: the ledger shows real probes landing
+    *     on the worst cells and their cumulative excess tax has
+    *     covered the split's rewrite — q275's "actual touching worst
+    *     means the rebalance is overdue regardless of hot_factor",
+    *     made actionable) gets ONE bounded top-`nprobe`-largest split
+    *     pass ([[IvfIndex.rebalance]]'s `topN` mode).
     *
     * A healthy index's trigger batch costs one map-combinable count
     * scan of the index (k rows out), no KMeans machinery. Returns the
     * number of cells the trigger split (0 on non-trigger and healthy
-    * batches — the observability hook a deployment graphs). */
+    * batches — the observability hook a deployment graphs).
+    *
+    * `probes` overrides the ledger's probes-since-apply count (spec
+    * seam; `Some(0)` disables the drain gate outright). */
   def applyBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
       batchId: Long, rebalanceEvery: Int = 8,
       rebalanceFactor: Double = 2.0, worstFactor: Double = 1.5,
-      nprobe: Int = 4, probeBudget: Long = DefaultProbeBudget): Int =
+      nprobe: Int = 4, probes: Option[Long] = None): Int =
     IngestPipeline.withLeaseRetry() {
+      import graft.operators.ProbeLedger
       if (!batch.isEmpty)
         IvfIndex.appendVectors(spark, indexDir, normalize(batch))
       if (rebalanceEvery > 0 && batchId % rebalanceEvery == rebalanceEvery - 1) {
-        val h = IvfIndex.servingHealth(spark, indexDir, nprobe,
+        def health() = IvfIndex.servingHealth(spark, indexDir, nprobe,
           rebalanceFactor).collect()(0)
+        val h0 = health()
         // drain the backlog BEFORE any split: rebalance counts live
         // rows, and tombstoned rows inflating a cell would trigger
         // splits the post-apply population can't justify
-        if (backlogDue(h, nprobe, probeBudget))
-          IvfIndex.applyDeletes(spark, indexDir)
+        val drained = backlogDue(h0, nprobe, probes.getOrElse(
+          ProbeLedger.probesSinceDrain(spark, indexDir))) && {
+          IvfIndex.applyDeletes(spark, indexDir) >= 0
+        }
+        // ... and for the same reason the split gates judge the
+        // POST-drain row — the drain may have returned the index to
+        // health, and splitting on the stale row would rewrite cells
+        // the live population can't justify
+        val h = if (drained) health() else h0
         if (hotOrOrphaned(h))
           IvfIndex.rebalanceToConvergence(spark, indexDir, rebalanceFactor)
-        else if (diffuseDrift(h, worstFactor))
+        else if (diffuseDrift(h, worstFactor) ||
+            trafficDue(h, ProbeLedger.touchesOn(spark, indexDir,
+              h.getAs[scala.collection.Seq[Int]]("worst_cells").toSeq)))
           IvfIndex.rebalance(spark, indexDir, rebalanceFactor, topN = nprobe)
         else 0
       } else 0
     }
 
-  /** Probes a deployment expects between maintenance triggers — the
-    * budget [[backlogDue]] amortizes a physical delete against. */
-  val DefaultProbeBudget: Long = 100000L
-
   /** The acute gate: split when any cell exceeds the factor, or when a
     * crashed rebalance left orphan cells to adopt. */
   private def hotOrOrphaned(h: org.apache.spark.sql.Row): Boolean =
     h.getAs[Long]("n_hot_cells") > 0L || h.getAs[Long]("orphan_cells") > 0L
+
+  /** The traffic gate — the actual-probe twin of [[diffuseDrift]],
+    * priced like [[backlogDue]] with no new constant: a probe landing
+    * on the worst cells scans `probe_rows_worst` instead of the
+    * forecast mean, an excess of (worst − mean) rows; the top-N split
+    * rewrites those cells once, ~`probe_rows_worst` rows. Split when
+    * the cumulative excess actually paid covers the rewrite:
+    * `touchesOnWorst × (worst − mean) ≥ worst`. On a balanced index
+    * worst ≈ mean and no traffic volume can fire it; rebalance resets
+    * the touch map, so a degenerate (unsplittable) worst set re-arms
+    * from FRESH traffic instead of re-firing on stale touches forever.
+    * BigDecimal keeps an adversarial touch count from overflowing the
+    * product. */
+  private[graft] def trafficDue(h: org.apache.spark.sql.Row,
+      touchesOnWorst: Long): Boolean = {
+    val worst = h.getAs[Long]("probe_rows_worst")
+    val mean = h.getAs[Double]("probe_rows_mean")
+    worst > 0L && touchesOnWorst > 0L && worst.toDouble > mean &&
+      BigDecimal(touchesOnWorst) *
+        (BigDecimal(worst) - BigDecimal(mean)) >= BigDecimal(worst)
+  }
 
   /** The diffuse-drift gate: the audit's own worst/mean forecast says
     * an unlucky probe pays `worstFactor`× the mean, yet no single cell
@@ -146,18 +185,23 @@ object AnnMaintenance {
     * anti-join — expected wasted rows per probe ≈ backlog × nprobe /
     * n_cells — while an applyDeletes pays one rewrite of the touched
     * cells, worst case min(backlog, n_cells) × mean_cell surviving
-    * rows. Run the apply when the budgeted probes' cumulative tax
-    * covers the rewrite: backlog × nprobe × probeBudget ≥ rewrite ×
-    * n_cells (integer cross-multiplication, no division). */
+    * rows. Run the apply when the probes ACTUALLY SERVED since the
+    * last apply (the [[graft.operators.ProbeLedger]] count, or a spec
+    * override) have cumulatively paid the rewrite: backlog × nprobe ×
+    * probes ≥ rewrite × n_cells — equivalently probes ≥ q271's
+    * `breakeven_probes`. BigInt cross-multiplication: `probes` is an
+    * unbounded caller-visible count and a Long product overflowing to
+    * negative would silently disable the drain forever. */
   private[graft] def backlogDue(h: org.apache.spark.sql.Row, nprobe: Int,
-      probeBudget: Long): Boolean = {
+      probes: Long): Boolean = {
     val backlog = h.getAs[Long]("tombstone_backlog")
-    if (backlog <= 0L || probeBudget <= 0L) false
+    if (backlog <= 0L || probes <= 0L) false
     else {
       val nCells = h.getAs[Int]("n_cells").toLong
       val rewrite =
         (math.min(backlog, nCells) * h.getAs[Double]("mean_cell")).toLong
-      backlog * nprobe * probeBudget >= rewrite * nCells
+      BigInt(backlog) * BigInt(nprobe) * BigInt(probes) >=
+        BigInt(rewrite) * BigInt(nCells)
     }
   }
 
@@ -175,19 +219,25 @@ object AnnMaintenance {
   def applyBatchPq(spark: SparkSession, batch: DataFrame, indexDir: String,
       batchId: Long, rebalanceEvery: Int = 8,
       rebalanceFactor: Double = 2.0, worstFactor: Double = 1.5,
-      nprobe: Int = 4, probeBudget: Long = DefaultProbeBudget): Int =
+      nprobe: Int = 4, probes: Option[Long] = None): Int =
     IngestPipeline.withLeaseRetry() {
-      import graft.operators.IvfPq
+      import graft.operators.{IvfPq, ProbeLedger}
       if (!batch.isEmpty)
         IvfPq.append(spark, indexDir, normalize(batch))
       if (rebalanceEvery > 0 && batchId % rebalanceEvery == rebalanceEvery - 1) {
-        val h = IvfPq.servingHealth(spark, indexDir, nprobe,
+        def health() = IvfPq.servingHealth(spark, indexDir, nprobe,
           rebalanceFactor).collect()(0)
-        if (backlogDue(h, nprobe, probeBudget))
-          IvfPq.applyDeletes(spark, indexDir)
+        val h0 = health()
+        val drained = backlogDue(h0, nprobe, probes.getOrElse(
+          ProbeLedger.probesSinceDrain(spark, indexDir))) && {
+          IvfPq.applyDeletes(spark, indexDir) >= 0
+        }
+        val h = if (drained) health() else h0
         if (hotOrOrphaned(h))
           IvfPq.rebalanceToConvergence(spark, indexDir, rebalanceFactor)
-        else if (diffuseDrift(h, worstFactor))
+        else if (diffuseDrift(h, worstFactor) ||
+            trafficDue(h, ProbeLedger.touchesOn(spark, indexDir,
+              h.getAs[scala.collection.Seq[Int]]("worst_cells").toSeq)))
           IvfPq.rebalance(spark, indexDir, rebalanceFactor, topN = nprobe)
         else 0
       } else 0

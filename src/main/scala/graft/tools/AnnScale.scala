@@ -147,8 +147,13 @@ object AnnScale {
     // time lands in the sample, re-planned retries included
     val underQ = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
     @volatile var stopProbe = false
+    // any unexpected probe throw is CAPTURED and fails the run after
+    // join(): a prober dying silently mid-rebalance would truncate the
+    // sample and publish misleadingly low under-rebalance floors
+    @volatile var probeDeath: Option[Throwable] = None
     val prober = new Thread(() => {
-      while (!stopProbe) underQ.add(probeLat())
+      try { while (!stopProbe) underQ.add(probeLat()) }
+      catch { case t: Throwable => probeDeath = Some(t) }
     }, "ann-scale-prober")
     prober.start()
     val (splits, tRebalance) = timed(AnnMaintenance.applyBatch(spark,
@@ -156,6 +161,9 @@ object AnnScale {
     stopProbe = true
     prober.join()
     require(splits > 0, "the planted burst must trigger at least one split")
+    require(probeDeath.isEmpty,
+      s"the prober died mid-rebalance — percentiles would be truncated: " +
+        probeDeath.map(_.toString).getOrElse(""))
     val under = underQ.toArray(Array.empty[java.lang.Double])
       .map(_.doubleValue).toSeq
     require(under.nonEmpty, "the prober completed no probe during the rebalance")

@@ -356,12 +356,12 @@ class AnnMaintenanceSpec extends AnyFunSuite {
     // budget 1: 3 ids × nprobe 4 × 1 probe ≪ the touched-cell rewrite —
     // the trigger batch must NOT pay a physical apply for it
     AnnMaintenance.applyBatch(spark, batchDf(Seq.empty[EmbeddingEvt]), idx,
-      batchId = 7L, rebalanceEvery = 8, probeBudget = 1L)
+      batchId = 7L, rebalanceEvery = 8, probes = Some(1L))
     assert(backlog() == 3L, "a cheap backlog must not trigger applyDeletes")
     // a serving-scale budget: the cumulative anti-join tax dwarfs the
     // rewrite, the trigger drains the backlog into retirement
     AnnMaintenance.applyBatch(spark, batchDf(Seq.empty[EmbeddingEvt]), idx,
-      batchId = 15L, rebalanceEvery = 8, probeBudget = 1000000L)
+      batchId = 15L, rebalanceEvery = 8, probes = Some(1000000L))
     assert(backlog() == 0L, "a due backlog must drain on the trigger batch")
     spark.catalog.refreshByPath(s"$idx/vectors")
     assert(spark.read.parquet(s"$idx/vectors")
@@ -383,10 +383,10 @@ class AnnMaintenanceSpec extends AnyFunSuite {
       .getAs[Long]("tombstone_backlog")
     assert(backlog() == 3L)
     AnnMaintenance.applyBatchPq(spark, batchDf(Seq.empty[EmbeddingEvt]),
-      idx, batchId = 7L, rebalanceEvery = 8, probeBudget = 1L)
+      idx, batchId = 7L, rebalanceEvery = 8, probes = Some(1L))
     assert(backlog() == 3L, "a cheap PQ backlog must not trigger applyDeletes")
     AnnMaintenance.applyBatchPq(spark, batchDf(Seq.empty[EmbeddingEvt]),
-      idx, batchId = 15L, rebalanceEvery = 8, probeBudget = 1000000L)
+      idx, batchId = 15L, rebalanceEvery = 8, probes = Some(1000000L))
     assert(backlog() == 0L, "a due PQ backlog must drain on the trigger")
     spark.catalog.refreshByPath(s"$idx/codes")
     assert(spark.read.parquet(s"$idx/codes")
@@ -411,6 +411,216 @@ class AnnMaintenanceSpec extends AnyFunSuite {
     val after = IvfPq.query(spark, idx, qv, topK = 10, nprobe = 1000)
       .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
     assert(after == before, "PQ topN split changed served ADC results")
+  }
+
+  test("the backlog gate amortizes against ACTUAL traffic: a cold index never drains, and the drain lands on the first trigger past q271's breakeven") {
+    import operators.ProbeLedger
+    val idx = tmpDir("graft-annm-ledger")
+    IvfIndex.build(spark, sf, idx)
+    val batch = batchDf(evtsOf(97000L, Seq(0L, 1L, 2L)))
+    AnnMaintenance.applyBatch(spark, batch, idx, batchId = 0L,
+      rebalanceEvery = 0)
+    IvfIndex.delete(spark, Seq(97000L, 97001L, 97002L), idx)
+    def backlog(): Long = IvfIndex.servingHealth(spark, idx).collect()(0)
+      .getAs[Long]("tombstone_backlog")
+    assert(backlog() == 3L)
+    // every trigger here silences the SPLIT gates (factor 100, diffuse
+    // off, touch meter zeroed) so the drain economics are measured
+    // against an index the other gates never mutate mid-test
+    def trigger(id: Long): Int = {
+      operators.ProbeLedger.markRebalanced(spark, idx)
+      AnnMaintenance.applyBatch(spark, batchDf(Seq.empty[EmbeddingEvt]),
+        idx, batchId = id, rebalanceEvery = 8, rebalanceFactor = 100.0,
+        worstFactor = 1e9)
+    }
+    // COLD: nothing has ever probed this index — probes = None reads
+    // the ledger's zero and the trigger must leave the backlog alone,
+    // no matter how expensive its standing anti-join LOOKS
+    trigger(7L)
+    assert(backlog() == 3L, "a cold index must never pay a physical apply")
+    // q271's breakeven off the same audit row the gate reads
+    val h = IvfIndex.servingHealth(spark, idx).collect()(0)
+    val nCells = h.getAs[Int]("n_cells").toLong
+    val rewrite = (math.min(3L, nCells) *
+      h.getAs[Double]("mean_cell")).toLong
+    val breakeven = (rewrite * nCells + 3L * 4L - 1L) / (3L * 4L)
+    assert(breakeven > 1L, s"fixture needs a non-trivial breakeven, got $breakeven")
+    // one REAL served probe feeds the ledger (the serving path is the
+    // meter — queryPlanFrom records each executed attempt)
+    val qv = operators.Similarity.normed(spark, sf)
+      .filter(col("vec_id") === 0L).select("e")
+      .collect()(0).getSeq[Double](0).toArray
+    IvfIndex.query(spark, idx, qv, topK = 5, nprobe = 4).collect()
+    assert(ProbeLedger.probesSinceDrain(spark, idx) == 1L,
+      "a served query must record exactly its one executed attempt")
+    // hot stream just UNDER breakeven (bulk-recorded with no cell
+    // touches so only the drain economics are in play): still no drain
+    for (_ <- 2L to (breakeven - 1L))
+      ProbeLedger.record(spark, idx, Seq.empty)
+    trigger(15L)
+    assert(backlog() == 3L,
+      s"under breakeven ($breakeven probes) the backlog must survive")
+    // one more probe crosses it: the next trigger drains and re-arms
+    ProbeLedger.record(spark, idx, Seq.empty)
+    trigger(23L)
+    assert(backlog() == 0L,
+      "the first trigger past breakeven must pay the physical apply")
+    assert(ProbeLedger.probesSinceDrain(spark, idx) == 0L,
+      "the apply must reset the probes-since-drain meter")
+    spark.catalog.refreshByPath(s"$idx/vectors")
+    assert(spark.read.parquet(s"$idx/vectors")
+      .filter(col("vec_id") >= 97000L).count() == 0L)
+  }
+
+  test("the TRAFFIC gate: probes landing on the worst cells past the rewrite breakeven trigger the top-N split — and the split re-arms the meter") {
+    import operators.ProbeLedger
+    val idx = tmpDir("graft-annm-traffic")
+    IvfIndex.build(spark, sf, idx)
+    // silence every other gate: factor 100 (nothing acute), worstFactor
+    // huge (diffuse off), probes Some(0) (drain off) — only actual
+    // worst-cell traffic can justify a split
+    def trigger(): Int = AnnMaintenance.applyBatch(spark,
+      batchDf(Seq.empty[EmbeddingEvt]), idx, batchId = 7L,
+      rebalanceEvery = 8, rebalanceFactor = 100.0, worstFactor = 1e9,
+      probes = Some(0L))
+    assert(trigger() == 0, "no traffic: the trigger must split nothing")
+    val h = IvfIndex.servingHealth(spark, idx, nprobe = 4, factor = 100.0)
+      .collect()(0)
+    val worstCells = h.getAs[scala.collection.Seq[Int]]("worst_cells").toSeq
+    assert(AnnMaintenance.trafficDue(h, Long.MaxValue),
+      "fixture: a natural build must have worst > mean")
+    val qv = operators.Similarity.normed(spark, sf)
+      .filter(col("vec_id") === 0L).select("e")
+      .collect()(0).getSeq[Double](0).toArray
+    val before = IvfIndex.query(spark, idx, qv, topK = 10, nprobe = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    ProbeLedger.markRebalanced(spark, idx) // discard the probe above
+    // drive worst-cell traffic to exactly the gate's breakeven
+    var touches = 0L
+    while (!AnnMaintenance.trafficDue(h, touches)) {
+      ProbeLedger.record(spark, idx, worstCells)
+      touches = ProbeLedger.touchesOn(spark, idx, worstCells)
+    }
+    val splits = trigger()
+    assert(splits > 0,
+      "worst-cell traffic past breakeven must trigger the top-N split")
+    assert(ProbeLedger.touchesOn(spark, idx, worstCells) == 0L,
+      "the rebalance must re-arm the touch meter")
+    // stale touches gone → the immediate next trigger must NOT re-fire
+    assert(trigger() == 0,
+      "a re-armed meter must not re-fire on the old traffic")
+    // a rebalance is a pure repartitioning: full-probe results unchanged
+    spark.catalog.refreshByPath(s"$idx/vectors")
+    val after = IvfIndex.query(spark, idx, qv, topK = 10, nprobe = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(after == before, "traffic split changed served results")
+  }
+
+  test("a FILTERED probe races a live rebalance on both lifecycles: re-planned, never short, exact filtered truth served") {
+    import operators.{IvfIndex, IvfPq}
+    import spark.implicits._
+    val idx = tmpDir("graft-annm-filtered-race")
+    IvfIndex.build(spark, sf, idx)
+    // skew one cell so the injected rebalance really moves rows while
+    // the filtered probe's candidate scan is in flight (the
+    // IvfIndexSpec race-seam fixture)
+    val q = operators.Similarity.normed(spark, sf)
+      .filter(col("vec_id") === 0L).select("e")
+      .collect()(0).getSeq[Double](0).toArray
+    val total = spark.read.parquet(s"$idx/vectors").count()
+    val clones = (0L until total).map { i =>
+      val e = q.toSeq.updated(0, q(0) + 1e-3 * i)
+      (4000000L + i, 7, e, math.sqrt(e.map(x => x * x).sum))
+    }.toDF("vec_id", "label", "e", "nrm")
+    IvfIndex.appendVectors(spark, idx, clones)
+    IvfIndex.writeLabelStats(spark, idx)
+    var splits = -1
+    val got = IvfIndex.queryFilteredImpl(spark, idx, q, topK = 10,
+      col("label") === 7, nprobe = 10000,
+      afterPin = attempt => {
+        // escalation re-enters the eager probe with attempt reset to
+        // 1 — inject the rebalance exactly once
+        if (attempt == 1 && splits < 0) {
+          splits = IvfIndex.rebalance(spark, idx, 2.0); ()
+        }
+      }, sleep = _ => ())
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(splits >= 1, "fixture: the injected rebalance must split a cell")
+    // quiesced filtered truth — a rebalance is a pure repartitioning,
+    // so the full-probe filtered answer is invariant under it
+    val want = IvfIndex.queryFiltered(spark, idx, q, topK = 10,
+      col("label") === 7, nprobe = 10000)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(got.length == 10 && got == want,
+      "filtered probe racing a rebalance must serve the exact filtered top-k")
+
+    // the PQ twin: same race through the shared eager probe
+    val pqIdx = tmpDir("graft-annm-pq-filtered-race")
+    IvfPq.build(spark, sf, pqIdx)
+    IvfPq.writeLabelStats(spark, pqIdx)
+    var pqSplits = -1
+    val gotPq = IvfPq.queryFilteredImpl(spark, pqIdx, q, topK = 5,
+      col("label") === 7, nprobe = 10000,
+      afterPin = attempt => {
+        if (attempt == 1 && pqSplits < 0) {
+          pqSplits = IvfPq.rebalance(spark, pqIdx, factor = 1.2); ()
+        }
+      }, sleep = _ => ())
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val wantPq = IvfPq.queryFiltered(spark, pqIdx, q, topK = 5,
+      col("label") === 7, nprobe = 10000)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(pqSplits >= 1, "fixture: the injected PQ rebalance must split")
+    assert(gotPq == wantPq,
+      "filtered PQ probe racing a rebalance must serve the exact filtered ADC top-k")
+  }
+
+  test("degenerate diffuse drift is a BOUNDED no-progress tax: all-clone largest cells re-fire the gate, yet N triggers split nothing and churn NO files") {
+    import spark.implicits._
+    val idx = tmpDir("graft-annm-degenerate")
+    // handcraft the worst case the diffuse gate honestly documents:
+    // every large cell is ALL-IDENTICAL clones (kept whole by design),
+    // populations sized so diffuseDrift fires (worst > 1.5 × mean)
+    // while no cell trips the acute factor (max < 2 × mean_cell)
+    val dim = 4
+    def vec(c: Int): Seq[Double] = (0 until dim).map(i =>
+      if (i == c % dim) 1.0 + c else 0.1 * c)
+    val pops = Seq(100, 100, 100, 100, 10, 10, 10, 10)
+    val rows = pops.zipWithIndex.flatMap { case (n, c) =>
+      (0 until n).map(i =>
+        (c * 1000L + i, c, vec(c), math.sqrt(vec(c).map(x => x * x).sum), c))
+    }
+    rows.toDF("vec_id", "label", "e", "nrm", "cell")
+      .repartition(1).write.partitionBy("cell").parquet(s"$idx/vectors")
+    pops.indices.map(c => (c, vec(c))).toDF("cell", "centroid")
+      .coalesce(1).write.parquet(s"$idx/centroids")
+    val h = IvfIndex.servingHealth(spark, idx, nprobe = 4, factor = 2.0)
+      .collect()(0)
+    assert(h.getAs[Long]("n_hot_cells") == 0L && AnnMaintenance.diffuseDrift(h, 1.5),
+      s"fixture: diffuse must fire with no acute cell (worst ${h.getAs[Long]("probe_rows_worst")}, mean ${h.getAs[Double]("probe_rows_mean")})")
+    def listing(): Seq[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(idx)).map(f =>
+        (f.getAbsolutePath, f.length, f.lastModified)).sortBy(_._1)
+    }
+    val before = listing()
+    // N trigger batches: the gate re-fires every time (the documented
+    // standing behavior), each pass probes k=2 per largest cell, keeps
+    // every one whole, and writes NOTHING — the tax is bounded CPU,
+    // not file churn or a spurious probe-retry storm
+    for (i <- 0 until 3) {
+      val t0 = System.nanoTime()
+      val splits = AnnMaintenance.applyBatch(spark,
+        batchDf(Seq.empty[EmbeddingEvt]), idx, batchId = 7L,
+        rebalanceEvery = 8, probes = Some(0L))
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(splits == 0, s"trigger $i split an all-clones cell")
+      assert(sec < 120.0, s"trigger $i took ${sec}s — the bounded-tax claim")
+    }
+    assert(listing() == before,
+      "a no-progress pass must not churn a single file (no centroid " +
+        "rewrite, no partition write)")
   }
 
   test("bootstrap contract: starting on a dir with no quantizer fails loudly") {

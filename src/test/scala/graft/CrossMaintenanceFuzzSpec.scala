@@ -344,6 +344,19 @@ class CrossMaintenanceFuzzSpec extends AnyFunSuite {
     }
     val docVictim = 3L   // seed doc, never re-ingested
     val vecVictim = 7L   // seed vector, never re-sent
+    val vecVictim2 = 8L  // forgotten via the KILLED gdpr sweep
+    // kill-round batches: one extra logical op per maintainer type,
+    // applied by the subject through a mid-critical-section DEATH +
+    // stale-lease takeover, and by the twin cleanly (all commute with
+    // the rest of the op set — novel ids, victim-free rollup rows)
+    val ingestKillBatch = docsDf((0 until 3).map(j =>
+      (6000L + j, textOf(6000L + j))) :+
+      ((6003L, textOf(0L).replace("d0w7", "edited"))) :+
+      ((6004L, "too short to index"))).localCheckpoint()
+    val annKillBatch = vecBatchDf(9000000L, Seq(20L, 60L)).localCheckpoint()
+    val rollupKillBatch = events.filter(col("event_id") >= 900L &&
+        col("event_id") < 1000L && col("user_id") =!= victimUser)
+      .localCheckpoint()
 
     // --- critical-section instrumentation ----------------------------
     import java.util.concurrent.atomic.AtomicLong
@@ -368,6 +381,42 @@ class CrossMaintenanceFuzzSpec extends AnyFunSuite {
       }
       out.get
     }
+    val killed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val lockFs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    /** The round-18 kill round: die mid-critical-section (the
+      * [[MaintenanceLock.AbandonedLease]] seam — heartbeat stops, the
+      * lease FILE survives, exactly what a dead process leaves), wait
+      * out a shrunken stale window, have a CONTENDER with a foreign
+      * holder id (the watchdog / next process) reclaim the lease via
+      * the atomic stale-rename takeover and release it, then replay
+      * the killed op to convergence under normal contention. Every
+      * other maintainer keeps hammering the same dirs throughout —
+      * their DefaultStaleMs sees the corpse as merely held and
+      * patiently retries, so only the shrunken-window contender can
+      * reclaim it: the production watchdog story, raced live. */
+    def killAndRecover(name: String, dir: String,
+        abandon: () => Unit, replay: () => Unit): Unit = {
+      var crashed = false
+      withPatience {
+        try abandon()
+        catch { case _: MaintenanceLock.AbandonedLease => crashed = true }
+      }
+      if (!crashed)
+        failures.add(s"$name: the abandon seam never fired")
+      else if (!lockFs.exists(
+          new org.apache.hadoop.fs.Path(s"$dir/_lock")))
+        failures.add(s"$name: the killed holder's lease must survive it")
+      else {
+        Thread.sleep(700)
+        withPatience {
+          MaintenanceLock.withLockAs(spark, dir,
+            s"$name-watchdog@elsewhere", staleMs = 500L) { () }
+        }
+        withPatience { replay() }
+        killed.add(name); ()
+      }
+    }
     @volatile var probersStop = false
     def maintainer(name: String, ops: Seq[() => Unit],
         idempotentLast: () => Unit): Thread = new Thread(() => {
@@ -387,25 +436,81 @@ class CrossMaintenanceFuzzSpec extends AnyFunSuite {
       }
     }, s"xc-$name")
 
+    // op ids are MONOTONIC per stream, so each kill op takes the id
+    // slot matching its position (a lower id landing later would be
+    // silently skipped by the high-water marker)
     val ingestT = maintainer("ingest",
-      ingestBatches.zipWithIndex.map { case (b, i) => () =>
-        { IngestPipeline.ingestBatch(spark, b, sLsh, sBm, Some(500L + i)); () } },
+      Seq(
+        () => { IngestPipeline.ingestBatch(spark, ingestBatches(0), sLsh,
+          sBm, Some(500L)); () },
+        // die inside the BM25 append's critical section: postings
+        // landed, stats not swapped, marker not advanced — the torn
+        // state the repair path exists for, now reached via a DEAD
+        // holder instead of a clean throw
+        () => killAndRecover("ingest", sBm,
+          () => { IngestPipeline.ingestBatchImpl(spark, ingestKillBatch,
+            sLsh, sBm,
+            p => if (p == "postings:appended")
+              throw new MaintenanceLock.AbandonedLease, Some(501L)); () },
+          () => { IngestPipeline.ingestBatch(spark, ingestKillBatch, sLsh,
+            sBm, Some(501L)); () }),
+        () => { IngestPipeline.ingestBatch(spark, ingestBatches(1), sLsh,
+          sBm, Some(502L)); () },
+        () => { IngestPipeline.ingestBatch(spark, ingestBatches(2), sLsh,
+          sBm, Some(503L)); () }),
       () => { IngestPipeline.ingestBatch(spark, ingestBatches.last, sLsh,
-        sBm, Some(502L)); () })
+        sBm, Some(503L)); () })
     val annT = maintainer("ann",
-      annBatches.zipWithIndex.map { case (b, i) => () => {
-        streaming.AnnMaintenance.applyBatch(spark, b, sIvf, i.toLong,
-          rebalanceEvery = 0)
-        streaming.AnnMaintenance.applyBatchPq(spark, b, sPq, i.toLong,
-          rebalanceEvery = 0)
-        () } },
+      Seq(
+        () => {
+          streaming.AnnMaintenance.applyBatch(spark, annBatches(0), sIvf,
+            0L, rebalanceEvery = 0)
+          streaming.AnnMaintenance.applyBatchPq(spark, annBatches(0), sPq,
+            0L, rebalanceEvery = 0)
+          () },
+        // die AFTER the append landed but before the stream could ack
+        // the batch — Structured Streaming's replay window with a dead
+        // holder's lease on top; the replay must admit nothing
+        () => killAndRecover("ann", sIvf,
+          () => MaintenanceLock.withLock(spark, sIvf) {
+            streaming.AnnMaintenance.applyBatch(spark, annKillBatch, sIvf,
+              9L, rebalanceEvery = 0)
+            throw new MaintenanceLock.AbandonedLease
+          },
+          () => { streaming.AnnMaintenance.applyBatch(spark, annKillBatch,
+            sIvf, 9L, rebalanceEvery = 0); () }),
+        () => {
+          streaming.AnnMaintenance.applyBatch(spark, annBatches(1), sIvf,
+            1L, rebalanceEvery = 0)
+          streaming.AnnMaintenance.applyBatchPq(spark, annBatches(1), sPq,
+            1L, rebalanceEvery = 0)
+          () },
+        () => {
+          streaming.AnnMaintenance.applyBatch(spark, annBatches(2), sIvf,
+            2L, rebalanceEvery = 0)
+          streaming.AnnMaintenance.applyBatchPq(spark, annBatches(2), sPq,
+            2L, rebalanceEvery = 0)
+          () }),
       () => { streaming.AnnMaintenance.applyBatch(spark, annBatches.last,
         sIvf, 2L, rebalanceEvery = 0); () })
     val rollupT = maintainer("rollup",
-      rollupBatches.zipWithIndex.map { case (b, i) => () =>
-        { RollupStore.append(spark, b, sRs, Some(600L + i)); () } },
+      Seq(
+        () => { RollupStore.append(spark, rollupBatches(0), sRs,
+          Some(600L)); () },
+        // die between the staged write and the swap: data invisible,
+        // marker not advanced — the replay applies exactly once
+        () => killAndRecover("rollup", sRs,
+          () => { RollupStore.appendImpl(spark, rollupKillBatch, sRs,
+            p => if (p == "written")
+              throw new MaintenanceLock.AbandonedLease, Some(601L)); () },
+          () => { RollupStore.append(spark, rollupKillBatch, sRs,
+            Some(601L)); () }),
+        () => { RollupStore.append(spark, rollupBatches(1), sRs,
+          Some(602L)); () },
+        () => { RollupStore.append(spark, rollupBatches(2), sRs,
+          Some(603L)); () }),
       () => { RollupStore.append(spark, rollupBatches.last, sRs,
-        Some(602L)); () })
+        Some(603L)); () })
     // each sweep op gets its OWN lease patience: a LockHeldException is
     // thrown fail-fast BEFORE any mutation, so per-op retry re-runs
     // only the op that never started — the rollup retraction in
@@ -415,7 +520,19 @@ class CrossMaintenanceFuzzSpec extends AnyFunSuite {
     // skip whichever lands second — appends after the retraction or
     // the retraction after the appends)
     val gdprT = maintainer("gdpr",
-      Seq(() => {
+      Seq(
+        // die inside the retirement commit (segment staged, manifest
+        // uncommitted, tombstones intact) — the replayed apply must
+        // retire + remove exactly once over the corpse's torn state
+        () => {
+          withPatience { IvfIndex.delete(spark, Seq(vecVictim2), sIvf) }
+          killAndRecover("gdpr", sIvf,
+            () => { IvfIndex.applyDeletesImpl(spark, sIvf,
+              p => if (p == "retired:staged")
+                throw new MaintenanceLock.AbandonedLease); () },
+            () => { IvfIndex.applyDeletes(spark, sIvf); () })
+        },
+        () => {
         withPatience { LshBandIndex.delete(spark, Seq(docVictim), sLsh) }
         withPatience { Bm25Index.delete(spark, Seq(docVictim), sBm) }
         withPatience { IvfIndex.delete(spark, Seq(vecVictim), sIvf) }
@@ -489,18 +606,29 @@ class CrossMaintenanceFuzzSpec extends AnyFunSuite {
     for (n <- names)
       assert(covered.contains(n),
         s"no probe completed inside the '$n' critical section")
+    for (n <- names)
+      assert(killed.contains(n),
+        s"no mid-critical-section kill + stale takeover ran for '$n'")
 
     // --- the clean twin applies the same logical ops sequentially ----
-    for ((b, i) <- ingestBatches.zipWithIndex)
-      IngestPipeline.ingestBatch(spark, b, tLsh, tBm, Some(500L + i))
+    IngestPipeline.ingestBatch(spark, ingestBatches(0), tLsh, tBm, Some(500L))
+    IngestPipeline.ingestBatch(spark, ingestKillBatch, tLsh, tBm, Some(501L))
+    IngestPipeline.ingestBatch(spark, ingestBatches(1), tLsh, tBm, Some(502L))
+    IngestPipeline.ingestBatch(spark, ingestBatches(2), tLsh, tBm, Some(503L))
     for ((b, i) <- annBatches.zipWithIndex) {
       streaming.AnnMaintenance.applyBatch(spark, b, tIvf, i.toLong,
         rebalanceEvery = 0)
       streaming.AnnMaintenance.applyBatchPq(spark, b, tPq, i.toLong,
         rebalanceEvery = 0)
     }
-    for ((b, i) <- rollupBatches.zipWithIndex)
-      RollupStore.append(spark, b, tRs, Some(600L + i))
+    streaming.AnnMaintenance.applyBatch(spark, annKillBatch, tIvf, 9L,
+      rebalanceEvery = 0)
+    RollupStore.append(spark, rollupBatches(0), tRs, Some(600L))
+    RollupStore.append(spark, rollupKillBatch, tRs, Some(601L))
+    RollupStore.append(spark, rollupBatches(1), tRs, Some(602L))
+    RollupStore.append(spark, rollupBatches(2), tRs, Some(603L))
+    IvfIndex.delete(spark, Seq(vecVictim2), tIvf)
+    IvfIndex.applyDeletes(spark, tIvf)
     LshBandIndex.delete(spark, Seq(docVictim), tLsh)
     Bm25Index.delete(spark, Seq(docVictim), tBm)
     IvfIndex.delete(spark, Seq(vecVictim), tIvf)
@@ -530,5 +658,13 @@ class CrossMaintenanceFuzzSpec extends AnyFunSuite {
     assert(s._3 == t._3, "IVF diverged after the concurrent round")
     assert(s._4 == t._4, "IVF-PQ diverged after the concurrent round")
     assert(s._5 == t._5, "rollup diverged after the concurrent round")
+    // four stale takeovers ran; the atomic-rename path must leave no
+    // _lock.stale- tombstones behind on any subject dir
+    for (d <- Seq(sLsh, sBm, sIvf, sPq, sRs)) {
+      val leftovers = new java.io.File(d).listFiles()
+        .map(_.getName).filter(_.startsWith("_lock.stale-")).toSeq
+      assert(leftovers.isEmpty,
+        s"$d: stale-lease tombstones left behind: $leftovers")
+    }
   }
 }

@@ -191,4 +191,61 @@ class IvfFuzzSpec extends AnyFunSuite {
         s"$seam: retired set must hold exactly the two forgotten ids")
     }
   }
+
+  test("crash-injected LEGACY MIGRATE on the retire path: the renamed-but-uncommitted instant never resurrects a pre-manifest forgotten vector") {
+    import spark.implicits._
+    val dir = tmpDir()
+    IvfIndex.build(spark, sf, dir)
+    val b1 = batchOf(3000000L, Seq(1L, 2L, 3L)).localCheckpoint()
+    val v1 = 3000001L
+    IvfIndex.appendVectors(spark, dir, b1)
+    // fabricate the round-16 endstate for v1: forgotten PRE-manifest —
+    // its id in the plain retired/ dir, its rows physically gone
+    Seq(v1).toDF("vec_id").repartition(1)
+      .write.parquet(s"$dir/retired")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val vecsP = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+    val survivors = spark.read.parquet(vecsP.toString)
+      .filter(col("vec_id") =!= v1).localCheckpoint()
+    fs.delete(vecsP, true)
+    survivors.write.partitionBy("cell").parquet(vecsP.toString)
+    // the first post-upgrade sweep runs migrate inside its retire;
+    // crash at the torn instant — legacy dir renamed into segs/, no
+    // manifest committed yet
+    val v2 = 3000002L
+    IvfIndex.delete(spark, Seq(v2), dir)
+    val crashed = try {
+      IvfIndex.applyDeletesImpl(spark, dir,
+        p => if (p == "migrate:moved:retired")
+          throw new RuntimeException("boom"))
+      false
+    } catch { case e: RuntimeException => e.getMessage == "boom" }
+    assert(crashed, "the migrate crash seam never fired")
+    assert(!new java.io.File(s"$dir/retired").exists &&
+      operators.IndexManifest.load(spark, dir).isEmpty,
+      "the crash must land between the rename and the commit")
+    // TORN-STATE replay of the pre-delete batch: v1's rows are gone,
+    // so only the retirement memory — now living at segs/retired-legacy
+    // — stands between the replay and a resurrection
+    IvfIndex.appendVectors(spark, dir, b1)
+    assert(spark.read.parquet(s"$dir/vectors")
+      .filter(col("vec_id") === v1).count() == 0L,
+      "torn migrate resurrected a pre-manifest forgotten vector")
+    // the rerun adopts the moved segment, completes the sweep, and the
+    // converged index serves brute-force-exact over the live set
+    assert(IvfIndex.applyDeletes(spark, dir) >= 1)
+    IvfIndex.appendVectors(spark, dir, b1)
+    val live = Similarity.normed(spark, sf)
+      .unionByName(batchOf(3000000L, Seq(1L, 2L, 3L)))
+      .filter(!col("vec_id").isin(v1, v2))
+    for (q <- queryVecs) {
+      val got = rowsOf(IvfIndex.query(spark, dir, q, topK = 20,
+        nprobe = 1000))
+      assert(got == rowsOf(bruteTopK(live, q, 20)),
+        "post-migrate probe diverged from brute force")
+    }
+    assert(operators.RetiredIds.count(spark, dir) == 2L,
+      "retired set must hold exactly the legacy id and the new victim")
+  }
 }

@@ -648,4 +648,72 @@ class IvfIndexSpec extends AnyFunSuite {
       s"a first-write append dir must not trip the witness: $attempts attempts")
     assert(got.count() == 5L)
   }
+
+  test("queryFiltered serves the exact filtered top-k at several selectivities (over-fetch sized from label_stats); absent labels fail loudly; no stats falls back to the default") {
+    import operators.{IvfIndex, Similarity}
+    val dir = Files.createTempDirectory("graft-ivf-filtered").toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath
+    operators.IvfIndex.build(spark, sf, idx)
+    val q = queryVec
+    val w = Similarity.normed(spark, sf)
+    graft.functions.VectorFunctions.register(spark)
+    def bruteFiltered(lab: Int, restrictTo: Option[Set[Long]]): Seq[(Long, Double)] = {
+      val qnrm = math.sqrt(q.map(x => x * x).sum)
+      val base = w.filter(col("label") === lab)
+        .withColumn("qe", array(q.map(lit): _*))
+        .withColumn("cosine",
+          expr("dot_product(e, qe)") / (col("nrm") * lit(qnrm)))
+        .select("vec_id", "cosine")
+        .orderBy(desc("cosine"), asc("vec_id"))
+      val rows = base.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      restrictTo.map(ids => rows.filter(r => ids.contains(r._1)))
+        .getOrElse(rows).take(5)
+    }
+    // DEFAULT path first (no stats yet): must serve, every row matching
+    val labels = w.groupBy("label").count()
+      .orderBy(desc("count"), asc("label")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val common = labels.head._1
+    val noStats = IvfIndex.queryFiltered(spark, idx, q, topK = 5,
+      col("label") === common, nprobe = 1000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+    assert(noStats.forall(_._2 == common),
+      "default-overfetch path served a non-matching row")
+    // rank preservation end-to-end: what IS served is a PREFIX of the
+    // exact filtered truth, even when the default K' under-fetches
+    val truthCommon = bruteFiltered(common, None)
+    assert(noStats.map(r => (r._1, r._3)).toSeq ==
+      truthCommon.take(noStats.length),
+      "served rows must be the best-ranked filtered truth prefix")
+    // data-sized path: several selectivities, full probe → exact truth
+    IvfIndex.writeLabelStats(spark, idx)
+    for ((lab, _) <- Seq(labels.head, labels(labels.length / 2),
+        labels.last)) {
+      val got = IvfIndex.queryFiltered(spark, idx, q, topK = 5,
+        col("label") === lab, nprobe = 1000)
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+      assert(got == bruteFiltered(lab, None),
+        s"label $lab: filtered top-5 must equal the exact filtered truth")
+    }
+    // pruned probe (nprobe = 4): exact truth RESTRICTED to the cells
+    // the probe ranks — the residual approximation is cell pruning,
+    // same as the unfiltered operator
+    val cents = IvfIndex.readCentroids(spark, idx)
+    val probed = IvfIndex.rankedCells(cents, q, 4).toSet
+    spark.catalog.refreshByPath(s"$idx/vectors")
+    val inProbed = spark.read.parquet(s"$idx/vectors")
+      .filter(col("cell").isin(probed.toSeq: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got4 = IvfIndex.queryFiltered(spark, idx, q, topK = 5,
+      col("label") === common, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(got4 == bruteFiltered(common, Some(inProbed)),
+      "pruned filtered top-5 must equal the filtered truth within the probed cells")
+    // a label the probed cells don't hold: loud, never silently short
+    intercept[IvfIndex.NoMatchInProbedCells] {
+      IvfIndex.queryFiltered(spark, idx, q, topK = 5,
+        col("label") === 9999, nprobe = 4)
+    }
+  }
 }

@@ -352,4 +352,35 @@ class IvfPqSpec extends AnyFunSuite {
     assert(got == want,
       "PQ probe racing a rebalance must re-plan to the correct top-k")
   }
+
+  test("queryFiltered over codes: data-sized over-fetch equals the exact filtered ADC top-k; rank preservation pins the prefix; absent labels fail loudly") {
+    import operators.{IvfIndex, IvfPq}
+    val dir = Files.createTempDirectory("graft-pq-filtered").toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath
+    IvfPq.build(spark, sf, idx)
+    IvfPq.writeLabelStats(spark, idx)
+    val q = queryVec
+    // the exact filtered ADC truth: rank preservation means filtering
+    // the FULL ADC order by label gives the filtered truth directly
+    val nCodes = spark.read.parquet(s"$idx/codes").count().toInt
+    val fullAdc = IvfPq.queryPlan(spark, idx, q,
+        topK = nCodes + 1, nprobe = 10000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+    val labels = fullAdc.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (l, n) => (-n, l) }
+    for (lab <- Seq(labels.head._1, labels.last._1)) {
+      val want = fullAdc.filter(_._2 == lab).take(5)
+        .map(r => (r._1, r._3)).toSeq
+      val got = IvfPq.queryFiltered(spark, idx, q, topK = 5,
+        col("label") === lab, nprobe = 10000)
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+      assert(got == want,
+        s"label $lab: filtered ADC top-5 must equal the exact filtered truth")
+    }
+    intercept[IvfIndex.NoMatchInProbedCells] {
+      IvfPq.queryFiltered(spark, idx, q, topK = 5,
+        col("label") === 9999, nprobe = 4)
+    }
+  }
 }

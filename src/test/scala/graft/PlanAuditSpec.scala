@@ -470,6 +470,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // cold file reads = 2 (one corpus pass builds the cache, one
       // pruned query read)
       "q275_ann_probe_cost_actual" -> Map("embeddings" -> 3),
+      // q275's shape one audit deeper (same TEXTUAL caveat): the
+      // CACHED assignment frame prints its build scan at its consumer
+      // sites (per-query probe ranking, the query slice, the
+      // candidate join); cold file reads = 2 — one corpus pass builds
+      // the cache, one pruned read serves the 10-row query slice
+      "q276_filtered_recall_calibration" -> Map("embeddings" -> 3),
       "q105_scd2" -> Map("part" -> 2),
       "q125_tpch_q21" -> Map("lineitem" -> 3),
       "q126_temperature_sample" -> Map("documents" -> 2),

@@ -75,6 +75,33 @@ class RetiredIdsSpec extends AnyFunSuite {
       "dup rows must collapse at compaction")
   }
 
+  test("a retire that crashes INSIDE the legacy migrate — renamed but uncommitted — never hides the set: read() resolves segs/retired-legacy and the replay completes the adoption") {
+    val dir = tmpDir()
+    idsDf(7L, 8L).repartition(1).write.parquet(s"$dir/retired")
+    // the first retire over a legacy layout runs migrate first; crash
+    // at the instant the rename landed but the manifest commit did not
+    // — the torn state where a plain-dir-only fallback would return
+    // None and the append guard would forget every retired id
+    val boom = intercept[RuntimeException] {
+      RetiredIds.retireImpl(spark, dir, idsDf(9L),
+        p => if (p == "migrate:moved:retired") throw new RuntimeException("boom"))
+    }
+    assert(boom.getMessage == "boom")
+    assert(!new java.io.File(s"$dir/retired").exists &&
+      new java.io.File(s"$dir/segs/retired-legacy").exists,
+      "the crash must land between the rename and the commit")
+    assert(IndexManifest.load(spark, dir).isEmpty, "no manifest may exist yet")
+    // the resurrection window: the guard reads THROUGH the torn state
+    assert(readSet(dir) == Set(7L, 8L),
+      "the torn migrate must not hide the retired set from readers")
+    assert(RetiredIds.count(spark, dir) == 2L)
+    // the replayed retire adopts the moved segment and completes
+    RetiredIds.retire(spark, dir, idsDf(9L))
+    assert(readSet(dir) == Set(7L, 8L, 9L))
+    assert(liveSegs(dir).contains("retired-legacy"),
+      s"the replay must ADOPT the already-moved segment: ${liveSegs(dir)}")
+  }
+
   test("a pre-manifest plain retired/ dir is readable as-is and ADOPTED by the first retire") {
     val dir = tmpDir()
     // the round-16 layout: a plain parquet dir of ids
