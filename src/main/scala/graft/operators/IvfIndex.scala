@@ -418,6 +418,23 @@ object IvfIndex {
       .parquet(s"$indexDir/label_stats")
   }
 
+  /** Re-derive `label_stats/` after a mutation that moved or removed
+    * rows — but only when the deployment opted into the stats table
+    * in the first place ([[writeLabelStats]]); an index that never
+    * serves filtered probes pays nothing. Called by
+    * rebalance/applyDeletes on both lifecycles so the forecast tracks
+    * the cell layout instead of going stale at every split (the
+    * [[filteredFetch]] staleness fallback still covers the window
+    * between the move and this refresh — and a crash between them:
+    * the next maintenance pass re-runs the refresh). */
+  private[operators] def refreshStatsIfPresent(spark: SparkSession,
+      indexDir: String, table: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/label_stats")))
+      writeStatsOf(spark, indexDir, table)
+  }
+
   /** Fallback over-fetch multiplier when no `label_stats/` table
     * exists: K′ = topK × 8 — a documented default for the un-audited
     * case, NOT a tuned constant (the whole point of
@@ -453,18 +470,29 @@ object IvfIndex {
     if (!fs.exists(p))
       return if (topK > Int.MaxValue / DefaultFilteredOverfetch) topK
       else topK * DefaultFilteredOverfetch
-    def once(): (Long, Long) = {
+    def once(): (Long, Long, Long) = {
       val r = spark.read.parquet(p.toString)
         .filter(col("cell").isin(probes: _*))
         .agg(coalesce(sum(col("n")), lit(0L)).as("scanned"),
           coalesce(sum(when(predicate, col("n")).otherwise(0L)), lit(0L))
-            .as("matching"))
+            .as("matching"),
+          countDistinct(col("cell")).as("known_cells"))
         .collect()(0)
-      (r.getLong(0), r.getLong(1))
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    val (scanned, matching) =
+    val (scanned, matching, knownCells) =
       try once()
       catch { case t: Throwable if retryableProbeFailure(t) => once() }
+    // A probed cell the stats table does not know is STALENESS (a
+    // rebalance renumbered cells since the last writeLabelStats), not
+    // evidence about the label — a zero-match verdict is only honest
+    // when EVERY probed cell was actually audited. Otherwise fall
+    // back to the documented default until the stats refresh: a
+    // spurious NoMatchInProbedCells after every split would fail
+    // healthy queries, the exact opposite of the loud-error's intent.
+    if (matching <= 0L && knownCells < probes.distinct.size)
+      return if (topK > Int.MaxValue / DefaultFilteredOverfetch) topK
+      else topK * DefaultFilteredOverfetch
     if (matching <= 0L)
       throw new NoMatchInProbedCells(
         s"filtered probe over $indexDir: stats forecast zero matching " +
@@ -659,6 +687,8 @@ object IvfIndex {
           }
         }
         fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
+        if (touched.nonEmpty)
+          refreshStatsIfPresent(spark, indexDir, "vectors")
         // the backlog gate amortizes against probes SINCE the last
         // apply — re-arm it here so sweeps outside the maintainer
         // (a direct GDPR applyDeletes) reset the meter too
@@ -984,6 +1014,9 @@ object IvfIndex {
         .toDF("cell", "centroid")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$indexDir/centroids")
+      // splits renumber cells — keep the filtered-probe forecast
+      // aligned with the new layout (no-op unless the table exists)
+      refreshStatsIfPresent(spark, indexDir, "vectors")
     }
     // a pass ran (split or kept-whole alike): the traffic gate re-arms
     // from fresh touches rather than re-firing on stale ones forever

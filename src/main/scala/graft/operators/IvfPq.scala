@@ -242,6 +242,8 @@ object IvfPq {
           }
         }
         fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
+        if (touched.nonEmpty)
+          IvfIndex.refreshStatsIfPresent(spark, indexDir, "codes")
         // re-arm the probes-since-apply meter (IvfIndex.applyDeletesImpl)
         ProbeLedger.markDrained(spark, indexDir)
         touched.length
@@ -506,6 +508,7 @@ object IvfPq {
         .toDF("cell", "centroid")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$indexDir/centroids")
+      IvfIndex.refreshStatsIfPresent(spark, indexDir, "codes")
     }
     // re-arm the traffic gate's touch map (IvfIndex.rebalance)
     ProbeLedger.markRebalanced(spark, indexDir)
@@ -527,6 +530,35 @@ object IvfPq {
       rounds += 1
     }
     total
+  }
+
+  /** Filtered two-stage: the [[queryFiltered]] candidate machinery
+    * feeds the exact-cosine rerank — filtered ADC top-`shortlist`
+    * (K′-sized, escalating, maintenance-surviving), then stage 2
+    * reranks ONLY those matching candidates against `vectors` (the
+    * pruned point-lookup, q164's shape). Filtering BEFORE the rerank
+    * is the whole point: the rerank budget is spent on rows that can
+    * actually be served, instead of a mostly-non-matching unfiltered
+    * shortlist whose survivors starve (q222's trap at stage two).
+    * With nprobe = all cells and `shortlist` ≥ the label's matching
+    * count this is exactly the brute-force filtered cosine top-k
+    * (IvfPqSpec's cross-law). */
+  def queryRerankFiltered(spark: SparkSession, indexDir: String,
+      vectors: DataFrame, q: Array[Double], topK: Int,
+      predicate: org.apache.spark.sql.Column, nprobe: Int = 4,
+      shortlist: Int = 100): DataFrame = {
+    val short = queryFilteredImpl(spark, indexDir, q,
+      math.max(topK, shortlist), predicate, nprobe)
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val qe = array(q.toSeq.map(lit): _*)
+    graft.functions.VectorFunctions.register(spark)
+    short.select("vec_id", "label", "adc_dist")
+      .join(vectors.select(col("vec_id"), col("e"), col("nrm")), "vec_id")
+      .withColumn("qe", qe)
+      .select(col("vec_id"), col("label"), col("adc_dist"),
+        (expr("dot_product(e, qe)") / (col("nrm") * lit(qn))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(topK)
   }
 
   /** Two-stage: ADC shortlist over the probed cells, exact cosine

@@ -3070,6 +3070,83 @@ object Similarity {
         FROM led ORDER BY t"""
     })
 
+  // ------------------------------------------------------------------
+  // q278 — traffic-gate economics: the oracle for the third
+  // maintenance gate, completing the symmetry (backlogDue ↔ q271,
+  // trafficDue ↔ this). A probe landing on the nprobe LARGEST cells
+  // scans `worst` rows instead of the `mean` forecast — an excess of
+  // (worst − mean) rows per touch — while the top-N split's rewrite
+  // costs ~`worst` rows once. breakeven_touches = ⌈worst / excess⌉ is
+  // the exact touch count at which the cumulative excess covers the
+  // rewrite: the number AnnMaintenance.trafficDue compares the
+  // ProbeLedger's worst-cell touches against. Emitted per nprobe in
+  // exact integers over the pinned-centroid population map (q267's
+  // conventions: mean = n × total div k); a uniform map yields
+  // excess = 0 → NULL breakeven (no traffic volume justifies a split
+  // of a balanced index — the gate's built-in convergence).
+  //
+  // Scale shape: ONE corpus scan into the k-key count aggregate, one
+  // k-element sorted array, a 4-point literal grid — driver-scale
+  // after the single aggregate at any corpus size.
+  // ------------------------------------------------------------------
+  val trafficGateEconomics: Q = Q(
+    "q278_traffic_gate_economics",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val k = Pipelines.lloydCentroids.length
+      val w = Tables.embeddings(s, d)
+        .select(transform(col("embedding"), x => x.cast("double")).as("e"))
+      val pops = IvfIndex.assignToCentroids(w, Pipelines.lloydCentroids)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+        .agg(expr("array_sort(collect_list(" +
+          "struct(-n_vecs as negn, cell, n_vecs)))").as("a"),
+          sum(col("n_vecs")).as("total"))
+      pops.select(explode(typedlit(Seq(1, 2, 4, 8))).as("nprobe"),
+          col("a"), col("total"))
+        .withColumn("worst_rows", expr("aggregate(slice(a, 1, nprobe), " +
+          "0L, (acc, x) -> acc + x.n_vecs)"))
+        .withColumn("mean_rows", expr(s"nprobe * total div $k"))
+        .withColumn("excess_rows", expr("worst_rows - mean_rows"))
+        .select(col("nprobe"), col("worst_rows"), col("mean_rows"),
+          col("excess_rows"),
+          expr("(worst_rows + excess_rows - 1) div " +
+            "nullif(excess_rows, 0)").as("breakeven_touches"))
+        .orderBy("nprobe")
+    },
+    Some {
+      val dim = EmbeddingDim
+      val k = Pipelines.lloydCentroids.length
+      val scores = Pipelines.lloydCentroids.map { case (_, c) =>
+        val c2 = c.map(v => v * v).sum
+        val arr = c.map(v => s"$v").mkString("[", ", ", "]")
+        s"($c2 - 2.0 * list_reduce(list_transform(generate_series(1, $dim), i -> ($arr::double[])[i] * e[i]), (x, y) -> x + y))"
+      }.mkString(", ")
+      s"""WITH ed AS (SELECT vec_id,
+          list_transform(embedding, x -> cast(x as double)) AS e
+          FROM embeddings),
+        sc AS (SELECT vec_id, [$scores] AS scores FROM ed),
+        cells AS (SELECT vec_id,
+          cast(list_position(scores, list_min(scores)) - 1 as int) AS cell
+          FROM sc),
+        counts AS (SELECT cell, cast(count(*) as bigint) AS n_vecs
+          FROM cells GROUP BY 1),
+        ranked AS (SELECT n_vecs,
+            row_number() OVER (ORDER BY n_vecs DESC, cell) AS pr,
+            cast(sum(n_vecs) OVER () as bigint) AS total
+          FROM counts),
+        per_n AS (SELECT g.nprobe,
+            cast(sum(CASE WHEN r.pr <= g.nprobe THEN r.n_vecs
+              ELSE 0 END) as bigint) AS worst_rows,
+            cast(g.nprobe * max(r.total) // $k as bigint) AS mean_rows
+          FROM ranked r, (VALUES (1), (2), (4), (8)) AS g(nprobe)
+          GROUP BY 1)
+        SELECT nprobe, worst_rows, mean_rows,
+          worst_rows - mean_rows AS excess_rows,
+          (worst_rows + (worst_rows - mean_rows) - 1) //
+            nullif(worst_rows - mean_rows, 0) AS breakeven_touches
+        FROM per_n ORDER BY nprobe"""
+    })
+
   val all: Seq[Q] = Seq(norms, nearDupPairs, annBruteForce, annLsh,
     annIvf, annIvfIncremental, semanticDedup, multimodalMeta, arrayFuncs,
     pqEncode, pqAdcTopK, pqCodeBalance, pqRerankTopK, pqRecallEval,
@@ -3079,5 +3156,6 @@ object Similarity {
     embeddingHealth, rankerAgreement, annProbeCostCurve,
     annNprobeRecallCurve, semanticContaminationCurve,
     oneNnLabelAgreement, annDeletionEconomics, filteredProbeSelectivity,
-    annProbeCostActual, filteredRecallCalibration, retiredGuardEconomics)
+    annProbeCostActual, filteredRecallCalibration, retiredGuardEconomics,
+    trafficGateEconomics)
 }

@@ -716,4 +716,51 @@ class IvfIndexSpec extends AnyFunSuite {
         col("label") === 9999, nprobe = 4)
     }
   }
+
+  test("label_stats tracks maintenance: a split refreshes the forecast; a window of stale stats falls back instead of failing healthy filtered queries") {
+    import spark.implicits._
+    import operators.{IvfIndex, Similarity}
+    val dir = Files.createTempDirectory("graft-ivf-stats-maint").toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath
+    IvfIndex.build(spark, sf, idx)
+    IvfIndex.writeLabelStats(spark, idx)
+    // plant a splittable hot cell so the rebalance renumbers cells
+    val q = queryVec
+    val total = spark.read.parquet(s"$idx/vectors").count()
+    val clones = (0L until total).map { i =>
+      val e = q.toSeq.updated(0, q(0) + 1e-3 * i)
+      (5000000L + i, 7, e, math.sqrt(e.map(x => x * x).sum))
+    }.toDF("vec_id", "label", "e", "nrm")
+    IvfIndex.appendVectors(spark, idx, clones)
+    assert(IvfIndex.rebalance(spark, idx, 2.0) >= 1)
+    // the split refreshed the stats: every live cell id is audited
+    spark.catalog.refreshByPath(s"$idx/label_stats")
+    spark.catalog.refreshByPath(s"$idx/vectors")
+    val statCells = spark.read.parquet(s"$idx/label_stats")
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    val liveCells = spark.read.parquet(s"$idx/vectors")
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(statCells == liveCells,
+      s"maintenance must refresh label_stats to the live cell layout " +
+        s"(stats $statCells vs live $liveCells)")
+    // and stats counts match the live population per (cell, label)
+    val statRows = spark.read.parquet(s"$idx/label_stats")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val liveRows = spark.read.parquet(s"$idx/vectors")
+      .groupBy("cell", "label").count()
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(statRows == liveRows, "refreshed stats must equal live counts")
+    // STALE window: hand-write stats that know NONE of the live cells
+    // (the pre-refresh instant) — a filtered query must fall back to
+    // the default instead of throwing a spurious zero-match error
+    Seq((99991, 7, 5L)).toDF("cell", "label", "n")
+      .repartition(1).write.mode("overwrite").parquet(s"$idx/label_stats")
+    spark.catalog.refreshByPath(s"$idx/label_stats")
+    val got = IvfIndex.queryFiltered(spark, idx, q, topK = 5,
+      col("label") === 7, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.length == 5 && got.forall(_ >= 0),
+      "stale stats must degrade to the default over-fetch, not fail")
+  }
 }

@@ -383,4 +383,35 @@ class IvfPqSpec extends AnyFunSuite {
         col("label") === 9999, nprobe = 4)
     }
   }
+
+  test("queryRerankFiltered cross-law: full probe + ample shortlist equals the brute-force filtered cosine top-k") {
+    import operators.{IvfPq, Similarity}
+    val dir = Files.createTempDirectory("graft-pq-rerank-filtered").toFile
+    dir.deleteOnExit()
+    val idx = dir.getAbsolutePath
+    IvfPq.build(spark, sf, idx)
+    IvfPq.writeLabelStats(spark, idx)
+    val q = queryVec
+    val w = Similarity.normed(spark, sf)
+    graft.functions.VectorFunctions.register(spark)
+    val lab = w.groupBy("label").count()
+      .orderBy(desc("count"), asc("label")).collect()(0).getInt(0)
+    val nLab = w.filter(col("label") === lab).count().toInt
+    // with nprobe = all cells and shortlist >= every matching row, the
+    // filtered ADC stage passes ALL matching candidates to the exact
+    // rerank — the answer must be the brute filtered cosine top-5
+    val got = IvfPq.queryRerankFiltered(spark, idx, w, q, topK = 5,
+      col("label") === lab, nprobe = 10000, shortlist = nLab + 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val qnrm = math.sqrt(q.map(x => x * x).sum)
+    val want = w.filter(col("label") === lab)
+      .withColumn("qe", array(q.map(lit): _*))
+      .withColumn("cosine",
+        expr("dot_product(e, qe)") / (col("nrm") * lit(qnrm)))
+      .select("vec_id", "cosine")
+      .orderBy(desc("cosine"), asc("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want,
+      "filtered two-stage rerank must equal brute filtered cosine top-k")
+  }
 }
