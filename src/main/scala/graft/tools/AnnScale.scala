@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   *  - the replay skip (the whole last batch re-sent): the vec_id guard
   *    must admit nothing, priced so "exactly-once costs one anti-join"
   *    is measured rather than claimed;
+  *  - FILTERED serving latency (quiesced): the queryFiltered path —
+  *    label_stats forecast read, K′-sized candidate fetch,
+  *    post-filter, any escalation — priced against the unfiltered
+  *    baseline on the same index state; the gap is what a predicate
+  *    costs;
   *  - serving latency UNDER maintenance: a prober thread races the
   *    rebalance and records p50/p99 probe wall time against the
   *    quiesced baseline — the availability claim ("no probe fails
@@ -50,7 +55,9 @@ object AnnScale {
         "replay_skip_sec" -> 2.0,
         "probe_p50_sec" -> 2.0, "probe_p99_sec" -> 2.0,
         "probe_p50_under_rebalance_sec" -> 2.0,
-        "probe_p99_under_rebalance_sec" -> 2.0),
+        "probe_p99_under_rebalance_sec" -> 2.0,
+        "filtered_probe_p50_sec" -> 2.0,
+        "filtered_probe_p99_sec" -> 2.0),
       Seq("cold_vecs_per_sec", "min_warm_vecs_per_sec"))
 
   /** Exact order-statistic percentile (nearest-rank): with the probe
@@ -140,6 +147,20 @@ object AnnScale {
         maxAttempts = 32).collect())._2
     probeLat()
     val quiesced = (0 until 40).map(_ => probeLat())
+    // FILTERED serving, quiesced, same index state: prices the
+    // round-18 queryFiltered path (label_stats forecast read + the
+    // K′-sized candidate fetch + post-filter; escalation priced in
+    // whenever the forecast undershoots) against the unfiltered
+    // baseline above — the cost of the predicate is the gap
+    IvfIndex.writeLabelStats(spark, idx)
+    val fLabel = spark.read.parquet(s"$idx/label_stats")
+      .groupBy("label").agg(sum("n").as("n"))
+      .orderBy(desc("n"), asc("label")).collect()(0).getInt(0)
+    def probeLatFiltered(): Double =
+      timed(IvfIndex.queryFiltered(spark, idx, q0, topK = 10,
+        col("label") === fLabel, nprobe = 4).collect())._2
+    probeLatFiltered()
+    val filteredQ = (0 until 40).map(_ => probeLatFiltered())
     // serving latency UNDER the rebalance: the availability claim is
     // spec'd (no probe fails through a live rebalance — the eager
     // retry); this PRICES it — a prober thread races the trigger
@@ -181,7 +202,9 @@ object AnnScale {
       "probe_p50_sec" -> pct(quiesced, 0.50),
       "probe_p99_sec" -> pct(quiesced, 0.99),
       "probe_p50_under_rebalance_sec" -> pct(under, 0.50),
-      "probe_p99_under_rebalance_sec" -> pct(under, 0.99))
+      "probe_p99_under_rebalance_sec" -> pct(under, 0.99),
+      "filtered_probe_p50_sec" -> pct(filteredQ, 0.50),
+      "filtered_probe_p99_sec" -> pct(filteredQ, 0.99))
     val floors = Seq("ann_floor.json", "target/ann_floor.json").view
       .map(java.nio.file.Paths.get(_))
       .find(java.nio.file.Files.exists(_))
@@ -214,6 +237,8 @@ object AnnScale {
       s""""probe_p99_sec":${f"${metrics("probe_p99_sec")}%.4f"},""" +
       s""""probe_p50_under_rebalance_sec":${f"${metrics("probe_p50_under_rebalance_sec")}%.4f"},""" +
       s""""probe_p99_under_rebalance_sec":${f"${metrics("probe_p99_under_rebalance_sec")}%.4f"},""" +
+      s""""filtered_probe_p50_sec":${f"${metrics("filtered_probe_p50_sec")}%.4f"},""" +
+      s""""filtered_probe_p99_sec":${f"${metrics("filtered_probe_p99_sec")}%.4f"},""" +
       s""""probes_under_rebalance":${under.size},""" +
       s""""health":$healthJson,""" +
       s""""floor_suspects":$suspectsJson,"load_suspect":${suspects.nonEmpty}}""")

@@ -187,7 +187,8 @@ class BenchSpec extends AnyFunSuite {
     for (k <- Seq("build_sec", "rebalance_sec", "replay_skip_sec",
         "cold_vecs_per_sec", "min_warm_vecs_per_sec",
         "probe_p50_sec", "probe_p99_sec",
-        "probe_p50_under_rebalance_sec", "probe_p99_under_rebalance_sec")) {
+        "probe_p50_under_rebalance_sec", "probe_p99_under_rebalance_sec",
+        "filtered_probe_p50_sec", "filtered_probe_p99_sec")) {
       assert(floors.contains(k), s"ann floor $k missing")
       assert(floors(k) > 0.0, s"$k floor ${floors(k)} implausible")
     }
@@ -198,6 +199,9 @@ class BenchSpec extends AnyFunSuite {
     assert(floors("probe_p50_under_rebalance_sec") <=
       floors("probe_p99_under_rebalance_sec"),
       "under-rebalance p50 must sit at or below p99")
+    assert(floors("filtered_probe_p50_sec") <=
+      floors("filtered_probe_p99_sec"),
+      "filtered p50 must sit at or below p99")
     assert(!floors.contains("_comment"))
   }
 
@@ -228,6 +232,11 @@ class BenchSpec extends AnyFunSuite {
       Seq("probe_p99_under_rebalance_sec"))
     assert(tools.AnnScale.floorSuspects(
       Map("rebalance_sec" -> 99.0), Map.empty).isEmpty)
+    // the round-18 filtered serving path flags on its own floors
+    assert(tools.AnnScale.floorSuspects(
+      Map("filtered_probe_p99_sec" -> 1.3),
+      Map("filtered_probe_p99_sec" -> 0.6)) ==
+      Seq("filtered_probe_p99_sec"))
     // nearest-rank percentiles: exact order statistics, no interpolation
     assert(tools.AnnScale.pct(Seq(3.0, 1.0, 2.0), 0.5) == 2.0)
     assert(tools.AnnScale.pct(Seq(3.0, 1.0, 2.0), 0.99) == 3.0)
