@@ -18,8 +18,9 @@ import java.nio.file.Files
   * lease contention from a concurrent sweeper absorbed by the bounded
   * retry, and a GDPR sweep that crashes half-done and reruns in full —
   * while a TWIN applies the same logical ops cleanly, exactly once.
-  * After EVERY step, all five serving surfaces (LSH probe, BM25 probe,
-  * IVF full-probe top-k, IVF-PQ full-probe ADC top-k, rollup query)
+  * After EVERY step, all seven serving surfaces (LSH probe, BM25
+  * probe, IVF full-probe top-k, IVF-PQ full-probe ADC top-k, rollup
+  * query, and the round-18 FILTERED top-k on both ANN lifecycles)
   * must be identical on both sides: crashes, replays and contention in
   * one lifecycle must never leak into another's served state.
   *
@@ -85,7 +86,7 @@ class CrossMaintenanceFuzzSpec extends AnyFunSuite {
     var forgottenUsers = Set.empty[Long]
     val trace = new StringBuilder
 
-    // --- the five serving surfaces compared after every step ----------
+    // --- the seven serving surfaces compared after every step ---------
     val bmQueries = docsDf((0L until 3L).map(id => (id, textOf(id))))
       .select(col("doc_id").as("qid"),
         explode(array_distinct(slice(Dsl.toks(col("text")), 1, 4)))
@@ -97,6 +98,13 @@ class CrossMaintenanceFuzzSpec extends AnyFunSuite {
     val qVec = operators.Similarity.normed(spark, sf)
       .filter(col("vec_id") === 100L).select("e")
       .collect()(0).getSeq[Double](0).toArray
+    // the round-18 filtered serving surface rides the same walk: the
+    // most common label (victims can never exhaust it), no stats
+    // table anywhere in this suite — the documented default-overfetch
+    // path, identical semantics both sides
+    val probeLabel = Tables.embeddings(spark, sf)
+      .groupBy("label").count()
+      .orderBy(desc("count"), asc("label")).collect()(0).getInt(0)
     def surfaces(lsh: String, bm: String, ivf: String, pq: String,
         rs: String) = (
       LshBandIndex.probe(spark, lshProbeBatch, lsh)
@@ -107,7 +115,13 @@ class CrossMaintenanceFuzzSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq,
       operators.IvfPq.query(spark, pq, qVec, topK = 15, nprobe = 1000)
         .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq,
-      RollupStore.query(spark, rs).collect().map(_.toString).toSeq)
+      RollupStore.query(spark, rs).collect().map(_.toString).toSeq,
+      IvfIndex.queryFiltered(spark, ivf, qVec, topK = 10,
+          col("label") === probeLabel, nprobe = 1000)
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq,
+      operators.IvfPq.queryFiltered(spark, pq, qVec, topK = 10,
+          col("label") === probeLabel, nprobe = 1000)
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq)
 
     val crashSeams = Seq("sets:appended", "bands:appended",
       "lsh:appended", "postings:appended", "stats:swapped")
@@ -261,6 +275,10 @@ class CrossMaintenanceFuzzSpec extends AnyFunSuite {
       assert(s._3 == t._3, s"step $step IVF diverged; trace: $trace")
       assert(s._4 == t._4, s"step $step IVF-PQ diverged; trace: $trace")
       assert(s._5 == t._5, s"step $step rollup diverged; trace: $trace")
+      assert(s._6 == t._6,
+        s"step $step filtered IVF diverged; trace: $trace")
+      assert(s._7 == t._7,
+        s"step $step filtered IVF-PQ diverged; trace: $trace")
     }
     for (tag <- Seq("ingest ", "ingest-crash(", "ingest-contended",
         "ann-append(", "ann-replay(", "ann-rebalance", "rollup-append",
@@ -293,7 +311,8 @@ class CrossMaintenanceFuzzSpec extends AnyFunSuite {
     * BEGINS inside every maintainer's critical section and completes
     * (maintainers re-run their idempotent last op until observed — a
     * skip path still takes the lease, so the section is real), and
-    * (c) the final serving state of all five surfaces is bit-equal to
+    * (c) the final serving state of all seven surfaces (incl. the
+    * filtered ANN pair) is bit-equal to
     * a clean twin that applied the same logical ops sequentially.
     * The op set is chosen to COMMUTE (novel-doc ingests, disjoint
     * shifted ANN ids, GDPR victims from the never-re-sent seed corpus,
@@ -584,12 +603,23 @@ class CrossMaintenanceFuzzSpec extends AnyFunSuite {
         }
       }
     }
+    val probeLabel = Tables.embeddings(spark, sf)
+      .groupBy("label").count()
+      .orderBy(desc("count"), asc("label")).collect()(0).getInt(0)
     def probeOnce(): Unit = {
       // IVF/PQ: the eager probe's own retry is the availability story
       timedProbe { IvfIndex.queryImpl(spark, sIvf, qVec, topK = 10,
         nprobe = 1000, maxAttempts = 64).collect(); () }
       timedProbe { operators.IvfPq.queryImpl(spark, sPq, qVec, topK = 10,
         nprobe = 1000, maxAttempts = 64).collect(); () }
+      // filtered serving flows lock-free through the same sections
+      // (no stats table in this suite — the default-overfetch path)
+      timedProbe { IvfIndex.queryFilteredImpl(spark, sIvf, qVec,
+        topK = 10, col("label") === probeLabel, nprobe = 1000,
+        maxAttempts = 64).collect(); () }
+      timedProbe { operators.IvfPq.queryFilteredImpl(spark, sPq, qVec,
+        topK = 10, col("label") === probeLabel, nprobe = 1000,
+        maxAttempts = 64).collect(); () }
       timedProbe { retried { Bm25Index.probe(spark, bmQueries, sBm)
         .collect(); () } }
       timedProbe { retried { LshBandIndex.probe(spark, lshProbeBatch, sLsh)
@@ -650,7 +680,13 @@ class CrossMaintenanceFuzzSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq,
       operators.IvfPq.query(spark, pq, qVec, topK = 15, nprobe = 1000)
         .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq,
-      RollupStore.query(spark, rs).collect().map(_.toString).toSeq)
+      RollupStore.query(spark, rs).collect().map(_.toString).toSeq,
+      IvfIndex.queryFiltered(spark, ivf, qVec, topK = 10,
+          col("label") === probeLabel, nprobe = 1000)
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq,
+      operators.IvfPq.queryFiltered(spark, pq, qVec, topK = 10,
+          col("label") === probeLabel, nprobe = 1000)
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq)
     val s = surfacesOf(sLsh, sBm, sIvf, sPq, sRs)
     val t = surfacesOf(tLsh, tBm, tIvf, tPq, tRs)
     assert(s._1 == t._1, "LSH diverged after the concurrent round")
@@ -658,6 +694,10 @@ class CrossMaintenanceFuzzSpec extends AnyFunSuite {
     assert(s._3 == t._3, "IVF diverged after the concurrent round")
     assert(s._4 == t._4, "IVF-PQ diverged after the concurrent round")
     assert(s._5 == t._5, "rollup diverged after the concurrent round")
+    assert(s._6 == t._6,
+      "filtered IVF serving diverged after the concurrent round")
+    assert(s._7 == t._7,
+      "filtered IVF-PQ serving diverged after the concurrent round")
     // four stale takeovers ran; the atomic-rename path must leave no
     // _lock.stale- tombstones behind on any subject dir
     for (d <- Seq(sLsh, sBm, sIvf, sPq, sRs)) {
