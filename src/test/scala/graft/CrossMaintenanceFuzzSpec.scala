@@ -462,15 +462,26 @@ class CrossMaintenanceFuzzSpec extends AnyFunSuite {
       Seq(
         () => { IngestPipeline.ingestBatch(spark, ingestBatches(0), sLsh,
           sBm, Some(500L)); () },
-        // die inside the BM25 append's critical section: postings
-        // landed, stats not swapped, marker not advanced — the torn
-        // state the repair path exists for, now reached via a DEAD
-        // holder instead of a clean throw
+        // die inside the BM25 section: postings landed (or the repair
+        // branch reached), stats not swapped, marker not advanced —
+        // the torn state the repair path exists for, now reached via a
+        // DEAD holder instead of a clean throw. BOTH bm25 seams are
+        // armed because a lease contention aborting the first attempt
+        // after the LSH admit makes withPatience's retry enter via the
+        // REPAIR path (bm25:repair), not the append path — a
+        // single-seam arm then completes uncrashed (observed flake
+        // under full-suite contention). The kill op holds the sBm
+        // lease ITSELF (re-entrant under the inner Bm25 ops, the ann
+        // kill's pattern) so the corpse leaves a lease no matter which
+        // seam fired; contenders fail fast, never block, so the
+        // nested sLsh acquisition cannot deadlock.
         () => killAndRecover("ingest", sBm,
-          () => { IngestPipeline.ingestBatchImpl(spark, ingestKillBatch,
-            sLsh, sBm,
-            p => if (p == "postings:appended")
-              throw new MaintenanceLock.AbandonedLease, Some(501L)); () },
+          () => MaintenanceLock.withLock(spark, sBm) {
+            IngestPipeline.ingestBatchImpl(spark, ingestKillBatch,
+              sLsh, sBm,
+              p => if (p == "postings:appended" || p == "bm25:repair")
+                throw new MaintenanceLock.AbandonedLease, Some(501L)); ()
+          },
           () => { IngestPipeline.ingestBatch(spark, ingestKillBatch, sLsh,
             sBm, Some(501L)); () }),
         () => { IngestPipeline.ingestBatch(spark, ingestBatches(1), sLsh,
