@@ -393,14 +393,19 @@ object Dedup {
       while (changed > 0 && rounds < 50) {
         val prop = edges.join(labels, edges("b") === labels("doc"))
           .groupBy("a").agg(min("label").as("nlabel"))
+        // `chg` rides the checkpointed frame (label strictly decreases,
+        // so changed ⟺ nlabel < label): the convergence count becomes a
+        // scan of the just-checkpointed blocks instead of the old
+        // next-vs-labels equi-join — one full join job per round gone,
+        // same termination decision.
         val next = labels.join(prop, labels("doc") === prop("a"), "left")
           .select(labels("doc"),
-            least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
+            least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"),
+            (coalesce(col("nlabel"), labels("label")) < labels("label")).as("chg"))
           .localCheckpoint()
-        changed = next.as("n").join(labels.as("o"), col("n.doc") === col("o.doc"))
-          .filter(col("n.label") =!= col("o.label")).count()
+        changed = next.filter(col("chg")).count()
         labels.unpersist()
-        labels = next
+        labels = next.select("doc", "label")
         rounds += 1
       }
       edges.unpersist()
@@ -1035,10 +1040,23 @@ object Dedup {
           .filter(size(col("t")) >= K)
         val winArr = transform(sequence(lit(1), size(col("t")) - (K - 1)),
           i => concat_ws(" ", slice(col("t"), i, lit(K))))
-        val wins = docs
+        // Materialize the window hashes ONCE (h-partitioned, cached):
+        // without this the df-count branch and the probe branch each
+        // re-ran tokenize + posexplode + md5h61 above the shared
+        // doc_id exchange (only the raw-text exchange was reused —
+        // measured: every window hashed TWICE; a bare shared
+        // h-exchange cannot fix it because column pruning drops `pos`
+        // from the aggregate branch and de-canonicalizes the
+        // subtrees). The cached frame is the narrow (doc_id, pos, h)
+        // proxy — 24 B/row, the signedSets discipline — and caching
+        // AFTER the h-repartition lets the groupBy(h) on top run
+        // exchange-free off the cache's preserved partitioning.
+        val wins = graft.CacheScope.cached(docs
           .select(col("doc_id"), posexplode(winArr).as(Seq("pos0", "win")))
           .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
             md5h61(col("win")).as("h"))
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("h")))
         val dupHashes = wins.groupBy("h")
           .agg(count_distinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2)
@@ -1114,20 +1132,30 @@ object Dedup {
         // the guard at the source all three scans are identical and the
         // optimizer prunes the join's now-redundant inferred filter.
         // Semantically a no-op: doc_id is the table's key.
-        val docs = Tables.documents(s, d)
+        // Cached: the windowing branch below now reads through the
+        // cached `wins` relation, and exchange reuse cannot cross a
+        // cache boundary — un-cached, the reassembly branch re-scanned
+        // and re-tokenized the corpus (measured documents=2).
+        val docs = graft.CacheScope.cached(Tables.documents(s, d)
           .filter(col("doc_id").isNotNull)
           .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
             col("doc_id"))
-          .select(col("doc_id"), toks(col("text")).as("t"))
+          .select(col("doc_id"), toks(col("text")).as("t")))
         val idx = when(size(col("t")) >= K,
           sequence(lit(1), size(col("t")) - (K - 1)))
           .otherwise(array().cast("array<int>"))
         val winArr = transform(idx,
           i => concat_ws(" ", slice(col("t"), i, lit(K))))
-        val wins = docs
+        // One materialized window-hash pass shared by the keeper
+        // aggregate and the join-back probe (the q143 measurement:
+        // un-cached, each branch re-ran the per-window md5 above the
+        // doc_id exchange; pruning defeats a bare shared h-exchange)
+        val wins = graft.CacheScope.cached(docs
           .select(col("doc_id"), posexplode(winArr).as(Seq("pos0", "win")))
           .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
             md5h61(col("win")).as("h"))
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("h")))
         val keepers = wins.groupBy("h")
           .agg(min(col("doc_id")).as("keeper"))
         val removeAgg = wins.join(keepers, "h")
@@ -1206,23 +1234,32 @@ object Dedup {
   private[graft] def paragraphDedup(delim: String)(
       s: SparkSession, d: String): DataFrame = {
     graft.functions.TextFunctions.register(s)
-    val docs = Tables.documents(s, d)
+    // Cached for the same reason as q145's docs frame: the hash branch
+    // below reads through the cached `ex` relation, so without this the
+    // reassembly branch re-scans and re-splits the corpus.
+    val docs = graft.CacheScope.cached(Tables.documents(s, d)
       .filter(col("doc_id").isNotNull)
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
         col("doc_id"))
       .select(col("doc_id"),
-        split(col("text"), java.util.regex.Pattern.quote(delim), -1).as("paras"))
+        split(col("text"), java.util.regex.Pattern.quote(delim), -1).as("paras")))
     // posexplode_OUTER: semantically identical here (split() never
     // returns an empty or null array for non-null text), but the inner
     // form lets InferFiltersFromGenerate push `size(paras) > 0` below
     // the exchange into only THIS branch's scan, de-canonicalizing it
     // from the reassembly branch and doubling the documents scan (the
     // q133 trap, caught by the registry-wide scan-allowance sweep)
-    val ex = docs
+    // One materialized paragraph-hash pass shared by the keeper
+    // aggregate and the join-back probe (the q143 measurement: each
+    // branch re-ran split + md5 above the doc_id exchange; caching
+    // after the h-repartition lets the groupBy(h) run exchange-free)
+    val ex = graft.CacheScope.cached(docs
       .select(col("doc_id"), posexplode_outer(col("paras")).as(Seq("pidx", "para")))
       .select(col("doc_id"), col("pidx"),
         struct(col("doc_id"), col("pidx")).as("okey"),
         md5h61(col("para")).as("h"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("h")))
     val keep = ex.groupBy("h").agg(min(col("okey")).as("keeper"))
     val kp = ex.join(keep, "h")
       .filter(col("okey") === col("keeper"))
@@ -1552,7 +1589,13 @@ object Dedup {
       "q185_memorization_audit",
       (s, d) => {
         graft.functions.TextFunctions.register(s)
-        val wins = Tables.documents(s, d)
+        // One materialized window-hash pass shared by the counts
+        // aggregate and the docs-touched join probe (the q143
+        // measurement: un-cached, both branches re-ran the per-window
+        // md5 above the doc_id exchange; caching after the
+        // h-repartition lets both h-keyed aggregates run exchange-free
+        // off the cache's preserved partitioning)
+        val wins = graft.CacheScope.cached(Tables.documents(s, d)
           .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
             col("doc_id"))
           .select(col("doc_id"), toks(col("text")).as("t"))
@@ -1561,6 +1604,8 @@ object Dedup {
             explode(transform(sequence(lit(1), size(col("t")) - (K - 1)),
               i => concat_ws(" ", slice(col("t"), i, lit(K))))).as("win"))
           .select(col("doc_id"), md5h61(col("win")).as("h"))
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("h")))
         val counts = wins.groupBy("h")
           .agg(count(lit(1)).as("c"), count_distinct(col("doc_id")).as("nd"))
         val byBucket = counts.withColumn("dup_bucket", bucketOf(col("c")))
@@ -1640,16 +1685,27 @@ object Dedup {
         var pr = deg.select(col("src").as("doc")).crossJoin(broadcast(nn))
           .select(col("doc"), expr("1000000000 div nn").as("prq"))
           .localCheckpoint()
-        for (_ <- 1 to Iters) {
-          val prev = pr
+        // Checkpoint every CpEvery rounds, not every round: an eager
+        // localCheckpoint is a full Spark job, so 10 per-round
+        // checkpoints cost 10 scheduling barriers for a graph whose
+        // per-round work is one tiny join+agg — measured, the barriers
+        // dominated the wall clock. Batching trades a bounded
+        // (≤ CpEvery-deep) lineage for 1/CpEvery of the jobs; the
+        // arithmetic and the per-round plans are unchanged.
+        val CpEvery = 5
+        var lastCp = pr
+        for (i <- 1 to Iters) {
           pr = e.join(pr, e("src") === pr("doc"))
             .select(col("dst"), expr("(85 * prq) div (100 * deg)").as("c"))
             .groupBy("dst").agg(sum(col("c")).as("cs"))
             .crossJoin(broadcast(nn))
             .select(col("dst").as("doc"),
               (expr("150000000 div nn") + col("cs")).as("prq"))
-            .localCheckpoint()
-          prev.unpersist()
+          if (i % CpEvery == 0 || i == Iters) {
+            pr = pr.localCheckpoint()
+            lastCp.unpersist()
+            lastCp = pr
+          }
         }
         pr.select(col("doc").as("doc_id"), col("prq"))
           .orderBy(desc("prq"), asc("doc_id"))

@@ -1414,13 +1414,26 @@ object TextAnalysis {
       "q193_bm25_mrr_eval",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val tk = Tables.documents(s, d)
+        // The stats branch deliberately does NOT share the postings
+        // branch's tokenize+exchange: the postings subtree is buried
+        // inside the cached `hits` relation below and exchange reuse
+        // never crosses an InMemoryRelation boundary, so the intended
+        // share silently became tokenize-twice PLUS a full shuffle of
+        // the token arrays on the stats branch (measured). Stats needs
+        // only (count, Σdl), a map-combinable scan aggregate — compute
+        // it straight off the scan with no repartition at all; the
+        // second tokenize is a cheap narrow projection, the
+        // token-array exchange is gone. (Caching the tokenized frame
+        // instead measured SLOWER: deserialized array rows read worse
+        // than re-splitting the parquet strings.)
+        val stats = Tables.documents(s, d)
+          .filter(col("doc_id").isNotNull)
+          .select(size(toks(col("text"))).cast("double").as("dl"))
+          .agg(count(lit(1)).as("n"), davg(col("dl")).as("avgdl"))
+        val postings = Tables.documents(s, d)
           .filter(col("doc_id").isNotNull)
           .select(col("doc_id"), toks(col("text")).as("t"))
           .repartition(col("doc_id"))
-        val stats = tk.agg(count(lit(1)).as("n"),
-          davg(size(col("t")).cast("double")).as("avgdl"))
-        val postings = tk
           .select(col("doc_id"), size(col("t")).cast("double").as("dl"),
             explode(col("t")).as("term"))
           .groupBy("doc_id", "term")
@@ -1531,13 +1544,19 @@ object TextAnalysis {
       "q224_rm3_expansion",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val tk = Tables.documents(s, d)
+        // Stats straight off the scan, no repartition (the q193
+        // reasoning: the postings subtree lives inside the cached
+        // relation, exchange reuse cannot cross that boundary, and a
+        // map-combinable (count, Σdl) aggregate needs no exchange —
+        // the old shape paid a full token-array shuffle for nothing)
+        val stats = Tables.documents(s, d)
+          .filter(col("doc_id").isNotNull)
+          .select(size(toks(col("text"))).cast("double").as("dl"))
+          .agg(count(lit(1)).as("n"), davg(col("dl")).as("avgdl"))
+        val postings = graft.CacheScope.cached(Tables.documents(s, d)
           .filter(col("doc_id").isNotNull)
           .select(col("doc_id"), toks(col("text")).as("t"))
           .repartition(col("doc_id"))
-        val stats = tk.agg(count(lit(1)).as("n"),
-          davg(size(col("t")).cast("double")).as("avgdl"))
-        val postings = graft.CacheScope.cached(tk
           .select(col("doc_id"), size(col("t")).cast("double").as("dl"),
             explode(col("t")).as("term"))
           .groupBy("doc_id", "term")
@@ -1781,10 +1800,20 @@ object TextAnalysis {
       val cw = sw.groupBy("w").agg(sum(col("c_sw")).as("c_w"))
       val top = cw.orderBy(desc("c_w"), asc("w")).limit(100)
       val ns = sw.groupBy("source").agg(sum(col("c_sw")).as("n_s"))
-      val tot = cw.agg(sum(col("c_w")).as("n_tot"))
+      // Σ c_w over the vocabulary ≡ Σ c_sw over the cached counts —
+      // summing sw directly skips a second vocabulary-wide exchange +
+      // aggregate by w (identical long sum, plan-measured)
+      val tot = sw.agg(sum(col("c_sw")).as("n_tot"))
       val grid = ns.crossJoin(broadcast(top)).crossJoin(broadcast(tot))
+      // Semi-filter sw to the 100 grid terms BEFORE the scoring join
+      // (guide §3.2): the left join can only match grid's (source, w)
+      // keys, so pre-dropping every non-top term is a no-op on the
+      // result but shrinks the join's build side from the full
+      // vocabulary-sized counts frame to ≤ |sources| × 100 rows.
+      val swTop = sw.join(broadcast(top.select("w")), "w")
+        .select("source", "w", "c_sw")
       val scored = grid
-        .join(sw, Seq("source", "w"), "left")
+        .join(swTop, Seq("source", "w"), "left")
         .withColumn("c_sw", coalesce(col("c_sw"), lit(0L)))
         .withColumn("p_s", col("c_sw").cast("double") / col("n_s"))
         .withColumn("p_c", col("c_w").cast("double") / col("n_tot"))
