@@ -390,22 +390,32 @@ object Dedup {
         .withColumn("label", col("doc")).localCheckpoint()
       var changed = 1L
       var rounds = 0
+      // Convergence is read off the label SUM: labels only ever
+      // decrease (min-propagation), so Σlabel is strictly decreasing
+      // until the fixed point — comparing two 1-row exact decimal sums
+      // replaces the old per-round next-vs-labels equi-join (one full
+      // join job per round gone, same termination decision). decimal
+      // (38,0): doc_ids are 61-bit hashes elsewhere in this repo, so a
+      // bigint Σ could overflow past ~4 nodes; 38 digits hold 10^12
+      // nodes of 2^61 labels exactly.
+      val sumOf = (df: DataFrame) =>
+        df.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0)
+      var prevSum = sumOf(labels)
       while (changed > 0 && rounds < 50) {
-        val prop = edges.join(labels, edges("b") === labels("doc"))
-          .groupBy("a").agg(min("label").as("nlabel"))
-        // `chg` rides the checkpointed frame (label strictly decreases,
-        // so changed ⟺ nlabel < label): the convergence count becomes a
-        // scan of the just-checkpointed blocks instead of the old
-        // next-vs-labels equi-join — one full join job per round gone,
-        // same termination decision.
-        val next = labels.join(prop, labels("doc") === prop("a"), "left")
-          .select(labels("doc"),
-            least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"),
-            (coalesce(col("nlabel"), labels("label")) < labels("label")).as("chg"))
+        // min over (own label ∪ neighbours' labels) as ONE aggregate:
+        // the union row replaces the old left-join-back onto labels —
+        // one join per round instead of two, bit-identical labels.
+        val next = edges.join(labels, edges("b") === labels("doc"))
+          .select(col("a").as("doc"), col("label"))
+          .unionByName(labels)
+          .groupBy("doc").agg(min(col("label")).as("label"))
           .localCheckpoint()
-        changed = next.filter(col("chg")).count()
+        val newSum = sumOf(next)
+        changed = if (newSum == prevSum ||
+          (newSum != null && newSum.compareTo(prevSum) == 0)) 0L else 1L
+        prevSum = newSum
         labels.unpersist()
-        labels = next.select("doc", "label")
+        labels = next
         rounds += 1
       }
       edges.unpersist()
@@ -1132,30 +1142,20 @@ object Dedup {
         // the guard at the source all three scans are identical and the
         // optimizer prunes the join's now-redundant inferred filter.
         // Semantically a no-op: doc_id is the table's key.
-        // Cached: the windowing branch below now reads through the
-        // cached `wins` relation, and exchange reuse cannot cross a
-        // cache boundary — un-cached, the reassembly branch re-scanned
-        // and re-tokenized the corpus (measured documents=2).
-        val docs = graft.CacheScope.cached(Tables.documents(s, d)
+        val docs = Tables.documents(s, d)
           .filter(col("doc_id").isNotNull)
           .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
             col("doc_id"))
-          .select(col("doc_id"), toks(col("text")).as("t")))
+          .select(col("doc_id"), toks(col("text")).as("t"))
         val idx = when(size(col("t")) >= K,
           sequence(lit(1), size(col("t")) - (K - 1)))
           .otherwise(array().cast("array<int>"))
         val winArr = transform(idx,
           i => concat_ws(" ", slice(col("t"), i, lit(K))))
-        // One materialized window-hash pass shared by the keeper
-        // aggregate and the join-back probe (the q143 measurement:
-        // un-cached, each branch re-ran the per-window md5 above the
-        // doc_id exchange; pruning defeats a bare shared h-exchange)
-        val wins = graft.CacheScope.cached(docs
+        val wins = docs
           .select(col("doc_id"), posexplode(winArr).as(Seq("pos0", "win")))
           .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
             md5h61(col("win")).as("h"))
-          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
-            col("h")))
         val keepers = wins.groupBy("h")
           .agg(min(col("doc_id")).as("keeper"))
         val removeAgg = wins.join(keepers, "h")
@@ -1234,32 +1234,23 @@ object Dedup {
   private[graft] def paragraphDedup(delim: String)(
       s: SparkSession, d: String): DataFrame = {
     graft.functions.TextFunctions.register(s)
-    // Cached for the same reason as q145's docs frame: the hash branch
-    // below reads through the cached `ex` relation, so without this the
-    // reassembly branch re-scans and re-splits the corpus.
-    val docs = graft.CacheScope.cached(Tables.documents(s, d)
+    val docs = Tables.documents(s, d)
       .filter(col("doc_id").isNotNull)
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
         col("doc_id"))
       .select(col("doc_id"),
-        split(col("text"), java.util.regex.Pattern.quote(delim), -1).as("paras")))
+        split(col("text"), java.util.regex.Pattern.quote(delim), -1).as("paras"))
     // posexplode_OUTER: semantically identical here (split() never
     // returns an empty or null array for non-null text), but the inner
     // form lets InferFiltersFromGenerate push `size(paras) > 0` below
     // the exchange into only THIS branch's scan, de-canonicalizing it
     // from the reassembly branch and doubling the documents scan (the
     // q133 trap, caught by the registry-wide scan-allowance sweep)
-    // One materialized paragraph-hash pass shared by the keeper
-    // aggregate and the join-back probe (the q143 measurement: each
-    // branch re-ran split + md5 above the doc_id exchange; caching
-    // after the h-repartition lets the groupBy(h) run exchange-free)
-    val ex = graft.CacheScope.cached(docs
+    val ex = docs
       .select(col("doc_id"), posexplode_outer(col("paras")).as(Seq("pidx", "para")))
       .select(col("doc_id"), col("pidx"),
         struct(col("doc_id"), col("pidx")).as("okey"),
         md5h61(col("para")).as("h"))
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
-        col("h")))
     val keep = ex.groupBy("h").agg(min(col("okey")).as("keeper"))
     val kp = ex.join(keep, "h")
       .filter(col("okey") === col("keeper"))
@@ -1681,31 +1672,30 @@ object Dedup {
           .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         val deg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
         val e = graft.CacheScope.cached(ed.join(deg, "src"))
-        val nn = deg.agg(count(lit(1)).as("nn"))
-        var pr = deg.select(col("src").as("doc")).crossJoin(broadcast(nn))
-          .select(col("doc"), expr("1000000000 div nn").as("prq"))
+        // N as a driver scalar, not a re-broadcast 1-row frame: the
+        // crossJoin(broadcast(nn)) subtree re-ran the count aggregate
+        // and built a fresh broadcast inside EVERY round's checkpoint
+        // job (no cross-action exchange reuse) — 11 broadcast builds
+        // for one constant. One bounded 1-row fetch off the cached
+        // degree frame (the maintainer-gate collect discipline) and
+        // the teleport terms become literals; integer div semantics
+        // unchanged (guarded for the empty-graph case, where pr is
+        // empty and the values are never read).
+        val nnVal = deg.agg(count(lit(1))).head.getLong(0)
+        val pr0 = if (nnVal == 0) 0L else 1000000000L / nnVal
+        val tele = if (nnVal == 0) 0L else 150000000L / nnVal
+        var pr = deg.select(col("src").as("doc"))
+          .select(col("doc"), lit(pr0).as("prq"))
           .localCheckpoint()
-        // Checkpoint every CpEvery rounds, not every round: an eager
-        // localCheckpoint is a full Spark job, so 10 per-round
-        // checkpoints cost 10 scheduling barriers for a graph whose
-        // per-round work is one tiny join+agg — measured, the barriers
-        // dominated the wall clock. Batching trades a bounded
-        // (≤ CpEvery-deep) lineage for 1/CpEvery of the jobs; the
-        // arithmetic and the per-round plans are unchanged.
-        val CpEvery = 5
-        var lastCp = pr
-        for (i <- 1 to Iters) {
+        for (_ <- 1 to Iters) {
+          val prev = pr
           pr = e.join(pr, e("src") === pr("doc"))
             .select(col("dst"), expr("(85 * prq) div (100 * deg)").as("c"))
             .groupBy("dst").agg(sum(col("c")).as("cs"))
-            .crossJoin(broadcast(nn))
             .select(col("dst").as("doc"),
-              (expr("150000000 div nn") + col("cs")).as("prq"))
-          if (i % CpEvery == 0 || i == Iters) {
-            pr = pr.localCheckpoint()
-            lastCp.unpersist()
-            lastCp = pr
-          }
+              (lit(tele) + col("cs")).as("prq"))
+            .localCheckpoint()
+          prev.unpersist()
         }
         pr.select(col("doc").as("doc_id"), col("prq"))
           .orderBy(desc("prq"), asc("doc_id"))

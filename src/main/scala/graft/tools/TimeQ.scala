@@ -27,15 +27,28 @@ object TimeQ {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          stages.addAndGet(j.stageInfos.size)
+          tasks.addAndGet(j.stageInfos.map(_.numTasks).sum)
+        }
+      })
     for (n <- args) {
       val run = SparkEntry.queries(n)
       run(spark, sfDir).count() // warm: JIT + codegen + page cache
+      jobs.set(0); stages.set(0); tasks.set(0)
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         run(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"[timeq] $n%-34s min=${ts.min}%7.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
+      println(f"[timeq] $n%-34s min=${ts.min}%7.3f all=${ts.map(t => f"$t%.3f").mkString(",")} jobs=${jobs.get / reps} stages=${stages.get / reps} tasks=${tasks.get / reps}")
     }
     spark.stop()
   }
