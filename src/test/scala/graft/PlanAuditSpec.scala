@@ -240,7 +240,9 @@ class PlanAuditSpec extends AnyFunSuite {
       ("q113_equidepth_deciles", "documents", 1),
       ("q142_bm25_topk", "documents", 1),
       ("q142b_bm25_textbook", "documents", 1),
-      ("q143_substring_dedup", "documents", 1),
+      // q143 moved to its own cache-shape test below (r18): the
+      // window-hash frame is materialized once and shared via
+      // InMemoryRelation, so no ReusedExchange appears by design
       ("q145_substring_removal", "documents", 1),
       ("q146_adaptive_quality_filter", "documents", 1),
       ("q80_repetition_filter", "documents", 1),
@@ -263,6 +265,30 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q scalar branch must reuse the aggregated exchange:\n$p")
       assert(s"$fact\\.parquet".r.findAllIn(p).size == expected,
         s"$q must read $fact exactly $expected time(s) in the final plan:\n$p")
+    }
+  }
+
+  test("q143/q185 share ONE materialized window-hash pass") {
+    // r18: the df-count branch and the position-probe branch used to
+    // re-run tokenize + posexplode + md5h61 above a shared raw-text
+    // exchange (the exchange was reused, the per-window md5 ran
+    // twice — measured at sf0.1). Both now read one cached
+    // (doc_id[, pos], h) frame; pin the shape: exactly one documents
+    // scan in the final plan and the cache actually present. A bare
+    // shared h-exchange cannot replace the cache — column pruning
+    // drops `pos` from the aggregate branch and de-canonicalizes the
+    // subtrees (tried and measured in r18).
+    spark.catalog.clearCache()
+    for (q <- Seq("q143_substring_dedup", "q185_memorization_audit")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("InMemoryTableScan"),
+        s"$q must read the shared window-hash cache:\n$p")
+      assert("documents\\.parquet".r.findAllIn(p).size == 1,
+        s"$q must scan documents exactly once in the final plan:\n$p")
+      spark.catalog.clearCache()
     }
   }
 
@@ -319,6 +345,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // + verify join-back both read the cache
       "q264_lsh_band_ablation" -> "documents",
       "q69_dedup_survivors" -> "documents",
+      // r18: both cache the (doc_id[, pos], h) window-hash frame the
+      // df-count aggregate and the position probe share (one windowing
+      // pass instead of two); textual count is cache-state headroom,
+      // the exact cold shape is pinned by the dedicated test above
+      "q143_substring_dedup" -> "documents",
+      "q185_memorization_audit" -> "documents",
       "q76_ngram_jaccard_pairs" -> "documents",
       "q121_ngram_jaccard_dfcap" -> "documents",
       "q149_containment_pairs" -> "documents",
@@ -342,16 +374,6 @@ class PlanAuditSpec extends AnyFunSuite {
       "q180_lsh_recall_eval" -> "documents",
       // embeds the cached q37 pair machinery (LSH signature frame)
       "q191_dup_pagerank" -> "documents",
-      // caches the query-term posting join; the two roles are the
-      // index-build tokenize scan (postings + the stats pass a BM25
-      // index persists at build time) and the doc_id<8 pruned
-      // query-doc read (the q161 footer+row-group shape)
-      "q193_bm25_mrr_eval" -> "documents",
-      // the q193 corpus-vs-query role split, with the postings frame
-      // cached and probed by BOTH retrieval rounds plus the
-      // feedback-term mining (three broadcast-probe consumers of one
-      // cache — never a corpus re-read beyond the two roles)
-      "q224_rm3_expansion" -> "documents",
       // embeds the cached q56 cluster machinery plus ONE canonical
       // feat (qkey) exchange shared by both its consumers
       // (ReuseAudit: reused=1, documents=2 cold)
@@ -430,6 +452,21 @@ class PlanAuditSpec extends AnyFunSuite {
       // for the customer edge, orderkey histogram for the lineitem
       // edge) — the q130 nation precedent
       "q248_join_size_forecast" -> Map("orders" -> 2),
+      // r18: THREE committed roles — the postings-build tokenize scan
+      // (inside the cached hits relation), the 1-row corpus-stats
+      // branch (a map-combinable count/Σdl aggregate straight off the
+      // scan, replacing the old full token-array shuffle; exchange
+      // reuse cannot cross the cache boundary, so sharing was
+      // impossible anyway — measured tokenize-twice before), and the
+      // doc_id<8 pruned query read (ReuseAudit: documents=2 cold —
+      // the 3 is textual cache-state headroom)
+      "q193_bm25_mrr_eval" -> Map("documents" -> 3),
+      // r18: q193's three committed roles, with the postings frame
+      // additionally cached and probed by BOTH retrieval rounds plus
+      // the feedback-term mining (broadcast-probe consumers of one
+      // cache — never a corpus re-read beyond the roles; ReuseAudit:
+      // documents=1 cold, the 3 is textual cache-state headroom)
+      "q224_rm3_expansion" -> Map("documents" -> 3),
       // embeds BOTH cached machineries: the q209 postings frame over
       // documents (corpus + query-role scans, the q193/q209 split) and
       // the cached normed frame over embeddings (ReuseAudit: cold
