@@ -690,14 +690,26 @@ object Dedup {
     val ex = graft.CacheScope.cached(
       sets.select(col("doc_id"), explode(col("sh")).as("sg"))
         .select(col("doc_id"), md5h61(col("sg")).as("h")))
-    val dfs = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    // dfs cached: keep and hot each consumed the vocabulary aggregate
+    // (the exchange was reused but the aggregate re-ran per branch);
+    // (h, df) is two longs per shingle TYPE.
+    val dfs = graft.CacheScope.cached(
+      ex.groupBy("h").agg(count(lit(1)).as("df")))
     val keep = dfs.filter(col("df") <= DfCap && col("df") >= 2).select("h")
     val hot = dfs.filter(col("df") > DfCap).select("h")
     val exf = ex.join(keep, "h")
-    val pc = exf.as("a").join(exf.as("b"),
+    // pc cached: it feeds BOTH the hot join-back (as bare candidate
+    // keys) and the final n_capped + n_hot merge, and column pruning
+    // drops n_capped from the first consumer's aggregate — the
+    // subtrees de-canonicalize and the ENTIRE candidate self-join ran
+    // twice (r18 plan audit: two full BHJ-chain + pair-aggregate
+    // pipelines). (doc_a, doc_b, n_capped) is three longs per
+    // CANDIDATE pair — the df-cap bounds it, the q143 narrow-proxy
+    // cache discipline applies.
+    val pc = graft.CacheScope.cached(exf.as("a").join(exf.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_capped"))
+      .agg(count(lit(1)).as("n_capped")))
     val exHot = ex.join(hot, "h")
     val nh = pc.select("doc_a", "doc_b")
       .join(exHot.as("ea"), col("doc_a") === col("ea.doc_id"))
