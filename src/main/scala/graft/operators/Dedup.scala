@@ -879,10 +879,16 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
       .select(col("doc_id"), size(col("ord")).cast("long").as("sz"),
         transform(col("ord"), x => x.getField("h")).as("hs"))
-    val pref = srt.select(col("doc_id"), col("sz"),
+    // pref cached: the candidate self-join consumes it on BOTH sides
+    // and the broadcast build side otherwise re-runs the whole srt
+    // pipeline (df join + per-doc collect_list + sort) a second time
+    // (r18 plan audit: two ObjectHashAggregate(collect_list) subtrees).
+    // (doc_id, sz, h) is three longs per PREFIX posting — the q149
+    // narrow-proxy cache discipline.
+    val pref = graft.CacheScope.cached(srt.select(col("doc_id"), col("sz"),
       explode(slice(col("hs"), lit(1),
         expr(s"cast(sz - ((sz * $PfNum + ${PfDen - 1}) div $PfDen) + 1 as int)")))
-        .as("h"))
+        .as("h")))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") * PfNum <= col("b.sz") * PfDen &&
