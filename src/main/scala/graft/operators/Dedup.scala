@@ -205,8 +205,14 @@ object Dedup {
       // shingle arrays 8x through the candidate join would multiply
       // shuffle volume by the band count at scale.
       val enriched = graft.CacheScope.cached(signedSets(s, d))
-      val bandsAll = enriched.select(col("doc_id"),
-        posexplode(array((0 until Bands).map(bandCol): _*)).as(Seq("band_id", "bh")))
+      // bandsAll cached: the candidate self-join consumes it on both
+      // sides (and the bucket-cap branch adds a third consumer) — each
+      // otherwise re-scans the fat enriched cache and re-runs the
+      // 8-band md5 projection (r18 plan audit: two posexplode
+      // pipelines); the cached rows are (doc_id, band_id, bh)
+      val bandsAll = graft.CacheScope.cached(
+        enriched.select(col("doc_id"),
+          posexplode(array((0 until Bands).map(bandCol): _*)).as(Seq("band_id", "bh"))))
       val bands = bucketCap.fold(bandsAll) { cap =>
         val keep = bandsAll.groupBy("band_id", "bh")
           .agg(count(lit(1)).as("df"))

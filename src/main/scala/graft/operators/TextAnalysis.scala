@@ -1572,7 +1572,12 @@ object TextAnalysis {
               (col("tf") + lit(1.2) *
                 (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
         def ranked(qt: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-          val hits = postings.join(broadcast(qt), "term")
+          // hits cached per round (the q193 discipline): the df count
+          // and the scoring path each probed the corpus-wide postings
+          // cache otherwise — two full cache scans per round for a
+          // query-term-bounded frame
+          val hits = graft.CacheScope.cached(
+            postings.join(broadcast(qt), "term"))
           val dfs = hits.select("term", "doc_id").distinct()
             .groupBy("term").agg(count(lit(1)).as("df"))
           hits.join(broadcast(dfs), "term")
