@@ -963,9 +963,11 @@ object Dedup {
     "q168_fuzzy_contamination",
     (s, d) => {
       val enriched = graft.CacheScope.cached(signedSets(s, d))
-      val bandsAll = enriched.select(col("doc_id"),
+      // cached (r18): eval and train branches each re-ran the 8-band
+      // md5 projection over the fat signed-sets cache otherwise
+      val bandsAll = graft.CacheScope.cached(enriched.select(col("doc_id"),
         posexplode(array((0 until Bands).map(bandCol): _*))
-          .as(Seq("band_id", "bh")))
+          .as(Seq("band_id", "bh"))))
       val evalB = bandsAll.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("eval_doc"), col("band_id"), col("bh"))
       val trainB = bandsAll.filter(col("doc_id") % 10 =!= 0)
@@ -2412,9 +2414,11 @@ object Dedup {
       "q254_bbit_minhash",
       (s, d) => {
         val enriched = graft.CacheScope.cached(signedSets(s, d))
-        val bandsAll = enriched.select(col("doc_id"),
+        // cached (r18): both self-join sides re-ran the 8-band md5
+        // projection over the fat signed-sets cache otherwise
+        val bandsAll = graft.CacheScope.cached(enriched.select(col("doc_id"),
           posexplode(array((0 until Bands).map(bandCol): _*))
-            .as(Seq("band_id", "bh")))
+            .as(Seq("band_id", "bh"))))
         val a = bandsAll.as("a"); val b = bandsAll.as("b")
         val cand = a.join(b,
           col("a.band_id") === col("b.band_id") &&
