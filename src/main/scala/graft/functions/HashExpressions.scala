@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
 /** 61-bit md5 content hash, natively.
@@ -22,9 +22,17 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   *
   * Thread safety: Catalyst evaluates shared expression trees from many
   * tasks; MessageDigest is stateful, so instances live in a ThreadLocal.
+  *
+  * Codegen (r18): a real doGenCode emitting one static call — the old
+  * CodegenFallback made every call inside a whole-stage span wrap its
+  * input into an InternalRow, dispatch the interpreted eval virtually
+  * and box the long result, on the hottest expression in the dedup
+  * family. The static forwarder on the companion keeps the generated
+  * Java a plain `Md5Hash61.hash(bytes)`; eval and codegen share the
+  * same body, so the PropertySpec bit-equality law covers both paths.
   */
 case class Md5Hash61(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -34,15 +42,11 @@ case class Md5Hash61(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "md5h61"
 
-  override def nullSafeEval(v: Any): Any = {
-    val digest = Md5Hash61.local.get()
-    digest.reset()
-    val d = digest.digest(v.asInstanceOf[Array[Byte]])
-    var acc = 0L
-    var i = 15
-    while (i >= 8) { acc = (acc << 8) | (d(i) & 0xffL); i -= 1 }
-    java.lang.Math.floorMod(acc, Md5Hash61.Mod)
-  }
+  override def nullSafeEval(v: Any): Any =
+    Md5Hash61.hash(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Hash61.hash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Md5Hash61 =
     copy(child = newChild)
@@ -52,4 +56,15 @@ object Md5Hash61 {
   val Mod: Long = 1L << 61
   private val local = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Shared interpreted/codegen body (see class scaladoc). */
+  def hash(v: Array[Byte]): Long = {
+    val digest = local.get()
+    digest.reset()
+    val d = digest.digest(v)
+    var acc = 0L
+    var i = 15
+    while (i >= 8) { acc = (acc << 8) | (d(i) & 0xffL); i -= 1 }
+    java.lang.Math.floorMod(acc, Mod)
+  }
 }

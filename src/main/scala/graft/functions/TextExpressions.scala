@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -26,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * sizes), so list_distinct's arbitrary output order does not matter.
   */
 case class DistinctShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -36,10 +36,27 @@ case class DistinctShingles(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "distinct_shingles"
 
+  override def nullSafeEval(v: Any): Any =
+    DistinctShingles.shingles(v.asInstanceOf[ArrayData], n)
+
+  // r18: real codegen instead of CodegenFallback — inside a whole-stage
+  // span the fallback wrapped every input into an InternalRow and
+  // dispatched the interpreted eval; the generated code now makes one
+  // static call (eval and codegen share the same body, so the
+  // PropertySpec laws cover both paths)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.DistinctShingles.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctShingles =
+    copy(child = newChild)
+}
+
+object DistinctShingles {
   private val sep = UTF8String.fromString(" ")
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  /** Shared interpreted/codegen body (see class scaladoc). */
+  def shingles(arr: ArrayData, n: Int): ArrayData = {
     val len = arr.numElements()
     if (len < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String]()
@@ -57,9 +74,6 @@ case class DistinctShingles(child: Expression, n: Int)
     while (it.hasNext) { out(k) = it.next(); k += 1 }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): DistinctShingles =
-    copy(child = newChild)
 }
 
 object TextFunctions {
