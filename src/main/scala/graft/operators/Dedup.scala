@@ -404,8 +404,20 @@ object Dedup {
       // (38,0): doc_ids are 61-bit hashes elsewhere in this repo, so a
       // bigint Σ could overflow past ~4 nodes; 38 digits hold 10^12
       // nodes of 2^61 labels exactly.
-      val sumOf = (df: DataFrame) =>
-        df.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0)
+      // A null Σ is only legal for an EMPTY frame (sum over zero rows);
+      // over a non-empty frame it means decimal(38,0) overflow under
+      // non-ANSI or a null-label regression — and two consecutive null
+      // sums would compare equal and end the loop with unconverged
+      // labels. Fail loudly instead (the count rides the same 1-row agg).
+      val sumOf = (df: DataFrame) => {
+        val r = df.agg(sum(col("label").cast(DecimalType(38, 0))),
+          count(lit(1))).head
+        val s = r.getDecimal(0)
+        if (s == null && r.getLong(1) != 0L) throw new IllegalStateException(
+          "clustersFromPairs: null label sum over a non-empty frame " +
+            "(decimal overflow or null labels) — convergence would silently pass")
+        s
+      }
       var prevSum = sumOf(labels)
       while (changed > 0 && rounds < 50) {
         // min over (own label ∪ neighbours' labels) as ONE aggregate:

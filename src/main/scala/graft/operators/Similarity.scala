@@ -1676,14 +1676,23 @@ object Similarity {
         import org.apache.spark.sql.expressions.Window
         val bb = graft.CacheScope.cached(bandedBuckets(s, d))
         val a = bb.as("a"); val b = bb.as("b")
-        val dupPairs = a.join(b, col("a.band") === col("b.band") &&
-            col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-            (dot("a.e", "b.e") / (col("a.nrm") * col("b.nrm")))
-              .as("cosine"))
-          .distinct()
-          .filter(col("cosine") >= 0.35)
+        // Query-restricted BEFORE the band-collision distinct (a
+        // row-level predicate commutes with DISTINCT, so the surviving
+        // dup rows are identical) and CACHED: the two orientation
+        // branches below otherwise re-ran the entire self-join +
+        // distinct chain each (measured r19: two complete BHJ+Exchange
+        // pipelines in the plan). The cached frame is ≤ the pairs
+        // touching the NQ query ids — three narrow columns.
+        val dupPairs = graft.CacheScope.cached(
+          a.join(b, col("a.band") === col("b.band") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
+            .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+              (dot("a.e", "b.e") / (col("a.nrm") * col("b.nrm")))
+                .as("cosine"))
+            .filter(col("va") < NQ || col("vb") < NQ)
+            .distinct()
+            .filter(col("cosine") >= 0.35))
         val dup = dupPairs.filter(col("va") < NQ)
           .select(col("va").as("qid"), col("vb").as("vec_id"))
           .unionByName(dupPairs.filter(col("vb") < NQ)
@@ -1695,7 +1704,11 @@ object Similarity {
         w.join(broadcast(qs), col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"), col("label"),
             (dot("e", "qe") / (col("nrm") * col("qnrm"))).as("cosine"))
-          .join(dup, Seq("qid", "vec_id"), "left_anti")
+          // broadcast: a shuffle anti-join would exchange + sort the
+          // FULL corpus×NQ candidate frame by (qid, vec_id) just to
+          // drop a handful of dup pairs; the dup side is bounded by
+          // the near-dups of NQ query vectors (guide §3.1)
+          .join(broadcast(dup), Seq("qid", "vec_id"), "left_anti")
           .withColumn("rnk", row_number().over(
             Window.partitionBy("qid")
               .orderBy(col("cosine").desc, col("vec_id"))))

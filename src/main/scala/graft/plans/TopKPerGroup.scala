@@ -80,9 +80,90 @@ object RewriteTopKPerGroup extends Rule[LogicalPlan] {
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(child, part, order, k, rankAttr) =>
-      TopKPerGroupExec(planLater(child), part, order, k, rankAttr) :: Nil
+      // Partial pass below the (Catalyst-inserted) exchange — the
+      // map-side-aggregation analogue for top-k: each map task forwards
+      // at most (its groups × k) rows, so the exchange carries a
+      // k-bounded frame instead of every scored row (guide §2.3
+      // "aggregate before you shuffle"). Correct for any child
+      // distribution because the final pass re-prunes: per group, the
+      // global top-k is contained in the union of per-partition top-ks.
+      TopKPerGroupExec(
+        TopKPerGroupPartialExec(planLater(child), part, order, k),
+        part, order, k, rankAttr) :: Nil
     case _ => Nil
   }
+}
+
+/** Map-side pre-prune for [[TopKPerGroupExec]]: emits, per input
+  * partition, at most k rows per group — no rank output, no required
+  * distribution (it runs BELOW the exchange). Rows beyond
+  * [[TopKPerGroupPartialExec.MaxPartialGroups]] tracked groups stream
+  * through un-pruned (bounded memory; the final pass re-prunes, so
+  * passthrough only costs shuffle bytes, never correctness). Determinism
+  * contract is the window form's own: a non-total orderSpec ties are
+  * arbitrary in EVERY physical variant; all call sites order by
+  * (score, id). */
+case class TopKPerGroupPartialExec(
+    child: SparkPlan,
+    partitionSpec: Seq[Expression],
+    orderSpec: Seq[SortOrder],
+    k: Int)
+  extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val partExprs = partitionSpec
+    val sortOrder = orderSpec
+    val kk = k
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(partExprs, childOutput)
+      val ordering = RowOrdering.create(sortOrder, childOutput)
+      val heaps = new java.util.HashMap[UnsafeRow,
+        java.util.PriorityQueue[InternalRow]]()
+      val cmp = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int =
+          ordering.compare(b, a)
+      }
+      val passthrough = iter.flatMap { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          if (heaps.size() >= TopKPerGroupPartialExec.MaxPartialGroups) {
+            Iterator.single(row) // memory cap: forward un-pruned
+          } else {
+            heap = new java.util.PriorityQueue[InternalRow](kk + 1, cmp)
+            heaps.put(key.copy(), heap)
+            heap.add(row.copy())
+            Iterator.empty
+          }
+        } else {
+          if (heap.size < kk) heap.add(row.copy())
+          else if (ordering.compare(row, heap.peek()) < 0) {
+            heap.poll()
+            heap.add(row.copy())
+          }
+          Iterator.empty
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      // ++ is by-name: the heap drain only starts after the input (and
+      // with it every heap mutation) is exhausted
+      passthrough ++ heaps.values().iterator().asScala.flatMap(h =>
+        h.iterator().asScala)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupPartialExec =
+    copy(child = newChild)
+}
+
+object TopKPerGroupPartialExec {
+  /** Distinct groups tracked per task before falling back to
+    * passthrough: 64k groups × k rows bounds the heap map the same way
+    * the final exec's per-partition group set does. */
+  val MaxPartialGroups = 1 << 16
 }
 
 /** Heap-based physical top-k-per-group. Requires clustering by the

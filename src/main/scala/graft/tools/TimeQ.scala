@@ -48,7 +48,12 @@ object TimeQ {
         run(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"[timeq] $n%-34s min=${ts.min}%7.3f all=${ts.map(t => f"$t%.3f").mkString(",")} jobs=${jobs.get / reps} stages=${stages.get / reps} tasks=${tasks.get / reps}")
+      // SparkListener events arrive asynchronously on the listener bus;
+      // drain before sampling so late job-start events are counted
+      // (listenerBus.waitUntilEmpty is private[spark] — a short sleep is
+      // enough for a dev tool whose counters feed A/B plan comparisons).
+      Thread.sleep(300)
+      println(f"[timeq] $n%-34s min=${ts.min}%7.3f all=${ts.map(t => f"$t%.3f").mkString(",")} jobs=${jobs.get.toDouble / reps}%.1f stages=${stages.get.toDouble / reps}%.1f tasks=${tasks.get.toDouble / reps}%.1f")
     }
     spark.stop()
   }

@@ -75,6 +75,42 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
   }
 
+  test("partial pre-prune runs below the group exchange (map-side top-k)") {
+    val plan = topkQuery(3).queryExecution.executedPlan.toString
+    val fin = plan.indexOf("TopKPerGroup ")
+    val ex = plan.indexOf("Exchange hashpartitioning", fin)
+    val part = plan.indexOf("TopKPerGroupPartial ", fin)
+    assert(fin >= 0 && ex >= 0 && part >= 0 && fin < ex && ex < part,
+      s"expected TopKPerGroup above Exchange above TopKPerGroupPartial:\n$plan")
+  }
+
+  test("partial passthrough past the group cap still yields exact top-k") {
+    // one input partition holding MORE distinct groups than
+    // MaxPartialGroups: the partial pass must stream the overflow
+    // groups' rows through un-pruned and the final pass re-prunes —
+    // rows AND ranks equal the window form. k=2 with 2 rows per group
+    // of which the "b" row wins ties deterministically via (v, id).
+    val n = graft.plans.TopKPerGroupPartialExec.MaxPartialGroups + 1000
+    val df = spark.range(n.toLong * 3)
+      .select((col("id") % n).as("g"), (col("id") * 7 % 1000).as("v"),
+        col("id"))
+      .coalesce(1)
+    val w = Window.partitionBy(col("g")).orderBy(desc("v"), asc("id"))
+    val pruned = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupPartial "), s"partial missing:\n$plan")
+    val got = pruned.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val expected = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).iterator.flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._2, t._3)).take(2).zipWithIndex
+          .map { case ((g, v, id), i) => (g, v, id, i + 1) }
+      }.toSet
+    assert(got == expected)
+  }
+
   test("global (unpartitioned) row_number is left on WindowExec") {
     val w = Window.orderBy(desc("o_totalprice"))
     val global = Tables.orders(spark, sf)
