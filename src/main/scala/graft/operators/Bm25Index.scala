@@ -80,7 +80,17 @@ object Bm25Index {
     * (qid, term) frame (broadcast); `stats` the one-row constants.
     * Shared verbatim by [[probe]] and the q209 registry twin. */
   private[operators] def scoreTopK(postings: DataFrame, stats: DataFrame,
-      queries: DataFrame, k: Int): DataFrame = {
+      queries: DataFrame, k: Int): DataFrame =
+    scoreTopKUnordered(postings, stats, queries, k).orderBy("qid", "rank")
+
+  /** [[scoreTopK]] minus the trailing global sort — for consumers that
+    * feed the frame into an order-destroying operator Catalyst cannot
+    * see through (the q212/q256 union+aggregate fusion: EliminateSorts
+    * removes a sort below a JOIN but not below Union→Aggregate, so the
+    * ordered frame would pay a rangepartitioning exchange + sort whose
+    * output order the fusion immediately discards). */
+  private[operators] def scoreTopKUnordered(postings: DataFrame,
+      stats: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hits = graft.CacheScope.cached(
       postings.join(broadcast(queries), "term"))
@@ -109,7 +119,6 @@ object Bm25Index {
         .cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("doc_id"), col("score_q6"))
-      .orderBy("qid", "rank")
   }
 
   /** Build the index over a (doc_id, text) corpus frame: one tokenize
@@ -500,6 +509,11 @@ object Bm25Index {
     * over in-line postings — shared by q209 and the hybrid fusion
     * (q212). */
   private[operators] def bm25TopKFrame(s: SparkSession, d: String)
+      : DataFrame = bm25TopKFrameUnordered(s, d).orderBy("qid", "rank")
+
+  /** Unordered twin for the q212/q256 fusion (see
+    * [[scoreTopKUnordered]]). */
+  private[operators] def bm25TopKFrameUnordered(s: SparkSession, d: String)
       : DataFrame = {
     val post = graft.CacheScope.cached(
       postingsOf(s, Tables.documents(s, d)))
@@ -508,7 +522,7 @@ object Bm25Index {
       .select(col("doc_id").as("qid"),
         explode(array_distinct(slice(toks(col("text")), 11, 4)))
           .as("term"))
-    scoreTopK(post, statsFrom(post), queries, TopK)
+    scoreTopKUnordered(post, statsFrom(post), queries, TopK)
   }
 
   /** q209: the oracle-checked registry twin of [[probe]] — the ranked

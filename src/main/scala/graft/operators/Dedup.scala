@@ -418,7 +418,15 @@ object Dedup {
             "(decimal overflow or null labels) — convergence would silently pass")
         s
       }
-      var prevSum = sumOf(labels)
+      // No initial sum job: round 1 ALWAYS strictly decreases Σlabel on
+      // a non-empty edge set (edges are symmetrized, so the max-id node
+      // of any ≥2-node component adopts a smaller neighbour label), and
+      // on an empty set both sums are null — so a null sentinel makes
+      // the identical termination decision one aggregate job cheaper.
+      // (A pure-self-loop graph — which pair builders can't produce,
+      // doc_a < doc_b — would cost one extra no-op round, not a wrong
+      // answer: the fixed point compares equal next round.)
+      var prevSum: java.math.BigDecimal = null
       while (changed > 0 && rounds < 50) {
         // min over (own label ∪ neighbours' labels) as ONE aggregate:
         // the union row replaces the old left-join-back onto labels —
@@ -429,8 +437,10 @@ object Dedup {
           .groupBy("doc").agg(min(col("label")).as("label"))
           .localCheckpoint()
         val newSum = sumOf(next)
-        changed = if (newSum == prevSum ||
-          (newSum != null && newSum.compareTo(prevSum) == 0)) 0L else 1L
+        // null Σ ⇒ empty label frame ⇒ empty graph: done. Otherwise a
+        // null prevSum is the round-1 sentinel (always changed).
+        changed = if (newSum == null ||
+          (prevSum != null && newSum.compareTo(prevSum) == 0)) 0L else 1L
         prevSum = newSum
         labels.unpersist()
         labels = next

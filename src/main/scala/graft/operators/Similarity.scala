@@ -1908,7 +1908,7 @@ object Similarity {
     "q212_hybrid_rrf",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val bm = Bm25Index.bm25TopKFrame(s, d)
+      val bm = Bm25Index.bm25TopKFrameUnordered(s, d)
         .select(col("qid"), col("doc_id"), col("rank").as("bm25_rank"))
       val w = graft.CacheScope.cached(normed(s, d))
       val qv = w.filter(col("vec_id") < 8)
@@ -1924,7 +1924,19 @@ object Similarity {
           .cast("long"))
         .filter(col("ann_rank") <= 10)
         .select("qid", "doc_id", "ann_rank")
-      bm.join(ann, Seq("qid", "doc_id"), "full_outer")
+      // Full-outer of two UNIQUE-(qid,doc_id) top-10 frames as ONE
+      // union + max-aggregate (guide §2.4): the shuffle full-outer
+      // cost two exchanges + two sorts; the union pays one exchange
+      // and no sort, and max(rank) over {rank, null} reproduces the
+      // join's null padding exactly because each side contributes at
+      // most one row per key.
+      bm.withColumn("ann_rank", lit(null).cast("long"))
+        .unionByName(ann
+          .withColumn("bm25_rank", lit(null).cast("long"))
+          .select("qid", "doc_id", "bm25_rank", "ann_rank"))
+        .groupBy("qid", "doc_id")
+        .agg(max("bm25_rank").as("bm25_rank"),
+          max("ann_rank").as("ann_rank"))
         .withColumn("rrf_q6",
           coalesce(expr("1000000 div (60 + bm25_rank)"), lit(0L)) +
             coalesce(expr("1000000 div (60 + ann_rank)"), lit(0L)))
@@ -1988,7 +2000,7 @@ object Similarity {
     "q256_ranker_agreement",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val bm = Bm25Index.bm25TopKFrame(s, d)
+      val bm = Bm25Index.bm25TopKFrameUnordered(s, d)
         .select(col("qid"), col("doc_id"), col("rank").as("bm25_rank"))
       val w = graft.CacheScope.cached(normed(s, d))
       val qv = w.filter(col("vec_id") < 8)
@@ -2005,7 +2017,15 @@ object Similarity {
         .filter(col("ann_rank") <= 10)
         .select("qid", "doc_id", "ann_rank")
       val both = col("bm25_rank").isNotNull && col("ann_rank").isNotNull
-      bm.join(ann, Seq("qid", "doc_id"), "full_outer")
+      // union + max-aggregate ≡ the full-outer of two unique-(qid,
+      // doc_id) frames — the q212 rewrite (one exchange, no sorts)
+      bm.withColumn("ann_rank", lit(null).cast("long"))
+        .unionByName(ann
+          .withColumn("bm25_rank", lit(null).cast("long"))
+          .select("qid", "doc_id", "bm25_rank", "ann_rank"))
+        .groupBy("qid", "doc_id")
+        .agg(max("bm25_rank").as("bm25_rank"),
+          max("ann_rank").as("ann_rank"))
         .groupBy("qid")
         .agg(count(when(both, 1)).as("overlap"),
           count(lit(1)).as("union_n"),

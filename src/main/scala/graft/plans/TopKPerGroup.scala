@@ -96,13 +96,15 @@ object TopKPerGroupStrategy extends SparkStrategy {
 
 /** Map-side pre-prune for [[TopKPerGroupExec]]: emits, per input
   * partition, at most k rows per group — no rank output, no required
-  * distribution (it runs BELOW the exchange). Rows beyond
-  * [[TopKPerGroupPartialExec.MaxPartialGroups]] tracked groups stream
-  * through un-pruned (bounded memory; the final pass re-prunes, so
-  * passthrough only costs shuffle bytes, never correctness). Determinism
-  * contract is the window form's own: a non-total orderSpec ties are
-  * arbitrary in EVERY physical variant; all call sites order by
-  * (score, id). */
+  * distribution (it runs BELOW the exchange). Memory is bounded by
+  * RETAINED ROWS, not groups: a task tracks at most
+  * [[TopKPerGroupPartialExec.MaxPartialRows]] / k groups (k can be up
+  * to the rewrite's MaxK = 10000 — a group-count cap alone would admit
+  * groups × k rows); rows of untracked groups stream through un-pruned
+  * (the final pass re-prunes, so passthrough only costs shuffle bytes,
+  * never correctness). Determinism contract is the window form's own:
+  * with a non-total orderSpec ties are arbitrary in EVERY physical
+  * variant; all call sites order by (score, id). */
 case class TopKPerGroupPartialExec(
     child: SparkPlan,
     partitionSpec: Seq[Expression],
@@ -122,6 +124,8 @@ case class TopKPerGroupPartialExec(
       val ordering = RowOrdering.create(sortOrder, childOutput)
       val heaps = new java.util.HashMap[UnsafeRow,
         java.util.PriorityQueue[InternalRow]]()
+      val maxGroups = math.max(1,
+        TopKPerGroupPartialExec.MaxPartialRows / math.max(1, kk))
       val cmp = new java.util.Comparator[InternalRow] {
         override def compare(a: InternalRow, b: InternalRow): Int =
           ordering.compare(b, a)
@@ -130,7 +134,7 @@ case class TopKPerGroupPartialExec(
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          if (heaps.size() >= TopKPerGroupPartialExec.MaxPartialGroups) {
+          if (heaps.size() >= maxGroups) {
             Iterator.single(row) // memory cap: forward un-pruned
           } else {
             heap = new java.util.PriorityQueue[InternalRow](kk + 1, cmp)
@@ -160,10 +164,12 @@ case class TopKPerGroupPartialExec(
 }
 
 object TopKPerGroupPartialExec {
-  /** Distinct groups tracked per task before falling back to
-    * passthrough: 64k groups × k rows bounds the heap map the same way
-    * the final exec's per-partition group set does. */
-  val MaxPartialGroups = 1 << 16
+  /** Retained-row budget per task: the partial pass tracks at most
+    * MaxPartialRows / k groups, so its heap map never holds more than
+    * ~256k rows (tens of MB at typical row widths) regardless of k —
+    * beyond that, new groups' rows stream through to the exchange
+    * un-pruned and the final exec does the exact work. */
+  val MaxPartialRows = 1 << 18
 }
 
 /** Heap-based physical top-k-per-group. Requires clustering by the

@@ -85,12 +85,11 @@ class TopKPerGroupSpec extends AnyFunSuite {
   }
 
   test("partial passthrough past the group cap still yields exact top-k") {
-    // one input partition holding MORE distinct groups than
-    // MaxPartialGroups: the partial pass must stream the overflow
-    // groups' rows through un-pruned and the final pass re-prunes —
-    // rows AND ranks equal the window form. k=2 with 2 rows per group
-    // of which the "b" row wins ties deterministically via (v, id).
-    val n = graft.plans.TopKPerGroupPartialExec.MaxPartialGroups + 1000
+    // one input partition holding MORE distinct groups than the
+    // row-budget cap (MaxPartialRows / k): the partial pass must stream
+    // the overflow groups' rows through un-pruned and the final pass
+    // re-prunes — rows AND ranks equal the window form exactly.
+    val n = graft.plans.TopKPerGroupPartialExec.MaxPartialRows / 2 + 1000
     val df = spark.range(n.toLong * 3)
       .select((col("id") % n).as("g"), (col("id") * 7 % 1000).as("v"),
         col("id"))
