@@ -171,4 +171,21 @@ object Dsl {
   /** SQL twin of [[shingles3]] over a token-array expression. */
   def sqlShingles3(t: String): String =
     s"list_transform(generate_series(1, len($t) - 2), i -> concat_ws(' ', $t[i], $t[i+1], $t[i+2]))"
+
+  /** Scale-adaptive spread for a heavy per-row projection over a scan:
+    * repartition by `key` ONLY when the scan yields fewer input splits
+    * than the session's shuffle partitions. The driver testdata ships
+    * single-row-group parquet, so a projection-only operator (DSIR
+    * scoring, markup strip, CDC rolling hashes) otherwise serializes
+    * its whole per-row compute onto ONE task regardless of core count;
+    * at 100 TB the file set already carries ≥ that many splits and this
+    * is a NO-OP — the operator keeps its zero-shuffle scan shape (the
+    * condition derives from input size, never a constant tuned for
+    * either mode). Keyed, never round-robin: a deterministic hash key
+    * reproduces the same row→partition map under task retry (guide
+    * §2.5's rand-repartition duplication trap). */
+  def spreadIfNarrow(df: DataFrame, key: Column): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions < parts) df.repartition(parts, key) else df
+  }
 }

@@ -206,9 +206,27 @@ object Sampling {
       // evaluates the scoring tree once per row, not once per CASE arm
       val coin =
         md5h61(concat(lit("dsirs:"), col("doc_id").cast("string"))) % 16
-      Tables.documents(s, d)
+      // scale-adaptive spread: the scoring tree below is the whole cost
+      // and would otherwise run on the single-row-group scan's ONE task
+      // locally; a no-op at scale (see Dsl.spreadIfNarrow). When the
+      // spread fires, the scored frame is pinned with a localCheckpoint
+      // BARRIER: PushDownPredicates would otherwise push the acceptance
+      // filter (which inlines the whole scoring tree) below the spread
+      // exchange back onto the 1-task scan — scoring would run TWICE,
+      // once serialized (measured: the pushed plan re-evaluated the
+      // aggregate tree in the scan-stage Filter). At scale neither the
+      // spread nor the barrier exists and the filter+projection share
+      // one scan stage (subexpression-eliminated) exactly as before.
+      val src = Tables.documents(s, d)
+      val spread = spreadIfNarrow(src, col("doc_id"))
+      val scored0 = spread
         .withColumn("st", statsOf(col("text")))
         .withColumn("coin", coin)
+        // prune before the barrier: the checkpoint must hold the three
+        // consumed columns, never the text payload
+        .select("doc_id", "st", "coin")
+      val scored = if (spread eq src) scored0 else scored0.localCheckpoint()
+      scored
         .filter(col("st.iscore") >=
           when(col("coin") < 1, Double.NegativeInfinity)
             .when(col("coin") < 4, -0.25)

@@ -1097,7 +1097,10 @@ object TextAnalysis {
       val decoded = entities.foldLeft(stripped) { case (acc, (e, ch)) =>
         replace(acc, lit(e), lit(ch))
       }
-      Tables.documents(s, d)
+      // scale-adaptive spread (Dsl.spreadIfNarrow): regexp passes below
+      // are the whole cost; no-op at scale, parallelizes the local
+      // single-row-group scan
+      spreadIfNarrow(Tables.documents(s, d), col("doc_id"))
         .withColumn("pt", wrapped)
         .select(
           col("doc_id"),
@@ -1164,7 +1167,8 @@ object TextAnalysis {
       val fracSym = size(filter(col("t"),
         x => x.contains("#") || x.contains("...")))
         .cast("double") / size(col("t"))
-      Tables.documents(s, d)
+      // scale-adaptive spread (Dsl.spreadIfNarrow): no-op at scale
+      spreadIfNarrow(Tables.documents(s, d), col("doc_id"))
         .withColumn("t", toks(lower(col("text"))))
         .select(col("doc_id"), nTok.as("n_tokens"),
           meanLen.as("mean_word_len"), fracAlpha.as("frac_alpha"),

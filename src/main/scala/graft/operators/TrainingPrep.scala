@@ -1422,7 +1422,9 @@ object TrainingPrep {
       "q174_cdc_chunks",
       (s, d) => {
         graft.functions.TextFunctions.register(s)
-        Tables.documents(s, d)
+        // scale-adaptive spread (Dsl.spreadIfNarrow): the W-token
+        // rolling md5 below is the whole cost; no-op at scale
+        spreadIfNarrow(Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id"), toks(col("text")).as("t"))
           .withColumn("bpos", filter(
             when(size(col("t")) >= W + 1,
