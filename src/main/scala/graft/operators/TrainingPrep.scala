@@ -688,7 +688,12 @@ object TrainingPrep {
     (s, d) => {
       // token array materialized first — see q84's note (O(n^2) lambda
       // re-split otherwise)
-      Tables.documents(s, d)
+      // scale-adaptive spread (Dsl.spreadIfNarrow): the per-shingle md5
+      // + window-min passes below are the whole cost; no-op at scale.
+      // The size(t) >= 3 filter pushes below the spread exchange as ONE
+      // split per row on the scan task -- cheap by the same argument
+      // that placed it on `t` instead of `sh`.
+      spreadIfNarrow(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), toks(col("text")).as("t"))
         // docs with zero 3-grams (< 3 tokens) produce no windows (empty
         // unnest in the oracle) — drop them here. Phrased over the token
@@ -1134,7 +1139,9 @@ object TrainingPrep {
     def nSyms(c: Column): Column = bpeSymCount(bpeApply(c, BpeMerges16))
     Q(
       "q148_bpe_encode",
-      (s, d) => Tables.documents(s, d)
+      // scale-adaptive spread (Dsl.spreadIfNarrow): the 16-deep nested
+      // replace per piece is the whole cost; no-op at scale
+      (s, d) => spreadIfNarrow(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"),
           expr(s"regexp_extract_all(lower($StripSep), '$BpePat', 0)").as("pieces"))
         .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
@@ -1778,7 +1785,9 @@ object TrainingPrep {
             acc => struct(acc.getField("cnt").as("cnt"),
               acc.getField("unk").as("unk")))
         })
-        Tables.documents(s, d)
+        // scale-adaptive spread (Dsl.spreadIfNarrow): the per-word
+        // WpMaxChars greedy fold is the whole cost; no-op at scale
+        spreadIfNarrow(Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id"),
             expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ws"))
           .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
@@ -1904,7 +1913,11 @@ object TrainingPrep {
               .otherwise(st)
           },
           st => st.getField("ps"))
-        Tables.documents(s, d)
+        // scale-adaptive spread (Dsl.spreadIfNarrow): the regexp +
+        // explode scan stage otherwise runs on one task locally (the
+        // Viterbi DP above the groupBy is already parallel); no-op at
+        // scale
+        spreadIfNarrow(Tables.documents(s, d), col("doc_id"))
           .select(explode(
             expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
           .filter(length(col("w")) <= WpMaxChars)
