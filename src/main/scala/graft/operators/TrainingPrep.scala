@@ -688,12 +688,10 @@ object TrainingPrep {
     (s, d) => {
       // token array materialized first — see q84's note (O(n^2) lambda
       // re-split otherwise)
-      // scale-adaptive spread (Dsl.spreadIfNarrow): the per-shingle md5
-      // + window-min passes below are the whole cost; no-op at scale.
-      // The size(t) >= 3 filter pushes below the spread exchange as ONE
-      // split per row on the scan task -- cheap by the same argument
-      // that placed it on `t` instead of `sh`.
-      spreadIfNarrow(Tables.documents(s, d), col("doc_id"))
+      // spreadIfNarrow tried r19, reverted: the shingle-md5 pass is too
+      // light to pay for the spread exchange (best flag-clean min 0.248
+      // at calib 1.70 vs 0.179 at 1.28 pre-spread)
+      Tables.documents(s, d)
         .select(col("doc_id"), toks(col("text")).as("t"))
         // docs with zero 3-grams (< 3 tokens) produce no windows (empty
         // unnest in the oracle) — drop them here. Phrased over the token
@@ -1139,9 +1137,9 @@ object TrainingPrep {
     def nSyms(c: Column): Column = bpeSymCount(bpeApply(c, BpeMerges16))
     Q(
       "q148_bpe_encode",
-      // scale-adaptive spread (Dsl.spreadIfNarrow): the 16-deep nested
-      // replace per piece is the whole cost; no-op at scale
-      (s, d) => spreadIfNarrow(Tables.documents(s, d), col("doc_id"))
+      // spreadIfNarrow tried r19, reverted: per-row encode too light to
+      // pay for the spread exchange (measured norm 1.09 -> 1.25)
+      (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
           expr(s"regexp_extract_all(lower($StripSep), '$BpePat', 0)").as("pieces"))
         .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
@@ -1785,9 +1783,9 @@ object TrainingPrep {
             acc => struct(acc.getField("cnt").as("cnt"),
               acc.getField("unk").as("unk")))
         })
-        // scale-adaptive spread (Dsl.spreadIfNarrow): the per-word
-        // WpMaxChars greedy fold is the whole cost; no-op at scale
-        spreadIfNarrow(Tables.documents(s, d), col("doc_id"))
+        // spreadIfNarrow tried r19, reverted: measured neutral-to-worse
+        // (the greedy fold is lighter than it looks at this doc length)
+        Tables.documents(s, d)
           .select(col("doc_id"),
             expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ws"))
           .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
@@ -1913,11 +1911,11 @@ object TrainingPrep {
               .otherwise(st)
           },
           st => st.getField("ps"))
-        // scale-adaptive spread (Dsl.spreadIfNarrow): the regexp +
-        // explode scan stage otherwise runs on one task locally (the
-        // Viterbi DP above the groupBy is already parallel); no-op at
-        // scale
-        spreadIfNarrow(Tables.documents(s, d), col("doc_id"))
+        // spreadIfNarrow tried r19, reverted: the Viterbi DP above the
+        // groupBy is the real cost and was already parallel; spreading
+        // the cheap regexp stage only added an exchange (norm ~1.0 ->
+        // 1.11 measured)
+        Tables.documents(s, d)
           .select(explode(
             expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
           .filter(length(col("w")) <= WpMaxChars)
